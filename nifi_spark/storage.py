@@ -1,0 +1,268 @@
+"""SnapshotTableStore — a portable, Iceberg-style versioned lake table.
+
+The sandbox has no Iceberg catalog, so the engine targets a clean storage
+seam with the same semantics an Iceberg `MERGE INTO` would give:
+
+* **Snapshot isolation + atomic commit**: every merge writes a new version
+  directory plus a JSON manifest; the commit point is a single atomic
+  `os.replace` of the VERSION pointer (NiFi analog: the FlowFile-repo WAL
+  update is the session-commit atomicity point, StandardProcessSession.java:
+  361-370; here the pointer swap plays that role).
+* **Hash-bucketed layout**: rows live in `bucket = pmod(xxhash64(repo,path),
+  n_buckets)` partitions. A merge only reads and rewrites *dirty* buckets —
+  cost scales with the change set, not the table. At 100 TB you'd raise
+  n_buckets so each bucket is a few GB; with a real Iceberg catalog the same
+  pruning comes from partition transforms (`bucket(N, repo)`), and
+  `IcebergTableAdapter` below shows the MERGE INTO shape.
+* **Schema evolution without rewrites**: manifests carry numbered schemas;
+  files written under an old schema are mapped positionally (append-only
+  adds + in-place renames ⇒ position is a stable field id, the same trick
+  as Iceberg field-ids). add/rename are metadata-only commits.
+* **LWW merge with `_last_lsn`**: every stored row remembers the LSN that
+  produced it, so replaying a batch after a crash between table-commit and
+  ledger-write is idempotent (exactly-once end state; upgrades NiFi's
+  at-least-once commit-then-state edge, QueryDatabaseTable.java:313-321).
+
+The merge itself is a single hash aggregation, not a join: current rows of
+dirty buckets are unioned with the compacted change set and reduced with
+`max_by(row, lsn)` per key. Partial (map-side) aggregation makes this
+naturally skew-tolerant — a hot repo's rows combine before the shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_BASE = [("repo", "string"), ("path", "string"), ("commit", "string"),
+         ("lang", "string"), ("content", "string")]
+KEY = ["repo", "path"]
+
+
+def bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets)).cast("int")
+
+
+class SnapshotTableStore:
+    """Versioned parquet table with manifest-tracked buckets and schemas."""
+
+    def __init__(self, root: str, n_buckets: int = 16):
+        self.root = root
+        self.n_buckets = n_buckets
+
+    # ---------------- manifest / pointer plumbing ----------------
+    def _ptr_path(self) -> str:
+        return os.path.join(self.root, "VERSION")
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "manifests", f"v{version:06d}.json")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._ptr_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _load_manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"table at {self.root} not initialized")
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> int:
+        """Write manifest, then atomically swap the VERSION pointer."""
+        v = manifest["version"]
+        os.makedirs(os.path.join(self.root, "manifests"), exist_ok=True)
+        mp = self._manifest_path(v)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp + ".tmp", mp)
+        pp = self._ptr_path()
+        with open(pp + ".tmp", "w") as f:
+            f.write(str(v))
+        os.replace(pp + ".tmp", pp)  # ← the atomic commit point
+        return v
+
+    def init(self, extra_schema: list[tuple[str, str]] | None = None) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        schema = _BASE + list(extra_schema or [])
+        manifest = {
+            "version": 0, "n_buckets": self.n_buckets,
+            "schemas": {"0": [list(c) for c in schema]},
+            "current_schema_id": 0,
+            "buckets": {},  # bucket -> {path, schema_id}; absent = empty
+            "last_schema_lsn": -1,  # idempotent DDL replay gate
+            "committed_at": time.time(),
+        }
+        self._commit(manifest)
+
+    # ---------------- schema ----------------
+    def schema_columns(self, manifest: dict | None = None) -> list[tuple[str, str]]:
+        m = manifest or self._load_manifest()
+        return [tuple(c) for c in m["schemas"][str(m["current_schema_id"])]]
+
+    def evolve(self, kind: str, column: str, new_name: str | None = None,
+               dtype: str = "string", lsn: int | None = None) -> None:
+        """Metadata-only schema commit: add_column | rename_column.
+
+        When `lsn` is given (pipeline-driven DDL), replays of already-
+        applied schema events are skipped — name-based checks alone are
+        NOT idempotent (add X → rename X→Xr, replayed, would re-add X and
+        rename it into a duplicate Xr).
+        """
+        m = self._load_manifest()
+        if lsn is not None and lsn <= m.get("last_schema_lsn", -1):
+            return  # crash-replay of an already-applied schema event
+        cols = [list(c) for c in m["schemas"][str(m["current_schema_id"])]]
+        names = [c[0] for c in cols]
+        if kind == "add_column":
+            if column in names:
+                return  # idempotent replay
+            cols.append([column, dtype])
+        elif kind == "rename_column":
+            if column not in names:
+                if new_name in names:
+                    return  # replay after rename already applied
+                raise KeyError(f"rename_column: no column {column!r}")
+            cols[names.index(column)][0] = new_name
+        else:
+            raise ValueError(f"unknown schema change kind {kind!r}")
+        sid = max(int(k) for k in m["schemas"]) + 1
+        m["schemas"][str(sid)] = cols
+        m["current_schema_id"] = sid
+        m["version"] += 1
+        if lsn is not None:
+            m["last_schema_lsn"] = max(m.get("last_schema_lsn", -1), lsn)
+        m["committed_at"] = time.time()
+        self._commit(m)
+
+    # ---------------- read ----------------
+    def _normalize(self, df: DataFrame, file_schema: list, cur: list) -> DataFrame:
+        """Map a file written under an older schema onto the current one.
+
+        Positions are stable field ids (adds append, renames keep position),
+        so physical column i ↦ current column i; newer columns backfill null.
+        """
+        sel = []
+        for i, (name, dtype) in enumerate(cur):
+            if i < len(file_schema):
+                sel.append(F.col(file_schema[i][0]).alias(name))
+            else:
+                sel.append(F.lit(None).cast(dtype).alias(name))
+        sel.append(F.col("_last_lsn"))
+        return df.select(*sel)
+
+    def read(self, spark: SparkSession, buckets: list[int] | None = None,
+             with_lsn: bool = False) -> DataFrame:
+        m = self._load_manifest()
+        cur = self.schema_columns(m)
+        cols = [n for n, _ in cur] + (["_last_lsn"] if with_lsn else [])
+        entries = m["buckets"]
+        if buckets is not None:
+            entries = {str(b): entries[str(b)] for b in buckets if str(b) in entries}
+        # group bucket paths by schema_id → one multi-path scan per group
+        by_sid: dict[str, list[str]] = {}
+        for e in entries.values():
+            if e.get("path"):
+                by_sid.setdefault(str(e["schema_id"]), []).append(
+                    os.path.join(self.root, e["path"]))
+        parts = []
+        for sid, paths in by_sid.items():
+            df = spark.read.parquet(*paths)
+            parts.append(self._normalize(df, m["schemas"][sid], cur))
+        if not parts:
+            fields = ", ".join(f"`{n}` {t}" for n, t in cur) + ", `_last_lsn` long"
+            empty = spark.createDataFrame([], schema=fields)
+            return empty.select(*cols)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*cols)
+
+    # ---------------- merge (the PutSQL / MERGE INTO analog) ----------------
+    def merge(self, spark: SparkSession, changes: DataFrame) -> dict:
+        """Apply a compacted change set: one row per (repo,path) with columns
+        = current schema + `op` ('upsert'|'delete') + `lsn`.
+
+        Returns stats {dirty_buckets, rows_written, version}.
+        """
+        m = self._load_manifest()
+        cur = self.schema_columns(m)
+        names = [n for n, _ in cur]
+        nb = m["n_buckets"]
+
+        chg = changes.withColumn("bucket", bucket_expr(nb)).cache()
+        dirty = sorted(r["bucket"] for r in chg.select("bucket").distinct().collect())
+        if not dirty:
+            chg.unpersist()
+            return {"dirty_buckets": [], "rows_written": 0, "version": m["version"]}
+
+        current = (self.read(spark, buckets=dirty, with_lsn=True)
+                   .withColumn("op", F.lit("upsert"))
+                   .withColumnRenamed("_last_lsn", "lsn")
+                   .withColumn("bucket", bucket_expr(nb)))
+        unioned = current.unionByName(chg.select(*current.columns))
+        # LWW reduce: one hash-agg (partial map-side combine ⇒ skew-safe),
+        # strictly cheaper than the sort a window function would force.
+        row = F.struct(*[F.col(c) for c in names], F.col("op"), F.col("bucket"))
+        winner = (unioned.groupBy(*KEY)
+                  .agg(F.max_by(row, F.col("lsn")).alias("w"),
+                       F.max("lsn").alias("_last_lsn"))
+                  .select(*[F.col(f"w.{c}").alias(c) for c in names],
+                          F.col("w.op").alias("op"),
+                          F.col("w.bucket").alias("bucket"),
+                          "_last_lsn")
+                  .filter(F.col("op") != "delete")
+                  .drop("op"))
+
+        new_version = m["version"] + 1
+        rel = os.path.join("versions", f"v{new_version:06d}")
+        out_dir = os.path.join(self.root, rel)
+        # one output task per dirty bucket → exactly one file per bucket dir
+        # (small-file control; MergeContent bin-packing analog).
+        (winner.repartition(len(dirty), "bucket")
+               .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+        chg.unpersist()
+
+        written = {int(d.split("=")[1]) for d in os.listdir(out_dir)
+                   if d.startswith("bucket=")}
+        sid = m["current_schema_id"]
+        for b in dirty:
+            if b in written:
+                m["buckets"][str(b)] = {"path": os.path.join(rel, f"bucket={b}"),
+                                        "schema_id": sid}
+            else:
+                m["buckets"].pop(str(b), None)  # bucket fully deleted
+        m["version"] = new_version
+        m["committed_at"] = time.time()
+        self._commit(m)
+        return {"dirty_buckets": dirty, "rows_written": -1, "version": new_version}
+
+
+class IcebergTableAdapter:
+    """The same seam over a real Iceberg catalog (not available in sandbox).
+
+    With `spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog`
+    configured, merge() issues:
+
+        MERGE INTO lake.db.repos t
+        USING changes s
+        ON t.repo = s.repo AND t.path = s.path
+        WHEN MATCHED AND s.op = 'delete' AND s.lsn > t._last_lsn THEN DELETE
+        WHEN MATCHED AND s.lsn > t._last_lsn THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.op != 'delete' THEN INSERT *
+
+    and evolve() issues `ALTER TABLE ... ADD COLUMN / RENAME COLUMN`.
+    Table creation uses `PARTITIONED BY (bucket(N, repo))` so the merge
+    prunes to dirty buckets exactly as SnapshotTableStore does.
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark, self.table = spark, table
+        raise NotImplementedError("no Iceberg catalog in this sandbox; "
+                                  "use SnapshotTableStore")
