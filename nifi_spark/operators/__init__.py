@@ -1,0 +1,28 @@
+"""Operator library — NiFi processor semantics as DataFrame combinators.
+
+Every "processor" here is a plain function DataFrame → DataFrame (or a dict
+of named relationship DataFrames), matching NiFi's Processor.onTrigger +
+named-Relationship contract (nifi-api/src/main/java/org/apache/nifi/
+processor/Processor.java:50-89, Relationship.java:23) while leaving the
+physical plan entirely to Catalyst.
+"""
+
+from nifi_spark.operators.routing import (route_on_attribute, route_on_content,
+                                          route_text, scan_attribute)
+from nifi_spark.operators.attributes import (attributes_to_json, hash_attribute,
+                                             hash_content, update_columns)
+from nifi_spark.operators.content import (bin_pack, extract_text,
+                                          merge_defragment, replace_text,
+                                          segment_content, split_text)
+from nifi_spark.operators.dedup import detect_duplicate, latest_wins
+from nifi_spark.operators.distribute import distribute_load, prioritize, salt_keys
+from nifi_spark.operators.rate import control_rate, monitor_activity
+
+__all__ = [
+    "route_on_attribute", "route_on_content", "route_text", "scan_attribute",
+    "attributes_to_json", "hash_attribute", "hash_content", "update_columns",
+    "bin_pack", "extract_text", "merge_defragment", "replace_text",
+    "segment_content", "split_text", "detect_duplicate", "latest_wins",
+    "distribute_load", "prioritize", "salt_keys", "control_rate",
+    "monitor_activity",
+]

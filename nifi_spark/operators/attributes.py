@@ -1,0 +1,74 @@
+"""Attribute operators — projection/update/hash over typed columns.
+
+NiFi ancestors:
+* UpdateAttribute (nifi-update-attribute-bundle/.../UpdateAttribute.java:
+  124-260): set/delete attributes, optional rules engine (conditions →
+  actions) — here `update_columns` with plain Column expressions and
+  `when` chains (the EL interpreter is replaced wholesale by Catalyst,
+  SURVEY.md §2.9/§3.2).
+* AttributesToJSON (standard/AttributesToJSON.java): attribute map →
+  JSON document.
+* HashContent / HashAttribute (standard/HashContent.java:56-123,
+  HashAttribute.java): digest of content / selected attributes — the
+  per-row sha256(content) invariant used for reference equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def update_columns(df: DataFrame, updates: dict[str, Column],
+                   delete: list[str] | None = None) -> DataFrame:
+    """Set columns from expressions; drop listed columns (UpdateAttribute)."""
+    out = df.withColumns(updates)
+    if delete:
+        out = out.drop(*delete)
+    return out
+
+
+def update_with_rules(df: DataFrame,
+                      rules: list[tuple[Column, dict[str, Column]]],
+                      default: dict[str, Column] | None = None) -> DataFrame:
+    """Rules engine: first matching condition's actions win per column
+    (UpdateAttribute rules mode, UpdateAttribute.java:223-260)."""
+    cols: dict[str, Column] = {}
+    targets = {name for _, acts in rules for name in acts}
+    for name in targets:
+        expr = None
+        for cond, acts in rules:
+            if name in acts:
+                expr = F.when(cond, acts[name]) if expr is None else expr.when(cond, acts[name])
+        fallback = (default or {}).get(name, F.col(name) if name in df.columns
+                    else F.lit(None))
+        cols[name] = expr.otherwise(fallback)
+    return df.withColumns(cols)
+
+
+def attributes_to_json(df: DataFrame, cols: list[str],
+                       out_col: str = "json") -> DataFrame:
+    """Project selected columns into a JSON document column."""
+    return df.withColumn(out_col, F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
+def hash_content(df: DataFrame, content_col: str = "content",
+                 out_col: str = "content_sha256", algorithm: str = "sha256") -> DataFrame:
+    """Digest of the content column (HashContent; MD5/SHA-256/xxhash)."""
+    c = F.col(content_col)
+    if algorithm == "sha256":
+        h = F.sha2(c, 256)
+    elif algorithm == "md5":
+        h = F.md5(c)
+    elif algorithm == "xxhash64":
+        h = F.xxhash64(c).cast("string")
+    else:
+        raise ValueError(f"unsupported algorithm {algorithm!r}")
+    return df.withColumn(out_col, h)
+
+
+def hash_attribute(df: DataFrame, cols: list[str],
+                   out_col: str = "group_key") -> DataFrame:
+    """Stable hash over selected columns → grouping/partition key
+    (HashAttribute grouping use, SURVEY.md §2.5)."""
+    return df.withColumn(out_col,
+                         F.sha2(F.concat_ws("", *[F.col(c) for c in cols]), 256))

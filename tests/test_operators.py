@@ -1,0 +1,241 @@
+"""Per-operator unit tests — the TestRunner/MockProcessSession pattern
+(nifi-mock/src/main/java/org/apache/nifi/util/TestRunner.java:245-324:
+enqueue → run → assertAllFlowFilesTransferred/assertTransferCount), with a
+local SparkSession as the mock framework."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.functions import EL, portable_hash64
+from nifi_spark.functions.portable_hash import portable_hash64_py
+from nifi_spark.operators import (attributes_to_json, bin_pack, control_rate,
+                                  detect_duplicate, distribute_load,
+                                  extract_text, hash_content, latest_wins,
+                                  merge_defragment, monitor_activity,
+                                  prioritize, replace_text, route_on_attribute,
+                                  route_on_content, route_text, scan_attribute,
+                                  segment_content, split_text, update_columns)
+from nifi_spark.operators.attributes import update_with_rules
+from nifi_spark.operators.content import replace_text_line_by_line
+from nifi_spark.operators.distribute import salt_keys
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = [("f1", "a.py", "python", "import os\nprint('hi')", 3),
+            ("f2", "b.java", "java", "class B {}\n// todo", 7),
+            ("f3", "c.py", "python", "def f():\n    return 1", 1),
+            ("f4", "d.md", "markdown", "# title\nsome text", 9)]
+    return spark.createDataFrame(
+        rows, "name string, path string, lang string, content string, priority int")
+
+
+# ---------------- routing ----------------
+
+def test_route_on_attribute_exclusive(files):
+    out = route_on_attribute(files, {
+        "py": F.col("lang") == "python",
+        "jvm": F.col("lang").isin("java", "scala")})
+    assert out["py"].count() == 2
+    assert out["jvm"].count() == 1
+    assert out["unmatched"].count() == 1
+    # exclusive: partitions the input
+    total = sum(df.count() for df in out.values())
+    assert total == files.count()
+
+
+def test_route_on_attribute_all_matches(files):
+    # overlapping: a row can reach multiple relationships (RouteOnAttribute
+    # Route-to-Property-Name semantics, RouteOnAttribute.java:52-93)
+    out = route_on_attribute(files, {
+        "small": F.col("priority") < 8,
+        "py": F.col("lang") == "python"}, strategy="all_matches")
+    assert out["small"].count() == 3
+    assert out["py"].count() == 2
+    assert out["unmatched"].count() == 1  # f4: priority 9, markdown
+
+
+def test_route_any_all_match(files):
+    any_m = route_on_attribute(files, {
+        "a": F.col("lang") == "python", "b": F.col("priority") > 8},
+        strategy="any_match")
+    assert any_m["matched"].count() == 3
+    all_m = route_on_attribute(files, {
+        "a": F.col("lang") == "python", "b": F.col("priority") < 2},
+        strategy="all_match")
+    assert all_m["matched"].count() == 1
+
+
+def test_route_text_lines(files):
+    routed = route_text(files, "content",
+                        {"imports": F.col("line").startswith("import"),
+                         "comments": F.col("line").startswith("//")})
+    pdf = routed.toPandas()
+    assert len(pdf) == 8  # every file has 2 lines
+    assert (pdf["route"] == "imports").sum() == 1
+    assert (pdf["route"] == "comments").sum() == 1
+    assert set(pdf.columns) >= {"line_index", "line", "route"}
+
+
+def test_route_on_content(files):
+    out = route_on_content(files, "content", {"has_def": r"def \w+",
+                                              "has_class": r"class \w+"})
+    assert out["has_def"].count() == 1
+    assert out["has_class"].count() == 1
+
+
+def test_scan_attribute(spark, files):
+    dictionary = spark.createDataFrame([("python",), ("go",)], "term string")
+    hit = scan_attribute(files, "lang", dictionary, "term")
+    miss = scan_attribute(files, "lang", dictionary, "term", mode="unmatched")
+    assert hit.count() == 2 and miss.count() == 2
+
+
+# ---------------- attributes ----------------
+
+def test_update_columns_and_el(files):
+    out = update_columns(files, {
+        "ext": EL.substringAfterLast("path", "."),
+        "upper_lang": EL.toUpper("lang"),
+        "has_todo": EL.contains("content", "todo")}, delete=["priority"])
+    pdf = out.toPandas().set_index("name")
+    assert pdf.loc["f1", "ext"] == "py"
+    assert pdf.loc["f2", "upper_lang"] == "JAVA"
+    assert bool(pdf.loc["f2", "has_todo"]) is True
+    assert "priority" not in pdf.columns
+
+
+def test_update_with_rules(files):
+    out = update_with_rules(files, [
+        (F.col("lang") == "python", {"tier": F.lit("first")}),
+        (F.col("priority") > 5, {"tier": F.lit("second")}),
+    ], default={"tier": F.lit("rest")})
+    pdf = out.toPandas().set_index("name")["tier"]
+    assert pdf["f1"] == "first" and pdf["f3"] == "first"
+    assert pdf["f2"] == "second" and pdf["f4"] == "second"
+
+
+def test_attributes_to_json_and_hash(files):
+    out = attributes_to_json(hash_content(files), ["name", "lang"])
+    row = out.filter(F.col("name") == "f1").collect()[0]
+    assert '"name":"f1"' in row["json"]
+    import hashlib
+    assert row["content_sha256"] == hashlib.sha256(
+        "import os\nprint('hi')".encode()).hexdigest()
+
+
+# ---------------- content ----------------
+
+def test_replace_extract_segment(files):
+    out = replace_text(files, "content", r"import (\w+)", r"require($1)")
+    assert "require(os)" in out.filter(F.col("name") == "f1").collect()[0]["content"]
+    out2 = replace_text_line_by_line(files, "content", r"^#\s*", "H1: ")
+    assert out2.filter(F.col("name") == "f4").collect()[0]["content"].startswith("H1: title")
+    out3 = extract_text(files, "content", {"first_word": (r"^(\w+)", 1)})
+    assert out3.filter(F.col("name") == "f3").collect()[0]["first_word"] == "def"
+    seg = segment_content(files, "content", 8, id_cols=["name"])
+    f1 = seg.filter(F.col("name") == "f1").orderBy("fragment_index").collect()
+    assert "".join(r["fragment"] for r in f1) == "import os\nprint('hi')"
+    assert f1[0]["fragment_count"] == len(f1)
+
+
+def test_split_and_defragment_roundtrip(files):
+    frags = split_text(files, "content", id_cols=["name"])
+    merged = merge_defragment(frags)
+    back = merged.toPandas()
+    orig = files.toPandas()
+    assert sorted(back["content"]) == sorted(orig["content"])
+    assert back["complete"].all()
+
+
+def test_defragment_incomplete_held(files):
+    frags = split_text(files, "content", id_cols=["name"])
+    # drop one fragment → that group is incomplete (MergeContent Defragment
+    # holds it; we drop or flag it)
+    damaged = frags.filter(~((F.col("name") == "f1") & (F.col("fragment_index") == 0)))
+    merged = merge_defragment(damaged)
+    assert merged.count() == 3
+    flagged = merge_defragment(damaged, require_complete=False)
+    assert flagged.count() == 4
+    assert flagged.filter(~F.col("complete")).count() == 1
+
+
+# ---------------- dedup ----------------
+
+def test_detect_duplicate(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "a"), ("k1", 2, "b"), ("k2", 3, "c"), ("k2", 5, "d")],
+        "key string, seq long, v string")
+    out = detect_duplicate(df, ["key"], "seq")
+    assert out["non_duplicate"].count() == 2
+    assert {r["v"] for r in out["non_duplicate"].collect()} == {"a", "c"}
+    seen = spark.createDataFrame([("k2",)], "key string")
+    out2 = detect_duplicate(df, ["key"], "seq", seen=seen)
+    assert {r["v"] for r in out2["non_duplicate"].collect()} == {"a"}
+    assert out2["duplicate"].count() == 3
+
+
+def test_latest_wins(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "old"), ("k1", 9, "new"), ("k2", 2, "only")],
+        "key string, seq long, v string")
+    out = latest_wins(df, ["key"], "seq").toPandas().set_index("key")
+    assert out.loc["k1", "v"] == "new" and out.loc["k2", "v"] == "only"
+
+
+# ---------------- distribute / rate ----------------
+
+def test_distribute_load_weighted(spark):
+    df = spark.range(100).withColumnRenamed("id", "seq")
+    out = distribute_load(df, {"w80": 8, "w20": 2}, order_col="seq")
+    counts = {r["destination"]: r["count"] for r in
+              out.groupBy("destination").count().collect()}
+    assert counts == {"w80": 80, "w20": 20}
+
+
+def test_salt_keys_spread(spark):
+    df = spark.createDataFrame([("hot",)] * 1000, "key string")
+    out = salt_keys(df, "key", 8)
+    n = out.select("_salt").distinct().count()
+    assert n == 8  # hot key spread over all salt values
+
+
+def test_prioritize(files):
+    newest = prioritize(files, "newest_first", ts_col="priority").collect()
+    assert newest[0]["name"] == "f4"
+    pri = prioritize(files, "priority_attribute", ts_col="name").collect()
+    assert pri[0]["name"] == "f3"
+
+
+def test_control_rate_and_monitor(spark):
+    df = spark.range(25).withColumnRenamed("id", "seq")
+    out = control_rate(df, "seq", rows_per_batch=10)
+    counts = dict(out.groupBy("batch_id").count().orderBy("batch_id")
+                  .collect())
+    assert counts == {0: 10, 1: 10, 2: 5}
+    assert monitor_activity([5, 0, 0, 0, 7], inactive_after=3) == \
+        ["active", "active", "active", "inactive", "activity.restored"]
+
+
+def test_bin_pack_partitions(files):
+    packed = bin_pack(files, n_bins=1)
+    assert packed.rdd.getNumPartitions() == 1
+    by_key = bin_pack(files, correlation_col="lang", n_bins=2)
+    assert by_key.rdd.getNumPartitions() == 2
+
+
+# ---------------- portable hash ----------------
+
+def test_portable_hash_matches_python_and_duckdb(spark):
+    import duckdb
+    vals = ["abc", "nifi", "spark/x", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", portable_hash64("s").alias("h")).collect()}
+    for v in vals:
+        assert got[v] == portable_hash64_py(v)
+        duck = duckdb.sql(
+            f"SELECT ('0x' || substr(md5('{v}'), 1, 15))::BIGINT").fetchone()[0]
+        assert got[v] == duck
