@@ -1,0 +1,24 @@
+"""datalib — large-scale training-data pipeline operators.
+
+First-class components alongside the CDC engine: deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force cosine top-k + LSH-bucketed ANN), text analysis (language-ID,
+quality scoring, token counting, fingerprinting), and multimodal column
+plumbing (binary payloads + typed metadata with Arrow-batched UDFs).
+
+Everything hash-valued uses the portable md5-derived hash
+(nifi_spark.functions.portable_hash) so results are bit-identical across
+Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
+"""
+
+from nifi_spark.datalib.dedup import (exact_dedup, minhash_lsh_pairs,
+                                      minhash_signatures, ngram_jaccard_pairs,
+                                      shingle, simhash)
+from nifi_spark.datalib.similarity import ann_topk, cosine_pairs, lsh_ann_topk
+from nifi_spark.datalib.text import (fingerprint, lang_id, quality_score,
+                                     token_stats)
+
+__all__ = ["exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
+           "ngram_jaccard_pairs", "shingle", "simhash", "ann_topk",
+           "cosine_pairs", "lsh_ann_topk", "fingerprint", "lang_id",
+           "quality_score", "token_stats"]

@@ -1,0 +1,146 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All pure column expressions (JVM-side, whole-stage codegen) — no Python in
+the hot path. Hash values come from the portable md5-based hash so every
+output is reproducible in DuckDB SQL (driver oracle) and numpy (pytest).
+
+Scale notes (100 TB):
+* exact_dedup — one hash-agg; trivially scales.
+* ngram_jaccard_pairs — shingle self-join is quadratic in bucket size;
+  it is the *verifier* for candidate pairs, not the discovery mechanism.
+* minhash_lsh_pairs — the discovery mechanism: k permutations → b bands;
+  only rows sharing a band bucket join. Band buckets are hash-distributed,
+  so the join shuffles uniformly; a pathological bucket (boilerplate docs)
+  is capped via `max_bucket` salting guard.
+* simhash — 1 agg pass per doc; near-dup = fingerprints at small Hamming
+  distance (grouped by fingerprint for exact-collision blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from nifi_spark.functions.portable_hash import portable_hash64
+
+WORD_SPLIT = "\\s+"
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per exact content hash; adds dup_count."""
+    h = F.md5(F.col(text_col))
+    return (df.withColumn("content_hash", h)
+            .groupBy("content_hash")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def _words(text_col: str):
+    return F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+                    lambda t: t != "")
+
+
+def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles: (id, shingle).
+
+    Docs with fewer than k words yield no shingles. NB: Spark's
+    sequence(1, n) is DESCENDING when n < 1, so the size guard must wrap
+    the whole transform, not just clamp n.
+    """
+    w = _words(text_col)
+    grams = F.when(
+        F.size(w) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col), F.explode(F.array_distinct(grams))
+                      .alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, threshold: float = 0.7,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Pairs (id_a < id_b) with Jaccard(shingle sets) >= threshold.
+
+    Without `candidates`, discovers pairs via the shingle self-join
+    (quadratic per shared shingle — verification-scale). With `candidates`
+    (e.g. from minhash_lsh_pairs), verifies only those pairs.
+    """
+    sh = shingle(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    if candidates is not None:
+        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"],
+                           "left_semi")
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    out = (inter.join(na, "id_a").join(nb, "id_b")
+           .withColumn("jaccard",
+                       F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+           .filter(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b", "inter", "n_a", "n_b",
+                   F.round("jaccard", 6).alias("jaccard")))
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 3, num_perm: int = 12) -> DataFrame:
+    """MinHash signature per doc: min portable-hash over shingles, one
+    column per permutation (mh_0..mh_{num_perm-1})."""
+    sh = shingle(df, id_col, text_col, k)
+    aggs = [F.min(portable_hash64(F.col("shingle"), seed=f"p{j}:"))
+            .alias(f"mh_{j}") for j in range(num_perm)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 3, num_perm: int = 12, bands: int = 4,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    num_perm must divide into `bands` equal rows; docs agreeing on ALL
+    rows of any band become a candidate pair. Buckets larger than
+    max_bucket are dropped (boilerplate guard — at web scale one viral
+    page can otherwise create a quadratic bucket).
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_perm)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.md5(F.concat_ws(":", *parts)).alias("bucket")))
+    banded = (sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
+              .select(id_col, F.col("bb.band").alias("band"),
+                      F.col("bb.bucket").alias("bucket")))
+    sized = banded.groupBy("band", "bucket").agg(
+        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
+    pairs = (sized.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+             .select(F.explode(F.expr(
+                 "filter(transform(flatten(transform(ids, a -> "
+                 "transform(ids, b -> struct(a as id_a, b as id_b)))), x -> x),"
+                 " p -> p.id_a < p.id_b)")).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint over word hashes (bit-majority), `bits` wide."""
+    w = (df.select(F.col(id_col),
+                   F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT))
+                   .alias("word"))
+         .withColumn("h", portable_hash64(F.col("word"), seed="sim:")))
+    aggs = [F.sum(F.when(((F.col("h") / (1 << i)).cast("long") % 2) == 1,
+                         1).otherwise(-1)).alias(f"b{i}") for i in range(bits)]
+    per_bit = w.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, 1 << i).otherwise(0)
+        fp = term if fp is None else fp + term
+    return per_bit.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_pairs / ann_topk — brute-force baselines. `exact=True` computes
+  the dot/norm sums in DECIMAL so results are bit-identical to a DuckDB
+  oracle (float addition is non-associative; decimal is exact); the
+  default double path uses zip_with + aggregate (JVM-side fold, one pass,
+  no explode) for throughput.
+* lsh_ann_topk — the scale path: random-hyperplane LSH. Hyperplanes are
+  derived from the portable hash (deterministic, no RNG state), each
+  vector gets a `bits`-bit bucket signature; candidates share a bucket
+  (multi-probe: exact bucket + optional 1-bit flips), then exact cosine
+  re-ranks within buckets. At 10^9 vectors the bucket join replaces the
+  O(n·q) cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from nifi_spark.functions.portable_hash import portable_hash64_py
+
+
+def _dot_double(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_double(a):
+    return F.sqrt(_dot_double(a, a))
+
+
+def cosine(a, b):
+    return _dot_double(a, b) / (_norm_double(a) * _norm_double(b))
+
+
+def _explode_positions(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(F.col(id_col), F.posexplode(F.col(vec_col))
+                     .alias("pos", "x")).withColumn("x", F.col("x").cast("double"))
+
+
+def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
+                 threshold: float = 0.95, exact: bool = False) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold (brute force)."""
+    if not exact:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        va = F.transform(F.col("va"), lambda x: x.cast("double"))
+        vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+        return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+                .withColumn("cosine", F.round(cosine(va, vb), 6))
+                .filter(F.col("cosine") >= threshold)
+                .select("id_a", "id_b", "cosine"))
+    # exact/decimal path: position-exploded products, decimal sums —
+    # identical to a DuckDB oracle computing the same sums.
+    ex = _explode_positions(df, id_col, vec_col)
+    norms = (ex.groupBy(id_col)
+             .agg(F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
+                  .alias("nsq")))
+    a = ex.select(F.col(id_col).alias("id_a"), "pos", F.col("x").alias("xa"))
+    b = ex.select(F.col(id_col).alias("id_b"), "pos", F.col("x").alias("xb"))
+    dots = (a.join(b, "pos").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,18)"))
+                 .alias("dot")))
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("nsq").alias("nsq_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nsq").alias("nsq_b"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .withColumn("cosine",
+                        F.round(F.col("dot").cast("double") /
+                                (F.sqrt(F.col("nsq_a").cast("double")) *
+                                 F.sqrt(F.col("nsq_b").cast("double"))), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+             queries: DataFrame | None = None, exact: bool = False) -> DataFrame:
+    """Top-k cosine neighbors per query vector (brute-force baseline).
+
+    queries defaults to the full df (all-pairs top-k). Ties break on
+    neighbor id ascending (deterministic).
+    """
+    q = queries if queries is not None else df
+    if not exact:
+        qq = q.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("vq"))
+        cc = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
+        vq = F.transform(F.col("vq"), lambda x: x.cast("double"))
+        vc = F.transform(F.col("vc"), lambda x: x.cast("double"))
+        scored = (F.broadcast(qq).crossJoin(cc)
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .withColumn("cosine", F.round(cosine(vq, vc), 6)))
+    else:
+        exq = _explode_positions(q, id_col, vec_col) \
+            .select(F.col(id_col).alias("query_id"), "pos", F.col("x").alias("xq"))
+        exc = _explode_positions(df, id_col, vec_col) \
+            .select(F.col(id_col).alias("neighbor_id"), "pos", F.col("x").alias("xc"))
+        nq = exq.groupBy("query_id").agg(
+            F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,18)")).alias("nsq_q"))
+        nc = exc.groupBy("neighbor_id").agg(
+            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,18)")).alias("nsq_c"))
+        scored = (exq.join(exc, "pos")
+                  .filter(F.col("query_id") != F.col("neighbor_id"))
+                  .groupBy("query_id", "neighbor_id")
+                  .agg(F.sum((F.col("xq") * F.col("xc")).cast("decimal(38,18)"))
+                       .alias("dot"))
+                  .join(nq, "query_id").join(nc, "neighbor_id")
+                  .withColumn("cosine",
+                              F.round(F.col("dot").cast("double") /
+                                      (F.sqrt(F.col("nsq_q").cast("double")) *
+                                       F.sqrt(F.col("nsq_c").cast("double"))), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from the portable hash."""
+    return [[1.0 if portable_hash64_py(f"hp:{b}:{i}") % 2 else -1.0
+             for i in range(dim)] for b in range(bits)]
+
+
+def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                 k: int = 5, bits: int = 8, queries: DataFrame | None = None,
+                 multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join + exact re-rank.
+
+    Recall is tunable via `bits` (fewer bits → bigger buckets → higher
+    recall, more compute) and `multiprobe` (also probe buckets at Hamming
+    distance 1 from the query's signature).
+    """
+    planes = _hyperplanes(dim, bits)
+
+    def sig_col(vec):
+        v = F.transform(vec, lambda x: x.cast("double"))
+        bitcols = []
+        for bi, hp in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(c) for c in hp]), lambda x, h: x * h),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bitcols.append(F.when(dot >= 0, 1 << bi).otherwise(0))
+        s = bitcols[0]
+        for c in bitcols[1:]:
+            s = s + c
+        return s.cast("int")
+
+    cand = df.withColumn("_sig", sig_col(F.col(vec_col)))
+    q = (queries if queries is not None else df).withColumn(
+        "_sig", sig_col(F.col(vec_col)))
+    if multiprobe:
+        probes = F.array(F.col("_sig"),
+                         *[F.col("_sig").bitwiseXOR(F.lit(1 << i))
+                           for i in range(bits)])
+        q = q.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("vq"),
+                     F.explode(probes).alias("_sig"))
+    else:
+        q = q.select(F.col(id_col).alias("query_id"),
+                     F.col(vec_col).alias("vq"), "_sig")
+    c = cand.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("vc"), "_sig")
+    vq = F.transform(F.col("vq"), lambda x: x.cast("double"))
+    vc = F.transform(F.col("vc"), lambda x: x.cast("double"))
+    scored = (q.join(c, "_sig")
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(cosine(vq, vc), 6).alias("cosine"))
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

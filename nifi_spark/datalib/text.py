@@ -1,0 +1,103 @@
+"""Text analysis: token counting, quality scoring, language-ID, fingerprint.
+
+All built-in column expressions — the whole module compiles to one
+whole-stage-codegen'd projection per operator. Designed so each operator
+has an exact DuckDB-SQL oracle (same split/replace semantics; regex kept
+to the portable subset: \\s, \\W, character classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def _ws_tokens(text_col):
+    # split on whitespace; trailing empty strings removed to match
+    # DuckDB's string_split_regex + list filtering
+    return F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_chars, whitespace-token count, distinct tokens, BPE-ish subword
+    estimate (tokens × mean-token-length/4 heuristic), punct count."""
+    toks = _ws_tokens(text_col)
+    n_punct = F.size(F.filter(F.split(F.col(text_col), ""),
+                              lambda ch: ch.rlike("[^a-zA-Z0-9\\s]")))
+    return df.withColumns({
+        "n_chars": F.length(F.col(text_col)),
+        "n_tokens": F.size(toks),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)),
+        "n_punct": n_punct,
+        "n_subwords_est": F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long"),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  lang: str = "en") -> DataFrame:
+    """Heuristic quality: stopword ratio, mean token length, punct density
+    → score in [0,1]. Mirrors the usual pretraining-corpus filters
+    (C4/Gopher-style rules) with deterministic arithmetic."""
+    toks = _ws_tokens(text_col)
+    n_tok = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0,
+                          (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok
+                          ).otherwise(F.lit(0.0))
+    # score: reward stopword presence (natural language) and 3-10 char
+    # mean token length; penalize degenerate repetition
+    uniq_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok) \
+        .otherwise(F.lit(0.0))
+    score = (F.least(stop_ratio * 5, F.lit(1.0)) * 0.4
+             + F.when((mean_tok_len >= 3) & (mean_tok_len <= 10), 1.0)
+                .otherwise(0.0) * 0.3
+             + F.least(uniq_ratio * 2, F.lit(1.0)) * 0.3)
+    return df.withColumns({
+        "n_tokens": n_tok,
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "mean_token_len": F.round(mean_tok_len, 6),
+        "uniq_ratio": F.round(uniq_ratio, 6),
+        "quality_score": F.round(score, 6),
+    })
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID over {en,de,fr,es}; ties → first by count
+    then language code order (deterministic)."""
+    toks = F.transform(_ws_tokens(text_col), lambda t: F.lower(t))
+    scores = {}
+    for code, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores[code] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # argmax with deterministic tiebreak on language code order
+    best = None
+    for code in sorted(STOPWORDS):
+        cond = None
+        for other in sorted(STOPWORDS):
+            if other == code:
+                continue
+            c = (scores[code] > scores[other]) if other < code else \
+                (scores[code] >= scores[other])
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, code) if best is None else best.when(cond, code)
+    return df.withColumn(out_col, best.otherwise("unknown")) \
+             .withColumns({f"sw_{c}": scores[c] for c in sorted(STOPWORDS)})
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 over the sorted distinct
+    lowercase word set (the classic 'key collision' fingerprint; detects
+    shuffled/reformatted duplicates that exact hashing misses)."""
+    words = F.array_sort(F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), "\\W+"), lambda t: t != "")))
+    return df.withColumn(out_col, F.md5(F.array_join(words, " ")))

@@ -1,0 +1,232 @@
+"""datalib tests — dedup/similarity/text against pure-Python oracles,
+multimodal plumbing shape checks. Uses the real sf0.001 testdata tables."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.datalib import (ann_topk, cosine_pairs, exact_dedup,
+                                fingerprint, lang_id, lsh_ann_topk,
+                                minhash_lsh_pairs, minhash_signatures,
+                                ngram_jaccard_pairs, quality_score, shingle,
+                                simhash, token_stats)
+from nifi_spark.datalib.multimodal import (attach_media, extract_features,
+                                           frame_sample)
+from nifi_spark.functions.portable_hash import portable_hash64_py
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+# ---------------- dedup ----------------
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string")
+    out = exact_dedup(df, "doc_id", "text").toPandas()
+    assert len(out) == 2
+    kept = out.set_index("doc_id")["dup_count"]
+    assert kept[1] == 2 and kept[3] == 1
+
+
+def test_shingle_matches_python(docs, docs_pd):
+    got = shingle(docs.limit(5), "doc_id", "text", k=3).toPandas()
+    for doc_id, grp in got.groupby("doc_id"):
+        text = docs_pd.set_index("doc_id").loc[doc_id, "text"]
+        words = [w for w in text.lower().split() if w]
+        expect = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+        assert set(grp["shingle"]) == expect
+
+
+def test_jaccard_pairs_match_python(spark):
+    texts = {1: "a b c d e f g h", 2: "a b c d e f g x", 3: "z y x w v u t s",
+             4: "a b c d e f g h"}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3).toPandas()
+
+    def jac(a, b):
+        wa = [w for w in texts[a].split()]
+        wb = [w for w in texts[b].split()]
+        sa = {" ".join(wa[i:i + 3]) for i in range(len(wa) - 2)}
+        sb = {" ".join(wb[i:i + 3]) for i in range(len(wb) - 2)}
+        return len(sa & sb) / len(sa | sb)
+
+    expect = {(a, b): jac(a, b) for a in texts for b in texts
+              if a < b and jac(a, b) >= 0.3}
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert set(got_pairs) == set(expect)
+    for p, j in expect.items():
+        assert abs(got_pairs[p] - j) < 1e-6
+    assert got_pairs[(1, 4)] == 1.0  # identical docs
+
+
+def test_minhash_signature_matches_python(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                               "doc_id long, text string")
+    sig = minhash_signatures(df, "doc_id", "text", k=3, num_perm=4).collect()[0]
+    words = "alpha beta gamma delta epsilon".split()
+    shingles = {" ".join(words[i:i + 3]) for i in range(3)}
+    for j in range(4):
+        expect = min(portable_hash64_py(s, seed=f"p{j}:") for s in shingles)
+        assert sig[f"mh_{j}"] == expect
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [(1, base), (2, base.replace("lazy", "sleepy")),
+             (3, "completely different content about spark engines and data"),
+             (4, base)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", k=3, num_perm=12, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 4) in got        # identical must collide
+    assert (1, 2) in got        # near-dup should collide in ≥1 band
+    assert not any(3 in p for p in got)  # unrelated must not
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "spark merge commit lsn batch"), (2, "spark merge commit lsn batch"),
+         (3, "totally unrelated words entirely different")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    assert out[1] == out[2]                       # identical text, same fp
+    assert 0 <= out[1] < (1 << 16)
+    assert out[1] != out[3]
+
+
+# ---------------- similarity ----------------
+
+def _np_cosine(a, b):
+    a, b = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_pairs_vs_numpy(embs):
+    sub = embs.limit(30).cache()
+    got = cosine_pairs(sub, "vec_id", "embedding", threshold=0.8).toPandas()
+    pdf = sub.toPandas()
+    vecs = {r.vec_id: r.embedding for r in pdf.itertuples()}
+    expect = {}
+    for a in vecs:
+        for b in vecs:
+            if a < b:
+                c = _np_cosine(vecs[a], vecs[b])
+                if round(c, 6) >= 0.8:
+                    expect[(a, b)] = c
+    got_pairs = {(r.id_a, r.id_b): r.cosine for r in got.itertuples()}
+    assert set(got_pairs) == set(expect)
+    for p in expect:
+        assert abs(got_pairs[p] - expect[p]) < 1e-4
+
+
+def test_ann_topk_vs_numpy(embs, spark):
+    queries = embs.filter(F.col("vec_id") < 5)
+    got = ann_topk(embs, "vec_id", "embedding", k=3, queries=queries).toPandas()
+    pdf = embs.toPandas()
+    vecs = {r.vec_id: r.embedding for r in pdf.itertuples()}
+    for qid in range(5):
+        scores = sorted(((round(_np_cosine(vecs[qid], v), 6), -nid)
+                         for nid, v in vecs.items() if nid != qid), reverse=True)
+        expect = [-s[1] for s in scores[:3]]
+        mine = got[got["query_id"] == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == expect, (qid, mine, expect)
+
+
+def test_lsh_ann_recall(embs):
+    """LSH ANN should recover most of the brute-force top-1 neighbors."""
+    queries = embs.filter(F.col("vec_id") < 20)
+    exact = ann_topk(embs, "vec_id", "embedding", k=1, queries=queries).toPandas()
+    approx = lsh_ann_topk(embs, "vec_id", "embedding", dim=64, k=1, bits=4,
+                          queries=queries).toPandas()
+    top1_exact = exact.set_index("query_id")["neighbor_id"]
+    top1_approx = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
+    hits = sum(int(q in top1_approx.index and top1_approx[q] == top1_exact[q])
+               for q in top1_exact.index)
+    assert hits / len(top1_exact) >= 0.5, f"recall {hits}/{len(top1_exact)}"
+
+
+# ---------------- text ----------------
+
+def test_token_stats_vs_python(docs, docs_pd):
+    got = token_stats(docs.limit(10)).toPandas().set_index("doc_id")
+    for doc_id, row in got.iterrows():
+        text = docs_pd.set_index("doc_id").loc[doc_id, "text"]
+        toks = [t for t in text.split() if t]
+        assert row["n_tokens"] == len(toks)
+        assert row["n_distinct_tokens"] == len(set(toks))
+        assert row["n_chars"] == len(text)
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog ran to the park"),
+         (2, "der hund ist gut und die katze ist auch gut"),
+         (3, "le chat et la souris et les oiseaux"),
+         (4, "xxxxx xxxxx xxxxx xxxxx xxxxx xxxxx")],
+        "doc_id long, text string")
+    q = quality_score(df).toPandas().set_index("doc_id")
+    assert q.loc[1, "quality_score"] > q.loc[4, "quality_score"]
+    assert q.loc[4, "stopword_ratio"] == 0.0
+    lid = lang_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert lid[1] == "en" and lid[2] == "de" and lid[3] == "fr"
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string")
+    fp = fingerprint(df).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[2] != fp[3]
+    expect = hashlib.md5("alpha beta gamma".encode()).hexdigest()
+    assert fp[1] == expect  # sorted distinct words joined by space
+
+
+# ---------------- multimodal ----------------
+
+def test_multimodal_plumbing(docs):
+    media = attach_media(docs.limit(20), "doc_id", "text", kind="image")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media, dim=8).toPandas()
+    assert len(feats) == 20
+    assert all(len(f) == 8 for f in feats["feat"])
+    # deterministic: features derive from payload sha
+    row = feats.set_index("id").loc[feats["id"].iloc[0]]
+    raw = media.filter(F.col("id") == feats["id"].iloc[0]).collect()[0]["payload"]
+    assert row["sha256"] == hashlib.sha256(bytes(raw)).hexdigest()
+    assert row["byte_len"] == len(raw)
+
+
+def test_multimodal_decode_stub_gate(docs):
+    media = attach_media(docs.limit(2), "doc_id", "text")
+    with pytest.raises(Exception):  # NotImplementedError crosses the Py4J boundary
+        extract_features(media, decode_stub=False).collect()
+
+
+def test_frame_sample(docs):
+    media = attach_media(docs.limit(5), "doc_id", "text", kind="video")
+    frames = frame_sample(media, every_ms=1000).toPandas()
+    per = frames.groupby("id").size()
+    meta = media.toPandas().set_index("id")
+    for mid, n in per.items():
+        assert n == max(meta.loc[mid, "duration_ms"] // 1000, 1)
+    assert frames["frame_sha256"].nunique() == len(frames)  # per-frame digest
