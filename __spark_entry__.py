@@ -1,38 +1,935 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() × oracle_sql() correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry exercises a real engine operator (nifi_spark.*) over the
+driver's parquet tables; the oracle is the ANSI/DuckDB-SQL equivalent.
+Numeric outputs are computed with exact arithmetic (decimal sums, integer
+bit ops, the portable md5 hash) so the order-insensitive value-hash
+comparison is bit-stable across Spark and DuckDB — see
+nifi_spark/functions/portable_hash.py for the shared hash.
+
+The flagship (`entry`, `cdc_pipeline_e2e`) runs the full CDC engine —
+changelog tail → LWW compaction → snapshot-store merge → offset ledger —
+treating the `events` table as an ordered binlog (event_id = LSN,
+user_id = key, 'purchase' = delete), and returns the final replayed table
+with the per-row sha256(content) invariant (BASELINE.json input_hint).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # portable hash, DuckDB side
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC engine family
+# ---------------------------------------------------------------------------
+
+def _events_as_changelog(ev: DataFrame) -> DataFrame:
+    """Map the events table onto the engine's changelog schema:
+    lsn=event_id, key=(u<user_id>, events.log), op: purchase→delete."""
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", "delete")
+         .otherwise("update").alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("repo"),
+        F.lit("events.log").alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+        F.col("ts"),
+        F.lit(None).cast("string").alias("sc_kind"),
+        F.lit(None).cast("string").alias("sc_column"),
+        F.lit(None).cast("string").alias("sc_new_name"),
+        F.lit(None).cast("string").alias("sc_dtype"),
+    )
+
+
+_CDC_FINAL_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, props,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT 'u' || user_id::VARCHAR AS repo,
+       'events.log'            AS path,
+       md5(event_id::VARCHAR)  AS commit,
+       event_type              AS lang,
+       props                   AS content,
+       event_id                AS last_lsn,
+       sha256(props)           AS content_sha
+FROM ranked WHERE rn = 1 AND event_type <> 'purchase'
+"""
+
+
+def q_cdc_lww_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-batch LWW apply: the engine's core compaction primitive
+    (operators.dedup.latest_wins — max_by hash-agg, map-side combine)."""
+    from nifi_spark.operators import latest_wins
+    log = _events_as_changelog(_t(spark, sf_dir, "events"))
+    final = latest_wins(log.select("repo", "path", "commit", "lang",
+                                   "content", "op", "lsn"),
+                        ["repo", "path"], "lsn")
+    return (final.filter(F.col("op") != "delete")
+            .select("repo", "path", "commit", "lang", "content",
+                    F.col("lsn").alias("last_lsn"),
+                    F.sha2(F.col("content"), 256).alias("content_sha")))
+
+
+def q_cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine: changelog parquet → CdcPipeline (3 resumable batches:
+    slice filter pushdown, schema split, LWW compact, snapshot-store merge,
+    provenance, checksummed ledger) → final table."""
+    from nifi_spark.ledger import OffsetLedger
+    from nifi_spark.pipeline import CdcPipeline
+    from nifi_spark.provenance import ProvenanceWriter
+    from nifi_spark.storage import SnapshotTableStore
+
+    work = tempfile.mkdtemp(prefix="cdc_e2e_")
+    log_path = os.path.join(work, "changelog")
+    _events_as_changelog(_t(spark, sf_dir, "events")).write.parquet(log_path)
+
+    store = SnapshotTableStore(os.path.join(work, "table"), n_buckets=16)
+    store.init()
+    pipe = CdcPipeline(
+        spark, log_path, store,
+        OffsetLedger(os.path.join(work, "ledger")),
+        provenance=ProvenanceWriter(os.path.join(work, "provenance")))
+    max_lsn = _t(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    bounds = [max_lsn // 3, 2 * max_lsn // 3, max_lsn]
+    pipe.run(bounds)
+    final = store.read(spark, with_lsn=True)
+    return final.select("repo", "path", "commit", "lang", "content",
+                        F.col("_last_lsn").alias("last_lsn"),
+                        F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+def q_cdc_watermark_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-fetch slice semantics (QueryDatabaseTable analog):
+    strictly-greater watermark filter, per-op delta stats."""
+    log = _events_as_changelog(_t(spark, sf_dir, "events"))
+    wm = 5000
+    return (log.filter(F.col("lsn") > F.lit(wm))
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("lsn").alias("lsn_min"),
+                 F.max("lsn").alias("lsn_max"),
+                 F.countDistinct("repo").alias("n_keys")))
+
+
+def q_cdc_detect_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once dedup: a fully re-delivered batch (union of the log
+    with itself) collapses to one first-seen row per (key, lsn);
+    duplicates route separately (DetectDuplicate semantics)."""
+    from nifi_spark.operators import detect_duplicate
+    log = _events_as_changelog(_t(spark, sf_dir, "events"))
+    redelivered = log.unionAll(log)
+    routed = detect_duplicate(redelivered, ["repo", "path", "lsn"], "lsn")
+    non_dup = routed["non_duplicate"].groupBy("op").agg(
+        F.count(F.lit(1)).alias("n")).withColumn("route", F.lit("non_duplicate"))
+    dup = routed["duplicate"].groupBy("op").agg(
+        F.count(F.lit(1)).alias("n")).withColumn("route", F.lit("duplicate"))
+    return non_dup.unionByName(dup).select("route", "op", "n")
+
+
+# ---------------------------------------------------------------------------
+# Routing / attributes / content
+# ---------------------------------------------------------------------------
+
+def q_route_on_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.operators import route_on_attribute
+    ev = _t(spark, sf_dir, "events")
+    routes = route_on_attribute(ev, {
+        "errors": F.col("event_type") == "error",
+        "high_value": F.col("value") >= 15.0,
+        "low_value": F.col("value") < 5.0,
+    }, strategy="exclusive")
+    parts = [df.groupBy().agg(
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                  .alias("sum_value"))
+             .withColumn("route", F.lit(name))
+             for name, df in routes.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("route", "n", "sum_value").filter(F.col("n") > 0)
+
+
+def q_route_on_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-matches content routing (RouteOnContent): a doc lands in every
+    matching route; non-matches go to 'unmatched'."""
+    from nifi_spark.operators import route_on_content
+    docs = _t(spark, sf_dir, "documents")
+    routes = route_on_content(docs, "text", {
+        "about_merge": r"\bmerge\b",
+        "about_window": r"\bwindow\b",
+        "about_shuffle": r"\bshuffle\b",
+    })
+    parts = [df.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+             .withColumn("route", F.lit(name))
+             for name, df in routes.items()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("route", "n_docs")
+
+
+def q_scan_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-membership scan (ScanContent/ScanAttribute): broadcast
+    semi-join of document tokens against a term dictionary."""
+    docs = _t(spark, sf_dir, "documents")
+    dictionary = spark.createDataFrame(
+        [("merge",), ("partition",), ("shuffle",), ("broadcast",)],
+        "term string")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != ""))).alias("term"))
+    return (toks.join(F.broadcast(dictionary), "term")
+            .groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs")))
+
+
+def q_update_attributes_el(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateAttribute + EL functions compiled to Catalyst expressions."""
+    from nifi_spark.functions.el import EL
+    from nifi_spark.operators import update_columns
+    docs = _t(spark, sf_dir, "documents")
+    out = update_columns(docs, {
+        "src_num": EL.substringAfter("source", "src").cast("int"),
+        "lang_up": EL.toUpper("lang"),
+        "first_word": EL.substringBefore("text", " "),
+        "text_len": EL.length("text"),
+    })
+    return out.select("doc_id", "src_num", "lang_up", "first_word", "text_len")
+
+
+def q_hash_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.operators import hash_content
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_content(docs, "text", out_col="content_sha256",
+                       algorithm="sha256")
+    out = hash_content(out, "text", out_col="content_md5", algorithm="md5")
+    return out.select("doc_id", "content_sha256", "content_md5")
+
+
+def q_extract_replace_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.operators import extract_text, replace_text
+    docs = _t(spark, sf_dir, "documents")
+    out = extract_text(docs, "text", {
+        "w1": (r"^(\w+) (\w+)", 1),
+        "w2": (r"^(\w+) (\w+)", 2),
+    })
+    out = replace_text(out, "text", r"\btable\b", "TBL", mode="regex",
+                       out_col="replaced")
+    return out.select("doc_id", "w1", "w2",
+                      F.md5(F.col("replaced")).alias("replaced_md5"))
+
+
+def q_split_defragment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment contract roundtrip: SegmentContent (fixed 64-char windows,
+    fragment_id/index/count) → MergeContent Defragment → original text."""
+    from nifi_spark.operators import merge_defragment, segment_content
+    docs = _t(spark, sf_dir, "documents")
+    frags = segment_content(docs, "text", 64, id_cols=["doc_id"])
+    merged = merge_defragment(frags, "fragment", sep="")
+    back = (frags.select("doc_id", "fragment_id").distinct()
+            .join(merged, "fragment_id"))
+    return back.select("doc_id", F.md5(F.col("content")).alias("content_md5"),
+                       "complete")
+
+
+# ---------------------------------------------------------------------------
+# Distribution / ordering
+# ---------------------------------------------------------------------------
+
+def q_distribute_load_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributeLoad 4:1 weighted fan-out, deterministic by LSN order."""
+    from nifi_spark.operators import distribute_load
+    ev = _t(spark, sf_dir, "events")
+    out = distribute_load(ev, {"primary": 4, "spillover": 1},
+                          order_col="event_id")
+    return out.groupBy("destination").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: salted partial agg → unsalted
+    final combine (north_rule hot-repo pattern). Result must equal the
+    plain group-by (decimal sums are associative)."""
+    from nifi_spark.operators import salt_keys
+    ev = _t(spark, sf_dir, "events")
+    salted = salt_keys(ev, "event_type", 8)
+    partial = (salted.groupBy("event_type", "_salt")
+               .agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum(F.col("value").cast("decimal(18,4)")).alias("pv")))
+    return (partial.groupBy("event_type")
+            .agg(F.sum("pn").alias("n"),
+                 F.sum("pv").cast("double").alias("sum_value")))
+
+
+def q_prioritized_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prioritizer + ControlRate batch cap: highest-value 100 events
+    (ties by event_id — PriorityAttributePrioritizer tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+            .limit(100)
+            .select("event_id", "event_type", "value"))
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregation (the QueryDatabaseTable→SQL surface at scale)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem; exact decimal sums → double."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    disc_price = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)")
+                                            - dec("l_discount"))).cast("decimal(28,8)")
+    charge = (disc_price.cast("decimal(28,8)")
+              * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+              ).cast("decimal(38,12)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                 F.sum(disc_price).cast("double").alias("sum_disc_price"),
+                 F.sum(charge).cast("double").alias("sum_charge"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim filter + two joins + top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15"
+    revenue = F.sum((F.col("l_extendedprice").cast("decimal(18,4)")
+                     * (F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")))
+                    .cast("decimal(28,8)")).cast("double")
+    return (li.filter(F.col("l_shipdate") > F.lit(cutoff))
+            .join(orders.filter(F.col("o_orderdate") < F.lit(cutoff)),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(revenue.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "revenue"))
+
+
+def q_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims (region→nation→
+    customer) + fact joins; revenue per nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = F.sum((F.col("l_extendedprice").cast("decimal(18,4)")
+                     * (F.lit(1).cast("decimal(18,4)")
+                        - F.col("l_discount").cast("decimal(18,4)")))
+                    .cast("decimal(28,8)")).cast("double")
+    dims = (cust
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")))
+    return (li
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(dims, (F.col("o_custkey") == F.col("c_custkey"))
+                  & (F.col("s_nationkey") == F.col("c_nationkey")))
+            .groupBy("n_name")
+            .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_lineitems")))
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (streaming-aggregation shape, batch mode)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                  .alias("sum_value")))
+
+
+def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization: 30-min inactivity gap starts a new session
+    (lag window); per-user session/event counts."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    # parquet timestamps load as TIMESTAMP_NTZ — go through an explicit
+    # timestamp cast before epoch-seconds (NTZ→long direct cast is invalid)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = (epoch - F.lag(epoch).over(w)) > 1800
+    sess = ev.withColumn("new_session",
+                         F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
+    return (sess.groupBy("user_id")
+            .agg(F.sum("new_session").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (documents)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import exact_dedup
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import minhash_signatures
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", k=3, num_perm=12)
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import minhash_lsh_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_perm=12, bands=4)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import simhash
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=16)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import token_stats
+    docs = _t(spark, sf_dir, "documents")
+    return token_stats(docs, "text").select(
+        "doc_id", "n_chars", "n_tokens", "n_distinct_tokens", "n_punct",
+        "n_subwords_est")
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import quality_score
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select(
+        "doc_id", "n_tokens", "stopword_ratio", "mean_token_len",
+        "uniq_ratio", "quality_score")
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import lang_id
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs, "text").select(
+        "doc_id", "lang_pred", "sw_de", "sw_en", "sw_es", "sw_fr")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import ann_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    return ann_topk(embs, "vec_id", "embedding", k=5, exact=True)
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import cosine_pairs
+    embs = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs(embs, "vec_id", "embedding", threshold=0.45, exact=True)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the 10^9-vector scale path) — no SQL oracle;
+    recall is validated against the exact path in tests/test_datalib.py."""
+    from nifi_spark.datalib import lsh_ann_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()[0])
+    return lsh_ann_topk(embs, "vec_id", "embedding", dim=dim, k=5, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched mapInPandas feature extraction
+    (decode stubbed — container has no codec libs; plumbing is real)."""
+    from nifi_spark.datalib.multimodal import attach_media, extract_features
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text", kind="image")
+    feats = extract_features(media, dim=8, decode_stub=True)
+    return feats.select(F.col("id").alias("doc_id"), "kind", "byte_len",
+                        "sha256")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+def _minhash_sql(num_perm: int = 12) -> str:
+    mins = ",\n       ".join(
+        "min({h}) AS mh_{j}".format(
+            h=PH.format(x="'p%d:' || shingle" % j), j=j)
+        for j in range(num_perm))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE []::VARCHAR[] END)) AS shingle
+  FROM w)
+SELECT doc_id,
+       {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    bit_sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(bits))
+    return f"""
+WITH wx AS (
+  SELECT doc_id, {PH.format(x="'sim:' || w")} AS h
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents)),
+bits AS (
+  SELECT doc_id, {bit_sums}
+  FROM wx GROUP BY doc_id)
+SELECT doc_id, ({fp})::BIGINT AS simhash FROM bits
+"""
+
+
+_SHINGLE_CTE = """
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE []::VARCHAR[] END)) AS shingle
+  FROM w)
+"""
+
+
+def _lsh_pairs_sql(num_perm: int = 12, bands: int = 4) -> str:
+    r = num_perm // bands
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || ':' || ".join(f"mh_{b * r + j}::VARCHAR" for j in range(r))
+        + ") AS bucket FROM sig"
+        for b in range(bands))
+    return f"""
+WITH sig AS ({_minhash_sql(num_perm)}),
+banded AS ({band_rows}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT DISTINCT id_a, id_b FROM pairs
+"""
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b,
+       round(inter / (na.n + nb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE inter / (na.n + nb.n - inter) >= 0.5
+"""
+
+
+_ANN_EXACT_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         sum((a.x * b.x)::DECIMAL(38,18)) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot::DOUBLE / (sqrt(nq.nsq::DOUBLE) * sqrt(nc.nsq::DOUBLE)), 6)
+           AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+_COSINE_PAIRS_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum((a.x * b.x)::DECIMAL(38,18)) AS dot
+  FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 6)
+         AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 6)
+      >= 0.45
+"""
+
+
+def _lang_id_case() -> str:
+    codes = ["de", "en", "es", "fr"]
+    whens = []
+    for code in codes:
+        conds = []
+        for other in codes:
+            if other == code:
+                continue
+            cmp_op = ">" if other < code else ">="
+            conds.append(f"sw_{code} {cmp_op} sw_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{code}'")
+    return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_lww_apply": q_cdc_lww_apply,
+        "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "cdc_watermark_slice": q_cdc_watermark_slice,
+        "cdc_detect_duplicate": q_cdc_detect_duplicate,
+        "route_on_attribute": q_route_on_attribute,
+        "route_on_content": q_route_on_content,
+        "scan_content": q_scan_content,
+        "update_attributes_el": q_update_attributes_el,
+        "hash_content": q_hash_content,
+        "extract_replace_text": q_extract_replace_text,
+        "split_defragment_roundtrip": q_split_defragment_roundtrip,
+        "distribute_load_weighted": q_distribute_load_weighted,
+        "salted_hot_key_agg": q_salted_hot_key_agg,
+        "prioritized_batch": q_prioritized_batch,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_nation_revenue": q_q5_nation_revenue,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "user_sessionization": q_user_sessionization,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_token_stats": q_text_token_stats,
+        "text_quality_score": q_text_quality_score,
+        "text_lang_id": q_text_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_topk_exact": q_ann_topk_exact,
+        "cosine_pairs": q_cosine_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_apply": _CDC_FINAL_ORACLE,
+        "cdc_pipeline_e2e": _CDC_FINAL_ORACLE,
+        "cdc_watermark_slice": """
+SELECT CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
+       count(*) AS n_events, min(event_id) AS lsn_min, max(event_id) AS lsn_max,
+       count(DISTINCT user_id) AS n_keys
+FROM events WHERE event_id > 5000 GROUP BY 1
+""",
+        "cdc_detect_duplicate": """
+WITH ops AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op
+  FROM events)
+SELECT 'non_duplicate' AS route, op, count(*) AS n FROM ops GROUP BY op
+UNION ALL
+SELECT 'duplicate' AS route, op, count(*) AS n FROM ops GROUP BY op
+""",
+        "route_on_attribute": """
+WITH tagged AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'errors'
+              WHEN value >= 15.0 THEN 'high_value'
+              WHEN value < 5.0 THEN 'low_value'
+              ELSE 'unmatched' END AS route,
+         value
+  FROM events)
+SELECT route, count(*) AS n,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM tagged GROUP BY route HAVING count(*) > 0
+""",
+        "route_on_content": """
+SELECT 'about_merge' AS route, count(*) AS n_docs FROM documents
+WHERE regexp_matches(text, '\\bmerge\\b')
+UNION ALL
+SELECT 'about_window', count(*) FROM documents
+WHERE regexp_matches(text, '\\bwindow\\b')
+UNION ALL
+SELECT 'about_shuffle', count(*) FROM documents
+WHERE regexp_matches(text, '\\bshuffle\\b')
+UNION ALL
+SELECT 'unmatched', count(*) FROM documents
+WHERE NOT regexp_matches(text, '\\bmerge\\b')
+  AND NOT regexp_matches(text, '\\bwindow\\b')
+  AND NOT regexp_matches(text, '\\bshuffle\\b')
+""",
+        "scan_content": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''))) AS term
+  FROM documents)
+SELECT term, count(DISTINCT doc_id) AS n_docs
+FROM toks
+WHERE term IN ('merge', 'partition', 'shuffle', 'broadcast')
+GROUP BY term
+""",
+        "update_attributes_el": """
+SELECT doc_id,
+       CASE WHEN position('src' IN source) > 0
+            THEN substr(source, position('src' IN source) + 3)::INT
+            ELSE NULL END AS src_num,
+       upper(lang) AS lang_up,
+       CASE WHEN position(' ' IN text) > 0
+            THEN substr(text, 1, position(' ' IN text) - 1)
+            ELSE text END AS first_word,
+       length(text) AS text_len
+FROM documents
+""",
+        "hash_content": """
+SELECT doc_id, sha256(text) AS content_sha256, md5(text) AS content_md5
+FROM documents
+""",
+        "extract_replace_text": """
+SELECT doc_id,
+       coalesce(regexp_extract(text, '^(\\w+) (\\w+)', 1), '') AS w1,
+       coalesce(regexp_extract(text, '^(\\w+) (\\w+)', 2), '') AS w2,
+       md5(regexp_replace(text, '\\btable\\b', 'TBL', 'g')) AS replaced_md5
+FROM documents
+""",
+        "split_defragment_roundtrip": """
+SELECT doc_id, md5(text) AS content_md5, true AS complete FROM documents
+""",
+        "distribute_load_weighted": """
+WITH tagged AS (
+  SELECT CASE WHEN (row_number() OVER (ORDER BY event_id) - 1) % 5 < 4
+              THEN 'primary' ELSE 'spillover' END AS destination
+  FROM events)
+SELECT destination, count(*) AS n FROM tagged GROUP BY destination
+""",
+        "salted_hot_key_agg": """
+SELECT event_type, count(*) AS n,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY event_type
+""",
+        "prioritized_batch": """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 100
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,4))::DOUBLE AS sum_base_price,
+       sum((l_extendedprice::DECIMAL(18,4)
+            * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(28,8)
+          )::DOUBLE AS sum_disc_price,
+       sum(((l_extendedprice::DECIMAL(18,4)
+             * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))
+            )::DECIMAL(28,8)
+            * (1::DECIMAL(18,4) + l_tax::DECIMAL(18,4)))::DECIMAL(38,12)
+          )::DOUBLE AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       sum((l_extendedprice::DECIMAL(18,4)
+            * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(28,8)
+          )::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+""",
+        "q5_nation_revenue": """
+SELECT n_name,
+       sum((l_extendedprice::DECIMAL(18,4)
+            * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)))::DECIMAL(28,8)
+          )::DOUBLE AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+""",
+        "events_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, count(DISTINCT user_id) AS n_users,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "user_sessionization": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_minhash_signatures": _minhash_sql(12),
+        "dedup_minhash_lsh_pairs": _lsh_pairs_sql(12, 4),
+        "dedup_simhash": _simhash_sql(16),
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "text_token_stats": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       ceil(length(text) / 4)::BIGINT AS n_subwords_est
+FROM t
+""",
+        "text_quality_score": """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','a')))
+             / len(toks) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           (length(text) - (len(toks) - 1)) / len(toks) ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_distinct(toks)) / len(toks) ELSE 0.0 END AS uniq
+  FROM t)
+SELECT doc_id, n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(mean_len, 6) AS mean_token_len,
+       round(uniq, 6) AS uniq_ratio,
+       round(least(stop_ratio * 5, 1.0) * 0.4
+             + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0
+                     ELSE 0.0 END) * 0.3
+             + least(uniq * 2, 1.0) * 0.3, 6) AS quality_score
+FROM m
+""",
+        "text_lang_id": f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS sw_de,
+         len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS sw_en,
+         len(list_filter(toks, x -> x IN ('el','la','los','que','de'))) AS sw_es,
+         len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS sw_fr
+  FROM t)
+SELECT doc_id, {_lang_id_case()} AS lang_pred, sw_de, sw_en, sw_es, sw_fr
+FROM s
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(text), '\\W+'),
+                         x -> x <> ''))), ' ')) AS fingerprint
+FROM documents
+""",
+        "ann_topk_exact": _ANN_EXACT_SQL,
+        "cosine_pairs": _COSINE_PAIRS_SQL,
+        "multimodal_features": """
+SELECT doc_id, 'image' AS kind,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+""",
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the full CDC engine replay over sf0.001 (SURVEY.md §7)."""
+    return q_cdc_pipeline_e2e(spark, "/root/testdata/sf0.001")

@@ -136,7 +136,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
                    F.explode(F.split(F.lower(F.col(text_col)), WORD_SPLIT))
                    .alias("word"))
          .withColumn("h", portable_hash64(F.col("word"), seed="sim:")))
-    aggs = [F.sum(F.when(((F.col("h") / (1 << i)).cast("long") % 2) == 1,
+    # shiftright, NOT division: h/(1<<i) would go through double and lose
+    # the low bits of the 60-bit hash (53-bit mantissa) — exact shifts keep
+    # the fingerprint reproducible bit-for-bit in DuckDB ((h >> i) % 2).
+    aggs = [F.sum(F.when((F.shiftright(F.col("h"), i) % 2) == 1,
                          1).otherwise(-1)).alias(f"b{i}") for i in range(bits)]
     per_bit = w.groupBy(id_col).agg(*aggs)
     fp = None

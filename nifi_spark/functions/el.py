@@ -38,6 +38,12 @@ class EL:
     @staticmethod
     def substringBefore(c, sep): return F.substring_index(_c(c), sep, 1)
     @staticmethod
+    def substringAfter(c, sep):
+        col = _c(c)
+        pos = F.locate(sep, col)
+        return F.when(pos > 0,
+                      F.substring(col, pos + len(sep), 1 << 30)).otherwise("")
+    @staticmethod
     def substringAfterLast(c, sep): return F.substring_index(_c(c), sep, -1)
     @staticmethod
     def startsWith(c, s): return F.startswith(_c(c), F.lit(s))
