@@ -234,6 +234,42 @@ def q_extract_replace_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5(F.col("replaced")).alias("replaced_md5"))
 
 
+def q_json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EvaluateJsonPath over the events props column (JVM get_json_object)."""
+    from nifi_spark.operators import evaluate_json_path
+    ev = _t(spark, sf_dir, "events")
+    out = evaluate_json_path(ev, "props", {"k": "$.k"})
+    return out.select("event_id", F.col("k").cast("int").alias("k"))
+
+
+def q_replace_with_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplaceTextWithMapping: broadcast dictionary whole-word replace."""
+    from nifi_spark.operators import replace_text_with_mapping
+    docs = _t(spark, sf_dir, "documents")
+    mapping = spark.createDataFrame(
+        [("table", "TBL"), ("merge", "MRG")], "find string, replace string")
+    out = replace_text_with_mapping(docs.select("doc_id", "text"),
+                                    "text", mapping)
+    return out.select("doc_id", F.md5(F.col("text")).alias("mapped_md5"))
+
+
+def q_validate_csv_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValidateCsv: parse-or-route-invalid split. CSV lines synthesized
+    from events; every 97th row gets a non-numeric value field."""
+    from nifi_spark.operators import validate_csv
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat_ws(",", F.col("event_id"), F.col("event_type"),
+                       F.when(F.col("event_id") % 97 == 0, F.lit("not_a_number"))
+                        .otherwise(F.col("value").cast("string")))
+    csv = ev.select(F.col("event_id").alias("src_id"), line.alias("line"))
+    routed = validate_csv(csv, "line", "id long, et string, v double")
+    valid = routed["valid"].groupBy().agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("route", F.lit("valid"))
+    invalid = routed["invalid"].groupBy().agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("route", F.lit("invalid"))
+    return valid.unionByName(invalid).select("route", "n")
+
+
 def q_split_defragment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fragment contract roundtrip: SegmentContent (fixed 64-char windows,
     fragment_id/index/count) → MergeContent Defragment → original text."""
@@ -496,10 +532,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_sql(num_perm: int = 12) -> str:
+    from nifi_spark.datalib.dedup import MINHASH_PRIME, minhash_perm_params
+    base = f"({PH.format(x='shingle')} % 1073741824)"
     mins = ",\n       ".join(
-        "min({h}) AS mh_{j}".format(
-            h=PH.format(x="'p%d:' || shingle" % j), j=j)
-        for j in range(num_perm))
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j, (a, b) in enumerate(minhash_perm_params(num_perm)))
     return f"""
 WITH w AS (
   SELECT doc_id,
@@ -664,6 +701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_attributes_el": q_update_attributes_el,
         "hash_content": q_hash_content,
         "extract_replace_text": q_extract_replace_text,
+        "json_path_extract": q_json_path_extract,
+        "replace_with_mapping": q_replace_with_mapping,
+        "validate_csv_route": q_validate_csv_route,
         "split_defragment_roundtrip": q_split_defragment_roundtrip,
         "distribute_load_weighted": q_distribute_load_weighted,
         "salted_hot_key_agg": q_salted_hot_key_agg,
@@ -767,6 +807,22 @@ SELECT doc_id,
        coalesce(regexp_extract(text, '^(\\w+) (\\w+)', 2), '') AS w2,
        md5(regexp_replace(text, '\\btable\\b', 'TBL', 'g')) AS replaced_md5
 FROM documents
+""",
+        "json_path_extract": """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+""",
+        "replace_with_mapping": """
+SELECT doc_id,
+       md5(array_to_string(list_transform(string_split(text, ' '),
+             w -> CASE WHEN w = 'table' THEN 'TBL'
+                       WHEN w = 'merge' THEN 'MRG'
+                       ELSE w END), ' ')) AS mapped_md5
+FROM documents
+""",
+        "validate_csv_route": """
+SELECT CASE WHEN event_id % 97 = 0 THEN 'invalid' ELSE 'valid' END AS route,
+       count(*) AS n
+FROM events GROUP BY 1
 """,
         "split_defragment_roundtrip": """
 SELECT doc_id, md5(text) AS content_md5, true AS complete FROM documents

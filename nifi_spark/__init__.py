@@ -12,6 +12,7 @@ replaced by Catalyst/Tungsten, the shuffle service, and snapshot commits.
 """
 
 from nifi_spark.session import get_spark
+from nifi_spark import fixtures, oracle
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "fixtures", "oracle"]
 __version__ = "0.1.0"

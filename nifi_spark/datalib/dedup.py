@@ -20,7 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nifi_spark.functions.portable_hash import portable_hash64
+from nifi_spark.functions.portable_hash import (portable_hash64,
+                                                portable_hash64_py)
 
 WORD_SPLIT = "\\s+"
 
@@ -42,17 +43,23 @@ def _words(text_col: str):
 def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles: (id, shingle).
 
-    Docs with fewer than k words yield no shingles. NB: Spark's
-    sequence(1, n) is DESCENDING when n < 1, so the size guard must wrap
-    the whole transform, not just clamp n.
+    Built as k shifted array slices combined with zip_with — the words
+    array is referenced exactly k times. The obvious
+    `transform(sequence(1, n), i -> element_at(w, i+j)…)` form inlines
+    the whole split+filter subtree into every element_at (no common
+    subexpression elimination inside lambdas), re-tokenizing the
+    document once per gram position — quadratic in document length
+    (~80 s for 5k documents vs ~1 s for this form).
+
+    Docs with fewer than k words yield no shingles (slice length
+    clamps to 0 → empty gram array).
     """
     w = _words(text_col)
-    grams = F.when(
-        F.size(w) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - (k - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]))
-    ).otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(w) - (k - 1), F.lit(0))
+    grams = F.slice(w, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(w, j + 1, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
     return (df.select(F.col(id_col), F.explode(F.array_distinct(grams))
                       .alias("shingle")))
 
@@ -88,14 +95,37 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return out
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the universal hashes
+
+
+def minhash_perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for perm_j(h) = (a_j*h + b_j) mod p —
+    derived from the portable hash so Spark, DuckDB SQL, and Python all
+    reproduce them."""
+    out = []
+    for j in range(num_perm):
+        a = (portable_hash64_py(f"mh-a:{j}") % (MINHASH_PRIME - 1)) + 1
+        b = portable_hash64_py(f"mh-b:{j}") % MINHASH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = 3, num_perm: int = 12) -> DataFrame:
-    """MinHash signature per doc: min portable-hash over shingles, one
-    column per permutation (mh_0..mh_{num_perm-1})."""
+    """MinHash signature per doc (mh_0..mh_{num_perm-1}).
+
+    One portable md5 hash per shingle, folded to 30 bits, then num_perm
+    universal hashes (a_j*h + b_j mod 2^31-1): integer-only after the
+    single digest — ~num_perm× less hashing than a digest per
+    permutation, exactly reproducible in DuckDB/ANSI SQL, and every
+    intermediate stays < 2^61 (no overflow under Spark's ANSI mode)."""
     sh = shingle(df, id_col, text_col, k)
-    aggs = [F.min(portable_hash64(F.col("shingle"), seed=f"p{j}:"))
-            .alias(f"mh_{j}") for j in range(num_perm)]
-    return sh.groupBy(id_col).agg(*aggs)
+    h30 = (portable_hash64(F.col("shingle")) % F.lit(1 << 30))
+    based = sh.withColumn("_h", h30)
+    aggs = [F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME))
+            .alias(f"mh_{j}")
+            for j, (a, b) in enumerate(minhash_perm_params(num_perm))]
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -11,9 +11,13 @@ from nifi_spark.operators.routing import (route_on_attribute, route_on_content,
                                           route_text, scan_attribute)
 from nifi_spark.operators.attributes import (attributes_to_json, hash_attribute,
                                              hash_content, update_columns)
-from nifi_spark.operators.content import (bin_pack, extract_text,
-                                          merge_defragment, replace_text,
-                                          segment_content, split_text)
+from nifi_spark.operators.content import (bin_pack, evaluate_json_path,
+                                          evaluate_xpath, extract_text,
+                                          merge_defragment, parse_syslog,
+                                          replace_text,
+                                          replace_text_with_mapping,
+                                          segment_content, split_json_array,
+                                          split_text, validate_csv)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.distribute import distribute_load, prioritize, salt_keys
 from nifi_spark.operators.rate import control_rate, monitor_activity
@@ -21,8 +25,11 @@ from nifi_spark.operators.rate import control_rate, monitor_activity
 __all__ = [
     "route_on_attribute", "route_on_content", "route_text", "scan_attribute",
     "attributes_to_json", "hash_attribute", "hash_content", "update_columns",
-    "bin_pack", "extract_text", "merge_defragment", "replace_text",
-    "segment_content", "split_text", "detect_duplicate", "latest_wins",
+    "bin_pack", "evaluate_json_path", "evaluate_xpath", "extract_text",
+    "merge_defragment", "parse_syslog", "replace_text",
+    "replace_text_with_mapping", "segment_content",
+    "split_json_array", "split_text", "validate_csv",
+    "detect_duplicate", "latest_wins",
     "distribute_load", "prioritize", "salt_keys", "control_rate",
     "monitor_activity",
 ]

@@ -127,3 +127,102 @@ def bin_pack(df: DataFrame, target_rows_per_bin: int | None = None,
         return df.repartition(n_bins or df.sparkSession.sparkContext.defaultParallelism,
                               correlation_col)
     return df.coalesce(n_bins or 1)
+
+
+def replace_text_with_mapping(df: DataFrame, content_col: str,
+                              mapping: DataFrame, find_col: str = "find",
+                              replace_col: str = "replace") -> DataFrame:
+    """Dictionary-driven whole-word find/replace
+    (ReplaceTextWithMapping, standard/ReplaceTextWithMapping.java).
+
+    Spark-first shape: split to words (keeping separators is not needed
+    for whitespace text), broadcast-join each token against the mapping
+    table, re-join — one narrow pass, no per-row Python, mapping size
+    bounded by the broadcast. For sub-word/regex mappings use
+    replace_text per rule instead.
+    """
+    tok = (df.select("*", F.posexplode(F.split(F.col(content_col), " "))
+                     .alias("_i", "_w")))
+    mapped = (tok.join(F.broadcast(mapping.withColumnRenamed(find_col, "_w")),
+                       on="_w", how="left")
+              .withColumn("_w2", F.coalesce(F.col(replace_col), F.col("_w"))))
+    keys = [c for c in df.columns if c != content_col]
+    rebuilt = (mapped.groupBy(*keys)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct("_i", "_w2"))),
+                       lambda s: s["_w2"]), " ").alias(content_col)))
+    return rebuilt.select(*df.columns)
+
+
+def validate_csv(df: DataFrame, content_col: str, schema: str,
+                 sep: str = ",") -> dict[str, DataFrame]:
+    """CSV content validation → valid/invalid routing (ValidateCsv,
+    standard/ValidateCsv.java:1-40). `schema` is a Spark DDL string; a
+    row is invalid when from_csv leaves any non-null-typed field null or
+    the corrupt-record marker fires."""
+    parsed = df.withColumn(
+        "_rec", F.from_csv(F.col(content_col), schema,
+                           {"sep": sep, "mode": "PERMISSIVE"}))
+    field_names = [f.strip().split()[0] for f in schema.split(",")]
+    ok = F.lit(True)
+    for n in field_names:
+        ok = ok & F.col(f"_rec.{n}").isNotNull()
+    valid = parsed.filter(ok).drop("_rec")
+    invalid = parsed.filter(~ok).drop("_rec")
+    return {"valid": valid, "invalid": invalid}
+
+
+def evaluate_json_path(df: DataFrame, content_col: str,
+                       paths: dict[str, str]) -> DataFrame:
+    """JsonPath → columns (EvaluateJsonPath, standard/EvaluateJsonPath.java):
+    {out_col: '$.field'} via get_json_object (JVM-side)."""
+    return df.withColumns({name: F.get_json_object(F.col(content_col), p)
+                           for name, p in paths.items()})
+
+
+def split_json_array(df: DataFrame, content_col: str,
+                     element_schema: str | None = None) -> DataFrame:
+    """Split a JSON array into one row per element with the fragment
+    contract (SplitJson, standard/SplitJson.java)."""
+    arr = F.from_json(F.col(content_col),
+                      f"array<{element_schema or 'string'}>")
+    return (df.withColumn("fragment_count", F.size(arr))
+              .select("*", F.posexplode(arr).alias("fragment_index", "fragment"))
+              .drop(content_col))
+
+
+def evaluate_xpath(df: DataFrame, content_col: str,
+                   paths: dict[str, str]) -> DataFrame:
+    """XPath → columns (EvaluateXPath, standard/EvaluateXPath.java):
+    {out_col: xpath} via the built-in xpath_string expression (JVM-side
+    javax.xml; no Python in the path)."""
+    return df.withColumns({
+        name: F.xpath_string(F.col(content_col), F.lit(p))
+        for name, p in paths.items()})
+
+
+SYSLOG_3164 = (r"^(?:<(\d+)>)?"
+               r"([A-Z][a-z]{2}\s{1,2}\d{1,2}\s\d{2}:\d{2}:\d{2})\s"
+               r"(\S+)\s"
+               r"([^:\[]+)(?:\[(\d+)\])?:\s*"
+               r"(.*)$")
+
+
+def parse_syslog(df: DataFrame, content_col: str) -> dict[str, DataFrame]:
+    """RFC-3164 syslog line → structured columns, valid/invalid routing
+    (ParseSyslog, standard/ParseSyslog.java). Pure regexp_extract."""
+    g = lambda i: F.regexp_extract(F.col(content_col), SYSLOG_3164, i)  # noqa: E731
+    parsed = df.withColumns({
+        "syslog_priority": F.nullif(g(1), F.lit("")).cast("int"),
+        "syslog_timestamp": g(2),
+        "syslog_hostname": g(3),
+        "syslog_tag": F.trim(g(4)),
+        "syslog_pid": F.nullif(g(5), F.lit("")).cast("int"),
+        "syslog_message": g(6),
+    })
+    ok = F.col(content_col).rlike(SYSLOG_3164) & (F.col("syslog_timestamp") != "")
+    return {"valid": parsed.filter(ok),
+            "invalid": df.filter(~(F.col(content_col).rlike(SYSLOG_3164))
+                                 | (F.regexp_extract(F.col(content_col),
+                                                     SYSLOG_3164, 2) == ""))}

@@ -6,10 +6,12 @@ One NiFi session-commit == one micro-batch here (SURVEY.md §3.1 mapping):
       → split at schema_change boundaries, apply DDL serially between
         sub-batches (NiFi sidesteps this — every processor is schema-less;
         ConvertJSONToSQL.java:101-113 is its drift-policy ancestor)
-      → LWW compaction per (repo,path) via max_by hash-agg
-        (map-side partial combine ⇒ hot-repo skew tolerated; the window/sort
-        alternative would shuffle+sort the whole slice)
-      → SnapshotTableStore.merge — dirty-bucket snapshot commit (atomic)
+      → normalize changes onto the store schema (narrow projection)
+      → SnapshotTableStore.merge — ONE max_by hash-agg over
+        current∪changes does LWW compaction per (repo,path) AND the
+        upsert in a single shuffle (map-side partial combine ⇒ hot-repo
+        skew tolerated; a window/sort would shuffle+sort the whole slice)
+        → dirty-bucket snapshot commit (atomic)
       → provenance records per stage/partition
       → OffsetLedger.commit (checksum'd) — AFTER the table commit
 
@@ -32,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from nifi_spark.ledger import OffsetLedger, slice_checksum
 from nifi_spark.provenance import ProvenanceWriter
-from nifi_spark.storage import KEY, SnapshotTableStore
+from nifi_spark.storage import SnapshotTableStore
 
 
 @dataclass
@@ -58,6 +60,15 @@ class CdcPipeline:
     stream: str = "changelog"
     provenance: ProvenanceWriter | None = None
     checksum: bool = True
+    eager_stats: bool = True  # False: skip the per-batch count job
+    # (events = -1); the apply itself never needs the count
+    cache_slice: bool = True  # persist the batch slice (MEMORY_AND_DISK)
+    # across the schema-scan / merge passes; size batches to the cluster
+    # (micro-batch bound = the NiFi back-pressure analog) or disable to
+    # re-scan the (column-pruned) parquet per pass
+    bulk_mode: bool = False  # steady-state bulk CDC: skip the per-batch
+    # dirty-bucket probe (every bucket assumed dirty — see
+    # SnapshotTableStore.merge)
     coalesce_ddl: bool = False  # True: apply all DDL up-front (perf mode,
     # valid while data events never reference evolved columns)
     history: list[BatchStats] = field(default_factory=list)
@@ -72,26 +83,25 @@ class CdcPipeline:
                 .filter((F.col("lsn") > F.lit(lsn_from_excl))
                         & (F.col("lsn") <= F.lit(lsn_to_incl))))
 
-    # ---------------- compaction ----------------
-    def _compact(self, data: DataFrame) -> DataFrame:
-        """One row per key: the winning event by LSN, op ∈ {upsert, delete}.
+    # ---------------- change normalization ----------------
+    def _normalize_changes(self, data: DataFrame) -> DataFrame:
+        """Project raw events onto the store schema + (op, lsn) — a pure
+        narrow projection, NO shuffle.
 
-        A delete followed by a same-batch re-insert resolves to the
-        re-insert (higher lsn); a trailing delete survives as a tombstone —
-        the FIXTURES.md edge cases fall out of max-by-LSN directly.
+        LWW compaction (one winner per key by LSN) happens exactly once,
+        inside ``SnapshotTableStore.merge``'s max_by hash-agg over
+        current∪changes. An earlier version pre-compacted here with its
+        own groupBy — a second full shuffle on the same key that the
+        merge agg then repeated; dropping it roughly halves shuffle
+        volume per batch. Same-batch delete→re-insert, trailing-delete
+        tombstones, and duplicate (key,lsn) re-deliveries all resolve
+        identically in the single max-by-LSN reduce.
         """
-        cols = [n for n, _ in self.store.schema_columns()]
-        data = data.select(
+        return data.select(
             *[F.col(c) if c in data.columns else F.lit(None).cast(t).alias(c)
               for c, t in self.store.schema_columns()],
             F.when(F.col("op") == "delete", "delete").otherwise("upsert").alias("op"),
             "lsn")
-        row = F.struct(*[F.col(c) for c in cols], F.col("op"))
-        return (data.groupBy(*KEY)
-                .agg(F.max_by(row, F.col("lsn")).alias("w"),
-                     F.max("lsn").alias("lsn"))
-                .select(*[F.col(f"w.{c}").alias(c) for c in cols],
-                        F.col("w.op").alias("op"), "lsn"))
 
     # ---------------- one micro-batch ----------------
     def apply_until(self, lsn_to_incl: int) -> BatchStats:
@@ -101,52 +111,54 @@ class CdcPipeline:
         if lsn_to_incl <= wm:
             return stats
 
-        sl = self._read_slice(wm, lsn_to_incl).cache()
-        try:
-            stats.events = sl.count()  # materializes the cache
-            if self.provenance:
-                self.provenance.emit(sl, "RECEIVE", batch_id, "tail")
+        sl = self._read_slice(wm, lsn_to_incl)
+        if self.cache_slice:
+            sl = sl.persist()
+        stats.events = sl.count() if self.eager_stats else -1
+        if self.provenance:
+            self.provenance.emit(sl, "RECEIVE", batch_id, "tail")
 
-            # schema-change boundaries (tiny driver-side list; NiFi's analog
-            # is per-record — we split the batch instead)
-            sc = (sl.filter(F.col("op") == "schema_change")
-                    .select("lsn", "sc_kind", "sc_column", "sc_new_name", "sc_dtype")
-                    .sort("lsn").collect())
-            data = sl.filter(F.col("op") != "schema_change")
-            stats.schema_events = len(sc)
+        # schema-change boundaries (tiny driver-side list; NiFi's analog
+        # is per-record — we split the batch instead)
+        sc = (sl.filter(F.col("op") == "schema_change")
+                .select("lsn", "sc_kind", "sc_column", "sc_new_name", "sc_dtype")
+                .sort("lsn").collect())
+        data = sl.filter(F.col("op") != "schema_change")
+        stats.schema_events = len(sc)
 
-            if self.coalesce_ddl:
-                for r in sc:
-                    self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
-                                      r.sc_dtype or "string", lsn=r.lsn)
-                sc = []
+        if self.coalesce_ddl:
+            for r in sc:
+                self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
+                                  r.sc_dtype or "string", lsn=r.lsn)
+            sc = []
 
-            lo = wm
-            boundaries = [r.lsn for r in sc] + [lsn_to_incl + 1]
-            for i, b in enumerate(boundaries):
-                sub = data.filter((F.col("lsn") > lo) & (F.col("lsn") < b))
-                self._apply_data(sub, batch_id, stats)
-                if i < len(sc):
-                    r = sc[i]
-                    self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
-                                      r.sc_dtype or "string", lsn=r.lsn)
-                lo = b - 1
-                stats.sub_batches += 1
+        lo = wm
+        boundaries = [r.lsn for r in sc] + [lsn_to_incl + 1]
+        for i, b in enumerate(boundaries):
+            sub = data.filter((F.col("lsn") > lo) & (F.col("lsn") < b))
+            self._apply_data(sub, batch_id, stats)
+            if i < len(sc):
+                r = sc[i]
+                self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
+                                  r.sc_dtype or "string", lsn=r.lsn)
+            lo = b - 1
+            stats.sub_batches += 1
 
-            cs = slice_checksum(data) if self.checksum else None
-            stats.table_version = self.store.current_version()
-            self.ledger.commit(self.stream, lsn_to_incl, batch_id, cs,
-                               stats.table_version)
-            self.history.append(stats)
-            return stats
-        finally:
+        cs = slice_checksum(data) if self.checksum else None
+        stats.table_version = self.store.current_version()
+        self.ledger.commit(self.stream, lsn_to_incl, batch_id, cs,
+                           stats.table_version)
+        self.history.append(stats)
+        if self.cache_slice:
             sl.unpersist()
+        return stats
 
     def _apply_data(self, sub: DataFrame, batch_id: int, stats: BatchStats) -> None:
-        changes = self._compact(sub)
+        changes = self._normalize_changes(sub)
         if self.provenance:
             self.provenance.emit(changes, "JOIN", batch_id, "compact")
-        res = self.store.merge(self.spark, changes)
+        res = self.store.merge(self.spark, changes,
+                               assume_all_dirty=self.bulk_mode)
         if res["dirty_buckets"] and self.provenance:
             self.provenance.emit_counts(self.spark, "SEND", batch_id, "merge",
                                         len(res["dirty_buckets"]))

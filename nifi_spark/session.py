@@ -12,6 +12,21 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """Scratch dir for shuffle/spill: env override, tmpfs when writable,
+    else the system temp dir."""
+    env = os.environ.get("SPARK_LOCAL_DIRS")
+    if env:
+        return env
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        return shm
+    except OSError:
+        import tempfile
+        return tempfile.gettempdir()
+
+
 def get_spark(
     app_name: str = "nifi-spark",
     parallelism: int | None = None,
@@ -45,7 +60,20 @@ def get_spark(
         # NiFi FetchDistributedMapCache).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — size its heap for
+        # the task-thread count (8g thrashed GC at 16+ threads)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # Pin the heap (-Xms = -Xmx): G1's commit/uncommit churn showed up
+        # as ~80% kernel time (hundreds of millions of minor page faults)
+        # under 32 concurrent shuffle tasks — a fixed heap ends it.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_DRIVER_JAVA_OPTS",
+                               "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "32g")))
+        # Shuffle files on tmpfs: single-box stand-in for a cluster's
+        # distributed shuffle (per-node NVMe + network); keeps the shared
+        # virtio disk out of the shuffle path. On a real cluster this is
+        # per-executor local storage and should NOT point at /dev/shm.
+        .config("spark.local.dir", _local_dir())
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,14 @@
+"""Incremental sources — the CDC front-end (SURVEY.md §2.1).
+
+Each source follows the same ledgered-watermark contract NiFi's stateful
+source processors use (QueryDatabaseTable max-value columns, TailFile byte
+positions, AbstractListProcessor listing timestamps): discover work past
+the checkpoint, emit it as a DataFrame, and advance the checkpoint only
+after the downstream commit.
+"""
+
+from nifi_spark.sources.changelog import ChangelogSource
+from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.partition_planner import plan_fetch_partitions
+
+__all__ = ["ChangelogSource", "list_new_files", "plan_fetch_partitions"]

@@ -1,0 +1,14 @@
+"""Structured Streaming front-end (SURVEY.md §2.11).
+
+The batch-incremental CdcPipeline is the primary engine; this package
+runs the SAME apply semantics continuously: `readStream` over the
+changelog directory → `foreachBatch` → the identical
+store-merge-then-ledger protocol. Exactly-once comes from the same two
+mechanisms as batch mode (idempotent LWW merge keyed by `_last_lsn`,
+ledger written after the snapshot commit), not from trusting the
+streaming checkpoint alone.
+"""
+
+from nifi_spark.streaming.cdc_stream import StreamingCdcPipeline, windowed_rollup
+
+__all__ = ["StreamingCdcPipeline", "windowed_rollup"]

@@ -1,0 +1,89 @@
+"""Streaming CDC apply + watermarked rollups.
+
+NiFi is a continuous-operator system (timer/event scheduling,
+SchedulingStrategy.java:51-74); Spark's analog is a micro-batch stream.
+`StreamingCdcPipeline` wires `readStream(parquet dir)` with
+`maxFilesPerTrigger` (the back-pressure knob — NiFi's queue threshold,
+StandardFlowFileQueue.java:98) into `foreachBatch`, where each
+micro-batch flows through the exact batch-engine path:
+
+    filter lsn > ledger watermark   (drops replayed/late duplicates)
+      → schema-change split + DDL   (same CdcPipeline code)
+      → LWW merge into SnapshotTableStore (idempotent)
+      → ledger commit
+
+foreachBatch can re-deliver a batch after a crash; the merge is
+idempotent under replay (max-by-LSN with stored `_last_lsn`), so the
+sink is exactly-once end-to-end — the streaming checkpoint only decides
+*scheduling*, the ledger + store decide *state*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from nifi_spark.ledger import OffsetLedger
+from nifi_spark.pipeline import CdcPipeline
+from nifi_spark.storage import SnapshotTableStore
+
+
+class StreamingCdcPipeline:
+    def __init__(self, spark: SparkSession, changelog_path: str,
+                 store: SnapshotTableStore, ledger: OffsetLedger,
+                 checkpoint_dir: str, stream: str = "changelog",
+                 max_files_per_trigger: int = 8):
+        self.spark = spark
+        self.changelog_path = changelog_path
+        self.store = store
+        self.ledger = ledger
+        self.checkpoint_dir = checkpoint_dir
+        self.stream = stream
+        self.max_files_per_trigger = max_files_per_trigger
+        # reuse the batch engine for the apply logic
+        self._pipe = CdcPipeline(spark, changelog_path, store, ledger,
+                                 stream=stream, checksum=False)
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # The micro-batch carries whatever files the trigger picked up;
+        # the ledger watermark — not the streaming offset — decides what
+        # is new. agg is on the tiny batch slice.
+        hi = batch_df.agg(F.max("lsn").alias("m")).first()["m"]
+        if hi is None:
+            return
+        self._pipe.apply_until(int(hi))
+
+    def start(self, schema: str | None = None, trigger_once: bool = True):
+        """Start the stream; trigger_once processes the backlog and stops
+        (the testable mode); otherwise runs continuously."""
+        schema = schema or (
+            "lsn long, op string, repo string, path string, commit string, "
+            "lang string, content string, ts timestamp, sc_kind string, "
+            "sc_column string, sc_new_name string, sc_dtype string")
+        reader = (self.spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
+                  .parquet(self.changelog_path))
+        writer = (reader.writeStream
+                  .foreachBatch(self._apply_batch)
+                  .option("checkpointLocation", self.checkpoint_dir))
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def windowed_rollup(events: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour", watermark: str = "2 hours",
+                    keys: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window aggregation for late data — the
+    streaming analog of the hourly rollup query. Late events beyond the
+    watermark are dropped and counted by Spark's state store; NiFi's
+    closest construct is the listing lag guard
+    (AbstractListProcessor.java:159,384)."""
+    keys = keys or []
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                  .alias("sum_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"), *keys,
+                    "n", "sum_value"))

@@ -118,3 +118,33 @@ def test_fixture_determinism():
     # duplicates present: some (repo,path,lsn) appear twice
     dups = data.duplicated(subset=["repo", "path", "lsn"]).sum()
     assert dups >= 2
+
+
+def test_bulk_mode_and_maxby_match_oracle(spark, tmp_path, changelog,
+                                          changelog_path):
+    """bulk_mode (probe skipped, all buckets rewritten) and the 'maxby'
+    merge strategy produce the same final state as the default plan."""
+    pipe = make_pipeline(spark, tmp_path, changelog_path, bulk_mode=True)
+    bounds = fixtures.batch_bounds(changelog, 3)
+    pipe.run(bounds)
+    expected, _ = oracle.replay(changelog)
+    got = pipe.final_table().toPandas()
+    oracle.assert_equivalent(got[expected.columns.tolist()], expected)
+
+    store2 = SnapshotTableStore(str(tmp_path / "t2"), n_buckets=8)
+    store2.init()
+    log = spark.read.parquet(changelog_path)
+    data = log.filter(log.op != "schema_change")
+    from pyspark.sql import functions as F
+    changes = data.select(
+        "repo", "path", "commit", "lang", "content",
+        F.when(F.col("op") == "delete", "delete").otherwise("upsert").alias("op"),
+        "lsn")
+    store2.merge(spark, changes, strategy="maxby")
+    got2 = store2.read(spark).toPandas()
+    base = expected[["repo", "path", "commit", "content"]]
+    got2b = got2[["repo", "path", "commit", "content"]]
+    # maxby ran before any schema evolution: compare base columns only
+    a = got2b.sort_values(["repo", "path"]).reset_index(drop=True)
+    b = base.sort_values(["repo", "path"]).reset_index(drop=True)
+    assert a.equals(b)

@@ -80,13 +80,16 @@ def test_jaccard_pairs_match_python(spark):
 
 
 def test_minhash_signature_matches_python(spark):
+    from nifi_spark.datalib.dedup import MINHASH_PRIME, minhash_perm_params
     df = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
                                "doc_id long, text string")
     sig = minhash_signatures(df, "doc_id", "text", k=3, num_perm=4).collect()[0]
     words = "alpha beta gamma delta epsilon".split()
     shingles = {" ".join(words[i:i + 3]) for i in range(3)}
-    for j in range(4):
-        expect = min(portable_hash64_py(s, seed=f"p{j}:") for s in shingles)
+    params = minhash_perm_params(4)
+    for j, (a, b) in enumerate(params):
+        expect = min((a * (portable_hash64_py(s) % (1 << 30)) + b)
+                     % MINHASH_PRIME for s in shingles)
         assert sig[f"mh_{j}"] == expect
 
 
