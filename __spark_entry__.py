@@ -504,12 +504,68 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (the 10^9-vector scale path) — no SQL oracle;
-    recall is validated against the exact path in tests/test_datalib.py."""
+    """LSH-bucketed ANN (the 10^9-vector scale path): hyperplane bucket
+    join + re-rank, in decimal-exact mode so the DuckDB oracle matches
+    bit-for-bit (the double fold is the throughput mode; recall vs the
+    exact brute force is validated in tests/test_datalib.py)."""
     from nifi_spark.datalib import lsh_ann_topk
     embs = _t(spark, sf_dir, "embeddings")
     dim = len(embs.select("embedding").first()[0])
-    return lsh_ann_topk(embs, "vec_id", "embedding", dim=dim, k=5, bits=8)
+    return lsh_ann_topk(embs, "vec_id", "embedding", dim=dim, k=5, bits=8,
+                        exact=True)
+
+
+def _lsh_ann_sql(dim: int = 64, bits: int = 8, k: int = 5) -> str:
+    from nifi_spark.datalib.similarity import _hyperplanes
+    planes = _hyperplanes(dim, bits)
+
+    def arr(hp):
+        # ::DOUBLE[] — a bare literal list is DECIMAL in DuckDB, which
+        # would change the multiply semantics vs Spark's double
+        return ("[" + ", ".join("1.0" if c > 0 else "-1.0" for c in hp)
+                + "]::DOUBLE[]")
+
+    sig_terms = "\n         + ".join(
+        f"(CASE WHEN sum((x * ({arr(hp)})[pos])::DECIMAL(38,18)) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, hp in enumerate(planes))
+    probe_list = "[s, " + ", ".join(f"xor(s, {1 << i})"
+                                    for i in range(bits)) + "]"
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, ({sig_terms})::INT AS s
+  FROM ex GROUP BY vec_id),
+probes AS (
+  SELECT vec_id, unnest({probe_list}) AS p FROM sig),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes q JOIN sig c ON q.p = c.s AND q.vec_id <> c.vec_id),
+norms AS (
+  SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         sum((a.x * b.x)::DECIMAL(38,18)) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.query_id
+  JOIN ex b ON b.vec_id = cand.neighbor_id AND b.pos = a.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot::DOUBLE / (sqrt(nq.nsq::DOUBLE) * sqrt(nc.nsq::DOUBLE)), 6)
+           AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -977,6 +1033,7 @@ FROM documents
 """,
         "ann_topk_exact": _ANN_EXACT_SQL,
         "cosine_pairs": _COSINE_PAIRS_SQL,
+        "lsh_ann_topk": _lsh_ann_sql(64, 8, 5),
         "multimodal_features": """
 SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,

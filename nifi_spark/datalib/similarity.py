@@ -124,23 +124,39 @@ def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
 
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
                  k: int = 5, bits: int = 8, queries: DataFrame | None = None,
-                 multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket join + exact re-rank.
+                 multiprobe: bool = True, exact: bool = False) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket join + cosine re-rank.
 
     Recall is tunable via `bits` (fewer bits → bigger buckets → higher
     recall, more compute) and `multiprobe` (also probe buckets at Hamming
     distance 1 from the query's signature).
+
+    exact=True computes hyperplane dots and the re-rank cosine with
+    decimal sums (order-independent, bit-identical in a DuckDB oracle);
+    the default double path is the throughput shape.
     """
     planes = _hyperplanes(dim, bits)
+    DEC = "decimal(38,18)"
 
     def sig_col(vec):
         v = F.transform(vec, lambda x: x.cast("double"))
         bitcols = []
         for bi, hp in enumerate(planes):
-            dot = F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(c) for c in hp]), lambda x, h: x * h),
-                F.lit(0.0), lambda acc, x: acc + x)
-            bitcols.append(F.when(dot >= 0, 1 << bi).otherwise(0))
+            hp_arr = F.array(*[F.lit(c) for c in hp])
+            if exact:
+                # re-cast each step: decimal(38,18)+decimal(38,18) widens
+                # to (38,17) under Spark's precision rules; every term
+                # has <=18 dp so the cast is lossless
+                dot = F.aggregate(
+                    F.zip_with(v, hp_arr, lambda x, h: (x * h).cast(DEC)),
+                    F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+                bitcols.append(F.when(dot >= F.lit(0).cast(DEC), 1 << bi)
+                               .otherwise(0))
+            else:
+                dot = F.aggregate(
+                    F.zip_with(v, hp_arr, lambda x, h: x * h),
+                    F.lit(0.0), lambda acc, x: acc + x)
+                bitcols.append(F.when(dot >= 0, 1 << bi).otherwise(0))
         s = bitcols[0]
         for c in bitcols[1:]:
             s = s + c
@@ -161,13 +177,37 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
                      F.col(vec_col).alias("vq"), "_sig")
     c = cand.select(F.col(id_col).alias("neighbor_id"),
                     F.col(vec_col).alias("vc"), "_sig")
-    vq = F.transform(F.col("vq"), lambda x: x.cast("double"))
-    vc = F.transform(F.col("vc"), lambda x: x.cast("double"))
-    scored = (q.join(c, "_sig")
-              .filter(F.col("query_id") != F.col("neighbor_id"))
-              .select("query_id", "neighbor_id",
-                      F.round(cosine(vq, vc), 6).alias("cosine"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+    pairs = (q.join(c, "_sig")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    if exact:
+        cand_pairs = pairs.select("query_id", "neighbor_id").distinct()
+        ex = _explode_positions(df, id_col, vec_col)
+        a = ex.select(F.col(id_col).alias("query_id"), "pos",
+                      F.col("x").alias("xq"))
+        b = ex.select(F.col(id_col).alias("neighbor_id"), "pos",
+                      F.col("x").alias("xc"))
+        norms = ex.groupBy(id_col).agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq"))
+        dots = (cand_pairs.join(a, "query_id")
+                .join(b, ["neighbor_id", "pos"])
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.sum((F.col("xq") * F.col("xc")).cast(DEC)).alias("dot")))
+        nq = norms.select(F.col(id_col).alias("query_id"),
+                          F.col("nsq").alias("nsq_q"))
+        nc = norms.select(F.col(id_col).alias("neighbor_id"),
+                          F.col("nsq").alias("nsq_c"))
+        scored = (dots.join(nq, "query_id").join(nc, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(F.col("dot").cast("double")
+                                  / (F.sqrt(F.col("nsq_q").cast("double"))
+                                     * F.sqrt(F.col("nsq_c").cast("double"))),
+                                  6).alias("cosine")))
+    else:
+        vq = F.transform(F.col("vq"), lambda x: x.cast("double"))
+        vc = F.transform(F.col("vc"), lambda x: x.cast("double"))
+        scored = (pairs.select("query_id", "neighbor_id",
+                               F.round(cosine(vq, vc), 6).alias("cosine"))
+                  .dropDuplicates(["query_id", "neighbor_id"]))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

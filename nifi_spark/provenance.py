@@ -81,3 +81,41 @@ class ProvenanceWriter:
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(_SCHEMA).parquet(self.path)
+
+
+def lineage_for_lsn(prov: DataFrame, lsn: int) -> DataFrame:
+    """Which batches/stages/partitions processed a given LSN — the
+    submitLineageComputation analog (PersistentProvenanceRepository.java:
+    2242-2259), as a plain predicate-pushdown query instead of a Lucene
+    search."""
+    return (prov.filter((F.col("lsn_min") <= lsn) & (F.col("lsn_max") >= lsn))
+            .orderBy("batch_id", "event_id")
+            .select("batch_id", "stage", "event_type", "partition_id",
+                    "lsn_min", "lsn_max", "row_count", "ts"))
+
+
+def batch_summary(prov: DataFrame) -> DataFrame:
+    """Per-batch pipeline summary: rows/bytes per stage — the provenance
+    query surface (submitQuery analog, :2006-2056)."""
+    return (prov.groupBy("batch_id", "stage", "event_type")
+            .agg(F.sum("row_count").alias("rows"),
+                 F.sum("byte_count").alias("bytes"),
+                 F.count(F.lit(1)).alias("partitions"),
+                 F.min("lsn_min").alias("lsn_min"),
+                 F.max("lsn_max").alias("lsn_max"))
+            .orderBy("batch_id", "stage"))
+
+
+def partition_balance(prov: DataFrame, stage: str = "compact") -> DataFrame:
+    """Skew observability: per-batch max/mean partition row counts for a
+    stage. The north-rule skew check — a hot repo must NOT concentrate
+    into one partition after the narrow agg (salting/AQE would be the
+    next lever if it did)."""
+    per = prov.filter((F.col("stage") == stage) & (F.col("partition_id") >= 0))
+    return (per.groupBy("batch_id")
+            .agg(F.max("row_count").alias("max_rows"),
+                 F.avg("row_count").alias("mean_rows"),
+                 F.count(F.lit(1)).alias("partitions"))
+            .withColumn("skew_ratio",
+                        F.round(F.col("max_rows") / F.col("mean_rows"), 3))
+            .orderBy("batch_id"))
