@@ -182,6 +182,21 @@ def q_route_on_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("route", "n_docs")
 
 
+def q_route_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line routing (RouteText): documents reflowed one-word-per-line,
+    each line tagged by matching rule, counts per route."""
+    from nifi_spark.operators.routing import route_text
+    docs = _t(spark, sf_dir, "documents")
+    multiline = docs.withColumn(
+        "content", F.regexp_replace(F.col("text"), " ", "\n"))
+    routed = route_text(multiline, "content", {
+        "kw_join": F.col("line") == "join",
+        "kw_filter": F.col("line") == "filter",
+        "short": F.length(F.col("line")) <= 3,
+    })
+    return routed.groupBy("route").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
 def q_scan_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-membership scan (ScanContent/ScanAttribute): broadcast
     semi-join of document tokens against a term dictionary."""
@@ -753,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_detect_duplicate": q_cdc_detect_duplicate,
         "route_on_attribute": q_route_on_attribute,
         "route_on_content": q_route_on_content,
+        "route_text_lines": q_route_text_lines,
         "scan_content": q_scan_content,
         "update_attributes_el": q_update_attributes_el,
         "hash_content": q_hash_content,
@@ -829,6 +845,16 @@ SELECT 'unmatched', count(*) FROM documents
 WHERE NOT regexp_matches(text, '\\bmerge\\b')
   AND NOT regexp_matches(text, '\\bwindow\\b')
   AND NOT regexp_matches(text, '\\bshuffle\\b')
+""",
+        "route_text_lines": """
+WITH lines AS (
+  SELECT unnest(string_split(text, ' ')) AS line FROM documents)
+SELECT CASE WHEN line = 'join' THEN 'kw_join'
+            WHEN line = 'filter' THEN 'kw_filter'
+            WHEN length(line) <= 3 THEN 'short'
+            ELSE 'unmatched' END AS route,
+       count(*) AS n_lines
+FROM lines GROUP BY 1
 """,
         "scan_content": """
 WITH toks AS (
