@@ -303,12 +303,26 @@ def q_split_defragment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_distribute_load_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DistributeLoad 4:1 weighted fan-out, deterministic by LSN order."""
+    """DistributeLoad 4:1 weighted fan-out — stateless hash-slot
+    assignment (zero-shuffle scale path; proportions statistical, exactly
+    as the reference's per-node round-robin)."""
     from nifi_spark.operators import distribute_load
     ev = _t(spark, sf_dir, "events")
     out = distribute_load(ev, {"primary": 4, "spillover": 1},
                           order_col="event_id")
     return out.groupBy("destination").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_control_rate_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ControlRate batch assignment (arithmetic LSN-range batch ids — no
+    global window): per-batch row counts and LSN bounds."""
+    from nifi_spark.operators import control_rate
+    ev = _t(spark, sf_dir, "events")
+    out = control_rate(ev, "event_id", rows_per_batch=1000)
+    return out.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("lsn_min"),
+        F.max("event_id").alias("lsn_max"))
 
 
 def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,15 +438,18 @@ def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
                                               F.col("event_id").asc())
-    # parquet timestamps load as TIMESTAMP_NTZ — go through an explicit
-    # timestamp cast before epoch-seconds (NTZ→long direct cast is invalid)
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = (epoch - F.lag(epoch).over(w)) > 1800
+    # integer MICROsecond epochs on both sides (Spark unix_micros vs
+    # DuckDB epoch_us): fixture timestamps carry sub-second parts, and a
+    # second-truncated gap comparison can disagree with the oracle's
+    # fractional one right at the 1800 s boundary. (Parquet timestamps
+    # load as TIMESTAMP_NTZ — cast via timestamp first.)
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (epoch_us - F.lag(epoch_us).over(w)) > 1_800_000_000
     sess = ev.withColumn("new_session",
                          F.when(gap | F.lag("ts").over(w).isNull(), 1).otherwise(0))
     return (sess.groupBy("user_id")
-            .agg(F.sum("new_session").alias("n_sessions"),
-                 F.count(F.lit(1)).alias("n_events")))
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
 
 
 # ---------------------------------------------------------------------------
@@ -778,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_csv_route": q_validate_csv_route,
         "split_defragment_roundtrip": q_split_defragment_roundtrip,
         "distribute_load_weighted": q_distribute_load_weighted,
+        "control_rate_batches": q_control_rate_batches,
         "salted_hot_key_agg": q_salted_hot_key_agg,
         "prioritized_batch": q_prioritized_batch,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -911,10 +929,20 @@ SELECT doc_id, md5(text) AS content_md5, true AS complete FROM documents
 """,
         "distribute_load_weighted": """
 WITH tagged AS (
-  SELECT CASE WHEN (row_number() OVER (ORDER BY event_id) - 1) % 5 < 4
+  SELECT CASE WHEN (('0x' || substr(md5('dl:' || event_id::VARCHAR), 1, 15))
+                    ::BIGINT % 5) < 4
               THEN 'primary' ELSE 'spillover' END AS destination
   FROM events)
 SELECT destination, count(*) AS n FROM tagged GROUP BY destination
+""",
+        "control_rate_batches": """
+WITH b AS (
+  SELECT ((event_id - (SELECT min(event_id) FROM events)) // 1000)::BIGINT
+           AS batch_id, event_id
+  FROM events)
+SELECT batch_id, count(*) AS n, min(event_id) AS lsn_min,
+       max(event_id) AS lsn_max
+FROM b GROUP BY batch_id
 """,
         "salted_hot_key_agg": """
 SELECT event_type, count(*) AS n,
@@ -980,13 +1008,14 @@ FROM events GROUP BY 1, 2
         "user_sessionization": """
 WITH g AS (
   SELECT user_id,
-         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
               OR lag(ts) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
 FROM g GROUP BY user_id
 """,
         "dedup_exact": """

@@ -55,12 +55,22 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
 
 
 def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True,
-                     batch_bytes: int = 64 << 20) -> DataFrame:
+                     batch_bytes: int = 64 << 20,
+                     size_partitioning: bool = False) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches).
 
     Real plumbing: batches arrive as pandas DataFrames of binary payloads;
     output schema is fixed; the per-batch loop is vectorizable. Only the
     inner `decode` is stubbed.
+
+    size_partitioning=True adds a byte-budget repartition sized by a
+    driver-side octet_length scan — OPT-IN because the sizing agg is a
+    second full read of the payload bytes (at 100 TB that doubles input
+    I/O). Default relies on the scan's own split sizing
+    (spark.sql.files.maxPartitionBytes) plus Arrow's maxRecordsPerBatch,
+    which already bound batch memory for file-backed media tables; turn
+    this on only for exploded/joined intermediates with wildly skewed
+    payload sizes.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -79,13 +89,15 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True,
             })
             yield out
 
-    # size-aware partitioning: target ≤ batch_bytes of payload per partition
-    # (cheap estimate via octet_length sum) so Arrow batches stay bounded.
-    stats = df.agg(F.sum(F.octet_length("payload")).alias("b"),
-                   F.count(F.lit(1)).alias("n")).collect()[0]
-    if stats["b"] and stats["b"] > batch_bytes:
-        parts = int(stats["b"] // batch_bytes) + 1
-        df = df.repartition(parts)
+    if size_partitioning:
+        # size-aware partitioning: target ≤ batch_bytes of payload per
+        # partition (estimate via octet_length sum) so Arrow batches stay
+        # bounded even for skewed in-memory intermediates.
+        stats = df.agg(F.sum(F.octet_length("payload")).alias("b"),
+                       F.count(F.lit(1)).alias("n")).collect()[0]
+        if stats["b"] and stats["b"] > batch_bytes:
+            parts = int(stats["b"] // batch_bytes) + 1
+            df = df.repartition(parts)
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 

@@ -123,18 +123,32 @@ def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
 
 
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
-                 k: int = 5, bits: int = 8, queries: DataFrame | None = None,
-                 multiprobe: bool = True, exact: bool = False) -> DataFrame:
+                 k: int = 5, bits: int | None = None,
+                 queries: DataFrame | None = None,
+                 multiprobe: bool = True, exact: bool = False,
+                 n_hint: int | None = None,
+                 target_bucket: int = 1024) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket join + cosine re-rank.
 
     Recall is tunable via `bits` (fewer bits → bigger buckets → higher
     recall, more compute) and `multiprobe` (also probe buckets at Hamming
     distance 1 from the query's signature).
 
+    bits=None (default) sizes the signature to the corpus:
+    bits = clamp(log2(n / target_bucket), 8, 24), so the expected bucket
+    holds ~target_bucket vectors and the in-bucket re-rank stays
+    O(n · target_bucket) instead of quadratic — at 10^9 vectors that's
+    bits≈20, 10^6 buckets of ~1k. Pass `n_hint` to skip the count job
+    (or an explicit `bits`).
+
     exact=True computes hyperplane dots and the re-rank cosine with
     decimal sums (order-independent, bit-identical in a DuckDB oracle);
     the default double path is the throughput shape.
     """
+    if bits is None:
+        import math
+        n = n_hint if n_hint is not None else df.count()
+        bits = min(24, max(8, math.ceil(math.log2(max(n, 2) / target_bucket))))
     planes = _hyperplanes(dim, bits)
     DEC = "decimal(38,18)"
 
@@ -181,21 +195,26 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
              .filter(F.col("query_id") != F.col("neighbor_id")))
     if exact:
         cand_pairs = pairs.select("query_id", "neighbor_id").distinct()
+        # query-side positions/norms come from `queries` when given — a
+        # separate query table must join against ITS vectors, not df's
+        exq_src = queries if queries is not None else df
         ex = _explode_positions(df, id_col, vec_col)
-        a = ex.select(F.col(id_col).alias("query_id"), "pos",
-                      F.col("x").alias("xq"))
+        exq = (_explode_positions(exq_src, id_col, vec_col)
+               if queries is not None else ex)
+        a = exq.select(F.col(id_col).alias("query_id"), "pos",
+                       F.col("x").alias("xq"))
         b = ex.select(F.col(id_col).alias("neighbor_id"), "pos",
                       F.col("x").alias("xc"))
-        norms = ex.groupBy(id_col).agg(
-            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq"))
         dots = (cand_pairs.join(a, "query_id")
                 .join(b, ["neighbor_id", "pos"])
                 .groupBy("query_id", "neighbor_id")
                 .agg(F.sum((F.col("xq") * F.col("xc")).cast(DEC)).alias("dot")))
-        nq = norms.select(F.col(id_col).alias("query_id"),
-                          F.col("nsq").alias("nsq_q"))
-        nc = norms.select(F.col(id_col).alias("neighbor_id"),
-                          F.col("nsq").alias("nsq_c"))
+        nq = exq.groupBy(id_col).agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_q")) \
+            .withColumnRenamed(id_col, "query_id")
+        nc = ex.groupBy(id_col).agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_c")) \
+            .withColumnRenamed(id_col, "neighbor_id")
         scored = (dots.join(nq, "query_id").join(nc, "neighbor_id")
                   .select("query_id", "neighbor_id",
                           F.round(F.col("dot").cast("double")

@@ -39,10 +39,13 @@ class EL:
     def substringBefore(c, sep): return F.substring_index(_c(c), sep, 1)
     @staticmethod
     def substringAfter(c, sep):
+        # NiFi parity: when the separator is absent the ORIGINAL subject is
+        # returned (SubstringAfterEvaluator.java:48-50), matching
+        # substringBefore's substring_index behavior.
         col = _c(c)
         pos = F.locate(sep, col)
         return F.when(pos > 0,
-                      F.substring(col, pos + len(sep), 1 << 30)).otherwise("")
+                      F.substring(col, pos + len(sep), 1 << 30)).otherwise(col)
     @staticmethod
     def substringAfterLast(c, sep): return F.substring_index(_c(c), sep, -1)
     @staticmethod

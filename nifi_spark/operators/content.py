@@ -131,28 +131,27 @@ def bin_pack(df: DataFrame, target_rows_per_bin: int | None = None,
 
 def replace_text_with_mapping(df: DataFrame, content_col: str,
                               mapping: DataFrame, find_col: str = "find",
-                              replace_col: str = "replace") -> DataFrame:
+                              replace_col: str = "replace",
+                              sep: str = " ") -> DataFrame:
     """Dictionary-driven whole-word find/replace
-    (ReplaceTextWithMapping, standard/ReplaceTextWithMapping.java).
+    (ReplaceTextWithMapping, standard/ReplaceTextWithMapping.java — the
+    reference streams each FlowFile's content once against an in-memory
+    mapping file; this is the same shape distributed).
 
-    Spark-first shape: split to words (keeping separators is not needed
-    for whitespace text), broadcast-join each token against the mapping
-    table, re-join — one narrow pass, no per-row Python, mapping size
-    bounded by the broadcast. For sub-word/regex mappings use
-    replace_text per rule instead.
+    Plan: the mapping is broadcast-sized BY CONTRACT (NiFi loads it on
+    the heap of every node), so it is collected once and inlined as a map
+    literal; the replace is then a single narrow projection —
+    transform(split(content)) with a per-token map lookup, zero
+    exchanges, no per-row Python. (An earlier version posexploded every
+    token of every document and reassembled with a groupBy/collect_list —
+    two full-corpus wide shuffles for the same result.)
+    For sub-word/regex mappings use replace_text per rule instead.
     """
-    tok = (df.select("*", F.posexplode(F.split(F.col(content_col), " "))
-                     .alias("_i", "_w")))
-    mapped = (tok.join(F.broadcast(mapping.withColumnRenamed(find_col, "_w")),
-                       on="_w", how="left")
-              .withColumn("_w2", F.coalesce(F.col(replace_col), F.col("_w"))))
-    keys = [c for c in df.columns if c != content_col]
-    rebuilt = (mapped.groupBy(*keys)
-               .agg(F.array_join(
-                   F.transform(
-                       F.array_sort(F.collect_list(F.struct("_i", "_w2"))),
-                       lambda s: s["_w2"]), " ").alias(content_col)))
-    return rebuilt.select(*df.columns)
+    pairs = mapping.select(find_col, replace_col).collect()
+    lookup = F.create_map(*[F.lit(v) for kv in pairs for v in (kv[0], kv[1])])
+    words = F.split(F.col(content_col), sep)
+    replaced = F.transform(words, lambda w: F.coalesce(lookup[w], w))
+    return df.withColumn(content_col, F.array_join(replaced, sep))
 
 
 def validate_csv(df: DataFrame, content_col: str, schema: str,
@@ -161,10 +160,13 @@ def validate_csv(df: DataFrame, content_col: str, schema: str,
     standard/ValidateCsv.java:1-40). `schema` is a Spark DDL string; a
     row is invalid when from_csv leaves any non-null-typed field null or
     the corrupt-record marker fires."""
+    from pyspark.sql.types import StructType
     parsed = df.withColumn(
         "_rec", F.from_csv(F.col(content_col), schema,
                            {"sep": sep, "mode": "PERMISSIVE"}))
-    field_names = [f.strip().split()[0] for f in schema.split(",")]
+    # Parse the DDL properly — naive ','-splitting mangles parameterized
+    # types like decimal(10,2) into bogus field names.
+    field_names = [f.name for f in StructType.fromDDL(schema).fields]
     ok = F.lit(True)
     for n in field_names:
         ok = ok & F.col(f"_rec.{n}").isNotNull()

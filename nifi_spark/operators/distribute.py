@@ -19,20 +19,39 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def distribute_load(df: DataFrame, weights: dict[str, int],
                     order_col: str | None = None,
-                    out_col: str = "destination") -> DataFrame:
-    """Weighted destination assignment (DistributeLoad weighted strategy).
+                    out_col: str = "destination",
+                    strategy: str = "hash") -> DataFrame:
+    """Weighted destination assignment (DistributeLoad weighted strategy,
+    DistributeLoad.java:76-94 — which round-robins per node, so exact
+    proportions are only ever statistical across the cluster).
 
-    Deterministic: position in `order_col` order is taken modulo the total
-    weight and mapped to destinations proportionally — a 5:1 weighting
-    sends 5 of every 6 rows to the first destination.
+    strategy='hash' (default, the scale path): slot =
+    portable_hash(order_col) % total_weight — a stateless per-row
+    projection, zero shuffles, deterministic given the column values, and
+    proportions converge to the weights. (An earlier version ranked the
+    whole dataset with a partition-less row_number window — a
+    single-reducer global sort, the slowest possible plan at scale.)
+
+    strategy='ordered': exact position-based round-robin via a GLOBAL
+    window sort — exact proportions, but one-task; only for driver-sized
+    batches (e.g. distributing a file listing, not a corpus).
     """
-    from pyspark.sql.window import Window
+    from nifi_spark.functions.portable_hash import portable_hash64
     total = sum(weights.values())
-    if order_col:
-        pos = F.row_number().over(Window.orderBy(F.col(order_col))) - 1
+    if strategy == "hash":
+        if order_col:
+            slot = F.pmod(portable_hash64(F.col(order_col).cast("string"),
+                                          seed="dl:"), F.lit(total))
+        else:
+            slot = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                          F.lit(total))
+    elif strategy == "ordered":
+        from pyspark.sql.window import Window
+        if not order_col:
+            raise ValueError("strategy='ordered' requires order_col")
+        slot = (F.row_number().over(Window.orderBy(F.col(order_col))) - 1) % total
     else:
-        pos = F.monotonically_increasing_id()
-    slot = pos % total
+        raise ValueError(f"unknown strategy {strategy!r}")
     expr = None
     lo = 0
     for name, w in weights.items():

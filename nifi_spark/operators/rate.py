@@ -24,12 +24,31 @@ def control_rate(df: DataFrame, order_col: str,
                  rows_per_batch: int = DEFAULT_BATCH_CAP,
                  group_col: str | None = None,
                  out_col: str = "batch_id") -> DataFrame:
-    """Assign each row a deterministic micro-batch id: position within the
-    (optionally per-group) order, divided by the batch cap."""
-    w = (Window.partitionBy(group_col) if group_col else
-         Window.partitionBy()).orderBy(F.col(order_col))
-    pos = F.row_number().over(w) - 1
-    return df.withColumn(out_col, (pos / rows_per_batch).cast("long"))
+    """Assign each row a deterministic micro-batch id.
+
+    Grouped: position within the group's order / cap — a PARTITIONED
+    window (parallel across groups; one group's rows must sort together
+    anyway).
+
+    Ungrouped (the changelog case): batch id is computed ARITHMETICALLY
+    from the ordering column's value range — (order - min) / cap after a
+    one-row min agg broadcast back. Assumes a dense ordering column (an
+    LSN/sequence, which is what back pressure caps in the reference,
+    StandardFlowFileQueue.java:98); sparse columns yield under-full
+    batches, never over-full ones, so the cap still holds. (An earlier
+    version used a partition-less row_number window — the whole stream
+    through ONE task.)
+    """
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+        pos = F.row_number().over(w) - 1
+        return df.withColumn(out_col, (pos / rows_per_batch).cast("long"))
+    lo = df.agg(F.min(F.col(order_col)).alias("_lo"))
+    return (df.crossJoin(F.broadcast(lo))
+            .withColumn(out_col,
+                        ((F.col(order_col) - F.col("_lo")) / rows_per_batch)
+                        .cast("long"))
+            .drop("_lo"))
 
 
 def monitor_activity(batch_rows: list[int], inactive_after: int = 3) -> list[str]:

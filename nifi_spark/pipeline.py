@@ -71,6 +71,17 @@ class CdcPipeline:
     # SnapshotTableStore.merge)
     coalesce_ddl: bool = False  # True: apply all DDL up-front (perf mode,
     # valid while data events never reference evolved columns)
+    ddl_in_stream: bool = True  # False: the feed carries no schema_change
+    # events (steady-state bulk CDC where DDL arrives out-of-band — the
+    # usual Debezium topology) — skips the per-batch schema-scan job, so a
+    # bulk batch runs exactly one Spark job (the merge)
+    dedup_deliveries: bool = True  # at-least-once feeds can re-deliver the
+    # same (key, lsn) inside one batch; the merge's 1:1 winner join
+    # requires (key,lsn)-unique changes, so dedup the SLICE here (a
+    # slice-sized exchange — strictly cheaper than deduping the merged
+    # table). False for exactly-once feeds (a real binlog, where the LSN
+    # is a unique log position) — then a batch has no dedup exchange at
+    # all. DetectDuplicate analog, standard/DetectDuplicate.java:58-68.
     history: list[BatchStats] = field(default_factory=list)
 
     # ---------------- source ----------------
@@ -114,47 +125,58 @@ class CdcPipeline:
         sl = self._read_slice(wm, lsn_to_incl)
         if self.cache_slice:
             sl = sl.persist()
-        stats.events = sl.count() if self.eager_stats else -1
-        if self.provenance:
-            self.provenance.emit(sl, "RECEIVE", batch_id, "tail")
+        try:
+            stats.events = sl.count() if self.eager_stats else -1
+            if self.provenance:
+                self.provenance.emit(sl, "RECEIVE", batch_id, "tail")
 
-        # schema-change boundaries (tiny driver-side list; NiFi's analog
-        # is per-record — we split the batch instead)
-        sc = (sl.filter(F.col("op") == "schema_change")
-                .select("lsn", "sc_kind", "sc_column", "sc_new_name", "sc_dtype")
-                .sort("lsn").collect())
-        data = sl.filter(F.col("op") != "schema_change")
-        stats.schema_events = len(sc)
+            # schema-change boundaries (tiny driver-side list; NiFi's analog
+            # is per-record — we split the batch instead)
+            if self.ddl_in_stream:
+                sc = (sl.filter(F.col("op") == "schema_change")
+                        .select("lsn", "sc_kind", "sc_column", "sc_new_name",
+                                "sc_dtype")
+                        .sort("lsn").collect())
+            else:
+                sc = []
+            data = (sl.filter(F.col("op") != "schema_change")
+                    if self.ddl_in_stream else sl)
+            stats.schema_events = len(sc)
 
-        if self.coalesce_ddl:
-            for r in sc:
-                self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
-                                  r.sc_dtype or "string", lsn=r.lsn)
-            sc = []
+            if self.coalesce_ddl:
+                for r in sc:
+                    self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
+                                      r.sc_dtype or "string", lsn=r.lsn)
+                sc = []
 
-        lo = wm
-        boundaries = [r.lsn for r in sc] + [lsn_to_incl + 1]
-        for i, b in enumerate(boundaries):
-            sub = data.filter((F.col("lsn") > lo) & (F.col("lsn") < b))
-            self._apply_data(sub, batch_id, stats)
-            if i < len(sc):
-                r = sc[i]
-                self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
-                                  r.sc_dtype or "string", lsn=r.lsn)
-            lo = b - 1
-            stats.sub_batches += 1
+            lo = wm
+            boundaries = [r.lsn for r in sc] + [lsn_to_incl + 1]
+            for i, b in enumerate(boundaries):
+                sub = data.filter((F.col("lsn") > lo) & (F.col("lsn") < b))
+                self._apply_data(sub, batch_id, stats)
+                if i < len(sc):
+                    r = sc[i]
+                    self.store.evolve(r.sc_kind, r.sc_column, r.sc_new_name,
+                                      r.sc_dtype or "string", lsn=r.lsn)
+                lo = b - 1
+                stats.sub_batches += 1
 
-        cs = slice_checksum(data) if self.checksum else None
-        stats.table_version = self.store.current_version()
-        self.ledger.commit(self.stream, lsn_to_incl, batch_id, cs,
-                           stats.table_version)
-        self.history.append(stats)
-        if self.cache_slice:
-            sl.unpersist()
-        return stats
+            cs = slice_checksum(data) if self.checksum else None
+            stats.table_version = self.store.current_version()
+            self.ledger.commit(self.stream, lsn_to_incl, batch_id, cs,
+                               stats.table_version)
+            self.history.append(stats)
+            return stats
+        finally:
+            # always release the cached slice — a failed batch must not pin
+            # storage for the life of the session
+            if self.cache_slice:
+                sl.unpersist()
 
     def _apply_data(self, sub: DataFrame, batch_id: int, stats: BatchStats) -> None:
         changes = self._normalize_changes(sub)
+        if self.dedup_deliveries:
+            changes = changes.dropDuplicates(["repo", "path", "lsn"])
         if self.provenance:
             self.provenance.emit(changes, "JOIN", batch_id, "compact")
         res = self.store.merge(self.spark, changes,

@@ -187,7 +187,8 @@ class SnapshotTableStore:
     # ---------------- merge (the PutSQL / MERGE INTO analog) ----------------
     def merge(self, spark: SparkSession, changes: DataFrame,
               strategy: str = "argmax",
-              assume_all_dirty: bool = False) -> dict:
+              assume_all_dirty: bool = False,
+              dedup_ties: bool = False) -> dict:
         """Apply a change set (store-schema columns + `op` ∈
         {'upsert','delete'} + `lsn`; multiple rows per key allowed — LWW
         by LSN happens here, exactly once).
@@ -207,11 +208,18 @@ class SnapshotTableStore:
         * 'maxby' — single wide hash-agg `max_by(full_row, lsn)`;
           simplest plan, shuffles full-width partial aggregates.
 
-        Duplicate (key, lsn) deliveries: both copies join the winning
-        (key, lsn) — payloads are identical by contract, and the
-        per-bucket dropDuplicates keeps exactly one. A replayed batch
-        (crash between table commit and ledger write) ties with the
-        stored row's `_last_lsn` the same way — replay is a no-op.
+        Replay ties: a replayed batch (crash between table commit and
+        ledger write) re-delivers changes whose lsn equals the stored
+        row's `_last_lsn`. Winner selection keys on (lsn, _src) where
+        _src prefers the change copy (payloads are identical by
+        contract), so the winner join matches exactly ONE wide row per
+        key and the full-width rows take exactly one exchange (the
+        per-bucket repartition before write). Changes must be
+        (key, lsn)-unique — automatic for any real changelog, where the
+        LSN is a log position; for at-least-once feeds that can
+        re-deliver inside one batch, pass dedup_ties=True (adds a
+        dropDuplicates — one extra wide exchange) or run
+        operators.detect_duplicate upstream.
 
         assume_all_dirty ("bulk mode"): skip the dirty-bucket probe job
         and treat every bucket as dirty. Correct always (clean buckets
@@ -229,7 +237,8 @@ class SnapshotTableStore:
         # No cache: the dirty-bucket probe is a column-pruned scan of just
         # (repo, path) — cheaper than materializing full-width change rows,
         # and the only viable shape when the change slice exceeds memory.
-        chg = changes.withColumn("bucket", bucket_expr(nb))
+        chg = (changes.withColumn("bucket", bucket_expr(nb))
+               .withColumn("_src", F.lit(1)))
         if assume_all_dirty:
             dirty = list(range(nb))
         else:
@@ -241,23 +250,32 @@ class SnapshotTableStore:
         current = (self.read(spark, buckets=dirty, with_lsn=True)
                    .withColumn("op", F.lit("upsert"))
                    .withColumnRenamed("_last_lsn", "lsn")
-                   .withColumn("bucket", bucket_expr(nb)))
+                   .withColumn("bucket", bucket_expr(nb))
+                   .withColumn("_src", F.lit(0)))
         unioned = current.unionByName(chg.select(*current.columns))
 
         if strategy == "argmax":
-            winners = (unioned.select(*KEY, "lsn", "op")
+            # (lsn, _src) is unique per key: the store holds one row per
+            # key (_src=0) and changes are (key,lsn)-unique (_src=1), so
+            # a replay tie (change lsn == stored lsn) resolves to the
+            # change copy and the winner join is 1:1 — no wide dedup.
+            winners = (unioned.select(*KEY, "lsn", "_src", "op")
                        .groupBy(*KEY)
-                       .agg(F.max("lsn").alias("lsn"),
-                            F.max_by("op", F.col("lsn")).alias("_wop"))
-                       .filter(F.col("_wop") != "delete").drop("_wop"))
+                       .agg(F.max(F.struct("lsn", "_src")).alias("w"),
+                            F.max_by("op", F.struct("lsn", "_src"))
+                             .alias("_wop"))
+                       .filter(F.col("_wop") != "delete")
+                       .select(*KEY, F.col("w.lsn").alias("lsn"),
+                               F.col("w._src").alias("_src")))
             # No explicit broadcast and no count job: AQE sees the
             # winners' runtime size after the narrow agg and picks
             # broadcast-hash for small winner sets, shuffle join when
             # the touched-key set is too big to broadcast.
-            winner = (unioned.join(winners, [*KEY, "lsn"])
-                      .dropDuplicates(KEY)
+            winner = (unioned.join(winners, [*KEY, "lsn", "_src"])
                       .withColumnRenamed("lsn", "_last_lsn")
-                      .drop("op"))
+                      .drop("op", "_src"))
+            if dedup_ties:
+                winner = winner.dropDuplicates(KEY)
         elif strategy == "maxby":
             # LWW reduce: one hash-agg (partial map-side combine ⇒
             # skew-safe), cheaper than the sort a window would force.

@@ -72,22 +72,60 @@ def main():
                    F.when(F.col("op") == "delete", "delete")
                     .otherwise("upsert").alias("op"), "lsn")
            .withColumn("bucket", bucket_expr(8)))
-    winners = (chg.select(*KEY, "lsn", "op").groupBy(*KEY)
-               .agg(F.max("lsn").alias("lsn"),
-                    F.max_by("op", F.col("lsn")).alias("_wop"))
-               .filter(F.col("_wop") != "delete").drop("_wop"))
-    merged = (chg.join(winners, [*KEY, "lsn"]).dropDuplicates(KEY)
-              .withColumnRenamed("lsn", "_last_lsn").drop("op"))
+    chg = chg.withColumn("_src", F.lit(1))
+    winners = (chg.select(*KEY, "lsn", "_src", "op").groupBy(*KEY)
+               .agg(F.max(F.struct("lsn", "_src")).alias("w"),
+                    F.max_by("op", F.struct("lsn", "_src")).alias("_wop"))
+               .filter(F.col("_wop") != "delete")
+               .select(*KEY, F.col("w.lsn").alias("lsn"),
+                       F.col("w._src").alias("_src")))
+    merged = (chg.join(winners, [*KEY, "lsn", "_src"])
+              .withColumnRenamed("lsn", "_last_lsn").drop("op", "_src"))
     p = executed_plan_of(merged)
     assert "BroadcastHashJoin" in p, p
     # full-width side must stream from scan to join (the only exchanges
-    # belong to the narrow winners agg)
+    # belong to the narrow winners agg + its broadcast); the (lsn,_src)
+    # winner key makes the join 1:1, so there is NO post-join wide dedup
+    # exchange — the only full-width shuffle left in a real merge is the
+    # final per-bucket repartition before write.
     assert "AdaptiveSparkPlan" in p
+    assert "Window" not in p, p
+    n_ex = len(re.findall(r"Exchange (hashpartitioning|SinglePartition)", p))
+    assert n_ex <= 1, f"expected <=1 hash exchange (narrow agg), got {n_ex}\n{p}"
     results.append(("merge argmax join", "AQE selected BroadcastHashJoin; "
                     "full-width rows stream scan->join with no exchange; "
-                    "only the narrow (repo,path,lsn,op) agg shuffles"))
+                    "only the narrow (repo,path,lsn,_src,op) agg shuffles; "
+                    "1:1 winner join (no post-join dedup exchange)"))
     if dump:
         print(p)
+
+    # ---- 2b. distribute_load / control_rate: no global-window sort -----
+    from nifi_spark.operators import control_rate, distribute_load
+    dl = distribute_load(spark.read.parquet(lp), {"a": 4, "b": 1},
+                         order_col="lsn")
+    p = plan_of(dl)
+    assert "Window" not in p and "Exchange" not in p and "Sort" not in p, p
+    results.append(("distribute_load", "stateless hash-slot projection: "
+                    "zero exchanges, no window/sort"))
+    cr = control_rate(spark.read.parquet(lp), "lsn", rows_per_batch=10_000)
+    p = plan_of(cr)
+    assert "Window" not in p and "Sort" not in p, p
+    # the only aggregation is the one-row min() (its SinglePartition
+    # exchange moves ONE row); the data path itself is a pure projection
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    results.append(("control_rate", "arithmetic batch ids: one-row min agg "
+                    "broadcast back; no global window sort"))
+
+    # ---- 2c. replace_text_with_mapping: zero exchanges -----------------
+    from nifi_spark.operators import replace_text_with_mapping
+    mapping = spark.createDataFrame([("table", "TBL"), ("merge", "MRG")],
+                                    "find string, replace string")
+    rm = replace_text_with_mapping(
+        spark.read.parquet(lp).select("repo", "content"), "content", mapping)
+    p = plan_of(rm)
+    assert "Exchange" not in p and "Window" not in p, p
+    results.append(("replace_with_mapping", "broadcast map literal + "
+                    "transform(): single narrow projection, zero exchanges"))
 
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E

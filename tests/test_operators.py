@@ -187,12 +187,29 @@ def test_latest_wins(spark):
 
 # ---------------- distribute / rate ----------------
 
-def test_distribute_load_weighted(spark):
+def test_distribute_load_weighted_ordered(spark):
     df = spark.range(100).withColumnRenamed("id", "seq")
-    out = distribute_load(df, {"w80": 8, "w20": 2}, order_col="seq")
+    out = distribute_load(df, {"w80": 8, "w20": 2}, order_col="seq",
+                          strategy="ordered")
     counts = {r["destination"]: r["count"] for r in
               out.groupBy("destination").count().collect()}
     assert counts == {"w80": 80, "w20": 20}
+
+
+def test_distribute_load_weighted_hash(spark):
+    # default scale path: stateless hash slots — deterministic, and
+    # proportions converge to the weights (exactness is statistical,
+    # matching DistributeLoad's per-node round-robin)
+    df = spark.range(2000).withColumnRenamed("id", "seq")
+    out = distribute_load(df, {"w80": 8, "w20": 2}, order_col="seq")
+    counts = {r["destination"]: r["count"] for r in
+              out.groupBy("destination").count().collect()}
+    assert counts == {r["destination"]: r["count"] for r in
+                      distribute_load(df, {"w80": 8, "w20": 2},
+                                      order_col="seq")
+                      .groupBy("destination").count().collect()}
+    assert 0.7 < counts["w80"] / 2000 < 0.9
+    assert counts["w80"] + counts["w20"] == 2000
 
 
 def test_salt_keys_spread(spark):
