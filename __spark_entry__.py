@@ -298,6 +298,227 @@ def q_split_defragment_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "complete")
 
 
+def q_execute_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL surface: arbitrary SQL text against registered tables
+    (TPC-H Q6 forecasting-revenue shape)."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(sf_dir, ["lineitem"])
+    return eng.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """)
+
+
+def q_execute_sql_flow_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL's incoming-triggered form: an upstream DataFrame stage
+    becomes the table the SQL text queries (Flow + SqlEngine.stage),
+    top-5 users by spend per event type."""
+    from nifi_spark.plans import Flow, SqlEngine
+    eng = SqlEngine(spark)
+    flow = (Flow("sql")
+            .source("events", lambda: _t(spark, sf_dir, "events"))
+            .add("purchases",
+                 lambda df: df.filter(F.col("event_type") == "purchase"),
+                 inputs="events")
+            .add("topn", eng.stage("""
+                SELECT event_type, user_id, total, rnk FROM (
+                  SELECT event_type, user_id,
+                         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           AS total,
+                         row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY sum(CAST(value AS DECIMAL(18,4))) DESC,
+                                    user_id ASC) AS rnk
+                  FROM staged GROUP BY event_type, user_id) t
+                WHERE rnk <= 5
+            """, input_names=["staged"]), inputs="purchases"))
+    return flow.run()["topn"]
+
+
+# ---------------------------------------------------------------------------
+# Codecs / format parsers
+# ---------------------------------------------------------------------------
+
+def q_codec_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncodeContent base64+hex and the decode roundtrip invariant."""
+    from nifi_spark.operators import decode_content, encode_content
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = encode_content(docs, "text", "base64", out_col="b64")
+    e = encode_content(e, "text", "hex", out_col="hx")
+    e = decode_content(e, "b64", "base64", out_col="back", charset="utf-8")
+    return e.select("doc_id", "b64", F.upper(F.col("hx")).alias("hx"),
+                    F.md5(F.col("back")).alias("back_md5"))
+
+
+def q_codec_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompressContent gzip → decompress roundtrip (Arrow-batched pandas
+    UDF at the declared codec seam): sha256 + length invariants."""
+    from nifi_spark.operators import compress_content
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    c = compress_content(docs, "payload", "gzip", out_col="gz")
+    d = compress_content(c, "gz", "gzip", mode="decompress", out_col="back")
+    return d.select("doc_id", F.sha2(F.col("back"), 256).alias("back_sha"),
+                    F.octet_length("back").alias("back_len"))
+
+
+def q_split_json_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitJson: array document → one row per element with the fragment
+    contract."""
+    from nifi_spark.operators import split_json_array
+    docs = _t(spark, sf_dir, "documents")
+    arr = docs.select(
+        "doc_id",
+        F.to_json(F.slice(F.split(F.col("text"), " "), 1, 4)).alias("content"))
+    out = split_json_array(arr, "content")
+    return out.select("doc_id", "fragment_index", "fragment",
+                      "fragment_count")
+
+
+def q_xml_split_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitXml + EvaluateXPath: per-element split of a synthesized XML
+    document, then xpath text extraction on each fragment."""
+    from nifi_spark.operators import evaluate_xpath, split_xml
+    docs = _t(spark, sf_dir, "documents")
+    words = F.slice(F.split(F.col("text"), " "), 1, 3)
+    xml = F.concat(F.lit("<doc>"),
+                   F.array_join(F.transform(
+                       words, lambda w: F.concat(F.lit("<w>"), w,
+                                                 F.lit("</w>"))), ""),
+                   F.lit("</doc>"))
+    frags = split_xml(docs.select("doc_id", xml.alias("content")),
+                      "content", "w", id_cols=["doc_id"])
+    out = evaluate_xpath(frags, "fragment", {"word": "/w/text()"})
+    return out.select("doc_id", "fragment_index", "word", "fragment_count")
+
+
+def q_parse_syslog_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseSyslog over synthesized RFC-3164 lines (every 13th malformed):
+    per-host stats from the parsed fields + the invalid-route count."""
+    from nifi_spark.operators import parse_syslog
+    ev = _t(spark, sf_dir, "events")
+    line = F.when(F.col("event_id") % 13 == 0,
+                  F.concat(F.lit("garbage "), F.col("event_id"))) \
+        .otherwise(F.concat(
+            F.lit("<"), (F.col("event_id") % 8).cast("string"),
+            F.lit(">Jan  1 00:00:0"), (F.col("event_id") % 10).cast("string"),
+            F.lit(" host"), F.col("user_id").cast("string"),
+            F.lit(" app["), (F.col("event_id") % 100).cast("string"),
+            F.lit("]: "), F.col("event_type")))
+    df = ev.select("event_id", "user_id", "event_type", line.alias("line"))
+    routed = parse_syslog(df, "line")
+    valid = (routed["valid"].groupBy("syslog_hostname")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.max("syslog_pid").alias("max_pid")))
+    invalid = (routed["invalid"].groupBy()
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.lit(None).cast("int").alias("max_pid"))
+               .withColumn("syslog_hostname", F.lit("_invalid_")))
+    return valid.unionByName(invalid.select(*valid.columns))
+
+
+def q_parse_cef_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseCEF over synthesized CEF lines (every 17th malformed):
+    per-severity stats incl. an extension-key extraction."""
+    from nifi_spark.operators import parse_cef
+    ev = _t(spark, sf_dir, "events")
+    line = F.when(F.col("event_id") % 17 == 0,
+                  F.concat(F.lit("not cef "), F.col("event_id"))) \
+        .otherwise(F.concat(
+            F.lit("CEF:0|NS|engine|1.0|"),
+            (F.col("event_id") % 50).cast("string"),
+            F.lit("|"), F.col("event_type"), F.lit("|"),
+            (F.col("event_id") % 10).cast("string"),
+            F.lit("|src=10.0.0."), (F.col("user_id") % 256).cast("string"),
+            F.lit(" spt="), (F.col("event_id") % 65536).cast("string")))
+    df = ev.select("event_id", line.alias("line"))
+    routed = parse_cef(df, "line", ext_keys=["src", "spt"])
+    valid = (routed["valid"].groupBy("cef_severity")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("cef_src").alias("n_src")))
+    invalid = (routed["invalid"].groupBy()
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.lit(0).cast("long").alias("n_src"))
+               .withColumn("cef_severity", F.lit("_invalid_")))
+    return valid.unionByName(invalid.select(*valid.columns))
+
+
+def q_identify_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IdentifyMimeType: magic-byte sniffing over synthesized payloads
+    (six content classes by doc_id)."""
+    from nifi_spark.operators import identify_mime_type
+    docs = _t(spark, sf_dir, "documents")
+    sel = F.col("doc_id") % 6
+    prefix = (F.when(sel == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+              .when(sel == 1, F.unhex(F.lit("FFD8FFE0")))
+              .when(sel == 2, F.unhex(F.lit("504B0304")))
+              .when(sel == 3, F.unhex(F.lit("1F8B08")))
+              .when(sel == 4, F.unhex(F.lit("")))
+              .otherwise(F.unhex(F.lit("000102"))))
+    payload = F.concat(prefix, F.encode("text", "utf-8"))
+    out = identify_mime_type(
+        docs.select("doc_id", payload.alias("payload")), "payload")
+    return out.select("doc_id", "mime_type")
+
+
+def q_scan_attribute_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ScanAttribute: dictionary membership on an attribute column
+    (broadcast semi/anti join), matched + unmatched counts per term."""
+    from nifi_spark.operators import scan_attribute
+    docs = _t(spark, sf_dir, "documents")
+    dictionary = spark.createDataFrame(
+        [("src1",), ("src3",), ("src5",), ("src19",)], "term string")
+    matched = (scan_attribute(docs, "source", dictionary, "term", "matched")
+               .groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("route", F.lit("matched")))
+    unmatched = (scan_attribute(docs, "source", dictionary, "term",
+                                "unmatched")
+                 .groupBy().agg(F.count(F.lit(1)).alias("n"))
+                 .withColumn("source", F.lit("_other_"))
+                 .withColumn("route", F.lit("unmatched")))
+    return matched.unionByName(unmatched.select(*matched.columns))
+
+
+def q_attributes_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AttributesToJSON: selected columns → one JSON document column
+    (exact JSON-format parity with the oracle)."""
+    from nifi_spark.operators import attributes_to_json
+    docs = _t(spark, sf_dir, "documents")
+    out = attributes_to_json(docs, ["doc_id", "lang", "source"],
+                             out_col="attrs_json")
+    return out.select("doc_id", "attrs_json")
+
+
+def q_reshape_json_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoltTransformJSON analog: shift + default + type-cast spec over
+    the events props documents."""
+    from nifi_spark.operators import reshape_json
+    ev = _t(spark, sf_dir, "events")
+    out = reshape_json(ev.select("event_id", "props"), "props",
+                       shift={"k": "$.k", "absent": "$.nope"},
+                       defaults={"src": "evt"},
+                       types={"k": "long"})
+    return out.select("event_id", F.col("props").alias("reshaped"))
+
+
+def q_bin_assign_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeContent bin thresholds: byte+row-capped bin assignment per
+    correlation group (documents by source), per-bin stats."""
+    from nifi_spark.operators import bin_assign
+    docs = _t(spark, sf_dir, "documents")
+    out = bin_assign(docs, "doc_id", "text", max_bytes=4096, max_rows=50,
+                     correlation_col="source")
+    return (out.groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.octet_length("text")).alias("bin_bytes")))
+
+
 # ---------------------------------------------------------------------------
 # Distribution / ordering
 # ---------------------------------------------------------------------------
@@ -794,6 +1015,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replace_with_mapping": q_replace_with_mapping,
         "validate_csv_route": q_validate_csv_route,
         "split_defragment_roundtrip": q_split_defragment_roundtrip,
+        "execute_sql_tpch_q6": q_execute_sql_tpch_q6,
+        "execute_sql_flow_topn": q_execute_sql_flow_topn,
+        "codec_base64_hex": q_codec_base64_hex,
+        "codec_compress_roundtrip": q_codec_compress_roundtrip,
+        "split_json_fragments": q_split_json_fragments,
+        "xml_split_extract": q_xml_split_extract,
+        "parse_syslog_route": q_parse_syslog_route,
+        "parse_cef_route": q_parse_cef_route,
+        "identify_mime": q_identify_mime,
+        "scan_attribute_route": q_scan_attribute_route,
+        "attributes_to_json": q_attributes_to_json,
+        "reshape_json_shift": q_reshape_json_shift,
+        "bin_assign_bins": q_bin_assign_bins,
         "distribute_load_weighted": q_distribute_load_weighted,
         "control_rate_batches": q_control_rate_batches,
         "salted_hot_key_agg": q_salted_hot_key_agg,
@@ -926,6 +1160,115 @@ FROM events GROUP BY 1
 """,
         "split_defragment_roundtrip": """
 SELECT doc_id, md5(text) AS content_md5, true AS complete FROM documents
+""",
+        "execute_sql_tpch_q6": """
+SELECT sum((l_extendedprice::DECIMAL(18,4)
+            * l_discount::DECIMAL(18,4)))::DOUBLE AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "execute_sql_flow_topn": """
+SELECT event_type, user_id, total, rnk FROM (
+  SELECT event_type, user_id,
+         sum(value::DECIMAL(18,4))::DOUBLE AS total,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY sum(value::DECIMAL(18,4)) DESC,
+                                     user_id ASC) AS rnk
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY event_type, user_id) t
+WHERE rnk <= 5
+""",
+        "codec_base64_hex": """
+SELECT doc_id, base64(encode(text)) AS b64,
+       upper(hex(encode(text))) AS hx, md5(text) AS back_md5
+FROM documents
+""",
+        "codec_compress_roundtrip": """
+SELECT doc_id, sha256(text) AS back_sha,
+       octet_length(encode(text)) AS back_len
+FROM documents
+""",
+        "split_json_fragments": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ')[1:4] AS words FROM documents)
+SELECT doc_id, generate_subscripts(words, 1) - 1 AS fragment_index,
+       unnest(words) AS fragment, len(words) AS fragment_count
+FROM w
+""",
+        "xml_split_extract": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ')[1:3] AS words FROM documents)
+SELECT doc_id, generate_subscripts(words, 1) - 1 AS fragment_index,
+       unnest(words) AS word, len(words) AS fragment_count
+FROM w
+""",
+        "parse_syslog_route": """
+WITH valid AS (
+  SELECT 'host' || user_id::VARCHAR AS syslog_hostname,
+         (event_id % 100)::INT AS pid
+  FROM events WHERE event_id % 13 <> 0)
+SELECT syslog_hostname, count(*) AS n, max(pid) AS max_pid
+FROM valid GROUP BY 1
+UNION ALL
+SELECT '_invalid_', count(*), NULL::INT
+FROM events WHERE event_id % 13 = 0
+""",
+        "parse_cef_route": """
+WITH valid AS (
+  SELECT (event_id % 10)::VARCHAR AS cef_severity,
+         '10.0.0.' || (user_id % 256)::VARCHAR AS src
+  FROM events WHERE event_id % 17 <> 0)
+SELECT cef_severity, count(*) AS n, count(DISTINCT src) AS n_src
+FROM valid GROUP BY 1
+UNION ALL
+SELECT '_invalid_', count(*), 0
+FROM events WHERE event_id % 17 = 0
+""",
+        "identify_mime": """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'image/png'
+         WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'application/zip'
+         WHEN 3 THEN 'application/gzip'
+         WHEN 4 THEN 'text/plain'
+         ELSE 'application/octet-stream' END AS mime_type
+FROM documents
+""",
+        "scan_attribute_route": """
+SELECT source, count(*) AS n, 'matched' AS route FROM documents
+WHERE source IN ('src1', 'src3', 'src5', 'src19') GROUP BY source
+UNION ALL
+SELECT '_other_', count(*), 'unmatched' FROM documents
+WHERE source NOT IN ('src1', 'src3', 'src5', 'src19')
+""",
+        "attributes_to_json": """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang,
+                           source := source))::VARCHAR AS attrs_json
+FROM documents
+""",
+        "reshape_json_shift": """
+SELECT event_id,
+       '{"k":' || json_extract_string(props, '$.k')
+       || ',"src":"evt"}' AS reshaped
+FROM events
+""",
+        "bin_assign_bins": """
+WITH w AS (
+  SELECT source, octet_length(encode(text)) AS sz,
+         sum(octet_length(encode(text))) OVER
+           (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - octet_length(encode(text)) AS start,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS idx
+  FROM documents)
+SELECT source, greatest(start // 4096, idx // 50)::BIGINT AS bin_id,
+       count(*) AS n, sum(sz)::BIGINT AS bin_bytes
+FROM w GROUP BY 1, 2
 """,
         "distribute_load_weighted": """
 WITH tagged AS (

@@ -11,13 +11,20 @@ from nifi_spark.operators.routing import (route_on_attribute, route_on_content,
                                           route_text, scan_attribute)
 from nifi_spark.operators.attributes import (attributes_to_json, hash_attribute,
                                              hash_content, update_columns)
-from nifi_spark.operators.content import (bin_pack, evaluate_json_path,
+from nifi_spark.operators.content import (bin_assign, bin_pack,
+                                          evaluate_json_path,
                                           evaluate_xpath, extract_text,
-                                          merge_defragment, parse_syslog,
-                                          replace_text,
+                                          identify_mime_type,
+                                          merge_defragment, parse_cef,
+                                          parse_syslog, replace_text,
                                           replace_text_with_mapping,
-                                          segment_content, split_json_array,
-                                          split_text, validate_csv)
+                                          reshape_json, segment_content,
+                                          split_json_array, split_text,
+                                          split_xml, validate_csv)
+from nifi_spark.operators.codec import (compress_content,
+                                        convert_character_set,
+                                        decode_content, encode_content,
+                                        unpack_content)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.distribute import distribute_load, prioritize, salt_keys
 from nifi_spark.operators.rate import control_rate, monitor_activity
@@ -25,10 +32,13 @@ from nifi_spark.operators.rate import control_rate, monitor_activity
 __all__ = [
     "route_on_attribute", "route_on_content", "route_text", "scan_attribute",
     "attributes_to_json", "hash_attribute", "hash_content", "update_columns",
-    "bin_pack", "evaluate_json_path", "evaluate_xpath", "extract_text",
-    "merge_defragment", "parse_syslog", "replace_text",
-    "replace_text_with_mapping", "segment_content",
-    "split_json_array", "split_text", "validate_csv",
+    "bin_assign", "bin_pack", "evaluate_json_path", "evaluate_xpath",
+    "extract_text", "identify_mime_type", "merge_defragment", "parse_cef",
+    "parse_syslog", "replace_text", "replace_text_with_mapping",
+    "reshape_json", "segment_content", "split_json_array", "split_text",
+    "split_xml", "validate_csv",
+    "compress_content", "convert_character_set", "decode_content",
+    "encode_content", "unpack_content",
     "detect_duplicate", "latest_wins",
     "distribute_load", "prioritize", "salt_keys", "control_rate",
     "monitor_activity",

@@ -1,0 +1,146 @@
+"""Content codecs — encode/compress/charset/unpack for content columns.
+
+NiFi ancestors:
+* Base64EncodeContent (standard/Base64EncodeContent.java) and
+  EncodeContent's base64/hex modes — here JVM built-ins
+  (base64/unbase64/hex/unhex), zero Python.
+* ConvertCharacterSet (standard/ConvertCharacterSet.java:40-90):
+  charset → charset re-encode; Spark strings are Unicode internally, so
+  the operator pair is encode(string → bytes-in-charset) /
+  decode(bytes-in-charset → string).
+* CompressContent (standard/CompressContent.java:1-60; test corpus under
+  src/test/resources/CompressedData): gzip/deflate/bzip2/lzma
+  compress + decompress. Spark has no column-level compression
+  expression, so this is the ONE declared Python seam in the codec
+  family: an Arrow-batched pandas UDF over binary columns — the inner
+  loop is zlib/bz2/lzma C code, the same libraries NiFi's Commons
+  Compress wraps, and batches arrive/leave as Arrow buffers. File-level
+  compression stays with the parquet/ORC writer codecs (SURVEY.md's
+  point); THIS operator is for compressed blobs that live inside a
+  column, which file-format codecs can't express.
+* UnpackContent (standard/UnpackContent.java): archive → one row per
+  entry carrying the fragment contract, zip via mapInPandas.
+"""
+
+from __future__ import annotations
+
+import bz2 as _bz2
+import gzip as _gzip
+import lzma as _lzma
+import zlib as _zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType
+
+_CODECS = {
+    "gzip": (_gzip.compress, _gzip.decompress),
+    "deflate": (_zlib.compress, _zlib.decompress),
+    "bzip2": (_bz2.compress, _bz2.decompress),
+    "lzma": (_lzma.compress, _lzma.decompress),
+}
+
+
+def encode_content(df: DataFrame, content_col: str, encoding: str = "base64",
+                   out_col: str | None = None,
+                   charset: str = "utf-8") -> DataFrame:
+    """String/binary content → base64 | hex text (EncodeContent). String
+    input is first serialized to bytes in `charset`."""
+    c = F.col(content_col)
+    if dict(df.dtypes)[content_col] != "binary":
+        c = F.encode(c, charset)
+    if encoding == "base64":
+        # Spark's base64 emits MIME-chunked output (CRLF every 76 chars);
+        # RFC-4648 unwrapped is what NiFi's encoder and every other
+        # engine produce — strip the wrapping.
+        enc = F.replace(F.base64(c), F.lit("\r\n"), F.lit(""))
+    elif encoding == "hex":
+        enc = F.hex(c)
+    else:
+        raise ValueError(f"unknown encoding {encoding!r}")
+    return df.withColumn(out_col or content_col, enc)
+
+
+def decode_content(df: DataFrame, content_col: str, encoding: str = "base64",
+                   out_col: str | None = None,
+                   charset: str | None = None) -> DataFrame:
+    """base64 | hex text → binary (or string when charset given)."""
+    c = F.col(content_col)
+    if encoding == "base64":
+        dec = F.unbase64(c)
+    elif encoding == "hex":
+        dec = F.unhex(c)
+    else:
+        raise ValueError(f"unknown encoding {encoding!r}")
+    if charset:
+        dec = F.decode(dec, charset)
+    return df.withColumn(out_col or content_col, dec)
+
+
+def convert_character_set(df: DataFrame, content_col: str,
+                          to_charset: str, from_charset: str | None = None,
+                          out_col: str | None = None) -> DataFrame:
+    """ConvertCharacterSet: string → bytes in `to_charset`; a binary
+    input is first decoded with `from_charset`."""
+    c = F.col(content_col)
+    if dict(df.dtypes)[content_col] == "binary":
+        if not from_charset:
+            raise ValueError("binary input requires from_charset")
+        c = F.decode(c, from_charset)
+    return df.withColumn(out_col or content_col, F.encode(c, to_charset))
+
+
+def compress_content(df: DataFrame, content_col: str, codec: str = "gzip",
+                     mode: str = "compress",
+                     out_col: str | None = None) -> DataFrame:
+    """Column-level (de)compression via an Arrow-batched pandas UDF —
+    the declared Python seam (see module docstring). Input must be
+    binary; compose with encode_content/convert_character_set for text.
+    """
+    if codec not in _CODECS:
+        raise ValueError(f"unknown codec {codec!r} (have {sorted(_CODECS)})")
+    if mode not in ("compress", "decompress"):
+        raise ValueError(f"mode must be compress|decompress, got {mode!r}")
+    comp, decomp = _CODECS[codec]
+    fn = comp if mode == "compress" else decomp
+
+    @F.pandas_udf(BinaryType())
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else fn(bytes(b)))
+
+    return df.withColumn(out_col or content_col, run(F.col(content_col)))
+
+
+UNPACK_SCHEMA_SUFFIX = ("entry_index int, entry_count int, "
+                        "entry_name string, entry binary")
+
+
+def unpack_content(df: DataFrame, content_col: str,
+                   id_cols: list[str]) -> DataFrame:
+    """Zip archive → one row per entry with the fragment contract
+    (UnpackContent; fragment fields named entry_* to keep the archive
+    vocabulary). mapInPandas: the zip directory parse is the seam, the
+    fan-out schema and Arrow batching are the real plumbing."""
+    import io
+    import zipfile
+
+    passthrough = ", ".join(f"`{n}` {t}" for n, t in df.dtypes
+                            if n in id_cols)
+    schema = f"{passthrough}, {UNPACK_SCHEMA_SUFFIX}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                blob = r[content_col]
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as z:
+                    names = z.namelist()
+                    for i, n in enumerate(names):
+                        rows.append(tuple(r[c] for c in id_cols)
+                                    + (i, len(names), n, z.read(n)))
+            cols = id_cols + ["entry_index", "entry_count", "entry_name",
+                              "entry"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select(*id_cols, content_col).mapInPandas(run, schema=schema)

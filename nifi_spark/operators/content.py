@@ -115,6 +115,33 @@ def merge_defragment(df: DataFrame, content_col: str = "fragment",
     return merged.drop("_n", "_expected")
 
 
+def bin_assign(df: DataFrame, order_col: str, content_col: str,
+               max_bytes: int = 64 << 20, max_rows: int = 100_000,
+               correlation_col: str | None = None,
+               out_col: str = "bin_id") -> DataFrame:
+    """Deterministic bin ASSIGNMENT with byte + row caps (MergeContent
+    Bin-Packing thresholds, BinFiles.java:52-96: Max Group Size /
+    Max Entries; Max Bin Age is a streaming-trigger concern, not a batch
+    one). A row opens a new bin when its start offset crosses a
+    max_bytes boundary or its index crosses max_rows — both ids are
+    monotone in sequence, so taking their max keeps bins contiguous and
+    every bin within (max_bytes + one row, max_rows). The window is
+    PARTITIONED by the correlation key (BinFiles' Correlation Attribute)
+    → parallel across groups; compose with `bin_pack` to turn bin ids
+    into output partitions/files. Without a correlation key the window
+    is global — acceptable ONLY for listing-sized inputs (binning file
+    listings, NiFi's actual use), not row-level corpora."""
+    from pyspark.sql.window import Window
+    w = (Window.partitionBy(correlation_col) if correlation_col
+         else Window.partitionBy(F.lit(0))).orderBy(F.col(order_col))
+    sz = F.coalesce(F.octet_length(F.col(content_col)), F.lit(0))
+    start = F.coalesce(F.sum(sz).over(w) - sz, F.lit(0))
+    idx = F.row_number().over(w) - 1
+    byte_bin = (start / max_bytes).cast("long")
+    row_bin = (idx / max_rows).cast("long")
+    return df.withColumn(out_col, F.greatest(byte_bin, row_bin))
+
+
 def bin_pack(df: DataFrame, target_rows_per_bin: int | None = None,
              correlation_col: str | None = None, n_bins: int | None = None) -> DataFrame:
     """Bin-packing = output-file compaction: co-locate rows into few
@@ -209,6 +236,110 @@ SYSLOG_3164 = (r"^(?:<(\d+)>)?"
                r"(\S+)\s"
                r"([^:\[]+)(?:\[(\d+)\])?:\s*"
                r"(.*)$")
+
+
+CEF_HEADER = (r"^CEF:(\d+)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)"
+              r"\|([^|]*)\|(.*)$")
+
+
+def parse_cef(df: DataFrame, content_col: str,
+              ext_keys: list[str] | None = None) -> dict[str, DataFrame]:
+    """ArcSight CEF line → structured columns + selected extension keys,
+    valid/invalid routing (ParseCEF, standard/ParseCEF.java:1-50 — which
+    delegates to a CEF parser lib; here the pipe-delimited header and
+    `key=value` extension grammar are plain regexp_extract, JVM-side)."""
+    g = lambda i: F.regexp_extract(F.col(content_col), CEF_HEADER, i)  # noqa: E731
+    cols = {
+        "cef_version": F.nullif(g(1), F.lit("")).cast("int"),
+        "cef_vendor": g(2), "cef_product": g(3), "cef_device_version": g(4),
+        "cef_signature_id": g(5), "cef_name": g(6),
+        "cef_severity": g(7), "cef_extension": g(8),
+    }
+    for k in ext_keys or []:
+        # value runs to the next ` key=` or end; CEF escapes spaces so a
+        # bare non-space run is the token. The first extension key is
+        # preceded by the header's final '|', later ones by whitespace.
+        cols[f"cef_{k}"] = F.nullif(
+            F.regexp_extract(F.col(content_col),
+                             rf"(?:^|[\s|]){k}=(\S*)", 1), F.lit(""))
+    parsed = df.withColumns(cols)
+    ok = F.col(content_col).rlike(CEF_HEADER)
+    return {"valid": parsed.filter(ok), "invalid": df.filter(~ok)}
+
+
+MIME_MAGIC = [
+    ("89504E47", "image/png"), ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"), ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"), ("1F8B", "application/gzip"),
+    ("425A68", "application/x-bzip2"), ("424D", "image/bmp"),
+    ("494433", "audio/mpeg"), ("4F676753", "audio/ogg"),
+    ("52494646", "audio/x-wav"),
+]
+
+
+def identify_mime_type(df: DataFrame, content_col: str,
+                       out_col: str = "mime_type") -> DataFrame:
+    """Magic-byte content sniffing (IdentifyMimeType,
+    standard/IdentifyMimeType.java — which wraps Apache Tika; here the
+    common magic numbers as a hex-prefix when-chain over the first 8
+    bytes, one narrow projection). Fallback: text/plain when the head
+    looks like printable ASCII, else application/octet-stream."""
+    c = F.col(content_col)
+    if dict(df.dtypes)[content_col] != "binary":
+        c = F.encode(c, "utf-8")
+    head = F.hex(F.substring(c, 1, 8))
+    expr = None
+    for magic, mime in MIME_MAGIC:
+        cond = head.startswith(magic)
+        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
+    texty = F.substring(c, 1, 8).cast("string").rlike(r"^[\x09\x0A\x0D\x20-\x7E]*$")
+    return df.withColumn(out_col,
+                         expr.otherwise(F.when(texty, "text/plain")
+                                        .otherwise("application/octet-stream")))
+
+
+def split_xml(df: DataFrame, content_col: str, tag: str,
+              id_cols: list[str] | None = None) -> DataFrame:
+    """Split an XML document into one row per <tag> element with the
+    fragment contract (SplitXml, standard/SplitXml.java — SAX-based
+    depth-1 splitting there; here a regexp_extract_all over the element
+    span, which covers non-nested repeated records, the overwhelming
+    splitting case). Compose with evaluate_xpath on `fragment` for
+    field extraction."""
+    id_cols = id_cols or []
+    pat = rf"(?s)<{tag}(?:\s[^>]*)?>.*?</{tag}>"
+    parts = F.regexp_extract_all(F.col(content_col), F.lit(pat), 0)
+    frag_id = F.sha2(F.concat_ws("\x00", *[F.col(c) for c in id_cols],
+                                 F.col(content_col)), 256) if id_cols else \
+        F.sha2(F.col(content_col), 256)
+    return (df.withColumn("fragment_id", frag_id)
+              .withColumn("fragment_count", F.size(parts))
+              .select("*", F.posexplode(parts).alias("fragment_index",
+                                                     "fragment"))
+              .drop(content_col))
+
+
+def reshape_json(df: DataFrame, content_col: str, shift: dict[str, str],
+                 defaults: dict[str, str] | None = None,
+                 types: dict[str, str] | None = None,
+                 out_col: str | None = None) -> DataFrame:
+    """JSON restructuring combinator (JoltTransformJSON's shift+default
+    specs, standard/JoltTransformJSON.java:1-50): `shift` maps output
+    field → JsonPath in the input document; `defaults` adds constant
+    fields; `types` casts extracted strings. Output is a rebuilt JSON
+    document column (get_json_object → struct → to_json, all JVM-side).
+    Like Jolt shift, fields whose path is absent are dropped (to_json
+    omits nulls)."""
+    fields = []
+    for name, path in shift.items():
+        c = F.get_json_object(F.col(content_col), path)
+        if types and name in types:
+            c = c.cast(types[name])
+        fields.append(c.alias(name))
+    for name, v in (defaults or {}).items():
+        fields.append(F.lit(v).alias(name))
+    return df.withColumn(out_col or content_col,
+                         F.to_json(F.struct(*fields)))
 
 
 def parse_syslog(df: DataFrame, content_col: str) -> dict[str, DataFrame]:

@@ -11,5 +11,6 @@ queues structurally prevent.
 """
 
 from nifi_spark.plans.flow import Flow, FlowError
+from nifi_spark.plans.sqlexec import SqlEngine
 
-__all__ = ["Flow", "FlowError"]
+__all__ = ["Flow", "FlowError", "SqlEngine"]

@@ -1,0 +1,188 @@
+"""Codec operators, format parsers (CEF/mime/XML/Jolt), bin thresholds,
+and the ExecuteSQL surface."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.operators import (bin_assign, compress_content,
+                                  convert_character_set, decode_content,
+                                  encode_content, identify_mime_type,
+                                  parse_cef, reshape_json, split_xml,
+                                  unpack_content)
+from nifi_spark.operators.content import evaluate_xpath
+from nifi_spark.plans import Flow, SqlEngine
+
+
+@pytest.fixture
+def files(spark):
+    rows = [("f1", "a.py", "python", "import os\nprint('hi')", 3),
+            ("f2", "b.java", "java", "class B {}\n// todo", 7),
+            ("f3", "c.py", "python", "def f():\n    return 1", 1),
+            ("f4", "d.md", "markdown", "# title\nsome text", 9)]
+    return spark.createDataFrame(
+        rows,
+        "name string, path string, lang string, content string, priority int")
+
+
+# ---------------- codecs ----------------
+
+def test_base64_hex_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "schön!")],
+                               "id long, text string")
+    enc = encode_content(df, "text", "base64", out_col="b64")
+    dec = decode_content(enc, "b64", "base64", out_col="back",
+                         charset="utf-8")
+    rows = {r.id: r for r in dec.collect()}
+    assert rows[1].b64 == "aGVsbG8gd29ybGQ="
+    assert rows[1].back == "hello world" and rows[2].back == "schön!"
+    hx = decode_content(encode_content(df, "text", "hex", out_col="h"),
+                        "h", "hex", out_col="back", charset="utf-8")
+    assert {r.back for r in hx.collect()} == {"hello world", "schön!"}
+
+
+def test_charset_convert(spark):
+    df = spark.createDataFrame([(1, "héllo")], "id long, text string")
+    lat = convert_character_set(df, "text", "iso-8859-1", out_col="b")
+    out = lat.select(F.decode(F.col("b"), "iso-8859-1").alias("s")).first()
+    assert out.s == "héllo"
+    assert lat.select(F.octet_length("b")).first()[0] == 5  # 1 byte/é
+
+
+def test_compress_roundtrip_all_codecs(spark):
+    df = spark.createDataFrame([(i, f"row {i} " + "x" * 200)
+                                for i in range(20)], "id long, text string")
+    binary = df.withColumn("payload", F.encode("text", "utf-8"))
+    for codec in ("gzip", "deflate", "bzip2", "lzma"):
+        comp = compress_content(binary, "payload", codec, out_col="c")
+        back = compress_content(comp, "c", codec, mode="decompress",
+                                out_col="d")
+        got = back.select(
+            F.sum(F.when(F.col("d") == F.col("payload"), 1)
+                  .otherwise(0)).alias("same")).first().same
+        assert got == 20, codec
+
+
+def test_compress_interops_with_python_gzip(spark):
+    df = spark.createDataFrame([(1, "interop check")], "id long, t string")
+    comp = compress_content(df.withColumn("p", F.encode("t", "utf-8")),
+                            "p", "gzip", out_col="c")
+    blob = bytes(comp.select("c").first().c)
+    assert gzip.decompress(blob) == b"interop check"
+
+
+def test_unpack_content_zip(spark):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("a.txt", b"alpha")
+        z.writestr("b/b.txt", b"beta")
+    df = spark.createDataFrame([(7, bytearray(buf.getvalue()))],
+                               "doc long, archive binary")
+    out = unpack_content(df, "archive", ["doc"]).collect()
+    got = {r.entry_name: (r.doc, r.entry_index, r.entry_count,
+                          bytes(r.entry)) for r in out}
+    assert got == {"a.txt": (7, 0, 2, b"alpha"),
+                   "b/b.txt": (7, 1, 2, b"beta")}
+
+
+# ---------------- format parsers ----------------
+
+def test_parse_cef(spark):
+    line = ("CEF:0|Vendor|IDS|1.2|100|Port scan|7|src=10.0.0.1 dst=10.0.0.9 "
+            "spt=4242")
+    df = spark.createDataFrame([(1, line), (2, "not cef")],
+                               "id long, msg string")
+    routed = parse_cef(df, "msg", ext_keys=["src", "spt", "missing"])
+    v = routed["valid"].collect()
+    assert len(v) == 1 and len(routed["invalid"].collect()) == 1
+    r = v[0]
+    assert (r.cef_version, r.cef_vendor, r.cef_name, r.cef_severity) == \
+        (0, "Vendor", "Port scan", "7")
+    assert r.cef_src == "10.0.0.1" and r.cef_spt == "4242"
+    assert r.cef_missing is None
+
+
+def test_identify_mime_type(spark):
+    rows = [(1, bytearray(b"\x89PNG\r\n\x1a\nrest")),
+            (2, bytearray(b"\xff\xd8\xff\xe0jpeg")),
+            (3, bytearray(b"PK\x03\x04zipdata")),
+            (4, bytearray(b"\x1f\x8b\x08gz")),
+            (5, bytearray(b"plain text here")),
+            (6, bytearray(b"\x00\x01\x02binary"))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r.id: r.mime_type
+           for r in identify_mime_type(df, "payload").collect()}
+    assert got == {1: "image/png", 2: "image/jpeg", 3: "application/zip",
+                   4: "application/gzip", 5: "text/plain",
+                   6: "application/octet-stream"}
+
+
+def test_split_xml_and_xpath(spark):
+    xml = ("<feed><item id=\"1\"><name>a</name></item>"
+           "<item id=\"2\"><name>b</name></item></feed>")
+    df = spark.createDataFrame([(1, xml)], "doc long, content string")
+    frags = split_xml(df, "content", "item", id_cols=["doc"])
+    assert frags.count() == 2
+    ext = evaluate_xpath(frags, "fragment", {"name": "//name/text()"})
+    assert sorted(r.name for r in ext.collect()) == ["a", "b"]
+    assert {r.fragment_count for r in frags.collect()} == {2}
+
+
+def test_reshape_json(spark):
+    df = spark.createDataFrame(
+        [(1, '{"user": {"id": 42, "name": "ada"}, "v": 1.5}')],
+        "id long, doc string")
+    out = reshape_json(df, "doc",
+                       shift={"uid": "$.user.id", "uname": "$.user.name",
+                              "score": "$.v", "absent": "$.nope"},
+                       defaults={"source": "api"},
+                       types={"uid": "long", "score": "double"})
+    assert out.first().doc == \
+        '{"uid":42,"uname":"ada","score":1.5,"source":"api"}'
+
+
+def test_bin_assign_thresholds(spark):
+    df = spark.createDataFrame(
+        [(i, "g" if i < 6 else "h", "x" * 100) for i in range(10)],
+        "seq long, grp string, content string")
+    out = bin_assign(df, "seq", "content", max_bytes=250, max_rows=100,
+                     correlation_col="grp")
+    bins = {(r.grp, r.seq): r.bin_id for r in out.collect()}
+    # 100-byte rows, 250-byte cap: start offsets 0,100,200,300,400,500 →
+    # byte-window ids 0,0,0,1,1,2 (window 0 carries 300 B — within the
+    # documented max_bytes + one-row overflow bound)
+    assert [bins[("g", i)] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert [bins[("h", i)] for i in range(6, 10)] == [0, 0, 0, 1]
+    rowcap = bin_assign(df, "seq", "content", max_bytes=1 << 30, max_rows=4,
+                        correlation_col="grp")
+    got = {(r.grp, r.seq): r.bin_id for r in rowcap.collect()}
+    assert [got[("g", i)] for i in range(6)] == [0, 0, 0, 0, 1, 1]
+
+
+# ---------------- ExecuteSQL surface ----------------
+
+def test_sql_engine_fixed_query(spark, files):
+    eng = SqlEngine(spark)
+    eng.register("files", files)
+    out = eng.sql("SELECT lang, count(*) AS n FROM files GROUP BY lang")
+    got = {r.lang: r.n for r in out.collect()}
+    assert got["python"] >= 1
+
+
+def test_sql_engine_flow_stage(spark, files):
+    eng = SqlEngine(spark)
+    flow = (Flow("sql-flow")
+            .source("src", lambda: files)
+            .add("filtered", lambda df: df.filter(F.col("priority") <= 2),
+                 inputs="src")
+            .add("agg", eng.stage(
+                "SELECT lang, count(*) AS n FROM staged GROUP BY lang",
+                input_names=["staged"]), inputs="filtered"))
+    out = flow.run()["agg"]
+    assert out.count() >= 1
+    assert set(out.columns) == {"lang", "n"}
