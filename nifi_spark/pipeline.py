@@ -47,6 +47,7 @@ class BatchStats:
     schema_events: int = 0
     upserts: int = 0
     deletes: int = 0
+    quarantined: int = 0
     sub_batches: int = 0
     table_version: int = -1
 
@@ -75,6 +76,14 @@ class CdcPipeline:
     # events (steady-state bulk CDC where DDL arrives out-of-band — the
     # usual Debezium topology) — skips the per-batch schema-scan job, so a
     # bulk batch runs exactly one Spark job (the merge)
+    quarantine_path: str | None = None  # poison-row routing: malformed
+    # data events (null key, unknown op) append to this errors table
+    # (with reason + batch id) instead of silently merging under a null
+    # key or failing the batch — the PutSQL failure-relationship /
+    # ProcessSession.penalize analog (standard/PutSQL.java:147-163,
+    # ProcessSession.java:316). Like NiFi's failure relationship the
+    # quarantine write is at-least-once: a crash-replayed batch re-appends
+    # its poison rows; readers dedup on (lsn) if they need exactly-once.
     dedup_deliveries: bool = True  # at-least-once feeds can re-deliver the
     # same (key, lsn) inside one batch; the merge's 1:1 winner join
     # requires (key,lsn)-unique changes, so dedup the SLICE here (a
@@ -139,7 +148,10 @@ class CdcPipeline:
                         .sort("lsn").collect())
             else:
                 sc = []
-            data = (sl.filter(F.col("op") != "schema_change")
+            # null-safe: a NULL op is a data (poison) row, not DDL — it
+            # must reach the quarantine split, not vanish in a
+            # three-valued-logic filter
+            data = (sl.filter(~F.col("op").eqNullSafe("schema_change"))
                     if self.ddl_in_stream else sl)
             stats.schema_events = len(sc)
 
@@ -173,7 +185,30 @@ class CdcPipeline:
             if self.cache_slice:
                 sl.unpersist()
 
+    _VALID_OPS = ("insert", "update", "delete", "upsert")
+
     def _apply_data(self, sub: DataFrame, batch_id: int, stats: BatchStats) -> None:
+        if self.quarantine_path:
+            bad = (F.col("repo").isNull() | F.col("path").isNull()
+                   | ~F.coalesce(F.col("op").isin(*self._VALID_OPS),
+                                 F.lit(False)))
+            reason = (F.when(F.col("repo").isNull() | F.col("path").isNull(),
+                             "null_key")
+                      .otherwise(F.concat(F.lit("bad_op:"),
+                                          F.coalesce(F.col("op"),
+                                                     F.lit("null")))))
+            poison = (sub.filter(bad)
+                      .withColumn("_reason", reason)
+                      .withColumn("_batch_id", F.lit(batch_id).cast("long")))
+            n_bad = poison.count() if self.eager_stats else -1
+            if n_bad != 0:
+                poison.write.mode("append").parquet(self.quarantine_path)
+                if self.provenance:
+                    self.provenance.emit(poison, "DROP", batch_id,
+                                         "quarantine")
+            if n_bad > 0:
+                stats.quarantined += n_bad
+            sub = sub.filter(~bad)
         changes = self._normalize_changes(sub)
         if self.dedup_deliveries:
             changes = changes.dropDuplicates(["repo", "path", "lsn"])

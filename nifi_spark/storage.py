@@ -158,8 +158,14 @@ class SnapshotTableStore:
         return df.select(*sel)
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
-             with_lsn: bool = False) -> DataFrame:
-        m = self._load_manifest()
+             with_lsn: bool = False, version: int | None = None) -> DataFrame:
+        """Read the table; `version=N` time-travels to snapshot N (every
+        manifest carries the FULL bucket map, so any retained version is
+        readable directly — the Iceberg snapshot-read analog; NiFi's
+        closest ancestor is provenance-journal archival,
+        PersistentProvenanceRepository.java:156-175). Raises
+        FileNotFoundError for versions dropped by expire_snapshots."""
+        m = self._load_manifest(version)
         cur = self.schema_columns(m)
         cols = [n for n, _ in cur] + (["_last_lsn"] if with_lsn else [])
         entries = m["buckets"]
@@ -183,6 +189,54 @@ class SnapshotTableStore:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out.select(*cols)
+
+    # ---------------- maintenance ----------------
+    def versions(self) -> list[int]:
+        """Retained (readable) snapshot versions, ascending."""
+        mdir = os.path.join(self.root, "manifests")
+        if not os.path.isdir(mdir):
+            return []
+        return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop old snapshots and GC unreferenced data (the Iceberg
+        expire_snapshots + remove_orphan_files analog; reference analog:
+        provenance journal rollover/archival,
+        PersistentProvenanceRepository.java:156-175).
+
+        Keeps the newest `keep_last` manifests (always including the
+        current pointer). A version DIRECTORY is deleted only when no
+        RETAINED manifest references any bucket inside it — buckets
+        untouched for many merges legitimately live in old version dirs,
+        so liveness is computed from the retained bucket maps, not from
+        version age. Metadata-only versions (schema commits) have no dir.
+        """
+        import shutil
+        cur = self.current_version()
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) | {cur}
+        live_dirs: set[str] = set()
+        for v in keep:
+            m = self._load_manifest(v)
+            for e in m["buckets"].values():
+                if e.get("path"):
+                    # bucket path = versions/vNNNNNN/bucket=k
+                    live_dirs.add(e["path"].split(os.sep)[1])
+        removed_manifests, removed_dirs = [], []
+        for v in vs:
+            if v not in keep:
+                os.remove(self._manifest_path(v))
+                removed_manifests.append(v)
+        vdir = os.path.join(self.root, "versions")
+        if os.path.isdir(vdir):
+            for d in os.listdir(vdir):
+                if d not in live_dirs and int(d[1:]) not in keep:
+                    shutil.rmtree(os.path.join(vdir, d))
+                    removed_dirs.append(d)
+        return {"kept_versions": sorted(keep),
+                "removed_manifests": removed_manifests,
+                "removed_dirs": sorted(removed_dirs)}
 
     # ---------------- merge (the PutSQL / MERGE INTO analog) ----------------
     def merge(self, spark: SparkSession, changes: DataFrame,
