@@ -707,6 +707,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep/drop sets: connected components (min-label
+    propagation) over the LSH candidate pairs — the step that turns
+    PAIRS into per-document keep decisions without over-deleting
+    chains."""
+    from nifi_spark.datalib import near_dup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, "doc_id", "text", k=3, num_perm=12,
+                             bands=4)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------
@@ -754,6 +765,16 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nifi_spark.datalib import cosine_pairs
     embs = _t(spark, sf_dir, "embeddings")
     return cosine_pairs(embs, "vec_id", "embedding", threshold=0.45, exact=True)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (deterministic corpus-sample centroids, nprobe cells,
+    exact re-rank) in decimal-exact mode for the DuckDB oracle; the
+    double fold is the throughput mode."""
+    from nifi_spark.datalib import ivf_ann_topk
+    embs = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(embs, "vec_id", "embedding", k=5, sample_mod=32,
+                        nprobe=3, exact=True)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -934,6 +955,83 @@ WHERE inter / (na.n + nb.n - inter) >= 0.5
 """
 
 
+def _near_clusters_sql(num_perm: int = 12, bands: int = 4) -> str:
+    return f"""
+WITH RECURSIVE prs AS ({_lsh_pairs_sql(num_perm, bands)}),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION ALL SELECT id_b, id_a FROM prs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+mins AS (SELECT a AS doc_id, min(b) AS mn FROM reach GROUP BY a)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id,
+       d.doc_id = least(d.doc_id, coalesce(m.mn, d.doc_id)) AS keep
+FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
+"""
+
+
+def _ivf_ann_sql(sample_mod: int = 32, nprobe: int = 3, k: int = 5) -> str:
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+norms AS (
+  SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
+cents AS (
+  SELECT vec_id AS centroid_id FROM embeddings
+  WHERE (('0x' || substr(md5('ivf:' || vec_id::VARCHAR), 1, 15))::BIGINT
+         % {sample_mod}) = 0),
+cex AS (
+  SELECT c.centroid_id, e.pos, e.x
+  FROM ex e JOIN cents c ON e.vec_id = c.centroid_id),
+cnorm AS (
+  SELECT centroid_id, sqrt(sum((x * x)::DECIMAL(38,18))::DOUBLE) AS cn
+  FROM cex GROUP BY 1),
+sdot AS (
+  SELECT e.vec_id, c.centroid_id, sum((e.x * c.x)::DECIMAL(38,18)) AS dot
+  FROM ex e JOIN cex c ON e.pos = c.pos GROUP BY 1, 2),
+sscore AS (
+  SELECT vec_id, centroid_id, round(dot::DOUBLE / cn, 6) AS score
+  FROM sdot JOIN cnorm USING (centroid_id)),
+assign AS (
+  SELECT vec_id AS neighbor_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, centroid_id ASC) AS rn FROM sscore) t
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY score DESC, centroid_id ASC) AS rn FROM sscore) t
+  WHERE rn <= {nprobe}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probe JOIN assign USING (centroid_id)
+  WHERE query_id <> neighbor_id),
+dots AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         sum((a.x * b.x)::DECIMAL(38,18)) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.query_id
+  JOIN ex b ON b.vec_id = cand.neighbor_id AND b.pos = a.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot::DOUBLE / (sqrt(nq.nsq::DOUBLE) * sqrt(nc.nsq::DOUBLE)), 6)
+           AS cosine
+  FROM dots
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 _ANN_EXACT_SQL = """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -1042,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_near_clusters": q_dedup_near_clusters,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_lang_id": q_text_lang_id,
@@ -1049,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exact": q_ann_topk_exact,
         "cosine_pairs": q_cosine_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1370,6 +1470,7 @@ FROM documents GROUP BY md5(text)
         "dedup_minhash_lsh_pairs": _lsh_pairs_sql(12, 4),
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_near_clusters": _near_clusters_sql(12, 4),
         "text_token_stats": """
 WITH t AS (
   SELECT doc_id, text,
@@ -1432,6 +1533,7 @@ FROM documents
         "ann_topk_exact": _ANN_EXACT_SQL,
         "cosine_pairs": _COSINE_PAIRS_SQL,
         "lsh_ann_topk": _lsh_ann_sql(64, 8, 5),
+        "ivf_ann_topk": _ivf_ann_sql(32, 3, 5),
         "multimodal_features": """
 SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,

@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "text_quality_score",
     "text_lang_id",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "dedup_near_clusters",
     "multimodal_features",
     "scan_content",
     "split_defragment_roundtrip",
@@ -124,7 +126,7 @@ def _bench_overrides() -> dict:
     arithmetic for bit-exact DuckDB comparison) are benched in their
     production/throughput shape instead — the gate validates correctness,
     the bench measures the plan users run."""
-    from nifi_spark.datalib import lsh_ann_topk
+    from nifi_spark.datalib import ivf_ann_topk, lsh_ann_topk
 
     def lsh_double(spark, sf_dir):
         embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -133,7 +135,12 @@ def _bench_overrides() -> dict:
         # of the operator and belongs in the measurement)
         return lsh_ann_topk(embs, "vec_id", "embedding", dim=dim, k=5)
 
-    return {"lsh_ann_topk": lsh_double}
+    def ivf_double(spark, sf_dir):
+        embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        return ivf_ann_topk(embs, "vec_id", "embedding", k=5,
+                            sample_mod=32, nprobe=3)
+
+    return {"lsh_ann_topk": lsh_double, "ivf_ann_topk": ivf_double}
 
 
 def main() -> None:

@@ -12,13 +12,14 @@ Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 """
 
 from nifi_spark.datalib.dedup import (exact_dedup, minhash_lsh_pairs,
-                                      minhash_signatures, ngram_jaccard_pairs,
-                                      shingle, simhash)
-from nifi_spark.datalib.similarity import ann_topk, cosine_pairs, lsh_ann_topk
+                                      minhash_signatures, near_dup_clusters,
+                                      ngram_jaccard_pairs, shingle, simhash)
+from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
+                                           ivf_ann_topk, lsh_ann_topk)
 from nifi_spark.datalib.text import (fingerprint, lang_id, quality_score,
                                      token_stats)
 
 __all__ = ["exact_dedup", "minhash_lsh_pairs", "minhash_signatures",
-           "ngram_jaccard_pairs", "shingle", "simhash", "ann_topk",
-           "cosine_pairs", "lsh_ann_topk", "fingerprint", "lang_id",
-           "quality_score", "token_stats"]
+           "near_dup_clusters", "ngram_jaccard_pairs", "shingle", "simhash",
+           "ann_topk", "cosine_pairs", "ivf_ann_topk", "lsh_ann_topk",
+           "fingerprint", "lang_id", "quality_score", "token_stats"]

@@ -116,6 +116,113 @@ def ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+                 sample_mod: int = 32, nprobe: int = 3,
+                 queries: DataFrame | None = None,
+                 exact: bool = False) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path next to
+    hyperplane LSH: a coarse quantizer partitions the corpus into cells,
+    queries probe only the nprobe nearest cells.
+
+    Centroids are a DETERMINISTIC sample of the corpus's own vectors
+    (ids where portable_hash('ivf:'||id) % sample_mod == 0, ~n/sample_mod
+    cells) — no RNG state, reproducible in a SQL oracle, and in practice
+    a random corpus sample is the standard k-means initialization anyway
+    (one Lloyd refinement would sharpen cells but adds nothing to the
+    plan shape). Assignment ranks by dot(v, c)/||c|| (the vector's own
+    norm can't change its argmax). Plan: centroids broadcast →
+    assignment is one narrow pass; candidate generation is a join on
+    cell id (like the LSH bucket join); exact cosine re-ranks within
+    probed cells. At 10^9 vectors pick sample_mod ≈ sqrt(n) for
+    ~sqrt(n)-sized cells.
+
+    exact=True does all sums in decimal (bit-stable vs DuckDB).
+    """
+    from nifi_spark.functions.portable_hash import portable_hash64
+    DEC = "decimal(38,18)"
+
+    def fold_dot(a, b):
+        if exact:
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x * y).cast(DEC)),
+                F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+
+    cents = (df.filter(F.pmod(portable_hash64(
+                 F.col(id_col).cast("string"), seed="ivf:"),
+                 F.lit(sample_mod)) == 0)
+             .select(F.col(id_col).alias("centroid_id"),
+                     dv(F.col(vec_col)).alias("cvec"))
+             .withColumn("cnorm", F.sqrt(fold_dot(F.col("cvec"),
+                                                  F.col("cvec"))
+                                         .cast("double"))))
+
+    def cell_rank(src: DataFrame, out_id: str, n_keep: int) -> DataFrame:
+        scored = (src.select(F.col(id_col).alias(out_id),
+                             dv(F.col(vec_col)).alias("v"))
+                  .crossJoin(F.broadcast(cents))
+                  .select(out_id, "centroid_id",
+                          F.round(fold_dot(F.col("v"), F.col("cvec"))
+                                  .cast("double") / F.col("cnorm"), 6)
+                          .alias("score")))
+        w = Window.partitionBy(out_id).orderBy(F.col("score").desc(),
+                                               F.col("centroid_id").asc())
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= n_keep)
+                .select(out_id, "centroid_id"))
+
+    assign = cell_rank(df, "neighbor_id", 1)
+    qsrc = queries if queries is not None else df
+    probe = cell_rank(qsrc, "query_id", nprobe)
+    cand = (probe.join(assign, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+    # exact cosine re-rank within probed cells
+    if exact:
+        ex = _explode_positions(df, id_col, vec_col)
+        exq = (_explode_positions(qsrc, id_col, vec_col)
+               if queries is not None else ex)
+        a = exq.select(F.col(id_col).alias("query_id"), "pos",
+                       F.col("x").alias("xq"))
+        b = ex.select(F.col(id_col).alias("neighbor_id"), "pos",
+                      F.col("x").alias("xc"))
+        dots = (cand.join(a, "query_id").join(b, ["neighbor_id", "pos"])
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.sum((F.col("xq") * F.col("xc")).cast(DEC))
+                     .alias("dot")))
+        nq = exq.groupBy(id_col).agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_q")) \
+            .withColumnRenamed(id_col, "query_id")
+        nc = ex.groupBy(id_col).agg(
+            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_c")) \
+            .withColumnRenamed(id_col, "neighbor_id")
+        scored = (dots.join(nq, "query_id").join(nc, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(F.col("dot").cast("double")
+                                  / (F.sqrt(F.col("nsq_q").cast("double"))
+                                     * F.sqrt(F.col("nsq_c")
+                                              .cast("double"))), 6)
+                          .alias("cosine")))
+    else:
+        qv = qsrc.select(F.col(id_col).alias("query_id"),
+                         dv(F.col(vec_col)).alias("vq"))
+        cv = df.select(F.col(id_col).alias("neighbor_id"),
+                       dv(F.col(vec_col)).alias("vc"))
+        scored = (cand.join(qv, "query_id").join(cv, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(cosine(F.col("vq"), F.col("vc")), 6)
+                          .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
 def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
     """Deterministic pseudo-random ±1 hyperplanes from the portable hash."""
     return [[1.0 if portable_hash64_py(f"hp:{b}:{i}") % 2 else -1.0

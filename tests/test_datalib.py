@@ -233,3 +233,63 @@ def test_frame_sample(docs):
     for mid, n in per.items():
         assert n == max(meta.loc[mid, "duration_ms"] // 1000, 1)
     assert frames["frame_sha256"].nunique() == len(frames)  # per-frame digest
+
+
+# ---------------- clustering / IVF ----------------
+
+def test_near_dup_clusters_chain(spark):
+    """A chain a~b, b~c must collapse to ONE cluster keeping only the
+    min id (pair-wise dropping would over/under-delete)."""
+    from nifi_spark.datalib import near_dup_clusters
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in near_dup_clusters(df, "doc_id", "text",
+                                      pairs=pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True)}
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    from nifi_spark.datalib import near_dup_clusters
+    n = 12
+    df = spark.createDataFrame([(i, "x") for i in range(n)],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "id_a long, id_b long")
+    out = near_dup_clusters(df, "doc_id", "text", pairs=pairs).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert sum(r.keep for r in out) == 1
+
+
+def test_ivf_ann_recall(embs):
+    """IVF ANN recovers most brute-force top-1 neighbors."""
+    from nifi_spark.datalib import ivf_ann_topk
+    queries = embs.filter(F.col("vec_id") < 20)
+    exact = ann_topk(embs, "vec_id", "embedding", k=1,
+                     queries=queries).toPandas()
+    # synthetic embeddings are near-uniform (worst case for ANN cell
+    # locality): recall curve measured 0.3@nprobe4 -> 0.7@8 -> 0.9@12
+    # with ~15 cells; pin a mid config and a floor under its measured
+    # recall
+    approx = ivf_ann_topk(embs, "vec_id", "embedding", k=1, sample_mod=32,
+                          nprobe=8, queries=queries).toPandas()
+    top1_exact = exact.set_index("query_id")["neighbor_id"]
+    top1 = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
+    hits = sum(int(q in top1.index and top1[q] == top1_exact[q])
+               for q in top1_exact.index)
+    assert hits / len(top1_exact) >= 0.6, f"recall {hits}/{len(top1_exact)}"
+
+
+def test_lsh_ann_exact_mode_with_separate_queries(embs):
+    """exact=True with a SEPARATE queries table must re-rank against the
+    query vectors, not silently drop them (regression: the exact path
+    used to look up query vectors only in the corpus df)."""
+    queries = (embs.filter(F.col("vec_id") < 3)
+               .withColumn("vec_id", F.col("vec_id") + 100000))
+    out = lsh_ann_topk(embs, "vec_id", "embedding", dim=64, k=2, bits=4,
+                       queries=queries, exact=True).toPandas()
+    assert set(out["query_id"]) == {100000, 100001, 100002}
+    assert (out["rank"] <= 2).all()
