@@ -62,6 +62,34 @@ class OffsetLedger:
             pass
 
 
+class KVState:
+    """Generic atomic JSON key→dict state (the StateManager analog for
+    operators whose state isn't an LSN watermark: @Stateful
+    UpdateAttribute counters, GetHTTP ETag/Last-Modified, listing
+    timestamps). Same tmp+os.replace commit discipline as OffsetLedger."""
+
+    def __init__(self, checkpoint_dir: str):
+        self.dir = checkpoint_dir
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.dir, f"{key}.json")
+
+    def get(self, key: str, default: dict | None = None) -> dict:
+        try:
+            with open(self._path(key)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return dict(default or {})
+
+    def put(self, key: str, value: dict) -> dict:
+        p = self._path(key)
+        with open(p + ".tmp", "w") as f:
+            json.dump(value, f)
+        os.replace(p + ".tmp", p)
+        return value
+
+
 def slice_checksum(events: DataFrame) -> str:
     """Order-independent checksum of the slice's (repo, path, lsn) set."""
     row = events.agg(

@@ -9,8 +9,10 @@ physical plan entirely to Catalyst.
 
 from nifi_spark.operators.routing import (route_on_attribute, route_on_content,
                                           route_text, scan_attribute)
-from nifi_spark.operators.attributes import (attributes_to_json, hash_attribute,
-                                             hash_content, update_columns)
+from nifi_spark.operators.attributes import (attributes_to_json,
+                                             global_sequence, hash_attribute,
+                                             hash_content, stateful_counter,
+                                             update_columns)
 from nifi_spark.operators.content import (bin_assign, bin_pack,
                                           evaluate_json_path,
                                           evaluate_xpath, extract_text,
@@ -31,7 +33,8 @@ from nifi_spark.operators.rate import control_rate, monitor_activity
 
 __all__ = [
     "route_on_attribute", "route_on_content", "route_text", "scan_attribute",
-    "attributes_to_json", "hash_attribute", "hash_content", "update_columns",
+    "attributes_to_json", "global_sequence", "hash_attribute",
+    "hash_content", "stateful_counter", "update_columns",
     "bin_assign", "bin_pack", "evaluate_json_path", "evaluate_xpath",
     "extract_text", "identify_mime_type", "merge_defragment", "parse_cef",
     "parse_syslog", "replace_text", "replace_text_with_mapping",

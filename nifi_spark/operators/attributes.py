@@ -45,6 +45,56 @@ def update_with_rules(df: DataFrame,
     return df.withColumns(cols)
 
 
+def global_sequence(df: DataFrame, order_col: str, start: int = 0,
+                    out_col: str = "seq",
+                    partitions: int | None = None) -> tuple[DataFrame, int]:
+    """Cross-partition monotonic row numbering WITHOUT a global
+    single-task sort: range-repartition on order_col (so partition i's
+    values all precede partition i+1's), count rows per partition (a
+    tiny driver-side list), turn the counts into cumulative offsets, and
+    number within each partition with a PARTITIONED window. Every stage
+    is parallel; the only driver data is one count per partition.
+    Returns (numbered_df, next_sequence_value)."""
+    from pyspark.sql.window import Window
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = (df.repartitionByRange(n, F.col(order_col))
+         .withColumn("_pid", F.spark_partition_id()))
+    counts = {r["_pid"]: r["c"] for r in
+              d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(None).cast("long")), start
+    off = F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                         for x in kv])
+    w = Window.partitionBy("_pid").orderBy(F.col(order_col))
+    out = (d.withColumn(out_col,
+                        (off[F.col("_pid")]
+                         + F.row_number().over(w) - 1).cast("long"))
+           .drop("_pid"))
+    return out, acc
+
+
+def stateful_counter(df: DataFrame, state, key: str, order_col: str,
+                     out_col: str = "seq") -> DataFrame:
+    """@Stateful UpdateAttribute counter
+    (nifi-update-attribute-bundle/.../UpdateAttribute.java:124): rows
+    receive monotonically increasing sequence numbers that CONTINUE
+    across batches — the next start value persists in a KVState
+    (ledger.KVState). The numbering itself is `global_sequence` (range
+    partition + per-partition offsets — no global sort). State commits
+    when this function returns; a crash before the downstream sink
+    commits re-numbers the batch identically on replay (same state, same
+    deterministic ordering)."""
+    st = state.get(key, {"next": 0})
+    out, nxt = global_sequence(df, order_col, start=int(st["next"]),
+                               out_col=out_col)
+    state.put(key, {"next": int(nxt)})
+    return out
+
+
 def attributes_to_json(df: DataFrame, cols: list[str],
                        out_col: str = "json") -> DataFrame:
     """Project selected columns into a JSON document column."""

@@ -10,5 +10,7 @@ streaming checkpoint alone.
 """
 
 from nifi_spark.streaming.cdc_stream import StreamingCdcPipeline, windowed_rollup
+from nifi_spark.streaming.stateful import rate_limit_stream, sessionize_stream
 
-__all__ = ["StreamingCdcPipeline", "windowed_rollup"]
+__all__ = ["StreamingCdcPipeline", "windowed_rollup",
+           "rate_limit_stream", "sessionize_stream"]

@@ -1,0 +1,129 @@
+"""applyInPandasWithState operators, HTTP ETag source, stateful counter."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from nifi_spark.ledger import KVState
+from nifi_spark.operators import global_sequence, stateful_counter
+from nifi_spark.sources import HttpIncrementalSource
+from nifi_spark.streaming import rate_limit_stream, sessionize_stream
+
+EV_SCHEMA = "user_id long, event_id long, ts timestamp"
+
+
+def _write_batches(spark, path, batches):
+    """One parquet file per batch so maxFilesPerTrigger=1 yields one
+    micro-batch per file (deterministic batch boundaries)."""
+    for i, rows in enumerate(batches):
+        (spark.createDataFrame(rows, EV_SCHEMA).coalesce(1)
+         .write.parquet(os.path.join(path, f"b{i}"), mode="overwrite"))
+
+
+def _run_stream(spark, src_dir, ckpt, build, name):
+    reader = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src_dir + "/*"))
+    q = (build(reader).writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_sessionize_stream_spans_batches(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    gap = timedelta(seconds=3600)
+    # user 1: batch0 has 2 events 10s apart; batch1 continues 20s later
+    # (SAME session across the batch boundary) then one far event (new
+    # session). user 2 appears only in batch1.
+    b0 = [(1, 1, t0), (1, 2, t0 + timedelta(seconds=10))]
+    b1 = [(1, 3, t0 + timedelta(seconds=30)),
+          (1, 4, t0 + gap * 2), (2, 5, t0)]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [b0, b1])
+    out = _run_stream(spark, src, str(tmp_path / "ck"),
+                      lambda r: sessionize_stream(r, "user_id", "ts",
+                                                  gap_sec=1800),
+                      "sess_t")
+    # memory sink in update mode: take the LAST row per user
+    pdf = out.toPandas()
+    last = pdf.groupby("user_id").last()
+    assert int(last.loc[1, "n_sessions"]) == 2
+    assert int(last.loc[1, "n_events"]) == 4
+    assert int(last.loc[2, "n_sessions"]) == 1
+    assert int(last.loc[2, "n_events"]) == 1
+
+
+def test_rate_limit_stream_caps_and_accounts(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    b0 = [(1, i, t0) for i in range(5)] + [(2, 100, t0)]
+    b1 = [(1, i, t0) for i in range(10, 14)]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [b0, b1])
+    out = _run_stream(
+        spark, src, str(tmp_path / "ck"),
+        lambda r: rate_limit_stream(r.withColumn(
+            "event_id", F.col("event_id").cast("string")),
+            "user_id", "event_id", max_per_trigger=3),
+        "rate_t")
+    pdf = out.toPandas()
+    u1 = pdf[pdf["user_id"] == "1"]
+    # 3 passed in batch0 (2 suppressed), 3 passed in batch1 (1 suppressed)
+    assert len(u1) == 6
+    assert int(u1["passed_total"].max()) == 6
+    assert int(u1["suppressed_total"].max()) == 3
+    u2 = pdf[pdf["user_id"] == "2"]
+    assert len(u2) == 1 and int(u2["suppressed_total"].max()) == 0
+
+
+def test_http_incremental_source(tmp_path):
+    calls = []
+
+    def fake(url, etag, last_modified):
+        calls.append((url, etag, last_modified))
+        if etag == "v2":
+            return 304, None, "v2", "mon"
+        return 200, b"payload-2", "v2", "mon"
+
+    st = KVState(str(tmp_path / "state"))
+    src = HttpIncrementalSource("http://example.test/feed", st, key="feed",
+                                fetcher=fake)
+    assert src.poll() == b"payload-2"          # first: no etag sent
+    assert calls[0][1] is None
+    assert src.poll() is None                  # second: 304 via etag
+    assert calls[1][1] == "v2"
+    # state survives a new instance (persisted JSON)
+    src2 = HttpIncrementalSource("http://example.test/feed",
+                                 KVState(str(tmp_path / "state")),
+                                 key="feed", fetcher=fake)
+    assert src2.poll() is None
+    assert st.get("feed")["etag"] == "v2"
+
+
+def test_global_sequence_matches_sort(spark):
+    df = spark.createDataFrame([(i * 7 % 100, f"v{i}") for i in range(100)],
+                               "k long, v string")
+    out, nxt = global_sequence(df, "k", start=10)
+    assert nxt == 110
+    pdf = out.toPandas().sort_values("seq")
+    assert pdf["seq"].tolist() == list(range(10, 110))
+    # seq order must equal k order (range partition + in-partition sort)
+    assert pdf["k"].is_monotonic_increasing
+
+
+def test_stateful_counter_continues_across_batches(spark, tmp_path):
+    st = KVState(str(tmp_path / "st"))
+    b0 = spark.createDataFrame([(i,) for i in range(5)], "k long")
+    b1 = spark.createDataFrame([(i,) for i in range(5, 8)], "k long")
+    s0 = stateful_counter(b0, st, "ctr", "k").toPandas()
+    s1 = stateful_counter(b1, st, "ctr", "k").toPandas()
+    assert sorted(s0["seq"]) == [0, 1, 2, 3, 4]
+    assert sorted(s1["seq"]) == [5, 6, 7]
+    assert st.get("ctr")["next"] == 8
