@@ -507,6 +507,51 @@ def q_reshape_json_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("props").alias("reshaped"))
 
 
+def q_format_convert_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conversion family (ConvertAvroToORC shape): parquet → ORC
+    → read back; content-hash invariant proves lossless conversion."""
+    from nifi_spark.operators import convert_format
+    work = tempfile.mkdtemp(prefix="fmt_orc_")
+    out = convert_format(spark, os.path.join(sf_dir, "documents.parquet"),
+                         "parquet", os.path.join(work, "docs_orc"), "orc")
+    return out.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+def q_convert_schema_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertAvroSchema rename-map semantics: rename + coerce + constant
+    backfill as one narrow projection."""
+    from nifi_spark.operators import convert_schema
+    docs = _t(spark, sf_dir, "documents")
+    out = convert_schema(docs,
+                         rename={"lang": "language", "source": "origin"},
+                         casts={"doc_id": "string"},
+                         defaults={"schema_ver": F.lit("v2")},
+                         select=["doc_id", "language", "origin",
+                                 "schema_ver"])
+    return out
+
+
+def q_el_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended EL surface: index/compare/arithmetic/escape/delineated
+    folds compiled to Catalyst expressions."""
+    from nifi_spark.functions.el import EL
+    docs = _t(spark, sf_dir, "documents")
+    first_word = EL.substringBefore("text", " ")
+    return docs.select(
+        "doc_id",
+        EL.indexOf("text", "a").alias("idx_a"),
+        EL.lastIndexOf("text", "table").alias("last_tbl"),
+        EL.equalsIgnoreCase("lang", "EN").alias("eq_lang"),
+        EL.plus(EL.length("text"), 5).alias("len5"),
+        EL.escapeXml(F.concat(F.lit("<"), first_word, F.lit("&")))
+          .alias("esc_xml"),
+        EL.escapeCsv(F.concat(first_word, F.lit(",x"))).alias("esc_csv"),
+        EL.anyDelineatedValue("text", " ",
+                              lambda w: F.length(w) > 5).alias("any_long"),
+        EL.replaceFirst("text", "table", "TBL").alias("rf_md5_src")) \
+        .withColumn("rf_md5", F.md5(F.col("rf_md5_src"))).drop("rf_md5_src")
+
+
 def q_bin_assign_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MergeContent bin thresholds: byte+row-capped bin assignment per
     correlation group (documents by source), per-bin stats."""
@@ -1126,6 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributes_to_json": q_attributes_to_json,
         "reshape_json_shift": q_reshape_json_shift,
         "bin_assign_bins": q_bin_assign_bins,
+        "format_convert_orc": q_format_convert_orc,
+        "convert_schema_map": q_convert_schema_map,
+        "el_functions_extended": q_el_functions_extended,
         "distribute_load_weighted": q_distribute_load_weighted,
         "control_rate_batches": q_control_rate_batches,
         "salted_hot_key_agg": q_salted_hot_key_agg,
@@ -1357,6 +1405,42 @@ SELECT event_id,
        '{"k":' || json_extract_string(props, '$.k')
        || ',"src":"evt"}' AS reshaped
 FROM events
+""",
+        "format_convert_orc": """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+""",
+        "convert_schema_map": """
+SELECT doc_id::VARCHAR AS doc_id, lang AS language, source AS origin,
+       'v2' AS schema_ver
+FROM documents
+""",
+        "el_functions_extended": """
+WITH base AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN position(' ' IN text) > 0
+              THEN substr(text, 1, position(' ' IN text) - 1)
+              ELSE text END AS fw,
+         string_split(text, 'table') AS tparts
+  FROM documents)
+SELECT doc_id,
+       position('a' IN text) - 1 AS idx_a,
+       CASE WHEN contains(text, 'table')
+            THEN length(text)
+                 - length(list_extract(tparts, len(tparts))) - 5
+            ELSE -1 END AS last_tbl,
+       lower(lang) = lower('EN') AS eq_lang,
+       length(text) + 5 AS len5,
+       replace(replace(replace(replace(replace(
+         '<' || fw || '&', '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+         '"', '&quot;'), '''', '&apos;') AS esc_xml,
+       '"' || fw || ',x"' AS esc_csv,
+       len(list_filter(string_split(text, ' '),
+                       w -> length(w) > 5)) > 0 AS any_long,
+       md5(CASE WHEN len(tparts) >= 2
+                THEN list_extract(tparts, 1) || 'TBL'
+                     || array_to_string(tparts[2:], 'table')
+                ELSE text END) AS rf_md5
+FROM base
 """,
         "bin_assign_bins": """
 WITH w AS (

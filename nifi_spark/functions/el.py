@@ -57,13 +57,130 @@ class EL:
     @staticmethod
     def isIn(c, *vals): return _c(c).isin(*vals)
 
+    @staticmethod
+    def indexOf(c, s):
+        # NiFi is 0-based with -1 absent; instr is 1-based with 0 absent
+        return F.instr(_c(c), s) - 1
+    @staticmethod
+    def lastIndexOf(c, s):
+        col = _c(c)
+        pos = (F.length(col) - F.length(F.substring_index(col, s, -1))
+               - len(s))
+        return F.when(F.contains(col, F.lit(s)), pos).otherwise(-1)
+    @staticmethod
+    def append(c, s): return F.concat(_c(c), F.lit(s))
+    @staticmethod
+    def prepend(c, s): return F.concat(F.lit(s), _c(c))
+    @staticmethod
+    def padLeft(c, size, pad=" "): return F.lpad(_c(c), size, pad)
+    @staticmethod
+    def padRight(c, size, pad=" "): return F.rpad(_c(c), size, pad)
+
+    # comparison (lexer :156-161)
+    @staticmethod
+    def equals(c, v): return _c(c) == v
+    @staticmethod
+    def equalsIgnoreCase(c, v):
+        return F.lower(_c(c)) == F.lower(F.lit(v) if isinstance(v, str)
+                                         else _c(v))
+    @staticmethod
+    def gt(c, v): return _c(c) > v
+    @staticmethod
+    def ge(c, v): return _c(c) >= v
+    @staticmethod
+    def lt(c, v): return _c(c) < v
+    @staticmethod
+    def le(c, v): return _c(c) <= v
+
+    # arithmetic (lexer :120-121, 164-167)
+    @staticmethod
+    def plus(c, v): return _c(c) + v
+    @staticmethod
+    def minus(c, v): return _c(c) - v
+    @staticmethod
+    def multiply(c, v): return _c(c) * v
+    @staticmethod
+    def divide(c, v): return _c(c) / v
+
     # regex (lexer :154-155, 180-182)
     @staticmethod
     def matches(c, pattern): return _c(c).rlike(pattern)
     @staticmethod
     def find(c, pattern): return F.regexp_extract(_c(c), pattern, 0) != ""
     @staticmethod
+    def replace(c, search, repl):
+        return F.replace(_c(c), F.lit(search), F.lit(repl))
+    @staticmethod
+    def replaceFirst(c, pattern, repl):
+        """First-occurrence regex replace with a LITERAL replacement
+        (split-limit shape; capture-group references in `repl` are not
+        supported — use replaceAll for those)."""
+        col = _c(c)
+        parts = F.split(col, pattern, 2)
+        return F.when(F.size(parts) == 2,
+                      F.concat(parts[0], F.lit(repl), parts[1])) \
+                .otherwise(col)
+    @staticmethod
     def replaceAll(c, pattern, repl): return F.regexp_replace(_c(c), pattern, repl)
+
+    # escaping (lexer :122-134)
+    @staticmethod
+    def escapeJson(c):
+        col = F.regexp_replace(_c(c), r"\\", r"\\\\")
+        col = F.regexp_replace(col, '"', '\\\\"')
+        col = F.regexp_replace(col, "\n", "\\\\n")
+        col = F.regexp_replace(col, "\r", "\\\\r")
+        return F.regexp_replace(col, "\t", "\\\\t")
+    @staticmethod
+    def unescapeJson(c):
+        # a JSON-quoted string is valid JSON; let the JSON parser unescape
+        return F.get_json_object(F.concat(F.lit('"'), _c(c), F.lit('"')),
+                                 "$")
+    @staticmethod
+    def escapeXml(c):
+        col = F.replace(_c(c), F.lit("&"), F.lit("&amp;"))
+        col = F.replace(col, F.lit("<"), F.lit("&lt;"))
+        col = F.replace(col, F.lit(">"), F.lit("&gt;"))
+        col = F.replace(col, F.lit('"'), F.lit("&quot;"))
+        return F.replace(col, F.lit("'"), F.lit("&apos;"))
+    @staticmethod
+    def unescapeXml(c):
+        col = F.replace(_c(c), F.lit("&lt;"), F.lit("<"))
+        col = F.replace(col, F.lit("&gt;"), F.lit(">"))
+        col = F.replace(col, F.lit("&quot;"), F.lit('"'))
+        col = F.replace(col, F.lit("&apos;"), F.lit("'"))
+        return F.replace(col, F.lit("&amp;"), F.lit("&"))
+    @staticmethod
+    def escapeCsv(c):
+        col = _c(c)
+        needs = (F.contains(col, F.lit(",")) | F.contains(col, F.lit('"'))
+                 | F.contains(col, F.lit("\n")))
+        quoted = F.concat(F.lit('"'),
+                          F.replace(col, F.lit('"'), F.lit('""')),
+                          F.lit('"'))
+        return F.when(needs, quoted).otherwise(col)
+
+    # delineated / multi-attribute folds (lexer :96-101, 174)
+    @staticmethod
+    def anyDelineatedValue(c, delim, pred):
+        return F.exists(F.split(_c(c), delim), pred)
+    @staticmethod
+    def allDelineatedValues(c, delim, pred):
+        return F.forall(F.split(_c(c), delim), pred)
+    @staticmethod
+    def anyAttribute(pred, *cols):
+        out = None
+        for c in cols:
+            term = pred(_c(c))
+            out = term if out is None else (out | term)
+        return out
+    @staticmethod
+    def allAttributes(pred, *cols):
+        out = None
+        for c in cols:
+            term = pred(_c(c))
+            out = term if out is None else (out & term)
+        return out
 
     # null handling (lexer :117-119, 152-153)
     @staticmethod
@@ -109,6 +226,23 @@ class EL:
     def join(sep, *cols): return F.concat_ws(sep, *[_c(c) for c in cols])
 
     # identity / misc (lexer :104-107, 125-126)
+    @staticmethod
+    def literal(v): return F.lit(v)
+    @staticmethod
+    def hostname():
+        import socket
+        return F.lit(socket.gethostname())
+    @staticmethod
+    def ip():
+        import socket
+        try:
+            return F.lit(socket.gethostbyname(socket.gethostname()))
+        except OSError:
+            return F.lit("127.0.0.1")
+    @staticmethod
+    def nextInt(): return F.monotonically_increasing_id()
+    @staticmethod
+    def random(): return (F.rand() * (1 << 62)).cast("long")
     @staticmethod
     def uuid(): return F.uuid()
     @staticmethod

@@ -27,6 +27,8 @@ from nifi_spark.operators.codec import (compress_content,
                                         convert_character_set,
                                         decode_content, encode_content,
                                         unpack_content)
+from nifi_spark.operators.formats import (avro_available, convert_format,
+                                          convert_schema, infer_ddl)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.distribute import distribute_load, prioritize, salt_keys
 from nifi_spark.operators.rate import control_rate, monitor_activity
@@ -42,6 +44,7 @@ __all__ = [
     "split_xml", "validate_csv",
     "compress_content", "convert_character_set", "decode_content",
     "encode_content", "unpack_content",
+    "avro_available", "convert_format", "convert_schema", "infer_ddl",
     "detect_duplicate", "latest_wins",
     "distribute_load", "prioritize", "salt_keys", "control_rate",
     "monitor_activity",

@@ -1,0 +1,102 @@
+"""Format conversion family + extended EL functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.functions import EL
+from nifi_spark.operators import (avro_available, convert_format,
+                                  convert_schema, infer_ddl)
+
+
+def test_convert_format_parquet_to_orc_roundtrip(spark, tmp_path):
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(i, f"row{i}") for i in range(50)],
+                          "id long, v string").write.parquet(src)
+    out = convert_format(spark, src, "parquet", str(tmp_path / "out"), "orc")
+    assert out.count() == 50
+    assert {r.v for r in out.filter(F.col("id") < 3).collect()} == \
+        {"row0", "row1", "row2"}
+
+
+def test_convert_format_csv_to_json_with_transform(spark, tmp_path):
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string") \
+        .write.option("header", "true").csv(src)
+    out = convert_format(
+        spark, src, "csv", str(tmp_path / "out"), "json",
+        read_options={"header": "true"},
+        transform=lambda df: df.withColumn("k2", F.col("k") * 2))
+    got = {r.k: r.k2 for r in out.collect()}
+    assert got == {1: 2, 2: 4}
+
+
+def test_avro_gated_with_clear_error(spark, tmp_path):
+    if avro_available(spark):
+        pytest.skip("spark-avro present; gate not applicable")
+    with pytest.raises(ValueError, match="spark-avro"):
+        convert_format(spark, str(tmp_path), "avro",
+                       str(tmp_path / "o"), "parquet")
+
+
+def test_convert_schema_projection(spark):
+    df = spark.createDataFrame([(1, "x", 2.5)], "a long, b string, c double")
+    out = convert_schema(df, rename={"a": "id"}, casts={"id": "string"},
+                         defaults={"src": F.lit("conv")},
+                         select=["id", "b", "src"])
+    r = out.first()
+    assert (r.id, r.b, r.src) == ("1", "x", "conv")
+    assert dict(out.dtypes)["id"] == "string"
+
+
+def test_infer_ddl(spark, tmp_path):
+    src = str(tmp_path / "csv")
+    spark.createDataFrame([(1, "a", 1.5)], "k int, s string, f double") \
+        .write.option("header", "true").csv(src)
+    ddl = infer_ddl(spark, src, "csv")
+    from pyspark.sql.types import StructType
+    st = StructType.fromDDL(ddl)
+    assert {f.name for f in st.fields} == {"k", "s", "f"}
+
+
+def test_el_extended_functions(spark):
+    df = spark.createDataFrame(
+        [("hello table world table", 'say "hi"\there')],
+        "t string, j string")
+    r = df.select(
+        EL.indexOf("t", "table").alias("idx"),
+        EL.indexOf("t", "zzz").alias("idx_missing"),
+        EL.lastIndexOf("t", "table").alias("lidx"),
+        EL.lastIndexOf("t", "zzz").alias("lidx_missing"),
+        EL.equalsIgnoreCase("t", "HELLO TABLE WORLD TABLE").alias("eqi"),
+        (EL.plus(EL.length("t"), 2)).alias("p"),
+        EL.escapeJson("j").alias("ej"),
+        EL.unescapeJson(EL.escapeJson("j")).alias("uj"),
+        EL.escapeXml(F.lit("<a&b>")).alias("ex"),
+        EL.unescapeXml(EL.escapeXml(F.lit("<a&'b\">"))).alias("ux"),
+        EL.escapeCsv(F.lit('v,"x"')).alias("ec"),
+        EL.escapeCsv(F.lit("plain")).alias("ec_plain"),
+        EL.replaceFirst("t", "table", "TBL").alias("rf"),
+        EL.anyDelineatedValue("t", " ",
+                              lambda w: F.length(w) > 4).alias("any5"),
+        EL.allDelineatedValues("t", " ",
+                               lambda w: F.length(w) >= 5).alias("all5"),
+        EL.allDelineatedValues("t", " ",
+                               lambda w: F.length(w) >= 6).alias("all6"),
+        EL.anyAttribute(lambda c: F.contains(c, F.lit("hi")),
+                        "t", "j").alias("anyattr"),
+    ).first()
+    assert r.idx == 6 and r.idx_missing == -1
+    assert r.lidx == 18 and r.lidx_missing == -1
+    assert r.eqi is True
+    assert r.p == len("hello table world table") + 2
+    assert r.ej == 'say \\"hi\\"\\there'
+    assert r.uj == 'say "hi"\there'
+    assert r.ex == "&lt;a&amp;b&gt;"
+    assert r.ux == "<a&'b\">"
+    assert r.ec == '"v,""x"""' and r.ec_plain == "plain"
+    assert r.rf == "hello TBL world table"
+    # every word in t is exactly 5 chars: all5 holds, all6 does not
+    assert r.any5 is True and r.all5 is True and r.all6 is False
+    assert r.anyattr is True
