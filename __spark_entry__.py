@@ -507,6 +507,24 @@ def q_reshape_json_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("props").alias("reshaped"))
 
 
+def q_validate_xml_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValidateXml well-formedness routing (Arrow-batched expat parse at
+    the declared seam): every 7th synthesized document is truncated."""
+    from nifi_spark.operators import validate_xml
+    docs = _t(spark, sf_dir, "documents")
+    word = F.substring_index(F.col("text"), " ", 1)
+    xml = F.when(F.col("doc_id") % 7 == 0,
+                 F.concat(F.lit("<doc><w>"), word)) \
+        .otherwise(F.concat(F.lit("<doc><w>"), word, F.lit("</w></doc>")))
+    routed = validate_xml(docs.select("doc_id", xml.alias("content")),
+                          "content")
+    valid = (routed["valid"].groupBy().agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("route", F.lit("valid")))
+    invalid = (routed["invalid"].groupBy().agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("route", F.lit("invalid")))
+    return valid.unionByName(invalid).select("route", "n")
+
+
 def q_format_convert_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format-conversion family (ConvertAvroToORC shape): parquet → ORC
     → read back; content-hash invariant proves lossless conversion."""
@@ -1171,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attributes_to_json": q_attributes_to_json,
         "reshape_json_shift": q_reshape_json_shift,
         "bin_assign_bins": q_bin_assign_bins,
+        "validate_xml_route": q_validate_xml_route,
         "format_convert_orc": q_format_convert_orc,
         "convert_schema_map": q_convert_schema_map,
         "el_functions_extended": q_el_functions_extended,
@@ -1405,6 +1424,11 @@ SELECT event_id,
        '{"k":' || json_extract_string(props, '$.k')
        || ',"src":"evt"}' AS reshaped
 FROM events
+""",
+        "validate_xml_route": """
+SELECT CASE WHEN doc_id % 7 = 0 THEN 'invalid' ELSE 'valid' END AS route,
+       count(*) AS n
+FROM documents GROUP BY 1
 """,
         "format_convert_orc": """
 SELECT doc_id, md5(text) AS text_md5 FROM documents

@@ -22,7 +22,8 @@ from nifi_spark.operators.content import (bin_assign, bin_pack,
                                           replace_text_with_mapping,
                                           reshape_json, segment_content,
                                           split_json_array, split_text,
-                                          split_xml, validate_csv)
+                                          split_xml, validate_csv,
+                                          validate_xml)
 from nifi_spark.operators.codec import (compress_content,
                                         convert_character_set,
                                         decode_content, encode_content,
@@ -41,7 +42,7 @@ __all__ = [
     "extract_text", "identify_mime_type", "merge_defragment", "parse_cef",
     "parse_syslog", "replace_text", "replace_text_with_mapping",
     "reshape_json", "segment_content", "split_json_array", "split_text",
-    "split_xml", "validate_csv",
+    "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
     "encode_content", "unpack_content",
     "avro_available", "convert_format", "convert_schema", "infer_ddl",

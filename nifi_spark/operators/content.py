@@ -319,6 +319,43 @@ def split_xml(df: DataFrame, content_col: str, tag: str,
               .drop(content_col))
 
 
+def validate_xml(df: DataFrame, content_col: str) -> dict[str, DataFrame]:
+    """Well-formedness routing (ValidateXml, standard/ValidateXml.java).
+
+    Spark's built-in xpath expressions THROW on malformed XML (no
+    try_-variant exists), which would fail the whole job instead of
+    routing — so the check is an Arrow-batched mapInPandas parse
+    (xml.etree, the expat C parser) producing a boolean; the split
+    itself stays a DataFrame filter. This is a declared Python seam of
+    the same kind as the codec operators."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = ", ".join(f"`{n}` {t}" for n, t in df.dtypes) + ", `_wf` boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        def ok(s):
+            if s is None:
+                return False
+            try:
+                ET.fromstring(s)
+                return True
+            except ET.ParseError:
+                return False
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_wf"] = pdf[content_col].map(ok)
+            yield pdf
+
+    tagged = df.mapInPandas(run, schema=schema)
+    return {"valid": tagged.filter(F.col("_wf")).drop("_wf"),
+            "invalid": tagged.filter(~F.col("_wf")).drop("_wf")}
+
+
 def reshape_json(df: DataFrame, content_col: str, shift: dict[str, str],
                  defaults: dict[str, str] | None = None,
                  types: dict[str, str] | None = None,

@@ -64,7 +64,8 @@ try:
         store.init()
         pipe = CdcPipeline(spark, lp, store, OffsetLedger(os.path.join(work, "c" + tag)),
                            checksum=False, eager_stats=False, cache_slice=False,
-                           bulk_mode=True)
+                           bulk_mode=True, ddl_in_stream=False,
+                           dedup_deliveries=False)
         t0 = time.time(); pipe.run(bounds); return time.time() - t0
     apply_once("warm", [max(n // 10, 1)])                      # warmup
     step = n // nb

@@ -186,3 +186,30 @@ def test_sql_engine_flow_stage(spark, files):
     out = flow.run()["agg"]
     assert out.count() >= 1
     assert set(out.columns) == {"lang", "n"}
+
+
+def test_validate_xml_routes(spark):
+    from nifi_spark.operators import validate_xml
+    df = spark.createDataFrame(
+        [(1, "<a><b>x</b></a>"), (2, "<a><b>x</a>"), (3, None),
+         (4, "not xml at all"), (5, "<ok/>")],
+        "id long, content string")
+    routed = validate_xml(df, "content")
+    assert {r.id for r in routed["valid"].collect()} == {1, 5}
+    assert {r.id for r in routed["invalid"].collect()} == {2, 3, 4}
+
+
+def test_kafka_offsets_bookkeeping(spark, tmp_path):
+    import pytest
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import (KafkaBatchSource, kafka_available,
+                                    next_starting_offsets, offsets_json)
+    assert offsets_json("t", {1: 42, 0: 7}) == '{"t": {"0": 7, "1": 42}}'
+    st = KVState(str(tmp_path))
+    assert next_starting_offsets(st, "k", "t") == "earliest"
+    st.put("k", {"topic": "t", "offsets": {"0": 10, "1": 20}})
+    assert next_starting_offsets(st, "k", "t") == \
+        '{"t": {"0": 10, "1": 20}}'
+    if not kafka_available(spark):
+        with pytest.raises(ValueError, match="spark-sql-kafka"):
+            KafkaBatchSource(spark, "b:9092", "t", st)
