@@ -1145,6 +1145,14 @@ WHERE round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 6)
 """
 
 
+def _sw_list(code: str) -> str:
+    """Stopword IN-list generated from the SAME constant the Spark
+    operator uses (datalib.text.STOPWORDS) — one vocabulary, two
+    engines."""
+    from nifi_spark.datalib.text import STOPWORDS
+    return ", ".join(f"'{w}'" for w in STOPWORDS[code])
+
+
 def _lang_id_case() -> str:
     codes = ["de", "en", "es", "fr"]
     whens = []
@@ -1590,7 +1598,7 @@ SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
        ceil(length(text) / 4)::BIGINT AS n_subwords_est
 FROM t
 """,
-        "text_quality_score": """
+        "text_quality_score": f"""
 WITH t AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
@@ -1598,7 +1606,7 @@ WITH t AS (
 m AS (
   SELECT doc_id, len(toks) AS n_tokens,
          CASE WHEN len(toks) > 0 THEN
-           len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','a')))
+           len(list_filter(toks, x -> lower(x) IN ({_sw_list("en")})))
              / len(toks) ELSE 0.0 END AS stop_ratio,
          CASE WHEN len(toks) > 0 THEN
            (length(text) - (len(toks) - 1)) / len(toks) ELSE 0.0 END AS mean_len,
@@ -1623,10 +1631,10 @@ WITH t AS (
   FROM documents),
 s AS (
   SELECT doc_id,
-         len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS sw_de,
-         len(list_filter(toks, x -> x IN ('the','and','of','to','a'))) AS sw_en,
-         len(list_filter(toks, x -> x IN ('el','la','los','que','de'))) AS sw_es,
-         len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS sw_fr
+         len(list_filter(toks, x -> x IN ({_sw_list("de")}))) AS sw_de,
+         len(list_filter(toks, x -> x IN ({_sw_list("en")}))) AS sw_en,
+         len(list_filter(toks, x -> x IN ({_sw_list("es")}))) AS sw_es,
+         len(list_filter(toks, x -> x IN ({_sw_list("fr")}))) AS sw_fr
   FROM t)
 SELECT doc_id, {_lang_id_case()} AS lang_pred, sw_de, sw_en, sw_es, sw_fr
 FROM s

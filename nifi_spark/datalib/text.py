@@ -10,11 +10,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Top function words per language (standard public frequency lists).
+# The driver-gate oracles are GENERATED from these lists
+# (__spark_entry__._quality_sql/_lang_sql), so Spark and DuckDB always
+# score against the same vocabulary.
 STOPWORDS = {
-    "en": ["the", "and", "of", "to", "a"],
-    "de": ["der", "die", "das", "und", "ist"],
-    "fr": ["le", "la", "et", "les", "des"],
-    "es": ["el", "la", "los", "que", "de"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
+           "he", "was", "for", "on", "are", "with", "as", "his", "they",
+           "at", "be", "this", "have", "from", "or"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "sie", "es",
+           "ein", "er", "zu", "wir", "den", "mit", "sich", "auf", "war",
+           "auch", "an", "werden", "aus", "wie", "einen", "dem"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "que", "est",
+           "pas", "pour", "qui", "dans", "ce", "il", "au", "sur", "se",
+           "plus", "par", "avec", "son", "ne", "je"],
+    "es": ["el", "la", "los", "que", "de", "no", "y", "en", "un", "ser",
+           "se", "las", "por", "para", "con", "una", "su", "al", "lo",
+           "como", "pero", "sus", "me", "hay", "esta"],
 }
 
 
