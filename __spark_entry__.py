@@ -20,6 +20,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-scope so pandas_udf type hints resolve
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 PH = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"  # portable hash, DuckDB side
@@ -109,6 +110,33 @@ def q_cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("repo", "path", "commit", "lang", "content",
                         F.col("_last_lsn").alias("last_lsn"),
                         F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+def q_lineage_batch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance/lineage query surface: run the engine with provenance
+    enabled, then answer 'rows/bytes per batch per stage' FROM THE
+    PROVENANCE TABLE alone. Per-partition records aggregate to
+    partition-count-independent sums, so the result is exactly
+    oracle-able from the input events."""
+    from nifi_spark.ledger import OffsetLedger
+    from nifi_spark.pipeline import CdcPipeline
+    from nifi_spark.provenance import ProvenanceWriter, batch_summary
+    from nifi_spark.storage import SnapshotTableStore
+
+    work = tempfile.mkdtemp(prefix="cdc_lineage_")
+    log_path = os.path.join(work, "changelog")
+    _events_as_changelog(_t(spark, sf_dir, "events")).write.parquet(log_path)
+    store = SnapshotTableStore(os.path.join(work, "table"), n_buckets=16)
+    store.init()
+    prov = ProvenanceWriter(os.path.join(work, "provenance"))
+    pipe = CdcPipeline(spark, log_path, store,
+                       OffsetLedger(os.path.join(work, "ledger")),
+                       provenance=prov)
+    max_lsn = _t(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    pipe.run([max_lsn // 3, 2 * max_lsn // 3, max_lsn])
+    summary = batch_summary(prov.read(spark))
+    return (summary.filter(F.col("event_type").isin("RECEIVE", "JOIN"))
+            .select("batch_id", "stage", "event_type", "rows", "bytes"))
 
 
 def q_cdc_watermark_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,6 +394,50 @@ def q_codec_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = compress_content(c, "gz", "gzip", mode="decompress", out_col="back")
     return d.select("doc_id", F.sha2(F.col("back"), 256).alias("back_sha"),
                     F.octet_length("back").alias("back_len"))
+
+
+def q_codec_multi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CompressContent's remaining codecs (bzip2, lzma): per-document
+    roundtrip equality flags."""
+    from nifi_spark.operators import compress_content
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = docs
+    for codec in ("bzip2", "lzma"):
+        out = compress_content(out, "payload", codec, out_col=f"_{codec}")
+        out = compress_content(out, f"_{codec}", codec, mode="decompress",
+                               out_col=f"_{codec}_back")
+    return out.select(
+        "doc_id",
+        (F.col("_bzip2_back") == F.col("payload")).alias("ok_bzip2"),
+        (F.col("_lzma_back") == F.col("payload")).alias("ok_lzma"))
+
+
+def q_unpack_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UnpackContent: build a 2-entry zip per document (pandas UDF at the
+    archive seam), unpack it, verify entries by content hash."""
+    import io
+    import zipfile
+
+    from pyspark.sql.types import BinaryType
+
+    from nifi_spark.operators import unpack_content
+
+    @F.pandas_udf(BinaryType())
+    def make_zip(texts: pd.Series) -> pd.Series:
+        def z(t):
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                zf.writestr("fwd.txt", t.encode())
+                zf.writestr("rev.txt", t[::-1].encode())
+            return buf.getvalue()
+        return texts.map(z)
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", make_zip(F.col("text")).alias("archive"))
+    out = unpack_content(docs, "archive", ["doc_id"])
+    return out.select("doc_id", "entry_index", "entry_count", "entry_name",
+                      F.md5(F.col("entry").cast("string")).alias("entry_md5"))
 
 
 def q_split_json_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1172,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_apply": q_cdc_lww_apply,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_watermark_slice": q_cdc_watermark_slice,
+        "lineage_batch_rows": q_lineage_batch_rows,
         "cdc_detect_duplicate": q_cdc_detect_duplicate,
         "route_on_attribute": q_route_on_attribute,
         "route_on_content": q_route_on_content,
@@ -1188,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "execute_sql_flow_topn": q_execute_sql_flow_topn,
         "codec_base64_hex": q_codec_base64_hex,
         "codec_compress_roundtrip": q_codec_compress_roundtrip,
+        "codec_multi_roundtrip": q_codec_multi_roundtrip,
+        "unpack_zip_entries": q_unpack_zip_entries,
         "split_json_fragments": q_split_json_fragments,
         "xml_split_extract": q_xml_split_extract,
         "parse_syslog_route": q_parse_syslog_route,
@@ -1232,6 +1307,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_apply": _CDC_FINAL_ORACLE,
         "cdc_pipeline_e2e": _CDC_FINAL_ORACLE,
+        "lineage_batch_rows": """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+tagged AS (
+  SELECT event_id, props,
+         CASE WHEN event_id <= (SELECT m // 3 FROM mx) THEN 0
+              WHEN event_id <= (SELECT (2 * m) // 3 FROM mx) THEN 1
+              ELSE 2 END AS batch_id
+  FROM events)
+SELECT batch_id, s.stage, s.event_type,
+       count(*) AS "rows", sum(octet_length(encode(props)))::BIGINT AS bytes
+FROM tagged
+CROSS JOIN (VALUES ('tail', 'RECEIVE'), ('compact', 'JOIN'))
+           AS s(stage, event_type)
+GROUP BY 1, 2, 3
+""",
         "cdc_watermark_slice": """
 SELECT CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
        count(*) AS n_events, min(event_id) AS lsn_min, max(event_id) AS lsn_max,
@@ -1366,6 +1456,16 @@ FROM documents
 SELECT doc_id, sha256(text) AS back_sha,
        octet_length(encode(text)) AS back_len
 FROM documents
+""",
+        "codec_multi_roundtrip": """
+SELECT doc_id, true AS ok_bzip2, true AS ok_lzma FROM documents
+""",
+        "unpack_zip_entries": """
+SELECT doc_id, 0 AS entry_index, 2 AS entry_count,
+       'fwd.txt' AS entry_name, md5(text) AS entry_md5
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 2, 'rev.txt', md5(reverse(text)) FROM documents
 """,
         "split_json_fragments": """
 WITH w AS (

@@ -192,18 +192,18 @@ final per-bucket write of winner rows, every shuffle carries narrow
 (repo, path, lsn) tuples with map-side combine, and the hot-repo skew
 collapses in partial aggregation before the exchange.
 
-### Second datapoint: local[8] → local[32]
+### Second datapoint: local[8] → local[32] (measured round 1)
 
-The same job measured at 8 vs 32 threads reaches ~1.5M ev/s → ~2.8M
-ev/s (best-of-reps, 32M events, pinned heap) — a 1.9× gain for 4× the
-threads. At 32 concurrent shuffle+scan threads this box saturates its
-DRAM bandwidth and kernel page-copy path (during un-tuned runs the
-kernel share of CPU reached ~80%; pinning the JVM heap, -Xms=-Xmx,
-removed a 225M-minor-page-fault storm and was worth 5-6× at this
-level). Memory bandwidth is per-NODE on a real cluster — 4× executors
-bring 4× of it — so the 4→16 measurement above is the representative
-one for the N→4N criterion, and the 8→32 point documents the single-box
-ceiling honestly.
+The same job measured at 8 vs 32 threads (round-1 session) reached
+~1.5M ev/s → ~2.8M ev/s (best-of-reps, 32M events, pinned heap) — a
+1.9× gain for 4× the threads. At 32 concurrent shuffle+scan threads
+this box saturates its DRAM bandwidth and kernel page-copy path (during
+un-tuned runs the kernel share of CPU reached ~80%; pinning the JVM
+heap, -Xms=-Xmx, removed a 225M-minor-page-fault storm and was worth
+5-6× at this level). Memory bandwidth is per-NODE on a real cluster —
+4× executors bring 4× of it — so the 4→16 measurement above is the
+representative one for the N→4N criterion, and the 8→32 point documents
+the single-box ceiling honestly.
 
 ## Reference baseline (BASELINE.md)
 
