@@ -26,17 +26,29 @@ def _dot_double(a, b):
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
+_DEC = "decimal(38,18)"
+
+
+def _dot_dec(a, b):
+    """Decimal dot fold (JVM-side, no explode): products cast to
+    decimal(38,18), accumulator re-cast each step (Spark's +-widening
+    would drift the scale). Bit-parity with a DuckDB sum of the same
+    decimal products holds to ~1e-17 — far inside the 1e-6 rounding all
+    exact-mode cosines apply before comparison. Replaces the
+    position-exploded join shape, whose 'pos' join key has only `dim`
+    distinct values — a pathologically skewed shuffle that made the
+    brute-force oracle paths ~10× slower than this zero-shuffle fold."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x * y).cast(_DEC)),
+                       F.lit(0).cast(_DEC),
+                       lambda acc, x: (acc + x).cast(_DEC))
+
+
 def _norm_double(a):
     return F.sqrt(_dot_double(a, a))
 
 
 def cosine(a, b):
     return _dot_double(a, b) / (_norm_double(a) * _norm_double(b))
-
-
-def _explode_positions(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(F.col(id_col), F.posexplode(F.col(vec_col))
-                     .alias("pos", "x")).withColumn("x", F.col("x").cast("double"))
 
 
 def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -51,23 +63,18 @@ def cosine_pairs(df: DataFrame, id_col: str, vec_col: str,
                 .withColumn("cosine", F.round(cosine(va, vb), 6))
                 .filter(F.col("cosine") >= threshold)
                 .select("id_a", "id_b", "cosine"))
-    # exact/decimal path: position-exploded products, decimal sums —
-    # identical to a DuckDB oracle computing the same sums.
-    ex = _explode_positions(df, id_col, vec_col)
-    norms = (ex.groupBy(id_col)
-             .agg(F.sum((F.col("x") * F.col("x")).cast("decimal(38,18)"))
-                  .alias("nsq")))
-    a = ex.select(F.col(id_col).alias("id_a"), "pos", F.col("x").alias("xa"))
-    b = ex.select(F.col(id_col).alias("id_b"), "pos", F.col("x").alias("xb"))
-    dots = (a.join(b, "pos").filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.sum((F.col("xa") * F.col("xb")).cast("decimal(38,18)"))
-                 .alias("dot")))
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("nsq").alias("nsq_a"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("nsq").alias("nsq_b"))
-    return (dots.join(na, "id_a").join(nb, "id_b")
+    # exact/decimal path: zero-shuffle crossJoin + decimal dot fold (see
+    # _dot_dec) — numerically matches a DuckDB oracle summing the same
+    # decimal products, without the skewed position-join shape.
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    a = (df.select(F.col(id_col).alias("id_a"), dv(F.col(vec_col)).alias("va"))
+         .withColumn("nsq_a", _dot_dec(F.col("va"), F.col("va"))))
+    b = (df.select(F.col(id_col).alias("id_b"), dv(F.col(vec_col)).alias("vb"))
+         .withColumn("nsq_b", _dot_dec(F.col("vb"), F.col("vb"))))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
-                        F.round(F.col("dot").cast("double") /
+                        F.round(_dot_dec(F.col("va"), F.col("vb"))
+                                .cast("double") /
                                 (F.sqrt(F.col("nsq_a").cast("double")) *
                                  F.sqrt(F.col("nsq_b").cast("double"))), 6))
             .filter(F.col("cosine") >= threshold)
@@ -91,22 +98,18 @@ def ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
                   .filter(F.col("query_id") != F.col("neighbor_id"))
                   .withColumn("cosine", F.round(cosine(vq, vc), 6)))
     else:
-        exq = _explode_positions(q, id_col, vec_col) \
-            .select(F.col(id_col).alias("query_id"), "pos", F.col("x").alias("xq"))
-        exc = _explode_positions(df, id_col, vec_col) \
-            .select(F.col(id_col).alias("neighbor_id"), "pos", F.col("x").alias("xc"))
-        nq = exq.groupBy("query_id").agg(
-            F.sum((F.col("xq") * F.col("xq")).cast("decimal(38,18)")).alias("nsq_q"))
-        nc = exc.groupBy("neighbor_id").agg(
-            F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,18)")).alias("nsq_c"))
-        scored = (exq.join(exc, "pos")
+        dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+        qq = (q.select(F.col(id_col).alias("query_id"),
+                       dv(F.col(vec_col)).alias("vq"))
+              .withColumn("nsq_q", _dot_dec(F.col("vq"), F.col("vq"))))
+        cc = (df.select(F.col(id_col).alias("neighbor_id"),
+                        dv(F.col(vec_col)).alias("vc"))
+              .withColumn("nsq_c", _dot_dec(F.col("vc"), F.col("vc"))))
+        scored = (F.broadcast(qq).crossJoin(cc)
                   .filter(F.col("query_id") != F.col("neighbor_id"))
-                  .groupBy("query_id", "neighbor_id")
-                  .agg(F.sum((F.col("xq") * F.col("xc")).cast("decimal(38,18)"))
-                       .alias("dot"))
-                  .join(nq, "query_id").join(nc, "neighbor_id")
                   .withColumn("cosine",
-                              F.round(F.col("dot").cast("double") /
+                              F.round(_dot_dec(F.col("vq"), F.col("vc"))
+                                      .cast("double") /
                                       (F.sqrt(F.col("nsq_q").cast("double")) *
                                        F.sqrt(F.col("nsq_c").cast("double"))), 6)))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -181,28 +184,19 @@ def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
 
-    # exact cosine re-rank within probed cells
+    # exact cosine re-rank within probed cells (decimal fold — see
+    # _dot_dec; the position-exploded join shape was a skewed shuffle)
     if exact:
-        ex = _explode_positions(df, id_col, vec_col)
-        exq = (_explode_positions(qsrc, id_col, vec_col)
-               if queries is not None else ex)
-        a = exq.select(F.col(id_col).alias("query_id"), "pos",
-                       F.col("x").alias("xq"))
-        b = ex.select(F.col(id_col).alias("neighbor_id"), "pos",
-                      F.col("x").alias("xc"))
-        dots = (cand.join(a, "query_id").join(b, ["neighbor_id", "pos"])
-                .groupBy("query_id", "neighbor_id")
-                .agg(F.sum((F.col("xq") * F.col("xc")).cast(DEC))
-                     .alias("dot")))
-        nq = exq.groupBy(id_col).agg(
-            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_q")) \
-            .withColumnRenamed(id_col, "query_id")
-        nc = ex.groupBy(id_col).agg(
-            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_c")) \
-            .withColumnRenamed(id_col, "neighbor_id")
-        scored = (dots.join(nq, "query_id").join(nc, "neighbor_id")
+        qv = (qsrc.select(F.col(id_col).alias("query_id"),
+                          dv(F.col(vec_col)).alias("vq"))
+              .withColumn("nsq_q", _dot_dec(F.col("vq"), F.col("vq"))))
+        cvv = (df.select(F.col(id_col).alias("neighbor_id"),
+                         dv(F.col(vec_col)).alias("vc"))
+               .withColumn("nsq_c", _dot_dec(F.col("vc"), F.col("vc"))))
+        scored = (cand.join(qv, "query_id").join(cvv, "neighbor_id")
                   .select("query_id", "neighbor_id",
-                          F.round(F.col("dot").cast("double")
+                          F.round(_dot_dec(F.col("vq"), F.col("vc"))
+                                  .cast("double")
                                   / (F.sqrt(F.col("nsq_q").cast("double"))
                                      * F.sqrt(F.col("nsq_c")
                                               .cast("double"))), 6)
@@ -302,29 +296,20 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
              .filter(F.col("query_id") != F.col("neighbor_id")))
     if exact:
         cand_pairs = pairs.select("query_id", "neighbor_id").distinct()
-        # query-side positions/norms come from `queries` when given — a
-        # separate query table must join against ITS vectors, not df's
+        # query-side vectors/norms come from `queries` when given — a
+        # separate query table must re-rank against ITS vectors, not df's
         exq_src = queries if queries is not None else df
-        ex = _explode_positions(df, id_col, vec_col)
-        exq = (_explode_positions(exq_src, id_col, vec_col)
-               if queries is not None else ex)
-        a = exq.select(F.col(id_col).alias("query_id"), "pos",
-                       F.col("x").alias("xq"))
-        b = ex.select(F.col(id_col).alias("neighbor_id"), "pos",
-                      F.col("x").alias("xc"))
-        dots = (cand_pairs.join(a, "query_id")
-                .join(b, ["neighbor_id", "pos"])
-                .groupBy("query_id", "neighbor_id")
-                .agg(F.sum((F.col("xq") * F.col("xc")).cast(DEC)).alias("dot")))
-        nq = exq.groupBy(id_col).agg(
-            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_q")) \
-            .withColumnRenamed(id_col, "query_id")
-        nc = ex.groupBy(id_col).agg(
-            F.sum((F.col("x") * F.col("x")).cast(DEC)).alias("nsq_c")) \
-            .withColumnRenamed(id_col, "neighbor_id")
-        scored = (dots.join(nq, "query_id").join(nc, "neighbor_id")
+        dvx = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+        qv = (exq_src.select(F.col(id_col).alias("query_id"),
+                             dvx(F.col(vec_col)).alias("vq"))
+              .withColumn("nsq_q", _dot_dec(F.col("vq"), F.col("vq"))))
+        cv = (df.select(F.col(id_col).alias("neighbor_id"),
+                        dvx(F.col(vec_col)).alias("vc"))
+              .withColumn("nsq_c", _dot_dec(F.col("vc"), F.col("vc"))))
+        scored = (cand_pairs.join(qv, "query_id").join(cv, "neighbor_id")
                   .select("query_id", "neighbor_id",
-                          F.round(F.col("dot").cast("double")
+                          F.round(_dot_dec(F.col("vq"), F.col("vc"))
+                                  .cast("double")
                                   / (F.sqrt(F.col("nsq_q").cast("double"))
                                      * F.sqrt(F.col("nsq_c").cast("double"))),
                                   6).alias("cosine")))
