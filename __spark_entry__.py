@@ -440,6 +440,60 @@ def q_unpack_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5(F.col("entry").cast("string")).alias("entry_md5"))
 
 
+def q_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncryptContent: AES-GCM encrypt → decrypt roundtrip invariant
+    (ciphertext is IV-randomized, so the gate checks the roundtrip)."""
+    from nifi_spark.operators import decrypt_content, encrypt_content
+    key = "0123456789abcdef"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = encrypt_content(docs, "text", key, out_col="ct")
+    dec = decrypt_content(enc, "ct", key, charset="utf-8", out_col="pt")
+    return dec.select("doc_id", F.md5(F.col("pt")).alias("pt_md5"),
+                      (F.octet_length("ct") > F.length("text"))
+                      .alias("ct_longer"))
+
+
+def q_modify_bytes_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModifyBytes: head/tail byte trim of binary content."""
+    from nifi_spark.operators import modify_bytes
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = modify_bytes(docs, "payload", drop_head=3, drop_tail=2)
+    return out.select("doc_id",
+                      F.md5(F.col("payload").cast("string")).alias("t_md5"),
+                      F.octet_length("payload").alias("t_len"))
+
+
+def q_split_content_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitContent: binary-delimiter split; text with spaces replaced
+    by a 2-byte delimiter splits back to its words."""
+    from nifi_spark.operators import split_content
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.replace(F.col("text"), F.lit(" "), F.lit("\x01\x02")),
+                 "utf-8").alias("payload"))
+    out = split_content(docs, "payload", b"\x01\x02", id_cols=["doc_id"])
+    return out.select("doc_id", "fragment_index", "fragment_count",
+                      F.md5(F.decode(F.col("fragment"), "utf-8"))
+                      .alias("frag_md5"))
+
+
+def q_enforce_order_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EnforceOrder: per-user sequence check — events whose event_id is
+    exactly its ordinal position within the user pass, gaps/dups route
+    out; per-user route counts."""
+    from nifi_spark.operators import enforce_order
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    routed = enforce_order(ev, "user_id", "event_id")
+    a = (routed["in_order"].groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .withColumn("route", F.lit("in_order")))
+    b = (routed["out_of_order"].groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .withColumn("route", F.lit("out_of_order")))
+    return a.unionByName(b)
+
+
 def q_split_json_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SplitJson: array document → one row per element with the fragment
     contract."""
@@ -1263,6 +1317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_compress_roundtrip": q_codec_compress_roundtrip,
         "codec_multi_roundtrip": q_codec_multi_roundtrip,
         "unpack_zip_entries": q_unpack_zip_entries,
+        "encrypt_roundtrip": q_encrypt_roundtrip,
+        "modify_bytes_trim": q_modify_bytes_trim,
+        "split_content_binary": q_split_content_binary,
+        "enforce_order_route": q_enforce_order_route,
         "split_json_fragments": q_split_json_fragments,
         "xml_split_extract": q_xml_split_extract,
         "parse_syslog_route": q_parse_syslog_route,
@@ -1466,6 +1524,32 @@ SELECT doc_id, 0 AS entry_index, 2 AS entry_count,
 FROM documents
 UNION ALL
 SELECT doc_id, 1, 2, 'rev.txt', md5(reverse(text)) FROM documents
+""",
+        "encrypt_roundtrip": """
+SELECT doc_id, md5(text) AS pt_md5, true AS ct_longer FROM documents
+""",
+        "modify_bytes_trim": """
+SELECT doc_id,
+       md5(substr(text, 4, greatest(length(text) - 5, 0))) AS t_md5,
+       greatest(length(text) - 5, 0) AS t_len
+FROM documents
+""",
+        "split_content_binary": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id, generate_subscripts(words, 1) - 1 AS fragment_index,
+       len(words) AS fragment_count, md5(unnest(words)) AS frag_md5
+FROM w
+""",
+        "enforce_order_route": """
+WITH t AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+           AS expected
+  FROM events)
+SELECT user_id, count(*) AS n,
+       CASE WHEN event_id = expected THEN 'in_order'
+            ELSE 'out_of_order' END AS route
+FROM t GROUP BY user_id, 3
 """,
         "split_json_fragments": """
 WITH w AS (

@@ -7,8 +7,10 @@ processor/Processor.java:50-89, Relationship.java:23) while leaving the
 physical plan entirely to Catalyst.
 """
 
-from nifi_spark.operators.routing import (route_on_attribute, route_on_content,
-                                          route_text, scan_attribute)
+from nifi_spark.operators.routing import (fetch_map_cache, put_map_cache,
+                                          route_on_attribute,
+                                          route_on_content, route_text,
+                                          scan_attribute)
 from nifi_spark.operators.attributes import (attributes_to_json,
                                              global_sequence, hash_attribute,
                                              hash_content, stateful_counter,
@@ -26,16 +28,20 @@ from nifi_spark.operators.content import (bin_assign, bin_pack,
                                           validate_xml)
 from nifi_spark.operators.codec import (compress_content,
                                         convert_character_set,
-                                        decode_content, encode_content,
+                                        decode_content, decrypt_content,
+                                        encode_content, encrypt_content,
+                                        modify_bytes, split_content,
                                         unpack_content)
 from nifi_spark.operators.formats import (avro_available, convert_format,
                                           convert_schema, infer_ddl)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
-from nifi_spark.operators.distribute import distribute_load, prioritize, salt_keys
+from nifi_spark.operators.distribute import (distribute_load, enforce_order,
+                                             prioritize, salt_keys)
 from nifi_spark.operators.rate import control_rate, monitor_activity
 
 __all__ = [
     "route_on_attribute", "route_on_content", "route_text", "scan_attribute",
+    "fetch_map_cache", "put_map_cache",
     "attributes_to_json", "global_sequence", "hash_attribute",
     "hash_content", "stateful_counter", "update_columns",
     "bin_assign", "bin_pack", "evaluate_json_path", "evaluate_xpath",
@@ -44,9 +50,11 @@ __all__ = [
     "reshape_json", "segment_content", "split_json_array", "split_text",
     "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
-    "encode_content", "unpack_content",
+    "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",
+    "split_content", "unpack_content",
     "avro_available", "convert_format", "convert_schema", "infer_ddl",
     "detect_duplicate", "latest_wins",
-    "distribute_load", "prioritize", "salt_keys", "control_rate",
+    "distribute_load", "enforce_order", "prioritize", "salt_keys",
+    "control_rate",
     "monitor_activity",
 ]

@@ -112,6 +112,62 @@ def compress_content(df: DataFrame, content_col: str, codec: str = "gzip",
     return df.withColumn(out_col or content_col, run(F.col(content_col)))
 
 
+def modify_bytes(df: DataFrame, content_col: str, drop_head: int = 0,
+                 drop_tail: int = 0, out_col: str | None = None) -> DataFrame:
+    """Trim N bytes from the head/tail of binary content (ModifyBytes,
+    standard/ModifyBytes.java) — a pure substring projection."""
+    c = F.col(content_col)
+    keep = F.greatest(F.octet_length(c) - drop_head - drop_tail, F.lit(0))
+    return df.withColumn(out_col or content_col,
+                         F.substring(c, drop_head + 1, keep))
+
+
+def encrypt_content(df: DataFrame, content_col: str, key: str,
+                    mode: str = "GCM",
+                    out_col: str | None = None) -> DataFrame:
+    """AES content encryption (EncryptContent,
+    standard/EncryptContent.java — PBE/keyed ciphers via BouncyCastle;
+    here Spark's built-in aes_encrypt, JVM-side). GCM (default) is
+    authenticated and uses a random IV per row — ciphertext is
+    non-deterministic by design; pair with decrypt_content for the
+    roundtrip. Key must be 16/24/32 bytes."""
+    c = F.col(content_col)
+    if dict(df.dtypes)[content_col] != "binary":
+        c = F.encode(c, "utf-8")
+    return df.withColumn(out_col or content_col,
+                         F.aes_encrypt(c, F.lit(key), F.lit(mode)))
+
+
+def decrypt_content(df: DataFrame, content_col: str, key: str,
+                    mode: str = "GCM", charset: str | None = None,
+                    out_col: str | None = None) -> DataFrame:
+    dec = F.aes_decrypt(F.col(content_col), F.lit(key), F.lit(mode))
+    if charset:
+        dec = F.decode(dec, charset)
+    return df.withColumn(out_col or content_col, dec)
+
+
+def split_content(df: DataFrame, content_col: str, delimiter: bytes,
+                  id_cols: list[str] | None = None) -> DataFrame:
+    """Binary delimiter split with the fragment contract (SplitContent,
+    standard/SplitContent.java). Bytes round-trip losslessly through an
+    ISO-8859-1 decode (1 byte ↔ 1 char), so the split itself is the
+    same JVM split expression as SplitText; fragments come back as
+    binary."""
+    id_cols = id_cols or []
+    as_text = F.decode(F.col(content_col), "ISO-8859-1")
+    delim_pat = "".join("\\x%02x" % b for b in delimiter)
+    parts = F.split(as_text, delim_pat)
+    frag_id = F.sha2(F.concat_ws("\x00", *[F.col(c) for c in id_cols],
+                                 as_text), 256) if id_cols else \
+        F.sha2(as_text, 256)
+    return (df.withColumn("fragment_id", frag_id)
+              .withColumn("fragment_count", F.size(parts))
+              .select("*", F.posexplode(parts).alias("fragment_index", "_t"))
+              .withColumn("fragment", F.encode(F.col("_t"), "ISO-8859-1"))
+              .drop(content_col, "_t"))
+
+
 UNPACK_SCHEMA_SUFFIX = ("entry_index int, entry_count int, "
                         "entry_name string, entry binary")
 

@@ -85,6 +85,23 @@ def prioritize(df: DataFrame, strategy: str = "fifo",
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def enforce_order(df: DataFrame, group_col: str, seq_col: str,
+                  start: int = 0) -> dict[str, DataFrame]:
+    """Per-group sequence enforcement (EnforceOrder shape: hold/route
+    records whose sequence number is not the expected next one). Batch
+    semantics: within each group, rows route to 'in_order' when their
+    sequence is exactly start + their ordinal position (no gaps, no
+    dups); 'out_of_order' otherwise (gap successors, duplicates). The
+    window is PARTITIONED by group — parallel across groups."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(group_col).orderBy(F.col(seq_col).asc())
+    pos = F.row_number().over(w) - 1
+    tagged = df.withColumn("_expected", F.lit(start) + pos)
+    ok = F.col(seq_col) == F.col("_expected")
+    return {"in_order": tagged.filter(ok).drop("_expected"),
+            "out_of_order": tagged.filter(~ok).drop("_expected")}
+
+
 def repartition_by_key_range(df: DataFrame, n: int, *cols: str) -> DataFrame:
     """Range partitioning for ordered, co-located apply
     (GenerateTableFetch partition-planning analog, SURVEY.md §2.1)."""

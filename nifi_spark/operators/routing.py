@@ -92,6 +92,28 @@ def route_on_content(df: DataFrame, content_col: str,
         strategy="all_matches")
 
 
+def put_map_cache(df: DataFrame, key_col: str, value_col: str) -> Column:
+    """PutDistributedMapCache: publish a (key → value) table as a
+    broadcast map literal (standard/PutDistributedMapCache.java — NiFi
+    materializes the cache on every node; the Spark analog is a
+    constant-folded map in the plan, shipped with the broadcast).
+    Returns a map Column for use with fetch_map_cache. Caller contract:
+    the table is cache-sized (it lives on the driver and in every task),
+    exactly as NiFi's DistributedMapCacheServer assumes."""
+    rows = df.select(key_col, value_col).collect()
+    return F.create_map(*[F.lit(v) for r in rows
+                          for v in (r[key_col], r[value_col])])
+
+
+def fetch_map_cache(cache: Column, key: Column | str,
+                    default: Column | None = None) -> Column:
+    """FetchDistributedMapCache as a column lookup against the broadcast
+    map (complements the broadcast-join form used by scan_attribute)."""
+    k = F.col(key) if isinstance(key, str) else key
+    got = cache[k]
+    return F.coalesce(got, default) if default is not None else got
+
+
 def scan_attribute(df: DataFrame, col: str, dictionary: DataFrame,
                    dict_col: str, mode: str = "matched") -> DataFrame:
     """Dictionary-membership filter as a broadcast semi/anti join."""

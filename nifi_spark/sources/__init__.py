@@ -10,10 +10,12 @@ after the downstream commit.
 from nifi_spark.sources.changelog import ChangelogSource
 from nifi_spark.sources.http import HttpIncrementalSource
 from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
-                                      next_starting_offsets, offsets_json)
+                                      next_starting_offsets, offsets_json,
+                                      publish_kafka)
 from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
 
 __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "kafka_available", "next_starting_offsets", "offsets_json",
+           "publish_kafka",
            "list_new_files", "plan_fetch_partitions"]

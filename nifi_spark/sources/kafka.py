@@ -84,3 +84,22 @@ class KafkaBatchSource:
         self.state.put(self.key, {"topic": self.topic,
                                   "offsets": {str(p): int(o) for p, o in
                                               partition_offsets.items()}})
+
+
+def publish_kafka(df: DataFrame, brokers: str, topic: str,
+                  key_col: str | None = None,
+                  value_col: str = "value") -> None:
+    """PublishKafka/PutKafka: batch write rows as Kafka records
+    (kafka-bundle/.../PublishKafka.java). Same classpath gate as the
+    read side."""
+    spark = df.sparkSession
+    if not kafka_available(spark):
+        raise ValueError(
+            "kafka requires the external spark-sql-kafka module; "
+            "not present on this classpath")
+    out = df.select(
+        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
+        F.col(value_col).cast("string").alias("value"))
+    (out.write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic).save())

@@ -213,3 +213,75 @@ def test_kafka_offsets_bookkeeping(spark, tmp_path):
     if not kafka_available(spark):
         with pytest.raises(ValueError, match="spark-sql-kafka"):
             KafkaBatchSource(spark, "b:9092", "t", st)
+
+
+def test_modify_bytes(spark):
+    from nifi_spark.operators import modify_bytes
+    df = spark.createDataFrame([(1, bytearray(b"HEADpayloadTAIL"))],
+                               "id long, content binary")
+    out = modify_bytes(df, "content", drop_head=4, drop_tail=4).first()
+    assert bytes(out.content) == b"payload"
+    short = modify_bytes(spark.createDataFrame(
+        [(1, bytearray(b"ab"))], "id long, content binary"),
+        "content", drop_head=4, drop_tail=4).first()
+    assert bytes(short.content) == b""
+
+
+def test_encrypt_decrypt_roundtrip(spark):
+    from nifi_spark.operators import decrypt_content, encrypt_content
+    key = "0123456789abcdef"  # 16-byte AES key
+    df = spark.createDataFrame([(1, "secret payload"), (2, "другой")],
+                               "id long, text string")
+    enc = encrypt_content(df, "text", key, out_col="ct")
+    # ciphertext is binary and never equals the plaintext bytes
+    assert enc.filter(F.col("ct") == F.encode("text", "utf-8")).count() == 0
+    back = decrypt_content(enc, "ct", key, charset="utf-8", out_col="pt")
+    assert {r.pt for r in back.collect()} == {"secret payload", "другой"}
+
+
+def test_split_content_binary_delimiter(spark):
+    from nifi_spark.operators import split_content
+    blob = b"\x00\x01rec1\xff\x00rec2\xff\x00rec3\x02"
+    df = spark.createDataFrame([(9, bytearray(blob))],
+                               "id long, content binary")
+    out = split_content(df, "content", b"\xff\x00", id_cols=["id"])
+    frags = [bytes(r.fragment) for r in
+             sorted(out.collect(), key=lambda r: r.fragment_index)]
+    assert frags == [b"\x00\x01rec1", b"rec2", b"rec3\x02"]
+    assert {r.fragment_count for r in out.collect()} == {3}
+
+
+def test_enforce_order(spark):
+    from nifi_spark.operators import enforce_order
+    rows = [("g1", 0), ("g1", 1), ("g1", 2),          # clean run
+            ("g2", 0), ("g2", 2), ("g2", 3),          # gap at 1
+            ("g3", 0), ("g3", 0), ("g3", 1)]          # duplicate 0
+    df = spark.createDataFrame(rows, "grp string, seq long")
+    routed = enforce_order(df, "grp", "seq")
+    in_order = {(r.grp, r.seq) for r in routed["in_order"].collect()}
+    out_order = sorted((r.grp, r.seq)
+                       for r in routed["out_of_order"].collect())
+    assert in_order == {("g1", 0), ("g1", 1), ("g1", 2),
+                        ("g2", 0), ("g3", 0)}
+    assert out_order == [("g2", 2), ("g2", 3), ("g3", 0), ("g3", 1)]
+
+
+def test_map_cache_lookup(spark):
+    from nifi_spark.operators import fetch_map_cache, put_map_cache
+    cache_df = spark.createDataFrame([("a", "1"), ("b", "2")],
+                                     "k string, v string")
+    cache = put_map_cache(cache_df, "k", "v")
+    df = spark.createDataFrame([("a",), ("b",), ("zz",)], "k string")
+    out = df.withColumn("v", fetch_map_cache(cache, "k", F.lit("miss")))
+    assert {(r.k, r.v) for r in out.collect()} == \
+        {("a", "1"), ("b", "2"), ("zz", "miss")}
+
+
+def test_publish_kafka_gated(spark):
+    import pytest
+    from nifi_spark.sources import kafka_available, publish_kafka
+    if kafka_available(spark):
+        pytest.skip("kafka module present")
+    df = spark.createDataFrame([("k", "v")], "key string, value string")
+    with pytest.raises(ValueError, match="spark-sql-kafka"):
+        publish_kafka(df, "b:9092", "t")
