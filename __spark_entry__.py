@@ -841,6 +841,38 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("sum_value")))
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState streaming sessionization, gated against
+    the SAME oracle as the batch window query: the stream's final
+    per-user counters must equal the batch answer (state carries
+    last-event time across micro-batches, so batch boundaries are
+    invisible in the result)."""
+    import shutil
+    import uuid
+
+    from nifi_spark.streaming import sessionize_stream
+
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    name = "sess_gate_" + uuid.uuid4().hex[:8]
+    reader = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp")
+              .parquet(src))
+    q = (sessionize_stream(reader, "user_id", "ts", gap_sec=1800)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.sql(f"select * from {name}")
+    return (out.groupBy("user_id")
+            .agg(F.max("n_sessions").alias("n_sessions"),
+                 F.max("n_events").alias("n_events")))
+
+
 def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionization: 30-min inactivity gap starts a new session
     (lag window); per-user session/event counts."""
@@ -1343,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q_q5_nation_revenue,
         "events_hourly_rollup": q_events_hourly_rollup,
         "user_sessionization": q_user_sessionization,
+        "stream_sessionize": q_stream_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -1749,6 +1782,19 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """,
         "user_sessionization": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              OR lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
+""",
+        "stream_sessionize": """
 WITH g AS (
   SELECT user_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
