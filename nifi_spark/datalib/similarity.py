@@ -175,11 +175,20 @@ def ivf_ann_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
                                                F.col("centroid_id").asc())
         return (scored.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= n_keep)
-                .select(out_id, "centroid_id"))
+                .select(out_id, "centroid_id", "_rn"))
 
-    assign = cell_rank(df, "neighbor_id", 1)
     qsrc = queries if queries is not None else df
-    probe = cell_rank(qsrc, "query_id", nprobe)
+    if queries is None:
+        # self-query: one centroid scan serves both the corpus
+        # assignment (rank 1) and the query probes (rank <= nprobe)
+        ranked = cell_rank(df, "query_id", max(1, nprobe)).localCheckpoint()
+        assign = (ranked.filter(F.col("_rn") == 1)
+                  .select(F.col("query_id").alias("neighbor_id"),
+                          "centroid_id"))
+        probe = ranked.select("query_id", "centroid_id")
+    else:
+        assign = cell_rank(df, "neighbor_id", 1).drop("_rn")
+        probe = cell_rank(qsrc, "query_id", nprobe).drop("_rn")
     cand = (probe.join(assign, "centroid_id")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id").distinct())
