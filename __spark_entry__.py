@@ -1325,6 +1325,30 @@ def _lang_id_case() -> str:
     return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled timestamp
+    (JVM-side sequence explode), deterministic stub frame digests."""
+    from nifi_spark.datalib.multimodal import attach_media, frame_sample
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media(docs, "doc_id", "text", kind="video")
+    out = frame_sample(media, every_ms=1000)
+    return out.select(F.col("id").alias("doc_id"), "frame_idx",
+                      "frame_ts_ms", "frame_sha256")
+
+
+def q_control_rate_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ControlRate per-group form (grouping attribute): batch ids from a
+    PARTITIONED window; per-(user, batch) counts."""
+    from nifi_spark.operators import control_rate
+    ev = _t(spark, sf_dir, "events")
+    out = control_rate(ev, "event_id", rows_per_batch=25,
+                       group_col="user_id")
+    return out.groupBy("user_id", "batch_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -1391,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "control_rate_grouped": q_control_rate_grouped,
     }
 
 
@@ -1885,6 +1911,26 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "multimodal_frame_sample": """
+WITH m AS (
+  SELECT doc_id, text,
+         greatest((octet_length(encode(text)) * 10) // 1000, 1) AS nf
+  FROM documents)
+SELECT doc_id, unnest(range(nf)) AS frame_idx,
+       unnest(range(nf)) * 1000 AS frame_ts_ms,
+       sha256(text || unnest(range(nf))::VARCHAR) AS frame_sha256
+FROM m
+""",
+        "control_rate_grouped": """
+WITH t AS (
+  SELECT user_id, event_id,
+         ((row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1)
+          // 25)::BIGINT AS batch_id
+  FROM events)
+SELECT user_id, batch_id, count(*) AS n,
+       min(event_id) AS lo, max(event_id) AS hi
+FROM t GROUP BY 1, 2
 """,
     }
 

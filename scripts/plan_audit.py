@@ -116,6 +116,39 @@ def main():
     results.append(("control_rate", "arithmetic batch ids: one-row min agg "
                     "broadcast back; no global window sort"))
 
+    # ---- 2b2. partitioned-window operators: no single-reducer sorts ----
+    from nifi_spark.operators import bin_assign, enforce_order
+    from nifi_spark.operators.attributes import global_sequence
+    ba = bin_assign(spark.read.parquet(lp), "lsn", "content",
+                    max_bytes=1 << 20, correlation_col="repo")
+    p = plan_of(ba)
+    assert "SinglePartition" not in p, p
+    eo = enforce_order(spark.read.parquet(lp), "repo", "lsn")["in_order"]
+    p = plan_of(eo)
+    assert "SinglePartition" not in p, p
+    gs, _ = global_sequence(spark.read.parquet(lp), "lsn")
+    p = plan_of(gs)
+    assert "rangepartitioning" in p and "SinglePartition" not in p, p
+    results.append(("windowed ops", "bin_assign / enforce_order /"
+                    " global_sequence: all windows partitioned (by "
+                    "correlation key / group / range-partition id) — no "
+                    "single-reducer sort anywhere"))
+
+    # ---- 2b3. codec/format projections: zero exchanges -----------------
+    from nifi_spark.operators import (encode_content, identify_mime_type,
+                                      modify_bytes)
+    src = spark.read.parquet(lp).select(
+        "repo", F.encode("content", "utf-8").alias("payload"))
+    for name, op in [
+            ("identify_mime_type", lambda d: identify_mime_type(d, "payload")),
+            ("modify_bytes", lambda d: modify_bytes(d, "payload", 4, 4)),
+            ("encode_content", lambda d: encode_content(d, "payload"))]:
+        p = plan_of(op(src))
+        assert "Exchange" not in p and "Window" not in p, (name, p)
+    results.append(("codec projections", "identify_mime_type / "
+                    "modify_bytes / encode_content: single narrow "
+                    "projection, zero exchanges"))
+
     # ---- 2c. replace_text_with_mapping: zero exchanges -----------------
     from nifi_spark.operators import replace_text_with_mapping
     mapping = spark.createDataFrame([("table", "TBL"), ("merge", "MRG")],
