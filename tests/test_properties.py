@@ -1,0 +1,99 @@
+"""Property-based roundtrip/equivalence checks (hypothesis).
+
+Each property batches its random cases into ONE DataFrame so a property
+costs one Spark job, not one per example — the randomized complement to
+the fixed-seed oracle tests (SURVEY.md §5: the reference's tests are
+example-based; properties cover the input space the examples can't).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from nifi_spark.functions import EL
+from nifi_spark.operators import (compress_content, decode_content,
+                                  encode_content, latest_wins,
+                                  merge_defragment, segment_content)
+
+SET = settings(deadline=None, max_examples=8,
+               suppress_health_check=list(HealthCheck))
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_categories=("Cs",)),
+    min_size=0, max_size=300)
+
+
+@SET
+@given(st.lists(text_strategy, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=64))
+def test_segment_defragment_roundtrip_property(spark, texts, seg):
+    # non-empty docs only: a zero-length doc has zero fragments and
+    # legitimately vanishes (NiFi emits no segment for empty content)
+    rows = [(i, t) for i, t in enumerate(texts) if t]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frags = segment_content(df, "text", seg, id_cols=["doc_id"])
+    merged = merge_defragment(frags, "fragment", sep="")
+    back = {r.doc_id: r.content
+            for r in frags.select("doc_id", "fragment_id").distinct()
+            .join(merged, "fragment_id").collect()}
+    assert back == {i: t for i, t in rows}
+
+
+@SET
+@given(st.lists(st.binary(min_size=0, max_size=500),
+                min_size=1, max_size=10))
+def test_codec_roundtrips_property(spark, blobs):
+    df = spark.createDataFrame([(i, bytearray(b)) for i, b in
+                                enumerate(blobs)],
+                               "id long, payload binary")
+    gz = compress_content(df, "payload", "gzip", out_col="c")
+    back = compress_content(gz, "c", "gzip", mode="decompress",
+                            out_col="d")
+    b64 = decode_content(encode_content(df, "payload", "base64",
+                                        out_col="b"),
+                         "b", "base64", out_col="e")
+    got = {r.id: (bytes(r.d), bytes(r.e)) for r in
+           back.join(b64.select("id", "e"), "id").collect()}
+    for i, b in enumerate(blobs):
+        assert got[i] == (b, b), i
+
+
+@SET
+@given(st.lists(text_strategy, min_size=1, max_size=10))
+def test_el_escape_roundtrips_property(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, t string")
+    out = df.select(
+        "id",
+        EL.unescapeJson(EL.escapeJson("t")).alias("j"),
+        EL.unescapeXml(EL.escapeXml("t")).alias("x"))
+    got = {r.id: (r.j, r.x) for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == (t, t), (i, t)
+
+
+@SET
+@given(st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 50), st.text(max_size=10)),
+    min_size=1, max_size=40))
+def test_latest_wins_matches_python(spark, rows):
+    df = spark.createDataFrame([(k, s, v) for k, s, v in rows],
+                               "key int, seq int, v string")
+    got = {r.key: (r.seq, r.v)
+           for r in latest_wins(df, ["key"], "seq").collect()}
+    expect = {}
+    for k, s, v in rows:
+        if k not in expect or s > expect[k][0]:
+            expect[k] = (s, v)
+    # ties on seq: max_by picks an arbitrary copy — compare seq only,
+    # and values when the winning seq is unique
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0]
+        if sum(1 for kk, ss, _ in rows
+               if kk == k and ss == expect[k][0]) == 1:
+            assert got[k][1] == expect[k][1]
