@@ -255,6 +255,23 @@ def q_update_attributes_el(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "src_num", "lang_up", "first_word", "text_len")
 
 
+def q_update_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UpdateAttribute rules mode: first matching rule's actions win per
+    column, unmatched columns fall back to defaults."""
+    from nifi_spark.operators.attributes import update_with_rules
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (F.col("doc_id") % 3 == 0,
+         {"tier": F.lit("every3"), "score": F.length("text")}),
+        (F.col("lang") == "en", {"tier": F.lit("anglo")}),
+    ]
+    out = update_with_rules(docs, rules,
+                            default={"tier": F.lit("other"),
+                                     "score": F.lit(-1)})
+    return out.select("doc_id", "tier",
+                      F.col("score").cast("long").alias("score"))
+
+
 def q_hash_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nifi_spark.operators import hash_content
     docs = _t(spark, sf_dir, "documents")
@@ -866,7 +883,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("update")
          .option("checkpointLocation", os.path.join(work, "ck"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    # availableNow terminates deterministically; block WITHOUT a timeout
+    # (a timed wait that expires would read a partial memory table)
+    q.awaitTermination()
     out = spark.sql(f"select * from {name}")
     return (out.groupBy("user_id")
             .agg(F.max("n_sessions").alias("n_sessions"),
@@ -1361,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_text_lines": q_route_text_lines,
         "scan_content": q_scan_content,
         "update_attributes_el": q_update_attributes_el,
+        "update_rules_engine": q_update_rules_engine,
         "hash_content": q_hash_content,
         "extract_replace_text": q_extract_replace_text,
         "json_path_extract": q_json_path_extract,
@@ -1511,6 +1531,15 @@ SELECT doc_id,
             THEN substr(text, 1, position(' ' IN text) - 1)
             ELSE text END AS first_word,
        length(text) AS text_len
+FROM documents
+""",
+        "update_rules_engine": """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'every3'
+            WHEN lang = 'en' THEN 'anglo'
+            ELSE 'other' END AS tier,
+       CASE WHEN doc_id % 3 = 0 THEN length(text)
+            ELSE -1 END::BIGINT AS score
 FROM documents
 """,
         "hash_content": """
