@@ -8,6 +8,7 @@ after the downstream commit.
 """
 
 from nifi_spark.sources.changelog import ChangelogSource
+from nifi_spark.sources.files import fetch_files, get_files
 from nifi_spark.sources.http import HttpIncrementalSource
 from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
                                       next_starting_offsets, offsets_json,
@@ -16,6 +17,7 @@ from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
 
 __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
+           "fetch_files", "get_files",
            "kafka_available", "next_starting_offsets", "offsets_json",
            "publish_kafka",
            "list_new_files", "plan_fetch_partitions"]

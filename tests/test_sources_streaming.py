@@ -110,3 +110,21 @@ def test_windowed_rollup_batch_semantics(spark):
     out = windowed_rollup(ev).orderBy("window_start").collect()
     assert [r["n"] for r in out] == [2, 1]
     assert out[0]["sum_value"] == 3.0
+
+
+def test_get_files_and_fetch(spark, tmp_path):
+    from nifi_spark.sources import fetch_files, get_files
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha content")
+    (d / "b.txt").write_text("beta")
+    (d / "c.log").write_text("ignored")
+    df = get_files(spark, str(d), glob="*.txt", text_charset="utf-8")
+    got = {r.path.split("/")[-1]: (r.length, r.text) for r in df.collect()}
+    assert got == {"a.txt": (13, "alpha content"), "b.txt": (4, "beta")}
+    listing = spark.createDataFrame(
+        [(str(d / "a.txt"), 1)], "path string, priority int")
+    fetched = fetch_files(listing, spark, str(d), text_charset="utf-8")
+    rows = fetched.collect()
+    assert len(rows) == 1 and rows[0].text == "alpha content"
+    assert rows[0].priority == 1
