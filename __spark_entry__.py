@@ -947,6 +947,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-banded near-dup pairs: pigeonhole banding for
+    candidates, exact bit_count(xor) verification — no all-pairs scan."""
+    from nifi_spark.datalib import simhash_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", bits=16, max_hamming=2)
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter signal: top token share per document (sorted-run
+    fold, one pass per row)."""
+    from nifi_spark.datalib import repetition_stats
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_tokens", "top_token_count", "repetition_ratio")
+
+
 def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup keep/drop sets: connected components (min-label
     propagation) over the LSH candidate pairs — the step that turns
@@ -1195,6 +1212,44 @@ WHERE inter / (na.n + nb.n - inter) >= 0.5
 """
 
 
+def _simhash_pairs_sql(bits: int = 16, max_hamming: int = 2) -> str:
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    parts = []
+    for b in range(n_bands):
+        lo = b * width
+        w = width if b < n_bands - 1 else bits - lo
+        parts.append(f"SELECT doc_id, simhash, {b} AS band, "
+                     f"(simhash >> {lo}) % {1 << w} AS val FROM sig")
+    banded = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH sig AS ({_simhash_sql(bits)}),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b ON a.band = b.band AND a.val = b.val
+  WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+_TEXT_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         lower(unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS w
+  FROM documents),
+c AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY 1, 2),
+m AS (SELECT doc_id, max(n) AS top, sum(n) AS ntok FROM c GROUP BY 1)
+SELECT d.doc_id, coalesce(m.ntok, 0)::INT AS n_tokens,
+       coalesce(m.top, 0)::INT AS top_token_count,
+       round(CASE WHEN coalesce(m.ntok, 0) > 0 THEN m.top / m.ntok
+                  ELSE 0 END, 6) AS repetition_ratio
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
+
+
 def _near_clusters_sql(num_perm: int = 12, bands: int = 4) -> str:
     return f"""
 WITH RECURSIVE prs AS ({_lsh_pairs_sql(num_perm, bands)}),
@@ -1425,6 +1480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "text_repetition": q_text_repetition,
         "dedup_near_clusters": q_dedup_near_clusters,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
@@ -1871,6 +1928,8 @@ FROM documents GROUP BY md5(text)
         "dedup_minhash_lsh_pairs": _lsh_pairs_sql(12, 4),
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_simhash_pairs": _simhash_pairs_sql(16, 2),
+        "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_near_clusters": _near_clusters_sql(12, 4),
         "text_token_stats": """
 WITH t AS (

@@ -160,6 +160,60 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     return pairs
 
 
+def lsh_band_plan(num_perm: int, threshold: float) -> dict:
+    """Pick (bands, rows) for banded MinHash LSH from a target Jaccard
+    threshold. The banding S-curve p(s) = 1-(1-s^r)^b has its
+    inflection near t ≈ (1/b)^(1/r); choose the divisor pair of
+    num_perm whose inflection lands closest to the requested threshold
+    (the standard MMDS ch.3 tuning rule), so callers say 'near-dup
+    means Jaccard ≥ 0.8' instead of hand-picking band counts."""
+    best = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        t = (1.0 / b) ** (1.0 / r)
+        if best is None or abs(t - threshold) < abs(best["inflection"]
+                                                    - threshold):
+            best = {"bands": b, "rows": r, "inflection": round(t, 4)}
+    return best
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  bits: int = 16, max_hamming: int = 2) -> DataFrame:
+    """Near-dup candidate pairs by SimHash Hamming distance ≤ k —
+    the banded form that scales: split the `bits`-bit fingerprint into
+    k+1 bands; two fingerprints within Hamming k MUST agree exactly on
+    at least one band (pigeonhole), so candidates come from a band-value
+    equi-join (like MinHash LSH banding) and only candidates pay the
+    exact bit_count(xor) verification. No all-pairs comparison anywhere.
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    sig = simhash(df, id_col, text_col, bits)
+    band_cols = []
+    for b in range(n_bands):
+        lo = b * width
+        w = width if b < n_bands - 1 else bits - lo  # last takes remainder
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            (F.shiftright(F.col("simhash"), lo) % (1 << w)).alias("val")))
+    banded = (sig.select(id_col, "simhash",
+                         F.explode(F.array(*band_cols)).alias("bb"))
+              .select(id_col, "simhash", "bb.band", "bb.val"))
+    a = banded.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sh_a"), "band", "val")
+    b2 = banded.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sh_b"), "band", "val")
+    return (a.join(b2, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_perm: int = 12, bands: int = 4,
                       max_bucket: int = 1000,

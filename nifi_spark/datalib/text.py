@@ -105,6 +105,33 @@ def lang_id(df: DataFrame, text_col: str = "text",
              .withColumns({f"sw_{c}": scores[c] for c in sorted(STOPWORDS)})
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Degenerate-repetition signal (Gopher-style repetition filters):
+    the most frequent token's share of the document. Computed per row as
+    a single fold over the SORTED token array (longest equal-run) — the
+    per-element filter-count shape would re-evaluate the token split per
+    distinct token (the lambda-CSE trap); the sorted-run fold touches
+    each token once."""
+    toks = F.array_sort(F.transform(_ws_tokens(text_col),
+                                    lambda t: F.lower(t)))
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top = F.aggregate(toks, zero, step, lambda acc: acc["best"])
+    n = F.size(toks)
+    return df.withColumns({
+        "n_tokens": n,
+        "top_token_count": top,
+        "repetition_ratio": F.round(
+            F.when(n > 0, top / n).otherwise(F.lit(0.0)), 6),
+    })
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct

@@ -293,3 +293,59 @@ def test_lsh_ann_exact_mode_with_separate_queries(embs):
                        queries=queries, exact=True).toPandas()
     assert set(out["query_id"]) == {100000, 100001, 100002}
     assert (out["rank"] <= 2).all()
+
+
+def test_simhash_pairs_hamming_banding(spark):
+    from nifi_spark.datalib import simhash, simhash_pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [(1, base), (2, base + " extra"), (3, "completely different "
+            "vocabulary about spacecraft telemetry and orbital windows")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash(df, "doc_id", "text").collect()}
+    ham12 = bin(sigs[1] ^ sigs[2]).count("1")
+    k = max(ham12, 1)
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(df, "doc_id", "text",
+                                    max_hamming=k).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == ham12
+    ham13 = bin(sigs[1] ^ sigs[3]).count("1")
+    if ham13 > k:
+        assert (1, 3) not in pairs
+
+
+def test_simhash_pairs_matches_bruteforce(spark):
+    """Banded candidates must find EVERY pair within max_hamming
+    (pigeonhole guarantee), verified against an all-pairs check."""
+    from nifi_spark.datalib import simhash, simhash_pairs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    k = 3
+    sigs = {r.doc_id: r.simhash
+            for r in simhash(docs, "doc_id", "text").collect()}
+    expect = {(a, b): bin(sigs[a] ^ sigs[b]).count("1")
+              for a in sigs for b in sigs
+              if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= k}
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(docs, "doc_id", "text",
+                                  max_hamming=k).collect()}
+    assert got == expect
+
+
+def test_lsh_band_plan():
+    from nifi_spark.datalib import lsh_band_plan
+    hi = lsh_band_plan(12, 0.9)
+    lo = lsh_band_plan(12, 0.2)
+    assert hi["bands"] * hi["rows"] == 12 == lo["bands"] * lo["rows"]
+    assert hi["rows"] > lo["rows"]  # high threshold -> longer bands
+    assert lo["bands"] > hi["bands"]
+
+
+def test_repetition_stats(spark):
+    from nifi_spark.datalib import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "all words differ here"),
+         (3, "")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.top_token_count, r.repetition_ratio)
+           for r in repetition_stats(df).collect()}
+    assert got[1] == (5, 4, 0.8)
+    assert got[2] == (4, 1, 0.25)
+    assert got[3] == (0, 0, 0.0)
