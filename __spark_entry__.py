@@ -892,6 +892,38 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_events").alias("n_events")))
 
 
+def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermarked tumbling-window rollup (the REAL
+    streaming path of `windowed_rollup`, not the batch shape), gated
+    against the same SQL oracle as the batch hourly rollup. Complete
+    output mode so windows still open at end-of-input are emitted when
+    the availableNow run terminates — append mode would hold back the
+    final `watermark` hours and the batch oracle could never match."""
+    import shutil
+    import uuid
+
+    from nifi_spark.streaming import windowed_rollup
+
+    work = tempfile.mkdtemp(prefix="stream_roll_")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    name = "roll_gate_" + uuid.uuid4().hex[:8]
+    reader = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .parquet(src))
+    q = (windowed_rollup(reader, "ts", window="1 hour", watermark="2 hours",
+                         keys=["event_type"])
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}")
+
+
 def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionization: 30-min inactivity gap starts a new session
     (lag window); per-user session/event counts."""
@@ -1475,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": q_events_hourly_rollup,
         "user_sessionization": q_user_sessionization,
         "stream_sessionize": q_stream_sessionize,
+        "stream_hourly_rollup": q_stream_hourly_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -1918,6 +1951,13 @@ WITH g AS (
 SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
        count(*)::BIGINT AS n_events
 FROM g GROUP BY user_id
+""",
+        "stream_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY 1, 2, 3
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS doc_id,

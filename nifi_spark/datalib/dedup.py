@@ -218,6 +218,7 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                       k: int = 3, num_perm: int = 12, bands: int = 4,
                       max_bucket: int = 1000,
                       pairs: DataFrame | None = None,
+                      threshold: float | None = None,
                       max_iters: int = 20) -> DataFrame:
     """Connected components over near-dup candidate pairs → keep/drop
     sets: (id, cluster_id = min id in component, keep = is-canonical).
@@ -235,6 +236,12 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
     re-optimization time explodes; on a real cluster with a checkpoint
     dir, `checkpoint()` adds executor-loss resilience).
     """
+    # `pairs` may come from ANY candidate generator (minhash_lsh_pairs,
+    # simhash_pairs, cosine/ANN pairs renamed to id_a/id_b) — clustering
+    # composes over them. `threshold` picks the MinHash band count from
+    # a target Jaccard via lsh_band_plan instead of a raw `bands`.
+    if pairs is None and threshold is not None:
+        bands = lsh_band_plan(num_perm, threshold)["bands"]
     p = pairs if pairs is not None else minhash_lsh_pairs(
         df, id_col, text_col, k, num_perm, bands, max_bucket)
     e = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))

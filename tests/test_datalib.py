@@ -264,6 +264,42 @@ def test_near_dup_clusters_long_chain_converges(spark):
     assert sum(r.keep for r in out) == 1
 
 
+def test_near_dup_clusters_threshold_plan(spark):
+    """threshold= picks the band count via lsh_band_plan instead of a raw
+    bands=: exact duplicates (J=1) always collide in some band, distinct
+    docs (J~0) never do, so the keep/drop sets are deterministic."""
+    from nifi_spark.datalib import near_dup_clusters
+    dup = "spark merge commit lsn batch watermark ledger snapshot store"
+    docs = [(1, dup), (2, dup), (3, dup),
+            (4, "completely different vocabulary about orbital telemetry"),
+            (5, "yet another unrelated corpus of maritime navigation terms")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in near_dup_clusters(df, "doc_id", "text", num_perm=12,
+                                      threshold=0.8).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False) and out[3] == (1, False)
+    assert out[4] == (4, True) and out[5] == (5, True)
+
+
+def test_near_dup_clusters_from_cosine_pairs(spark, embs):
+    """Embedding-dedup composition: cosine_pairs candidates feed straight
+    into near_dup_clusters (any id_a/id_b generator composes), so
+    near-identical vectors collapse to one canonical id."""
+    from nifi_spark.datalib import near_dup_clusters
+    base = embs.filter(F.col("vec_id") < 40)
+    dups = (base.filter(F.col("vec_id") < 3)
+            .withColumn("vec_id", F.col("vec_id") + 100000))
+    corpus = base.unionByName(dups).cache()
+    pairs = cosine_pairs(corpus, "vec_id", "embedding", threshold=0.999)
+    out = {r.vec_id: (r.cluster_id, r.keep)
+           for r in near_dup_clusters(corpus, "vec_id", "text",
+                                      pairs=pairs).collect()}
+    for i in range(3):  # duplicated vectors cluster with the original
+        assert out[100000 + i] == (i, False)
+        assert out[i] == (i, True)
+
+
 def test_ivf_ann_recall(embs):
     """IVF ANN recovers most brute-force top-1 neighbors."""
     from nifi_spark.datalib import ivf_ann_topk
