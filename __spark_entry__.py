@@ -1027,6 +1027,14 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uniq_ratio", "quality_score")
 
 
+def q_text_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nifi_spark.datalib import quality_classify
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classify(docs, "text").select(
+        "doc_id", "n_tokens", "char_ppl", "word_ppl", "stopword_ratio",
+        "repetition_ratio", "mean_token_len", "quality_class")
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nifi_spark.datalib import lang_id
     docs = _t(spark, sf_dir, "documents")
@@ -1518,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_clusters": q_dedup_near_clusters,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
+        "text_quality_classify": q_text_quality_classify,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk_exact": q_ann_topk_exact,
@@ -2005,6 +2014,56 @@ SELECT doc_id, n_tokens,
              + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0
                      ELSE 0.0 END) * 0.3
              + least(uniq * 2, 1.0) * 0.3, 6) AS quality_score
+FROM m
+""",
+        # Rényi-2 perplexity (n²/Σcᵢ²) is integer counts + one exact IEEE
+        # division, so the histogram route here reproduces the Spark fold
+        # bit-for-bit; every CASE mirrors the operator's rule order.
+        "text_quality_classify": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks,
+         regexp_extract_all(text, '\\S') AS chars
+  FROM documents),
+ch AS (SELECT doc_id, sum(n*n)::BIGINT AS ss_c, sum(n)::BIGINT AS n_c
+       FROM (SELECT doc_id, c, count(*)::BIGINT AS n
+             FROM (SELECT doc_id, unnest(chars) AS c FROM t) GROUP BY 1,2)
+       GROUP BY 1),
+tk AS (SELECT doc_id, sum(n*n)::BIGINT AS ss_w, sum(n)::BIGINT AS n_w,
+              max(n)::BIGINT AS top
+       FROM (SELECT doc_id, w, count(*)::BIGINT AS n
+             FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1,2)
+       GROUP BY 1),
+m AS (
+  SELECT t.doc_id,
+         coalesce(tk.n_w, 0) AS n_tok,
+         CASE WHEN coalesce(ch.ss_c, 0) > 0
+              THEN (ch.n_c * ch.n_c) / ch.ss_c ELSE 0.0 END AS char_ppl,
+         CASE WHEN coalesce(tk.ss_w, 0) > 0
+              THEN (tk.n_w * tk.n_w) / tk.ss_w ELSE 0.0 END AS word_ppl,
+         CASE WHEN coalesce(tk.n_w, 0) > 0
+              THEN tk.top / tk.n_w ELSE 0.0 END AS rep,
+         CASE WHEN coalesce(tk.n_w, 0) > 0
+              THEN len(list_filter(t.toks, x -> x IN ({_sw_list("en")})))
+                   / tk.n_w
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN coalesce(tk.n_w, 0) > 0
+              THEN (length(t.text) - (tk.n_w - 1)) / tk.n_w
+              ELSE 0.0 END AS mean_len
+  FROM t LEFT JOIN ch ON t.doc_id = ch.doc_id
+         LEFT JOIN tk ON t.doc_id = tk.doc_id)
+SELECT doc_id, n_tok AS n_tokens,
+       round(char_ppl, 6) AS char_ppl, round(word_ppl, 6) AS word_ppl,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(rep, 6) AS repetition_ratio,
+       round(mean_len, 6) AS mean_token_len,
+       CASE WHEN n_tok < 5 OR rep > 0.3 OR char_ppl < 10
+                 OR mean_len < 2 OR mean_len > 12 THEN 'junk'
+            WHEN stop_ratio >= 0.05
+                 AND (CASE WHEN n_tok > 0 THEN word_ppl / n_tok
+                           ELSE 0.0 END) >= 0.3 THEN 'good'
+            ELSE 'mediocre' END AS quality_class
 FROM m
 """,
         "text_lang_id": f"""

@@ -132,6 +132,91 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def _run_stats(sorted_arr):
+    """One-pass fold over a SORTED array returning
+    struct(cnt = total elements, top = longest equal-run, ss = Σ run²).
+    ss is the collision count of the element histogram (Σ cᵢ²) — the
+    basis of Rényi-2 perplexity — computed without a groupBy and without
+    the per-element-filter lambda-CSE trap (each element touched once).
+    Empty-string sentinel is safe: callers pass arrays of non-empty
+    elements."""
+    zero = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("top"),
+                    F.lit(0).cast("long").alias("ss"),
+                    F.lit(0).cast("long").alias("cnt"))
+
+    def step(a, x):
+        same = x == a["prev"]
+        run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        ss = F.when(same, a["ss"]).otherwise(a["ss"] + a["run"] * a["run"])
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(a["top"], run).alias("top"),
+                        ss.alias("ss"), (a["cnt"] + 1).alias("cnt"))
+
+    return F.aggregate(
+        sorted_arr, zero, step,
+        lambda a: F.struct(a["cnt"].alias("cnt"),
+                           a["top"].alias("top"),
+                           (a["ss"] + a["run"] * a["run"]).alias("ss")))
+
+
+def quality_classify(df: DataFrame, text_col: str = "text",
+                     lang: str = "en") -> DataFrame:
+    """Perplexity-proxy quality classifier: bucket documents into
+    good / mediocre / junk (the CCNet head/middle/tail idea, Wenzek et
+    al. 2020, combined with Gopher-style repetition/length rules, Rae et
+    al. 2021).
+
+    The perplexity proxy is Rényi-2 perplexity PPL₂ = n² / Σcᵢ² — the
+    inverse collision probability of the char / token histogram. Like LM
+    perplexity it measures the effective alphabet / vocabulary size of
+    the document (degenerate text → small PPL₂), but it needs only
+    integer counts + one IEEE division, so the DuckDB oracle reproduces
+    it EXACTLY; a Shannon/log entropy would hash-mismatch on 1-ulp libm
+    log differences between the JVM and DuckDB.
+
+    Rules (evaluated in order; all arithmetic mirrored verbatim in the
+    oracle SQL):
+      junk     — n_tokens < 5, or top-token share > 0.3, or char PPL₂
+                 < 10 (degenerate alphabet), or mean token length
+                 outside [2, 12]
+      good     — stopword_ratio ≥ 0.05 and token diversity
+                 word_ppl / n_tokens ≥ 0.3
+      mediocre — everything else
+    """
+    toks = F.transform(_ws_tokens(text_col), lambda t: F.lower(t))
+    chars = F.filter(F.split(F.col(text_col), ""),
+                     lambda ch: ch.rlike("\\S"))
+    tk = _run_stats(F.array_sort(toks))
+    ch = _run_stats(F.array_sort(chars))
+    n_tok, top, ss_w = tk["cnt"], tk["top"], tk["ss"]
+    n_ch, ss_c = ch["cnt"], ch["ss"]
+    char_ppl = F.when(ss_c > 0, (n_ch * n_ch) / ss_c).otherwise(F.lit(0.0))
+    word_ppl = F.when(ss_w > 0, (n_tok * n_tok) / ss_w).otherwise(F.lit(0.0))
+    rep = F.when(n_tok > 0, top / n_tok).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    mean_len = F.when(n_tok > 0,
+                      (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok
+                      ).otherwise(F.lit(0.0))
+    junk = ((n_tok < 5) | (rep > 0.3) | (char_ppl < 10)
+            | (mean_len < 2) | (mean_len > 12))
+    good = (stop_ratio >= 0.05) & (F.when(n_tok > 0, word_ppl / n_tok)
+                                   .otherwise(F.lit(0.0)) >= 0.3)
+    return df.withColumns({
+        "n_tokens": n_tok,
+        "char_ppl": F.round(char_ppl, 6),
+        "word_ppl": F.round(word_ppl, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "repetition_ratio": F.round(rep, 6),
+        "mean_token_len": F.round(mean_len, 6),
+        "quality_class": F.when(junk, "junk").when(good, "good")
+                          .otherwise("mediocre"),
+    })
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct

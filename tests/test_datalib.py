@@ -375,6 +375,32 @@ def test_lsh_band_plan():
     assert lo["bands"] > hi["bands"]
 
 
+def test_quality_classify_buckets(spark):
+    """Perplexity-proxy classifier: natural stopword-rich text → good;
+    degenerate repetition / tiny alphabet / too-short docs → junk;
+    stopword-free word salad → mediocre."""
+    from nifi_spark.datalib import quality_classify
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog and it was a "
+            "good day for all of the animals in this forest to have fun"),
+        (2, "spam spam spam spam spam spam spam spam spam spam"),   # repetition
+        (3, "aaaa aaab aaba abaa baaa aaab aaba abaa baaa aaaa"),   # tiny alphabet
+        (4, "too short"),                                           # < 5 tokens
+        (5, "quantum flux resonator calibrates neutrino detector array "
+            "spectrometer housing manifold"),                       # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classify(df, "text").collect()}
+    assert out[1].quality_class == "good"
+    assert out[1].stopword_ratio >= 0.05 and out[1].word_ppl > 10
+    assert out[2].quality_class == "junk"      # top-token share 1.0
+    assert out[2].repetition_ratio == 1.0 and out[2].word_ppl == 1.0
+    assert out[3].quality_class == "junk"      # char PPL2 ~ 2-3 letters
+    assert out[3].char_ppl < 10
+    assert out[4].quality_class == "junk"
+    assert out[5].quality_class == "mediocre"  # diverse but stopword-free
+
+
 def test_repetition_stats(spark):
     from nifi_spark.datalib import repetition_stats
     df = spark.createDataFrame(
