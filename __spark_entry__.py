@@ -610,6 +610,31 @@ def q_identify_mime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "mime_type")
 
 
+def q_parse_evtx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseEvtx roundtrip: pack events into spec-shaped EVTX container
+    blobs (applyInPandas per synthetic log file), then parse_evtx walks
+    file header → chunks → records distributed; every record id /
+    FILETIME microsecond / payload digest must survive the container
+    roundtrip exactly (integer arithmetic both directions)."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(8)).alias("file_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.encode("props", "utf-8").alias("payload"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted((int(r), int(u), bytes(p)) for r, u, p in
+                      zip(pdf["event_id"], pdf["us"], pdf["payload"]))
+        return pd.DataFrame({"file_id": [int(pdf["file_id"].iloc[0])],
+                             "content": [build_evtx(rows)]})
+
+    blobs = ev.groupBy("file_id").applyInPandas(
+        pack, "file_id long, content binary")
+    return parse_evtx(blobs, "content", id_col="file_id").select(
+        "record_id", "record_time_us", "payload_len", "payload_md5")
+
+
 def q_scan_attribute_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ScanAttribute: dictionary membership on an attribute column
     (broadcast semi/anti join), matched + unmatched counts per term."""
@@ -1496,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_split_extract": q_xml_split_extract,
         "parse_syslog_route": q_parse_syslog_route,
         "parse_cef_route": q_parse_cef_route,
+        "parse_evtx_records": q_parse_evtx_records,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
@@ -1773,6 +1799,11 @@ FROM valid GROUP BY 1
 UNION ALL
 SELECT '_invalid_', count(*), 0
 FROM events WHERE event_id % 17 = 0
+""",
+        "parse_evtx_records": """
+SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
+       strlen(props) AS payload_len, md5(props) AS payload_md5
+FROM events
 """,
         "identify_mime": """
 SELECT doc_id,

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "doc_fingerprint",
     "text_quality_score",
+    "text_quality_classify",
     "text_lang_id",
     "lsh_ann_topk",
     "ivf_ann_topk",

@@ -35,6 +35,7 @@ from nifi_spark.operators.codec import (compress_content,
 from nifi_spark.operators.formats import (avro_available, convert_format,
                                           convert_schema, infer_ddl)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
+from nifi_spark.operators.evtx import build_evtx, parse_evtx
 from nifi_spark.operators.distribute import (distribute_load, enforce_order,
                                              prioritize, salt_keys)
 from nifi_spark.operators.rate import control_rate, monitor_activity
@@ -54,6 +55,7 @@ __all__ = [
     "split_content", "unpack_content",
     "avro_available", "convert_format", "convert_schema", "infer_ddl",
     "detect_duplicate", "latest_wins",
+    "build_evtx", "parse_evtx",
     "distribute_load", "enforce_order", "prioritize", "salt_keys",
     "control_rate",
     "monitor_activity",

@@ -160,6 +160,15 @@ def main():
     results.append(("replace_with_mapping", "broadcast map literal + "
                     "transform(): single narrow projection, zero exchanges"))
 
+    # ---- 2d. quality_classify: single narrow projection ----------------
+    from nifi_spark.datalib import quality_classify
+    qc = quality_classify(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"))
+    p = plan_of(qc)
+    assert "Exchange" not in p and "Window" not in p, p
+    results.append(("quality_classify", "perplexity-proxy features fold "
+                    "per-row: zero exchanges, no groupBy"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"

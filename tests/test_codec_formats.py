@@ -107,6 +107,42 @@ def test_parse_cef(spark):
     assert r.cef_missing is None
 
 
+def test_parse_evtx_roundtrip(spark):
+    """Pack→parse roundtrip across a multi-chunk EVTX container: record
+    ids, FILETIME microseconds and payload bytes all survive exactly;
+    chunk walking follows the 64 KiB layout."""
+    import hashlib
+    from nifi_spark.operators import build_evtx, parse_evtx
+    recs = [(i, 1_600_000_000_000_000 + i * 7,
+             f"rec-{i}".encode() * (i % 40 + 1)) for i in range(1, 601)]
+    blob = build_evtx(recs)
+    assert len(blob) > 4096 + 65536  # forces the multi-chunk path
+    df = spark.createDataFrame([(1, blob)], "fid long, content binary")
+    out = {r.record_id: r for r in
+           parse_evtx(df, "content", id_col="fid").collect()}
+    assert len(out) == 600
+    for rid, us, payload in recs:
+        r = out[rid]
+        assert r.record_time_us == us
+        assert r.payload_len == len(payload)
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+        assert r.src_id == 1
+    assert max(r.chunk_index for r in out.values()) >= 1
+
+
+def test_parse_evtx_bad_magic_and_stub_seam(spark):
+    from pyspark.errors import PythonException
+    from nifi_spark.operators import build_evtx, parse_evtx
+    bad = spark.createDataFrame([(1, b"not an evtx blob at all")],
+                                "fid long, content binary")
+    with pytest.raises(PythonException, match="bad magic"):
+        parse_evtx(bad, "content").collect()
+    ok = spark.createDataFrame(
+        [(1, build_evtx([(1, 1_000_000, b"x")]))], "fid long, content binary")
+    with pytest.raises(PythonException, match="BinXML decode"):
+        parse_evtx(ok, "content", decode_stub=False).collect()
+
+
 def test_identify_mime_type(spark):
     rows = [(1, bytearray(b"\x89PNG\r\n\x1a\nrest")),
             (2, bytearray(b"\xff\xd8\xff\xe0jpeg")),
