@@ -635,6 +635,46 @@ def q_parse_evtx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "payload_len", "payload_md5")
 
 
+def q_transform_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformXml rules (drop/rename/promote/wrap) applied to XML
+    synthesized from events, then re-extracted JVM-side with
+    xpath_string: the recovered values must equal the source columns,
+    and the dropped element must be gone."""
+    from nifi_spark.operators import transform_xml
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(F.lit('<rec id="'), F.col("event_id").cast("string"),
+                   F.lit('"><t>'), F.col("event_type"),
+                   F.lit('</t><debug>x</debug></rec>'))
+    t = transform_xml(ev.select("event_id", xml.alias("content")),
+                      "content", [
+                          {"op": "drop", "match": ".//debug"},
+                          {"op": "rename", "match": "./t", "to": "etype"},
+                          {"op": "promote_attr", "match": ".", "attr": "id",
+                           "child": "eid"},
+                          {"op": "wrap", "tag": "envelope"},
+                      ])
+    return t.select(
+        "event_id",
+        F.xpath_string("content", F.lit("/envelope/rec/eid")).alias("eid"),
+        F.xpath_string("content", F.lit("/envelope/rec/etype")).alias("etype"),
+        F.col("content").contains("<debug>").alias("has_debug"))
+
+
+def q_xquery_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EvaluateXQuery path-expression core: multi-match extraction into
+    an array (JVM xpath), recovered values equal the source columns."""
+    from nifi_spark.operators import evaluate_xquery
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(F.lit("<e><u>"), F.col("user_id").cast("string"),
+                   F.lit("</u><u>"), (F.col("user_id") + 1).cast("string"),
+                   F.lit("</u></e>"))
+    q = evaluate_xquery(ev.select("event_id", xml.alias("content")),
+                        "content", {"us": "/e/u/text()"})
+    return q.select("event_id", F.size("us").alias("n_u"),
+                    F.element_at("us", 1).alias("first_u"),
+                    F.element_at("us", 2).alias("second_u"))
+
+
 def q_scan_attribute_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ScanAttribute: dictionary membership on an attribute column
     (broadcast semi/anti join), matched + unmatched counts per term."""
@@ -1522,6 +1562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_syslog_route": q_parse_syslog_route,
         "parse_cef_route": q_parse_cef_route,
         "parse_evtx_records": q_parse_evtx_records,
+        "transform_xml_roundtrip": q_transform_xml_roundtrip,
+        "xquery_extract": q_xquery_extract,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
@@ -1803,6 +1845,16 @@ FROM events WHERE event_id % 17 = 0
         "parse_evtx_records": """
 SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
        strlen(props) AS payload_len, md5(props) AS payload_md5
+FROM events
+""",
+        "transform_xml_roundtrip": """
+SELECT event_id, event_id::VARCHAR AS eid, event_type AS etype,
+       FALSE AS has_debug
+FROM events
+""",
+        "xquery_extract": """
+SELECT event_id, 2 AS n_u, user_id::VARCHAR AS first_u,
+       (user_id + 1)::VARCHAR AS second_u
 FROM events
 """,
         "identify_mime": """

@@ -36,6 +36,7 @@ from nifi_spark.operators.formats import (avro_available, convert_format,
                                           convert_schema, infer_ddl)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.evtx import build_evtx, parse_evtx
+from nifi_spark.operators.xml_transform import evaluate_xquery, transform_xml
 from nifi_spark.operators.distribute import (distribute_load, enforce_order,
                                              prioritize, salt_keys)
 from nifi_spark.operators.rate import control_rate, monitor_activity
@@ -56,6 +57,7 @@ __all__ = [
     "avro_available", "convert_format", "convert_schema", "infer_ddl",
     "detect_duplicate", "latest_wins",
     "build_evtx", "parse_evtx",
+    "evaluate_xquery", "transform_xml",
     "distribute_load", "enforce_order", "prioritize", "salt_keys",
     "control_rate",
     "monitor_activity",

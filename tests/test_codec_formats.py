@@ -143,6 +143,50 @@ def test_parse_evtx_bad_magic_and_stub_seam(spark):
         parse_evtx(ok, "content", decode_stub=False).collect()
 
 
+def test_transform_xml_rules(spark):
+    from nifi_spark.operators import transform_xml
+    xml = ('<rec id="7"><debug>x</debug><old>v1</old>'
+           '<nest><old>v2</old></nest></rec>')
+    df = spark.createDataFrame([(1, xml), (2, "<broken")],
+                               "id long, content string")
+    out = {r.id: r.content for r in transform_xml(df, "content", [
+        {"op": "drop", "match": ".//debug"},
+        {"op": "rename", "match": ".//old", "to": "new"},
+        {"op": "promote_attr", "match": ".", "attr": "id", "child": "rid"},
+        {"op": "wrap", "tag": "envelope"},
+    ]).collect()}
+    assert out[2] is None                       # malformed → NULL
+    t = out[1]
+    assert t.startswith("<envelope><rec>")
+    assert "<debug>" not in t and "<old>" not in t
+    assert t.count("<new>") == 2 and "<rid>7</rid>" in t
+
+
+def test_transform_xml_xslt_seam_and_bad_rule(spark):
+    from nifi_spark.operators import transform_xml
+    df = spark.createDataFrame([(1, "<a/>")], "id long, content string")
+    with pytest.raises(NotImplementedError, match="XSLT"):
+        transform_xml(df, "content", stylesheet="<xsl:stylesheet/>")
+    with pytest.raises(ValueError, match="unknown transform op"):
+        transform_xml(df, "content", [{"op": "explode"}])
+
+
+def test_evaluate_xquery_paths_and_flwor_seam(spark):
+    from nifi_spark.operators import evaluate_xquery
+    xml = "<o><i><n>a</n></i><i><n>b</n></i></o>"
+    df = spark.createDataFrame([(1, xml)], "id long, content string")
+    r = evaluate_xquery(df, "content",
+                        {"names": "/o/i/n/text()"}).collect()[0]
+    assert list(r.names) == ["a", "b"]
+    first = evaluate_xquery(df, "content",
+                            {"first": "/o/i/n", "count": "count(/o/i)"},
+                            first_only=True).collect()[0]
+    assert first.first == "a" and first["count"] in ("2", "2.0")
+    with pytest.raises(NotImplementedError, match="FLWOR"):
+        evaluate_xquery(df, "content",
+                        {"q": 'for $i in /o/i return $i/n'})
+
+
 def test_identify_mime_type(spark):
     rows = [(1, bytearray(b"\x89PNG\r\n\x1a\nrest")),
             (2, bytearray(b"\xff\xd8\xff\xe0jpeg")),
