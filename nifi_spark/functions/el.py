@@ -14,6 +14,8 @@ function names read naturally:  EL.substringAfterLast(c, '/').
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 
 
@@ -182,6 +184,25 @@ class EL:
             out = term if out is None else (out & term)
         return out
 
+    # name-regex folds (AnyMatchingAttributeEvaluator.java /
+    # AllMatchingAttributesEvaluator.java; lexer :98-99). NiFi resolves
+    # the attribute-name regex against the FlowFile's attribute map at
+    # eval time; our analog resolves it against df.columns at plan time,
+    # then folds like any/allAttributes.
+    @staticmethod
+    def anyMatchingAttribute(df, name_regex, pred):
+        cols = [c for c in df.columns if re.fullmatch(name_regex, c)]
+        if not cols:
+            return F.lit(False)
+        return EL.anyAttribute(pred, *cols)
+
+    @staticmethod
+    def allMatchingAttributes(df, name_regex, pred):
+        cols = [c for c in df.columns if re.fullmatch(name_regex, c)]
+        if not cols:
+            return F.lit(False)
+        return EL.allAttributes(pred, *cols)
+
     # null handling (lexer :117-119, 152-153)
     @staticmethod
     def isNull(c): return _c(c).isNull()
@@ -252,3 +273,78 @@ class EL:
     def urlEncode(c): return F.url_encode(_c(c))
     @staticmethod
     def urlDecode(c): return F.url_decode(_c(c))
+
+    # boolean combinators (lexer :124,172-173; AndEvaluator/OrEvaluator/
+    # NotEvaluator.java) — thin wrappers so EL-style call chains read as
+    # EL.and_(a, b) without importing Column operators
+    @staticmethod
+    def and_(*preds):
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    @staticmethod
+    def or_(*preds):
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+    @staticmethod
+    def not_(pred): return ~pred
+
+    # attribute access + conversion (AttributeEvaluator.java,
+    # ToStringEvaluator.java, NumberToDateEvaluator.java)
+    @staticmethod
+    def attribute(name): return F.col(name)
+    @staticmethod
+    def toString(c): return _c(c).cast("string")
+    @staticmethod
+    def numberToDate(c):
+        # NiFi: epoch millis → Date (NumberToDateEvaluator.java)
+        return F.timestamp_millis(_c(c).cast("long"))
+
+    # base64 over attribute strings (Base64EncodeEvaluator/
+    # Base64DecodeEvaluator.java; content-column codecs live in
+    # operators/codec.py)
+    @staticmethod
+    def base64Encode(c): return F.base64(_c(c).cast("binary"))
+    @staticmethod
+    def base64Decode(c): return F.unbase64(_c(c)).cast("string")
+
+    # substringBeforeLast (SubstringBeforeLastEvaluator.java:45-52:
+    # whole subject when absent — substring_index already does that)
+    @staticmethod
+    def substringBeforeLast(c, sep):
+        col = _c(c)
+        pos = F.length(col) - F.length(F.substring_index(col, sep, -1))
+        return F.when(pos > 0, col.substr(F.lit(1), pos - len(sep))
+                      ).otherwise(col)
+
+    # math("op") → java.lang.Math dispatch (MathEvaluator.java); the
+    # Catalyst builtins cover the Math surface NiFi exposes
+    _MATH = {"sqrt": F.sqrt, "abs": F.abs, "ceil": F.ceil,
+             "floor": F.floor, "exp": F.exp, "log": F.log, "log10": F.log10,
+             "sin": F.sin, "cos": F.cos, "tan": F.tan, "signum": F.signum,
+             "cbrt": F.cbrt, "rint": F.rint, "toDegrees": F.degrees,
+             "toRadians": F.radians}
+    @staticmethod
+    def math(op, c, arg=None):
+        if op == "pow":
+            return F.pow(_c(c), arg)
+        if op == "max":
+            return F.greatest(_c(c), F.lit(arg))
+        if op == "min":
+            return F.least(_c(c), F.lit(arg))
+        fn = EL._MATH.get(op)
+        if fn is None:
+            raise ValueError(f"unsupported math op: {op!r}")
+        return fn(_c(c))
+
+
+# EL names that are Python keywords or differ from the evaluator class
+# name, exposed under their NiFi spellings for grammar-level parity
+# (AttributeExpressionLexer.g tokens `in`, `format`, `count`).
+setattr(EL, "in", EL.isIn)
+setattr(EL, "format", EL.formatDate)
+EL.oneUpSequence = EL.nextInt            # OneUpSequenceEvaluator.java
+EL.count = staticmethod(lambda c: F.count(_c(c)))  # CountEvaluator (agg)

@@ -107,6 +107,67 @@ def test_update_columns_and_el(files):
     assert "priority" not in pdf.columns
 
 
+def test_el_extended_surface(files):
+    """Round-2 EL additions: boolean combinators, math dispatch,
+    substringBeforeLast, attribute base64, numberToDate, NiFi-spelled
+    aliases (lexer :104-188; MathEvaluator.java,
+    SubstringBeforeLastEvaluator.java:45-52)."""
+    out = update_columns(files, {
+        "both": EL.and_(EL.startsWith("path", "a"), EL.equals("lang", "python")),
+        "either": EL.or_(EL.equals("lang", "java"), EL.equals("lang", "markdown")),
+        "neg": EL.not_(EL.contains("content", "todo")),
+        "dir_part": EL.substringBeforeLast("path", "."),
+        "b64": EL.base64Decode(EL.base64Encode("lang")),
+        "prio_sq": EL.math("pow", "priority", 2),
+        "prio_abs": EL.math("abs", EL.minus("priority", 5)),
+        "prio_max": EL.math("max", "priority", 4),
+        "as_str": EL.toString("priority"),
+        "ts": EL.numberToDate(EL.multiply("priority", 1000)),
+    })
+    pdf = out.toPandas().set_index("name")
+    assert bool(pdf.loc["f1", "both"]) and not bool(pdf.loc["f2", "both"])
+    assert bool(pdf.loc["f2", "either"]) and not bool(pdf.loc["f1", "either"])
+    assert not bool(pdf.loc["f2", "neg"]) and bool(pdf.loc["f1", "neg"])
+    assert pdf.loc["f1", "dir_part"] == "a"
+    assert pdf.loc["f2", "b64"] == "java"
+    assert pdf.loc["f2", "prio_sq"] == 49.0
+    assert pdf.loc["f3", "prio_abs"] == 4
+    assert pdf.loc["f3", "prio_max"] == 4 and pdf.loc["f2", "prio_max"] == 7
+    assert pdf.loc["f4", "as_str"] == "9"
+    assert pdf.loc["f2", "ts"].isoformat().startswith("1970-01-01T00:00:07")
+    with pytest.raises(ValueError):
+        EL.math("nope", "priority")
+
+
+def test_el_substring_before_last_absent_and_aliases(files):
+    out = update_columns(files, {
+        "whole": EL.substringBeforeLast("lang", "/"),   # sep absent → subject
+        "in_set": getattr(EL, "in")("lang", "python", "go"),
+        "fmt": getattr(EL, "format")(EL.numberToDate(F.lit(0)), "yyyy-MM-dd"),
+    })
+    pdf = out.toPandas().set_index("name")
+    assert pdf.loc["f2", "whole"] == "java"
+    assert bool(pdf.loc["f1", "in_set"]) and not bool(pdf.loc["f2", "in_set"])
+    assert pdf.loc["f1", "fmt"] == "1970-01-01"
+    # aggregate alias: count (CountEvaluator)
+    assert files.agg(EL.count("name").alias("n")).collect()[0]["n"] == 4
+
+
+def test_el_matching_attribute_folds(files):
+    out = update_columns(files, {
+        "any_txt": EL.anyMatchingAttribute(
+            files, "(lang|content)", lambda c: F.contains(c, F.lit("todo"))),
+        "all_nonempty": EL.allMatchingAttributes(
+            files, "(name|path)", lambda c: F.length(c) > 0),
+        "no_match": EL.anyMatchingAttribute(
+            files, "zzz.*", lambda c: F.lit(True)),
+    })
+    pdf = out.toPandas().set_index("name")
+    assert bool(pdf.loc["f2", "any_txt"]) and not bool(pdf.loc["f1", "any_txt"])
+    assert bool(pdf.loc["f1", "all_nonempty"])
+    assert not bool(pdf.loc["f1", "no_match"])
+
+
 def test_update_with_rules(files):
     out = update_with_rules(files, [
         (F.col("lang") == "python", {"tier": F.lit("first")}),
