@@ -1151,6 +1151,69 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         exact=True)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH scale path (banded
+    hyperplane OR-construction — no cross product; the brute-force
+    sibling is cosine_pairs). exact=True: decimal folds, bit-identical
+    to the generated DuckDB oracle. Threshold 0.35 sits at ~p99.9 of
+    the synthetic corpus's cosine distribution so the row set is
+    nonempty but small."""
+    from nifi_spark.datalib import embedding_near_dup_pairs
+    embs = _t(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()[0])
+    return embedding_near_dup_pairs(embs, "vec_id", "embedding", dim,
+                                    threshold=0.35, bands=8, band_bits=2,
+                                    exact=True)
+
+
+def _emb_near_dup_sql(dim: int = 64, bands: int = 8, band_bits: int = 2,
+                      threshold: float = 0.35) -> str:
+    from nifi_spark.datalib.similarity import _hyperplanes
+    planes = _hyperplanes(dim, bands * band_bits)
+
+    def arr(hp):
+        return ("[" + ", ".join("1.0" if c > 0 else "-1.0" for c in hp)
+                + "]::DOUBLE[]")
+
+    sig_terms = "\n         + ".join(
+        f"(CASE WHEN sum((x * ({arr(hp)})[pos])::DECIMAL(38,18)) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, hp in enumerate(planes))
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, ({sig_terms})::INT AS s
+  FROM ex GROUP BY vec_id),
+banded AS (
+  SELECT vec_id, t.b AS b, (s >> (t.b * {band_bits})) & {mask} AS v
+  FROM sig, range({bands}) t(b)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM banded a JOIN banded c
+    ON a.b = c.b AND a.v = c.v AND a.vec_id < c.vec_id),
+norms AS (
+  SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
+dots AS (
+  SELECT cand.id_a, cand.id_b, sum((a.x * b.x)::DECIMAL(38,18)) AS dot
+  FROM cand
+  JOIN ex a ON a.vec_id = cand.id_a
+  JOIN ex b ON b.vec_id = cand.id_b AND b.pos = a.pos
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b,
+         round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 6)
+           AS cosine
+  FROM dots
+  JOIN norms na ON na.vec_id = id_a
+  JOIN norms nb ON nb.vec_id = id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+"""
+
+
 def _lsh_ann_sql(dim: int = 64, bits: int = 8, k: int = 5) -> str:
     from nifi_spark.datalib.similarity import _hyperplanes
     planes = _hyperplanes(dim, bits)
@@ -1600,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exact": q_ann_topk_exact,
         "cosine_pairs": q_cosine_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -2175,6 +2239,7 @@ FROM documents
         "ann_topk_exact": _ANN_EXACT_SQL,
         "cosine_pairs": _COSINE_PAIRS_SQL,
         "lsh_ann_topk": _lsh_ann_sql(64, 8, 5),
+        "embedding_near_dup": _emb_near_dup_sql(64, 8, 2, 0.35),
         "ivf_ann_topk": _ivf_ann_sql(32, 3, 5),
         "multimodal_features": """
 SELECT doc_id, 'image' AS kind,

@@ -232,6 +232,104 @@ def _hyperplanes(dim: int, bits: int) -> list[list[float]]:
              for i in range(dim)] for b in range(bits)]
 
 
+def _sig_expr(vec, planes, exact: bool):
+    """len(planes)-bit hyperplane signature as an int column: bit b set
+    iff dot(vec, planes[b]) >= 0. exact=True folds in decimal(38,18)
+    (bit-stable vs a SQL oracle); the double fold is the throughput
+    shape. Whole expression is one narrow JVM-side projection."""
+    DEC = "decimal(38,18)"
+    v = F.transform(vec, lambda x: x.cast("double"))
+    bitcols = []
+    for bi, hp in enumerate(planes):
+        hp_arr = F.array(*[F.lit(c) for c in hp])
+        if exact:
+            # re-cast each step: decimal(38,18)+decimal(38,18) widens
+            # to (38,17) under Spark's precision rules; every term
+            # has <=18 dp so the cast is lossless
+            dot = F.aggregate(
+                F.zip_with(v, hp_arr, lambda x, h: (x * h).cast(DEC)),
+                F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
+            bitcols.append(F.when(dot >= F.lit(0).cast(DEC), 1 << bi)
+                           .otherwise(0))
+        else:
+            dot = F.aggregate(
+                F.zip_with(v, hp_arr, lambda x, h: x * h),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bitcols.append(F.when(dot >= 0, 1 << bi).otherwise(0))
+    s = bitcols[0]
+    for c in bitcols[1:]:
+        s = s + c
+    return s.cast("int")
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             dim: int, threshold: float = 0.9,
+                             bands: int = 4, band_bits: int = 4,
+                             exact: bool = False) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale — the LSH sibling
+    of the brute-force cosine_pairs (which cross-joins: fine as an
+    oracle, quadratic in production).
+
+    Banded OR-construction over random-hyperplane bits (the SimHash /
+    MinHash-band pattern applied to embeddings): each vector gets
+    bands·band_bits hyperplane bits; two vectors are CANDIDATES when at
+    least one full band of bits matches; exact cosine then filters
+    candidates to >= threshold, so precision is exact and only recall is
+    approximate. Per-bit collision at angle θ is 1-θ/π, so recall ≈
+    1-(1-(1-θ/π)^band_bits)^bands — at cosine 0.9 with 4×4 that's ~0.95,
+    and rises toward 1 for the tighter thresholds dedup actually uses.
+
+    Plan shape: one narrow projection computes the signature, explode to
+    `bands` rows per vector, shuffle on (band, value) — the same
+    linear-candidate bucket join as minhash_lsh_pairs; no cross product
+    anywhere. Returns (id_a < id_b, cosine) undirected pairs; feed into
+    near_dup_clusters(pairs=...) for keep/drop sets.
+    """
+    bits = bands * band_bits
+    planes = _hyperplanes(dim, bits)
+    mask = (1 << band_bits) - 1
+    sig = _sig_expr(F.col(vec_col), planes, exact)
+    banded = df.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).alias("_v"),
+                       F.explode(F.array(*[
+                           F.struct(
+                               F.lit(b).alias("b"),
+                               F.shiftright(sig, b * band_bits)
+                               .bitwiseAND(F.lit(mask)).alias("v"))
+                           for b in range(bands)])).alias("_band"))
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                      "_band")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                      "_band")
+    cand = (a.join(b, "_band").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    dv = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    if exact:
+        va = (df.select(F.col(id_col).alias("id_a"),
+                        dv(F.col(vec_col)).alias("va"))
+              .withColumn("nsq_a", _dot_dec(F.col("va"), F.col("va"))))
+        vb = (df.select(F.col(id_col).alias("id_b"),
+                        dv(F.col(vec_col)).alias("vb"))
+              .withColumn("nsq_b", _dot_dec(F.col("vb"), F.col("vb"))))
+        scored = (cand.join(va, "id_a").join(vb, "id_b")
+                  .withColumn("cosine",
+                              F.round(_dot_dec(F.col("va"), F.col("vb"))
+                                      .cast("double")
+                                      / (F.sqrt(F.col("nsq_a").cast("double"))
+                                         * F.sqrt(F.col("nsq_b")
+                                                  .cast("double"))), 6)))
+    else:
+        va = df.select(F.col(id_col).alias("id_a"),
+                       dv(F.col(vec_col)).alias("va"))
+        vb = df.select(F.col(id_col).alias("id_b"),
+                       dv(F.col(vec_col)).alias("vb"))
+        scored = (cand.join(va, "id_a").join(vb, "id_b")
+                  .withColumn("cosine",
+                              F.round(cosine(F.col("va"), F.col("vb")), 6)))
+    return (scored.filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
                  k: int = 5, bits: int | None = None,
                  queries: DataFrame | None = None,
@@ -260,31 +358,9 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
         n = n_hint if n_hint is not None else df.count()
         bits = min(24, max(8, math.ceil(math.log2(max(n, 2) / target_bucket))))
     planes = _hyperplanes(dim, bits)
-    DEC = "decimal(38,18)"
 
     def sig_col(vec):
-        v = F.transform(vec, lambda x: x.cast("double"))
-        bitcols = []
-        for bi, hp in enumerate(planes):
-            hp_arr = F.array(*[F.lit(c) for c in hp])
-            if exact:
-                # re-cast each step: decimal(38,18)+decimal(38,18) widens
-                # to (38,17) under Spark's precision rules; every term
-                # has <=18 dp so the cast is lossless
-                dot = F.aggregate(
-                    F.zip_with(v, hp_arr, lambda x, h: (x * h).cast(DEC)),
-                    F.lit(0).cast(DEC), lambda acc, x: (acc + x).cast(DEC))
-                bitcols.append(F.when(dot >= F.lit(0).cast(DEC), 1 << bi)
-                               .otherwise(0))
-            else:
-                dot = F.aggregate(
-                    F.zip_with(v, hp_arr, lambda x, h: x * h),
-                    F.lit(0.0), lambda acc, x: acc + x)
-                bitcols.append(F.when(dot >= 0, 1 << bi).otherwise(0))
-        s = bitcols[0]
-        for c in bitcols[1:]:
-            s = s + c
-        return s.cast("int")
+        return _sig_expr(vec, planes, exact)
 
     cand = df.withColumn("_sig", sig_col(F.col(vec_col)))
     q = (queries if queries is not None else df).withColumn(

@@ -168,6 +168,41 @@ def test_lsh_ann_recall(embs):
     assert hits / len(top1_exact) >= 0.5, f"recall {hits}/{len(top1_exact)}"
 
 
+def test_embedding_near_dup_planted(embs, spark):
+    """Plant near-duplicates (tiny perturbations of base vectors) and
+    check the LSH path finds them: at cosine ≈ 1 every hyperplane band
+    matches, so planted recall should be ~100%; precision is exact by
+    construction (candidates are re-filtered by true cosine)."""
+    from nifi_spark.datalib import embedding_near_dup_pairs, near_dup_clusters
+    base = embs.limit(40).toPandas()
+    rows, planted = [], []
+    for r in base.itertuples():
+        rows.append((r.vec_id, [float(x) for x in r.embedding]))
+        if r.vec_id % 4 == 0:  # plant a near-dup for every 4th vector
+            dup_id = r.vec_id + 100000
+            rows.append((dup_id,
+                         [float(x) + 0.001 * ((i % 3) - 1)
+                          for i, x in enumerate(r.embedding)]))
+            planted.append((r.vec_id, dup_id))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_pairs(df, "vec_id", "embedding", dim=64,
+                                   threshold=0.999).toPandas()
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert set(planted) <= got_pairs, set(planted) - got_pairs
+    # precision: brute force at the same threshold is the truth set
+    bf = cosine_pairs(df, "vec_id", "embedding", threshold=0.999).toPandas()
+    assert got_pairs <= {(r.id_a, r.id_b) for r in bf.itertuples()}
+    # composition: clusters keep one canonical doc per planted pair
+    cl = near_dup_clusters(df, "vec_id", "embedding",
+                           pairs=embedding_near_dup_pairs(
+                               df, "vec_id", "embedding", dim=64,
+                               threshold=0.999)).toPandas()
+    for orig, dup in planted:
+        sub = cl[cl["cluster_id"] == orig]
+        assert set(sub["vec_id"]) >= {orig, dup}
+        assert sub[sub["keep"]]["vec_id"].tolist() == [orig]
+
+
 # ---------------- text ----------------
 
 def test_token_stats_vs_python(docs, docs_pd):
