@@ -778,6 +778,32 @@ def q_el_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rf_md5", F.md5(F.col("rf_md5_src"))).drop("rf_md5_src")
 
 
+def q_el_math_date_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 EL additions under the gate: math() dispatch
+    (MathEvaluator.java), substringBeforeLast
+    (SubstringBeforeLastEvaluator.java:45-52), numberToDate + format
+    (NumberToDateEvaluator.java), attribute base64
+    (Base64Encode/DecodeEvaluator.java), boolean combinators
+    (And/Or/NotEvaluator.java)."""
+    from nifi_spark.functions.el import EL
+    docs = _t(spark, sf_dir, "documents")
+    L = EL.length("text")
+    # ANSI mode: int32 * 86400000 overflows — widen first
+    day_ms = EL.multiply(EL.plus(EL.mod(L, 1000), 1).cast("bigint"), 86400000)
+    return docs.select(
+        "doc_id",
+        EL.math("sqrt", L).alias("sqrt_len"),
+        EL.math("pow", EL.mod(L, 7), 2).alias("pow_mod"),
+        EL.math("min", L, 100).alias("min_len"),
+        EL.and_(EL.gt(L, 50),
+                EL.not_(EL.isEmpty("lang"))).alias("long_and_lang"),
+        F.md5(EL.substringBeforeLast("text", " ")).alias("before_last_md5"),
+        EL.base64Encode("lang").alias("lang_b64"),
+        EL.base64Decode(EL.base64Encode("source")).alias("src_rt"),
+        getattr(EL, "format")(EL.numberToDate(day_ms),
+                              "yyyy-MM-dd").alias("day"))
+
+
 def q_bin_assign_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MergeContent bin thresholds: byte+row-capped bin assignment per
     correlation group (documents by source), per-bin stats."""
@@ -1636,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_convert_orc": q_format_convert_orc,
         "convert_schema_map": q_convert_schema_map,
         "el_functions_extended": q_el_functions_extended,
+        "el_math_date_b64": q_el_math_date_b64,
         "distribute_load_weighted": q_distribute_load_weighted,
         "control_rate_batches": q_control_rate_batches,
         "salted_hot_key_agg": q_salted_hot_key_agg,
@@ -1963,6 +1990,28 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
 SELECT doc_id::VARCHAR AS doc_id, lang AS language, source AS origin,
        'v2' AS schema_ver
 FROM documents
+""",
+        "el_math_date_b64": """
+WITH base AS (
+  SELECT doc_id, text, lang, source, length(text) AS L,
+         string_split(text, ' ') AS sp
+  FROM documents)
+SELECT doc_id,
+       sqrt(L) AS sqrt_len,
+       power(L % 7, 2) AS pow_mod,
+       least(L, 100) AS min_len,
+       (L > 50) AND NOT (length(trim(lang)) = 0
+                         OR lang IS NULL) AS long_and_lang,
+       md5(CASE WHEN contains(text, ' ')
+                THEN substr(text, 1,
+                            length(text)
+                            - length(list_extract(sp, len(sp))) - 1)
+                ELSE text END) AS before_last_md5,
+       to_base64(encode(lang)) AS lang_b64,
+       source AS src_rt,
+       strftime(epoch_ms(((L % 1000) + 1) * 86400000::BIGINT),
+                '%Y-%m-%d') AS day
+FROM base
 """,
         "el_functions_extended": """
 WITH base AS (
