@@ -1107,7 +1107,7 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return token_stats(docs, "text").select(
         "doc_id", "n_chars", "n_tokens", "n_distinct_tokens", "n_punct",
-        "n_subwords_est")
+        "n_pretokens", "n_subwords_est")
 
 
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2184,6 +2184,9 @@ WITH t AS (
 SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
        len(list_distinct(toks)) AS n_distinct_tokens,
        len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+         AS n_pretokens,
        ceil(length(text) / 4)::BIGINT AS n_subwords_est
 FROM t
 """,

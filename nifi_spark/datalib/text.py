@@ -36,9 +36,21 @@ def _ws_tokens(text_col):
     return F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
 
 
+# GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
+# runs, symbol runs, whitespace runs — each match is one pre-token, the
+# unit BPE merges operate inside). Kept to the syntax subset shared by
+# Java regex (Spark) and RE2 (DuckDB): \p{L}/\p{N} classes, alternation,
+# NO lookahead — the canonical pattern's `\s+(?!\S)` trailing-space
+# branch is dropped (RE2 has no lookahead), which only changes how runs
+# of spaces split, not the count semantics we expose.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n_chars, whitespace-token count, distinct tokens, BPE-ish subword
-    estimate (tokens × mean-token-length/4 heuristic), punct count."""
+    """n_chars, whitespace-token count, distinct tokens, BPE-ish counts:
+    n_pretokens = GPT-2-style pre-tokenizer regex matches (the real
+    pre-BPE unit), n_subwords_est = chars/4 (the usual quick budget
+    heuristic), punct count."""
     toks = _ws_tokens(text_col)
     n_punct = F.size(F.filter(F.split(F.col(text_col), ""),
                               lambda ch: ch.rlike("[^a-zA-Z0-9\\s]")))
@@ -47,6 +59,9 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         "n_tokens": F.size(toks),
         "n_distinct_tokens": F.size(F.array_distinct(toks)),
         "n_punct": n_punct,
+        "n_pretokens": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE),
+                                 F.lit(0))),
         "n_subwords_est": F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long"),
     })
 

@@ -215,6 +215,25 @@ def test_token_stats_vs_python(docs, docs_pd):
         assert row["n_chars"] == len(text)
 
 
+def test_bpe_pretoken_count_vs_python(spark):
+    """n_pretokens matches Python re over the ASCII-equivalent of the
+    GPT-2-style pattern on constructed strings (Unicode-class parity
+    over the real mixed-lang corpus is proven bit-exact by the
+    text_token_stats DuckDB gate row — Java regex vs RE2)."""
+    import re as _re
+    pat = _re.compile(
+        r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+    samples = ["it's 2024, ok!!", "don't stop-believing 99 times...",
+               "  leading space", "CamelCase42mix", "a", "", "!?!?"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "doc_id long, text string")
+    got = token_stats(df).toPandas().set_index("doc_id")
+    for i, s in enumerate(samples):
+        assert got.loc[i, "n_pretokens"] == len(pat.findall(s)), (i, s)
+    # known shape: it|'s| 2024|,| ok|!! → 6 pre-tokens
+    assert got.loc[0, "n_pretokens"] == 6
+
+
 def test_quality_and_langid(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and the dog ran to the park"),
