@@ -169,6 +169,19 @@ def main():
     results.append(("quality_classify", "perplexity-proxy features fold "
                     "per-row: zero exchanges, no groupBy"))
 
+    # ---- 2e. embedding near-dup: bucket join, never a cross product ----
+    from nifi_spark.datalib import embedding_near_dup_pairs
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>")
+    p = plan_of(embedding_near_dup_pairs(emb, "vec_id", "embedding", dim=8))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p \
+        or "BroadcastHashJoin" in p, p
+    results.append(("embedding_near_dup", "banded-LSH candidate generation "
+                    "is an equi-join on (band, value) — no cross product "
+                    "anywhere in the plan"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"
