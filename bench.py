@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "embedding_near_dup",
     "dedup_near_clusters",
     "multimodal_features",
     "scan_content",
@@ -141,7 +142,20 @@ def _bench_overrides() -> dict:
         return ivf_ann_topk(embs, "vec_id", "embedding", k=5,
                             sample_mod=32, nprobe=3)
 
-    return {"lsh_ann_topk": lsh_double, "ivf_ann_topk": ivf_double}
+    def near_dup_double(spark, sf_dir):
+        # production shape: tight dedup threshold, 4×8-bit bands (the
+        # gate row instead uses loose 8×2 so the synthetic near-orthogonal
+        # corpus yields a nonempty oracle-checkable row set — that
+        # parameterization makes ~all pairs candidates and is a
+        # correctness shape, not a throughput shape)
+        from nifi_spark.datalib import embedding_near_dup_pairs
+        embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        dim = len(embs.select("embedding").first()[0])
+        return embedding_near_dup_pairs(embs, "vec_id", "embedding", dim,
+                                        threshold=0.9, bands=4, band_bits=8)
+
+    return {"lsh_ann_topk": lsh_double, "ivf_ann_topk": ivf_double,
+            "embedding_near_dup": near_dup_double}
 
 
 def main() -> None:

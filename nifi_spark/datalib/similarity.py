@@ -256,10 +256,10 @@ def _sig_expr(vec, planes, exact: bool):
                 F.zip_with(v, hp_arr, lambda x, h: x * h),
                 F.lit(0.0), lambda acc, x: acc + x)
             bitcols.append(F.when(dot >= 0, 1 << bi).otherwise(0))
-    s = bitcols[0]
+    s = bitcols[0].cast("long")
     for c in bitcols[1:]:
         s = s + c
-    return s.cast("int")
+    return s.cast("long")  # bigint: bit 31 overflows int when bits >= 32
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
