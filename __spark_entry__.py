@@ -1617,6 +1617,150 @@ def q_control_rate_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("hi"))
 
 
+def q_split_text_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitText: one row per whitespace-separated token with the NiFi
+    fragment contract (index/count)."""
+    from nifi_spark.operators import split_text
+    docs = _t(spark, sf_dir, "documents")
+    out = split_text(docs.select("doc_id", F.col("text").alias("content")),
+                     "content", sep=" ", id_cols=["doc_id"])
+    return out.select("doc_id", "fragment_index", "fragment",
+                      "fragment_count")
+
+
+def q_global_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition monotonic numbering WITHOUT a global single-task
+    sort (range partition + per-partition offsets)."""
+    from nifi_spark.operators import global_sequence
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    out, _ = global_sequence(ev, "event_id")
+    return out.select("event_id", "seq")
+
+
+def q_stateful_counter_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """@Stateful UpdateAttribute counter: numbering CONTINUES across two
+    batches through the KVState checkpoint (batch 1 = even event_ids,
+    batch 2 = odd; batch 2 starts where batch 1 ended)."""
+    import tempfile
+
+    from nifi_spark.ledger import KVState
+    from nifi_spark.operators import stateful_counter
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    state = KVState(tempfile.mkdtemp(prefix="ctr_gate_"))
+    b1 = stateful_counter(ev.filter(F.col("event_id") % 2 == 0), state,
+                          "ctr", "event_id")
+    b2 = stateful_counter(ev.filter(F.col("event_id") % 2 == 1), state,
+                          "ctr", "event_id")
+    return b1.unionByName(b2).select("event_id", "seq")
+
+
+def q_fetch_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GenerateTableFetch analog: quantile-based parallel-fetch ranges.
+    The gate asserts the plan's contract — expected partition count and
+    total/disjoint coverage (every row falls in exactly one range)."""
+    from nifi_spark.sources import plan_fetch_partitions
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    bounds = plan_fetch_partitions(ev, "event_id", rows_per_partition=1000)
+    part = None
+    for i, (lo, hi) in enumerate(bounds):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("event_id") > F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("event_id") <= F.lit(hi))
+        part = F.when(cond, i) if part is None else part.when(cond, i)
+    return (ev.withColumn("_part", part)
+            .agg(F.lit(len(bounds)).cast("long").alias("n_ranges"),
+                 F.count("_part").alias("rows_covered"),
+                 F.count(F.lit(1)).alias("rows_total")))
+
+
+def q_monitor_activity_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MonitorActivity: per-hour purchase counts over the complete hour
+    grid -> active / inactive / activity.restored markers (threshold 2
+    idle batches). The counts collect is one tiny row per batch — the
+    driver-side monitoring signal MonitorActivity itself is."""
+    from nifi_spark.operators import monitor_activity
+    ev = _t(spark, sf_dir, "events")
+    grid = (ev.agg(F.date_trunc("hour", F.min("ts")).alias("lo"),
+                   F.date_trunc("hour", F.max("ts")).alias("hi"))
+            .select(F.explode(F.sequence(
+                F.col("lo"), F.col("hi"),
+                F.expr("interval 1 hour"))).alias("h")))
+    cnt = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    rows = (grid.join(cnt, "h", "left")
+            .select(F.unix_micros("h").alias("h_ts"),
+                    F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+            .orderBy("h_ts").collect())
+    markers = monitor_activity([r.n for r in rows], inactive_after=2)
+    out = [(r.h_ts, r.n, m) for r, m in zip(rows, markers)]
+    return spark.createDataFrame(out, "h_ts long, n long, marker string")
+
+
+def q_list_file_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListFile semantics: mtime-watermark listing of the sf dir — first
+    pass lists every table file, a second pass from the committed
+    watermark lists nothing new (exactly-once listing contract)."""
+    import os
+
+    from nifi_spark.sources import list_new_files
+    first, wm = list_new_files(sf_dir, after_mtime=0, lag_seconds=0,
+                               suffix=".parquet")
+    second, _ = list_new_files(sf_dir, after_mtime=wm, lag_seconds=0,
+                               suffix=".parquet")
+    rows = [(os.path.basename(e["path"]), len(second)) for e in first]
+    return spark.createDataFrame(rows, "fname string, second_pass_new long")
+
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain extraction stats over synthesized link-bearing text
+    (link-density filter signal of a web-corpus pipeline)."""
+    from nifi_spark.datalib import url_stats
+    docs = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" see https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(" and https://site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example/q"))
+    return url_stats(docs.select("doc_id", txt.alias("text")),
+                     "doc_id", "text")
+
+
+def q_curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test decontamination: corpus docs sharing any word 3-gram
+    with the benchmark slice (doc_id % 41 == 0), benchmark shingle set
+    broadcast."""
+    from nifi_spark.datalib import benchmark_contamination
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    corpus = docs.filter(F.col("doc_id") % 41 != 0)
+    return benchmark_contamination(corpus, bench, "doc_id", "text", k=3)
+
+
+def q_curate_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split: per-split counts
+    plus a checksum of member ids (stability is the contract)."""
+    from nifi_spark.datalib import dataset_split
+    docs = _t(spark, sf_dir, "documents")
+    out = dataset_split(docs, "doc_id",
+                        weights={"train": 90, "val": 5, "test": 5})
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("doc_id")).cast("long").alias("id_sum"))
+
+
+def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota: keep <= 10 docs per source by the deterministic
+    hash lottery; returns the kept (source, doc_id) rows."""
+    from nifi_spark.datalib import cap_per_group
+    docs = _t(spark, sf_dir, "documents")
+    out = cap_per_group(docs, "source", "doc_id", n=10)
+    return out.select("source", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -1695,6 +1839,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "control_rate_grouped": q_control_rate_grouped,
+        "curate_contamination": q_curate_contamination,
+        "curate_dataset_split": q_curate_dataset_split,
+        "curate_domain_cap": q_curate_domain_cap,
+        "list_file_watermark": q_list_file_watermark,
+        "url_stats": q_url_stats,
+        "split_text_fragments": q_split_text_fragments,
+        "global_sequence": q_global_sequence,
+        "stateful_counter_resume": q_stateful_counter_resume,
+        "fetch_partition_plan": q_fetch_partition_plan,
+        "monitor_activity_markers": q_monitor_activity_markers,
     }
 
 
@@ -2318,6 +2472,109 @@ WITH t AS (
 SELECT user_id, batch_id, count(*) AS n,
        min(event_id) AS lo, max(event_id) AS hi
 FROM t GROUP BY 1, 2
+""",
+        "curate_contamination": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(words) >= 3 THEN
+             list_transform(range(1, len(words) - 1),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+           ELSE []::VARCHAR[] END)) AS shingle
+  FROM w),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 41 = 0)
+SELECT s.doc_id, count(*) AS n_shared
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 41 <> 0
+GROUP BY 1
+""",
+        "curate_dataset_split": """
+WITH t AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100)
+           AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+FROM t GROUP BY 1
+""",
+        "curate_domain_cap": """
+SELECT source, doc_id FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+) <= 10
+""",
+        "list_file_watermark": """
+SELECT t || '.parquet' AS fname, 0::BIGINT AS second_pass_new
+FROM (VALUES ('region'), ('nation'), ('customer'), ('supplier'),
+             ('part'), ('orders'), ('lineitem'), ('events'),
+             ('documents'), ('embeddings')) v(t)
+""",
+        "url_stats": """
+WITH t AS (
+  SELECT doc_id,
+         text || ' see https://site' || (doc_id % 7)::VARCHAR ||
+         '.example/p/' || (doc_id % 3)::VARCHAR ||
+         ' and https://site' || (doc_id % 5)::VARCHAR || '.example/q'
+           AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+       len(list_distinct(list_transform(
+         regexp_extract_all(text, 'https?://[^\\s]+'),
+         u -> regexp_extract(u, 'https?://([^/\\s]+)', 1)))) AS n_domains
+FROM t
+""",
+        "split_text_fragments": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+SELECT doc_id, generate_subscripts(parts, 1) - 1 AS fragment_index,
+       unnest(parts) AS fragment, len(parts) AS fragment_count
+FROM w
+""",
+        "global_sequence": """
+SELECT event_id,
+       (row_number() OVER (ORDER BY event_id) - 1)::BIGINT AS seq
+FROM events
+""",
+        "stateful_counter_resume": """
+SELECT event_id,
+       (row_number() OVER (ORDER BY event_id % 2, event_id) - 1)::BIGINT
+         AS seq
+FROM events
+""",
+        "fetch_partition_plan": """
+SELECT least(greatest(1, count(*) // 1000), 4096)::BIGINT AS n_ranges,
+       count(*) AS rows_covered, count(*) AS rows_total
+FROM events
+""",
+        "monitor_activity_markers": """
+WITH grid AS (
+  SELECT unnest(generate_series(date_trunc('hour', min(ts)),
+                                date_trunc('hour', max(ts)),
+                                INTERVAL '1 hour')) AS h FROM events),
+cnt AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+t AS (SELECT g.h, coalesce(c.n, 0)::BIGINT AS n,
+             row_number() OVER (ORDER BY g.h) AS ord
+      FROM grid g LEFT JOIN cnt c USING (h)),
+m AS (SELECT h, n, ord,
+             max(CASE WHEN n > 0 THEN ord END) OVER
+               (ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) AS last_nz
+      FROM t)
+SELECT epoch_us(h) AS h_ts, n,
+       CASE WHEN n = 0 AND ord - coalesce(last_nz, 0) >= 2 THEN 'inactive'
+            WHEN n > 0 AND ord - 1 - coalesce(last_nz, 0) >= 2
+              THEN 'activity.restored'
+            ELSE 'active' END AS marker
+FROM m
 """,
     }
 

@@ -11,6 +11,8 @@ Everything hash-valued uses the portable md5-derived hash
 Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 """
 
+from nifi_spark.datalib.curation import (benchmark_contamination,
+                                         cap_per_group, dataset_split)
 from nifi_spark.datalib.dedup import (exact_dedup, lsh_band_plan,
                                       minhash_lsh_pairs,
                                       minhash_signatures, near_dup_clusters,
@@ -20,6 +22,7 @@ from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            embedding_near_dup_pairs,
                                            ivf_ann_topk, lsh_ann_topk)
 from nifi_spark.datalib.text import (fingerprint, lang_id, quality_classify,
+                                     url_stats,
                                      quality_score, repetition_stats,
                                      token_stats)
 
@@ -30,4 +33,5 @@ __all__ = ["exact_dedup", "lsh_band_plan", "minhash_lsh_pairs",
            "ivf_ann_topk", "lsh_ann_topk",
            "fingerprint", "lang_id", "quality_classify", "quality_score",
            "repetition_stats",
-           "token_stats"]
+           "token_stats", "url_stats",
+           "benchmark_contamination", "cap_per_group", "dataset_split"]

@@ -1,0 +1,108 @@
+"""Training-corpus curation: decontamination, splits, per-source quotas.
+
+These extend the engine past NiFi's operator set toward what a large-scale
+training-data pipeline needs (the dedup/similarity family lives in
+dedup.py/similarity.py; this module is the selection layer on top):
+
+- benchmark_contamination: flag corpus documents that share word n-grams
+  with a benchmark/eval set, the standard train-test decontamination step.
+- dataset_split: deterministic hash-bucket train/val/test assignment that
+  is stable under re-runs, re-partitioning, and corpus growth.
+- cap_per_group: per-source document quota (anti-domination sampling),
+  the curation analog of NiFi's ControlRate per-group throttle
+  (standard/ControlRate.java:70-111,134 — there a token bucket per
+  grouping attribute; here a deterministic lottery per group key).
+
+All three are pure column expressions / one window — no Python in the hot
+path, and every hash that lands in output uses the portable md5 hash so
+a DuckDB oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from nifi_spark.datalib.dedup import shingle
+from nifi_spark.functions.portable_hash import portable_hash64
+
+
+def benchmark_contamination(docs: DataFrame, bench: DataFrame,
+                            id_col: str, text_col: str, k: int = 8,
+                            broadcast_bench: bool = True) -> DataFrame:
+    """Documents sharing >= 1 word k-gram with the benchmark set.
+
+    Returns (id, n_shared) where n_shared counts the document's DISTINCT
+    shingles that also occur anywhere in `bench`. Docs with no overlap
+    are absent (filter on an anti-join of the output to keep the clean
+    set).
+
+    Scale shape: the benchmark side collapses to its distinct shingle set
+    — benchmarks are thousands of documents, so the set is broadcast-
+    sized by construction and the corpus side joins map-side with no
+    shuffle of the corpus (set broadcast_bench=False to let AQE decide
+    if an unusually large benchmark is passed). The corpus is shingled
+    once (k shifted slices + zip_with — see shingle() for why not the
+    quadratic lambda form) and aggregated per document: one partial-agg
+    shuffle of (id, count) pairs only.
+    """
+    d = shingle(docs, id_col, text_col, k=k)
+    b = shingle(bench, id_col, text_col, k=k).select("shingle").distinct()
+    if broadcast_bench:
+        b = F.broadcast(b)
+    return (d.join(b, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def dataset_split(df: DataFrame, id_col: str,
+                  weights: dict[str, int] | None = None,
+                  out_col: str = "split", seed: str = "") -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    weights maps split name -> integer proportion (default 98/1/1).
+    bucket = portable_hash64(id) mod sum(weights); cumulative ranges
+    assign the split. Properties that matter at 100 TB:
+
+    - stateless and deterministic: no shuffle, no RNG, survives re-runs
+      and re-partitioning; a document keeps its split forever, so
+      incremental corpus growth never migrates documents across splits
+      (sampling by rand() would).
+    - exactly reproducible in any engine that has md5 (the DuckDB
+      oracle shares the same bucket arithmetic).
+    """
+    weights = weights or {"train": 98, "val": 1, "test": 1}
+    total = sum(weights.values())
+    bucket = F.pmod(portable_hash64(F.col(id_col).cast("string"), seed),
+                    F.lit(total))
+    expr = None
+    acc = 0
+    for name, wgt in weights.items():
+        acc += wgt
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out_col, expr)
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str, n: int,
+                  seed: str = "") -> DataFrame:
+    """Keep at most n rows per group, chosen by a deterministic lottery.
+
+    Rows are ranked inside each group by (portable_hash64(id), id) — a
+    stable pseudo-random order, so the kept subset is an unbiased sample
+    that is identical on every run — and rows ranked past n are dropped.
+    The anti-domination step of corpus curation: no source/domain
+    contributes more than its quota.
+
+    Scale shape: one hash-partitioned window (shuffle by group key).
+    Groups far larger than a partition (a single hot domain at web scale)
+    make that window's task the straggler; for that regime pre-filter
+    with a sampled rank-n hash cutoff per hot group (two narrow passes)
+    before the exact window — the semantics here stay the contract.
+    """
+    rank_key = portable_hash64(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(),
+                                              F.col(id_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .drop("_rk"))

@@ -240,3 +240,26 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     words = F.array_sort(F.array_distinct(
         F.filter(F.split(F.lower(F.col(text_col)), "\\W+"), lambda t: t != "")))
     return df.withColumn(out_col, F.md5(F.array_join(words, " ")))
+
+
+# Java-regex / RE2 compatible (no lookarounds): both Spark and the DuckDB
+# oracle evaluate the identical patterns.
+URL_RE = r"https?://[^\s]+"
+URL_DOMAIN_RE = r"https?://([^/\s]+)"
+
+
+def url_stats(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document URL extraction stats: (id, n_urls, n_domains).
+
+    The link-density signal of web-corpus filtering (boilerplate/nav
+    pages are URL-dense) plus the domain fan-out used for per-domain
+    quotas (compose with curation.cap_per_group on an exploded domain
+    column). Single codegen'd projection — no shuffle, no Python.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+    domains = F.array_distinct(F.transform(
+        urls, lambda u: F.regexp_extract(u, URL_DOMAIN_RE, 1)))
+    return df.select(F.col(id_col),
+                     F.size(urls).alias("n_urls"),
+                     F.size(domains).alias("n_domains"))

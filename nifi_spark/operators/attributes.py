@@ -57,8 +57,15 @@ def global_sequence(df: DataFrame, order_col: str, start: int = 0,
     Returns (numbered_df, next_sequence_value)."""
     from pyspark.sql.window import Window
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint PINS the range partitioning: repartitionByRange
+    # SAMPLES its boundaries, so the counts job below and the final
+    # evaluation would otherwise each sample their own (possibly
+    # different) ranges — the driver-side offsets would then be stale
+    # and the numbering wrong. Materializing once also means the input
+    # is scanned once, not twice.
     d = (df.repartitionByRange(n, F.col(order_col))
-         .withColumn("_pid", F.spark_partition_id()))
+         .withColumn("_pid", F.spark_partition_id())
+         .localCheckpoint())
     counts = {r["_pid"]: r["c"] for r in
               d.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets, acc = {}, start

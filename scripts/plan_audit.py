@@ -128,7 +128,13 @@ def main():
     assert "SinglePartition" not in p, p
     gs, _ = global_sequence(spark.read.parquet(lp), "lsn")
     p = plan_of(gs)
-    assert "rangepartitioning" in p and "SinglePartition" not in p, p
+    # the range partitioning is pinned behind a localCheckpoint (the
+    # sampled boundaries must not be re-drawn between the counts job and
+    # the final evaluation), so the visible plan starts at the
+    # checkpointed RDD; the numbering window must still be partitioned
+    # by the range-partition id — never a single reducer.
+    assert "ExistingRDD" in p and "SinglePartition" not in p, p
+    assert "windowspecdefinition(_pid" in p, p
     results.append(("windowed ops", "bin_assign / enforce_order /"
                     " global_sequence: all windows partitioned (by "
                     "correlation key / group / range-partition id) — no "
@@ -181,6 +187,24 @@ def main():
     results.append(("embedding_near_dup", "banded-LSH candidate generation "
                     "is an equi-join on (band, value) — no cross product "
                     "anywhere in the plan"))
+
+    # ---- 2f. curation: broadcast decontam join; split is exchange-free -
+    from nifi_spark.datalib import (benchmark_contamination, dataset_split)
+    docs_small = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(30)],
+        "doc_id long, text string")
+    bench_small = docs_small.limit(3)
+    p = plan_of(benchmark_contamination(docs_small, bench_small,
+                                        "doc_id", "text", k=3))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p, p
+    assert "SortMergeJoin" not in p, p
+    results.append(("benchmark_contamination", "benchmark shingle set is "
+                    "broadcast — the corpus side joins map-side, the only "
+                    "shuffle is the per-doc count partial agg"))
+    p = plan_of(dataset_split(docs_small, "doc_id"))
+    assert "Exchange" not in p and "Window" not in p, p
+    results.append(("dataset_split", "hash-bucket assignment is a pure "
+                    "projection: zero exchanges, deterministic"))
 
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E

@@ -465,3 +465,77 @@ def test_repetition_stats(spark):
     assert got[1] == (5, 4, 0.8)
     assert got[2] == (4, 1, 0.25)
     assert got[3] == (0, 0, 0.0)
+
+
+# ---------------- curation ----------------
+
+
+def test_benchmark_contamination_planted(spark):
+    from nifi_spark.datalib import benchmark_contamination
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris obviously")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "we know the capital of france is paris for sure"),  # overlap
+        (2, "completely unrelated words about gardening tools"),
+        (3, "capital of france appears here too"),               # overlap
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.n_shared
+           for r in benchmark_contamination(docs, bench, "doc_id", "text",
+                                            k=3).collect()}
+    assert 1 in got and 3 in got and 2 not in got
+    # doc 1 shares 'the capital of', 'capital of france', 'of france is',
+    # 'france is paris' = 4 distinct 3-grams
+    assert got[1] == 4 and got[3] == 1  # doc 3: 'capital of france' only
+
+
+def test_dataset_split_deterministic_and_total(spark, docs):
+    from nifi_spark.datalib import dataset_split
+    out = dataset_split(docs, "doc_id",
+                        weights={"train": 90, "val": 5, "test": 5})
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()      # exactly one split each
+    assert counts.get("train", 0) > counts.get("val", 0)
+    # stable under re-run and re-partitioning
+    again = dataset_split(docs.repartition(7), "doc_id",
+                          weights={"train": 90, "val": 5, "test": 5})
+    a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+    b = {r.doc_id: r.split for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    # matches the portable-hash bucket arithmetic
+    for did, split in list(a.items())[:20]:
+        bucket = portable_hash64_py(str(did)) % 100
+        assert split == ("train" if bucket < 90 else
+                         "val" if bucket < 95 else "test")
+
+
+def test_cap_per_group_quota_and_determinism(spark, docs):
+    from nifi_spark.datalib import cap_per_group
+    out = cap_per_group(docs, "source", "doc_id", n=3)
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 3 for n in per.values())
+    full = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in full.items():                        # quota binds exactly
+        assert per.get(s, 0) == min(n, 3)
+    kept1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    kept2 = sorted(r.doc_id for r in
+                   cap_per_group(docs.repartition(5), "source", "doc_id",
+                                 n=3).select("doc_id").collect())
+    assert kept1 == kept2
+
+
+def test_url_stats(spark):
+    from nifi_spark.datalib import url_stats
+    df = spark.createDataFrame([
+        (1, "plain text no links"),
+        (2, "go to https://a.example/x and https://a.example/y"),
+        (3, "http://b.org https://c.net/p?q=1 mid http://b.org/z"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.n_urls, r.n_domains)
+           for r in url_stats(df).collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (2, 1)   # same domain twice
+    assert got[3] == (3, 2)   # b.org twice + c.net
