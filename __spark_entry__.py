@@ -1699,6 +1699,22 @@ def q_monitor_activity_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "h_ts long, n long, marker string")
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (4× ANN
+    memory compression); per-vector integer aggregates + scale prove the
+    quantized values bit-for-bit against the oracle."""
+    from nifi_spark.datalib import quantize_int8
+    embs = _t(spark, sf_dir, "embeddings")
+    qd = quantize_int8(embs, "vec_id", "embedding")
+    return qd.select(
+        "vec_id",
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.round(F.col("qscale"), 6).alias("scale_r"))
+
+
 def q_list_file_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListFile semantics: mtime-watermark listing of the sf dir — first
     pass lists every table file, a second pass from the committed
@@ -1842,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
+        "quantize_embeddings": q_quantize_embeddings,
         "list_file_watermark": q_list_file_watermark,
         "url_stats": q_url_stats,
         "split_text_fragments": q_split_text_fragments,
@@ -2510,6 +2527,22 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "quantize_embeddings": """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+  FROM embeddings),
+t AS (
+  SELECT vec_id, s,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE / s * 127.0 + 0.5)::INT) END AS qv
+  FROM q)
+SELECT vec_id, list_sum(qv)::BIGINT AS q_sum,
+       list_min(qv) AS q_min, list_max(qv) AS q_max,
+       round(s, 6) AS scale_r
+FROM t
 """,
         "list_file_watermark": """
 SELECT t || '.parquet' AS fname, 0::BIGINT AS second_pass_new

@@ -409,3 +409,35 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str,
+                  out_col: str = "qvec",
+                  scale_col: str = "qscale") -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column.
+
+    q_i = floor(x_i / s * 127 + 0.5) with s = max(|x|) — 4× memory
+    compression for ANN serving / shipping embeddings between stages
+    (the dequantized value is q_i * s / 127, max abs error s/254).
+    floor(+0.5) rather than round(): identical half-up tie-breaking in
+    every engine, so the DuckDB oracle reproduces the integers exactly.
+    Zero vectors quantize to all-zero with scale 0.
+
+    Single narrow codegen'd projection — no shuffle, no Python; at
+    100 TB this runs inside the scan stage of whatever consumes it.
+
+    The scale rides along as a zip_with ARRAY OPERAND
+    (array_repeat(s, d)) instead of a free variable inside the lambda:
+    lambda subexpressions are not CSE'd, so `s` referenced in the lambda
+    body would recompute array_max once PER ELEMENT (the quadratic trap
+    documented at dedup.shingle); operands are evaluated once per row.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, F.abs))
+    sv = F.array_repeat(s, F.size(v))
+    q = F.when(s == 0.0, F.transform(v, lambda x: F.lit(0))) \
+         .otherwise(F.zip_with(
+             v, sv, lambda x, sc: F.floor(x / sc * F.lit(127.0)
+                                          + F.lit(0.5)).cast("int")))
+    return df.select(F.col(id_col), q.alias(out_col),
+                     s.cast("double").alias(scale_col))

@@ -539,3 +539,33 @@ def test_url_stats(spark):
     assert got[1] == (0, 0)
     assert got[2] == (2, 1)   # same domain twice
     assert got[3] == (3, 2)   # b.org twice + c.net
+
+
+def test_quantize_int8_roundtrip(spark, embs):
+    from nifi_spark.datalib import quantize_int8
+    sub = embs.limit(50)
+    got = quantize_int8(sub, "vec_id", "embedding").toPandas()
+    src = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in sub.toPandas().itertuples()}
+    for r in got.itertuples():
+        x = src[r.vec_id]
+        s = float(np.max(np.abs(x)))
+        q = np.asarray(r.qvec, dtype=np.int64)
+        assert abs(r.qscale - s) < 1e-12
+        assert q.min() >= -127 and q.max() <= 127
+        # numpy oracle: floor(x/s*127 + .5)
+        expect = np.floor(x / s * 127.0 + 0.5).astype(np.int64)
+        assert (q == expect).all()
+        # dequant error bounded by s/254 (+ float slack)
+        err = np.max(np.abs(q * s / 127.0 - x))
+        assert err <= s / 254.0 + 1e-9
+
+
+def test_quantize_int8_zero_vector(spark):
+    from nifi_spark.datalib import quantize_int8
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+                               "vec_id long, embedding array<double>")
+    got = {r.vec_id: (list(r.qvec), r.qscale)
+           for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    assert got[1] == ([0, 0, 0], 0.0)
+    assert got[2] == ([64, -127, 32], 2.0)  # floor(.5*127/2+.5)=floor(32.25)
