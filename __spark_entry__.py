@@ -1715,6 +1715,15 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qscale"), 6).alias("scale_r"))
 
 
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (scales cancel → pure integer dot
+    products); brute candidate shape at gate scale, candidates= is the
+    production path."""
+    from nifi_spark.datalib import ann_topk_int8
+    embs = _t(spark, sf_dir, "embeddings")
+    return ann_topk_int8(embs, "vec_id", "embedding", k=5)
+
+
 def q_list_file_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListFile semantics: mtime-watermark listing of the sf dir — first
     pass lists every table file, a second pass from the committed
@@ -1859,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "quantize_embeddings": q_quantize_embeddings,
+        "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
         "url_stats": q_url_stats,
         "split_text_fragments": q_split_text_fragments,
@@ -2543,6 +2553,28 @@ SELECT vec_id, list_sum(qv)::BIGINT AS q_sum,
        list_min(qv) AS q_min, list_max(qv) AS q_max,
        round(s, 6) AS scale_r
 FROM t
+""",
+        "ann_topk_int8": """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+  FROM embeddings),
+t AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE / s * 127.0 + 0.5)) END AS qv
+  FROM q),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv))
+                  * sqrt(list_dot_product(b.qv, b.qv))), 6) AS qcosine
+  FROM t a, t b WHERE a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, qcosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY qcosine DESC, neighbor_id) AS rank FROM p)
+WHERE rank <= 5
 """,
         "list_file_watermark": """
 SELECT t || '.parquet' AS fname, 0::BIGINT AS second_pass_new

@@ -569,3 +569,33 @@ def test_quantize_int8_zero_vector(spark):
            for r in quantize_int8(df, "vec_id", "embedding").collect()}
     assert got[1] == ([0, 0, 0], 0.0)
     assert got[2] == ([64, -127, 32], 2.0)  # floor(.5*127/2+.5)=floor(32.25)
+
+
+def test_ann_topk_int8_recall_vs_exact(embs):
+    """Quantized top-1 should almost always agree with the double-exact
+    top-1 on 64-dim vectors (int8 error ~1/254 per component)."""
+    from nifi_spark.datalib import ann_topk_int8
+    queries = embs.filter(F.col("vec_id") < 20)
+    exact = ann_topk(embs, "vec_id", "embedding", k=1,
+                     queries=queries).toPandas()
+    quant = ann_topk_int8(embs, "vec_id", "embedding", k=1,
+                          queries=queries).toPandas()
+    e1 = exact.set_index("query_id")["neighbor_id"]
+    q1 = quant.set_index("query_id")["neighbor_id"]
+    hits = sum(int(q1[q] == e1[q]) for q in e1.index)
+    assert hits / len(e1) >= 0.9, f"quantized top-1 recall {hits}/{len(e1)}"
+
+
+def test_ann_topk_int8_candidates_path(embs, spark):
+    """candidates= restricts scoring to given pairs (the production
+    re-rank shape over LSH/IVF candidates)."""
+    from nifi_spark.datalib import ann_topk_int8
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 4)],
+        "query_id long, neighbor_id long")
+    got = ann_topk_int8(embs, "vec_id", "embedding", k=2,
+                        candidates=cand).toPandas()
+    assert set(got["query_id"]) == {0, 1}
+    assert len(got[got["query_id"] == 0]) == 2   # top-2 of 3 candidates
+    assert len(got[got["query_id"] == 1]) == 1
+    assert set(got["neighbor_id"]).issubset({1, 2, 3, 4})
