@@ -9,8 +9,8 @@ physical plan entirely to Catalyst.
 
 from nifi_spark.operators.routing import (fetch_map_cache, put_map_cache,
                                           route_on_attribute,
-                                          route_on_content, route_text,
-                                          scan_attribute)
+                                          route_on_content, route_tag,
+                                          route_text, scan_attribute)
 from nifi_spark.operators.attributes import (attributes_to_json,
                                              global_sequence, hash_attribute,
                                              hash_content, stateful_counter,
@@ -38,11 +38,14 @@ from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.evtx import build_evtx, parse_evtx
 from nifi_spark.operators.xml_transform import evaluate_xquery, transform_xml
 from nifi_spark.operators.distribute import (distribute_load, enforce_order,
-                                             prioritize, salt_keys)
+                                             prioritize,
+                                             repartition_by_key_range,
+                                             salt_keys)
 from nifi_spark.operators.rate import control_rate, monitor_activity
 
 __all__ = [
-    "route_on_attribute", "route_on_content", "route_text", "scan_attribute",
+    "route_on_attribute", "route_on_content", "route_tag", "route_text",
+    "scan_attribute",
     "fetch_map_cache", "put_map_cache",
     "attributes_to_json", "global_sequence", "hash_attribute",
     "hash_content", "stateful_counter", "update_columns",
@@ -58,7 +61,8 @@ __all__ = [
     "detect_duplicate", "latest_wins",
     "build_evtx", "parse_evtx",
     "evaluate_xquery", "transform_xml",
-    "distribute_load", "enforce_order", "prioritize", "salt_keys",
+    "distribute_load", "enforce_order", "prioritize",
+    "repartition_by_key_range", "salt_keys",
     "control_rate",
     "monitor_activity",
 ]

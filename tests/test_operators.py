@@ -317,3 +317,37 @@ def test_portable_hash_matches_python_and_duckdb(spark):
         duck = duckdb.sql(
             f"SELECT ('0x' || substr(md5('{v}'), 1, 15))::BIGINT").fetchone()[0]
         assert got[v] == duck
+
+
+def test_hash_attribute_group_key(spark):
+    from nifi_spark.operators import hash_attribute
+    df = spark.createDataFrame([("a", "x"), ("a", "x"), ("b", "y")],
+                               "c1 string, c2 string")
+    out = hash_attribute(df, ["c1", "c2"]).toPandas()
+    assert out["group_key"].nunique() == 2          # same attrs → same key
+    assert (out["group_key"].str.len() == 64).all()  # sha256 hex
+
+
+def test_route_tag_first_match_wins(spark):
+    from pyspark.sql import functions as F
+    from nifi_spark.operators import route_tag
+    df = spark.createDataFrame([(5,), (15,), (50,)], "v int")
+    out = {r.v: r.route for r in route_tag(df, {
+        "small": F.col("v") < 10,
+        "medium": F.col("v") < 20,   # 15 matches both; 'small' checked first
+        }).collect()}
+    assert out[5] == "small" and out[15] == "medium"
+    assert out[50] == "unmatched"
+
+
+def test_repartition_by_key_range_ordering(spark):
+    from pyspark.sql import functions as F
+    from nifi_spark.operators import repartition_by_key_range
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    rp = repartition_by_key_range(df, 4, "k").withColumn(
+        "pid", F.spark_partition_id())
+    bounds = (rp.groupBy("pid").agg(F.min("k").alias("lo"),
+                                    F.max("k").alias("hi"))
+              .orderBy("pid").collect())
+    for a, b in zip(bounds, bounds[1:]):  # ranges are ordered and disjoint
+        assert a.hi < b.lo
