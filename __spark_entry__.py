@@ -360,6 +360,54 @@ def q_execute_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_execute_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q10 shape (returned-item revenue by customer,
+    3-table join + nation dim, top-20). Revenue sums in decimal, cast to
+    double at the end; ties broken on c_custkey so LIMIT is
+    deterministic in both engines."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(
+        sf_dir, ["customer", "orders", "lineitem", "nation"])
+    return eng.sql("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """)
+
+
+def q_execute_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q14 shape (promo revenue share) — conditional
+    decimal aggregation, ratio taken in double after the exact sums."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(sf_dir, ["lineitem", "part"])
+    return eng.sql("""
+        WITH r AS (
+          SELECT p_type,
+                 CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4))) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01')
+        SELECT ROUND(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                          ELSE CAST(0 AS DECIMAL(18,4))
+                                     END) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS promo_share,
+               count(*) AS n
+        FROM r
+    """)
+
+
 def q_execute_sql_flow_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExecuteSQL's incoming-triggered form: an upstream DataFrame stage
     becomes the table the SQL text queries (Flow + SqlEngine.stage),
@@ -1806,6 +1854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_csv_route": q_validate_csv_route,
         "split_defragment_roundtrip": q_split_defragment_roundtrip,
         "execute_sql_tpch_q6": q_execute_sql_tpch_q6,
+        "execute_sql_tpch_q10": q_execute_sql_tpch_q10,
+        "execute_sql_tpch_q14": q_execute_sql_tpch_q14,
         "execute_sql_flow_topn": q_execute_sql_flow_topn,
         "codec_base64_hex": q_codec_base64_hex,
         "codec_compress_roundtrip": q_codec_compress_roundtrip,
@@ -2020,6 +2070,36 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "execute_sql_tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+       (sum(l_extendedprice::DECIMAL(18,4)
+            * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "execute_sql_tpch_q14": """
+WITH r AS (
+  SELECT p_type,
+         l_extendedprice::DECIMAL(18,4)
+         * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-02-01')
+SELECT round(100.0 * (sum(CASE WHEN p_type = 'PROMO' THEN rev
+                               ELSE 0::DECIMAL(18,4) END))::DOUBLE
+             / (sum(rev))::DOUBLE, 6) AS promo_share,
+       count(*) AS n
+FROM r
 """,
         "execute_sql_flow_topn": """
 SELECT event_type, user_id, total, rnk FROM (
