@@ -129,22 +129,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     each token once."""
     toks = F.array_sort(F.transform(_ws_tokens(text_col),
                                     lambda t: F.lower(t)))
-    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                    F.lit(0).alias("best"))
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(x.alias("prev"), run.alias("run"),
-                        F.greatest(acc["best"], run).alias("best"))
-
-    top = F.aggregate(toks, zero, step, lambda acc: acc["best"])
-    n = F.size(toks)
-    return df.withColumns({
-        "n_tokens": n,
-        "top_token_count": top,
+    # materialize the (cnt, top) fold ONCE in its own Project (same
+    # two-stage shape as quality_classify): deriving three columns from
+    # the fold expression directly re-evaluated the sort+fold per
+    # column (HOFs are CodegenFallback — no subexpression elimination).
+    stats = df.withColumn("_rs", _run_stats(toks))
+    n, top = F.col("_rs")["cnt"], F.col("_rs")["top"]
+    return (stats.withColumns({
+        "n_tokens": n.cast("int"),
+        "top_token_count": top.cast("int"),
         "repetition_ratio": F.round(
             F.when(n > 0, top / n).otherwise(F.lit(0.0)), 6),
-    })
+    }).drop("_rs"))
 
 
 def _run_stats(sorted_arr):
@@ -201,17 +197,32 @@ def quality_classify(df: DataFrame, text_col: str = "text",
       mediocre — everything else
     """
     toks = F.transform(_ws_tokens(text_col), lambda t: F.lower(t))
-    chars = F.filter(F.split(F.col(text_col), ""),
-                     lambda ch: ch.rlike("\\S"))
-    tk = _run_stats(F.array_sort(toks))
-    ch = _run_stats(F.array_sort(chars))
+    # strip whitespace first (ONE regex pass), then split — not a
+    # per-character rlike filter (a regex invocation per char was ~3×
+    # the cost for the same multiset of non-space chars)
+    chars = F.split(F.regexp_replace(F.col(text_col), r"\s+", ""), "")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    # TWO-STAGE projection: the fold structs materialize in their own
+    # Project and the derived columns below reference only cheap struct
+    # fields. Higher-order-function folds are CodegenFallback, so a
+    # single Project deriving 7 columns from the folds re-evaluates
+    # them per column (no subexpression elimination there) — measured
+    # ~5× the runtime of this shape. CollapseProject keeps the stages
+    # apart because the fold aliases are non-cheap and multiply
+    # referenced.
+    stats = df.withColumns({
+        "_tk": _run_stats(F.array_sort(toks)),
+        "_ch": _run_stats(F.array_sort(chars)),
+        "_nstop": F.size(F.filter(
+            toks, lambda t: F.array_contains(sw, t))).cast("long"),
+    })
+    tk, ch = F.col("_tk"), F.col("_ch")
     n_tok, top, ss_w = tk["cnt"], tk["top"], tk["ss"]
     n_ch, ss_c = ch["cnt"], ch["ss"]
     char_ppl = F.when(ss_c > 0, (n_ch * n_ch) / ss_c).otherwise(F.lit(0.0))
     word_ppl = F.when(ss_w > 0, (n_tok * n_tok) / ss_w).otherwise(F.lit(0.0))
     rep = F.when(n_tok > 0, top / n_tok).otherwise(F.lit(0.0))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_stop = F.col("_nstop")
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
     mean_len = F.when(n_tok > 0,
                       (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok
@@ -220,7 +231,7 @@ def quality_classify(df: DataFrame, text_col: str = "text",
             | (mean_len < 2) | (mean_len > 12))
     good = (stop_ratio >= 0.05) & (F.when(n_tok > 0, word_ppl / n_tok)
                                    .otherwise(F.lit(0.0)) >= 0.3)
-    return df.withColumns({
+    return (stats.withColumns({
         "n_tokens": n_tok,
         "char_ppl": F.round(char_ppl, 6),
         "word_ppl": F.round(word_ppl, 6),
@@ -229,7 +240,7 @@ def quality_classify(df: DataFrame, text_col: str = "text",
         "mean_token_len": F.round(mean_len, 6),
         "quality_class": F.when(junk, "junk").when(good, "good")
                           .otherwise("mediocre"),
-    })
+    }).drop("_tk", "_ch", "_nstop"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
