@@ -97,3 +97,59 @@ def test_latest_wins_matches_python(spark, rows):
         if sum(1 for kk, ss, _ in rows
                if kk == k and ss == expect[k][0]) == 1:
             assert got[k][1] == expect[k][1]
+
+
+@SET
+@given(st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                min_size=1, max_size=40, unique=True),
+       st.lists(st.integers(min_value=1, max_value=50),
+                min_size=2, max_size=4))
+def test_dataset_split_partition_property(spark, ids, weights):
+    """Every row lands in exactly one split; membership matches the
+    portable-hash bucket arithmetic for ANY weights vector."""
+    from nifi_spark.datalib import dataset_split
+    from nifi_spark.functions.portable_hash import portable_hash64_py
+    names = [f"s{i}" for i in range(len(weights))]
+    w = dict(zip(names, weights))
+    total = sum(weights)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split
+           for r in dataset_split(df, "doc_id", weights=w).collect()}
+    assert set(got) == set(ids)
+    for did in ids:
+        b = portable_hash64_py(str(did)) % total
+        acc = 0
+        for nm, wt in w.items():
+            acc += wt
+            if b < acc:
+                assert got[did] == nm
+                break
+
+
+@SET
+@given(st.lists(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                                   allow_nan=False, allow_infinity=False,
+                                   width=32),
+                         min_size=1, max_size=16),
+                min_size=1, max_size=12))
+def test_quantize_int8_property(spark, vecs):
+    """Quantized ints match the python oracle and stay within ±127 for
+    arbitrary finite float vectors (incl. all-zero)."""
+    import math
+
+    from nifi_spark.datalib import quantize_int8
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (list(r.qvec), r.qscale)
+           for r in quantize_int8(df, "vec_id", "embedding").collect()}
+    for i, v in enumerate(vecs):
+        s = max(abs(float(x)) for x in v)
+        q, gs = got[i]
+        assert gs == s
+        if s == 0:
+            assert q == [0] * len(v)
+        else:
+            expect = [math.floor(float(x) / s * 127.0 + 0.5) for x in v]
+            assert q == expect
+            assert all(-127 <= e <= 127 for e in q)
