@@ -1747,6 +1747,18 @@ def q_monitor_activity_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "h_ts long, n long, marker string")
 
 
+def q_exec_stream_command(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteStreamCommand: events' type column piped through an
+    external `tr a-z A-Z` process, one subprocess per Arrow batch
+    (line-framed 1:1); per-output counts."""
+    from nifi_spark.operators import execute_stream_command
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    out = execute_stream_command(ev, "event_type", ["tr", "a-z", "A-Z"])
+    return out.groupBy(F.col("stdout").alias("upper_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_id"))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -1917,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
+        "exec_stream_command": q_exec_stream_command,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -2617,6 +2630,11 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "exec_stream_command": """
+SELECT upper(event_type) AS upper_type, count(*) AS n,
+       min(event_id) AS first_id
+FROM events GROUP BY 1
 """,
         "quantize_embeddings": """
 WITH q AS (

@@ -351,3 +351,25 @@ def test_repartition_by_key_range_ordering(spark):
               .orderBy("pid").collect())
     for a, b in zip(bounds, bounds[1:]):  # ranges are ordered and disjoint
         assert a.hi < b.lo
+
+
+def test_execute_stream_command_lines(spark):
+    from pyspark.sql import functions as F
+    from nifi_spark.operators import execute_stream_command
+    df = spark.createDataFrame([(1, "hello"), (2, "WoRld"), (3, "x y z")],
+                               "id long, content string")
+    out = execute_stream_command(df, "content",
+                                 ["tr", "a-z", "A-Z"]).toPandas()
+    got = dict(zip(out["id"], out["stdout"]))
+    assert got == {1: "HELLO", 2: "WORLD", 3: "X Y Z"}
+
+
+def test_execute_stream_command_whole_and_newline_guard(spark):
+    import pytest as _pt
+    from nifi_spark.operators import execute_stream_command
+    df = spark.createDataFrame([(1, "a\nb")], "id long, content string")
+    with _pt.raises(Exception):
+        execute_stream_command(df, "content", ["cat"]).collect()
+    out = execute_stream_command(df, "content", ["wc", "-l"],
+                                 mode="whole").collect()
+    assert out[0].stdout.strip() == "1"   # one newline in "a\nb"
