@@ -85,7 +85,8 @@ def dataset_split(df: DataFrame, id_col: str,
 
 
 def cap_per_group(df: DataFrame, group_col: str, id_col: str, n: int,
-                  seed: str = "") -> DataFrame:
+                  seed: str = "", hot_threshold: int | None = None,
+                  margin: float = 1.5) -> DataFrame:
     """Keep at most n rows per group, chosen by a deterministic lottery.
 
     Rows are ranked inside each group by (portable_hash64(id), id) — a
@@ -94,13 +95,34 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str, n: int,
     The anti-domination step of corpus curation: no source/domain
     contributes more than its quota.
 
-    Scale shape: one hash-partitioned window (shuffle by group key).
-    Groups far larger than a partition (a single hot domain at web scale)
-    make that window's task the straggler; for that regime pre-filter
-    with a sampled rank-n hash cutoff per hot group (two narrow passes)
-    before the exact window — the semantics here stay the contract.
+    Scale shape: one hash-partitioned window (shuffle by group key). A
+    single web-scale hot domain makes that window's task the straggler —
+    pass `hot_threshold` (rows) to pre-shrink such groups BEFORE the
+    shuffle: the rank key is a uniform 60-bit hash, so the rank-n
+    cutoff inside a group of c rows concentrates tightly around
+    2^60·n/c, and keeping hash < 2^60·margin·n/c (no extra data pass —
+    the cutoff comes from the group's row count alone) passes every
+    true top-n row through with probability 1 - exp(-Θ(n)); margin 1.5
+    at n ≥ 100 puts the failure odds below 1e-9. Only the per-group
+    counts of groups ABOVE the threshold reach the driver (hot groups
+    are few by definition), the filter is a broadcast map literal, and
+    the exact window afterwards sees ≤ margin·n rows per hot group
+    instead of c.
     """
     rank_key = portable_hash64(F.col(id_col).cast("string"), seed)
+    if hot_threshold is not None:
+        hot = (df.groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") > F.lit(max(hot_threshold,
+                                              int(margin * n) + 1)))
+               .collect())
+        if hot:
+            cut = {r[0]: min(1 << 60, int((1 << 60) * margin * n / r["c"]))
+                   for r in hot}
+            m = F.create_map(*[F.lit(x) for kv in sorted(cut.items())
+                               for x in kv])
+            df = df.filter(m[F.col(group_col)].isNull()
+                           | (rank_key < m[F.col(group_col)]))
     w = Window.partitionBy(group_col).orderBy(rank_key.asc(),
                                               F.col(id_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))

@@ -599,3 +599,22 @@ def test_ann_topk_int8_candidates_path(embs, spark):
     assert len(got[got["query_id"] == 0]) == 2   # top-2 of 3 candidates
     assert len(got[got["query_id"] == 1]) == 1
     assert set(got["neighbor_id"]).issubset({1, 2, 3, 4})
+
+
+def test_cap_per_group_hot_prefilter_exact_equivalence(spark):
+    """The hot-group hash-cutoff prefilter must not change the result:
+    kept sets identical with and without it on a skewed corpus."""
+    from nifi_spark.datalib import cap_per_group
+    rows = [(i, "hot") for i in range(5000)] + \
+           [(100000 + i, f"cold{i % 7}") for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = cap_per_group(df, "source", "doc_id", n=100)
+    fast = cap_per_group(df, "source", "doc_id", n=100, hot_threshold=1000)
+    a = sorted((r.source, r.doc_id) for r in plain.collect())
+    b = sorted((r.source, r.doc_id) for r in fast.collect())
+    assert a == b
+    per = {}
+    for s, _ in a:
+        per[s] = per.get(s, 0) + 1
+    assert per["hot"] == 100
+    assert all(v == 10 for k, v in per.items() if k != "hot")
