@@ -1747,6 +1747,19 @@ def q_monitor_activity_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "h_ts long, n long, marker string")
 
 
+def q_el_string_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NiFi EL STRING front-end: property-value strings from a real flow
+    definition compile once (driver-side) into Catalyst columns."""
+    from nifi_spark.functions import compile_el, compile_template
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        compile_el("${event_type:toUpper():substring(0, 3)}").alias("t3"),
+        compile_el("${event_id:mod(7):plus(1)}").alias("m7"),
+        compile_template(
+            "u${user_id}/${event_type:substringBefore('e')}").alias("tag"))
+
+
 def q_exec_stream_command(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExecuteStreamCommand: events' type column piped through an
     external `tr a-z A-Z` process, one subprocess per Arrow batch
@@ -1929,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
+        "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
@@ -2630,6 +2644,14 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "el_string_compile": """
+SELECT event_id,
+       substr(upper(event_type), 1, 3) AS t3,
+       (event_id % 7) + 1 AS m7,
+       'u' || user_id::VARCHAR || '/' || split_part(event_type, 'e', 1)
+         AS tag
+FROM events
 """,
         "exec_stream_command": """
 SELECT upper(event_type) AS upper_type, count(*) AS n,

@@ -100,3 +100,38 @@ def test_el_extended_functions(spark):
     # every word in t is exactly 5 chars: all5 holds, all6 does not
     assert r.any5 is True and r.all5 is True and r.all6 is False
     assert r.anyattr is True
+
+
+# ---------------- EL string compiler ----------------
+
+
+def test_el_string_compiler(spark):
+    import pytest as _pt
+
+    from nifi_spark.functions import ELSyntaxError, compile_el, compile_template
+    df = spark.createDataFrame([("a/b/file.TXT", 7, "hello world")],
+                               "path string, n long, msg string")
+
+    def one(expr):
+        return df.select(compile_el(expr).alias("x")).first()[0]
+
+    assert one("${path:substringAfterLast('/'):toUpper()}") == "FILE.TXT"
+    assert one("${n:mod(4):plus(10)}") == 13
+    assert one("${msg:replace('world', 'there'):toUpper()}") == "HELLO THERE"
+    assert one("${msg:contains('wor')}") is True
+    assert one("${n:toRadix(2)}") == "111"
+    assert one("${msg:padLeft(13, '*')}") == "**hello world"
+    assert one("${msg:isEmpty():not()}") is True
+    t = df.select(compile_template(
+        "f=${path:substringAfterLast('/')} n=${n:plus(1)} $$5").alias("t")
+    ).first()[0]
+    assert t == "f=file.TXT n=8 $5"
+    # subjectless + quoted attr names
+    assert len(one("${uuid()}")) == 36
+    df2 = spark.createDataFrame([("v",)], "`my attr` string")
+    got = df2.select(compile_el("${'my attr':toUpper()}").alias("x")).first()[0]
+    assert got == "V"
+    for bad in ["${path:nosuchfn()}", "${anyAttribute('x')}",
+                "${path:replace(${n})}", "${path", "${path:toUpper()}x"]:
+        with _pt.raises(ELSyntaxError):
+            compile_el(bad)
