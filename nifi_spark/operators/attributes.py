@@ -18,10 +18,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def update_columns(df: DataFrame, updates: dict[str, Column],
+def update_columns(df: DataFrame, updates: dict[str, Column | str],
                    delete: list[str] | None = None) -> DataFrame:
-    """Set columns from expressions; drop listed columns (UpdateAttribute)."""
-    out = df.withColumns(updates)
+    """Set columns from expressions; drop listed columns (UpdateAttribute).
+
+    Values may be Columns OR NiFi EL property-value STRINGS — a string
+    containing ${...} compiles through functions.el_parser exactly as
+    NiFi compiles dynamic property values (a plain string without ${}
+    is a literal, NiFi's behavior for static properties)."""
+    from nifi_spark.functions.el_parser import compile_template
+    compiled = {k: (compile_template(v) if "${" in v else F.lit(v))
+                if isinstance(v, str) else v
+                for k, v in updates.items()}
+    out = df.withColumns(compiled)
     if delete:
         out = out.drop(*delete)
     return out

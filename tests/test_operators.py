@@ -373,3 +373,16 @@ def test_execute_stream_command_whole_and_newline_guard(spark):
     out = execute_stream_command(df, "content", ["wc", "-l"],
                                  mode="whole").collect()
     assert out[0].stdout.strip() == "1"   # one newline in "a\nb"
+
+
+def test_update_columns_el_strings(spark):
+    from nifi_spark.operators import update_columns
+    df = spark.createDataFrame([("a/b/c.txt", "go")], "path string, lang string")
+    out = update_columns(df, {
+        "fname": "${path:substringAfterLast('/')}",
+        "tag": "lang=${lang:toUpper()}",
+        "static": "just text",
+    }).first()
+    assert out.fname == "c.txt"
+    assert out.tag == "lang=GO"
+    assert out.static == "just text"
