@@ -25,13 +25,20 @@ from pyspark.sql import Column, DataFrame, functions as F
 UNMATCHED = "unmatched"
 
 
-def route_on_attribute(df: DataFrame, routes: dict[str, Column],
+def route_on_attribute(df: DataFrame, routes: dict[str, Column | str],
                        strategy: str = "exclusive") -> dict[str, DataFrame]:
     """N-way route. strategy:
     'exclusive'  — first matching route wins (single-pass when/otherwise);
     'all_matches'— copy to every matching route (NiFi Route-to-Property-Name);
     'any_match'  / 'all_match' — boolean fold to matched/unmatched.
+
+    Conditions may be Columns or NiFi EL strings exactly as a flow
+    definition carries them (``${value:gt(100)}``) — strings compile
+    through functions.el_parser.
     """
+    from nifi_spark.functions.el_parser import compile_el
+    routes = {k: (compile_el(v) if isinstance(v, str) else v)
+              for k, v in routes.items()}
     if strategy == "exclusive":
         tag = None
         for name, cond in routes.items():

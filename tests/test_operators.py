@@ -386,3 +386,16 @@ def test_update_columns_el_strings(spark):
     assert out.fname == "c.txt"
     assert out.tag == "lang=GO"
     assert out.static == "just text"
+
+
+def test_route_on_attribute_el_strings(spark):
+    from nifi_spark.operators import route_on_attribute
+    df = spark.createDataFrame([(5, "go"), (150, "py"), (80, "go")],
+                               "value long, lang string")
+    out = route_on_attribute(df, {
+        "big": "${value:gt(100)}",
+        "golang": "${lang:equals('go')}",
+    })
+    assert {r.value for r in out["big"].collect()} == {150}
+    assert {r.value for r in out["golang"].collect()} == {5, 80}
+    assert out["unmatched"].count() == 0
