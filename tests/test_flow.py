@@ -44,3 +44,90 @@ def test_flow_errors(spark):
     with pytest.raises(FlowError, match="cycle"):
         (Flow().add("x", lambda df: df, inputs="y")
          .add("y", lambda df: df, inputs="x").run())
+
+
+TEMPLATE_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<template>
+  <name>route-update-extract</name>
+  <snippet>
+    <processors>
+      <id>p-src</id><name>gen</name>
+      <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+      <config><properties/></config>
+    </processors>
+    <processors>
+      <id>p-route</id><name>router</name>
+      <type>org.apache.nifi.processors.standard.RouteOnAttribute</type>
+      <config><properties>
+        <entry><key>Routing Strategy</key><value>Route to Property name</value></entry>
+        <entry><key>golang</key><value>${lang:equals('go')}</value></entry>
+        <entry><key>big</key><value>${size:gt(100)}</value></entry>
+      </properties></config>
+    </processors>
+    <processors>
+      <id>p-upd</id><name>tagger</name>
+      <type>org.apache.nifi.processors.standard.UpdateAttribute</type>
+      <config><properties>
+        <entry><key>tag</key><value>go-${path:substringAfterLast('/')}</value></entry>
+      </properties></config>
+    </processors>
+    <processors>
+      <id>p-ext</id><name>extractor</name>
+      <type>org.apache.nifi.processors.standard.ExtractText</type>
+      <config><properties>
+        <entry><key>Character Set</key><value>UTF-8</value></entry>
+        <entry><key>word2</key><value>\\w+ (\\w+)</value></entry>
+      </properties></config>
+    </processors>
+    <connections>
+      <id>c1</id>
+      <source><id>p-src</id><type>PROCESSOR</type></source>
+      <destination><id>p-route</id><type>PROCESSOR</type></destination>
+    </connections>
+    <connections>
+      <id>c2</id>
+      <source><id>p-route</id><type>PROCESSOR</type></source>
+      <destination><id>p-upd</id><type>PROCESSOR</type></destination>
+      <selectedRelationships>golang</selectedRelationships>
+    </connections>
+    <connections>
+      <id>c3</id>
+      <source><id>p-upd</id><type>PROCESSOR</type></source>
+      <destination><id>p-ext</id><type>PROCESSOR</type></destination>
+      <selectedRelationships>success</selectedRelationships>
+    </connections>
+  </snippet>
+</template>
+"""
+
+
+def test_load_template_runs_reference_shaped_flow(spark):
+    from nifi_spark.plans import load_template
+    src = spark.createDataFrame([
+        ("a/b/m.go", "go", 50, "package main"),
+        ("a/b/x.py", "py", 500, "import os"),
+        ("c/big.go", "go", 900, "package big"),
+    ], "path string, lang string, size long, content string")
+    flow = load_template(TEMPLATE_XML, sources={"gen": src})
+    out = flow.run()
+    assert {r.path for r in out["router.golang"].collect()} == \
+        {"a/b/m.go", "c/big.go"}
+    assert {r.path for r in out["router.big"].collect()} == \
+        {"a/b/x.py", "c/big.go"}
+    tags = {r.path: r.tag for r in out["tagger.success"].collect()}
+    assert tags == {"a/b/m.go": "go-m.go", "c/big.go": "go-big.go"}
+    w2 = {r.path: r.word2 for r in out["extractor.matched"].collect()}
+    assert w2 == {"a/b/m.go": "main", "c/big.go": "big"}
+
+
+def test_load_template_errors(spark):
+    import pytest as _pt
+
+    from nifi_spark.plans import TemplateError, load_template, parse_template
+    with _pt.raises(TemplateError):
+        parse_template("<notatemplate/>")
+    with _pt.raises(TemplateError):  # missing source mapping
+        load_template(TEMPLATE_XML, sources={})
+    bad = TEMPLATE_XML.replace("RouteOnAttribute", "ConsumeJMS")
+    with _pt.raises(TemplateError):  # unsupported type under strict
+        load_template(bad, sources={"gen": spark.range(1)})
