@@ -12,8 +12,10 @@ exported from the reference runs on Spark unchanged.
 
 Supported processor types (the standard-bundle transform core):
 GenerateFlowFile (caller-supplied source), RouteOnAttribute,
-UpdateAttribute, ReplaceText, ExtractText, HashContent,
-AttributesToJSON, LogAttribute (identity), and FUNNEL nodes (union).
+RouteOnContent, UpdateAttribute, ReplaceText (EL in the replacement
+included), ExtractText, SplitText, SegmentContent, ParseSyslog,
+DetectDuplicate, HashContent, AttributesToJSON, LogAttribute
+(identity), and FUNNEL nodes (union).
 Anything else raises TemplateError under strict=True, or becomes an
 identity pass-through stage with a warning entry otherwise (sinks like
 PutFile are usually what you want to pass through — read the result off
@@ -171,6 +173,24 @@ def _build_stage(proc: TProcessor, content_col: str):
 
         def fn(*dfs):
             df = _union(list(dfs))
+            if "${" in repl:
+                # EL in the replacement (NiFi evaluates it per FlowFile
+                # before substituting): regexp_replace with a Column
+                # replacement; $1-style backrefs still work
+                from nifi_spark.functions.el_parser import compile_template
+                rcol = compile_template(repl).cast("string")
+                if mode == "regex":
+                    new = F.regexp_replace(F.col(content_col),
+                                           F.lit(search), rcol)
+                elif mode == "always":
+                    new = rcol
+                elif mode == "prepend":
+                    new = F.concat(rcol, F.col(content_col))
+                elif mode == "append":
+                    new = F.concat(F.col(content_col), rcol)
+                else:
+                    new = F.replace(F.col(content_col), F.lit(search), rcol)
+                return {"success": df.withColumn(content_col, new)}
             if line_mode:
                 from nifi_spark.operators.content import \
                     replace_text_line_by_line
@@ -178,6 +198,61 @@ def _build_stage(proc: TProcessor, content_col: str):
                     df, content_col, search, repl)}
             return {"success": replace_text(df, content_col, search, repl,
                                             mode=mode)}
+        return fn
+
+    if proc.ptype == "RouteOnContent":
+        from nifi_spark.operators import route_on_content
+        patterns = _dyn(proc)
+
+        def fn(*dfs):
+            return route_on_content(_union(list(dfs)), content_col,
+                                    dict(patterns))
+        return fn
+
+    if proc.ptype == "SplitText":
+        from nifi_spark.operators import split_text
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            out = split_text(df, content_col, sep="\n")
+            # downstream stages keep operating on the content column
+            return {"splits": out.withColumnRenamed("fragment", content_col)}
+        return fn
+
+    if proc.ptype == "SegmentContent":
+        from nifi_spark.operators import segment_content
+        size = p.get("Segment Size", "1 KB").upper()
+        num = float(size.split()[0])
+        unit = {"B": 1, "KB": 1 << 10, "MB": 1 << 20}.get(
+            size.split()[1] if " " in size else "B", 1)
+
+        def fn(*dfs):
+            out = segment_content(_union(list(dfs)), content_col,
+                                  int(num * unit))
+            return {"segments": out.withColumnRenamed("fragment",
+                                                      content_col)}
+        return fn
+
+    if proc.ptype == "ParseSyslog":
+        from nifi_spark.operators import parse_syslog
+
+        def fn(*dfs):
+            routed = parse_syslog(_union(list(dfs)), content_col)
+            return {"success": routed["valid"],
+                    "failure": routed["invalid"]}
+        return fn
+
+    if proc.ptype == "DetectDuplicate":
+        key = p.get("Cache Entry Identifier", content_col)
+
+        def fn(*dfs):
+            from nifi_spark.operators import detect_duplicate
+            df = _union(list(dfs))
+            order = "lsn" if "lsn" in df.columns else df.columns[0]
+            routed = detect_duplicate(df, [key], order)
+            # NiFi spells the relationship with a hyphen
+            return {"non-duplicate": routed["non_duplicate"],
+                    "duplicate": routed["duplicate"]}
         return fn
 
     if proc.ptype == "ExtractText":

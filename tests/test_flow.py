@@ -131,3 +131,65 @@ def test_load_template_errors(spark):
     bad = TEMPLATE_XML.replace("RouteOnAttribute", "ConsumeJMS")
     with _pt.raises(TemplateError):  # unsupported type under strict
         load_template(bad, sources={"gen": spark.range(1)})
+
+
+def test_load_template_wide_processor_set(spark):
+    """SplitText -> RouteOnContent -> ReplaceText(EL replacement) ->
+    DetectDuplicate through the loader."""
+    xml = """<?xml version="1.0"?>
+<template><name>wide</name><snippet>
+  <processors><id>s</id><name>gen</name>
+    <type>o.a.n.p.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>sp</id><name>splitter</name>
+    <type>o.a.n.p.standard.SplitText</type>
+    <config><properties/></config></processors>
+  <processors><id>rc</id><name>grep</name>
+    <type>o.a.n.p.standard.RouteOnContent</type>
+    <config><properties>
+      <entry><key>errors</key><value>ERROR</value></entry>
+    </properties></config></processors>
+  <processors><id>rt</id><name>redact</name>
+    <type>o.a.n.p.standard.ReplaceText</type>
+    <config><properties>
+      <entry><key>Regular Expression</key><value>ERROR \\d+</value></entry>
+      <entry><key>Replacement Value</key><value>ERROR-host${host}</value></entry>
+    </properties></config></processors>
+  <processors><id>dd</id><name>dedup</name>
+    <type>o.a.n.p.standard.DetectDuplicate</type>
+    <config><properties>
+      <entry><key>Cache Entry Identifier</key><value>content</value></entry>
+    </properties></config></processors>
+  <connections><id>c1</id>
+    <source><id>s</id><type>PROCESSOR</type></source>
+    <destination><id>sp</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>c2</id>
+    <source><id>sp</id><type>PROCESSOR</type></source>
+    <destination><id>rc</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>splits</selectedRelationships>
+  </connections>
+  <connections><id>c3</id>
+    <source><id>rc</id><type>PROCESSOR</type></source>
+    <destination><id>rt</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>errors</selectedRelationships>
+  </connections>
+  <connections><id>c4</id>
+    <source><id>rt</id><type>PROCESSOR</type></source>
+    <destination><id>dd</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>success</selectedRelationships>
+  </connections>
+</snippet></template>"""
+    from nifi_spark.plans import load_template
+    src = spark.createDataFrame(
+        [(1, "h1", "ok line\nERROR 42 disk\nERROR 42 disk"),
+         (2, "h2", "all fine here")],
+        "lsn long, host string, content string")
+    out = load_template(xml, sources={"gen": src}).run()
+    err_lines = sorted(r.content for r in out["grep.errors"].collect())
+    assert err_lines == ["ERROR 42 disk", "ERROR 42 disk"]
+    redacted = sorted(r.content for r in out["redact.success"].collect())
+    assert redacted == ["ERROR-hosth1 disk", "ERROR-hosth1 disk"]
+    nd = [r.content for r in out["dedup.non-duplicate"].collect()]
+    dup = [r.content for r in out["dedup.duplicate"].collect()]
+    assert nd == ["ERROR-hosth1 disk"] and dup == ["ERROR-hosth1 disk"]
