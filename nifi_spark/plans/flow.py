@@ -47,9 +47,15 @@ class Flow:
         return self
 
     # ---------------- execution ----------------
-    def run(self) -> dict[str, DataFrame]:
+    def run(self, provenance=None, batch_id: int = 0) -> dict[str, DataFrame]:
         """Resolve the DAG; returns every produced output keyed by
-        'stage' (single output) and 'stage.relationship' (routed)."""
+        'stage' (single output) and 'stage.relationship' (routed).
+
+        With `provenance` (a ProvenanceWriter), every resolved output
+        emits a ROUTE/TRANSFORM count record — the RouteOnAttribute
+        provenance.route parity (standard/RouteOnAttribute.java:220-264).
+        OPT-IN because each count forces a job per output; leave off in
+        lazy pipelines and account at the sink instead."""
         outputs: dict[str, DataFrame] = {}
         resolved: set[str] = set()
         remaining = list(self._order)
@@ -71,6 +77,15 @@ class Flow:
                     outputs[sid] = out
                 else:
                     raise FlowError(f"stage {sid!r} returned {type(out).__name__}")
+                if provenance is not None:
+                    new_keys = ([f"{sid}.{r}" for r in out]
+                                if isinstance(out, dict) else [sid])
+                    for key in new_keys:
+                        df = outputs[key]
+                        provenance.emit_counts(
+                            df.sparkSession,
+                            "ROUTE" if "." in key else "TRANSFORM",
+                            batch_id, key, df.count())
                 resolved.add(sid)
                 remaining.remove(sid)
                 progressed = True

@@ -193,3 +193,24 @@ def test_load_template_wide_processor_set(spark):
     nd = [r.content for r in out["dedup.non-duplicate"].collect()]
     dup = [r.content for r in out["dedup.duplicate"].collect()]
     assert nd == ["ERROR-hosth1 disk"] and dup == ["ERROR-hosth1 disk"]
+
+
+def test_flow_run_with_provenance(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from nifi_spark.plans import Flow
+    from nifi_spark.provenance import ProvenanceWriter
+    prov = ProvenanceWriter(str(tmp_path / "prov"))
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")],
+                               "id long, k string")
+    flow = (Flow("p")
+            .source("src", lambda: df)
+            .add("routed", lambda d: {"a": d.filter(F.col("k") == "a"),
+                                      "b": d.filter(F.col("k") == "b")},
+                 inputs="src"))
+    flow.run(provenance=prov, batch_id=7)
+    rec = prov.read(spark).select("event_type", "stage", "row_count",
+                                  "batch_id").collect()
+    got = {r.stage: (r.event_type, r.row_count, r.batch_id) for r in rec}
+    assert got["src"] == ("TRANSFORM", 3, 7)
+    assert got["routed.a"] == ("ROUTE", 2, 7)
+    assert got["routed.b"] == ("ROUTE", 1, 7)
