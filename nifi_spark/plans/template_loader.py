@@ -14,7 +14,8 @@ Supported processor types (the standard-bundle transform core):
 GenerateFlowFile (caller-supplied source), RouteOnAttribute,
 RouteOnContent, UpdateAttribute, ReplaceText (EL in the replacement
 included), ExtractText, SplitText, SegmentContent, ParseSyslog,
-DetectDuplicate, HashContent, AttributesToJSON, LogAttribute
+DetectDuplicate, EvaluateJsonPath, MergeContent (Defragment),
+CompressContent, HashContent, AttributesToJSON, LogAttribute
 (identity), and FUNNEL nodes (union).
 Anything else raises TemplateError under strict=True, or becomes an
 identity pass-through stage with a warning entry otherwise (sinks like
@@ -291,6 +292,56 @@ def _build_stage(proc: TProcessor, content_col: str):
             df = _union(list(dfs))
             return {"success": attributes_to_json(
                 df, attrs or [c for c in df.columns if c != content_col])}
+        return fn
+
+    if proc.ptype == "EvaluateJsonPath":
+        from nifi_spark.operators import evaluate_json_path
+        paths = {k: v for k, v in _dyn(proc).items()
+                 if v.startswith("$")}
+
+        def fn(*dfs):
+            df = evaluate_json_path(_union(list(dfs)), content_col, paths)
+            matched = None
+            for name in paths:
+                hit = F.col(name).isNotNull()
+                matched = hit if matched is None else (matched & hit)
+            if matched is None:
+                return {"matched": df, "unmatched": df.limit(0)}
+            return {"matched": df.filter(matched),
+                    "unmatched": df.filter(~F.coalesce(matched,
+                                                       F.lit(False)))}
+        return fn
+
+    if proc.ptype == "MergeContent":
+        from nifi_spark.operators import merge_defragment
+        if p.get("Merge Strategy", "Bin-Packing Algorithm") != "Defragment":
+            return None  # bin-packing needs sink-side sizing; not a stage
+        sep = p.get("Delimiter Strategy Text", "")
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            frag_col = ("fragment" if "fragment" in df.columns
+                        else content_col)
+            out = merge_defragment(df, frag_col, sep=sep)
+            return {"merged": out.withColumnRenamed("content", content_col)
+                    if content_col != "content" else out}
+        return fn
+
+    if proc.ptype == "CompressContent":
+        from nifi_spark.operators import compress_content
+        codec = {"gzip": "gzip", "bzip2": "bz2", "xz-lzma2": "lzma",
+                 }.get(p.get("Compression Format", "gzip"), "gzip")
+        mode = ("decompress" if p.get("Mode", "compress") == "decompress"
+                else "compress")
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            c = df.schema[content_col].dataType.simpleString()
+            if c != "binary":
+                df = df.withColumn(content_col,
+                                   F.encode(F.col(content_col), "utf-8"))
+            return {"success": compress_content(df, content_col, codec,
+                                                mode=mode)}
         return fn
 
     if proc.ptype in ("LogAttribute", "FUNNEL"):

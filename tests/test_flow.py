@@ -214,3 +214,69 @@ def test_flow_run_with_provenance(spark, tmp_path):
     assert got["src"] == ("TRANSFORM", 3, 7)
     assert got["routed.a"] == ("ROUTE", 2, 7)
     assert got["routed.b"] == ("ROUTE", 1, 7)
+
+
+def test_load_template_json_merge_compress(spark):
+    """EvaluateJsonPath -> SegmentContent -> MergeContent(Defragment)
+    roundtrip plus CompressContent, through the loader."""
+    xml = """<?xml version="1.0"?>
+<template><name>json-roundtrip</name><snippet>
+  <processors><id>s</id><name>gen</name>
+    <type>o.GenerateFlowFile</type><config><properties/></config>
+  </processors>
+  <processors><id>jp</id><name>jsonpath</name>
+    <type>o.EvaluateJsonPath</type>
+    <config><properties>
+      <entry><key>user</key><value>$.user</value></entry>
+    </properties></config></processors>
+  <processors><id>sg</id><name>seg</name>
+    <type>o.SegmentContent</type>
+    <config><properties>
+      <entry><key>Segment Size</key><value>8 B</value></entry>
+    </properties></config></processors>
+  <processors><id>mg</id><name>merge</name>
+    <type>o.MergeContent</type>
+    <config><properties>
+      <entry><key>Merge Strategy</key><value>Defragment</value></entry>
+    </properties></config></processors>
+  <processors><id>cz</id><name>zip</name>
+    <type>o.CompressContent</type>
+    <config><properties>
+      <entry><key>Compression Format</key><value>gzip</value></entry>
+    </properties></config></processors>
+  <connections><id>c1</id>
+    <source><id>s</id><type>PROCESSOR</type></source>
+    <destination><id>jp</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>c2</id>
+    <source><id>jp</id><type>PROCESSOR</type></source>
+    <destination><id>sg</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>matched</selectedRelationships>
+  </connections>
+  <connections><id>c3</id>
+    <source><id>sg</id><type>PROCESSOR</type></source>
+    <destination><id>mg</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>segments</selectedRelationships>
+  </connections>
+  <connections><id>c4</id>
+    <source><id>jp</id><type>PROCESSOR</type></source>
+    <destination><id>cz</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>matched</selectedRelationships>
+  </connections>
+</snippet></template>"""
+    import gzip
+
+    from nifi_spark.plans import load_template
+    src = spark.createDataFrame(
+        [(1, '{"user": "ada", "msg": "hello world segmentation"}'),
+         (2, '{"nouser": 1}')],
+        "id long, content string")
+    out = load_template(xml, sources={"gen": src}).run()
+    assert [r.user for r in out["jsonpath.matched"].collect()] == ["ada"]
+    assert out["jsonpath.unmatched"].count() == 1
+    merged = out["merge.merged"].collect()
+    assert len(merged) == 1
+    assert merged[0].content == '{"user": "ada", "msg": "hello world segmentation"}'
+    z = out["zip.success"].collect()[0].content
+    assert gzip.decompress(bytes(z)).decode() == \
+        '{"user": "ada", "msg": "hello world segmentation"}'
