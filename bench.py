@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "embedding_near_dup",
     "dedup_near_clusters",
+    "curate_contamination",
+    "quantize_embeddings",
     "multimodal_features",
     "scan_content",
     "split_defragment_roundtrip",
