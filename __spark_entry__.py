@@ -408,6 +408,23 @@ def q_execute_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_execute_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q4 shape — correlated EXISTS, which Catalyst
+    rewrites to a LEFT SEMI join (the one join shape the other SQL gate
+    rows don't exercise)."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(sf_dir, ["orders", "lineitem"])
+    return eng.sql("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """)
+
+
 def q_execute_sql_flow_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExecuteSQL's incoming-triggered form: an upstream DataFrame stage
     becomes the table the SQL text queries (Flow + SqlEngine.stage),
@@ -1939,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_csv_route": q_validate_csv_route,
         "split_defragment_roundtrip": q_split_defragment_roundtrip,
         "execute_sql_tpch_q6": q_execute_sql_tpch_q6,
+        "execute_sql_tpch_q4": q_execute_sql_tpch_q4,
         "execute_sql_tpch_q10": q_execute_sql_tpch_q10,
         "execute_sql_tpch_q14": q_execute_sql_tpch_q14,
         "execute_sql_flow_topn": q_execute_sql_flow_topn,
@@ -2158,6 +2176,15 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01'
   AND l_shipdate < TIMESTAMP '1995-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24
+""",
+        "execute_sql_tpch_q4": """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
 """,
         "execute_sql_tpch_q10": """
 SELECT c_custkey, c_name, n_name,
