@@ -16,13 +16,15 @@ Supported grammar (the overwhelmingly common subset):
   expression := '${' subject (':' call)* '}'
   subject    := attrName | 'quoted attr name' | call   # call = subjectless
   call       := fnName '(' [arg (',' arg)*] ')'
-  arg        := 'string' | "string" | number | true | false
+
+  arg        := 'string' | "string" | number | true | false | expression
 
 Function names resolve against EL (NiFi-spelled aliases included), so
-every mapped function chains. Not implemented (raise cleanly):
-nested ${} inside argument lists and the multi-attribute fold forms
-(anyAttribute/allMatchingAttributes — they need the DataFrame, use the
-EL namespace directly).
+every mapped function chains, and arguments may themselves be nested
+expressions (``${a:equals(${b})}``) — the EL namespace passes Column
+arguments through. Not implemented (raise cleanly): the multi-attribute
+fold forms (anyAttribute/allMatchingAttributes — they need the
+DataFrame, use the EL namespace directly).
 """
 
 from __future__ import annotations
@@ -89,6 +91,12 @@ class _P:
         ch = self.peek()
         if ch in "'\"":
             return self.quoted()
+        if self.s.startswith("${", self.i):
+            # nested expression argument: ${a:equals(${b})} — the EL
+            # namespace passes Column args through (F.lit is a
+            # passthrough for Columns), so the compiled Column slots in
+            # wherever a literal would
+            return self.expression()
         j = self.i
         while self.peek() not in (",", ")", "") and not self.peek().isspace():
             self.i += 1
@@ -105,8 +113,7 @@ class _P:
             return float(tok)
         except ValueError:
             raise ELSyntaxError(
-                f"unsupported argument {tok!r} in {self.s!r} (nested "
-                "${...} arguments are not supported; pass literals)")
+                f"unsupported argument {tok!r} in {self.s!r}")
 
     def call_args(self) -> list:
         self.eat("(")

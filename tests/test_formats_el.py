@@ -131,7 +131,13 @@ def test_el_string_compiler(spark):
     df2 = spark.createDataFrame([("v",)], "`my attr` string")
     got = df2.select(compile_el("${'my attr':toUpper()}").alias("x")).first()[0]
     assert got == "V"
+    # nested expression arguments compile (Column passthrough)
+    assert one("${msg:contains(${msg})}") is True
+    assert one("${n:plus(${n})}") == 14
+    df3 = spark.createDataFrame([("abc", "b")], "s string, frag string")
+    got3 = df3.select(compile_el("${s:contains(${frag})}").alias("x")).first()[0]
+    assert got3 is True
     for bad in ["${path:nosuchfn()}", "${anyAttribute('x')}",
-                "${path:replace(${n})}", "${path", "${path:toUpper()}x"]:
+                "${path:replace(@@)}", "${path", "${path:toUpper()}x"]:
         with _pt.raises(ELSyntaxError):
             compile_el(bad)
