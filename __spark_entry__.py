@@ -1185,7 +1185,14 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nifi_spark.datalib import quality_classify
-    docs = _t(spark, sf_dir, "documents")
+    # union two degenerate docs (empty / whitespace-only) so the gate
+    # covers the split('','') phantom-char edge the corpus lacks: both
+    # must classify with char_ppl = 0.0, matching the oracle's
+    # regexp_extract_all('\\S') histogram.
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .unionAll(_t(spark, sf_dir, "documents").sparkSession
+                      .createDataFrame([(-1, ""), (-2, "  \t \n ")],
+                                       "doc_id long, text string")))
     return quality_classify(docs, "text").select(
         "doc_id", "n_tokens", "char_ppl", "word_ppl", "stopword_ratio",
         "repetition_ratio", "mean_token_len", "quality_class")
@@ -2595,12 +2602,16 @@ FROM m
         # division, so the histogram route here reproduces the Spark fold
         # bit-for-bit; every CASE mirrors the operator's rule order.
         "text_quality_classify": f"""
-WITH t AS (
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1, ''
+  UNION ALL SELECT -2, '  ' || chr(9) || ' ' || chr(10) || ' '),
+t AS (
   SELECT doc_id, text,
          list_transform(list_filter(string_split_regex(text, '\\s+'),
                                     x -> x <> ''), x -> lower(x)) AS toks,
          regexp_extract_all(text, '\\S') AS chars
-  FROM documents),
+  FROM src),
 ch AS (SELECT doc_id, sum(n*n)::BIGINT AS ss_c, sum(n)::BIGINT AS n_c
        FROM (SELECT doc_id, c, count(*)::BIGINT AS n
              FROM (SELECT doc_id, unnest(chars) AS c FROM t) GROUP BY 1,2)

@@ -288,15 +288,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     bits = bands * band_bits
     planes = _hyperplanes(dim, bits)
     mask = (1 << band_bits) - 1
-    sig = _sig_expr(F.col(vec_col), planes, exact)
-    banded = df.select(F.col(id_col).alias("_id"),
-                       F.col(vec_col).alias("_v"),
-                       F.explode(F.array(*[
-                           F.struct(
-                               F.lit(b).alias("b"),
-                               F.shiftright(sig, b * band_bits)
-                               .bitwiseAND(F.lit(mask)).alias("v"))
-                           for b in range(bands)])).alias("_band"))
+    # TWO-STAGE: materialize the O(bits·dim) signature fold in its own
+    # Project before slicing it into bands. HOF folds are CodegenFallback
+    # (no subexpression elimination), so inlining `sig` into every band
+    # struct would recompute the whole fold bands× per row — the same
+    # trap documented at text.quality_classify. CollapseProject keeps the
+    # stages apart because _sig is non-cheap and multiply referenced.
+    sig_src = df.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("_v")) \
+                .withColumn("_sig", _sig_expr(F.col("_v"), planes, exact))
+    banded = sig_src.select("_id", "_v",
+                            F.explode(F.array(*[
+                                F.struct(
+                                    F.lit(b).alias("b"),
+                                    F.shiftright(F.col("_sig"), b * band_bits)
+                                    .bitwiseAND(F.lit(mask)).alias("v"))
+                                for b in range(bands)])).alias("_band"))
     a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
                       "_band")
     b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),

@@ -199,8 +199,14 @@ def quality_classify(df: DataFrame, text_col: str = "text",
     toks = F.transform(_ws_tokens(text_col), lambda t: F.lower(t))
     # strip whitespace first (ONE regex pass), then split — not a
     # per-character rlike filter (a regex invocation per char was ~3×
-    # the cost for the same multiset of non-space chars)
-    chars = F.split(F.regexp_replace(F.col(text_col), r"\s+", ""), "")
+    # the cost for the same multiset of non-space chars). split('', '')
+    # on an EMPTY string yields [''] (one phantom element), which would
+    # give empty/whitespace-only docs char_ppl = 1.0 while the SQL
+    # oracle (regexp_extract_all '\\S') gives 0.0 — filter it out, the
+    # same guard _ws_tokens applies to its token array.
+    chars = F.filter(
+        F.split(F.regexp_replace(F.col(text_col), r"\s+", ""), ""),
+        lambda c: c != "")
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     # TWO-STAGE projection: the fold structs materialize in their own
     # Project and the derived columns below reference only cheap struct

@@ -132,10 +132,15 @@ def bin_assign(df: DataFrame, order_col: str, content_col: str,
     is global — acceptable ONLY for listing-sized inputs (binning file
     listings, NiFi's actual use), not row-level corpora."""
     from pyspark.sql.window import Window
+    # ROWS frame, not the default RANGE frame: with RANGE, rows tied on
+    # order_col include each other's bytes in `start`, inflating offsets
+    # past the documented max_bytes+one-row bound whenever order values
+    # repeat (and diverging from a ROWS-frame SQL oracle).
     w = (Window.partitionBy(correlation_col) if correlation_col
          else Window.partitionBy(F.lit(0))).orderBy(F.col(order_col))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sz = F.coalesce(F.octet_length(F.col(content_col)), F.lit(0))
-    start = F.coalesce(F.sum(sz).over(w) - sz, F.lit(0))
+    start = F.coalesce(F.sum(sz).over(wsum) - sz, F.lit(0))
     idx = F.row_number().over(w) - 1
     byte_bin = (start / max_bytes).cast("long")
     row_bin = (idx / max_rows).cast("long")

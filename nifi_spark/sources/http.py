@@ -15,6 +15,7 @@ tests inject a fake, and sandboxed environments never need a socket.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from nifi_spark.ledger import KVState
@@ -51,7 +52,11 @@ class HttpIncrementalSource:
                  fetcher: Fetcher | None = None):
         self.url = url
         self.state = state
-        self.key = key or "http_" + str(abs(hash(url)) % (1 << 32))
+        # stable digest, NOT builtin hash(): hash(str) is randomized per
+        # process (PYTHONHASHSEED), which would orphan the persisted
+        # ETag/Last-Modified state on every driver restart and silently
+        # defeat the conditional-GET pattern this class exists for.
+        self.key = key or "http_" + hashlib.md5(url.encode()).hexdigest()
         self.fetcher = fetcher or _urllib_fetcher
 
     def poll(self) -> bytes | None:

@@ -13,6 +13,8 @@ from __future__ import annotations
 import hashlib
 import sys
 import time
+import functools
+print = functools.partial(print, flush=True)  # noqa: A001 — driver may kill partial runs; keep every completed row on disk
 
 import duckdb
 import pandas as pd

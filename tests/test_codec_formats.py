@@ -244,6 +244,19 @@ def test_bin_assign_thresholds(spark):
     assert [got[("g", i)] for i in range(6)] == [0, 0, 0, 0, 1, 1]
 
 
+def test_bin_assign_tied_order_values(spark):
+    """ROWS frame regression: with all order values equal, the default
+    RANGE frame would put the WHOLE partition's bytes in every row's
+    cumulative sum (start = 500 for all), collapsing bin boundaries.
+    ROWS frame must still pack sequentially: 100-byte rows, 250-byte cap
+    → bins 0,0,0,1,1,2 regardless of ties."""
+    df = spark.createDataFrame(
+        [(7, i, "x" * 100) for i in range(6)],
+        "seq long, uid long, content string")
+    out = bin_assign(df, "seq", "content", max_bytes=250, max_rows=100)
+    assert sorted(r.bin_id for r in out.collect()) == [0, 0, 0, 1, 1, 2]
+
+
 # ---------------- ExecuteSQL surface ----------------
 
 def test_sql_engine_fixed_query(spark, files):

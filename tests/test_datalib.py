@@ -455,6 +455,20 @@ def test_quality_classify_buckets(spark):
     assert out[5].quality_class == "mediocre"  # diverse but stopword-free
 
 
+def test_quality_classify_empty_docs(spark):
+    """split('', '') yields [''] — the phantom element must NOT count as
+    a char run: empty and whitespace-only docs get char_ppl 0.0 (the
+    regexp_extract_all('\\S') oracle semantics), class junk."""
+    from nifi_spark.datalib import quality_classify
+    df = spark.createDataFrame(
+        [(1, ""), (2, "  \t \n "), (3, "x")], "doc_id long, text string")
+    out = {r.doc_id: r for r in quality_classify(df, "text").collect()}
+    assert out[1].char_ppl == 0.0 and out[1].n_tokens == 0
+    assert out[2].char_ppl == 0.0 and out[2].n_tokens == 0
+    assert out[3].char_ppl == 1.0  # one real char still counts
+    assert {out[i].quality_class for i in (1, 2, 3)} == {"junk"}
+
+
 def test_repetition_stats(spark):
     from nifi_spark.datalib import repetition_stats
     df = spark.createDataFrame(
