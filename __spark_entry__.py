@@ -1135,6 +1135,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+def q_dedup_ngram_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production dedup pipeline: MinHash-LSH DISCOVERS
+    candidate pairs (banded bucket join, linear), then ngram_jaccard_pairs
+    VERIFIES exactly those — candidates join straight to per-doc shingle
+    sets (one array_intersect per pair), no shingle self-join anywhere."""
+    from nifi_spark.datalib import minhash_lsh_pairs, ngram_jaccard_pairs
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_perm=12,
+                             bands=4)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.3,
+                               candidates=cand)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-banded near-dup pairs: pigeonhole banding for
     candidates, exact bit_count(xor) verification — no all-pairs scan."""
@@ -1365,6 +1378,58 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
+def _lsh_int8_rerank_sql(dim: int = 64, bits: int = 8, k: int = 5) -> str:
+    """LSH bucket candidates (decimal-exact hyperplane signatures, same
+    CTEs as _lsh_ann_sql) re-ranked by the int8 integer-dot cosine —
+    the oracle for the composed production ANN path."""
+    from nifi_spark.datalib.similarity import _hyperplanes
+    planes = _hyperplanes(dim, bits)
+
+    def arr(hp):
+        return ("[" + ", ".join("1.0" if c > 0 else "-1.0" for c in hp)
+                + "]::DOUBLE[]")
+
+    sig_terms = "\n         + ".join(
+        f"(CASE WHEN sum((x * ({arr(hp)})[pos])::DECIMAL(38,18)) >= 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b, hp in enumerate(planes))
+    probe_list = "[s, " + ", ".join(f"xor(s, {1 << i})"
+                                    for i in range(bits)) + "]"
+    return f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings),
+sig AS (
+  SELECT vec_id, ({sig_terms})::INT AS s
+  FROM ex GROUP BY vec_id),
+probes AS (
+  SELECT vec_id, unnest({probe_list}) AS p FROM sig),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes q JOIN sig c ON q.p = c.s AND q.vec_id <> c.vec_id),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                     x -> floor(x::DOUBLE / s * 127.0 + 0.5)) END AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+        FROM embeddings)),
+p AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_dot_product(a.qv, b.qv)
+               / (sqrt(list_dot_product(a.qv, a.qv))
+                  * sqrt(list_dot_product(b.qv, b.qv))), 6) AS qcosine
+  FROM cand JOIN qz a ON a.vec_id = cand.query_id
+            JOIN qz b ON b.vec_id = cand.neighbor_id)
+SELECT query_id, neighbor_id, qcosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY qcosine DESC, neighbor_id) AS rank FROM p)
+WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1475,6 +1540,24 @@ FROM inter
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE inter / (na.n + nb.n - inter) >= 0.5
+"""
+
+
+_NGRAM_VERIFY_LSH_SQL = f"""
+WITH cand AS ({_lsh_pairs_sql(12, 4)}),
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+v AS (SELECT i.* FROM inter i JOIN cand c USING (id_a, id_b))
+SELECT id_a, id_b, inter, na.n AS n_a, nb.n AS n_b,
+       round(inter / (na.n + nb.n - inter), 6) AS jaccard
+FROM v
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE inter / (na.n + nb.n - inter) >= 0.3
 """
 
 
@@ -1881,6 +1964,21 @@ def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_int8(embs, "vec_id", "embedding", k=5)
 
 
+def q_ann_lsh_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production ANN path: hyperplane-LSH buckets DISCOVER
+    candidate pairs (ids only through the shuffle), int8-quantized
+    integer dots RE-RANK them — 4× smaller vectors, scales cancel in
+    cosine. Signatures in decimal-exact mode so the DuckDB oracle's
+    bucket membership matches bit-for-bit; the int8 scoring itself is
+    integer-exact in any engine."""
+    from nifi_spark.datalib import ann_topk_int8, lsh_candidate_pairs
+    embs = _t(spark, sf_dir, "embeddings")
+    dim = len(embs.select("embedding").first()[0])
+    cand = lsh_candidate_pairs(embs, "vec_id", "embedding", dim, bits=8,
+                               exact=True)
+    return ann_topk_int8(embs, "vec_id", "embedding", k=5, candidates=cand)
+
+
 def q_list_file_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListFile semantics: mtime-watermark listing of the sf dir — first
     pass lists every table file, a second pass from the committed
@@ -2008,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_verify_lsh": q_dedup_ngram_verify_lsh,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_repetition": q_text_repetition,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -2019,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exact": q_ann_topk_exact,
         "cosine_pairs": q_cosine_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ann_lsh_int8_rerank": q_ann_lsh_int8_rerank,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -2556,6 +2656,7 @@ FROM documents GROUP BY md5(text)
         "dedup_minhash_lsh_pairs": _lsh_pairs_sql(12, 4),
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_ngram_verify_lsh": _NGRAM_VERIFY_LSH_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(16, 2),
         "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_near_clusters": _near_clusters_sql(12, 4),
@@ -2678,6 +2779,7 @@ FROM documents
         "ann_topk_exact": _ANN_EXACT_SQL,
         "cosine_pairs": _COSINE_PAIRS_SQL,
         "lsh_ann_topk": _lsh_ann_sql(64, 8, 5),
+        "ann_lsh_int8_rerank": _lsh_int8_rerank_sql(64, 8, 5),
         "embedding_near_dup": _emb_near_dup_sql(64, 8, 2, 0.35),
         "ivf_ann_topk": _ivf_ann_sql(32, 3, 5),
         "multimodal_features": """

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "text_quality_classify",
     "text_lang_id",
     "lsh_ann_topk",
+    "ann_lsh_int8_rerank",
     "ivf_ann_topk",
     "embedding_near_dup",
     "dedup_near_clusters",
@@ -144,6 +145,17 @@ def _bench_overrides() -> dict:
         return ivf_ann_topk(embs, "vec_id", "embedding", k=5,
                             sample_mod=32, nprobe=3)
 
+    def lsh_int8_double(spark, sf_dir):
+        # the composed production ANN path: LSH buckets discover (ids
+        # only through the shuffle), int8 integer dots re-rank —
+        # double-fold signatures + auto-scaled bits, like lsh_double
+        from nifi_spark.datalib import ann_topk_int8, lsh_candidate_pairs
+        embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        dim = len(embs.select("embedding").first()[0])
+        cand = lsh_candidate_pairs(embs, "vec_id", "embedding", dim=dim)
+        return ann_topk_int8(embs, "vec_id", "embedding", k=5,
+                             candidates=cand)
+
     def near_dup_double(spark, sf_dir):
         # production shape: tight dedup threshold, 4×8-bit bands (the
         # gate row instead uses loose 8×2 so the synthetic near-orthogonal
@@ -157,6 +169,7 @@ def _bench_overrides() -> dict:
                                         threshold=0.9, bands=4, band_bits=8)
 
     return {"lsh_ann_topk": lsh_double, "ivf_ann_topk": ivf_double,
+            "ann_lsh_int8_rerank": lsh_int8_double,
             "embedding_near_dup": near_dup_double}
 
 

@@ -66,14 +66,55 @@ def shingle(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, threshold: float = 0.7,
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_df: int | None = None) -> DataFrame:
     """Pairs (id_a < id_b) with Jaccard(shingle sets) >= threshold.
 
-    Without `candidates`, discovers pairs via the shingle self-join
-    (quadratic per shared shingle — verification-scale). With `candidates`
-    (e.g. from minhash_lsh_pairs), verifies only those pairs.
+    With `candidates` (id_a, id_b — e.g. from minhash_lsh_pairs) this is
+    the production VERIFY stage: candidate pairs join directly to the
+    per-doc shingle sets and the intersection is one array_intersect per
+    pair — cost is linear in |candidates| + corpus shingling, and there
+    is NO shingle self-join anywhere in the plan (the earlier shape
+    semi-joined candidates AFTER the full self-join, so one boilerplate
+    shingle shared by 10^6 docs still exploded quadratically before the
+    filter could run).
+
+    Without `candidates` it discovers pairs via the shingle self-join —
+    quadratic per shared shingle, oracle/verification scale only. For
+    discovery runs over raw corpora, `max_df` drops shingles appearing
+    in more than max_df documents BEFORE the self-join (two-phase:
+    document-frequency count, then a semi-join on surviving shingles) —
+    the boilerplate guard mirroring minhash_lsh_pairs' max_bucket.
+    Sizes are computed after the cap, so Jaccard stays internally
+    consistent over the informative-shingle space.
     """
-    sh = shingle(df, id_col, text_col, k).cache()
+    if candidates is not None:
+        sets = (shingle(df, id_col, text_col, k)
+                .groupBy(id_col)
+                .agg(F.collect_list("shingle").alias("ss"),
+                     F.count(F.lit(1)).alias("n")))
+        sa = sets.select(F.col(id_col).alias("id_a"),
+                         F.col("ss").alias("sa"), F.col("n").alias("n_a"))
+        sb = sets.select(F.col(id_col).alias("id_b"),
+                         F.col("ss").alias("sb"), F.col("n").alias("n_b"))
+        return (candidates.select("id_a", "id_b").distinct()
+                .join(sa, "id_a").join(sb, "id_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("sa", "sb"))
+                            .cast("long"))
+                .filter(F.col("inter") > 0)
+                .withColumn("jaccard",
+                            F.col("inter") / (F.col("n_a") + F.col("n_b")
+                                              - F.col("inter")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "inter", "n_a", "n_b",
+                        F.round("jaccard", 6).alias("jaccard")))
+    sh = shingle(df, id_col, text_col, k)
+    if max_df is not None:
+        keep = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df).select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -81,18 +122,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
              .filter(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("inter")))
-    if candidates is not None:
-        inter = inter.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"],
-                           "left_semi")
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
-    out = (inter.join(na, "id_a").join(nb, "id_b")
-           .withColumn("jaccard",
-                       F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
-           .filter(F.col("jaccard") >= threshold)
-           .select("id_a", "id_b", "inter", "n_a", "n_b",
-                   F.round("jaccard", 6).alias("jaccard")))
-    return out
+    return (inter.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter") / (F.col("n_a") + F.col("n_b")
+                                          - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "n_a", "n_b",
+                    F.round("jaccard", 6).alias("jaccard")))
 
 
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime for the universal hashes
@@ -137,6 +175,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     rows of any band become a candidate pair. Buckets larger than
     max_bucket are dropped (boilerplate guard — at web scale one viral
     page can otherwise create a quadratic bucket).
+
+    The guard is TWO-PHASE: first a narrow count per (band, bucket)
+    (map-side combinable — each partition contributes one partial count
+    per bucket), then a semi-join keeps only 2..max_bucket buckets, and
+    only THOSE aggregate their id lists. Filtering after collect_list
+    would bound the quadratic pair explosion but not the aggregation
+    buffer — a 10^7-member boilerplate bucket would OOM an executor
+    while building an id list the filter then throws away.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -149,10 +195,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     banded = (sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb"))
               .select(id_col, F.col("bb.band").alias("band"),
                       F.col("bb.bucket").alias("bucket")))
-    sized = banded.groupBy("band", "bucket").agg(
-        F.collect_list(id_col).alias("ids"), F.count(F.lit(1)).alias("n"))
-    pairs = (sized.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-             .select(F.explode(F.expr(
+    ok = (banded.groupBy("band", "bucket")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+          .select("band", "bucket"))
+    survivors = banded.join(ok, ["band", "bucket"], "left_semi")
+    sized = survivors.groupBy("band", "bucket").agg(
+        F.collect_list(id_col).alias("ids"))
+    pairs = (sized.select(F.explode(F.expr(
                  "filter(transform(flatten(transform(ids, a -> "
                  "transform(ids, b -> struct(a as id_a, b as id_b)))), x -> x),"
                  " p -> p.id_a < p.id_b)")).alias("p"))

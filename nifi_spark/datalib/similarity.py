@@ -337,6 +337,51 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .select("id_a", "id_b", "cosine"))
 
 
+def lsh_candidate_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        dim: int, bits: int | None = None,
+                        queries: DataFrame | None = None,
+                        multiprobe: bool = True, exact: bool = False,
+                        n_hint: int | None = None,
+                        target_bucket: int = 1024) -> DataFrame:
+    """Distinct (query_id, neighbor_id) candidate pairs from the
+    random-hyperplane bucket join — the discovery stage shared by
+    lsh_ann_topk and the composed production path
+    `ann_topk_int8(candidates=lsh_candidate_pairs(...))` (4×-smaller
+    integer re-rank over banded candidates; no full-width vectors or
+    cosine folds anywhere in discovery).
+
+    The bucket join moves ONLY (id, _sig): with multiprobe a pair can
+    collide on up to bits+1 probes, so pairs are dedup'd HERE, before
+    any scoring — scoring per duplicate wasted ~bits× fold work, and
+    carrying vectors through the probe explode replicated each query
+    vector bits+1× through the shuffle.
+    """
+    if bits is None:
+        import math
+        n = n_hint if n_hint is not None else df.count()
+        bits = min(24, max(8, math.ceil(math.log2(max(n, 2) / target_bucket))))
+    planes = _hyperplanes(dim, bits)
+
+    def sig_col(vec):
+        return _sig_expr(vec, planes, exact)
+
+    q = (queries if queries is not None else df).withColumn(
+        "_sig", sig_col(F.col(vec_col)))
+    if multiprobe:
+        probes = F.array(F.col("_sig"),
+                         *[F.col("_sig").bitwiseXOR(F.lit(1 << i))
+                           for i in range(bits)])
+        q = q.select(F.col(id_col).alias("query_id"),
+                     F.explode(probes).alias("_sig"))
+    else:
+        q = q.select(F.col(id_col).alias("query_id"), "_sig")
+    c = (df.withColumn("_sig", sig_col(F.col(vec_col)))
+         .select(F.col(id_col).alias("neighbor_id"), "_sig"))
+    return (q.join(c, "_sig")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+
+
 def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
                  k: int = 5, bits: int | None = None,
                  queries: DataFrame | None = None,
@@ -360,38 +405,15 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
     decimal sums (order-independent, bit-identical in a DuckDB oracle);
     the default double path is the throughput shape.
     """
-    if bits is None:
-        import math
-        n = n_hint if n_hint is not None else df.count()
-        bits = min(24, max(8, math.ceil(math.log2(max(n, 2) / target_bucket))))
-    planes = _hyperplanes(dim, bits)
-
-    def sig_col(vec):
-        return _sig_expr(vec, planes, exact)
-
-    cand = df.withColumn("_sig", sig_col(F.col(vec_col)))
-    q = (queries if queries is not None else df).withColumn(
-        "_sig", sig_col(F.col(vec_col)))
-    if multiprobe:
-        probes = F.array(F.col("_sig"),
-                         *[F.col("_sig").bitwiseXOR(F.lit(1 << i))
-                           for i in range(bits)])
-        q = q.select(F.col(id_col).alias("query_id"),
-                     F.col(vec_col).alias("vq"),
-                     F.explode(probes).alias("_sig"))
-    else:
-        q = q.select(F.col(id_col).alias("query_id"),
-                     F.col(vec_col).alias("vq"), "_sig")
-    c = cand.select(F.col(id_col).alias("neighbor_id"),
-                    F.col(vec_col).alias("vc"), "_sig")
-    pairs = (q.join(c, "_sig")
-             .filter(F.col("query_id") != F.col("neighbor_id")))
+    cand_pairs = lsh_candidate_pairs(df, id_col, vec_col, dim, bits=bits,
+                                     queries=queries, multiprobe=multiprobe,
+                                     exact=exact, n_hint=n_hint,
+                                     target_bucket=target_bucket)
+    # query-side vectors/norms come from `queries` when given — a
+    # separate query table must re-rank against ITS vectors, not df's
+    exq_src = queries if queries is not None else df
+    dvx = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
     if exact:
-        cand_pairs = pairs.select("query_id", "neighbor_id").distinct()
-        # query-side vectors/norms come from `queries` when given — a
-        # separate query table must re-rank against ITS vectors, not df's
-        exq_src = queries if queries is not None else df
-        dvx = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
         qv = (exq_src.select(F.col(id_col).alias("query_id"),
                              dvx(F.col(vec_col)).alias("vq"))
               .withColumn("nsq_q", _dot_dec(F.col("vq"), F.col("vq"))))
@@ -406,11 +428,14 @@ def lsh_ann_topk(df: DataFrame, id_col: str, vec_col: str, dim: int,
                                      * F.sqrt(F.col("nsq_c").cast("double"))),
                                   6).alias("cosine")))
     else:
-        vq = F.transform(F.col("vq"), lambda x: x.cast("double"))
-        vc = F.transform(F.col("vc"), lambda x: x.cast("double"))
-        scored = (pairs.select("query_id", "neighbor_id",
-                               F.round(cosine(vq, vc), 6).alias("cosine"))
-                  .dropDuplicates(["query_id", "neighbor_id"]))
+        qv = exq_src.select(F.col(id_col).alias("query_id"),
+                            dvx(F.col(vec_col)).alias("vq"))
+        cv = df.select(F.col(id_col).alias("neighbor_id"),
+                       dvx(F.col(vec_col)).alias("vc"))
+        scored = (cand_pairs.join(qv, "query_id").join(cv, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(cosine(F.col("vq"), F.col("vc")), 6)
+                          .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -188,6 +188,29 @@ def main():
                     "is an equi-join on (band, value) — no cross product "
                     "anywhere in the plan"))
 
+    # ---- 2e2. dedup verify/discovery stages: scale-true shapes ---------
+    from nifi_spark.datalib import minhash_lsh_pairs, ngram_jaccard_pairs
+    docs_dd = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(20)],
+        "doc_id long, text string")
+    cand_dd = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    p = plan_of(ngram_jaccard_pairs(docs_dd, "doc_id", "text",
+                                    candidates=cand_dd))
+    assert "array_intersect" in p, p
+    assert "hashpartitioning(shingle" not in p, p
+    results.append(("ngram_jaccard verify", "candidates= joins pairs "
+                    "straight to per-doc shingle sets (one array_intersect "
+                    "per pair) — NO shingle self-join/exchange in the plan"))
+    tree = plan_of(minhash_lsh_pairs(docs_dd, "doc_id", "text",
+                                     max_bucket=10)).split("\n\n", 1)[0]
+    assert "LeftSemi" in tree and "ObjectHashAggregate" in tree, tree
+    # tree prints parents above children: the collect_list agg must be
+    # the PARENT of the semi-join (filter first, aggregate survivors)
+    assert tree.index("ObjectHashAggregate") < tree.index("LeftSemi"), tree
+    results.append(("minhash_lsh guard", "two-phase viral-bucket guard: "
+                    "per-bucket count + LeftSemi BELOW the collect_list "
+                    "agg — oversized buckets never build an id list"))
+
     # ---- 2f. curation: broadcast decontam join; split is exchange-free -
     from nifi_spark.datalib import (benchmark_contamination, dataset_split)
     docs_small = spark.createDataFrame(

@@ -106,6 +106,82 @@ def test_minhash_lsh_finds_neardups(spark):
     assert not any(3 in p for p in got)  # unrelated must not
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_minhash_lsh_viral_bucket_guard(spark):
+    """Two-phase boilerplate guard: a bucket above max_bucket yields no
+    pairs, AND the plan drops it BEFORE aggregating its id list — the
+    semi-join on surviving buckets must sit below the collect_list agg
+    (a post-collect filter would bound the pair explosion but still
+    build a viral bucket's whole id list in one aggregation buffer)."""
+    viral = [(i, "common boilerplate header text repeated on every page")
+             for i in range(30)]
+    pair = [(100, "one unique near duplicate document body alpha beta"),
+            (101, "one unique near duplicate document body alpha beta")]
+    df = spark.createDataFrame(viral + pair, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", k=3, num_perm=12,
+                              bands=4, max_bucket=10)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got), got
+    # the formatted plan's TREE section prints parents above children:
+    # the ObjectHashAggregate (the collect_list agg) appearing above the
+    # LeftSemi join means the join filters the rows the aggregation
+    # consumes — viral buckets never reach the id-list buffer.
+    tree = _plan(pairs).split("\n\n", 1)[0]
+    assert "LeftSemi" in tree, tree
+    assert "ObjectHashAggregate" in tree, tree
+    assert tree.index("ObjectHashAggregate") < tree.index("LeftSemi"), tree
+
+
+def test_ngram_jaccard_candidates_set_intersect_shape(spark):
+    """candidates= is the production verify stage: results must equal
+    the brute-force pairs restricted to the candidate set, and the plan
+    must contain NO shingle self-join — the intersection comes from one
+    array_intersect per candidate pair (no exchange keyed on shingle)."""
+    texts = {1: "a b c d e f g h", 2: "a b c d e f g x",
+             3: "z y x w v u t s", 4: "a b c d e f g h"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    cand = spark.createDataFrame([(1, 2), (1, 4), (1, 3)],
+                                 "id_a long, id_b long")
+    ver = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.3,
+                              candidates=cand)
+    brute = ngram_jaccard_pairs(df, "doc_id", "text", k=3,
+                                threshold=0.3).toPandas()
+    got = {(r.id_a, r.id_b): (r.inter, r.n_a, r.n_b, r.jaccard)
+           for r in ver.collect()}
+    want = {(r.id_a, r.id_b): (r.inter, r.n_a, r.n_b, r.jaccard)
+            for r in brute.itertuples() if (r.id_a, r.id_b) in
+            {(1, 2), (1, 4), (1, 3)}}
+    assert got == want
+    p = _plan(ver)
+    assert "array_intersect" in p, p
+    assert "hashpartitioning(shingle" not in p, p
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """Discovery-mode document-frequency cap: a shingle shared by more
+    than max_df docs is dropped BEFORE the self-join (the quadratic
+    boilerplate guard), while pairs built from rare shingles survive
+    with sizes recomputed over the capped shingle space."""
+    rows = [(i, f"a b c x{i} y{i} z{i}") for i in range(10)]  # share "a b c"
+    rows += [(100, "p q r s t"), (101, "p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
+    got_unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (0, 1) in got_unc and (100, 101) in got_unc
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1,
+                                 max_df=5)
+    got_cap = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert got_cap == {(100, 101): 1.0}, got_cap
+    assert "LeftSemi" in _plan(capped)
+
+
 def test_simhash_properties(spark):
     df = spark.createDataFrame(
         [(1, "spark merge commit lsn batch"), (2, "spark merge commit lsn batch"),
@@ -613,6 +689,30 @@ def test_ann_topk_int8_candidates_path(embs, spark):
     assert len(got[got["query_id"] == 0]) == 2   # top-2 of 3 candidates
     assert len(got[got["query_id"] == 1]) == 1
     assert set(got["neighbor_id"]).issubset({1, 2, 3, 4})
+
+
+def test_lsh_int8_rerank_recall(embs):
+    """Composed production ANN path (LSH bucket candidates → int8
+    integer-dot re-rank) must match the recall of the plain LSH path at
+    the same bits — same candidate set, only the scoring is quantized
+    (int8 error ~1/254 per component rarely flips a top-1)."""
+    from nifi_spark.datalib import ann_topk_int8, lsh_candidate_pairs
+    queries = embs.filter(F.col("vec_id") < 20)
+    exact = ann_topk(embs, "vec_id", "embedding", k=1,
+                     queries=queries).toPandas()
+    cand = lsh_candidate_pairs(embs, "vec_id", "embedding", dim=64, bits=4,
+                               queries=queries)
+    composed = ann_topk_int8(embs, "vec_id", "embedding", k=1,
+                             queries=queries, candidates=cand).toPandas()
+    lsh = lsh_ann_topk(embs, "vec_id", "embedding", dim=64, k=1, bits=4,
+                       queries=queries).toPandas()
+    e1 = exact.set_index("query_id")["neighbor_id"]
+    c1 = composed[composed["rank"] == 1].set_index("query_id")["neighbor_id"]
+    l1 = lsh[lsh["rank"] == 1].set_index("query_id")["neighbor_id"]
+    rec = lambda s: sum(int(q in s.index and s[q] == e1[q])  # noqa: E731
+                        for q in e1.index) / len(e1)
+    assert rec(c1) >= 0.5, f"composed recall {rec(c1)}"
+    assert rec(c1) >= rec(l1) - 0.05, (rec(c1), rec(l1))
 
 
 def test_cap_per_group_hot_prefilter_exact_equivalence(spark):
