@@ -710,8 +710,12 @@ def q_transform_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = F.concat(F.lit('<rec id="'), F.col("event_id").cast("string"),
                    F.lit('"><t>'), F.col("event_type"),
                    F.lit('</t><debug>x</debug></rec>'))
-    t = transform_xml(ev.select("event_id", xml.alias("content")),
-                      "content", [
+    # the sf fixture is one parquet row-group → one input partition; the
+    # expat-seamed transform would otherwise run single-task (~40 s of
+    # gate wall time at sf0.01)
+    src = (ev.select("event_id", xml.alias("content"))
+           .repartition(spark.sparkContext.defaultParallelism))
+    t = transform_xml(src, "content", [
                           {"op": "drop", "match": ".//debug"},
                           {"op": "rename", "match": "./t", "to": "etype"},
                           {"op": "promote_attr", "match": ".", "attr": "id",
@@ -733,7 +737,8 @@ def q_xquery_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     xml = F.concat(F.lit("<e><u>"), F.col("user_id").cast("string"),
                    F.lit("</u><u>"), (F.col("user_id") + 1).cast("string"),
                    F.lit("</u></e>"))
-    q = evaluate_xquery(ev.select("event_id", xml.alias("content")),
+    q = evaluate_xquery(ev.select("event_id", xml.alias("content"))
+                        .repartition(spark.sparkContext.defaultParallelism),
                         "content", {"us": "/e/u/text()"})
     return q.select("event_id", F.size("us").alias("n_u"),
                     F.element_at("us", 1).alias("first_u"),
@@ -778,6 +783,31 @@ def q_reshape_json_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        defaults={"src": "evt"},
                        types={"k": "long"})
     return out.select("event_id", F.col("props").alias("reshaped"))
+
+
+def q_reshape_json_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Jolt chainr over synthesized documents: all five spec
+    operations in sequence (shift with nested spec → cardinality ONE →
+    default → remove → sort), so the oracle can rebuild the exact output
+    string from the source columns."""
+    from nifi_spark.operators import jolt_transform
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":{"debug":"x","kind":"'), F.col("event_type"),
+        F.lit('"},"vals":['), F.col("user_id").cast("string"),
+        F.lit('],"id":'), F.col("event_id").cast("string"), F.lit("}"))
+    src = (ev.select("event_id", doc.alias("content"))
+           .repartition(spark.sparkContext.defaultParallelism))
+    chain = [
+        {"operation": "shift",
+         "spec": {"meta": {"kind": "etype", "debug": "dbg"},
+                  "vals": "vals", "id": "eid"}},
+        {"operation": "cardinality", "spec": {"vals": "ONE"}},
+        {"operation": "default", "spec": {"src": "nifi"}},
+        {"operation": "remove", "spec": {"dbg": ""}},
+        {"operation": "sort"},
+    ]
+    return jolt_transform(src, "content", chain).select("event_id", "content")
 
 
 def q_validate_xml_route(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,15 +1259,28 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k — the documented O(n²) oracle shape.
+    Gated on a deterministic 1000-vector slice: the quadratic decimal
+    fold is the point of THIS row (the scale paths have their own gate
+    rows), and the full corpus made it ~40% of the whole gate's wall
+    time, which truncated the driver artifact in round 2."""
     from nifi_spark.datalib import ann_topk
-    embs = _t(spark, sf_dir, "embeddings")
+    # one parquet row-group = one input partition: spread the quadratic
+    # decimal folds across cores (queries side; the corpus side is
+    # broadcast inside ann_topk)
+    embs = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+            .repartition(spark.sparkContext.defaultParallelism))
     return ann_topk(embs, "vec_id", "embedding", k=5, exact=True)
 
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine pairs on the same deterministic slice
+    (see q_ann_topk_exact — quadratic oracle shape, gate-time bounded)."""
     from nifi_spark.datalib import cosine_pairs
-    embs = _t(spark, sf_dir, "embeddings")
-    return cosine_pairs(embs, "vec_id", "embedding", threshold=0.45, exact=True)
+    embs = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+            .repartition(spark.sparkContext.defaultParallelism))
+    return cosine_pairs(embs, "vec_id", "embedding", threshold=0.45,
+                        exact=True)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,7 +1723,7 @@ _ANN_EXACT_SQL = """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          unnest(embedding)::DOUBLE AS x
-  FROM embeddings),
+  FROM embeddings WHERE vec_id < 1000),
 norms AS (
   SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
 dots AS (
@@ -1707,7 +1750,7 @@ _COSINE_PAIRS_SQL = """
 WITH ex AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          unnest(embedding)::DOUBLE AS x
-  FROM embeddings),
+  FROM embeddings WHERE vec_id < 1000),
 norms AS (
   SELECT vec_id, sum((x * x)::DECIMAL(38,18)) AS nsq FROM ex GROUP BY 1),
 dots AS (
@@ -2084,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
         "reshape_json_shift": q_reshape_json_shift,
+        "reshape_json_chain": q_reshape_json_chain,
         "bin_assign_bins": q_bin_assign_bins,
         "validate_xml_route": q_validate_xml_route,
         "format_convert_orc": q_format_convert_orc,
@@ -2454,6 +2498,12 @@ SELECT doc_id,
        to_json(struct_pack(doc_id := doc_id, lang := lang,
                            source := source))::VARCHAR AS attrs_json
 FROM documents
+""",
+        "reshape_json_chain": """
+SELECT event_id,
+       '{"eid":' || event_id || ',"etype":"' || event_type ||
+       '","src":"nifi","vals":' || user_id || '}' AS content
+FROM events
 """,
         "reshape_json_shift": """
 SELECT event_id,

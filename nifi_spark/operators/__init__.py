@@ -36,6 +36,7 @@ from nifi_spark.operators.formats import (avro_available, convert_format,
                                           convert_schema, infer_ddl)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.evtx import build_evtx, parse_evtx
+from nifi_spark.operators.jolt import jolt_apply, jolt_transform
 from nifi_spark.operators.xml_transform import evaluate_xquery, transform_xml
 from nifi_spark.operators.distribute import (distribute_load, enforce_order,
                                              prioritize,
@@ -61,6 +62,7 @@ __all__ = [
     "avro_available", "convert_format", "convert_schema", "infer_ddl",
     "detect_duplicate", "latest_wins",
     "build_evtx", "parse_evtx",
+    "jolt_apply", "jolt_transform",
     "evaluate_xquery", "transform_xml",
     "distribute_load", "enforce_order", "prioritize",
     "repartition_by_key_range", "salt_keys",

@@ -75,3 +75,70 @@ def test_parse_syslog_routes(spark):
     assert valid[1].syslog_message == "Failed password"
     assert valid[2].syslog_pid is None
     assert {r.id for r in routed["invalid"].collect()} == {3}
+
+
+# ---------------- Jolt full-spec transforms ----------------
+
+def test_jolt_apply_shift_wildcards_and_refs():
+    """Classic Jolt shiftr doc example: literal match wins over `*`,
+    `&1` back-references the matched key one level up."""
+    import json
+
+    from nifi_spark.operators import jolt_apply
+    doc = json.dumps({"rating": {"primary": {"value": 3},
+                                 "quality": {"value": 5}}})
+    chain = [{"operation": "shift",
+              "spec": {"rating": {
+                  "primary": {"value": "Rating"},
+                  "*": {"value": "SecondaryRatings.&1.Value"}}}}]
+    assert json.loads(jolt_apply(doc, chain)) == {
+        "Rating": 3, "SecondaryRatings": {"quality": {"Value": 5}}}
+
+
+def test_jolt_apply_full_chain():
+    """All five operations chained: shift → cardinality → default →
+    remove → sort, plus []-append, auto-list promotion and MANY."""
+    import json
+
+    from nifi_spark.operators import jolt_apply
+    doc = json.dumps({"meta": {"debug": "x", "kind": "click"},
+                      "vals": [42], "id": 7})
+    chain = [
+        {"operation": "shift",
+         "spec": {"meta": {"kind": "etype", "debug": "dbg"},
+                  "vals": "vals", "id": "eid"}},
+        {"operation": "cardinality", "spec": {"vals": "ONE"}},
+        {"operation": "default", "spec": {"src": "nifi",
+                                          "etype": "unknown"}},
+        {"operation": "remove", "spec": {"dbg": ""}},
+        {"operation": "sort"},
+    ]
+    out = jolt_apply(doc, chain)
+    assert out == '{"eid":7,"etype":"click","src":"nifi","vals":42}'
+    # []-append gathers values; MANY wraps scalars back into lists
+    doc2 = json.dumps({"a": 1, "b": 2})
+    got = json.loads(jolt_apply(doc2, [
+        {"operation": "shift", "spec": {"*": "nums[]"}},
+        {"operation": "cardinality", "spec": {"nums": "ONE"}},
+        {"operation": "cardinality", "spec": {"nums": "MANY"}}]))
+    assert got == {"nums": [1]}
+    # nested remove with wildcard
+    doc3 = json.dumps({"a": {"x": 1, "y": 2}, "b": {"x": 3}})
+    got3 = json.loads(jolt_apply(doc3, [
+        {"operation": "remove", "spec": {"*": {"x": ""}}}]))
+    assert got3 == {"a": {"y": 2}, "b": {}}
+
+
+def test_jolt_transform_column(spark):
+    """The Spark operator: valid docs transform, junk rows yield NULL
+    (the failure route)."""
+    from nifi_spark.operators import jolt_transform
+    df = spark.createDataFrame(
+        [(1, '{"old": 5}'), (2, "not json")], "id long, content string")
+    chain = [{"operation": "shift", "spec": {"old": "new"}},
+             {"operation": "default", "spec": {"v": 1}},
+             {"operation": "sort"}]
+    got = {r.id: r.content
+           for r in jolt_transform(df, "content", chain).collect()}
+    assert got[1] == '{"new":5,"v":1}'
+    assert got[2] is None
