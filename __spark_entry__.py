@@ -241,6 +241,21 @@ def q_scan_content(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("term").agg(F.countDistinct("doc_id").alias("n_docs")))
 
 
+def q_scan_content_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level ScanContent: substring dictionary matching (terms hit
+    INSIDE words — NiFi's Aho-Corasick-over-bytes semantics), one
+    codegen'd filter projection against a broadcast term array."""
+    from nifi_spark.operators import scan_content
+    docs = _t(spark, sf_dir, "documents")
+    dictionary = spark.createDataFrame(
+        [("merg",), ("rti",), ("shuffl",), ("zzqx",)], "term string")
+    out = scan_content(docs.select("doc_id", "text"), "text", dictionary)
+    return out.select("doc_id",
+                      F.array_join("matched_terms", ",").alias("terms"),
+                      F.size("matched_terms").alias("n_terms"),
+                      "matched")
+
+
 def q_update_attributes_el(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UpdateAttribute + EL functions compiled to Catalyst expressions."""
     from nifi_spark.functions.el import EL
@@ -2037,6 +2052,28 @@ def q_list_file_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "fname string, second_pass_new long")
 
 
+def q_list_db_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListDatabaseTables semantics: catalog listing with a
+    refresh-interval watermark — first pass emits the matching tables,
+    a second pass inside the refresh window emits nothing (the
+    list_file_watermark pattern applied to the catalog)."""
+    import tempfile
+
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import list_database_tables
+    for t in ("region", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"dblgate_{t}")
+    state = KVState(tempfile.mkdtemp(prefix="dbt_gate_"))
+    first, st = list_database_tables(spark, state, pattern="dblgate_*",
+                                     include_count=True)
+    state.put("db_tables", st)
+    second, _ = list_database_tables(spark, state, pattern="dblgate_*")
+    rows = [(e["table"], e["is_temporary"], int(e["row_count"]),
+             len(second)) for e in first]
+    return spark.createDataFrame(
+        rows, "tbl string, is_temp boolean, n_rows long, second_pass_new long")
+
+
 def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain extraction stats over synthesized link-bearing text
     (link-density filter signal of a web-corpus pipeline)."""
@@ -2095,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_on_content": q_route_on_content,
         "route_text_lines": q_route_text_lines,
         "scan_content": q_scan_content,
+        "scan_content_bytes": q_scan_content_bytes,
         "update_attributes_el": q_update_attributes_el,
         "update_rules_engine": q_update_rules_engine,
         "hash_content": q_hash_content,
@@ -2177,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
+        "list_db_tables": q_list_db_tables,
         "url_stats": q_url_stats,
         "split_text_fragments": q_split_text_fragments,
         "global_sequence": q_global_sequence,
@@ -2255,6 +2294,15 @@ SELECT CASE WHEN line = 'join' THEN 'kw_join'
             ELSE 'unmatched' END AS route,
        count(*) AS n_lines
 FROM lines GROUP BY 1
+""",
+        "scan_content_bytes": """
+WITH d AS (SELECT ['merg', 'rti', 'shuffl', 'zzqx'] AS terms)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_filter(terms, t -> contains(text, t)), ','), '') AS terms,
+       len(list_filter(terms, t -> contains(text, t))) AS n_terms,
+       len(list_filter(terms, t -> contains(text, t))) > 0 AS matched
+FROM documents, d
 """,
         "scan_content": """
 WITH toks AS (
@@ -2965,6 +3013,12 @@ SELECT t || '.parquet' AS fname, 0::BIGINT AS second_pass_new
 FROM (VALUES ('region'), ('nation'), ('customer'), ('supplier'),
              ('part'), ('orders'), ('lineitem'), ('events'),
              ('documents'), ('embeddings')) v(t)
+""",
+        "list_db_tables": """
+SELECT * FROM (VALUES
+  ('dblgate_nation', true, (SELECT count(*) FROM nation), 0::BIGINT),
+  ('dblgate_region', true, (SELECT count(*) FROM region), 0::BIGINT))
+  v(tbl, is_temp, n_rows, second_pass_new)
 """,
         "url_stats": """
 WITH t AS (

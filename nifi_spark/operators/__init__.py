@@ -10,7 +10,8 @@ physical plan entirely to Catalyst.
 from nifi_spark.operators.routing import (fetch_map_cache, put_map_cache,
                                           route_on_attribute,
                                           route_on_content, route_tag,
-                                          route_text, scan_attribute)
+                                          route_text, scan_attribute,
+                                          scan_content)
 from nifi_spark.operators.attributes import (attributes_to_json,
                                              global_sequence, hash_attribute,
                                              hash_content, stateful_counter,
@@ -47,7 +48,7 @@ from nifi_spark.operators.rate import control_rate, monitor_activity
 
 __all__ = [
     "route_on_attribute", "route_on_content", "route_tag", "route_text",
-    "scan_attribute",
+    "scan_attribute", "scan_content",
     "fetch_map_cache", "put_map_cache",
     "attributes_to_json", "global_sequence", "hash_attribute",
     "hash_content", "stateful_counter", "update_columns",

@@ -127,3 +127,45 @@ def scan_attribute(df: DataFrame, col: str, dictionary: DataFrame,
     dim = F.broadcast(dictionary.select(F.col(dict_col).alias(col)).distinct())
     how = "left_semi" if mode == "matched" else "left_anti"
     return df.join(dim, on=col, how=how)
+
+
+def scan_content(df: DataFrame, content_col: str, dictionary: DataFrame,
+                 dict_col: str = "term", mode: str = "substring",
+                 out_col: str = "matched_terms") -> DataFrame:
+    """Dictionary match against the CONTENT stream (ScanContent,
+    standard/ScanContent.java:1-307). NiFi runs Aho-Corasick over the
+    raw bytes, so terms match ANYWHERE — including inside words; that is
+    mode='substring' here (works on string or binary columns via
+    contains()). mode='token' keeps whole-word membership for callers
+    that want ScanAttribute-over-tokens semantics.
+
+    The dictionary becomes a constant array literal in the plan (NiFi
+    loads the dictionary file into memory on every node — same
+    driver-sized contract as put_map_cache), and matching is ONE
+    codegen'd filter/exists projection: O(len·terms) per row vs
+    Aho-Corasick's O(len+hits), but with no JVM→Python boundary, no
+    shuffle, and scan-dominated at the dictionary sizes the reference
+    supports. Adds `out_col` (matched terms, dictionary-sorted) and
+    boolean `matched` for routing.
+    """
+    terms = sorted({r[0] for r in
+                    dictionary.select(dict_col).distinct().collect()})
+    arr = F.array(*[F.lit(t) for t in terms])
+    c = F.col(content_col)
+    if mode == "substring":
+        hits = F.filter(arr, lambda t: F.contains(c, t))
+        staged = df
+    elif mode == "token":
+        # two-stage: the token array materializes in its own Project —
+        # referencing it inside the per-term lambda would re-tokenize
+        # the content once per dictionary term (lambda bodies get no
+        # subexpression elimination)
+        staged = df.withColumn("_toks", F.array_distinct(
+            F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")))
+        hits = F.filter(arr,
+                        lambda t: F.array_contains(F.col("_toks"), t))
+    else:
+        raise ValueError(f"unknown scan_content mode: {mode}")
+    out = (staged.withColumn(out_col, hits)
+           .withColumn("matched", F.size(F.col(out_col)) > 0))
+    return out.drop("_toks") if mode == "token" else out

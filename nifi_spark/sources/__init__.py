@@ -7,6 +7,7 @@ the checkpoint, emit it as a DataFrame, and advance the checkpoint only
 after the downstream commit.
 """
 
+from nifi_spark.sources.catalog import list_database_tables
 from nifi_spark.sources.changelog import ChangelogSource
 from nifi_spark.sources.files import fetch_files, get_files
 from nifi_spark.sources.http import HttpIncrementalSource
@@ -20,4 +21,5 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "fetch_files", "get_files",
            "kafka_available", "next_starting_offsets", "offsets_json",
            "publish_kafka",
-           "list_new_files", "plan_fetch_partitions"]
+           "list_database_tables", "list_new_files",
+           "plan_fetch_partitions"]

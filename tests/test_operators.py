@@ -399,3 +399,33 @@ def test_route_on_attribute_el_strings(spark):
     assert {r.value for r in out["big"].collect()} == {150}
     assert {r.value for r in out["golang"].collect()} == {5, 80}
     assert out["unmatched"].count() == 0
+
+
+def test_scan_content_substring_and_token_modes(spark):
+    """Byte-level ScanContent: substring terms match INSIDE words (the
+    reference's Aho-Corasick semantics); token mode requires whole-word
+    membership; binary columns match on raw bytes."""
+    from nifi_spark.operators import scan_content
+    df = spark.createDataFrame(
+        [(1, "the merging of partitions"), (2, "nothing relevant"),
+         (3, "merge")], "id long, text string")
+    d = spark.createDataFrame([("merg",), ("rti",)], "term string")
+    sub = {r.id: (list(r.matched_terms), r.matched)
+           for r in scan_content(df, "text", d).collect()}
+    assert sub[1] == (["merg", "rti"], True)   # inside 'merging'/'partitions'
+    assert sub[2] == ([], False)
+    assert sub[3] == (["merg"], True)
+    tok = {r.id: list(r.matched_terms)
+           for r in scan_content(df, "text", d, mode="token").collect()}
+    assert tok == {1: [], 2: [], 3: []}        # no whole-word hits
+    d2 = spark.createDataFrame([("merge",)], "term string")
+    tok2 = {r.id: r.matched
+            for r in scan_content(df, "text", d2, mode="token").collect()}
+    assert tok2 == {1: False, 2: False, 3: True}
+    # binary content
+    from pyspark.sql import functions as F
+    bdf = df.select("id", F.encode("text", "utf-8").alias("payload"))
+    bd = spark.createDataFrame([(b"merg",)], "term binary")
+    got = {r.id: r.matched
+           for r in scan_content(bdf, "payload", bd).collect()}
+    assert got == {1: True, 2: False, 3: True}

@@ -128,3 +128,35 @@ def test_get_files_and_fetch(spark, tmp_path):
     rows = fetched.collect()
     assert len(rows) == 1 and rows[0].text == "alpha content"
     assert rows[0].priority == 1
+
+
+def test_list_database_tables_refresh_interval(spark, tmp_path):
+    """ListDatabaseTables analog: emit once per refresh window; a table
+    created mid-window is the only new emission; after the window
+    everything re-lists (the reference's Refresh Interval semantics)."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import list_database_tables
+    spark.createDataFrame([(1,)], "x long").createOrReplaceTempView("ldt_a")
+    spark.createDataFrame([(2,)], "x long").createOrReplaceTempView("ldt_b")
+    state = KVState(str(tmp_path / "st"))
+    first, st = list_database_tables(spark, state, pattern="ldt_*",
+                                     refresh_seconds=100, now=1000.0)
+    assert [e["table"] for e in first] == ["ldt_a", "ldt_b"]
+    state.put("db_tables", st)
+
+    # inside the window: nothing re-lists; a NEW table is emitted alone
+    spark.createDataFrame([(3,)], "x long").createOrReplaceTempView("ldt_c")
+    second, st2 = list_database_tables(spark, state, pattern="ldt_*",
+                                       refresh_seconds=100, now=1050.0)
+    assert [e["table"] for e in second] == ["ldt_c"]
+    state.put("db_tables", st2)
+
+    # window expired: all three re-list
+    third, _ = list_database_tables(spark, state, pattern="ldt_*",
+                                    refresh_seconds=100, now=1200.0)
+    assert [e["table"] for e in third] == ["ldt_a", "ldt_b", "ldt_c"]
+
+    # crash before commit: state unchanged -> at-least-once re-list
+    again, _ = list_database_tables(spark, state, pattern="ldt_*",
+                                    refresh_seconds=100, now=1201.0)
+    assert [e["table"] for e in again] == ["ldt_a", "ldt_b", "ldt_c"]
