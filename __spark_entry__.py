@@ -715,6 +715,48 @@ def q_parse_evtx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "payload_len", "payload_md5")
 
 
+def q_parse_evtx_binxml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseEvtx with REAL BinXML payloads: each event becomes a
+    template-instance fragment (inline definition + typed substitutions —
+    string provider, uint16 event id, FILETIME, string user), packed into
+    EVTX containers, then parse_evtx STRICT-decodes (decode_stub=False:
+    any undecodable record raises). The decoded XML text must equal the
+    string the oracle rebuilds from the source columns — proving the
+    value-spec decode, not just the container walk."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_FILETIME, _VT_STRING,
+                                           _VT_UINT16,
+                                           encode_binxml_template)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(8)).alias("file_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type", "user_id")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for r in pdf.itertuples():
+            payload = encode_binxml_template(
+                "Event", attrs=[("Provider", ("sub", 0))],
+                children=[("EventID", [], [], ("sub", 1)),
+                          ("Time", [], [], ("sub", 2)),
+                          ("User", [], [], ("sub", 3))],
+                values=[(_VT_STRING, r.event_type),
+                        (_VT_UINT16, r.event_id % 65536),
+                        (_VT_FILETIME, r.us),
+                        (_VT_STRING, f"u{r.user_id}")])
+            recs.append((int(r.event_id), int(r.us), payload))
+        recs.sort()
+        return pd.DataFrame({"file_id": [int(pdf["file_id"].iloc[0])],
+                             "content": [build_evtx(recs)]})
+
+    blobs = ev.groupBy("file_id").applyInPandas(
+        pack, "file_id long, content binary")
+    return parse_evtx(blobs, "content", id_col="file_id",
+                      decode_stub=False).select(
+        "record_id", "record_time_us", "xml")
+
+
 def q_transform_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransformXml rules (drop/rename/promote/wrap) applied to XML
     synthesized from events, then re-extracted JVM-side with
@@ -1972,6 +2014,77 @@ def q_template_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+_GATE_TEMPLATE_EXT_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<template><name>gate-flow-ext</name><snippet>
+  <processors><id>e1</id><name>gen</name>
+    <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>e2</id><name>dl</name>
+    <type>org.apache.nifi.processors.standard.DistributeLoad</type>
+    <config><properties>
+      <entry><key>Number of Relationships</key><value>3</value></entry>
+      <entry><key>1</key><value>2</value></entry>
+      <entry><key>Order Column</key><value>doc_id</value></entry>
+    </properties></config></processors>
+  <processors><id>e3</id><name>scan</name>
+    <type>org.apache.nifi.processors.standard.ScanAttribute</type>
+    <config><properties>
+      <entry><key>Attribute Pattern</key><value>source</value></entry>
+    </properties></config></processors>
+  <processors><id>e4</id><name>b64</name>
+    <type>org.apache.nifi.processors.standard.Base64EncodeContent</type>
+    <config><properties>
+      <entry><key>Mode</key><value>Encode</value></entry>
+    </properties></config></processors>
+  <processors><id>e5</id><name>rate</name>
+    <type>org.apache.nifi.processors.standard.ControlRate</type>
+    <config><properties>
+      <entry><key>Maximum Rate</key><value>25</value></entry>
+      <entry><key>Order Column</key><value>doc_id</value></entry>
+    </properties></config></processors>
+  <connections><id>x1</id>
+    <source><id>e1</id><type>PROCESSOR</type></source>
+    <destination><id>e2</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>x2</id>
+    <source><id>e2</id><type>PROCESSOR</type></source>
+    <destination><id>e3</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>1</selectedRelationships>
+  </connections>
+  <connections><id>x3</id>
+    <source><id>e3</id><type>PROCESSOR</type></source>
+    <destination><id>e4</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>matched</selectedRelationships>
+  </connections>
+  <connections><id>x4</id>
+    <source><id>e4</id><type>PROCESSOR</type></source>
+    <destination><id>e5</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>success</selectedRelationships>
+  </connections>
+</snippet></template>"""
+
+
+def q_template_flow_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template loader breadth: a reference-format template chaining
+    DistributeLoad (weighted hash slots) → ScanAttribute (dictionary
+    semi-join) → Base64EncodeContent → ControlRate (arithmetic batch
+    ids) — four processor types beyond the base gate flow, all
+    deterministic so the oracle replays the whole chain in SQL."""
+    from nifi_spark.plans import load_template
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 F.col("text")
+                                                 .alias("content"))
+    dictionary = spark.createDataFrame(
+        [("src1",), ("src3",), ("src5",)], "term string")
+    flow = load_template(_GATE_TEMPLATE_EXT_XML, sources={"gen": docs},
+                         dictionaries={"scan": dictionary})
+    out = flow.run()["rate.success"]
+    return (out.groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.min("content").alias("min_b64")))
+
+
 def q_el_string_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NiFi EL STRING front-end: property-value strings from a real flow
     definition compile once (driver-side) into Catalyst columns."""
@@ -2159,6 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_syslog_route": q_parse_syslog_route,
         "parse_cef_route": q_parse_cef_route,
         "parse_evtx_records": q_parse_evtx_records,
+        "parse_evtx_binxml": q_parse_evtx_binxml,
         "transform_xml_roundtrip": q_transform_xml_roundtrip,
         "xquery_extract": q_xquery_extract,
         "identify_mime": q_identify_mime,
@@ -2210,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "template_flow": q_template_flow,
+        "template_flow_ext": q_template_flow_ext,
         "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
         "quantize_embeddings": q_quantize_embeddings,
@@ -2507,6 +2622,14 @@ FROM valid GROUP BY 1
 UNION ALL
 SELECT '_invalid_', count(*), 0
 FROM events WHERE event_id % 17 = 0
+""",
+        "parse_evtx_binxml": """
+SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
+       '<Event Provider="' || event_type || '"><EventID>' ||
+       (event_id % 65536) || '</EventID><Time>' ||
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z</Time><User>u' ||
+       user_id || '</User></Event>' AS xml
+FROM events
 """,
         "parse_evtx_records": """
 SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
@@ -2944,6 +3067,20 @@ QUALIFY row_number() OVER (
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
 """,
+        "template_flow_ext": """
+WITH slotted AS (
+  SELECT doc_id, source, text,
+         {PH_DL} % 4 AS slot
+  FROM documents),
+picked AS (
+  SELECT doc_id, to_base64(text::BLOB) AS b64
+  FROM slotted
+  WHERE slot < 2 AND source IN ('src1', 'src3', 'src5')),
+lo AS (SELECT min(doc_id) AS mn FROM picked)
+SELECT (doc_id - mn) // 25 AS batch_id,
+       count(*) AS n, min(doc_id) AS first_doc, min(b64) AS min_b64
+FROM picked, lo GROUP BY 1
+""".replace("{PH_DL}", PH.format(x="'dl:' || doc_id")),
         "template_flow": """
 SELECT 'purchases' AS route, count(*) AS n, NULL::VARCHAR AS sample_tag
 FROM events WHERE event_type = 'purchase'

@@ -18,12 +18,22 @@ standard forensics references):
 
 The walk (header → chunks → records) is REAL and runs distributed: one
 Arrow-batched ``mapInPandas`` pass, parallelism == partition count, no
-driver involvement. The *binary-XML → XML text* decode is a declared
-stub seam exactly like the multimodal codec seam (multimodal.py):
-a full BinXML tokenizer (templates, name tables, substitutions) is a
-library-sized dependency the sandbox lacks. ``decode_stub=True``
-returns a deterministic placeholder carrying the payload digest;
-``decode_stub=False`` raises NotImplementedError at the seam.
+driver involvement.
+
+The *binary-XML → XML text* decode implements the SELF-CONTAINED subset
+of the BinXML token stream (the layout libevtx documents): fragment
+headers, element start/close/end tokens with INLINE names, attribute
+lists, value-text tokens, and template instances whose definition is
+embedded inline (how real files carry a template's first use), with
+normal/optional substitutions over the value-spec subset — UTF-16
+strings, signed/unsigned 8/16/32/64-bit ints, FILETIME (rendered as
+ISO-8601 with microseconds), GUID (canonical mixed-endian form), and
+NULL. What remains the declared stub seam is CHUNK-RESIDENT state:
+name-table and template references that point at offsets elsewhere in
+the chunk (back-references to earlier records) raise NotImplementedError
+with decode_stub=False and yield the digest placeholder with
+decode_stub=True — resolving them needs whole-chunk string/template
+caches, which is the remaining library-sized piece.
 
 ``build_evtx`` is the deterministic synthesizer for tests and gate
 queries — the analog of the reference's checked-in ``.evtx`` test
@@ -128,6 +138,360 @@ def _walk_records(blob: bytes):
             off += size
 
 
+# ---------------------------------------------------------------------------
+# BinXML — encoder/decoder for the self-contained token subset
+# ---------------------------------------------------------------------------
+
+_TOK_EOF = 0x00
+_TOK_OPEN = 0x01          # | 0x40 when the element carries attributes
+_TOK_CLOSE_START = 0x02
+_TOK_CLOSE_EMPTY = 0x03
+_TOK_END = 0x04
+_TOK_VALUE = 0x05         # | 0x40 inside attribute lists
+_TOK_ATTR = 0x06          # | 0x40 when more attributes follow
+_TOK_TEMPLATE = 0x0C
+_TOK_SUBST = 0x0D         # normal substitution
+_TOK_SUBST_OPT = 0x0E     # optional substitution (null → omit)
+_TOK_FRAGMENT = 0x0F
+
+_VT_NULL = 0x00
+_VT_STRING = 0x01
+_VT_INT8 = 0x03
+_VT_UINT8 = 0x04
+_VT_INT16 = 0x05
+_VT_UINT16 = 0x06
+_VT_INT32 = 0x07
+_VT_UINT32 = 0x08
+_VT_INT64 = 0x09
+_VT_UINT64 = 0x0A
+_VT_GUID = 0x0F
+_VT_FILETIME = 0x11
+
+_VT_INTS = {_VT_INT8: ("<b", 1), _VT_UINT8: ("<B", 1),
+            _VT_INT16: ("<h", 2), _VT_UINT16: ("<H", 2),
+            _VT_INT32: ("<i", 4), _VT_UINT32: ("<I", 4),
+            _VT_INT64: ("<q", 8), _VT_UINT64: ("<Q", 8)}
+
+
+class BinXmlResidentRef(NotImplementedError):
+    """A name/template offset points OUTSIDE this record's payload —
+    chunk-resident state, the declared remaining seam."""
+
+
+def _render_guid(b: bytes) -> str:
+    d1, d2, d3 = struct.unpack_from("<IHH", b, 0)
+    return (f"{d1:08x}-{d2:04x}-{d3:04x}-"
+            f"{b[8:10].hex()}-{b[10:16].hex()}")
+
+
+def _render_filetime(ft: int) -> str:
+    from datetime import datetime, timedelta
+    us = ft // 10 - _FILETIME_EPOCH_US
+    dt = datetime(1970, 1, 1) + timedelta(microseconds=us)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond:06d}Z"
+
+
+def _render_value(vtype: int, data: bytes) -> str:
+    if vtype == _VT_NULL:
+        return ""
+    if vtype == _VT_STRING:
+        return data.decode("utf-16-le")
+    if vtype in _VT_INTS:
+        fmt, _ = _VT_INTS[vtype]
+        return str(struct.unpack(fmt, data)[0])
+    if vtype == _VT_FILETIME:
+        return _render_filetime(struct.unpack("<Q", data)[0])
+    if vtype == _VT_GUID:
+        return _render_guid(data)
+    raise NotImplementedError(f"BinXML value type 0x{vtype:02x}")
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+class _BinXmlReader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def u8(self):
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def take(self, fmt: str):
+        v = struct.unpack_from(fmt, self.buf, self.pos)
+        self.pos += struct.calcsize(fmt)
+        return v if len(v) > 1 else v[0]
+
+    def raw(self, n: int) -> bytes:
+        b = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return b
+
+    def peek(self) -> int:
+        return self.buf[self.pos] if self.pos < len(self.buf) else _TOK_EOF
+
+    # -- grammar ----------------------------------------------------------
+    def name(self) -> str:
+        off = self.take("<I")
+        if off != self.pos:
+            raise BinXmlResidentRef(
+                f"name offset 0x{off:x} is chunk-resident")
+        self.take("<H")   # name hash (unverified, like the checksums)
+        nchars = self.take("<H")
+        s = self.raw(nchars * 2).decode("utf-16-le")
+        self.take("<H")  # nul terminator
+        return s
+
+    def value_text(self) -> str:
+        tok = self.u8()
+        assert tok & 0x3F == _TOK_VALUE, f"expected value token, got {tok:#x}"
+        vtype = self.u8()
+        if vtype != _VT_STRING:
+            raise NotImplementedError(
+                f"value-text type 0x{vtype:02x} (spec says string)")
+        nchars = self.take("<H")
+        return self.raw(nchars * 2).decode("utf-16-le")
+
+    def element(self, subs: list[tuple[int, str]] | None) -> str:
+        tok = self.u8()
+        has_attrs = bool(tok & 0x40)
+        assert tok & 0x3F == _TOK_OPEN, f"expected element, got {tok:#x}"
+        self.take("<h")   # dependency id (template context; -1 outside)
+        self.take("<I")   # data size
+        nm = self.name()
+        parts = [f"<{nm}"]
+        if has_attrs:
+            self.take("<I")  # attribute-list byte size
+            while True:
+                atok = self.peek()
+                if atok & 0x3F != _TOK_ATTR:
+                    break
+                self.u8()
+                aname = self.name()
+                nxt = self.peek()
+                if nxt & 0x3F == _TOK_VALUE:
+                    aval = self.value_text()
+                elif nxt in (_TOK_SUBST, _TOK_SUBST_OPT):
+                    self.u8()
+                    sid = self.take("<H")
+                    self.u8()  # declared type; actual comes with value
+                    aval = subs[sid][1] if subs else f"{{sub:{sid}}}"
+                else:
+                    raise NotImplementedError(
+                        f"attribute value token {nxt:#x}")
+                parts.append(f' {aname}="{_xml_escape(aval)}"')
+                if not (atok & 0x40):   # 0x06 (no continue flag) = last
+                    break
+        closer = self.u8()
+        if closer == _TOK_CLOSE_EMPTY:
+            parts.append("/>")
+            return "".join(parts)
+        assert closer == _TOK_CLOSE_START, f"bad closer {closer:#x}"
+        parts.append(">")
+        while True:
+            nxt = self.peek()
+            if nxt == _TOK_END:
+                self.u8()
+                break
+            if nxt & 0x3F == _TOK_OPEN:
+                parts.append(self.element(subs))
+            elif nxt & 0x3F == _TOK_VALUE:
+                parts.append(_xml_escape(self.value_text()))
+            elif nxt in (_TOK_SUBST, _TOK_SUBST_OPT):
+                self.u8()
+                sid = self.take("<H")
+                self.u8()
+                if subs is not None:
+                    vt, rendered = subs[sid]
+                    if not (nxt == _TOK_SUBST_OPT and vt == _VT_NULL):
+                        parts.append(_xml_escape(rendered))
+                else:
+                    parts.append(f"{{sub:{sid}}}")
+            else:
+                raise NotImplementedError(f"content token {nxt:#x}")
+        parts.append(f"</{nm}>")
+        return "".join(parts)
+
+    def fragment(self) -> str:
+        tok = self.u8()
+        assert tok == _TOK_FRAGMENT, f"expected fragment header, got {tok:#x}"
+        self.raw(3)  # major, minor, flags
+        nxt = self.peek()
+        if nxt == _TOK_TEMPLATE:
+            return self.template_instance()
+        return self.element(None)
+
+    def template_instance(self) -> str:
+        self.u8()          # 0x0c
+        self.u8()          # version
+        self.take("<I")    # template id
+        def_off = self.take("<I")
+        if def_off != self.pos:
+            raise BinXmlResidentRef(
+                f"template definition offset 0x{def_off:x} is "
+                "chunk-resident")
+        self.take("<I")    # next-template offset
+        self.raw(16)       # template guid
+        self.take("<I")    # definition byte size
+        tok = self.u8()
+        assert tok == _TOK_FRAGMENT, "template body must open a fragment"
+        self.raw(3)
+        body_start = self.pos
+        body = self.element(None)          # first pass: find extent
+        if self.u8() != _TOK_EOF:
+            raise ValueError("template body missing EOF")
+        # substitution values: count, then (size u16, type u8, pad u8)*,
+        # then the value bytes back-to-back
+        count = self.take("<I")
+        specs = [self.take("<HBB")[:2] for _ in range(count)]
+        subs: list[tuple[int, str]] = []
+        for size, vtype in specs:
+            subs.append((vtype, _render_value(vtype, self.raw(size))))
+        # second pass over the body with values bound
+        rd = _BinXmlReader(self.buf)
+        rd.pos = body_start
+        del body
+        return rd.element(subs)
+
+
+def decode_binxml(payload: bytes) -> str:
+    """BinXML payload → XML text (self-contained subset; see module
+    doc). Raises BinXmlResidentRef for chunk-resident name/template
+    references and NotImplementedError for tokens outside the subset."""
+    return _BinXmlReader(payload).fragment()
+
+
+class _BinXmlWriter:
+    """Encoder emitting exactly the layout decode_binxml consumes — the
+    test/gate synthesizer's analog of the reference's checked-in .evtx
+    resources."""
+
+    def __init__(self):
+        self.out = bytearray()
+
+    def _name(self, s: str):
+        # inline name: offset == position right after the offset field
+        self.out += struct.pack("<I", len(self.out) + 4)
+        self.out += struct.pack("<HH", 0, len(s))
+        self.out += s.encode("utf-16-le") + b"\x00\x00"
+
+    def _value_text(self, s: str, in_attr: bool = False):
+        self.out.append(_TOK_VALUE | (0x40 if in_attr else 0))
+        self.out.append(_VT_STRING)
+        self.out += struct.pack("<H", len(s))
+        self.out += s.encode("utf-16-le")
+
+    def element(self, name: str, attrs: list[tuple[str, object]] = (),
+                children: list = (), text: object = None):
+        """children: nested ('name', attrs, children, text) tuples or
+        callables; attr/text values: str, or ('sub', id) placeholders."""
+        self.out.append(_TOK_OPEN | (0x41 - 0x01 if attrs else 0))
+        self.out += struct.pack("<h", -1)
+        size_pos = len(self.out)
+        self.out += b"\x00\x00\x00\x00"      # data size, patched below
+        self._name(name)
+        if attrs:
+            alist_pos = len(self.out)
+            self.out += b"\x00\x00\x00\x00"  # attr-list size, patched
+            for i, (an, av) in enumerate(attrs):
+                self.out.append(_TOK_ATTR | (0x40 if i < len(attrs) - 1
+                                             else 0))
+                self._name(an)
+                self._attr_value(av)
+            struct.pack_into("<I", self.out, alist_pos,
+                             len(self.out) - alist_pos - 4)
+        if not children and text is None:
+            self.out.append(_TOK_CLOSE_EMPTY)
+        else:
+            self.out.append(_TOK_CLOSE_START)
+            if text is not None:
+                self._content_value(text)
+            for ch in children:
+                self.element(*ch)
+            self.out.append(_TOK_END)
+        struct.pack_into("<I", self.out, size_pos,
+                         len(self.out) - size_pos - 4)
+
+    def _attr_value(self, v):
+        if isinstance(v, tuple) and v[0] == "sub":
+            self.out.append(_TOK_SUBST)
+            self.out += struct.pack("<HB", v[1], _VT_STRING)
+        else:
+            self._value_text(str(v), in_attr=True)
+
+    def _content_value(self, v):
+        if isinstance(v, tuple) and v[0] == "sub":
+            tok = _TOK_SUBST_OPT if len(v) > 2 and v[2] == "opt" \
+                else _TOK_SUBST
+            self.out.append(tok)
+            self.out += struct.pack("<HB", v[1], _VT_STRING)
+        else:
+            self._value_text(str(v))
+
+
+def encode_binxml(name: str, attrs=(), children=(), text=None) -> bytes:
+    """One self-contained BinXML fragment with a literal element tree."""
+    w = _BinXmlWriter()
+    w.out.append(_TOK_FRAGMENT)
+    w.out += b"\x01\x01\x00"
+    w.element(name, list(attrs), list(children), text)
+    w.out.append(_TOK_EOF)
+    return bytes(w.out)
+
+
+def encode_binxml_template(name: str, attrs=(), children=(), text=None,
+                           values: list[tuple[int, object]] = ()) -> bytes:
+    """A template-instance fragment: inline definition whose body uses
+    ('sub', i) placeholders, plus typed substitution values
+    [(value_type, python_value), ...]. FILETIME values are given as unix
+    microseconds, GUIDs as canonical strings."""
+    w = _BinXmlWriter()
+    w.out.append(_TOK_FRAGMENT)
+    w.out += b"\x01\x01\x00"
+    w.out.append(_TOK_TEMPLATE)
+    w.out.append(0x01)
+    w.out += struct.pack("<I", 1)                    # template id
+    w.out += struct.pack("<I", len(w.out) + 4)       # inline def offset
+    w.out += struct.pack("<I", 0)                    # next-template
+    w.out += b"\x00" * 16                            # template guid
+    dsz_pos = len(w.out)
+    w.out += b"\x00\x00\x00\x00"
+    body_start = len(w.out)
+    w.out.append(_TOK_FRAGMENT)
+    w.out += b"\x01\x01\x00"
+    w.element(name, list(attrs), list(children), text)
+    w.out.append(_TOK_EOF)
+    struct.pack_into("<I", w.out, dsz_pos, len(w.out) - body_start)
+    blobs = [_pack_value(vt, v) for vt, v in values]
+    w.out += struct.pack("<I", len(blobs))
+    for (vt, _), b in zip(values, blobs):
+        w.out += struct.pack("<HBB", len(b), vt, 0)
+    for b in blobs:
+        w.out += b
+    return bytes(w.out)
+
+
+def _pack_value(vtype: int, v) -> bytes:
+    if vtype == _VT_NULL:
+        return b""
+    if vtype == _VT_STRING:
+        return str(v).encode("utf-16-le")
+    if vtype in _VT_INTS:
+        return struct.pack(_VT_INTS[vtype][0], int(v))
+    if vtype == _VT_FILETIME:
+        return struct.pack("<Q", _us_to_filetime(int(v)))
+    if vtype == _VT_GUID:
+        s = str(v).replace("-", "")
+        return (struct.pack("<IHH", int(s[:8], 16), int(s[8:12], 16),
+                            int(s[12:16], 16))
+                + bytes.fromhex(s[16:]))
+    raise NotImplementedError(f"pack value type 0x{vtype:02x}")
+
+
 def parse_evtx(df: DataFrame, content_col: str = "content",
                id_col: str | None = None,
                decode_stub: bool = True) -> DataFrame:
@@ -137,7 +501,10 @@ def parse_evtx(df: DataFrame, content_col: str = "content",
     payload_md5, xml). record_time_us is the exact integer microsecond
     epoch recovered from the FILETIME field — integer arithmetic both
     ways, so a pack→parse roundtrip is lossless and SQL-oracle-checkable.
-    The xml column is the declared BinXML-decode stub (see module doc).
+    The xml column is the real decode_binxml output for self-contained
+    payloads; records needing chunk-resident state (or whose payload is
+    not BinXML at all) yield the digest placeholder when
+    decode_stub=True and raise when decode_stub=False (see module doc).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -147,14 +514,19 @@ def parse_evtx(df: DataFrame, content_col: str = "content",
                 blob = bytes(r[content_col])
                 src = int(r[id_col]) if id_col else -1
                 for ci, rid, ft, payload in _walk_records(blob):
-                    if not decode_stub:
-                        raise NotImplementedError(
-                            "BinXML decode requires a full tokenizer "
-                            "(templates/name tables) — plug it in here")
                     md5 = hashlib.md5(payload).hexdigest()
+                    try:
+                        xml = decode_binxml(payload)
+                    except (NotImplementedError, AssertionError,
+                            ValueError, IndexError, struct.error,
+                            UnicodeDecodeError) as e:
+                        if not decode_stub:
+                            raise NotImplementedError(
+                                f"BinXML decode failed for record "
+                                f"{rid}: {e}") from e
+                        xml = f'<Event RecordID="{rid}" MD5="{md5}"/>'
                     rows.append((src, ci, rid, _filetime_to_us(ft),
-                                 len(payload), md5,
-                                 f'<Event RecordID="{rid}" MD5="{md5}"/>'))
+                                 len(payload), md5, xml))
             yield pd.DataFrame(rows, columns=[
                 "src_id", "chunk_index", "record_id", "record_time_us",
                 "payload_len", "payload_md5", "xml"])

@@ -15,8 +15,10 @@ GenerateFlowFile (caller-supplied source), RouteOnAttribute,
 RouteOnContent, UpdateAttribute, ReplaceText (EL in the replacement
 included), ExtractText, SplitText, SegmentContent, ParseSyslog,
 DetectDuplicate, EvaluateJsonPath, MergeContent (Defragment),
-CompressContent, HashContent, AttributesToJSON, LogAttribute
-(identity), and FUNNEL nodes (union).
+CompressContent, HashContent, AttributesToJSON, DistributeLoad
+(weighted relationships), ControlRate, Base64EncodeContent,
+ConvertCharacterSet, ScanAttribute (dictionary via `dictionaries=`),
+LogAttribute (identity), and FUNNEL nodes (union).
 Anything else raises TemplateError under strict=True, or becomes an
 identity pass-through stage with a warning entry otherwise (sinks like
 PutFile are usually what you want to pass through — read the result off
@@ -130,9 +132,11 @@ def _union(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
-def _build_stage(proc: TProcessor, content_col: str):
+def _build_stage(proc: TProcessor, content_col: str,
+                 dictionaries: dict[str, DataFrame] | None = None):
     """Returns fn(*input_dfs) -> DataFrame | dict[rel, DataFrame]."""
     p = proc.properties
+    dictionaries = dictionaries or {}
 
     if proc.ptype == "RouteOnAttribute":
         from nifi_spark.operators import route_on_attribute
@@ -344,6 +348,81 @@ def _build_stage(proc: TProcessor, content_col: str):
                                                 mode=mode)}
         return fn
 
+    if proc.ptype == "DistributeLoad":
+        from nifi_spark.operators import distribute_load
+        n = int(p.get("Number of Relationships", "1"))
+        # dynamic properties name relationship weights ("3" -> "2");
+        # unnamed relationships get DistributeLoad's default weight 1.
+        # "Order Column" (an engine extension) makes the hash-slot
+        # assignment deterministic on that column instead of row order.
+        weights = {str(i): int(_dyn(proc).get(str(i), "1"))
+                   for i in range(1, n + 1)}
+        order = _dyn(proc).get("Order Column")
+
+        def fn(*dfs):
+            out = distribute_load(_union(list(dfs)), weights,
+                                  order_col=order)
+            return {rel: out.filter(F.col("destination") == rel)
+                    .drop("destination") for rel in weights}
+        return fn
+
+    if proc.ptype == "ControlRate":
+        from nifi_spark.operators import control_rate
+        cap = int(p.get("Maximum Rate", "10000").replace(",", ""))
+        group = p.get("Grouping Attribute") or None
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            # batch order: NiFi takes queue order; the batch analog
+            # orders by the first column (the flow's id column by the
+            # fixtures' convention) unless an explicit Order Column
+            # dynamic property names one
+            order = _dyn(proc).get("Order Column", df.columns[0])
+            return {"success": control_rate(df, order, rows_per_batch=cap,
+                                            group_col=group)}
+        return fn
+
+    if proc.ptype == "Base64EncodeContent":
+        from nifi_spark.operators import decode_content, encode_content
+        decode = p.get("Mode", "Encode").lower() == "decode"
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            out = (decode_content(df, content_col, "base64",
+                                  charset="utf-8") if decode
+                   else encode_content(df, content_col, "base64"))
+            return {"success": out}
+        return fn
+
+    if proc.ptype == "ConvertCharacterSet":
+        from nifi_spark.operators import convert_character_set
+        to_cs = p.get("Output Character Set", "UTF-8")
+        from_cs = p.get("Input Character Set") or None
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            binary = dict(df.dtypes)[content_col] == "binary"
+            return convert_character_set(
+                df, content_col, to_cs,
+                from_charset=from_cs if binary else None)
+        return fn
+
+    if proc.ptype == "ScanAttribute":
+        from nifi_spark.operators import scan_attribute
+        attr = p.get("Attribute Pattern", "")
+        dict_source = dictionaries.get(proc.name) or \
+            dictionaries.get(proc.pid)
+        if dict_source is None:
+            return None  # needs its Dictionary File — caller supplies it
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            return {"matched": scan_attribute(df, attr, dict_source, "term",
+                                              "matched"),
+                    "unmatched": scan_attribute(df, attr, dict_source,
+                                                "term", "unmatched")}
+        return fn
+
     if proc.ptype in ("LogAttribute", "FUNNEL"):
         def fn(*dfs):
             return _union(list(dfs))
@@ -354,11 +433,15 @@ def _build_stage(proc: TProcessor, content_col: str):
 
 def load_template(xml_text: str, sources: dict[str, DataFrame],
                   content_col: str = "content",
-                  strict: bool = True) -> Flow:
+                  strict: bool = True,
+                  dictionaries: dict[str, DataFrame] | None = None) -> Flow:
     """Compile template XML into a runnable Flow.
 
     `sources` maps source-processor NAME (or id) → input DataFrame for
     every 0-input processor (GenerateFlowFile/GetFile/... positions).
+    `dictionaries` maps a ScanAttribute processor's NAME (or id) → a
+    one-column `term` DataFrame standing in for its Dictionary File
+    (which a template references by node-local path).
     Returns the Flow; run it with `.run()` and read outputs by stage
     name (`"<proc name>"` or `"<proc name>.<relationship>"`).
     """
@@ -396,7 +479,7 @@ def load_template(xml_text: str, sources: dict[str, DataFrame],
                     f"entry in sources=")
             flow.source(sid, (lambda s: (lambda: s))(src))
             continue
-        fn = _build_stage(pr, content_col)
+        fn = _build_stage(pr, content_col, dictionaries)
         if fn is None:
             if strict:
                 raise TemplateError(

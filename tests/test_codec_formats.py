@@ -378,3 +378,63 @@ def test_publish_kafka_gated(spark):
     df = spark.createDataFrame([("k", "v")], "key string, value string")
     with pytest.raises(ValueError, match="spark-sql-kafka"):
         publish_kafka(df, "b:9092", "t")
+
+
+def test_binxml_decode_value_spec():
+    """decode_binxml: literal trees, escaping, and every supported
+    substitution value type (strings, ints, FILETIME, GUID, NULL)."""
+    from nifi_spark.operators.evtx import (_VT_FILETIME, _VT_GUID,
+                                           _VT_INT32, _VT_NULL, _VT_STRING,
+                                           _VT_UINT64, decode_binxml,
+                                           encode_binxml,
+                                           encode_binxml_template)
+    lit = encode_binxml("Event", attrs=[("P", 'a<"b"&c')],
+                        children=[("Id", [], [], "7")])
+    assert decode_binxml(lit) == \
+        '<Event P="a&lt;&quot;b&quot;&amp;c"><Id>7</Id></Event>'
+    assert decode_binxml(encode_binxml("Empty")) == "<Empty/>"
+    tpl = encode_binxml_template(
+        "E", attrs=[("p", ("sub", 0))],
+        children=[("i", [], [], ("sub", 1)),
+                  ("u", [], [], ("sub", 2)),
+                  ("t", [], [], ("sub", 3)),
+                  ("g", [], [], ("sub", 4)),
+                  ("o", [], [], ("sub", 5, "opt"))],
+        values=[(_VT_STRING, "sec"), (_VT_INT32, -9),
+                (_VT_UINT64, 2**53), (_VT_FILETIME, 1_000_000),
+                (_VT_GUID, "00112233-4455-6677-8899-aabbccddeeff"),
+                (_VT_NULL, None)])
+    assert decode_binxml(tpl) == (
+        '<E p="sec"><i>-9</i><u>9007199254740992</u>'
+        '<t>1970-01-01T00:00:01.000000Z</t>'
+        '<g>00112233-4455-6677-8899-aabbccddeeff</g><o></o></E>')
+
+
+def test_binxml_resident_ref_is_the_seam():
+    """Chunk-resident name/template offsets (back-references to earlier
+    records) raise the declared BinXmlResidentRef seam."""
+    import struct as _s
+
+    from nifi_spark.operators.evtx import (BinXmlResidentRef, decode_binxml,
+                                           encode_binxml)
+    blob = bytearray(encode_binxml("A"))
+    # fragment(4) + token(1) + dep(2) = name-offset field at byte 11;
+    # point it at offset 0 (outside the inline position) → resident ref
+    _s.pack_into("<I", blob, 11, 0)
+    with pytest.raises(BinXmlResidentRef):
+        decode_binxml(bytes(blob))
+
+
+def test_parse_evtx_decodes_binxml_payloads(spark):
+    """Records whose payload is real BinXML come back as decoded XML;
+    non-BinXML payloads in the same file keep the digest placeholder."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import encode_binxml
+    recs = [(1, 1_000_000, encode_binxml("Ev", children=[("N", [], [], "1")])),
+            (2, 2_000_000, b"plain text payload")]
+    df = spark.createDataFrame([(9, build_evtx(recs))],
+                               "fid long, content binary")
+    out = {r.record_id: r.xml
+           for r in parse_evtx(df, "content", id_col="fid").collect()}
+    assert out[1] == "<Ev><N>1</N></Ev>"
+    assert out[2].startswith('<Event RecordID="2" MD5=')

@@ -280,3 +280,73 @@ def test_load_template_json_merge_compress(spark):
     z = out["zip.success"].collect()[0].content
     assert gzip.decompress(bytes(z)).decode() == \
         '{"user": "ada", "msg": "hello world segmentation"}'
+
+
+TEMPLATE_EXT_XML = """<?xml version="1.0"?>
+<template><name>ext</name><snippet>
+  <processors><id>g</id><name>gen</name>
+    <type>o.a.n.p.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>d</id><name>dl</name>
+    <type>o.a.n.p.standard.DistributeLoad</type>
+    <config><properties>
+      <entry><key>Number of Relationships</key><value>2</value></entry>
+      <entry><key>Order Column</key><value>id</value></entry>
+    </properties></config></processors>
+  <processors><id>s</id><name>scan</name>
+    <type>o.a.n.p.standard.ScanAttribute</type>
+    <config><properties>
+      <entry><key>Attribute Pattern</key><value>kind</value></entry>
+    </properties></config></processors>
+  <processors><id>b</id><name>b64</name>
+    <type>o.a.n.p.standard.Base64EncodeContent</type>
+    <config><properties/></config></processors>
+  <processors><id>r</id><name>rate</name>
+    <type>o.a.n.p.standard.ControlRate</type>
+    <config><properties>
+      <entry><key>Maximum Rate</key><value>2</value></entry>
+      <entry><key>Order Column</key><value>id</value></entry>
+    </properties></config></processors>
+  <connections><id>c1</id><source><id>g</id></source>
+    <destination><id>d</id></destination></connections>
+  <connections><id>c2</id><source><id>d</id></source>
+    <destination><id>s</id></destination>
+    <selectedRelationships>1</selectedRelationships></connections>
+  <connections><id>c3</id><source><id>s</id></source>
+    <destination><id>b</id></destination>
+    <selectedRelationships>matched</selectedRelationships></connections>
+  <connections><id>c4</id><source><id>b</id></source>
+    <destination><id>r</id></destination>
+    <selectedRelationships>success</selectedRelationships></connections>
+</snippet></template>"""
+
+
+def test_load_template_ext_processors(spark):
+    """DistributeLoad / ScanAttribute / Base64EncodeContent / ControlRate
+    compile from template XML and chain: matched rows come back base64'd
+    with arithmetic batch ids; every row lands in exactly one dl slot."""
+    import base64
+
+    from nifi_spark.plans import load_template
+    src = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else "b", f"doc{i}") for i in range(30)],
+        "id long, kind string, content string")
+    dictionary = spark.createDataFrame([("a",)], "term string")
+    flow = load_template(TEMPLATE_EXT_XML, sources={"gen": src},
+                         dictionaries={"scan": dictionary})
+    out = flow.run()
+    got = out["rate.success"].collect()
+    assert got, "expected rows through the matched path"
+    for r in got:
+        assert r.kind == "a"                       # scan filtered
+        raw = base64.b64decode(r.content).decode() # b64 round-trips
+        assert raw == f"doc{r.id}"
+    # distribute: both slots together cover the input exactly once
+    n1 = out["dl.1"].count()
+    n2 = out["dl.2"].count()
+    assert n1 + n2 == 30 and n1 > 0 and n2 > 0
+    # control_rate: batch ids honor the cap arithmetically
+    ids = sorted(r.id for r in got)
+    lo = ids[0]
+    for r in got:
+        assert r.batch_id == (r.id - lo) // 2
