@@ -1235,6 +1235,21 @@ def q_dedup_ngram_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                candidates=cand)
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup: the corpus has no newlines,
+    so paragraph boundaries are derived deterministically first (a
+    newline after every 8 tokens — the identical regex runs in the
+    DuckDB oracle). Across ALL documents each distinct paragraph keeps
+    only its first (doc, position) occurrence; paragraphs under 20
+    chars are exempt, and documents are reassembled in order."""
+    from nifi_spark.datalib import paragraph_dedup
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.regexp_replace("text", r"((?:\S+ ){8})", "$1\n")
+                    .alias("ptext")))
+    return paragraph_dedup(docs, "doc_id", "ptext", sep="\n", min_chars=20)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-banded near-dup pairs: pigeonhole banding for
     candidates, exact bit_count(xor) verification — no all-pairs scan."""
@@ -1658,6 +1673,37 @@ FROM v
 JOIN sizes na ON na.doc_id = id_a
 JOIN sizes nb ON nb.doc_id = id_b
 WHERE inter / (na.n + nb.n - inter) >= 0.3
+"""
+
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){8})', '\1' || chr(10), 'g') AS ptext
+  FROM documents),
+parts AS (SELECT doc_id, string_split(ptext, chr(10)) AS arr FROM p),
+paras AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id, generate_subscripts(arr, 1) - 1 AS pos,
+           unnest(arr) AS para
+    FROM parts)
+  WHERE para <> ''),
+ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras WHERE length(para) >= 20),
+kept AS (
+  SELECT doc_id, pos, para FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, para FROM paras WHERE length(para) < 20),
+sizes AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
+       s.n_paras, coalesce(r.n_kept, 0) AS n_kept
+FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
@@ -2110,6 +2156,20 @@ def q_exec_stream_command(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_id"))
 
 
+def q_exec_process_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteProcess source mode: spawn a command with no incoming
+    rows, capture stdout, emit it batched by row count (the batch
+    analog of the reference's time-based Batch Duration)."""
+    from nifi_spark.operators import execute_process
+    src = execute_process(spark, ["seq", "1", "100"],
+                          batch_duration_rows=30)
+    return src.select(
+        "part",
+        F.substring_index("content", "\n", 1).cast("long")
+        .alias("first_line"),
+        F.size(F.split("content", "\n")).alias("n_lines"))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -2303,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_verify_lsh": q_dedup_ngram_verify_lsh,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_repetition": q_text_repetition,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -2327,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_flow_ext": q_template_flow_ext,
         "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
+        "exec_process_source": q_exec_process_source,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -2878,6 +2940,7 @@ FROM documents GROUP BY md5(text)
         "dedup_simhash": _simhash_sql(16),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_ngram_verify_lsh": _NGRAM_VERIFY_LSH_SQL,
+        "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "dedup_simhash_pairs": _simhash_pairs_sql(16, 2),
         "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_near_clusters": _near_clusters_sql(12, 4),
@@ -3066,6 +3129,11 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "exec_process_source": """
+SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
+                      (1, 31, 30), (2, 61, 30), (3, 91, 10))
+  v(part, first_line, n_lines)
 """,
         "template_flow_ext": """
 WITH slotted AS (

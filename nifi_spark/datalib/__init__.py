@@ -16,7 +16,8 @@ from nifi_spark.datalib.curation import (benchmark_contamination,
 from nifi_spark.datalib.dedup import (exact_dedup, lsh_band_plan,
                                       minhash_lsh_pairs,
                                       minhash_signatures, near_dup_clusters,
-                                      ngram_jaccard_pairs, shingle, simhash,
+                                      ngram_jaccard_pairs, paragraph_dedup,
+                                      shingle, simhash,
                                       simhash_pairs)
 from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            embedding_near_dup_pairs,
@@ -30,7 +31,7 @@ from nifi_spark.datalib.text import (fingerprint, lang_id, quality_classify,
 
 __all__ = ["exact_dedup", "lsh_band_plan", "minhash_lsh_pairs",
            "minhash_signatures", "near_dup_clusters", "ngram_jaccard_pairs",
-           "shingle", "simhash", "simhash_pairs",
+           "paragraph_dedup", "shingle", "simhash", "simhash_pairs",
            "ann_topk", "cosine_pairs", "embedding_near_dup_pairs",
            "ivf_ann_topk", "lsh_ann_topk", "lsh_candidate_pairs", "quantize_int8", "ann_topk_int8",
            "fingerprint", "lang_id", "quality_classify", "quality_score",

@@ -323,6 +323,52 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                          (F.col("id") == F.col("cluster_id")).alias("keep"))
 
 
+def paragraph_dedup(df: DataFrame, id_col: str, text_col: str,
+                    sep: str = "\n", min_chars: int = 0,
+                    out_col: str = "text_dedup") -> DataFrame:
+    """C4-style repeated-paragraph removal at corpus scale: across the
+    WHOLE corpus, each distinct paragraph survives only at its first
+    occurrence (min (doc, position) wins); later copies — boilerplate
+    headers, license blocks, navigation chrome — are dropped and the
+    documents reassembled. Paragraphs shorter than `min_chars` are
+    exempt (never deduped — short lines repeat legitimately), mirroring
+    C4's span-length floor. Empty paragraphs are dropped.
+
+    Plan shape: explode → one hash-agg on the paragraph text for the
+    global winner (narrow: paragraph + min struct, map-side combinable)
+    → equi-join back → per-doc reassembly agg. Two shuffles total, both
+    on uniform keys; no windows, no driver involvement — at 100 TB the
+    paragraph agg is the same shape as exact_dedup.
+
+    Returns (id, out_col, n_paras, n_kept).
+    """
+    paras = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), sep))
+                       .alias("pos", "para"))
+             .filter(F.col("para") != ""))
+    dedupable = F.length(F.col("para")) >= min_chars
+    winners = (paras.filter(dedupable)
+               .groupBy("para")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("pos").alias("p"))).alias("w")))
+    kept = (paras.join(winners, "para", "left")
+            .filter(~dedupable | F.col("w").isNull()
+                    | ((F.col("w.i") == F.col(id_col))
+                       & (F.col("w.p") == F.col("pos")))))
+    sizes = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "para"))),
+                            lambda s: s["para"]), sep).alias(out_col),
+                    F.count(F.lit(1)).alias("n_kept")))
+    return (sizes.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+                    "n_paras", F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
     """SimHash fingerprint over word hashes (bit-majority), `bits` wide."""
     w = (df.select(F.col(id_col),

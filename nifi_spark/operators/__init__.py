@@ -43,7 +43,8 @@ from nifi_spark.operators.distribute import (distribute_load, enforce_order,
                                              prioritize,
                                              repartition_by_key_range,
                                              salt_keys)
-from nifi_spark.operators.exec_command import execute_stream_command
+from nifi_spark.operators.exec_command import (execute_process,
+                                                execute_stream_command)
 from nifi_spark.operators.rate import control_rate, monitor_activity
 
 __all__ = [
@@ -68,6 +69,6 @@ __all__ = [
     "distribute_load", "enforce_order", "prioritize",
     "repartition_by_key_range", "salt_keys",
     "control_rate",
-    "execute_stream_command",
+    "execute_process", "execute_stream_command",
     "monitor_activity",
 ]

@@ -78,3 +78,35 @@ def execute_stream_command(df: DataFrame, content_col: str,
 
     return df.mapInPandas(run_lines if mode == "lines" else run_whole,
                           schema)
+
+
+def execute_process(spark, argv: list[str],
+                    batch_duration_rows: int | None = None,
+                    content_col: str = "content",
+                    encoding: str = "utf-8") -> DataFrame:
+    """Source-mode external command — the ExecuteProcess analog
+    (standard/ExecuteProcess.java:1-502: no incoming FlowFiles, spawn
+    the command, capture stdout, emit it as content; 'Batch Duration'
+    optionally splits the stream into multiple FlowFiles).
+
+    Runs the process ONCE on the driver (the reference runs it once on
+    one node — a source command is inherently single-instance; its
+    OUTPUT is then parallelized into a DataFrame for everything
+    downstream). Without batch_duration_rows the whole stdout is one
+    row, like the reference without Batch Duration; with it, stdout is
+    split into newline-framed groups of that many lines — the row-count
+    analog of the reference's time-based batching, which has no meaning
+    in batch execution. Rows carry (part, content). Non-zero exit
+    raises (the reference penalizes and yields)."""
+    proc = subprocess.run(argv, capture_output=True, check=True)
+    text = proc.stdout.decode(encoding)
+    if batch_duration_rows is None:
+        rows = [(0, text)]
+    else:
+        lines = text.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        n = max(1, batch_duration_rows)
+        rows = [(i // n, "\n".join(lines[i:i + n]))
+                for i in range(0, len(lines), n)] or [(0, "")]
+    return spark.createDataFrame(rows, f"part long, {content_col} string")

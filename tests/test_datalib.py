@@ -732,3 +732,41 @@ def test_cap_per_group_hot_prefilter_exact_equivalence(spark):
         per[s] = per.get(s, 0) + 1
     assert per["hot"] == 100
     assert all(v == 10 for k, v in per.items() if k != "hot")
+
+
+def test_paragraph_dedup_c4_style(spark):
+    """Corpus-wide paragraph dedup: first (doc, pos) occurrence wins
+    globally, short paragraphs are exempt, empties dropped, documents
+    reassembled in original order."""
+    from nifi_spark.datalib import paragraph_dedup
+    boiler = "this license paragraph repeats everywhere verbatim"
+    docs = spark.createDataFrame([
+        (1, f"unique opening line of doc one\n{boiler}\nok"),
+        (2, f"{boiler}\nunique middle of doc two\n{boiler}"),
+        (3, f"ok\n\nonly doc three says this sentence"),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           paragraph_dedup(docs, "doc_id", "text", min_chars=10).collect()}
+    # doc 1 holds the first occurrence of the boilerplate -> keeps it;
+    # 'ok' is under min_chars -> exempt everywhere.
+    assert out[1].text_dedup == (
+        f"unique opening line of doc one\n{boiler}\nok")
+    assert (out[1].n_paras, out[1].n_kept) == (3, 3)
+    # doc 2 loses BOTH copies (pos 0 loses to doc 1; pos 2 loses too).
+    assert out[2].text_dedup == "unique middle of doc two"
+    assert (out[2].n_paras, out[2].n_kept) == (3, 1)
+    # doc 3: empty paragraph dropped from the count, short 'ok' kept.
+    assert out[3].text_dedup == "ok\nonly doc three says this sentence"
+    assert (out[3].n_paras, out[3].n_kept) == (2, 2)
+
+
+def test_paragraph_dedup_within_doc(spark):
+    """A paragraph repeated INSIDE one doc also dedups (min pos wins)."""
+    from nifi_spark.datalib import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(7, "repeated paragraph body\nmiddle text here\n"
+             "repeated paragraph body")],
+        "doc_id long, text string")
+    r = paragraph_dedup(docs, "doc_id", "text", min_chars=5).collect()[0]
+    assert r.text_dedup == "repeated paragraph body\nmiddle text here"
+    assert (r.n_paras, r.n_kept) == (3, 2)

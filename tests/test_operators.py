@@ -429,3 +429,20 @@ def test_scan_content_substring_and_token_modes(spark):
     got = {r.id: r.matched
            for r in scan_content(bdf, "payload", bd).collect()}
     assert got == {1: True, 2: False, 3: True}
+
+
+def test_execute_process_source_mode(spark):
+    """ExecuteProcess source analog: whole-stdout single row, row-count
+    batching, and non-zero exit raising."""
+    import subprocess
+
+    import pytest as _pt
+    from nifi_spark.operators import execute_process
+    one = execute_process(spark, ["printf", "a\nb\nc\n"]).collect()
+    assert len(one) == 1 and one[0].content == "a\nb\nc\n"
+    batched = execute_process(spark, ["seq", "1", "7"],
+                              batch_duration_rows=3).collect()
+    got = {r.part: r.content for r in batched}
+    assert got == {0: "1\n2\n3", 1: "4\n5\n6", 2: "7"}
+    with _pt.raises(subprocess.CalledProcessError):
+        execute_process(spark, ["false"])
