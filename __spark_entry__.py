@@ -2294,6 +2294,67 @@ def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id")
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization: the ASCII corpus gets a deterministic
+    messy suffix (combining acute + ring, a control byte, doubled
+    whitespace — the identical construction runs in DuckDB); the op
+    must strip the control char, compose the accents, and collapse the
+    whitespace so both engines emit byte-identical strings."""
+    from nifi_spark.datalib import normalize_text
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat(F.col("text"),
+                             F.lit(" caf"), F.lit("e\u0301"),
+                             F.lit("\u0001"),
+                             F.lit("  A\u030a  end"))
+                    .alias("text")))
+    out = normalize_text(docs, "text", form="NFC", strip_control=True,
+                         collapse_ws=True)
+    return out.select("doc_id", "text_norm",
+                      F.length("text_norm").alias("n_chars_norm"))
+
+
+def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: four sources get explicit token
+    budgets (one generous enough to keep everything, one tiny, two with
+    the boundary mid-group); each keeps the maximal hash-ordered prefix
+    whose cumulative n_chars stays <= its budget, unlisted sources are
+    dropped. The bucket prefilter means only the boundary slice of each
+    group is ever windowed."""
+    from nifi_spark.datalib import token_budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = token_budget_sample(
+        docs, "source", "doc_id", "n_chars",
+        budgets={"src0": 3000, "src1": 20000, "src2": 500, "src3": 4000})
+    return out.select("source", "doc_id", "n_chars")
+
+
+def q_curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: the corpus has no URL column, so a
+    messy URL is synthesized deterministically per doc_id (case noise,
+    `www.`, default ports, tracking params, shuffled param order,
+    trailing slash, fragments — the SAME construction runs in the
+    DuckDB oracle); canonicalization must collapse the variants so
+    equivalent pages dedup to their first doc_id."""
+    from nifi_spark.datalib import url_dedup
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 3 == 0, "HTTP://WWW.").when(d % 3 == 1, "http://")
+        .otherwise(F.lit("https://www.")),
+        F.lit("Site"), (d % 7).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 3 == 0, ":80").when(d % 3 == 2, ":443")
+        .otherwise(F.lit("")),
+        F.lit("/docs/page-"), (d % 40).cast("string"),
+        F.when(d % 2 == 0, "/").otherwise(F.lit("")),
+        F.when(d % 4 == 0, "?utm_source=feed&b=2&a=1")
+        .when(d % 4 == 1, "?a=1&b=2&utm_campaign=x&fbclid=zzz")
+        .when(d % 4 == 2, "?b=2&a=1").otherwise(F.lit("")),
+        F.when(d % 5 == 0, "#section-2").otherwise(F.lit("")))
+    docs = _t(spark, sf_dir, "documents").select("doc_id",
+                                                 raw.alias("url"))
+    return url_dedup(docs, "doc_id", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -2384,6 +2445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
+        "curate_token_budget": q_curate_token_budget,
+        "text_normalize": q_text_normalize,
+        "curate_url_dedup": q_curate_url_dedup,
         "template_flow": q_template_flow,
         "template_flow_ext": q_template_flow_ext,
         "el_string_compile": q_el_string_compile,
@@ -3129,6 +3193,86 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "text_normalize": r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' caf' || 'e' || chr(769) || chr(1)
+              || '  A' || chr(778) || '  end' AS text
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(
+            nfc_normalize(regexp_replace(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+            '\s+', ' ', 'g')) AS text_norm,
+       length(trim(regexp_replace(
+            nfc_normalize(regexp_replace(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+            '\s+', ' ', 'g'))) AS n_chars_norm
+FROM raw
+""",
+        "curate_token_budget": """
+WITH b(source, budget) AS (VALUES ('src0', 3000), ('src1', 20000),
+                                  ('src2', 500), ('src3', 4000)),
+t AS (
+  SELECT d.source, d.doc_id, d.n_chars, b.budget,
+         {PH_ID} AS h
+  FROM documents d JOIN b USING (source)),
+c AS (
+  SELECT source, doc_id, n_chars, budget,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT source, doc_id, n_chars FROM c WHERE cum <= budget
+""".replace("{PH_ID}", PH.format(x="d.doc_id::VARCHAR")),
+        "curate_url_dedup": r"""
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.'
+               WHEN doc_id % 3 = 1 THEN 'http://'
+               ELSE 'https://www.' END)
+         || 'Site' || (doc_id % 7)::VARCHAR || '.Example.COM'
+         || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                  WHEN doc_id % 3 = 2 THEN ':443' ELSE '' END)
+         || '/docs/page-' || (doc_id % 40)::VARCHAR
+         || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+                  WHEN doc_id % 4 = 1 THEN '?a=1&b=2&utm_campaign=x&fbclid=zzz'
+                  WHEN doc_id % 4 = 2 THEN '?b=2&a=1' ELSE '' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+         lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                              '^([^:/?#]+)://', 1)) AS scheme,
+         lower(regexp_extract(regexp_replace(url, '#.*', ''),
+                              '^[^:/?#]+://([^/?#]*)', 1)) AS host0,
+         regexp_replace(regexp_extract(regexp_replace(url, '#.*', ''),
+                        '^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+         regexp_extract(regexp_replace(url, '#.*', ''),
+                        '\?([^#]*)', 1) AS query
+  FROM raw),
+canon AS (
+  SELECT doc_id,
+         scheme || '://'
+         || (CASE WHEN scheme = 'http'
+                  THEN regexp_replace(regexp_replace(host0, '^www\.', ''),
+                                      ':80$', '')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(regexp_replace(host0, '^www\.', ''),
+                                      ':443$', '')
+                  ELSE regexp_replace(host0, '^www\.', '') END)
+         || path
+         || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical_url
+  FROM (SELECT *,
+               array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p,
+                     '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src|mc_cid|mc_eid)(=|$)'))),
+                 '&') AS q2
+        FROM parsed))
+SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM canon GROUP BY canonical_url
 """,
         "exec_process_source": """
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),

@@ -12,7 +12,9 @@ Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 """
 
 from nifi_spark.datalib.curation import (benchmark_contamination,
-                                         cap_per_group, dataset_split)
+                                         canonical_url,
+                                         cap_per_group, dataset_split,
+                                         token_budget_sample, url_dedup)
 from nifi_spark.datalib.dedup import (exact_dedup, lsh_band_plan,
                                       minhash_lsh_pairs,
                                       minhash_signatures, near_dup_clusters,
@@ -24,7 +26,8 @@ from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            ivf_ann_topk, lsh_ann_topk,
                                            lsh_candidate_pairs,
                                            ann_topk_int8, quantize_int8)
-from nifi_spark.datalib.text import (fingerprint, lang_id, quality_classify,
+from nifi_spark.datalib.text import (fingerprint, lang_id, normalize_text,
+                                     quality_classify,
                                      url_stats,
                                      quality_score, repetition_stats,
                                      token_stats)
@@ -34,7 +37,9 @@ __all__ = ["exact_dedup", "lsh_band_plan", "minhash_lsh_pairs",
            "paragraph_dedup", "shingle", "simhash", "simhash_pairs",
            "ann_topk", "cosine_pairs", "embedding_near_dup_pairs",
            "ivf_ann_topk", "lsh_ann_topk", "lsh_candidate_pairs", "quantize_int8", "ann_topk_int8",
-           "fingerprint", "lang_id", "quality_classify", "quality_score",
+           "fingerprint", "lang_id", "normalize_text",
+           "quality_classify", "quality_score",
            "repetition_stats",
            "token_stats", "url_stats",
-           "benchmark_contamination", "cap_per_group", "dataset_split"]
+           "benchmark_contamination", "canonical_url", "cap_per_group",
+           "dataset_split", "token_budget_sample", "url_dedup"]

@@ -128,3 +128,123 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str, n: int,
     return (df.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= n)
             .drop("_rk"))
+
+
+_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src|mc_cid|mc_eid)(=|$)"
+
+
+def canonical_url(url: F.Column | str) -> F.Column:
+    """RFC-3986-style URL normalization as one column expression.
+
+    The canonical form drives URL-level dedup of web corpora (the same
+    page crawled via http/https, with/without `www.`, default ports,
+    fragments, trailing slashes, shuffled or tracking query params —
+    utm_*, fbclid, gclid, ... — is ONE document):
+
+    - scheme and host lowercased; leading `www.` stripped
+    - default port stripped (`:80` for http, `:443` for https)
+    - fragment stripped; trailing slashes stripped from the path
+    - query params: tracking params dropped, the rest sorted and
+      rejoined (param ORDER never distinguishes two URLs)
+
+    Pure regex/array built-ins — codegen'd, no shuffle, no Python, and
+    reproducible verbatim in the DuckDB oracle.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, "#.*", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([^:/?#]+)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+            .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+            .otherwise(host))
+    path = F.regexp_replace(
+        F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1),
+        "/+$", "")
+    params = F.filter(
+        F.split(F.regexp_extract(no_frag, r"\?([^#]*)", 1), "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE))
+    q = F.array_join(F.array_sort(params), "&")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(q != "", F.concat(F.lit("?"), q))
+                    .otherwise(F.lit("")))
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Dedup rows whose URLs canonicalize identically: first id wins.
+
+    Returns (canonical_url, id, dup_count) — the URL-level sibling of
+    exact_dedup's content-hash grouping. Scale shape: one projection +
+    one hash-agg on the canonical string, map-side combinable; at
+    100 TB this is the cheapest dedup pass and runs before any
+    content-based one.
+    """
+    return (df.select(F.col(id_col),
+                      canonical_url(url_col).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def token_budget_sample(df: DataFrame, group_col: str, id_col: str,
+                        token_col: str, budgets: dict[str, int],
+                        seed: str = "", n_buckets: int = 64) -> DataFrame:
+    """Token-budget mixture sampling: build a training mix by capping
+    each source at a TOKEN budget (not a row count — cap_per_group's
+    sibling for mixtures specified in tokens, the unit that matters).
+
+    Semantics: within each group, documents are ordered by the
+    deterministic lottery (portable_hash64(id), id) and the maximal
+    prefix whose cumulative token count stays <= budgets[group] is
+    kept; groups absent from `budgets` are dropped. Deterministic,
+    unbiased, and stable under re-runs and corpus growth (a kept doc
+    only leaves the mix if new docs hash ahead of it).
+
+    Scale shape: a naive per-group running sum is one window over EVERY
+    row of the hottest source — a straggler at web scale. Instead the
+    60-bit hash's top bits split each group into `n_buckets` equal-width
+    rank ranges; per-(group,bucket) token sums (one narrow partial-agg
+    shuffle) locate the single bucket where the budget boundary falls.
+    Buckets wholly inside the budget pass through with NO window,
+    buckets past it are dropped, and the exact running sum runs only
+    inside the ~1/n_buckets boundary slice of each group. The kept set
+    is provably identical to the naive window's (bucket order is the
+    hash order's prefix).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 60 - (n_buckets.bit_length() - 1)
+    bmap = F.create_map(*[F.lit(x) for kv in sorted(budgets.items())
+                          for x in kv])
+    d = (df.withColumn("_h", portable_hash64(F.col(id_col).cast("string"),
+                                             seed))
+         .withColumn("_budget", bmap[F.col(group_col)])
+         .filter(F.col("_budget").isNotNull())
+         .withColumn("_bkt", F.shiftright(F.col("_h"), shift)))
+
+    wb = (Window.partitionBy(group_col).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    cls = (d.groupBy(group_col, "_bkt")
+           .agg(F.sum(token_col).alias("_t"),
+                F.first("_budget").alias("_b"))
+           .withColumn("_before", F.coalesce(F.sum("_t").over(wb),
+                                             F.lit(0)))
+           .withColumn("_cls",
+                       F.when(F.col("_before") + F.col("_t")
+                              <= F.col("_b"), "all")
+                       .when(F.col("_before") < F.col("_b"), "edge")
+                       .otherwise("none"))
+           .select(group_col, "_bkt", "_cls", "_before"))
+
+    j = d.join(cls, [group_col, "_bkt"])
+    helper = ["_h", "_budget", "_bkt", "_cls", "_before"]
+    keep_all = j.filter(F.col("_cls") == "all").drop(*helper)
+    we = (Window.partitionBy(group_col)
+          .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    edge = (j.filter(F.col("_cls") == "edge")
+            .withColumn("_cum",
+                        F.sum(token_col).over(we) + F.col("_before"))
+            .filter(F.col("_cum") <= F.col("_budget"))
+            .drop("_cum", *helper))
+    return keep_all.unionByName(edge)

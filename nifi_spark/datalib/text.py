@@ -8,6 +8,8 @@ to the portable subset: \\s, \\W, character classes).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 # Top function words per language (standard public frequency lists).
@@ -280,3 +282,37 @@ def url_stats(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col),
                      F.size(urls).alias("n_urls"),
                      F.size(domains).alias("n_domains"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   form: str = "NFC", strip_control: bool = True,
+                   collapse_ws: bool = False,
+                   out_col: str = "text_norm") -> DataFrame:
+    """Unicode normalization for corpus text: NFC/NFD/NFKC/NFKD plus
+    optional control-character stripping and whitespace collapsing —
+    the canonical first pass before any hashing/dedup step (decomposed
+    vs composed accents would otherwise defeat exact and MinHash dedup
+    byte-for-byte).
+
+    Spark has no built-in Unicode normalizer, so the normalization step
+    is an Arrow-batched pandas UDF (pandas Series.str.normalize — the
+    loop is CPython's C unicodedata, one call per Arrow batch, never
+    per-row Python). Control stripping ([\\x00-\\x08\\x0B\\x0C\\x0E-
+    \\x1F\\x7F] — tab/newline/CR survive) and whitespace collapsing
+    stay JVM-side regexes around it. Order: strip -> normalize ->
+    collapse, matching the DuckDB oracle (nfc_normalize).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(
+            c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = _norm(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return df.withColumn(out_col, c)

@@ -229,6 +229,49 @@ def main():
     results.append(("dataset_split", "hash-bucket assignment is a pure "
                     "projection: zero exchanges, deterministic"))
 
+    # ---- 2g. paragraph dedup / url dedup / token-budget sampler --------
+    from nifi_spark.datalib import (paragraph_dedup, token_budget_sample,
+                                    url_dedup)
+    p = plan_of(paragraph_dedup(docs_small, "doc_id", "text"))
+    assert "Window" not in p and "CartesianProduct" not in p, p
+    results.append(("paragraph_dedup", "global winner is a hash-agg on the "
+                    "paragraph text + equi-join back — no windows, no "
+                    "cross product"))
+    urls_small = docs_small.selectExpr(
+        "doc_id", "concat('http://h/', doc_id % 5) AS url")
+    p = plan_of(url_dedup(urls_small, "doc_id", "url"))
+    assert "Window" not in p, p
+    n_ex = p.count("Exchange hashpartitioning")
+    assert n_ex <= 1, f"expected one canonical-key exchange, got {n_ex}\n{p}"
+    results.append(("url_dedup", "canonicalization is a pure projection; "
+                    "one map-side-combinable hash-agg exchange"))
+    tok_small = docs_small.selectExpr("doc_id", "'s' AS source",
+                                      "10 + doc_id % 5 AS n")
+    p = plan_of(token_budget_sample(tok_small, "source", "doc_id", "n",
+                                    {"s": 100}))
+    # Operator ids are assigned bottom-up (children < parents). The ONE
+    # exact running-sum Window (ordered by the row hash _h) must sit
+    # ABOVE a Filter that consumes the bucket-cumsum Window's output
+    # (_we0, the boundary-bucket classification) — i.e. only the
+    # boundary slice of each group ever enters the exact window.
+    row_wins = [int(i) for i, arg in
+                re.findall(r"\((\d+)\) Window\nInput[^\n]*\n"
+                           r"Arguments: ([^\n]*)", p) if "_h#" in arg]
+    bkt_wins = [int(i) for i, arg in
+                re.findall(r"\((\d+)\) Window\nInput[^\n]*\n"
+                           r"Arguments: ([^\n]*)", p) if "_bkt#" in arg]
+    cls_filters = [int(i) for i, cond in
+                   re.findall(r"\((\d+)\) Filter\nInput[^\n]*\n"
+                              r"Condition : ([^\n]*)", p)
+                   if "_we0" in cond and "CASE WHEN" in cond]
+    assert len(row_wins) == 1, p
+    assert any(max(bkt_wins) <= f < row_wins[0] for f in cls_filters), \
+        (row_wins, bkt_wins, cls_filters, p)
+    results.append(("token_budget_sample", "exact running sum windows ONLY "
+                    "the boundary hash-bucket slice (bucket-class Filter "
+                    "below the row Window); whole buckets inside the budget "
+                    "pass through window-free"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"

@@ -770,3 +770,115 @@ def test_paragraph_dedup_within_doc(spark):
     r = paragraph_dedup(docs, "doc_id", "text", min_chars=5).collect()[0]
     assert r.text_dedup == "repeated paragraph body\nmiddle text here"
     assert (r.n_paras, r.n_kept) == (3, 2)
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule in isolation: case, www, default
+    ports, fragment, trailing slash, tracking params, param order."""
+    from nifi_spark.datalib import canonical_url
+    cases = [
+        ("HTTP://WWW.Example.COM:80/A/", "http://example.com/A"),
+        ("https://example.com:443/x?b=2&a=1", "https://example.com/x?a=1&b=2"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com/p?utm_source=a&utm_medium=b&fbclid=1&q=5#frag",
+         "http://example.com/p?q=5"),
+        ("http://example.com/p?utm_source=x", "http://example.com/p"),
+        ("ftp://Example.com:80/f", "ftp://example.com:80/f"),
+        ("http://example.com/", "http://example.com"),
+        ("http://example.com/a//", "http://example.com/a"),
+        # 'ref' strips only as a whole param name, not as a prefix
+        ("http://example.com/p?ref=rss&refresh=1",
+         "http://example.com/p?refresh=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_first_id_wins(spark):
+    from nifi_spark.datalib import url_dedup
+    df = spark.createDataFrame([
+        (3, "https://WWW.site.com/a/?utm_source=x"),
+        (1, "https://site.com:443/a"),
+        (2, "https://site.com/b"),
+    ], "doc_id long, url string")
+    got = {r.canonical_url: (r.doc_id, r.dup_count)
+           for r in url_dedup(df, "doc_id", "url").collect()}
+    assert got == {"https://site.com/a": (1, 2),
+                   "https://site.com/b": (2, 1)}
+
+
+def test_token_budget_sample_matches_naive_window(spark):
+    """The bucket-prefiltered sampler must equal the naive per-group
+    running-sum window exactly, on a skewed corpus that exercises all
+    three bucket classes (all / edge / none)."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window as W
+    from nifi_spark.datalib import token_budget_sample
+    from nifi_spark.functions.portable_hash import portable_hash64
+    rows = ([(i, "hot", 50 + i % 37) for i in range(4000)] +
+            [(10_000 + i, "warm", 200 + i % 11) for i in range(60)] +
+            [(20_000 + i, "tiny", 10_000) for i in range(5)] +
+            [(30_000 + i, "unlisted", 1) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    budgets = {"hot": 20_000, "warm": 1_000_000, "tiny": 3}
+    got = sorted((r.source, r.doc_id) for r in
+                 token_budget_sample(df, "source", "doc_id", "n",
+                                     budgets).collect())
+    bmap = SF.create_map(*[SF.lit(x) for kv in sorted(budgets.items())
+                           for x in kv])
+    w = (W.partitionBy("source")
+         .orderBy(portable_hash64(SF.col("doc_id").cast("string")),
+                  "doc_id")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    naive = (df.withColumn("_b", bmap[SF.col("source")])
+             .filter(SF.col("_b").isNotNull())
+             .withColumn("_cum", SF.sum("n").over(w))
+             .filter(SF.col("_cum") <= SF.col("_b")))
+    want = sorted((r.source, r.doc_id) for r in naive.collect())
+    assert got == want
+    per = {}
+    for s, _ in got:
+        per[s] = per.get(s, 0) + 1
+    assert per.get("warm") == 60          # generous budget keeps all
+    assert "tiny" not in per              # first doc already over budget
+    assert "unlisted" not in per          # absent from the mixture
+    assert 0 < per["hot"] < 4000          # boundary lands mid-group
+    hot_total = sum(n for d, s, n in rows
+                    if s == "hot" and ("hot", d) in set(got))
+    assert hot_total <= budgets["hot"]
+
+
+def test_token_budget_sample_prefix_is_maximal(spark):
+    """Adding the next doc in hash order would exceed the budget."""
+    from nifi_spark.datalib import token_budget_sample
+    from nifi_spark.functions.portable_hash import portable_hash64_py
+    rows = [(i, "s", 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    kept = sorted(r.doc_id for r in
+                  token_budget_sample(df, "source", "doc_id", "n",
+                                      {"s": 100}).collect())
+    assert len(kept) == 100 // 7
+    order = sorted(range(200), key=lambda i: (portable_hash64_py(str(i)), i))
+    assert sorted(order[:len(kept)]) == kept
+
+
+def test_normalize_text_forms(spark):
+    """NFC composes decomposed accents; NFKC also folds compatibility
+    chars (ligature, fullwidth); control strip and ws collapse."""
+    import unicodedata
+    from nifi_spark.datalib import normalize_text
+    raw = "cafe\u0301 \u0001 \ufb01ne  \uff24one"
+    df = spark.createDataFrame([(raw,)], "text string")
+    nfc = normalize_text(df, "text", form="NFC",
+                         collapse_ws=True).collect()[0].text_norm
+    assert nfc == "caf\u00e9 \ufb01ne \uff24one"
+    assert nfc == unicodedata.normalize(
+        "NFC", " ".join(raw.replace("\u0001", "").split()))
+    nfkc = normalize_text(df, "text", form="NFKC",
+                          collapse_ws=True).collect()[0].text_norm
+    assert nfkc == "caf\u00e9 fine Done"
+    # tab/newline survive control stripping when collapse_ws is off
+    df2 = spark.createDataFrame([("a\tb\nc\x02d",)], "text string")
+    got = normalize_text(df2, "text").collect()[0].text_norm
+    assert got == "a\tb\ncd"
