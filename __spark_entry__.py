@@ -802,6 +802,82 @@ def q_xquery_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at("us", 2).alias("second_u"))
 
 
+def q_transform_xml_xslt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XSLT-subset ENGINE end-to-end (TransformXml's stylesheet
+    path): per-event order XML -> a stylesheet using template rules,
+    AVTs, sum(), count(), xsl:sort (numeric desc), position(),
+    xsl:attribute + xsl:choose -> scalars re-extracted JVM-side. The
+    oracle recomputes every scalar arithmetically, including the
+    stable-sort tie rule (equal prices keep document order)."""
+    from nifi_spark.operators import transform_xml
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    xml = F.concat(
+        F.lit('<order id="'), e.cast("string"),
+        F.lit('"><line qty="'), (e % 5 + 1).cast("string"),
+        F.lit('" price="'), (e % 7 + 2).cast("string"),
+        F.lit('"/><line qty="'), (e % 3 + 1).cast("string"),
+        F.lit('" price="'), (e % 11 + 1).cast("string"),
+        F.lit('"/></order>'))
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/order">
+        <summary id="{@id}" n="{count(line)}">
+          <xsl:attribute name="band">
+            <xsl:choose>
+              <xsl:when test="sum(line/@price) &gt; 12">high</xsl:when>
+              <xsl:otherwise>low</xsl:otherwise>
+            </xsl:choose>
+          </xsl:attribute>
+          <total><xsl:value-of select="sum(line/@price)"/></total>
+          <top>
+            <xsl:for-each select="line">
+              <xsl:sort select="@price" data-type="number"
+                        order="descending"/>
+              <xsl:if test="position() = 1">
+                <xsl:value-of select="@qty * @price"/>
+              </xsl:if>
+            </xsl:for-each>
+          </top>
+        </summary>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    src = (ev.select("event_id", xml.alias("content"))
+           .repartition(spark.sparkContext.defaultParallelism))
+    t = transform_xml(src, "content", stylesheet=xsl)
+    x = lambda p: F.xpath_string("content", F.lit(p))  # noqa: E731
+    return t.select(
+        "event_id",
+        x("/summary/@id").cast("long").alias("sid"),
+        x("/summary/@n").cast("long").alias("n_lines"),
+        x("/summary/@band").alias("band"),
+        x("/summary/total").cast("long").alias("total"),
+        x("/summary/top").cast("long").alias("top_rev"))
+
+
+def q_xquery_flwor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XQuery FLWOR end-to-end: for/where/order by descending over
+    per-event items, returning concat() strings; p values are distinct
+    by construction (mod-3 residues 1/2/0) so ordering is total."""
+    from nifi_spark.operators import evaluate_xquery
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    p1, p2, p3 = (e % 5) * 3 + 1, (e % 4) * 3 + 2, (e % 6) * 3 + 3
+    xml = F.concat(
+        F.lit('<o><i p="'), p1.cast("string"), F.lit('">x</i><i p="'),
+        p2.cast("string"), F.lit('">y</i><i p="'),
+        p3.cast("string"), F.lit('">z</i></o>'))
+    q = ("for $i in /o/i where $i/@p > 4 "
+         "order by $i/@p descending "
+         "return concat($i/@p, ':', $i)")
+    out = evaluate_xquery(
+        ev.select("event_id", xml.alias("content"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        "content", {"hits": q})
+    return out.select("event_id", F.size("hits").alias("n_hits"),
+                      F.array_join("hits", "|").alias("joined"))
+
+
 def q_scan_attribute_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ScanAttribute: dictionary membership on an attribute column
     (broadcast semi/anti join), matched + unmatched counts per term."""
@@ -2395,7 +2471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_evtx_records": q_parse_evtx_records,
         "parse_evtx_binxml": q_parse_evtx_binxml,
         "transform_xml_roundtrip": q_transform_xml_roundtrip,
+        "transform_xml_xslt": q_transform_xml_xslt,
         "xquery_extract": q_xquery_extract,
+        "xquery_flwor": q_xquery_flwor,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
@@ -2771,6 +2849,40 @@ FROM events
 SELECT event_id, 2 AS n_u, user_id::VARCHAR AS first_u,
        (user_id + 1)::VARCHAR AS second_u
 FROM events
+""",
+        "transform_xml_xslt": """
+WITH t AS (
+  SELECT event_id,
+         event_id % 5 + 1 AS q1, event_id % 7 + 2 AS p1,
+         event_id % 3 + 1 AS q2, event_id % 11 + 1 AS p2
+  FROM events)
+SELECT event_id, event_id AS sid, 2::BIGINT AS n_lines,
+       CASE WHEN p1 + p2 > 12 THEN 'high' ELSE 'low' END AS band,
+       p1 + p2 AS total,
+       CASE WHEN p1 >= p2 THEN q1 * p1 ELSE q2 * p2 END AS top_rev
+FROM t
+""",
+        "xquery_flwor": """
+WITH t AS (
+  SELECT event_id,
+         (event_id % 5) * 3 + 1 AS p1,
+         (event_id % 4) * 3 + 2 AS p2,
+         (event_id % 6) * 3 + 3 AS p3
+  FROM events),
+items AS (
+  SELECT event_id, p, txt FROM (
+    SELECT event_id, p1 AS p, 'x' AS txt FROM t
+    UNION ALL SELECT event_id, p2, 'y' FROM t
+    UNION ALL SELECT event_id, p3, 'z' FROM t)
+  WHERE p > 4),
+agg AS (
+  SELECT event_id, count(*) AS n,
+         string_agg(p::VARCHAR || ':' || txt, '|' ORDER BY p DESC)
+           AS joined
+  FROM items GROUP BY event_id)
+SELECT t.event_id, coalesce(agg.n, 0) AS n_hits,
+       coalesce(agg.joined, '') AS joined
+FROM t LEFT JOIN agg USING (event_id)
 """,
         "identify_mime": """
 SELECT doc_id,

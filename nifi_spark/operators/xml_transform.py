@@ -1,21 +1,28 @@
 """TransformXml / EvaluateXQuery analogs.
 
 TransformXml (standard/TransformXml.java:1-60) runs a full XSLT 1.0
-stylesheet via javax.xml.transform; no XSLT engine exists in this
-sandbox (no lxml/libxslt), so the operator here executes the
-*declarative transform rules* that cover the overwhelming share of
-real TransformXml usage — rename / drop / attribute-promotion /
-re-rooting — with the stdlib ElementTree (expat) in one Arrow-batched
-``mapInPandas`` pass. Passing an actual ``stylesheet=`` hits a declared
-NotImplementedError seam (same pattern as the multimodal codec and
-BinXML seams) marking where lxml's XSLT plugs in on a real cluster.
+stylesheet via javax.xml.transform. Two paths here:
+
+- ``rules=``: the declarative rename / drop / attribute-promotion /
+  re-rooting rules that cover the most common TransformXml usage, with
+  the stdlib ElementTree (expat) in one Arrow-batched ``mapInPandas``
+  pass;
+- ``stylesheet=``: a real XSLT 1.0 subset engine (operators/xslt.py —
+  template rules, apply/call-template, for-each/sort, if/choose,
+  element/attribute/copy/copy-of, variables/params, AVTs) running the
+  in-repo XPath 1.0 evaluator (functions/xpath1.py), compiled once and
+  applied row-wise in the same ``mapInPandas`` shape. Instructions the
+  subset excludes (xsl:key/import/number/extensions) raise XsltError
+  driver-side at compile.
 
 EvaluateXQuery (standard/EvaluateXQuery.java:1-80) evaluates XQuery 1.0
 via net.sf.saxon. The path-expression core of XQuery — which is XPath —
 maps to Spark's built-in ``xpath()`` family (JVM-side javax.xml, whole
 result array per query, zero Python); FLWOR expressions
-(for/let/where/order/return) need a real XQuery engine and raise at the
-same declared seam.
+(for/let/where/order by/return, direct constructors with {expr} holes)
+evaluate through the in-repo engine (operators/xquery.py) as an
+Arrow-batched column; only nested-FLWOR returns and prologs remain a
+declared boundary.
 """
 
 from __future__ import annotations
@@ -49,9 +56,31 @@ def transform_xml(df: DataFrame, content_col: str,
     parallelism == partition count, no driver involvement.
     """
     if stylesheet is not None:
-        raise NotImplementedError(
-            "full XSLT needs lxml/libxslt — not in sandbox; plug the "
-            "real transformer in here (TransformXml.java:1-60)")
+        if rules:
+            raise ValueError("pass rules= or stylesheet=, not both")
+        from nifi_spark.operators.xslt import XsltStylesheet
+        XsltStylesheet(stylesheet)  # compile driver-side: fail fast
+        out_col = out_col or content_col
+        fields = [(n, "string" if n == out_col else t)
+                  for n, t in df.dtypes]
+        if out_col not in [n for n, _ in fields]:
+            fields.append((out_col, "string"))
+        schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+        out_names = [n for n, _ in fields]
+
+        def run_xslt(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            from nifi_spark.operators.xslt import (XsltStylesheet,
+                                                   xslt_transform)
+            sheet = XsltStylesheet(stylesheet)
+            for pdf in batches:
+                out = pdf.copy()
+                out[out_col] = pdf[content_col].map(
+                    lambda t: None if t is None
+                    else xslt_transform(t, sheet))
+                yield out[out_names]
+
+        return df.mapInPandas(run_xslt, schema=schema)
     rules = rules or []
     out_col = out_col or content_col
     for r in rules:  # validate driver-side so typos fail fast
@@ -119,16 +148,49 @@ def evaluate_xquery(df: DataFrame, content_col: str,
     @attribute nodes to get values) or xpath_string (first_only=True).
     xpath() requires NODE-SET expressions; scalar results (count(),
     string(), boolean()) must go through first_only=True, which coerces
-    to string. FLWOR queries raise NotImplementedError — the declared
-    engine seam (EvaluateXQuery.java uses Saxon for those).
+    to string. FLWOR queries evaluate through the in-repo engine
+    (operators/xquery.py) as an Arrow-batched mapInPandas column —
+    array<string> of serialized return items (first item only under
+    first_only=True). Malformed XML yields NULL for FLWOR columns.
     """
-    for name, q in queries.items():
-        if _FLWOR.search(q):
-            raise NotImplementedError(
-                f"query {name!r} is FLWOR XQuery — needs a real engine "
-                "(Saxon in EvaluateXQuery.java); only path expressions "
-                "are supported here")
-    fn = F.xpath_string if first_only else F.xpath
-    return df.withColumns({
-        name: fn(F.col(content_col), F.lit(q))
-        for name, q in queries.items()})
+    flwor = {n: q for n, q in queries.items() if _FLWOR.search(q)}
+    paths = {n: q for n, q in queries.items() if n not in flwor}
+    if paths:
+        fn = F.xpath_string if first_only else F.xpath
+        df = df.withColumns({
+            name: fn(F.col(content_col), F.lit(q))
+            for name, q in paths.items()})
+    if not flwor:
+        return df
+    from nifi_spark.operators.xquery import parse_flwor
+    plans = {n: parse_flwor(q) for n, q in flwor.items()}  # fail fast
+    del plans
+    elem_t = "string" if first_only else "array<string>"
+    fields = list(df.dtypes) + [(n, elem_t) for n in flwor]
+    schema = ", ".join(f"`{n}` {t}" for n, t in fields)
+    out_names = [n for n, _ in fields]
+
+    def run_flwor(batches: Iterator[pd.DataFrame]
+                  ) -> Iterator[pd.DataFrame]:
+        from xml.etree import ElementTree as ET
+
+        from nifi_spark.operators.xquery import eval_flwor, parse_flwor
+        compiled = {n: parse_flwor(q) for n, q in flwor.items()}
+        for pdf in batches:
+            out = pdf.copy()
+            for name, plan in compiled.items():
+                def one(text, plan=plan):
+                    if text is None:
+                        return None
+                    try:
+                        root = ET.fromstring(text)
+                    except ET.ParseError:
+                        return None
+                    items = eval_flwor(plan, root)
+                    if first_only:
+                        return items[0] if items else None
+                    return items
+                out[name] = pdf[content_col].map(one)
+            yield out[out_names]
+
+    return df.mapInPandas(run_flwor, schema=schema)

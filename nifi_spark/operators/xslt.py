@@ -1,0 +1,442 @@
+"""XSLT 1.0 subset engine — TransformXml's stylesheet path.
+
+The reference's TransformXml (standard/TransformXml.java:81, 286 LoC)
+hands the whole transform to javax.xml.transform; this sandbox has no
+libxslt/Saxon, so this module interprets the XSLT 1.0 core directly
+over ElementTree with the in-repo XPath 1.0 evaluator
+(functions/xpath1.py). It covers the template-rule model and the
+instruction set that constitutes the overwhelming majority of real
+stylesheets:
+
+  xsl:template (match patterns incl. unions + predicates, named
+  templates, modes, priorities), xsl:apply-templates (select, mode,
+  with-param), xsl:call-template, xsl:value-of, xsl:for-each, xsl:if,
+  xsl:choose/when/otherwise, xsl:element, xsl:attribute, xsl:text,
+  xsl:copy, xsl:copy-of, xsl:variable, xsl:param / xsl:with-param,
+  xsl:sort (text/number, ascending/descending), literal result
+  elements with attribute value templates ({expr}), built-in template
+  rules, and xsl:output method="xml|text".
+
+Out of scope (raises XsltError with the instruction name — a declared
+boundary, never a silent wrong answer): xsl:key/key(), xsl:import/
+include, xsl:number, xsl:apply-imports, extension namespaces.
+
+Execution model on Spark: one stylesheet compiled once per executor
+task, applied row-wise inside Arrow-batched ``mapInPandas`` — a pure
+CPU map, embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+from xml.etree import ElementTree as ET
+
+from nifi_spark.functions.xpath1 import (AttrNode, Context, Document,
+                                         TextNode, XPathError, evaluate,
+                                         node_children, string_value,
+                                         to_bool, to_number, to_string)
+
+XSL_NS = "http://www.w3.org/1999/XSL/Transform"
+_X = "{%s}" % XSL_NS
+
+
+class XsltError(ValueError):
+    pass
+
+
+_AVT_RE = re.compile(r"\{([^{}]*)\}|\{\{|\}\}")
+
+
+def _avt(text: str, ctx: Context) -> str:
+    """Attribute value template: {expr} evaluates, {{ }} escape."""
+    def sub(m):
+        if m.group(0) == "{{":
+            return "{"
+        if m.group(0) == "}}":
+            return "}"
+        return to_string(evaluate(m.group(1), ctx))
+    return _AVT_RE.sub(sub, text)
+
+
+def _split_union(pattern: str) -> list[str]:
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in pattern:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "|" and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    parts.append("".join(buf).strip())
+    return [p for p in parts if p]
+
+
+@dataclass
+class _Template:
+    pattern: str | None     # None for purely named templates
+    alts: list[str]         # union alternatives, root-anchored
+    name: str | None
+    mode: str | None
+    priority: float
+    pos: int                # document position (later wins ties)
+    body: ET.Element        # the xsl:template element
+
+
+def _default_priority(alt: str) -> float:
+    a = alt.strip()
+    if "[" in a or "/" in a.strip("/"):
+        return 0.5
+    if a in ("*", "text()", "node()", "@*"):
+        return -0.5
+    return 0.0
+
+
+class XsltStylesheet:
+    """Compiled stylesheet; ``apply(xml_text)`` returns the output."""
+
+    def __init__(self, stylesheet: str):
+        try:
+            root = ET.fromstring(stylesheet)
+        except ET.ParseError as e:
+            raise XsltError(f"stylesheet is not well-formed: {e}") from e
+        if root.tag not in (_X + "stylesheet", _X + "transform"):
+            raise XsltError(f"not an XSLT stylesheet root: {root.tag}")
+        self.output_method = "xml"
+        self.templates: list[_Template] = []
+        self.named: dict[str, _Template] = {}
+        self.global_vars: list[ET.Element] = []
+        for i, child in enumerate(root):
+            if child.tag == _X + "output":
+                self.output_method = child.get("method", "xml")
+            elif child.tag == _X + "template":
+                match = child.get("match")
+                alts = []
+                if match is not None:
+                    for alt in _split_union(match):
+                        anchored = alt if alt.startswith("/") \
+                            else "//" + alt
+                        if alt == "/":
+                            anchored = "/"
+                        alts.append(anchored)
+                prio = child.get("priority")
+                t = _Template(
+                    pattern=match, alts=alts, name=child.get("name"),
+                    mode=child.get("mode"),
+                    priority=float(prio) if prio is not None else
+                    (max(_default_priority(a)
+                         for a in _split_union(match)) if match else 0.0),
+                    pos=i, body=child)
+                self.templates.append(t)
+                if t.name:
+                    self.named[t.name] = t
+            elif child.tag in (_X + "variable", _X + "param"):
+                self.global_vars.append(child)
+            elif child.tag in (_X + "key", _X + "import", _X + "include",
+                               _X + "decimal-format",
+                               _X + "namespace-alias"):
+                raise XsltError(f"unsupported top-level instruction "
+                                f"{child.tag.replace(_X, 'xsl:')}")
+            # strip-space/preserve-space/attribute-set: ignore
+
+    # ---- pattern matching -------------------------------------------
+
+    def _match_nodes(self, doc: Document, alt: str,
+                     variables: dict) -> list:
+        ctx = Context(doc, doc, variables=variables)
+        if alt == "/":
+            return [doc]
+        v = evaluate(alt, ctx)
+        return v if isinstance(v, list) else []
+
+    def _find_template(self, doc: Document, node, mode: str | None,
+                       variables: dict) -> _Template | None:
+        best = None
+        for t in self.templates:
+            if t.pattern is None or t.mode != mode:
+                continue
+            matched = False
+            for alt in t.alts:
+                hits = self._match_nodes(doc, alt, variables)
+                if any(h is node or h == node for h in hits):
+                    matched = True
+                    break
+            if matched and (best is None or
+                            (t.priority, t.pos) >
+                            (best.priority, best.pos)):
+                best = t
+        return best
+
+    # ---- instantiation ----------------------------------------------
+
+    def apply(self, xml_text: str) -> str:
+        src = ET.fromstring(xml_text)
+        doc = Document(src)
+        variables: dict[str, Any] = {}
+        for gv in self.global_vars:
+            ctx = Context(doc, doc, variables=dict(variables))
+            variables[gv.get("name")] = self._var_value(gv, ctx)
+        out: list = []
+        self._apply_to(out, [doc], None,
+                       Context(doc, doc, variables=variables), {})
+        return self._serialize(out)
+
+    def _serialize(self, items: list) -> str:
+        if self.output_method == "text":
+            return "".join(it if isinstance(it, str)
+                           else "".join(it.itertext()) for it in items)
+        parts = []
+        for it in items:
+            if isinstance(it, str):
+                parts.append(_xml_escape(it))
+            else:
+                parts.append(ET.tostring(it, encoding="unicode"))
+        return "".join(parts)
+
+    def _var_value(self, el: ET.Element, ctx: Context):
+        sel = el.get("select")
+        if sel is not None:
+            return evaluate(sel, ctx)
+        items: list = []
+        self._instantiate(items, el, ctx)
+        # result tree fragment -> string (the common XSLT 1.0 use)
+        return "".join(it if isinstance(it, str)
+                       else "".join(it.itertext()) for it in items)
+
+    def _sorted(self, nodes: list, sorts: list[ET.Element],
+                ctx: Context) -> list:
+        if not sorts:
+            return nodes
+        # stable multi-key sort honouring per-key direction: apply the
+        # LAST sort key first, each pass stable.
+        for s in reversed(sorts):
+            rev = s.get("order", "ascending") == "descending"
+            def one_key(nd, s=s):
+                sctx = ctx.with_node(nd, 1, 1)
+                v = to_string(evaluate(s.get("select", "."), sctx))
+                if s.get("data-type", "text") == "number":
+                    num = to_number(v)
+                    return (0, num) if num == num else (1, v)
+                return (0, v)
+            nodes = sorted(nodes, key=one_key, reverse=rev)
+        return nodes
+
+    def _apply_to(self, out: list, nodes: list,
+                  mode: str | None, ctx: Context, params: dict):
+        doc = ctx.doc
+        size = len(nodes)
+        for i, nd in enumerate(nodes):
+            t = self._find_template(doc, nd, mode, ctx.variables)
+            nctx = ctx.with_node(nd, i + 1, size)
+            if t is None:
+                self._builtin(out, nd, mode, nctx)
+            else:
+                self._invoke(out, t, nctx, params)
+
+    def _builtin(self, out: list, nd, mode, ctx: Context):
+        if isinstance(nd, (TextNode, AttrNode)):
+            out.append(string_value(nd))
+        elif isinstance(nd, (Document, ET.Element)):
+            kids = node_children(ctx.doc, nd)
+            self._apply_to(out, kids, mode, ctx, {})
+
+    def _invoke(self, out: list, t: _Template, ctx: Context,
+                params: dict):
+        scope = dict(ctx.variables)
+        for child in t.body:
+            if child.tag == _X + "param":
+                name = child.get("name")
+                scope[name] = params[name] if name in params else \
+                    self._var_value(child, Context(
+                        ctx.doc, ctx.node, ctx.position, ctx.size, scope))
+        body_ctx = Context(ctx.doc, ctx.node, ctx.position, ctx.size,
+                           scope)
+        self._instantiate(out, t.body, body_ctx, skip_params=True)
+
+    def _instantiate(self, out: list, parent: ET.Element, ctx: Context,
+                     skip_params: bool = False,
+                     owner: ET.Element | None = None):
+        # literal text in template bodies is output (whitespace-only
+        # text nodes are stripped, as XSLT does for stylesheets)
+        if parent.text and parent.text.strip():
+            out.append(parent.text)
+        for child in parent:
+            self._instruction(out, child, ctx, skip_params, owner)
+            if child.tail and child.tail.strip():
+                out.append(child.tail)
+
+    def _instruction(self, out: list, el: ET.Element, ctx: Context,
+                     skip_params: bool,
+                     owner: ET.Element | None = None):
+        tag = el.tag
+        if not tag.startswith(_X):
+            self._literal(out, el, ctx)
+            return
+        local = tag[len(_X):]
+        if local == "param" and skip_params:
+            return
+        if local == "text":
+            out.append(el.text or "")
+        elif local == "value-of":
+            out.append(to_string(evaluate(el.get("select"), ctx)))
+        elif local == "apply-templates":
+            sel = el.get("select")
+            if sel is None:
+                nodes = node_children(ctx.doc, ctx.node)
+            else:
+                v = evaluate(sel, ctx)
+                if not isinstance(v, list):
+                    raise XsltError("apply-templates select must be a "
+                                    "node-set")
+                nodes = v
+            sorts = [c for c in el if c.tag == _X + "sort"]
+            nodes = self._sorted(nodes, sorts, ctx)
+            params = self._with_params(el, ctx)
+            self._apply_to(out, nodes, el.get("mode"), ctx, params)
+        elif local == "call-template":
+            name = el.get("name")
+            if name not in self.named:
+                raise XsltError(f"no named template {name!r}")
+            params = self._with_params(el, ctx)
+            self._invoke(out, self.named[name], ctx, params)
+        elif local == "for-each":
+            v = evaluate(el.get("select"), ctx)
+            if not isinstance(v, list):
+                raise XsltError("for-each select must be a node-set")
+            sorts = [c for c in el if c.tag == _X + "sort"]
+            v = self._sorted(v, sorts, ctx)
+            size = len(v)
+            for i, nd in enumerate(v):
+                self._instantiate(out, el, ctx.with_node(nd, i + 1, size))
+        elif local == "if":
+            if to_bool(evaluate(el.get("test"), ctx)):
+                self._instantiate(out, el, ctx)
+        elif local == "choose":
+            for branch in el:
+                if branch.tag == _X + "when":
+                    if to_bool(evaluate(branch.get("test"), ctx)):
+                        self._instantiate(out, branch, ctx)
+                        return
+                elif branch.tag == _X + "otherwise":
+                    self._instantiate(out, branch, ctx)
+                    return
+        elif local == "element":
+            name = _avt(el.get("name"), ctx)
+            new = ET.Element(name)
+            items: list = []
+            self._instantiate(items, el, ctx, owner=new)
+            _attach(new, items)
+            out.append(new)
+        elif local == "attribute":
+            name = _avt(el.get("name"), ctx)
+            items = []
+            self._instantiate(items, el, ctx)
+            value = "".join(it if isinstance(it, str)
+                            else "".join(it.itertext()) for it in items)
+            target = owner if owner is not None else next(
+                (o for o in reversed(out)
+                 if isinstance(o, ET.Element)), None)
+            if target is None:
+                raise XsltError("xsl:attribute with no open output "
+                                "element")
+            target.set(name, value)
+        elif local == "copy":
+            nd = ctx.node
+            if isinstance(nd, ET.Element):
+                new = ET.Element(nd.tag)
+                items = []
+                self._instantiate(items, el, ctx, owner=new)
+                _attach(new, items)
+                out.append(new)
+            elif isinstance(nd, (TextNode, AttrNode)):
+                out.append(string_value(nd))
+            else:  # document node: just instantiate content
+                self._instantiate(out, el, ctx)
+        elif local == "copy-of":
+            v = evaluate(el.get("select"), ctx)
+            if isinstance(v, list):
+                for nd in v:
+                    if isinstance(nd, ET.Element):
+                        out.append(_deep_copy(nd))
+                    else:
+                        out.append(string_value(nd))
+            else:
+                out.append(to_string(v))
+        elif local == "variable":
+            ctx.variables[el.get("name")] = self._var_value(el, ctx)
+        elif local in ("sort", "with-param", "param"):
+            pass  # handled by their parents
+        elif local in ("comment", "processing-instruction", "message",
+                       "fallback"):
+            pass  # no-ops for this engine
+        else:
+            raise XsltError(f"unsupported instruction xsl:{local}")
+
+    def _with_params(self, el: ET.Element, ctx: Context) -> dict:
+        params = {}
+        for c in el:
+            if c.tag == _X + "with-param":
+                params[c.get("name")] = self._var_value(c, ctx)
+        return params
+
+    def _literal(self, out: list, el: ET.Element, ctx: Context):
+        new = ET.Element(el.tag)
+        for k, v in el.attrib.items():
+            new.set(k, _avt(v, ctx))
+        items: list = []
+        if el.text and el.text.strip():
+            items.append(el.text)
+        for child in el:
+            self._instruction(items, child, ctx, skip_params=False,
+                              owner=new)
+            if child.tail and child.tail.strip():
+                items.append(child.tail)
+        _attach(new, items)
+        out.append(new)
+
+
+def _attach(parent: ET.Element, items: list):
+    """Attach a mixed string/element item list as parent's content."""
+    for it in items:
+        if isinstance(it, ET.Element):
+            parent.append(it)
+        else:
+            if len(parent):
+                parent[-1].tail = (parent[-1].tail or "") + it
+            else:
+                parent.text = (parent.text or "") + it
+
+
+def _deep_copy(el: ET.Element) -> ET.Element:
+    new = ET.Element(el.tag, dict(el.attrib))
+    new.text, new.tail = el.text, None
+    for c in el:
+        cc = _deep_copy(c)
+        cc.tail = c.tail
+        new.append(cc)
+    return new
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def xslt_transform(xml_text: str, stylesheet: XsltStylesheet
+                   ) -> str | None:
+    """Apply a compiled stylesheet; malformed input -> None."""
+    try:
+        return stylesheet.apply(xml_text)
+    except ET.ParseError:
+        return None

@@ -162,29 +162,70 @@ def test_transform_xml_rules(spark):
     assert t.count("<new>") == 2 and "<rid>7</rid>" in t
 
 
-def test_transform_xml_xslt_seam_and_bad_rule(spark):
+def test_transform_xml_stylesheet_engine(spark):
+    """stylesheet= runs the real XSLT-subset engine row-wise."""
     from nifi_spark.operators import transform_xml
-    df = spark.createDataFrame([(1, "<a/>")], "id long, content string")
-    with pytest.raises(NotImplementedError, match="XSLT"):
-        transform_xml(df, "content", stylesheet="<xsl:stylesheet/>")
+    from nifi_spark.operators.xslt import XsltError
+    df = spark.createDataFrame(
+        [(1, '<order id="7"><line qty="2" price="3"/>'
+             '<line qty="1" price="10"/></order>'),
+         (2, "<broken")],
+        "id long, content string")
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/order">
+        <summary id="{@id}" n="{count(line)}">
+          <total><xsl:value-of select="sum(line/@price)"/></total>
+          <xsl:apply-templates select="line">
+            <xsl:sort select="@price" data-type="number"
+                      order="descending"/>
+          </xsl:apply-templates>
+        </summary>
+      </xsl:template>
+      <xsl:template match="line">
+        <l><xsl:value-of select="@qty * @price"/></l>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    out = {r.id: r.content
+           for r in transform_xml(df, "content",
+                                  stylesheet=xsl).collect()}
+    assert out[2] is None
+    assert out[1] == ('<summary id="7" n="2"><total>13</total>'
+                      '<l>10</l><l>6</l></summary>')
+    # unsupported instruction still raises — driver-side, at compile
+    with pytest.raises(XsltError, match="xsl:key"):
+        transform_xml(df, "content", stylesheet=(
+            '<xsl:stylesheet version="1.0" xmlns:xsl='
+            '"http://www.w3.org/1999/XSL/Transform">'
+            '<xsl:key name="k" match="a" use="@id"/></xsl:stylesheet>'))
     with pytest.raises(ValueError, match="unknown transform op"):
         transform_xml(df, "content", [{"op": "explode"}])
 
 
-def test_evaluate_xquery_paths_and_flwor_seam(spark):
+def test_evaluate_xquery_paths_and_flwor(spark):
     from nifi_spark.operators import evaluate_xquery
-    xml = "<o><i><n>a</n></i><i><n>b</n></i></o>"
+    from nifi_spark.operators.xquery import XQueryError
+    xml = ('<o><i p="5"><n>a</n></i><i p="9"><n>b</n></i>'
+           '<i p="2"><n>c</n></i></o>')
     df = spark.createDataFrame([(1, xml)], "id long, content string")
     r = evaluate_xquery(df, "content",
                         {"names": "/o/i/n/text()"}).collect()[0]
-    assert list(r.names) == ["a", "b"]
+    assert list(r.names) == ["a", "b", "c"]
     first = evaluate_xquery(df, "content",
                             {"first": "/o/i/n", "count": "count(/o/i)"},
                             first_only=True).collect()[0]
-    assert first.first == "a" and first["count"] in ("2", "2.0")
-    with pytest.raises(NotImplementedError, match="FLWOR"):
-        evaluate_xquery(df, "content",
-                        {"q": 'for $i in /o/i return $i/n'})
+    assert first.first == "a" and first["count"] in ("2", "2.0", "3",
+                                                     "3.0")
+    # FLWOR: where + order by + direct constructor with {} holes
+    q = ('for $i in /o/i where $i/@p > 3 '
+         'order by $i/@p descending '
+         'return <hit p="{$i/@p}">{string($i/n)}</hit>')
+    got = evaluate_xquery(df, "content", {"hits": q}).collect()[0]
+    assert list(got.hits) == ['<hit p="9">b</hit>', '<hit p="5">a</hit>']
+    # nested FLWOR stays a declared boundary
+    with pytest.raises(XQueryError, match="nested FLWOR"):
+        evaluate_xquery(df, "content", {
+            "q": "for $i in /o/i return for $j in /o/i return $j"})
 
 
 def test_identify_mime_type(spark):

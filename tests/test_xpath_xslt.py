@@ -1,0 +1,186 @@
+"""XPath 1.0 / XSLT subset / XQuery FLWOR engine tests (pure Python —
+no Spark session; the Spark-side wiring is covered in
+test_codec_formats.py and the transform_xml_xslt / xquery_flwor gate
+rows)."""
+
+from __future__ import annotations
+
+import pytest
+from xml.etree import ElementTree as ET
+
+from nifi_spark.functions.xpath1 import XPathError, evaluate_on
+from nifi_spark.operators.xquery import (XQueryError, eval_flwor,
+                                         parse_flwor)
+from nifi_spark.operators.xslt import XsltError, XsltStylesheet
+
+XML = """<catalog>
+  <book id="b1" price="10.5"><title>Alpha</title><author>Ann</author></book>
+  <book id="b2" price="3"><title>Beta</title><author>Bob</author></book>
+  <book id="b3" price="22"><title>Gamma</title><author>Ann</author></book>
+  <note>hello <b>bold</b> tail</note>
+</catalog>"""
+
+
+@pytest.fixture(scope="module")
+def root():
+    return ET.fromstring(XML)
+
+
+XPATH_CASES = [
+    ("count(/catalog/book)", 3.0),
+    ("count(//book[@price > 5])", 2.0),
+    ("string(/catalog/book[2]/title)", "Beta"),
+    ("string(//book[last()]/title)", "Gamma"),
+    ("normalize-space(/catalog/note)", "hello bold tail"),
+    ("sum(//book/@price)", 35.5),
+    ("count(//book[author='Ann'])", 2.0),
+    ("concat(//book[1]/title, '-', //book[1]/@id)", "Alpha-b1"),
+    ("count(//book/title | //book/author)", 6.0),
+    ("string(//book[@id='b2']/following-sibling::*[1]/title)", "Gamma"),
+    ("string(//title[.='Beta']/../@id)", "b2"),
+    ("substring-before(string(//book[1]/@price), '.')", "10"),
+    ("substring-after('a=b', '=')", "b"),
+    ("substring('12345', 2, 3)", "234"),
+    ("string-length(string(//book[3]/title))", 5.0),
+    ("translate('abc-def', '-', '_')", "abc_def"),
+    ("translate('abc', 'b', '')", "ac"),
+    ("2 + 3 * 4", 14.0),
+    ("10 div 4", 2.5),
+    ("7 mod 3", 1.0),
+    ("-(3) + 5", 2.0),
+    ("count(//book[position() > 1])", 2.0),
+    ("boolean(//missing)", False),
+    ("not(//missing)", True),
+    ("string(/catalog/book[@price < 5]/author)", "Bob"),
+    ("count(//*)", 12.0),
+    ("count(/catalog/note/text())", 2.0),
+    ("string(/catalog/note/text()[2])", " tail"),
+    ("name(//book[1]/*[2])", "author"),
+    ("floor(10.7)", 10.0),
+    ("ceiling(10.2)", 11.0),
+    ("round(2.5)", 3.0),
+    ("count(//title/ancestor::*)", 4.0),
+    ("count(//book[1]/preceding-sibling::book)", 0.0),
+    ("count(//book[3]/preceding-sibling::book)", 2.0),
+    ("starts-with(string(//book[1]/@id), 'b')", True),
+    ("contains('haystack', 'sta')", True),
+    ("string(//book[starts-with(title, 'G')]/@id)", "b3"),
+    ("number('12') = 12", True),
+    ("'x' != 'y'", True),
+]
+
+
+@pytest.mark.parametrize("src,want", XPATH_CASES,
+                         ids=[c[0][:40] for c in XPATH_CASES])
+def test_xpath_cases(root, src, want):
+    assert evaluate_on(src, root) == want
+
+
+def test_xpath_errors(root):
+    with pytest.raises(XPathError, match="unsupported function"):
+        evaluate_on("key('k', 'v')", root)
+    with pytest.raises(XPathError, match="unbound variable"):
+        evaluate_on("$nope", root)
+    with pytest.raises(XPathError):
+        evaluate_on("//book[", root)
+
+
+def test_xslt_template_rules_and_modes(root):
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:output method="text"/>
+      <xsl:template match="/">
+        <xsl:apply-templates select="//book" mode="short"/>
+      </xsl:template>
+      <xsl:template match="book" mode="short">
+        <xsl:value-of select="title"/>
+        <xsl:if test="position() != last()">,</xsl:if>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    assert XsltStylesheet(xsl).apply(XML) == "Alpha,Beta,Gamma"
+
+
+def test_xslt_priority_and_builtin_rules():
+    # the more specific pattern must win; unmatched elements fall to
+    # the built-in rules (recurse + copy text)
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:output method="text"/>
+      <xsl:template match="b">[B]</xsl:template>
+      <xsl:template match="note/b">[NB]</xsl:template>
+    </xsl:stylesheet>"""
+    out = XsltStylesheet(xsl).apply("<r><note>x <b>y</b></note><b>z</b></r>")
+    assert out == "x [NB][B]"
+
+
+def test_xslt_named_templates_and_params():
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:output method="text"/>
+      <xsl:template match="/">
+        <xsl:call-template name="greet">
+          <xsl:with-param name="who" select="'world'"/>
+        </xsl:call-template>
+        <xsl:call-template name="greet"/>
+      </xsl:template>
+      <xsl:template name="greet">
+        <xsl:param name="who" select="'default'"/>
+        <xsl:text>hi </xsl:text><xsl:value-of select="$who"/>
+        <xsl:text>;</xsl:text>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    assert XsltStylesheet(xsl).apply("<r/>") == "hi world;hi default;"
+
+
+def test_xslt_copy_of_and_element(root):
+    xsl = """<xsl:stylesheet version="1.0"
+        xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      <xsl:template match="/">
+        <xsl:element name="keep">
+          <xsl:copy-of select="//book[@id='b2']/title"/>
+        </xsl:element>
+      </xsl:template>
+    </xsl:stylesheet>"""
+    assert XsltStylesheet(xsl).apply(XML) == \
+        "<keep><title>Beta</title></keep>"
+
+
+def test_xslt_unsupported_raises():
+    with pytest.raises(XsltError, match="xsl:import"):
+        XsltStylesheet(
+            '<xsl:stylesheet version="1.0" xmlns:xsl='
+            '"http://www.w3.org/1999/XSL/Transform">'
+            '<xsl:import href="x.xsl"/></xsl:stylesheet>')
+    xsl_num = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+               '"http://www.w3.org/1999/XSL/Transform">'
+               '<xsl:template match="/"><xsl:number/></xsl:template>'
+               '</xsl:stylesheet>')
+    with pytest.raises(XsltError, match="xsl:number"):
+        XsltStylesheet(xsl_num).apply("<r/>")
+
+
+def test_flwor_let_where_order(root):
+    q = """for $b in //book
+           let $p := $b/@price
+           where $p >= 3 and $p <= 11
+           order by $p
+           return concat($b/@id, '=', $p)"""
+    assert eval_flwor(parse_flwor(q), root) == ["b2=3", "b1=10.5"]
+
+
+def test_flwor_constructor_and_cartesian(root):
+    q = """for $a in //author, $b in //book
+           where $b/author = $a and $b/@price > 5
+           return string($b/@id)"""
+    # Ann appears twice -> her matches repeat (XQuery tuple semantics)
+    assert eval_flwor(parse_flwor(q), root) == ["b1", "b3", "b1", "b3"]
+    q2 = 'for $b in //book[1] return <w t="{$b/title}">{$b/author}</w>'
+    assert eval_flwor(parse_flwor(q2), root) == \
+        ['<w t="Alpha"><author>Ann</author></w>']
+
+
+def test_flwor_rejects_nested_and_prolog(root):
+    with pytest.raises(XQueryError, match="nested FLWOR"):
+        parse_flwor("for $i in //a return for $j in //b return $j")
+    with pytest.raises(XQueryError, match="prolog"):
+        parse_flwor('declare namespace x="u"; for $i in //a return $i')
