@@ -757,6 +757,51 @@ def q_parse_evtx_binxml(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "xml")
 
 
+def q_parse_evtx_chunkref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseEvtx with CHUNK-RESIDENT back-references: records are
+    encoded with the per-chunk registry, so every record after the
+    first carries only offsets into earlier records for its names and
+    template definition (how real EVTX writers dedup within a chunk).
+    Strict decode (decode_stub=False) must resolve them via the
+    whole-chunk offset context and reproduce the same XML the oracle
+    rebuilds; a payload-length column proves later records really are
+    the shrunken back-referencing form."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_STRING, _VT_UINT32,
+                                           encode_binxml_template)
+    # 64 files + a 1-in-4 slice keep every file single-chunk (the
+    # first-record-per-CHUNK rule below is then min event_id per file,
+    # which the SQL oracle can express without replaying chunk packing)
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 4 == 0)
+          .select(
+              "event_id",
+              F.pmod(F.col("user_id"), F.lit(64)).alias("file_id"),
+              F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+              "event_type"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for r in pdf.itertuples():
+            def make(base, reg, r=r):
+                return encode_binxml_template(
+                    "Event", attrs=[("Type", ("sub", 0))],
+                    children=[("Seq", [], [], ("sub", 1))],
+                    values=[(_VT_STRING, r.event_type),
+                            (_VT_UINT32, r.event_id % (1 << 32))],
+                    template_id=3, base=base, registry=reg)
+            recs.append((int(r.event_id), int(r.us), make))
+        recs.sort(key=lambda t: t[0])
+        return pd.DataFrame({"file_id": [int(pdf["file_id"].iloc[0])],
+                             "content": [build_evtx(recs)]})
+
+    blobs = ev.groupBy("file_id").applyInPandas(
+        pack, "file_id long, content binary")
+    return parse_evtx(blobs, "content", id_col="file_id",
+                      decode_stub=False).select(
+        "record_id", "record_time_us", "payload_len", "xml")
+
+
 def q_transform_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TransformXml rules (drop/rename/promote/wrap) applied to XML
     synthesized from events, then re-extracted JVM-side with
@@ -2470,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_cef_route": q_parse_cef_route,
         "parse_evtx_records": q_parse_evtx_records,
         "parse_evtx_binxml": q_parse_evtx_binxml,
+        "parse_evtx_chunkref": q_parse_evtx_chunkref,
         "transform_xml_roundtrip": q_transform_xml_roundtrip,
         "transform_xml_xslt": q_transform_xml_xslt,
         "xquery_extract": q_xquery_extract,
@@ -2839,6 +2885,21 @@ FROM events
 SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
        strlen(props) AS payload_len, md5(props) AS payload_md5
 FROM events
+""",
+        "parse_evtx_chunkref": """
+WITH src AS (
+  SELECT event_id, user_id % 64 AS file_id, epoch_us(ts) AS us,
+         event_type
+  FROM events WHERE event_id % 4 = 0),
+firsts AS (SELECT file_id, min(event_id) AS first_id
+           FROM src GROUP BY file_id)
+SELECT s.event_id AS record_id, s.us AS record_time_us,
+       CASE WHEN s.event_id = f.first_id
+            THEN 144 + 2 * length(s.event_type)
+            ELSE 30 + 2 * length(s.event_type) END AS payload_len,
+       '<Event Type="' || s.event_type || '"><Seq>' ||
+       s.event_id::VARCHAR || '</Seq></Event>' AS xml
+FROM src s JOIN firsts f USING (file_id)
 """,
         "transform_xml_roundtrip": """
 SELECT event_id, event_id::VARCHAR AS eid, event_type AS etype,

@@ -119,10 +119,16 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "dedup_near_clusters",
     "curate_contamination",
+    "curate_url_dedup",
+    "curate_token_budget",
+    "dedup_paragraphs",
+    "text_normalize",
     "quantize_embeddings",
     "multimodal_features",
     "scan_content",
     "split_defragment_roundtrip",
+    "transform_xml_xslt",
+    "xquery_flwor",
 ]
 
 

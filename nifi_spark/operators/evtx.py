@@ -28,12 +28,16 @@ embedded inline (how real files carry a template's first use), with
 normal/optional substitutions over the value-spec subset — UTF-16
 strings, signed/unsigned 8/16/32/64-bit ints, FILETIME (rendered as
 ISO-8601 with microseconds), GUID (canonical mixed-endian form), and
-NULL. What remains the declared stub seam is CHUNK-RESIDENT state:
-name-table and template references that point at offsets elsewhere in
-the chunk (back-references to earlier records) raise NotImplementedError
-with decode_stub=False and yield the digest placeholder with
-decode_stub=True — resolving them needs whole-chunk string/template
-caches, which is the remaining library-sized piece.
+NULL. CHUNK-RESIDENT state also resolves: when a name or template
+offset points at an EARLIER chunk position (a back-reference to a
+prior record — how real EVTX writers dedup names/templates within a
+chunk), the decode retries with the whole chunk as offset context
+(decode_binxml_in_chunk) and reads the referenced name data / template
+definition in place. The encoder mirrors this (base/registry mode), so
+back-referencing blobs are synthesized and round-trip-tested. What
+remains outside the subset: value types beyond the list above, CDATA/
+entity/PI tokens — those raise (decode_stub=False) or yield the digest
+placeholder (decode_stub=True).
 
 ``build_evtx`` is the deterministic synthesizer for tests and gate
 queries — the analog of the reference's checked-in ``.evtx`` test
@@ -73,18 +77,29 @@ def _filetime_to_us(ft: int) -> int:
     return ft // 10 - _FILETIME_EPOCH_US
 
 
-def build_evtx(records: list[tuple[int, int, bytes]]) -> bytes:
-    """Pack (record_id, unix_micros, payload_bytes) rows into a
-    spec-shaped EVTX blob: real magics, sizes, chunking and FILETIME
-    encoding; checksums left zero (the parser does not verify them).
-    Deterministic — same records, same bytes."""
+def build_evtx(records: list[tuple[int, int, object]]) -> bytes:
+    """Pack (record_id, unix_micros, payload) rows into a spec-shaped
+    EVTX blob: real magics, sizes, chunking and FILETIME encoding;
+    checksums left zero (the parser does not verify them).
+    Deterministic — same records, same bytes.
+
+    ``payload`` is either raw bytes, or a CALLABLE
+    ``f(chunk_relative_base, registry) -> bytes`` — the hook the
+    chunk-relative BinXML encoder uses: the builder passes each
+    record's chunk-relative payload offset plus a per-chunk
+    name/template registry, so repeated names and template definitions
+    across records in one chunk encode as back-references (the
+    chunk-resident layout real EVTX writers produce). The registry is
+    reset at chunk boundaries and the overflowing record re-encoded
+    fresh, since back-references never cross chunks."""
     chunks: list[bytes] = []
     buf = b""
     first_id = last_id = None
     meta: list[tuple[int, int]] = []  # (first_record_id, last_record_id)
+    registry: dict = {}
 
     def flush():
-        nonlocal buf, first_id, last_id
+        nonlocal buf, first_id, last_id, registry
         if first_id is None:
             return
         hdr = (CHUNK_MAGIC
@@ -94,17 +109,24 @@ def build_evtx(records: list[tuple[int, int, bytes]]) -> bytes:
         chunk = hdr.ljust(CHUNK_HEADER_SIZE, b"\x00") + buf
         chunks.append(chunk.ljust(CHUNK_SIZE, b"\x00"))
         meta.append((first_id, last_id))
-        buf, first_id, last_id = b"", None, None
+        buf, first_id, last_id, registry = b"", None, None, {}
+
+    def encode(payload, base):
+        return payload(base, registry) if callable(payload) else payload
 
     for rid, us, payload in records:
-        rec_size = RECORD_OVERHEAD + len(payload)
+        base = CHUNK_HEADER_SIZE + len(buf) + RECORD_HEADER_SIZE
+        data = encode(payload, base)
+        rec_size = RECORD_OVERHEAD + len(data)
         if rec_size > CHUNK_SIZE - CHUNK_HEADER_SIZE:
             raise ValueError(f"record {rid} larger than a chunk")
         if len(buf) + rec_size > CHUNK_SIZE - CHUNK_HEADER_SIZE:
             flush()
+            data = encode(payload, CHUNK_HEADER_SIZE + RECORD_HEADER_SIZE)
+            rec_size = RECORD_OVERHEAD + len(data)
         buf += (RECORD_MAGIC
                 + struct.pack("<IQQ", rec_size, rid, _us_to_filetime(us))
-                + payload + struct.pack("<I", rec_size))
+                + data + struct.pack("<I", rec_size))
         first_id = rid if first_id is None else first_id
         last_id = rid
     flush()
@@ -118,8 +140,11 @@ def build_evtx(records: list[tuple[int, int, bytes]]) -> bytes:
 
 
 def _walk_records(blob: bytes):
-    """Yield (chunk_index, record_id, filetime, payload) from a blob;
-    raises ValueError on a bad file magic (caller routes to quarantine)."""
+    """Yield (chunk_index, record_id, filetime, payload, chunk_bytes,
+    chunk_relative_payload_offset) from a blob; raises ValueError on a
+    bad file magic (caller routes to quarantine). The chunk context
+    lets the decoder resolve chunk-resident name/template
+    back-references."""
     if blob[:8] != FILE_MAGIC:
         raise ValueError("not an EVTX file (bad magic)")
     n_chunks = struct.unpack_from("<H", blob, 42)[0]
@@ -127,6 +152,7 @@ def _walk_records(blob: bytes):
         base = FILE_HEADER_SIZE + ci * CHUNK_SIZE
         if blob[base:base + 8] != CHUNK_MAGIC:
             break
+        chunk = blob[base:base + CHUNK_SIZE]
         off = base + CHUNK_HEADER_SIZE
         end = base + CHUNK_SIZE
         while off + RECORD_OVERHEAD <= end \
@@ -134,7 +160,9 @@ def _walk_records(blob: bytes):
             size, rid, ft = struct.unpack_from("<IQQ", blob, off + 4)
             if size < RECORD_OVERHEAD or off + size > end:
                 break
-            yield ci, rid, ft, blob[off + RECORD_HEADER_SIZE:off + size - 4]
+            yield (ci, rid, ft,
+                   blob[off + RECORD_HEADER_SIZE:off + size - 4],
+                   chunk, off + RECORD_HEADER_SIZE - base)
             off += size
 
 
@@ -212,9 +240,18 @@ def _xml_escape(s: str) -> str:
 
 
 class _BinXmlReader:
-    def __init__(self, buf: bytes):
+    """Token-stream reader. ``buf`` is either one record payload
+    (self-contained decode: offsets are payload-relative) or a WHOLE
+    CHUNK (chunk-context decode: offsets are chunk-relative, and
+    name/template offsets pointing at EARLIER positions resolve as
+    back-references — the chunk-resident case). ``resident=False``
+    keeps the strict self-contained behavior (raises
+    BinXmlResidentRef)."""
+
+    def __init__(self, buf: bytes, pos: int = 0, resident: bool = False):
         self.buf = buf
-        self.pos = 0
+        self.pos = pos
+        self.resident = resident
 
     def u8(self):
         v = self.buf[self.pos]
@@ -234,12 +271,21 @@ class _BinXmlReader:
     def peek(self) -> int:
         return self.buf[self.pos] if self.pos < len(self.buf) else _TOK_EOF
 
+    def _name_at(self, off: int) -> str:
+        """Parse name data (hash u16, nchars u16, utf-16 chars, nul) at
+        an arbitrary offset without moving the cursor."""
+        nchars = struct.unpack_from("<H", self.buf, off + 2)[0]
+        return self.buf[off + 4:off + 4 + nchars * 2].decode("utf-16-le")
+
     # -- grammar ----------------------------------------------------------
     def name(self) -> str:
         off = self.take("<I")
         if off != self.pos:
-            raise BinXmlResidentRef(
-                f"name offset 0x{off:x} is chunk-resident")
+            # back-reference to name data stored earlier in the chunk
+            if not (self.resident and 0 <= off < self.pos):
+                raise BinXmlResidentRef(
+                    f"name offset 0x{off:x} is chunk-resident")
+            return self._name_at(off)
         self.take("<H")   # name hash (unverified, like the checksums)
         nchars = self.take("<H")
         s = self.raw(nchars * 2).decode("utf-16-le")
@@ -331,19 +377,34 @@ class _BinXmlReader:
         self.take("<I")    # template id
         def_off = self.take("<I")
         if def_off != self.pos:
-            raise BinXmlResidentRef(
-                f"template definition offset 0x{def_off:x} is "
-                "chunk-resident")
-        self.take("<I")    # next-template offset
-        self.raw(16)       # template guid
-        self.take("<I")    # definition byte size
-        tok = self.u8()
-        assert tok == _TOK_FRAGMENT, "template body must open a fragment"
-        self.raw(3)
-        body_start = self.pos
-        body = self.element(None)          # first pass: find extent
-        if self.u8() != _TOK_EOF:
-            raise ValueError("template body missing EOF")
+            # back-reference: the definition (next-offset, guid, size,
+            # fragment body, EOF) lives at an earlier chunk offset; the
+            # instance continues directly with the substitution values.
+            if not (self.resident and 0 <= def_off < self.pos):
+                raise BinXmlResidentRef(
+                    f"template definition offset 0x{def_off:x} is "
+                    "chunk-resident")
+            rd = _BinXmlReader(self.buf, def_off, resident=self.resident)
+            rd.take("<I")   # next-template offset
+            rd.raw(16)      # template guid
+            rd.take("<I")   # definition byte size
+            tok = rd.u8()
+            assert tok == _TOK_FRAGMENT, \
+                "template body must open a fragment"
+            rd.raw(3)
+            body_start = rd.pos
+        else:
+            self.take("<I")    # next-template offset
+            self.raw(16)       # template guid
+            self.take("<I")    # definition byte size
+            tok = self.u8()
+            assert tok == _TOK_FRAGMENT, \
+                "template body must open a fragment"
+            self.raw(3)
+            body_start = self.pos
+            self.element(None)             # first pass: find extent
+            if self.u8() != _TOK_EOF:
+                raise ValueError("template body missing EOF")
         # substitution values: count, then (size u16, type u8, pad u8)*,
         # then the value bytes back-to-back
         count = self.take("<I")
@@ -352,30 +413,49 @@ class _BinXmlReader:
         for size, vtype in specs:
             subs.append((vtype, _render_value(vtype, self.raw(size))))
         # second pass over the body with values bound
-        rd = _BinXmlReader(self.buf)
-        rd.pos = body_start
-        del body
+        rd = _BinXmlReader(self.buf, body_start, resident=self.resident)
         return rd.element(subs)
 
 
 def decode_binxml(payload: bytes) -> str:
-    """BinXML payload → XML text (self-contained subset; see module
-    doc). Raises BinXmlResidentRef for chunk-resident name/template
-    references and NotImplementedError for tokens outside the subset."""
+    """BinXML payload → XML text (self-contained: offsets are
+    payload-relative). Raises BinXmlResidentRef for chunk-resident
+    name/template references and NotImplementedError for tokens
+    outside the subset."""
     return _BinXmlReader(payload).fragment()
+
+
+def decode_binxml_in_chunk(chunk: bytes, payload_off: int) -> str:
+    """BinXML decode with the WHOLE CHUNK as context: offsets are
+    chunk-relative, and name/template offsets pointing at earlier
+    chunk positions resolve as back-references — the chunk-resident
+    case that a bare-payload decode cannot handle."""
+    return _BinXmlReader(chunk, payload_off, resident=True).fragment()
 
 
 class _BinXmlWriter:
     """Encoder emitting exactly the layout decode_binxml consumes — the
     test/gate synthesizer's analog of the reference's checked-in .evtx
-    resources."""
+    resources. With ``base``/``registry`` (chunk-relative mode), names
+    and template definitions already in the registry encode as
+    back-references to their first chunk occurrence, like real EVTX
+    writers."""
 
-    def __init__(self):
+    def __init__(self, base: int = 0, registry: dict | None = None):
         self.out = bytearray()
+        self.base = base
+        self.registry = registry
 
     def _name(self, s: str):
+        key = ("name", s)
+        if self.registry is not None and key in self.registry:
+            self.out += struct.pack("<I", self.registry[key])
+            return
         # inline name: offset == position right after the offset field
-        self.out += struct.pack("<I", len(self.out) + 4)
+        off = self.base + len(self.out) + 4
+        self.out += struct.pack("<I", off)
+        if self.registry is not None:
+            self.registry[key] = off
         self.out += struct.pack("<HH", 0, len(s))
         self.out += s.encode("utf-16-le") + b"\x00\x00"
 
@@ -433,9 +513,12 @@ class _BinXmlWriter:
             self._value_text(str(v))
 
 
-def encode_binxml(name: str, attrs=(), children=(), text=None) -> bytes:
-    """One self-contained BinXML fragment with a literal element tree."""
-    w = _BinXmlWriter()
+def encode_binxml(name: str, attrs=(), children=(), text=None,
+                  base: int = 0, registry: dict | None = None) -> bytes:
+    """One BinXML fragment with a literal element tree. Self-contained
+    with the defaults; with base/registry, names dedup chunk-wide as
+    back-references."""
+    w = _BinXmlWriter(base, registry)
     w.out.append(_TOK_FRAGMENT)
     w.out += b"\x01\x01\x00"
     w.element(name, list(attrs), list(children), text)
@@ -444,28 +527,43 @@ def encode_binxml(name: str, attrs=(), children=(), text=None) -> bytes:
 
 
 def encode_binxml_template(name: str, attrs=(), children=(), text=None,
-                           values: list[tuple[int, object]] = ()) -> bytes:
-    """A template-instance fragment: inline definition whose body uses
+                           values: list[tuple[int, object]] = (),
+                           template_id: int = 1, base: int = 0,
+                           registry: dict | None = None) -> bytes:
+    """A template-instance fragment: definition whose body uses
     ('sub', i) placeholders, plus typed substitution values
     [(value_type, python_value), ...]. FILETIME values are given as unix
-    microseconds, GUIDs as canonical strings."""
-    w = _BinXmlWriter()
+    microseconds, GUIDs as canonical strings.
+
+    Self-contained by default (inline definition). With base/registry,
+    the FIRST instance of ``template_id`` in a chunk carries the inline
+    definition and registers it; later instances encode only the
+    back-reference offset plus their substitution values — the
+    chunk-resident layout."""
+    w = _BinXmlWriter(base, registry)
     w.out.append(_TOK_FRAGMENT)
     w.out += b"\x01\x01\x00"
     w.out.append(_TOK_TEMPLATE)
     w.out.append(0x01)
-    w.out += struct.pack("<I", 1)                    # template id
-    w.out += struct.pack("<I", len(w.out) + 4)       # inline def offset
-    w.out += struct.pack("<I", 0)                    # next-template
-    w.out += b"\x00" * 16                            # template guid
-    dsz_pos = len(w.out)
-    w.out += b"\x00\x00\x00\x00"
-    body_start = len(w.out)
-    w.out.append(_TOK_FRAGMENT)
-    w.out += b"\x01\x01\x00"
-    w.element(name, list(attrs), list(children), text)
-    w.out.append(_TOK_EOF)
-    struct.pack_into("<I", w.out, dsz_pos, len(w.out) - body_start)
+    w.out += struct.pack("<I", template_id)
+    tkey = ("template", template_id)
+    if registry is not None and tkey in registry:
+        w.out += struct.pack("<I", registry[tkey])   # back-reference
+    else:
+        def_off = base + len(w.out) + 4
+        w.out += struct.pack("<I", def_off)          # inline definition
+        if registry is not None:
+            registry[tkey] = def_off
+        w.out += struct.pack("<I", 0)                # next-template
+        w.out += b"\x00" * 16                        # template guid
+        dsz_pos = len(w.out)
+        w.out += b"\x00\x00\x00\x00"
+        body_start = len(w.out)
+        w.out.append(_TOK_FRAGMENT)
+        w.out += b"\x01\x01\x00"
+        w.element(name, list(attrs), list(children), text)
+        w.out.append(_TOK_EOF)
+        struct.pack_into("<I", w.out, dsz_pos, len(w.out) - body_start)
     blobs = [_pack_value(vt, v) for vt, v in values]
     w.out += struct.pack("<I", len(blobs))
     for (vt, _), b in zip(values, blobs):
@@ -513,10 +611,17 @@ def parse_evtx(df: DataFrame, content_col: str = "content",
             for _, r in pdf.iterrows():
                 blob = bytes(r[content_col])
                 src = int(r[id_col]) if id_col else -1
-                for ci, rid, ft, payload in _walk_records(blob):
+                for ci, rid, ft, payload, chunk, poff in \
+                        _walk_records(blob):
                     md5 = hashlib.md5(payload).hexdigest()
                     try:
-                        xml = decode_binxml(payload)
+                        try:
+                            # self-contained records decode standalone;
+                            # chunk-resident back-references retry with
+                            # the whole chunk as offset context
+                            xml = decode_binxml(payload)
+                        except BinXmlResidentRef:
+                            xml = decode_binxml_in_chunk(chunk, poff)
                     except (NotImplementedError, AssertionError,
                             ValueError, IndexError, struct.error,
                             UnicodeDecodeError) as e:

@@ -479,3 +479,44 @@ def test_parse_evtx_decodes_binxml_payloads(spark):
            for r in parse_evtx(df, "content", id_col="fid").collect()}
     assert out[1] == "<Ev><N>1</N></Ev>"
     assert out[2].startswith('<Event RecordID="2" MD5=')
+
+
+def test_parse_evtx_chunk_resident_backrefs(spark):
+    """Records encoded with the per-chunk registry carry only offsets
+    for repeated names/template definitions; strict decode must resolve
+    them via whole-chunk context, and later records must be smaller."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_STRING, _VT_UINT32,
+                                           BinXmlResidentRef,
+                                           decode_binxml,
+                                           encode_binxml_template)
+
+    def make(i):
+        def enc(base, reg):
+            return encode_binxml_template(
+                "Ev", attrs=[("t", ("sub", 0))],
+                children=[("n", [], [], ("sub", 1))],
+                values=[(_VT_STRING, f"k{i % 2}"), (_VT_UINT32, i)],
+                template_id=5, base=base, registry=reg)
+        return enc
+
+    blob = build_evtx([(i + 1, 1_700_000_000_000_000 + i, make(i))
+                       for i in range(6)])
+    df = spark.createDataFrame([(1, blob)], "fid long, content binary")
+    rows = {r.record_id: r for r in
+            parse_evtx(df, "content", id_col="fid",
+                       decode_stub=False).collect()}
+    assert len(rows) == 6
+    for i in range(6):
+        r = rows[i + 1]
+        assert r.xml == f'<Ev t="k{i % 2}"><n>{i}</n></Ev>'
+        assert r.record_time_us == 1_700_000_000_000_000 + i
+    # every record after the first is the shrunken back-ref form
+    assert all(rows[i + 1].payload_len < rows[1].payload_len
+               for i in range(1, 6))
+    # a chunk-relative payload alone (no chunk context) must still
+    # raise the declared resident-ref error, not mis-decode
+    from nifi_spark.operators.evtx import _walk_records
+    payloads = [p for _, _, _, p, _, _ in _walk_records(blob)]
+    with pytest.raises(BinXmlResidentRef):
+        decode_binxml(payloads[1])
