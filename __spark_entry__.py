@@ -1685,6 +1685,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
+def _scrub_pii_sql() -> str:
+    """Generated from datalib.text.PII_PATTERNS so the oracle always
+    runs the exact regex chain scrub_pii compiles, in the same order
+    (counts taken on the progressively scrubbed text)."""
+    from nifi_spark.datalib.text import PII_PATTERNS
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+         text || ' mail u' || doc_id::VARCHAR || '@ex'
+              || (doc_id % 5)::VARCHAR || '.com from 10.0.'
+              || (doc_id % 200)::VARCHAR || '.'
+              || (doc_id % 250 + 1)::VARCHAR
+              || (CASE WHEN doc_id % 3 = 0
+                       THEN ' ssn 123-45-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       WHEN doc_id % 3 = 1 THEN ' call 555-867-5309'
+                       ELSE ' card 4111 1111 1111 1111' END) AS t
+  FROM documents)"""
+    prev = "s0"
+    carried: list[str] = []
+    for i, (kind, pat) in enumerate(PII_PATTERNS.items(), 1):
+        p = pat.replace("'", "''")
+        cols = ", ".join(carried) + (", " if carried else "")
+        sql += f""",
+s{i} AS (
+  SELECT doc_id, {cols}
+         len(regexp_extract_all(t, '{p}')) AS n_{kind.lower()},
+         regexp_replace(t, '{p}', '[{kind}]', 'g') AS t
+  FROM {prev})"""
+        carried.append(f"n_{kind.lower()}")
+        prev = f"s{i}"
+    sql += f"""
+SELECT doc_id, t AS text_scrubbed, {', '.join(carried)} FROM {prev}"""
+    return sql
+
+
 def _minhash_sql(num_perm: int = 12) -> str:
     from nifi_spark.datalib.dedup import MINHASH_PRIME, minhash_perm_params
     base = f"({PH.format(x='shingle')} % 1073741824)"
@@ -2435,6 +2471,46 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("text_norm").alias("n_chars_norm"))
 
 
+def q_curate_stratified_sample(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Deterministic stratified sampling: three sources at different
+    rates, one rate via the default; unlisted sources dropped. Nested
+    property is part of the contract (the 20% set contains the 60%
+    set's... inverse: lower-rate sets are subsets), so the oracle is
+    the same hash-threshold predicate."""
+    from nifi_spark.datalib import stratified_sample
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source", "doc_id",
+        fractions={"src0": 0.6, "src1": 0.2, "src2": 1.0},
+        default=None)
+    return out.select("source", "doc_id")
+
+
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: deterministic synthetic PII (email, IPv4, and one of
+    SSN / phone / card per doc) appended to each document; the scrubbed
+    text and per-kind redaction counts must match the oracle running
+    the IDENTICAL regex chain (patterns are injected into the SQL from
+    the same PII_PATTERNS constant)."""
+    from nifi_spark.datalib import scrub_pii
+    d = F.col("doc_id")
+    extra = (F.when(d % 3 == 0,
+                    F.concat(F.lit(" ssn 123-45-"),
+                             F.lpad((d % 10000).cast("string"), 4, "0")))
+             .when(d % 3 == 1, F.lit(" call 555-867-5309"))
+             .otherwise(F.lit(" card 4111 1111 1111 1111")))
+    text = F.concat(F.col("text"), F.lit(" mail u"), d.cast("string"),
+                    F.lit("@ex"), (d % 5).cast("string"),
+                    F.lit(".com from 10.0."), (d % 200).cast("string"),
+                    F.lit("."), (d % 250 + 1).cast("string"), extra)
+    docs = _t(spark, sf_dir, "documents").select("doc_id",
+                                                 text.alias("text"))
+    return scrub_pii(docs, "text").select(
+        "doc_id", "text_scrubbed", "n_email", "n_ip", "n_ssn",
+        "n_card", "n_phone")
+
+
 def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: four sources get explicit token
     budgets (one generous enough to keep everything, one tiny, two with
@@ -2571,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
         "text_normalize": q_text_normalize,
+        "text_scrub_pii": q_text_scrub_pii,
+        "curate_stratified_sample": q_curate_stratified_sample,
         "curate_url_dedup": q_curate_url_dedup,
         "template_flow": q_template_flow,
         "template_flow_ext": q_template_flow_ext,
@@ -3366,6 +3444,14 @@ QUALIFY row_number() OVER (
   PARTITION BY source
   ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 ) <= 10
+""",
+        "text_scrub_pii": _scrub_pii_sql(),
+        "curate_stratified_sample": f"""
+SELECT source, doc_id FROM documents
+WHERE {PH.format(x='doc_id::VARCHAR')} <
+      (CASE source WHEN 'src0' THEN {int(0.6 * (1 << 60))}
+                   WHEN 'src1' THEN {int(0.2 * (1 << 60))}
+                   WHEN 'src2' THEN {1 << 60} END)
 """,
         "text_normalize": r"""
 WITH raw AS (

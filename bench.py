@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "curate_token_budget",
     "dedup_paragraphs",
     "text_normalize",
+    "text_scrub_pii",
     "quantize_embeddings",
     "multimodal_features",
     "scan_content",

@@ -14,6 +14,7 @@ Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 from nifi_spark.datalib.curation import (benchmark_contamination,
                                          canonical_url,
                                          cap_per_group, dataset_split,
+                                         stratified_sample,
                                          token_budget_sample, url_dedup)
 from nifi_spark.datalib.dedup import (exact_dedup, lsh_band_plan,
                                       minhash_lsh_pairs,
@@ -28,7 +29,7 @@ from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            ann_topk_int8, quantize_int8)
 from nifi_spark.datalib.text import (fingerprint, lang_id, normalize_text,
                                      quality_classify,
-                                     url_stats,
+                                     scrub_pii, url_stats,
                                      quality_score, repetition_stats,
                                      token_stats)
 
@@ -38,8 +39,9 @@ __all__ = ["exact_dedup", "lsh_band_plan", "minhash_lsh_pairs",
            "ann_topk", "cosine_pairs", "embedding_near_dup_pairs",
            "ivf_ann_topk", "lsh_ann_topk", "lsh_candidate_pairs", "quantize_int8", "ann_topk_int8",
            "fingerprint", "lang_id", "normalize_text",
-           "quality_classify", "quality_score",
+           "quality_classify", "quality_score", "scrub_pii",
            "repetition_stats",
            "token_stats", "url_stats",
            "benchmark_contamination", "canonical_url", "cap_per_group",
-           "dataset_split", "token_budget_sample", "url_dedup"]
+           "dataset_split", "stratified_sample", "token_budget_sample",
+           "url_dedup"]

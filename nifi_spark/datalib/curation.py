@@ -248,3 +248,31 @@ def token_budget_sample(df: DataFrame, group_col: str, id_col: str,
             .filter(F.col("_cum") <= F.col("_budget"))
             .drop("_cum", *helper))
     return keep_all.unionByName(edge)
+
+
+def stratified_sample(df: DataFrame, group_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      default: float | None = None,
+                      seed: str = "") -> DataFrame:
+    """Deterministic per-stratum sampling: keep ≈``fractions[group]``
+    of each group's rows by hash threshold — the downsampling step of
+    mixture building when the spec is a RATE rather than a token
+    budget (token_budget_sample's fixed-size sibling, sampleBy's
+    deterministic replacement).
+
+    A row is kept iff portable_hash64(id) < fraction · 2^60, so
+    membership is a pure projection: zero shuffle, no RNG, identical
+    on every run and engine, stable under corpus growth (new rows
+    never evict old ones), and NESTED across rates — the 1% sample is
+    a subset of the 10% sample, which makes staged experiments
+    comparable. Groups absent from ``fractions`` keep ``default``
+    (None drops them).
+    """
+    full = 1 << 60
+    fmap = F.create_map(*[F.lit(x) for k, v in sorted(fractions.items())
+                          for x in (k, int(v * full))])
+    thr = fmap[F.col(group_col)]
+    if default is not None:
+        thr = F.coalesce(thr, F.lit(int(default * full)))
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    return df.filter(thr.isNotNull() & (h < thr))

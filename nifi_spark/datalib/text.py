@@ -316,3 +316,51 @@ def normalize_text(df: DataFrame, text_col: str = "text",
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, "\\s+", " "))
     return df.withColumn(out_col, c)
+
+
+# PII patterns — RE2-compatible (no backrefs/lookarounds) so the SAME
+# strings run in Spark's JVM regex and the DuckDB oracle. Keys define
+# replacement order; longer/more-specific first so e.g. an email isn't
+# half-eaten by the phone pattern.
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "CARD": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+    "PHONE": r"\b(?:\+?1[ .-])?(?:\([0-9]{3}\)[ .-]?|[0-9]{3}[ .-])"
+             r"[0-9]{3}[ .-][0-9]{4}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text",
+              kinds: list[str] | None = None,
+              out_col: str = "text_scrubbed",
+              count: bool = True) -> DataFrame:
+    """Redact PII spans (emails, IPv4s, SSNs, card numbers, phone
+    numbers) to ``[KIND]`` placeholders — the standard scrub pass
+    before training-corpus release. Adds ``out_col`` plus, with
+    count=True, one ``n_<kind>`` column per pattern (the audit metric:
+    how much was redacted where).
+
+    Pure chained regexp_replace / regexp_count projections — one
+    codegen'd pass, no shuffle, no Python; the patterns avoid
+    backreferences and lookarounds so the DuckDB oracle runs the
+    identical strings. Deliberately pattern-based (the reference's
+    ScanContent/ReplaceText territory, not an ML NER pass): precision
+    on structured identifiers, not free-text names.
+    """
+    kinds = kinds or list(PII_PATTERNS)
+    scrubbed = F.col(text_col)
+    counts = {}
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        if count:
+            # count on the PROGRESSIVELY scrubbed text, so n_<kind> is
+            # exactly the number of [KIND] placeholders in the output
+            # (an IP inside an already-redacted email counts as the
+            # email, not twice)
+            counts[f"n_{kind.lower()}"] = F.regexp_count(scrubbed,
+                                                         F.lit(pat))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind}]")
+    out = df.withColumn(out_col, scrubbed)
+    return out.withColumns(counts) if counts else out

@@ -882,3 +882,53 @@ def test_normalize_text_forms(spark):
     df2 = spark.createDataFrame([("a\tb\nc\x02d",)], "text string")
     got = normalize_text(df2, "text").collect()[0].text_norm
     assert got == "a\tb\ncd"
+
+
+def test_scrub_pii_kinds_and_counts(spark):
+    from nifi_spark.datalib import scrub_pii
+    rows = [
+        (1, "reach me at jo.doe+x@mail.example.org or 555-867-5309"),
+        (2, "server 192.168.1.77 ssn 078-05-1120 card 4111 1111 1111 1111"),
+        (3, "clean text with no identifiers at all"),
+        (4, "double a@b.io c@d.co"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in scrub_pii(df, "text").collect()}
+    assert got[1].text_scrubbed == "reach me at [EMAIL] or [PHONE]"
+    assert (got[1].n_email, got[1].n_phone) == (1, 1)
+    assert got[2].text_scrubbed == "server [IP] ssn [SSN] card [CARD]"
+    assert (got[2].n_ip, got[2].n_ssn, got[2].n_card) == (1, 1, 1)
+    assert got[3].text_scrubbed == rows[2][1]
+    assert sum([got[3].n_email, got[3].n_ip, got[3].n_ssn,
+                got[3].n_card, got[3].n_phone]) == 0
+    assert got[4].text_scrubbed == "double [EMAIL] [EMAIL]"
+    assert got[4].n_email == 2
+    # kinds= restricts the pass; counts reflect output placeholders
+    only_ip = scrub_pii(df, "text", kinds=["IP"]).collect()
+    r2 = next(r for r in only_ip if r.id == 2)
+    assert "[IP]" in r2.text_scrubbed and "078-05-1120" in r2.text_scrubbed
+
+
+def test_stratified_sample_nested_and_rates(spark):
+    """Samples nest across rates (10% ⊂ 50%), rates are approximately
+    honored, default applies to unlisted groups, None drops them."""
+    from nifi_spark.datalib import stratified_sample
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    lo = set(r.doc_id for r in stratified_sample(
+        df, "source", "doc_id", {"s0": 0.1, "s1": 0.5}).collect())
+    hi = set(r.doc_id for r in stratified_sample(
+        df, "source", "doc_id", {"s0": 0.5, "s1": 0.5}).collect())
+    assert {i for i in lo if i % 3 == 0} <= {i for i in hi if i % 3 == 0}
+    n_s0 = sum(1 for i in hi if i % 3 == 0)
+    assert 400 <= n_s0 <= 600          # ~50% of 1000
+    assert not any(i % 3 == 2 for i in lo)   # unlisted dropped
+    dflt = stratified_sample(df, "source", "doc_id", {"s0": 0.0},
+                             default=1.0).collect()
+    got = {r.source for r in dflt}
+    assert got == {"s1", "s2"}         # s0 rate 0 drops all its rows
+    assert sum(1 for r in dflt if r.source == "s1") == 1000
+    # determinism: same call, same set
+    again = set(r.doc_id for r in stratified_sample(
+        df, "source", "doc_id", {"s0": 0.5, "s1": 0.5}).collect())
+    assert again == hi
