@@ -152,29 +152,35 @@ class XsltStylesheet:
 
     # ---- pattern matching -------------------------------------------
 
-    def _match_nodes(self, doc: Document, alt: str,
-                     variables: dict) -> list:
-        ctx = Context(doc, doc, variables=variables)
-        if alt == "/":
-            return [doc]
-        v = evaluate(alt, ctx)
-        return v if isinstance(v, list) else []
+    def _match_keys(self, doc: Document, alt: str,
+                    variables: dict) -> set:
+        """Identity-key set of the nodes a pattern matches, evaluated
+        ONCE per document (XSLT 1.0 patterns can only reference global
+        variables, which are fixed per document, so the cache is safe).
+        Turns per-node template selection into set lookups."""
+        cache = getattr(doc, "_xslt_pat", None)
+        if cache is None:
+            cache = doc._xslt_pat = {}
+        if alt not in cache:
+            ctx = Context(doc, doc, variables=variables)
+            hits = [doc] if alt == "/" else evaluate(alt, ctx)
+            if not isinstance(hits, list):
+                hits = []
+            cache[alt] = {_node_key(h) for h in hits}
+        return cache[alt]
 
     def _find_template(self, doc: Document, node, mode: str | None,
                        variables: dict) -> _Template | None:
         best = None
+        key = _node_key(node)
         for t in self.templates:
             if t.pattern is None or t.mode != mode:
                 continue
-            matched = False
-            for alt in t.alts:
-                hits = self._match_nodes(doc, alt, variables)
-                if any(h is node or h == node for h in hits):
-                    matched = True
-                    break
-            if matched and (best is None or
-                            (t.priority, t.pos) >
-                            (best.priority, best.pos)):
+            if best is not None and \
+                    (t.priority, t.pos) <= (best.priority, best.pos):
+                continue
+            if any(key in self._match_keys(doc, alt, variables)
+                   for alt in t.alts):
                 best = t
         return best
 
@@ -426,6 +432,17 @@ def _deep_copy(el: ET.Element) -> ET.Element:
         cc.tail = c.tail
         new.append(cc)
     return new
+
+
+def _node_key(node):
+    """Identity key matching xpath1's dedup convention: elements by
+    id, attribute/text wrappers by (owner, name/slot) so equal
+    wrapper instances compare equal."""
+    if isinstance(node, AttrNode):
+        return (id(node.owner), "a", node.name)
+    if isinstance(node, TextNode):
+        return (id(node.parent), "t", node.slot)
+    return id(node)
 
 
 def _xml_escape(s: str) -> str:
