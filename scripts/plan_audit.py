@@ -272,6 +272,17 @@ def main():
                     "below the row Window); whole buckets inside the budget "
                     "pass through window-free"))
 
+    # ---- 2h. scrub_pii / stratified_sample: pure projections -----------
+    from nifi_spark.datalib import scrub_pii, stratified_sample
+    p = plan_of(scrub_pii(docs_small, "text"))
+    assert "Exchange" not in p and "Window" not in p, p
+    p = plan_of(stratified_sample(
+        docs_small.selectExpr("doc_id", "'s' AS source"),
+        "source", "doc_id", {"s": 0.5}))
+    assert "Exchange" not in p and "Window" not in p, p
+    results.append(("scrub_pii / stratified_sample", "regex chain and "
+                    "hash-threshold filter are zero-exchange projections"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"
