@@ -1288,6 +1288,39 @@ def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"select * from {name}")
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DetectDuplicate (dropDuplicatesWithinWatermark) over a
+    duplicate-bearing key: with the whole fixture arriving in the first
+    micro-batch (availableNow over one file) every duplicate falls
+    inside the state horizon, so the surviving key set is exactly
+    DISTINCT — which makes the nondeterministic which-row-survives
+    question moot by emitting only the key columns."""
+    import shutil
+    import uuid
+
+    from nifi_spark.streaming import dedup_stream
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    name = "dedup_gate_" + uuid.uuid4().hex[:8]
+    reader = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .parquet(src))
+    q = (dedup_stream(reader, ["user_id", "event_type"], "ts",
+                      watermark="2 hours")
+         .select("user_id", "event_type")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}")
+
+
 def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionization: 30-min inactivity gap starts a new session
     (lag window); per-user session/event counts."""
@@ -2618,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessionization": q_user_sessionization,
         "stream_sessionize": q_stream_sessionize,
         "stream_hourly_rollup": q_stream_hourly_rollup,
+        "stream_dedup": q_stream_dedup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -3224,6 +3258,9 @@ WITH g AS (
 SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
        count(*)::BIGINT AS n_events
 FROM g GROUP BY user_id
+""",
+        "stream_dedup": """
+SELECT DISTINCT user_id, event_type FROM events
 """,
         "stream_sessionize": """
 WITH g AS (

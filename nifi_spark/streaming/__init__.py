@@ -9,8 +9,9 @@ ledger written after the snapshot commit), not from trusting the
 streaming checkpoint alone.
 """
 
-from nifi_spark.streaming.cdc_stream import StreamingCdcPipeline, windowed_rollup
+from nifi_spark.streaming.cdc_stream import (StreamingCdcPipeline,
+                                             dedup_stream, windowed_rollup)
 from nifi_spark.streaming.stateful import rate_limit_stream, sessionize_stream
 
-__all__ = ["StreamingCdcPipeline", "windowed_rollup",
+__all__ = ["StreamingCdcPipeline", "dedup_stream", "windowed_rollup",
            "rate_limit_stream", "sessionize_stream"]

@@ -87,3 +87,22 @@ def windowed_rollup(events: DataFrame, ts_col: str = "ts",
             .select(F.col("win.start").alias("window_start"),
                     F.col("win.end").alias("window_end"), *keys,
                     "n", "sum_value"))
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str],
+                 ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming DetectDuplicate: the first event per key wins, with
+    state that EXPIRES at the watermark horizon —
+    dropDuplicatesWithinWatermark, so state size is bounded by
+    rate × horizon instead of growing forever like a bare
+    dropDuplicates (the reference's DetectDuplicate bounds its cache
+    the same way via the cache's eviction policy,
+    standard/DetectDuplicate.java:58-68 + the map-cache TTL).
+
+    Duplicates farther apart than the horizon can BOTH survive — the
+    documented trade every watermarked dedup makes; size the horizon
+    to the feed's redelivery window (at-least-once redeliveries are
+    near-duplicates in time by construction)."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

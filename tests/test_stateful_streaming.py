@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from nifi_spark.ledger import KVState
 from nifi_spark.operators import global_sequence, stateful_counter
 from nifi_spark.sources import HttpIncrementalSource
-from nifi_spark.streaming import rate_limit_stream, sessionize_stream
+from nifi_spark.streaming import (dedup_stream, rate_limit_stream,
+                                  sessionize_stream)
 
 EV_SCHEMA = "user_id long, event_id long, ts timestamp"
 
@@ -81,6 +82,38 @@ def test_rate_limit_stream_caps_and_accounts(spark, tmp_path):
     assert int(u1["suppressed_total"].max()) == 3
     u2 = pdf[pdf["user_id"] == "2"]
     assert len(u2) == 1 and int(u2["suppressed_total"].max()) == 0
+
+
+def test_dedup_stream_within_and_beyond_horizon(spark, tmp_path):
+    t0 = datetime(2024, 1, 1)
+    h = timedelta(hours=1)
+    # b0: A twice (in-batch dup), B once. b1: A again 30s later
+    # (cross-batch dup, inside the horizon) + an advancer event D at
+    # t0+3h that pushes the watermark to t0+2h, expiring A's state.
+    # b2: A at t0+3h — beyond the horizon from the original, so it
+    # SURVIVES (the documented trade of watermarked dedup).
+    b0 = [(1, 1, t0), (1, 2, t0 + timedelta(seconds=10)), (2, 3, t0)]
+    b1 = [(1, 4, t0 + timedelta(seconds=30)), (4, 5, t0 + 3 * h)]
+    # eviction runs at batch END with the PREVIOUS batch's watermark, so
+    # a buffer batch must elapse before the re-occurrence arrives
+    b2 = [(5, 9, t0 + 3 * h)]
+    b3 = [(1, 6, t0 + 3 * h)]
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [b0, b1, b2, b3])
+    reader = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+    q = (dedup_stream(reader, ["user_id"], "ts", watermark="1 hour")
+         .writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    pdf = spark.sql("select * from dedup_t").toPandas()
+    per_user = pdf.groupby("user_id").size()
+    assert int(per_user.loc[1]) == 2          # t0 survivor + post-expiry
+    assert int(per_user.loc[2]) == 1
+    assert int(per_user.loc[4]) == 1
+    assert sorted(pdf["event_id"]) == [1, 3, 5, 6, 9]
 
 
 def test_http_incremental_source(tmp_path):
