@@ -1404,6 +1404,17 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs, "doc_id", "ptext", sep="\n", min_chars=20)
 
 
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup stats (Lee et al. 2021): any 15-token window
+    repeated anywhere in the corpus marks its range; overlapping ranges
+    merge. Per-doc (n_tokens, n_dup_spans, dup_tokens) — integer-exact,
+    portable-hash window keys, so the gaps-and-islands SQL oracle
+    matches bit-for-bit."""
+    from nifi_spark.datalib import exact_substring_spans
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, "doc_id", "text", k=15)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-banded near-dup pairs: pigeonhole banding for
     candidates, exact bit_count(xor) verification — no all-pairs scan."""
@@ -1894,6 +1905,46 @@ rebuilt AS (
 SELECT s.doc_id, coalesce(r.text_dedup, '') AS text_dedup,
        s.n_paras, coalesce(r.n_kept, 0) AS n_kept
 FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def _exact_substring_sql(k: int = 15) -> str:
+    """Gaps-and-islands replica of exact_substring_spans: window hashes
+    via the portable hash, duplicated-hash semi-join, lag-based island
+    numbering, per-island coverage = max(pos) - min(pos) + k."""
+    wh = PH.format(
+        x=f"'xs:' || array_to_string(words[i : i + {k - 1}], ' ')")
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+  FROM documents),
+wins AS (
+  SELECT doc_id, i AS pos, {wh} AS wh
+  FROM w, unnest(range(1, len(words) - {k - 2})) AS t(i)),
+dups AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM wins JOIN dups USING (wh)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - coalesce(lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos), -{k + 1}) >= {k}
+              THEN 1 ELSE 0 END AS b
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM brk),
+spans AS (
+  SELECT doc_id, g, max(pos) - min(pos) + {k} AS cov
+  FROM isl GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+         sum(cov)::BIGINT AS dup_tokens
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id, len(d.words)::BIGINT AS n_tokens,
+       coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
+FROM w d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -2659,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_ngram_verify_lsh": q_dedup_ngram_verify_lsh,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_exact_substring": q_dedup_exact_substring,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_repetition": q_text_repetition,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -3293,6 +3345,7 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_ngram_verify_lsh": _NGRAM_VERIFY_LSH_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
+        "dedup_exact_substring": _exact_substring_sql(15),
         "dedup_simhash_pairs": _simhash_pairs_sql(16, 2),
         "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_near_clusters": _near_clusters_sql(12, 4),

@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "curate_url_dedup",
     "curate_token_budget",
     "dedup_paragraphs",
+    "dedup_exact_substring",
     "text_normalize",
     "text_scrub_pii",
     "quantize_embeddings",

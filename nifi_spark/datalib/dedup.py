@@ -386,3 +386,159 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"b{i}") > 0, 1 << i).otherwise(0)
         fp = term if fp is None else fp + term
     return per_bit.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def _window_hash_hits(df: DataFrame, id_col: str, text_col: str,
+                      k: int) -> DataFrame:
+    """(id, n_tokens, pos, wh): one row per k-token window, wh = portable
+    hash of the window's space-joined tokens. Tokenization is NOT
+    lowercased — exact-substring dedup means byte-exact token runs.
+
+    Same slice+zip_with shape as `shingle` (the words array is referenced
+    exactly k times; the transform-over-sequence form re-tokenizes per
+    gram — quadratic). Tokens are materialized in their own projection
+    first so the gram lambdas reference a column, not a subtree.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), WORD_SPLIT),
+                 lambda t: t != "").alias("_w"))
+    m = F.greatest(F.size("_w") - (k - 1), F.lit(0))
+    grams = F.slice("_w", 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice("_w", j + 1, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    hashed = toks.select(
+        F.col(id_col), F.size("_w").cast("long").alias("n_tokens"),
+        F.transform(grams, lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("xs:"), g)), 1, 15),
+            16, 10).cast("long")).alias("_h"))
+    return hashed.select(id_col, "n_tokens",
+                         F.posexplode("_h").alias("pos", "wh"))
+
+
+def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 20, min_count: int = 2) -> DataFrame:
+    """Exact-substring duplication detector (the ExactSubstr pass of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): any k-token window whose hash occurs >= min_count times
+    in the WHOLE corpus (other documents or a repeat within the same
+    one) marks its token range as duplicated; overlapping ranges merge
+    into spans. Returns per-doc duplication stats for every input row:
+    (id, n_tokens, n_dup_spans, dup_tokens).
+
+    Plan shape (the distributed alternative to the paper's suffix
+    array): one projection builds the window-hash array (k slice
+    references, no re-tokenization), posexplode to narrow
+    (id, pos, hash) rows — O(total tokens), no content in the shuffle —
+    then one map-side-combinable hash-agg finds duplicated hashes, a
+    left-semi join keeps only duplicated windows (at web scale the
+    surviving fraction is small), and one groupBy(id) folds the sorted
+    positions into merged spans with an integer aggregate — no windows,
+    no driver collection. Every step is a uniform-key shuffle; nothing
+    is quadratic in corpus or bucket size.
+    """
+    hits = _window_hash_hits(df, id_col, text_col, k)
+    dup = (hits.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count).select("wh"))
+    dup_hits = hits.join(dup, "wh", "left_semi")
+    zero = F.lit(0).cast("long")
+    init = F.struct(zero.alias("n"), zero.alias("cov"),
+                    F.lit(-1).cast("long").alias("s"),
+                    F.lit(-1).cast("long").alias("e"))
+
+    def merge(acc, p):
+        new_island = (acc["s"] < 0) | (p >= acc["e"])
+        return F.struct(
+            (acc["n"] + F.when(new_island, 1).otherwise(0))
+            .cast("long").alias("n"),
+            (acc["cov"] + F.when(new_island & (acc["s"] >= 0),
+                                 acc["e"] - acc["s"]).otherwise(0))
+            .cast("long").alias("cov"),
+            F.when(new_island, p).otherwise(acc["s"])
+            .cast("long").alias("s"),
+            (p + k).cast("long").alias("e"))
+
+    def finish(acc):
+        return F.struct(
+            acc["n"].alias("n_dup_spans"),
+            (acc["cov"] + F.when(acc["s"] >= 0, acc["e"] - acc["s"])
+             .otherwise(0)).cast("long").alias("dup_tokens"))
+
+    per_doc = (dup_hits.groupBy(id_col)
+               .agg(F.aggregate(
+                        F.sort_array(F.collect_list(
+                            F.col("pos").cast("long"))),
+                        init, merge, finish).alias("_sp")))
+    sizes = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), WORD_SPLIT),
+                        lambda t: t != "")).cast("long").alias("n_tokens"))
+    return (sizes.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.col("n_tokens"),
+                    F.coalesce(F.col("_sp.n_dup_spans"), zero)
+                    .alias("n_dup_spans"),
+                    F.coalesce(F.col("_sp.dup_tokens"), zero)
+                    .alias("dup_tokens")))
+
+
+def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str,
+                          k: int = 20, min_count: int = 2,
+                          out_col: str = "text_dedup") -> DataFrame:
+    """The remove half of ExactSubstr dedup: cut every merged duplicated
+    span (see exact_substring_spans) out of the document and reassemble
+    the survivors with single spaces (tokenized reconstruction — original
+    whitespace is not preserved, matching the tokenizer the detector
+    ran on). Returns (id, out_col, n_tokens, n_kept).
+
+    Same plan as exact_substring_spans up to the per-doc fold, which here
+    accumulates the merged span list instead of scalar stats; the cut is
+    a per-token two-arg filter lambda against the (few) spans — O(tokens
+    x spans) per document, no extra shuffle beyond the spans join.
+    """
+    hits = _window_hash_hits(df, id_col, text_col, k)
+    dup = (hits.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count).select("wh"))
+    dup_hits = hits.join(dup, "wh", "left_semi")
+    lm1 = F.lit(-1).cast("long")
+    init = F.struct(
+        F.array().cast("array<struct<s:long,e:long>>").alias("arr"),
+        lm1.alias("s"), lm1.alias("e"))
+
+    def merge(acc, p):
+        new_island = (acc["s"] < 0) | (p >= acc["e"])
+        closed = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
+        return F.struct(
+            F.when(new_island & (acc["s"] >= 0),
+                   F.concat(acc["arr"], closed))
+            .otherwise(acc["arr"]).alias("arr"),
+            F.when(new_island, p).otherwise(acc["s"])
+            .cast("long").alias("s"),
+            (p + k).cast("long").alias("e"))
+
+    def finish(acc):
+        last = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
+        return F.when(acc["s"] >= 0, F.concat(acc["arr"], last)) \
+                .otherwise(acc["arr"])
+
+    spans = (dup_hits.groupBy(id_col)
+             .agg(F.aggregate(
+                      F.sort_array(F.collect_list(
+                          F.col("pos").cast("long"))),
+                      init, merge, finish).alias("_spans")))
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), WORD_SPLIT),
+                 lambda t: t != "").alias("_w"))
+    joined = toks.join(spans, id_col, "left").withColumn(
+        "_spans", F.coalesce(
+            "_spans", F.array().cast("array<struct<s:long,e:long>>")))
+    sp = F.col("_spans")
+    kept = F.filter(
+        "_w", lambda t, i: ~F.exists(
+            sp, lambda s: (i >= s["s"]) & (i < s["e"])))
+    return joined.select(
+        F.col(id_col), F.array_join(kept, " ").alias(out_col),
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"))

@@ -211,6 +211,21 @@ def main():
                     "per-bucket count + LeftSemi BELOW the collect_list "
                     "agg — oversized buckets never build an id list"))
 
+    # ---- 2e3. exact-substring dedup: narrow hash shuffle, no windows ---
+    from nifi_spark.datalib import exact_substring_spans
+    p = plan_of(exact_substring_spans(docs_dd, "doc_id", "text", k=3))
+    assert "Window" not in p, p             # span merge is an agg fold
+    assert "LeftSemi" in p, p               # only duplicated windows join
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    # the exploded window rows that shuffle carry only (id, pos, hash) —
+    # the document text must never reach an exchange
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in ex, ex
+    results.append(("exact_substring_spans", "window-hash rows are narrow "
+                    "(id, pos, hash) at every exchange; duplicated windows "
+                    "via LeftSemi; span merge is a sorted-positions "
+                    "aggregate fold — no Window operator"))
+
     # ---- 2f. curation: broadcast decontam join; split is exchange-free -
     from nifi_spark.datalib import (benchmark_contamination, dataset_split)
     docs_small = spark.createDataFrame(

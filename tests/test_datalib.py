@@ -932,3 +932,86 @@ def test_stratified_sample_nested_and_rates(spark):
     again = set(r.doc_id for r in stratified_sample(
         df, "source", "doc_id", {"s0": 0.5, "s1": 0.5}).collect())
     assert again == hi
+
+
+def _py_exact_substring(rows, k, min_count=2):
+    """Pure-Python reference for exact_substring_spans."""
+    import re
+    toks = {i: [t for t in re.split(r"\s+", s) if t] for i, s in rows}
+    counts = {}
+    for i, w in toks.items():
+        for p in range(max(len(w) - k + 1, 0)):
+            counts[" ".join(w[p:p + k])] = counts.get(
+                " ".join(w[p:p + k]), 0) + 1
+    out = {}
+    for i, w in toks.items():
+        pos = [p for p in range(max(len(w) - k + 1, 0))
+               if counts[" ".join(w[p:p + k])] >= min_count]
+        spans, cur = [], None
+        for p in pos:
+            if cur is None or p >= cur[1]:
+                if cur:
+                    spans.append(cur)
+                cur = [p, p + k]
+            else:
+                cur[1] = p + k
+        if cur:
+            spans.append(cur)
+        out[i] = (len(w), len(spans), sum(e - s for s, e in spans), spans)
+    return out
+
+
+def test_exact_substring_spans_vs_python(spark):
+    """Randomized corpus with planted shared runs: span stats match the
+    pure-Python reference exactly, and the removal mode cuts exactly
+    the covered token ranges."""
+    import random
+
+    from nifi_spark.datalib import (exact_substring_dedup,
+                                    exact_substring_spans)
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(400)]
+    shared = [[f"run{r}_{j}" for j in range(12)] for r in range(6)]
+    rows = []
+    for i in range(60):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 50))]
+        for _ in range(rng.randint(0, 2)):
+            run = rng.choice(shared)
+            at = rng.randint(0, len(words))
+            words[at:at] = run
+        rows.append((i, " ".join(words)))
+    k = 8
+    ref = _py_exact_substring(rows, k)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens)
+           for r in exact_substring_spans(df, "doc_id", "text", k=k).collect()}
+    assert len(got) == len(rows)
+    for i, (n, ns, dt, _) in ref.items():
+        assert got[i] == (n, ns, dt), (i, got[i], (n, ns, dt))
+    # removal mode: kept text == tokens outside the reference spans
+    cleaned = {r.doc_id: (r.text_dedup, r.n_tokens, r.n_kept)
+               for r in exact_substring_dedup(
+                   df, "doc_id", "text", k=k).collect()}
+    import re
+    for i, s in rows:
+        w = [t for t in re.split(r"\s+", s) if t]
+        _, _, _, spans = ref[i]
+        keep = [t for p, t in enumerate(w)
+                if not any(a <= p < b for a, b in spans)]
+        assert cleaned[i][0] == " ".join(keep), i
+        assert cleaned[i][1] == len(w) and cleaned[i][2] == len(keep)
+
+
+def test_exact_substring_within_doc_repeat(spark):
+    """A run repeated inside ONE document is duplicated too (global
+    window-hash counts include same-doc multiplicity)."""
+    from nifi_spark.datalib import exact_substring_spans
+    df = spark.createDataFrame(
+        [(1, "a b c d e x1 x2 x3 a b c d e"),
+         (2, "p q r s t u v w")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_dup_spans, r.dup_tokens)
+           for r in exact_substring_spans(df, "doc_id", "text",
+                                          k=5).collect()}
+    assert got[1] == (2, 10)
+    assert got[2] == (0, 0)
