@@ -923,6 +923,33 @@ def q_xquery_flwor(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.array_join("hits", "|").alias("joined"))
 
 
+def q_xquery_prolog_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XQuery with a prolog (version decl, declare variable, declare
+    function) and a nested FLWOR inside a constructor hole — the
+    boundary the round-2 engine declared out. The oracle recomputes
+    every string arithmetically in SQL."""
+    from nifi_spark.operators import evaluate_xquery
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    e = F.col("event_id")
+    p1, p2, p3 = (e % 5) * 3 + 1, (e % 4) * 3 + 2, (e % 6) * 3 + 3
+    xml = F.concat(
+        F.lit('<o><i p="'), p1.cast("string"), F.lit('">x</i><i p="'),
+        p2.cast("string"), F.lit('">y</i><i p="'),
+        p3.cast("string"), F.lit('">z</i></o>'))
+    q = ('xquery version "1.0"; '
+         'declare variable $min := 4; '
+         "declare function local:fmt($i) { concat($i/@p, '-', $i) }; "
+         'for $o in /o '
+         'return <r n="{count($o/i[@p > $min])}">{ '
+         '  for $i in $o/i where $i/@p > $min '
+         '  return <h>{local:fmt($i)}</h> }</r>')
+    out = evaluate_xquery(
+        ev.select("event_id", xml.alias("content"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        "content", {"res": q})
+    return out.select("event_id", F.element_at("res", 1).alias("result"))
+
+
 def q_scan_attribute_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ScanAttribute: dictionary membership on an attribute column
     (broadcast semi/anti join), matched + unmatched counts per term."""
@@ -2680,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_xml_xslt": q_transform_xml_xslt,
         "xquery_extract": q_xquery_extract,
         "xquery_flwor": q_xquery_flwor,
+        "xquery_prolog_nested": q_xquery_prolog_nested,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
@@ -3086,6 +3114,25 @@ SELECT event_id, event_id AS sid, 2::BIGINT AS n_lines,
        p1 + p2 AS total,
        CASE WHEN p1 >= p2 THEN q1 * p1 ELSE q2 * p2 END AS top_rev
 FROM t
+""",
+        "xquery_prolog_nested": """
+WITH base AS (
+  SELECT event_id,
+         (event_id % 5) * 3 + 1 AS p1,
+         (event_id % 4) * 3 + 2 AS p2,
+         (event_id % 6) * 3 + 3 AS p3
+  FROM events WHERE event_id % 10 = 0)
+SELECT event_id,
+  '<r n="' ||
+  ((CASE WHEN p1 > 4 THEN 1 ELSE 0 END) +
+   (CASE WHEN p2 > 4 THEN 1 ELSE 0 END) +
+   (CASE WHEN p3 > 4 THEN 1 ELSE 0 END))::VARCHAR ||
+  '">' ||
+  (CASE WHEN p1 > 4 THEN '<h>' || p1::VARCHAR || '-x</h>' ELSE '' END) ||
+  (CASE WHEN p2 > 4 THEN '<h>' || p2::VARCHAR || '-y</h>' ELSE '' END) ||
+  (CASE WHEN p3 > 4 THEN '<h>' || p3::VARCHAR || '-z</h>' ELSE '' END) ||
+  '</r>' AS result
+FROM base
 """,
         "xquery_flwor": """
 WITH t AS (

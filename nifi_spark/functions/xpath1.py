@@ -145,7 +145,7 @@ _TOKEN_RE = re.compile(r"""
     | (?P<var>\$[A-Za-z_][\w.-]*)
     | (?P<dslash>//)
     | (?P<axis>[A-Za-z-]+::)
-    | (?P<name>[A-Za-z_][\w.-]*)
+    | (?P<name>[A-Za-z_][\w.-]*(?::[A-Za-z_][\w.-]*)?)
     | (?P<op><=|>=|!=|[()\[\]@,.|/*=<>+-])
     )""", re.VERBOSE)
 
@@ -407,9 +407,12 @@ class Context:
     position: int = 1
     size: int = 1
     variables: dict[str, Any] = field(default_factory=dict)
+    # user-declared functions (XQuery prolog): qname -> f(ctx, arg_values)
+    functions: dict[str, Any] = field(default_factory=dict)
 
     def with_node(self, node, position, size):
-        return Context(self.doc, node, position, size, self.variables)
+        return Context(self.doc, node, position, size, self.variables,
+                       self.functions)
 
 
 def to_string(v: Any) -> str:
@@ -721,6 +724,8 @@ def _call(ctx: Context, name: str, args: list) -> Any:
     if name == "round":
         v = to_number(a(0))
         return math.floor(v + 0.5) * 1.0 if v == v else v
+    if name in ctx.functions:
+        return ctx.functions[name](ctx, [_eval(ctx, arg) for arg in args])
     raise XPathError(f"unsupported function {name}()")
 
 

@@ -33,7 +33,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-_FLWOR = re.compile(r"^\s*(for|let)\s+\$|^\s*declare\s", re.IGNORECASE)
+_FLWOR = re.compile(r"^\s*(for|let)\s+\$|^\s*declare\s"
+                    r"|^\s*xquery\s+version\b", re.IGNORECASE)
 
 
 def transform_xml(df: DataFrame, content_col: str,

@@ -13,10 +13,20 @@ by/return queries evaluate instead of raising:
   return <expr-or-direct-constructor>
 
 The return clause is either an XPath expression (items serialize to
-strings: elements as XML, everything else as its string value) or a
+strings: elements as XML, everything else as its string value), a
 direct element constructor with ``{expr}`` holes in attribute values
-and content (nested literal elements allowed; nested FLWOR is not —
-that raises, the remaining declared boundary).
+and content (nested literal elements allowed), or a nested FLWOR.
+Nested FLWOR is also accepted inside constructor holes and —
+parenthesized — in for/let bindings; a nested FLWOR's items arrive as
+serialized strings (markup concatenates, atomics space-join).
+
+Prologs: ``xquery version "...";``, ``declare namespace p = "uri";``
+(recorded; names match lexically), ``declare variable $v := expr;``
+(evaluated top-down before the body), and
+``declare function local:f($a, $b) { body };`` (body = any expression
+or FLWOR; recursion allowed to depth 64; ``as type`` annotations are
+accepted and ignored). ``declare variable ... external`` raises —
+there is no host binding surface.
 """
 
 from __future__ import annotations
@@ -67,13 +77,130 @@ def _split_top_commas(src: str) -> list[str]:
     return [p for p in parts if p]
 
 
+_VERSION_RE = re.compile(r'^xquery\s+version\s+("[^"]*"|\'[^\']*\')'
+                         r'(?:\s+encoding\s+("[^"]*"|\'[^\']*\'))?\s*;\s*',
+                         re.IGNORECASE)
+_NS_RE = re.compile(r'^declare\s+namespace\s+([\w.-]+)\s*=\s*'
+                    r'("[^"]*"|\'[^\']*\')\s*;\s*', re.IGNORECASE)
+_DEFAULT_NS_RE = re.compile(r'^declare\s+default\s+(?:element|function)\s+'
+                            r'namespace\s+("[^"]*"|\'[^\']*\')\s*;\s*',
+                            re.IGNORECASE)
+_VAR_DECL_RE = re.compile(r'^declare\s+variable\s+\$([\w.:-]+)'
+                          r'(?:\s+as\s+[\w.:?*+-]+)?\s*', re.IGNORECASE)
+_FUNC_DECL_RE = re.compile(r'^declare\s+function\s+([\w.-]+(?::[\w.-]+)?)'
+                           r'\s*\(', re.IGNORECASE)
+_PARAM_RE = re.compile(r'\$([\w.:-]+)(?:\s+as\s+[\w.:?*+-]+)?\s*$')
+
+
+def _scan_to(src: str, start: int, stop_chars: str) -> int:
+    """Index of the first depth-0 occurrence of any stop char; depth
+    counts (), [], {} and skips quoted strings."""
+    depth, quote = 0, None
+    for i in range(start, len(src)):
+        ch = src[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif depth == 0 and ch in stop_chars:
+            return i
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+    return -1
+
+
+def _parse_prolog(body: str, plan: dict) -> str:
+    """Strip and record prolog declarations; returns the FLWOR body."""
+    while True:
+        m = _VERSION_RE.match(body)
+        if m:
+            body = body[m.end():]
+            continue
+        m = _NS_RE.match(body) or _DEFAULT_NS_RE.match(body)
+        if m:
+            groups = m.groups()
+            if len(groups) == 2:
+                plan["namespaces"][groups[0]] = groups[1][1:-1]
+            body = body[m.end():]
+            continue
+        m = _VAR_DECL_RE.match(body)
+        if m:
+            rest = body[m.end():]
+            if re.match(r"external\s*;", rest, re.IGNORECASE):
+                raise XQueryError("declare variable ... external is not "
+                                  "supported (no host binding surface)")
+            if not rest.startswith(":="):
+                raise XQueryError(f"bad variable declaration: {body[:40]!r}")
+            end = _scan_to(rest, 2, ";")
+            if end < 0:
+                raise XQueryError("unterminated declare variable")
+            plan["prolog_vars"].append((m.group(1), rest[2:end].strip()))
+            body = rest[end + 1:].lstrip()
+            continue
+        m = _FUNC_DECL_RE.match(body)
+        if m:
+            close = _scan_to(body, m.end(), ")")
+            if close < 0:
+                raise XQueryError("unterminated function parameter list")
+            params = []
+            for part in _split_top_commas(body[m.end():close]):
+                pm = _PARAM_RE.match(part.strip())
+                if not pm:
+                    raise XQueryError(f"bad function parameter: {part!r}")
+                params.append(pm.group(1))
+            rest = body[close + 1:].lstrip()
+            rest = re.sub(r"^as\s+[\w.:?*+-]+\s*", "", rest,
+                          flags=re.IGNORECASE)
+            if not rest.startswith("{"):
+                raise XQueryError("function declaration without a body")
+            bend = _scan_to(rest, 1, "}")
+            # _scan_to counts the opening { we skipped? No: start=1 is
+            # inside the braces, so the matching } is at depth 0 there.
+            if bend < 0:
+                raise XQueryError("unterminated function body")
+            after = rest[bend + 1:].lstrip()
+            if not after.startswith(";"):
+                raise XQueryError("function declaration must end with ';'")
+            plan["functions"][m.group(1)] = (params, rest[1:bend].strip())
+            body = after[1:].lstrip()
+            continue
+        if re.match(r"^declare\b", body, re.IGNORECASE):
+            raise XQueryError(f"unsupported prolog declaration: "
+                              f"{body[:40]!r}")
+        return body
+
+
+def _top_level_clause_hits(body: str) -> list[re.Match]:
+    """FLWOR keyword matches at paren/bracket/brace/quote depth 0
+    (so a parenthesized nested FLWOR inside a binding stays opaque)."""
+    depth, quote = 0, None
+    depths = []
+    for ch in body:
+        depths.append(depth if quote is None else -1)
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+    return [m for m in _CLAUSE_RE.finditer(body)
+            if depths[m.start()] == 0]
+
+
 def parse_flwor(src: str) -> dict:
-    """Split a FLWOR expression into clauses (source text kept;
-    sub-expressions compile lazily through the XPath cache)."""
-    body = src.strip()
-    if body.lower().startswith("declare"):
-        raise XQueryError("prologs (declare ...) are not supported")
-    hits = list(_CLAUSE_RE.finditer(body))
+    """Split an XQuery (optional prolog + FLWOR) into a plan dict
+    (source text kept; sub-expressions compile lazily through the
+    XPath cache)."""
+    plan = {"binds": [], "where": None, "order": [], "return": None,
+            "prolog_vars": [], "functions": {}, "namespaces": {}}
+    body = _parse_prolog(src.strip(), plan)
+    hits = _top_level_clause_hits(body)
     if not hits or hits[0].start() != 0:
         raise XQueryError(f"not a FLWOR expression: {src[:40]!r}")
     clauses: list[tuple[str, str]] = []
@@ -86,7 +213,6 @@ def parse_flwor(src: str) -> dict:
             # everything after the first return belongs to it
             clauses[-1] = (kw, body[m.end():].strip())
             break
-    plan = {"binds": [], "where": None, "order": [], "return": None}
     for kw, text in clauses:
         if kw == "for":
             for part in _split_top_commas(text):
@@ -116,10 +242,6 @@ def parse_flwor(src: str) -> dict:
             plan["return"] = text
     if plan["return"] is None:
         raise XQueryError("FLWOR without a return clause")
-    if _CLAUSE_RE.match(plan["return"].lstrip("( ")):
-        raise XQueryError("nested FLWOR in return is not supported "
-                          "(needs a full XQuery engine — "
-                          "EvaluateXQuery.java uses Saxon)")
     return plan
 
 
@@ -133,10 +255,49 @@ def _serialize_item(item) -> str:
 
 def _serialize_value(v) -> str:
     if isinstance(v, list):
-        if all(isinstance(x, ET.Element) for x in v):
+        # markup-string items come from nested FLWOR results; they
+        # concatenate like element sequences, atomics space-join
+        if all(isinstance(x, ET.Element)
+               or (isinstance(x, str) and x.lstrip().startswith("<"))
+               for x in v):
             return "".join(_serialize_item(x) for x in v)
         return " ".join(_serialize_item(x) for x in v)
     return to_string(v)
+
+
+_XQUERY_START_RE = re.compile(
+    r"^\s*(?:for\s+\$|let\s+\$|declare\s|xquery\s+version)", re.IGNORECASE)
+
+
+def _parse_cached(src: str) -> dict:
+    if src not in _PLAN_CACHE:
+        if len(_PLAN_CACHE) > 256:
+            _PLAN_CACHE.clear()
+        _PLAN_CACHE[src] = parse_flwor(src)
+    return _PLAN_CACHE[src]
+
+
+_PLAN_CACHE: dict[str, dict] = {}
+
+
+def _strip_outer_parens(t: str) -> str:
+    t = t.strip()
+    while t.startswith("(") and t.endswith(")") and \
+            _scan_to(t, 1, ")") == len(t) - 1:
+        t = t[1:-1].strip()
+    return t
+
+
+def _eval_expr(src: str, ctx: Context):
+    """Evaluate an XPath expression OR a (parenthesized) nested FLWOR —
+    the latter inherits the caller's variables and declared functions
+    and yields its items as serialized strings."""
+    t = _strip_outer_parens(src)
+    if _XQUERY_START_RE.match(t):
+        return eval_flwor(_parse_cached(t), None,
+                          variables=ctx.variables,
+                          functions=ctx.functions, doc=ctx.doc)
+    return evaluate(src, ctx)
 
 
 def _atomize(v) -> str:
@@ -161,8 +322,10 @@ def _instantiate_constructor(t: str, ctx: Context) -> str:
             i += 2
             continue
         if ch == "{":
-            j = t.index("}", i)
-            v = evaluate(t[i + 1:j].strip(), ctx)
+            j = _scan_to(t, i + 1, "}")     # depth-aware: holes may hold
+            if j < 0:                       # constructors / nested FLWOR
+                raise XQueryError(f"unbalanced {{ in constructor: {t!r}")
+            v = _eval_expr(t[i + 1:j].strip(), ctx)
             out.append(_atomize(v) if quote else _serialize_value(v))
             i = j + 1
             continue
@@ -182,22 +345,58 @@ def _instantiate_constructor(t: str, ctx: Context) -> str:
 
 
 def _instantiate_return(text: str, ctx: Context) -> str:
-    """Return-clause instantiation: direct constructor or expression."""
+    """Return-clause instantiation: direct constructor, nested FLWOR
+    (its items join into this binding's one result string), or
+    expression."""
     t = text.strip()
     if t.startswith("("):
         t = t[1:-1].strip() if t.endswith(")") else t
     if t.startswith("<"):
         return _instantiate_constructor(t, ctx)
+    if _XQUERY_START_RE.match(t):
+        return _serialize_value(_eval_expr(t, ctx))
     return _serialize_value(evaluate(t, ctx))
 
 
-def eval_flwor(plan: dict, root: ET.Element) -> list[str]:
-    doc = Document(root)
+def _build_functions(plan: dict, inherited: dict | None) -> dict:
+    """Compile `declare function` bodies into closures the XPath
+    engine dispatches through Context.functions; recursion is allowed
+    to depth 64 (the body sees the full registry, including itself)."""
+    funcs = dict(inherited or {})
+    depth = {"d": 0}
+    for qname, (params, body) in plan["functions"].items():
+        def _call(ctx, args, qname=qname, params=params, body=body):
+            if len(args) != len(params):
+                raise XQueryError(f"{qname}() expects {len(params)} "
+                                  f"argument(s), got {len(args)}")
+            if depth["d"] >= 64:
+                raise XQueryError(f"{qname}(): recursion deeper than 64")
+            depth["d"] += 1
+            try:
+                return _eval_expr(body, Context(
+                    ctx.doc, ctx.doc,
+                    variables=dict(zip(params, args)), functions=funcs))
+            finally:
+                depth["d"] -= 1
+        funcs[qname] = _call
+    return funcs
+
+
+def eval_flwor(plan: dict, root: ET.Element | None,
+               variables: dict | None = None,
+               functions: dict | None = None,
+               doc: Document | None = None) -> list[str]:
+    doc = doc if doc is not None else Document(root)
+    funcs = _build_functions(plan, functions)
+    vars0 = dict(variables or {})
+    for name, expr in plan["prolog_vars"]:
+        vars0[name] = _eval_expr(
+            expr, Context(doc, doc, variables=vars0, functions=funcs))
     results: list[tuple[list, str]] = []
 
     def rec(i: int, variables: dict):
         if i == len(plan["binds"]):
-            ctx = Context(doc, doc, variables=variables)
+            ctx = Context(doc, doc, variables=variables, functions=funcs)
             if plan["where"] is not None and \
                     not to_bool(evaluate(plan["where"], ctx)):
                 return
@@ -211,13 +410,13 @@ def eval_flwor(plan: dict, root: ET.Element) -> list[str]:
                 plan["return"], ctx)))
             return
         kind, name, expr = plan["binds"][i]
-        ctx = Context(doc, doc, variables=variables)
+        ctx = Context(doc, doc, variables=variables, functions=funcs)
         if kind == "let":
             nv = dict(variables)
-            nv[name] = evaluate(expr, ctx)
+            nv[name] = _eval_expr(expr, ctx)
             rec(i + 1, nv)
             return
-        seq = evaluate(expr, ctx)
+        seq = _eval_expr(expr, ctx)
         if not isinstance(seq, list):
             seq = [seq]
         for item in seq:
@@ -226,7 +425,7 @@ def eval_flwor(plan: dict, root: ET.Element) -> list[str]:
                 item, (str, float, bool)) else item
             rec(i + 1, nv)
 
-    rec(0, {})
+    rec(0, vars0)
     if plan["order"]:
         n_keys = len(plan["order"])
         for ki in reversed(range(n_keys)):

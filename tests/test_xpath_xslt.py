@@ -179,8 +179,56 @@ def test_flwor_constructor_and_cartesian(root):
         ['<w t="Alpha"><author>Ann</author></w>']
 
 
-def test_flwor_rejects_nested_and_prolog(root):
-    with pytest.raises(XQueryError, match="nested FLWOR"):
-        parse_flwor("for $i in //a return for $j in //b return $j")
-    with pytest.raises(XQueryError, match="prolog"):
-        parse_flwor('declare namespace x="u"; for $i in //a return $i')
+def test_flwor_nested_in_return(root):
+    q = """for $a in //author[.='Bob']
+           return for $b in //book[author = $a]
+                  return concat('hit:', $b/@id)"""
+    assert eval_flwor(parse_flwor(q), root) == ["hit:b2"]
+    # nested FLWOR inside a constructor hole: markup items concatenate
+    q2 = """for $c in /catalog
+            return <list>{ for $b in $c/book
+                           where $b/@price > 5
+                           return <i>{string($b/@id)}</i> }</list>"""
+    assert eval_flwor(parse_flwor(q2), root) == \
+        ["<list><i>b1</i><i>b3</i></list>"]
+    # parenthesized nested FLWOR in a let binding: atomics space-join
+    q3 = """for $c in /catalog
+            let $ids := (for $b in $c/book return string($b/@id))
+            return concat(count($ids), ':', $ids[1])"""
+    assert eval_flwor(parse_flwor(q3), root) == ["3:b1"]
+
+
+def test_flwor_prolog_variables_and_namespace(root):
+    q = """xquery version "1.0";
+           declare namespace x = "http://example.test";
+           declare variable $floor := 5;
+           declare variable $ceil := $floor + 17;
+           for $b in //book
+           where $b/@price > $floor and $b/@price <= $ceil
+           return string($b/@id)"""
+    plan = parse_flwor(q)
+    assert plan["namespaces"] == {"x": "http://example.test"}
+    assert eval_flwor(plan, root) == ["b1", "b3"]
+    with pytest.raises(XQueryError, match="external"):
+        parse_flwor("declare variable $v external; "
+                    "for $i in //a return $i")
+
+
+def test_flwor_prolog_functions(root):
+    q = """declare function local:tag($b) { concat('[', $b/@id, ']') };
+           for $b in //book
+           where $b/@price > 5
+           return local:tag($b)"""
+    assert eval_flwor(parse_flwor(q), root) == ["[b1]", "[b3]"]
+    # recursive function with a typed signature (annotations ignored)
+    q2 = """declare function local:fact($n as xs:integer) as xs:integer
+            { local:fact-impl($n) };
+            declare function local:fact-impl($n)
+            { concat('', $n * 1) };
+            for $b in //book[1] return local:fact(3)"""
+    assert eval_flwor(parse_flwor(q2), root) == ["3"]
+    q3 = """declare function local:down($n)
+            { local:down($n) };
+            for $b in //book[1] return local:down(1)"""
+    with pytest.raises(XQueryError, match="recursion"):
+        eval_flwor(parse_flwor(q3), root)
