@@ -923,6 +923,37 @@ def q_xquery_flwor(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.array_join("hits", "|").alias("joined"))
 
 
+def q_transform_xml_key_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XSLT xsl:key/key() + xsl:number end-to-end (the instructions the
+    round-2 engine declared out): items numbered with level='any' and
+    grouped by a key index; the oracle rebuilds each output string
+    arithmetically."""
+    from nifi_spark.operators import transform_xml
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 3)
+    e = F.col("event_id")
+    c1, c2, c3 = (e % 2), (e % 3) % 2, (e % 5) % 2
+    xml = F.concat(
+        F.lit('<o><i c="c'), c1.cast("string"), F.lit('">x</i><i c="c'),
+        c2.cast("string"), F.lit('">y</i><i c="c'),
+        c3.cast("string"), F.lit('">z</i></o>'))
+    xsl = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+           '"http://www.w3.org/1999/XSL/Transform">'
+           '<xsl:output method="text"/>'
+           '<xsl:key name="byc" match="i" use="@c"/>'
+           '<xsl:template match="/o"><xsl:for-each select="i">'
+           '<xsl:number level="any" count="i" format="1:"/>'
+           '<xsl:value-of select="@c"/>'
+           '<xsl:text>=</xsl:text>'
+           "<xsl:value-of select=\"count(key('byc', @c))\"/>"
+           '<xsl:text>;</xsl:text>'
+           '</xsl:for-each></xsl:template></xsl:stylesheet>')
+    out = transform_xml(
+        ev.select("event_id", xml.alias("content"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        "content", stylesheet=xsl, out_col="result")
+    return out.select("event_id", "result")
+
+
 def q_xquery_prolog_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XQuery with a prolog (version decl, declare variable, declare
     function) and a nested FLWOR inside a constructor hole — the
@@ -2708,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xquery_extract": q_xquery_extract,
         "xquery_flwor": q_xquery_flwor,
         "xquery_prolog_nested": q_xquery_prolog_nested,
+        "transform_xml_key_number": q_transform_xml_key_number,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
@@ -3114,6 +3146,28 @@ SELECT event_id, event_id AS sid, 2::BIGINT AS n_lines,
        p1 + p2 AS total,
        CASE WHEN p1 >= p2 THEN q1 * p1 ELSE q2 * p2 END AS top_rev
 FROM t
+""",
+        "transform_xml_key_number": """
+WITH base AS (
+  SELECT event_id,
+         (event_id % 2) AS c1,
+         (event_id % 3) % 2 AS c2,
+         (event_id % 5) % 2 AS c3
+  FROM events WHERE event_id % 10 = 3),
+cnt AS (
+  SELECT event_id, c1, c2, c3,
+         1 + (CASE WHEN c2 = c1 THEN 1 ELSE 0 END)
+           + (CASE WHEN c3 = c1 THEN 1 ELSE 0 END) AS n1,
+         1 + (CASE WHEN c1 = c2 THEN 1 ELSE 0 END)
+           + (CASE WHEN c3 = c2 THEN 1 ELSE 0 END) AS n2,
+         1 + (CASE WHEN c1 = c3 THEN 1 ELSE 0 END)
+           + (CASE WHEN c2 = c3 THEN 1 ELSE 0 END) AS n3
+  FROM base)
+SELECT event_id,
+       '1:c' || c1::VARCHAR || '=' || n1::VARCHAR ||
+       ';2:c' || c2::VARCHAR || '=' || n2::VARCHAR ||
+       ';3:c' || c3::VARCHAR || '=' || n3::VARCHAR || ';' AS result
+FROM cnt
 """,
         "xquery_prolog_nested": """
 WITH base AS (

@@ -726,6 +726,12 @@ def _call(ctx: Context, name: str, args: list) -> Any:
         return math.floor(v + 0.5) * 1.0 if v == v else v
     if name in ctx.functions:
         return ctx.functions[name](ctx, [_eval(ctx, arg) for arg in args])
+    # document-scoped registrations (XSLT's key()) — with_node copies
+    # Context.functions, but host engines build fresh Contexts at many
+    # sites, so the document is the stable carrier there
+    doc_fns = getattr(ctx.doc, "functions", None)
+    if doc_fns and name in doc_fns:
+        return doc_fns[name](ctx, [_eval(ctx, arg) for arg in args])
     raise XPathError(f"unsupported function {name}()")
 
 

@@ -40,7 +40,8 @@ _FLWOR = re.compile(r"^\s*(for|let)\s+\$|^\s*declare\s"
 def transform_xml(df: DataFrame, content_col: str,
                   rules: list[dict] | None = None,
                   stylesheet: str | None = None,
-                  out_col: str | None = None) -> DataFrame:
+                  out_col: str | None = None,
+                  resolver: dict | None = None) -> DataFrame:
     """Apply declarative XML transform rules to a content column.
 
     Each rule is a dict applied in order to every document:
@@ -60,7 +61,7 @@ def transform_xml(df: DataFrame, content_col: str,
         if rules:
             raise ValueError("pass rules= or stylesheet=, not both")
         from nifi_spark.operators.xslt import XsltStylesheet
-        XsltStylesheet(stylesheet)  # compile driver-side: fail fast
+        XsltStylesheet(stylesheet, resolver)  # compile driver: fail fast
         out_col = out_col or content_col
         fields = [(n, "string" if n == out_col else t)
                   for n, t in df.dtypes]
@@ -73,7 +74,7 @@ def transform_xml(df: DataFrame, content_col: str,
                      ) -> Iterator[pd.DataFrame]:
             from nifi_spark.operators.xslt import (XsltStylesheet,
                                                    xslt_transform)
-            sheet = XsltStylesheet(stylesheet)
+            sheet = XsltStylesheet(stylesheet, resolver)
             for pdf in batches:
                 out = pdf.copy()
                 out[out_col] = pdf[content_col].map(

@@ -18,8 +18,13 @@ stylesheets:
   rules, and xsl:output method="xml|text".
 
 Out of scope (raises XsltError with the instruction name — a declared
-boundary, never a silent wrong answer): xsl:key/key(), xsl:import/
-include, xsl:number, xsl:apply-imports, extension namespaces.
+boundary, never a silent wrong answer): xsl:apply-imports,
+xsl:decimal-format/namespace-alias, extension namespaces.
+Supported beyond the round-2 subset: xsl:key + key() (per-document
+index, doc-ordered results), xsl:number (value=, levels
+single/any/multiple, count=/from= patterns, format tokens 1/01/a/A/i/I),
+and xsl:import/xsl:include through a resolver mapping hrefs to
+stylesheet text (imports carry lower import precedence).
 
 Execution model on Spark: one stylesheet compiled once per executor
 task, applied row-wise inside Arrow-batched ``mapInPandas`` — a pure
@@ -92,6 +97,9 @@ class _Template:
     priority: float
     pos: int                # document position (later wins ties)
     body: ET.Element        # the xsl:template element
+    prec: int = 0           # import precedence (higher wins over
+    #                         priority — the importing sheet's rules
+    #                         beat anything it imports, XSLT 1.0 §5.5)
 
 
 def _default_priority(alt: str) -> float:
@@ -103,52 +111,114 @@ def _default_priority(alt: str) -> float:
     return 0.0
 
 
-class XsltStylesheet:
-    """Compiled stylesheet; ``apply(xml_text)`` returns the output."""
+def _anchor_alts(match: str) -> list[str]:
+    alts = []
+    for alt in _split_union(match):
+        anchored = alt if alt.startswith("/") else "//" + alt
+        if alt == "/":
+            anchored = "/"
+        alts.append(anchored)
+    return alts
 
-    def __init__(self, stylesheet: str):
+
+class XsltStylesheet:
+    """Compiled stylesheet; ``apply(xml_text)`` returns the output.
+
+    ``resolver`` maps an xsl:import/xsl:include href to its stylesheet
+    text (a dict or a callable) — there is no filesystem contract in a
+    distributed operator, so unresolved hrefs raise at compile time.
+    Imported templates carry lower import precedence (the importing
+    sheet wins regardless of priority, per XSLT 1.0 §5.5); included
+    sheets splice at the including sheet's precedence.
+    """
+
+    def __init__(self, stylesheet: str,
+                 resolver: dict | None = None):
+        self.output_method = "xml"
+        self.templates: list[_Template] = []
+        self.named: dict[str, _Template] = {}
+        self.global_vars: list[ET.Element] = []
+        self.keys: list[tuple[str, list[str], str]] = []
+        self._next_prec = 0
+        self._next_pos = 0
+        self._load(self._parse_sheet(stylesheet), resolver)
+
+    @staticmethod
+    def _parse_sheet(stylesheet: str) -> ET.Element:
         try:
             root = ET.fromstring(stylesheet)
         except ET.ParseError as e:
             raise XsltError(f"stylesheet is not well-formed: {e}") from e
         if root.tag not in (_X + "stylesheet", _X + "transform"):
             raise XsltError(f"not an XSLT stylesheet root: {root.tag}")
-        self.output_method = "xml"
-        self.templates: list[_Template] = []
-        self.named: dict[str, _Template] = {}
-        self.global_vars: list[ET.Element] = []
-        for i, child in enumerate(root):
-            if child.tag == _X + "output":
-                self.output_method = child.get("method", "xml")
-            elif child.tag == _X + "template":
-                match = child.get("match")
-                alts = []
-                if match is not None:
-                    for alt in _split_union(match):
-                        anchored = alt if alt.startswith("/") \
-                            else "//" + alt
-                        if alt == "/":
-                            anchored = "/"
-                        alts.append(anchored)
-                prio = child.get("priority")
-                t = _Template(
-                    pattern=match, alts=alts, name=child.get("name"),
-                    mode=child.get("mode"),
-                    priority=float(prio) if prio is not None else
-                    (max(_default_priority(a)
-                         for a in _split_union(match)) if match else 0.0),
-                    pos=i, body=child)
-                self.templates.append(t)
-                if t.name:
-                    self.named[t.name] = t
-            elif child.tag in (_X + "variable", _X + "param"):
-                self.global_vars.append(child)
-            elif child.tag in (_X + "key", _X + "import", _X + "include",
-                               _X + "decimal-format",
-                               _X + "namespace-alias"):
-                raise XsltError(f"unsupported top-level instruction "
-                                f"{child.tag.replace(_X, 'xsl:')}")
-            # strip-space/preserve-space/attribute-set: ignore
+        return root
+
+    def _resolve(self, resolver, href: str) -> ET.Element:
+        text = None
+        if callable(resolver):
+            text = resolver(href)
+        elif resolver is not None:
+            text = resolver.get(href)
+        if text is None:
+            raise XsltError(f"unresolvable stylesheet href {href!r} "
+                            "(pass resolver={href: text})")
+        return self._parse_sheet(text)
+
+    def _load(self, root: ET.Element, resolver) -> None:
+        # imports first: each imported sheet takes a LOWER precedence
+        # number than this sheet (and later imports beat earlier ones)
+        for child in root:
+            if child.tag == _X + "import":
+                self._load(self._resolve(resolver, child.get("href")),
+                           resolver)
+        prec = self._next_prec
+        self._next_prec += 1
+        self._load_body(root, resolver, prec)
+
+    def _load_body(self, root: ET.Element, resolver, prec: int) -> None:
+        for child in root:
+            if child.tag == _X + "import":
+                continue  # handled by _load
+            if child.tag == _X + "include":
+                sub = self._resolve(resolver, child.get("href"))
+                if any(c.tag == _X + "import" for c in sub):
+                    raise XsltError("xsl:import inside an included "
+                                    "sheet is not supported")
+                self._load_body(sub, resolver, prec)
+                continue
+            self._add_top_level(child, prec)
+
+    def _add_top_level(self, child: ET.Element, prec: int) -> None:
+        i = self._next_pos
+        self._next_pos += 1
+        if child.tag == _X + "output":
+            self.output_method = child.get("method", "xml")
+        elif child.tag == _X + "template":
+            match = child.get("match")
+            prio = child.get("priority")
+            t = _Template(
+                pattern=match,
+                alts=_anchor_alts(match) if match is not None else [],
+                name=child.get("name"), mode=child.get("mode"),
+                priority=float(prio) if prio is not None else
+                (max(_default_priority(a)
+                     for a in _split_union(match)) if match else 0.0),
+                pos=i, body=child, prec=prec)
+            self.templates.append(t)
+            if t.name:
+                # loading order ends with the highest precedence, so a
+                # plain overwrite implements importing-sheet-wins
+                self.named[t.name] = t
+        elif child.tag in (_X + "variable", _X + "param"):
+            self.global_vars.append(child)
+        elif child.tag == _X + "key":
+            self.keys.append((child.get("name"),
+                              _anchor_alts(child.get("match")),
+                              child.get("use")))
+        elif child.tag in (_X + "decimal-format", _X + "namespace-alias"):
+            raise XsltError(f"unsupported top-level instruction "
+                            f"{child.tag.replace(_X, 'xsl:')}")
+        # strip-space/preserve-space/attribute-set: ignore
 
     # ---- pattern matching -------------------------------------------
 
@@ -177,7 +247,8 @@ class XsltStylesheet:
             if t.pattern is None or t.mode != mode:
                 continue
             if best is not None and \
-                    (t.priority, t.pos) <= (best.priority, best.pos):
+                    (t.prec, t.priority, t.pos) <= \
+                    (best.prec, best.priority, best.pos):
                 continue
             if any(key in self._match_keys(doc, alt, variables)
                    for alt in t.alts):
@@ -189,6 +260,8 @@ class XsltStylesheet:
     def apply(self, xml_text: str) -> str:
         src = ET.fromstring(xml_text)
         doc = Document(src)
+        if self.keys:
+            doc.functions = {"key": self._key_fn}
         variables: dict[str, Any] = {}
         for gv in self.global_vars:
             ctx = Context(doc, doc, variables=dict(variables))
@@ -197,6 +270,129 @@ class XsltStylesheet:
         self._apply_to(out, [doc], None,
                        Context(doc, doc, variables=variables), {})
         return self._serialize(out)
+
+    # ---- xsl:key ------------------------------------------------------
+
+    def _key_index(self, doc: Document) -> dict:
+        """name -> use-value -> doc-ordered node list; built once per
+        document on first key() call."""
+        cache = getattr(doc, "_xslt_keyidx", None)
+        if cache is None:
+            cache = doc._xslt_keyidx = {}
+            for name, alts, use in self.keys:
+                idx = cache.setdefault(name, {})
+                for alt in alts:
+                    nodes = evaluate(alt, Context(doc, doc))
+                    if not isinstance(nodes, list):
+                        continue
+                    for nd in nodes:
+                        v = evaluate(use, Context(doc, nd))
+                        vals = [string_value(x) for x in v] \
+                            if isinstance(v, list) else [to_string(v)]
+                        for s in vals:
+                            idx.setdefault(s, []).append(nd)
+        return cache
+
+    def _key_fn(self, ctx: Context, args: list):
+        if len(args) != 2:
+            raise XsltError("key() takes (name, value)")
+        idx = self._key_index(ctx.doc).get(to_string(args[0]), {})
+        vals = [string_value(x) for x in args[1]] \
+            if isinstance(args[1], list) else [to_string(args[1])]
+        seen, out = set(), []
+        for s in vals:
+            for nd in idx.get(s, []):
+                k = _node_key(nd)
+                if k not in seen:
+                    seen.add(k)
+                    out.append(nd)
+        out.sort(key=ctx.doc.sort_key)
+        return out
+
+    # ---- xsl:number ----------------------------------------------------
+
+    def _pat_matches(self, doc: Document, nd, alts: list[str],
+                     variables: dict) -> bool:
+        key = _node_key(nd)
+        return any(key in self._match_keys(doc, alt, variables)
+                   for alt in alts)
+
+    def _number(self, el: ET.Element, ctx: Context) -> str:
+        value = el.get("value")
+        if value is not None:
+            nums = [int(round(to_number(evaluate(value, ctx))))]
+            return _format_numbers(nums, el.get("format", "1"))
+        doc = ctx.doc
+        level = el.get("level", "single")
+        count = el.get("count")
+        if count is None:
+            nd = ctx.node
+            if not isinstance(nd, ET.Element):
+                raise XsltError("xsl:number without count= needs an "
+                                "element context node")
+            count = nd.tag
+        alts = _anchor_alts(count)
+        from_alts = _anchor_alts(el.get("from")) if el.get("from") else None
+        matches = lambda n: self._pat_matches(doc, n, alts, ctx.variables)  # noqa: E731
+        from_match = (lambda n: self._pat_matches(
+            doc, n, from_alts, ctx.variables)) if from_alts else None
+
+        def sib_index(m) -> int:
+            parent = doc.parent.get(id(m))
+            sibs = [s for s in node_children(doc, parent)
+                    if isinstance(s, ET.Element) and matches(s)]
+            return next(i + 1 for i, s in enumerate(sibs) if s is m)
+
+        def ancestry(n) -> list:
+            chain = []
+            cur = n
+            while isinstance(cur, ET.Element):
+                chain.append(cur)
+                cur = doc.parent.get(id(cur))
+            return chain  # innermost first
+
+        if level == "single":
+            nums = []
+            for anc in ancestry(ctx.node):
+                if from_match and from_match(anc):
+                    break
+                if matches(anc):
+                    nums = [sib_index(anc)]
+                    break
+        elif level == "multiple":
+            chain = ancestry(ctx.node)
+            if from_match:
+                kept = []
+                for anc in chain:
+                    if from_match(anc):
+                        break
+                    kept.append(anc)
+                chain = kept
+            nums = [sib_index(a) for a in reversed(chain) if matches(a)]
+        elif level == "any":
+            me = doc.sort_key(ctx.node)
+            lo = ()
+            if from_match:
+                # nearest from-match at or before the current node
+                for alt in from_alts:
+                    hits = evaluate(alt, Context(doc, doc,
+                                                 variables=ctx.variables))
+                    for h in hits if isinstance(hits, list) else []:
+                        k = doc.sort_key(h)
+                        if lo < k <= me:
+                            lo = k
+            keys = set()
+            for alt in alts:
+                hits = evaluate(alt, Context(doc, doc,
+                                             variables=ctx.variables))
+                for h in hits if isinstance(hits, list) else []:
+                    k = doc.sort_key(h)
+                    if lo < k <= me:
+                        keys.add(k)
+            nums = [len(keys)] if keys else []
+        else:
+            raise XsltError(f"unsupported xsl:number level {level!r}")
+        return _format_numbers(nums, el.get("format", "1"))
 
     def _serialize(self, items: list) -> str:
         if self.output_method == "text":
@@ -379,6 +575,8 @@ class XsltStylesheet:
                         out.append(string_value(nd))
             else:
                 out.append(to_string(v))
+        elif local == "number":
+            out.append(self._number(el, ctx))
         elif local == "variable":
             ctx.variables[el.get("name")] = self._var_value(el, ctx)
         elif local in ("sort", "with-param", "param"):
@@ -410,6 +608,61 @@ class XsltStylesheet:
                 items.append(child.tail)
         _attach(new, items)
         out.append(new)
+
+
+def _to_roman(n: int) -> str:
+    pairs = [(1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+             (100, "c"), (90, "xc"), (50, "l"), (40, "xl"), (10, "x"),
+             (9, "ix"), (5, "v"), (4, "iv"), (1, "i")]
+    out = []
+    for v, s in pairs:
+        while n >= v:
+            out.append(s)
+            n -= v
+    return "".join(out) or "0"
+
+
+def _to_alpha(n: int) -> str:
+    out = []
+    while n > 0:
+        n, r = divmod(n - 1, 26)
+        out.append(chr(ord("a") + r))
+    return "".join(reversed(out)) or "0"
+
+
+def _format_one(n: int, token: str) -> str:
+    if token and token[-1] == "1":
+        return str(n).rjust(len(token), "0")   # "01" zero-pads to width
+    if token == "a":
+        return _to_alpha(n)
+    if token == "A":
+        return _to_alpha(n).upper()
+    if token == "i":
+        return _to_roman(n)
+    if token == "I":
+        return _to_roman(n).upper()
+    return str(n)
+
+
+def _format_numbers(nums: list[int], fmt: str) -> str:
+    """XSLT 1.0 §7.7 number formatting: the format string alternates
+    separators and format tokens (1/01/a/A/i/I); extra numbers reuse
+    the last token with the last separator (default '.')."""
+    parts = re.findall(r"[0-9A-Za-z]+|[^0-9A-Za-z]+", fmt) or ["1"]
+    prefix = parts.pop(0) if parts and not parts[0].isalnum() else ""
+    suffix = parts.pop() if parts and not parts[-1].isalnum() else ""
+    tokens = [p for p in parts if p.isalnum()]
+    seps = [p for p in parts if not p.isalnum()]
+    out = [prefix]
+    for i, n in enumerate(nums):
+        if i > 0:
+            out.append(seps[i - 1] if i - 1 < len(seps)
+                       else (seps[-1] if seps else "."))
+        tok = tokens[i] if i < len(tokens) else (tokens[-1]
+                                                 if tokens else "1")
+        out.append(_format_one(n, tok))
+    out.append(suffix)
+    return "".join(out)
 
 
 def _attach(parent: ET.Element, items: list):

@@ -146,17 +146,81 @@ def test_xslt_copy_of_and_element(root):
 
 
 def test_xslt_unsupported_raises():
-    with pytest.raises(XsltError, match="xsl:import"):
+    with pytest.raises(XsltError, match="unresolvable"):
         XsltStylesheet(
             '<xsl:stylesheet version="1.0" xmlns:xsl='
             '"http://www.w3.org/1999/XSL/Transform">'
             '<xsl:import href="x.xsl"/></xsl:stylesheet>')
-    xsl_num = ('<xsl:stylesheet version="1.0" xmlns:xsl='
-               '"http://www.w3.org/1999/XSL/Transform">'
-               '<xsl:template match="/"><xsl:number/></xsl:template>'
-               '</xsl:stylesheet>')
-    with pytest.raises(XsltError, match="xsl:number"):
-        XsltStylesheet(xsl_num).apply("<r/>")
+    with pytest.raises(XsltError, match="decimal-format"):
+        XsltStylesheet(
+            '<xsl:stylesheet version="1.0" xmlns:xsl='
+            '"http://www.w3.org/1999/XSL/Transform">'
+            '<xsl:decimal-format name="d"/></xsl:stylesheet>')
+
+
+_XSL_HEAD = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+             '"http://www.w3.org/1999/XSL/Transform">')
+
+
+def test_xslt_key():
+    xsl = (_XSL_HEAD +
+           '<xsl:key name="by-author" match="book" use="author"/>'
+           '<xsl:template match="/">'
+           "<hits><xsl:for-each select=\"key('by-author', 'Ann')\">"
+           '<t><xsl:value-of select="title"/></t>'
+           '</xsl:for-each></hits></xsl:template></xsl:stylesheet>')
+    assert XsltStylesheet(xsl).apply(XML) == \
+        "<hits><t>Alpha</t><t>Gamma</t></hits>"
+
+
+def test_xslt_number_levels():
+    doc = ("<d><ch><s/><s/><s/></ch><ch><s/><s/></ch></d>")
+    # level=single: position among matching siblings
+    xsl = (_XSL_HEAD + '<xsl:output method="text"/>'
+           '<xsl:template match="/">'
+           '<xsl:for-each select="//s">'
+           '<xsl:number level="single" count="s" format="1."/>'
+           '</xsl:for-each></xsl:template></xsl:stylesheet>')
+    assert XsltStylesheet(xsl).apply(doc) == "1.2.3.1.2."
+    # level=any counts across the whole document in doc order
+    xsl_any = xsl.replace('level="single"', 'level="any"')
+    assert XsltStylesheet(xsl_any).apply(doc) == "1.2.3.4.5."
+    # level=multiple: ch.s hierarchical numbering + alpha format
+    xsl_m = (_XSL_HEAD + '<xsl:output method="text"/>'
+             '<xsl:template match="/">'
+             '<xsl:for-each select="//s">'
+             '<xsl:number level="multiple" count="ch|s" format="1.a "/>'
+             '</xsl:for-each></xsl:template></xsl:stylesheet>')
+    assert XsltStylesheet(xsl_m).apply(doc) == \
+        "1.a 1.b 1.c 2.a 2.b "
+    # value= + roman format
+    xsl_v = (_XSL_HEAD + '<xsl:output method="text"/>'
+             '<xsl:template match="/">'
+             '<xsl:number value="14" format="I"/>'
+             '</xsl:template></xsl:stylesheet>')
+    assert XsltStylesheet(xsl_v).apply("<r/>") == "XIV"
+
+
+def test_xslt_import_precedence_and_include():
+    base = (_XSL_HEAD + '<xsl:output method="text"/>'
+            '<xsl:template match="book">'
+            'base:<xsl:value-of select="@id"/>;'
+            '</xsl:template>'
+            '<xsl:template match="note">N</xsl:template>'
+            '</xsl:stylesheet>')
+    inc = (_XSL_HEAD +
+           '<xsl:template match="title|author"/></xsl:stylesheet>')
+    main = (_XSL_HEAD + '<xsl:import href="base.xsl"/>'
+            '<xsl:include href="inc.xsl"/>'
+            '<xsl:template match="book[@id=\'b2\']" priority="-5">'
+            'main:b2;</xsl:template></xsl:stylesheet>')
+    out = XsltStylesheet(
+        main, resolver={"base.xsl": base, "inc.xsl": inc}).apply(XML)
+    # the importing sheet's b2 rule wins DESPITE priority -5 (import
+    # precedence dominates); other books fall through to the import;
+    # the included empty rules suppress title/author text (remaining
+    # whitespace is the source document's, as real XSLT preserves it)
+    assert "".join(out.split()) == "base:b1;main:b2;base:b3;N"
 
 
 def test_flwor_let_where_order(root):
