@@ -715,6 +715,52 @@ def q_parse_evtx_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "payload_len", "payload_md5")
 
 
+def q_parse_evtx_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseEvtx over the FULL BinXML token set: CDATA sections,
+    character/entity references, processing instructions, plus the
+    extended value-spec list (bool, hex32, SID, binary-hex) — every
+    piece of the decoded XML rebuilt character-exactly by the SQL
+    oracle from the source columns."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_BINARY, _VT_BOOL, _VT_HEX32,
+                                           _VT_SID, encode_binxml_template)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 7) \
+        .select("event_id",
+                F.pmod(F.col("user_id"), F.lit(8)).alias("file_id"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import struct as _struct
+        recs = []
+        for r in pdf.itertuples():
+            eid = int(r.event_id)
+            payload = encode_binxml_template(
+                "Event", children=[
+                    ("cdata", f"c&{eid}"),
+                    ("charref", 60 + eid % 20),
+                    ("entityref", "amp"),
+                    ("pi", "p", f"d{eid % 7}"),
+                    ("B", [], [], ("sub", 0)),
+                    ("H", [], [], ("sub", 1)),
+                    ("S", [], [], ("sub", 2)),
+                    ("X", [], [], ("sub", 3))],
+                values=[(_VT_BOOL, eid % 2 == 1),
+                        (_VT_HEX32, eid % (1 << 32)),
+                        (_VT_SID, f"S-1-5-21-{eid % 100}-{eid % 7}"),
+                        (_VT_BINARY, _struct.pack("<I", eid % (1 << 32)))],
+                template_id=2)
+            recs.append((eid, int(r.us), payload))
+        recs.sort()
+        return pd.DataFrame({"file_id": [int(pdf["file_id"].iloc[0])],
+                             "content": [build_evtx(recs)]})
+
+    blobs = ev.groupBy("file_id").applyInPandas(
+        pack, "file_id long, content binary")
+    return parse_evtx(blobs, "content", id_col="file_id",
+                      decode_stub=False).select(
+        "record_id", "record_time_us", "xml")
+
+
 def q_parse_evtx_binxml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ParseEvtx with REAL BinXML payloads: each event becomes a
     template-instance fragment (inline definition + typed substitutions —
@@ -2733,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_cef_route": q_parse_cef_route,
         "parse_evtx_records": q_parse_evtx_records,
         "parse_evtx_binxml": q_parse_evtx_binxml,
+        "parse_evtx_tokens": q_parse_evtx_tokens,
         "parse_evtx_chunkref": q_parse_evtx_chunkref,
         "transform_xml_roundtrip": q_transform_xml_roundtrip,
         "transform_xml_xslt": q_transform_xml_xslt,
@@ -3096,6 +3143,25 @@ FROM valid GROUP BY 1
 UNION ALL
 SELECT '_invalid_', count(*), 0
 FROM events WHERE event_id % 17 = 0
+""",
+        "parse_evtx_tokens": """
+SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
+       '<Event><![CDATA[c&' || event_id::VARCHAR || ']]>' ||
+       '&#' || (60 + event_id % 20)::VARCHAR || ';' ||
+       '&amp;' ||
+       '<?p d' || (event_id % 7)::VARCHAR || '?>' ||
+       '<B>' || CASE WHEN event_id % 2 = 1
+                     THEN 'true' ELSE 'false' END || '</B>' ||
+       '<H>0x' || printf('%x', event_id) || '</H>' ||
+       '<S>S-1-5-21-' || (event_id % 100)::VARCHAR || '-' ||
+       (event_id % 7)::VARCHAR || '</S>' ||
+       '<X>' || printf('%02x%02x%02x%02x',
+                       event_id % 256,
+                       (event_id // 256) % 256,
+                       (event_id // 65536) % 256,
+                       (event_id // 16777216) % 256) || '</X>' ||
+       '</Event>' AS xml
+FROM events WHERE event_id % 10 = 7
 """,
         "parse_evtx_binxml": """
 SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,

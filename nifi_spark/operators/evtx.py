@@ -25,19 +25,23 @@ of the BinXML token stream (the layout libevtx documents): fragment
 headers, element start/close/end tokens with INLINE names, attribute
 lists, value-text tokens, and template instances whose definition is
 embedded inline (how real files carry a template's first use), with
-normal/optional substitutions over the value-spec subset — UTF-16
-strings, signed/unsigned 8/16/32/64-bit ints, FILETIME (rendered as
-ISO-8601 with microseconds), GUID (canonical mixed-endian form), and
-NULL. CHUNK-RESIDENT state also resolves: when a name or template
+normal/optional substitutions over the value-spec list — UTF-16 and
+ANSI (cp1252) strings, signed/unsigned 8/16/32/64-bit ints, float/
+double, bool, binary (hex), size_t and hex32/hex64 (0x-prefixed),
+FILETIME (ISO-8601 with microseconds), SYSTEMTIME, GUID (canonical
+mixed-endian form), SID (S-R-A-S... form), and NULL. CDATA sections,
+character/entity references, and processing instructions decode to
+their XML text forms, in element content and (refs) inside multi-piece
+attribute values. CHUNK-RESIDENT state also resolves: when a name or template
 offset points at an EARLIER chunk position (a back-reference to a
 prior record — how real EVTX writers dedup names/templates within a
 chunk), the decode retries with the whole chunk as offset context
 (decode_binxml_in_chunk) and reads the referenced name data / template
 definition in place. The encoder mirrors this (base/registry mode), so
 back-referencing blobs are synthesized and round-trip-tested. What
-remains outside the subset: value types beyond the list above, CDATA/
-entity/PI tokens — those raise (decode_stub=False) or yield the digest
-placeholder (decode_stub=True).
+remains outside the subset: array value types (0x80|T) and embedded-
+BinXML values (0x21) — those raise (decode_stub=False) or yield the
+digest placeholder (decode_stub=True).
 
 ``build_evtx`` is the deterministic synthesizer for tests and gate
 queries — the analog of the reference's checked-in ``.evtx`` test
@@ -177,6 +181,11 @@ _TOK_CLOSE_EMPTY = 0x03
 _TOK_END = 0x04
 _TOK_VALUE = 0x05         # | 0x40 inside attribute lists
 _TOK_ATTR = 0x06          # | 0x40 when more attributes follow
+_TOK_CDATA = 0x07         # | 0x40 inside attribute lists
+_TOK_CHARREF = 0x08       # &#NNNN;
+_TOK_ENTITYREF = 0x09     # &name;
+_TOK_PI_TARGET = 0x0A
+_TOK_PI_DATA = 0x0B
 _TOK_TEMPLATE = 0x0C
 _TOK_SUBST = 0x0D         # normal substitution
 _TOK_SUBST_OPT = 0x0E     # optional substitution (null → omit)
@@ -184,6 +193,7 @@ _TOK_FRAGMENT = 0x0F
 
 _VT_NULL = 0x00
 _VT_STRING = 0x01
+_VT_ANSI = 0x02
 _VT_INT8 = 0x03
 _VT_UINT8 = 0x04
 _VT_INT16 = 0x05
@@ -192,8 +202,17 @@ _VT_INT32 = 0x07
 _VT_UINT32 = 0x08
 _VT_INT64 = 0x09
 _VT_UINT64 = 0x0A
+_VT_REAL32 = 0x0B
+_VT_REAL64 = 0x0C
+_VT_BOOL = 0x0D
+_VT_BINARY = 0x0E
 _VT_GUID = 0x0F
+_VT_SIZET = 0x10
 _VT_FILETIME = 0x11
+_VT_SYSTIME = 0x12
+_VT_SID = 0x13
+_VT_HEX32 = 0x14
+_VT_HEX64 = 0x15
 
 _VT_INTS = {_VT_INT8: ("<b", 1), _VT_UINT8: ("<B", 1),
             _VT_INT16: ("<h", 2), _VT_UINT16: ("<H", 2),
@@ -219,18 +238,51 @@ def _render_filetime(ft: int) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{dt.microsecond:06d}Z"
 
 
+def _render_sid(b: bytes) -> str:
+    rev, nsub = b[0], b[1]
+    auth = int.from_bytes(b[2:8], "big")
+    subs = struct.unpack_from(f"<{nsub}I", b, 8)
+    return "S-" + "-".join(str(x) for x in (rev, auth, *subs))
+
+
+def _render_systime(b: bytes) -> str:
+    y, mo, _dow, d, h, mi, s, ms = struct.unpack("<8H", b)
+    return f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}.{ms:03d}Z"
+
+
 def _render_value(vtype: int, data: bytes) -> str:
     if vtype == _VT_NULL:
         return ""
     if vtype == _VT_STRING:
         return data.decode("utf-16-le")
+    if vtype == _VT_ANSI:
+        return data.decode("cp1252")
     if vtype in _VT_INTS:
         fmt, _ = _VT_INTS[vtype]
         return str(struct.unpack(fmt, data)[0])
+    if vtype == _VT_REAL32:
+        return f"{struct.unpack('<f', data)[0]:g}"
+    if vtype == _VT_REAL64:
+        return f"{struct.unpack('<d', data)[0]:g}"
+    if vtype == _VT_BOOL:
+        return "true" if struct.unpack("<I", data)[0] else "false"
+    if vtype == _VT_BINARY:
+        return data.hex()
+    if vtype == _VT_SIZET:
+        v = struct.unpack("<I" if len(data) == 4 else "<Q", data)[0]
+        return f"0x{v:x}"
     if vtype == _VT_FILETIME:
         return _render_filetime(struct.unpack("<Q", data)[0])
+    if vtype == _VT_SYSTIME:
+        return _render_systime(data)
     if vtype == _VT_GUID:
         return _render_guid(data)
+    if vtype == _VT_SID:
+        return _render_sid(data)
+    if vtype == _VT_HEX32:
+        return f"0x{struct.unpack('<I', data)[0]:x}"
+    if vtype == _VT_HEX64:
+        return f"0x{struct.unpack('<Q', data)[0]:x}"
     raise NotImplementedError(f"BinXML value type 0x{vtype:02x}")
 
 
@@ -302,6 +354,53 @@ class _BinXmlReader:
         nchars = self.take("<H")
         return self.raw(nchars * 2).decode("utf-16-le")
 
+    def cdata(self) -> str:
+        tok = self.u8()
+        assert tok & 0x3F == _TOK_CDATA, f"expected CDATA, got {tok:#x}"
+        nchars = self.take("<H")
+        return "<![CDATA[" + self.raw(nchars * 2).decode("utf-16-le") \
+            + "]]>"
+
+    def charref(self) -> str:
+        tok = self.u8()
+        assert tok & 0x3F == _TOK_CHARREF, f"expected charref, got {tok:#x}"
+        return f"&#{self.take('<H')};"
+
+    def entityref(self) -> str:
+        tok = self.u8()
+        assert tok & 0x3F == _TOK_ENTITYREF, \
+            f"expected entityref, got {tok:#x}"
+        return f"&{self.name()};"
+
+    def pi(self) -> str:
+        tok = self.u8()
+        assert tok == _TOK_PI_TARGET, f"expected PI target, got {tok:#x}"
+        target = self.name()
+        data = ""
+        if self.peek() == _TOK_PI_DATA:
+            self.u8()
+            nchars = self.take("<H")
+            data = self.raw(nchars * 2).decode("utf-16-le")
+        return f"<?{target} {data}?>" if data else f"<?{target}?>"
+
+    def _attr_piece(self, subs) -> str | None:
+        """One piece of an attribute value (values concatenate per the
+        spec); None when the next token ends the attribute."""
+        nxt = self.peek()
+        low = nxt & 0x3F
+        if low == _TOK_VALUE:
+            return _xml_escape(self.value_text())
+        if low == _TOK_CHARREF:
+            return self.charref()
+        if low == _TOK_ENTITYREF:
+            return self.entityref()
+        if nxt in (_TOK_SUBST, _TOK_SUBST_OPT):
+            self.u8()
+            sid = self.take("<H")
+            self.u8()  # declared type; actual comes with the value
+            return _xml_escape(subs[sid][1]) if subs else f"{{sub:{sid}}}"
+        return None
+
     def element(self, subs: list[tuple[int, str]] | None) -> str:
         tok = self.u8()
         has_attrs = bool(tok & 0x40)
@@ -318,18 +417,16 @@ class _BinXmlReader:
                     break
                 self.u8()
                 aname = self.name()
-                nxt = self.peek()
-                if nxt & 0x3F == _TOK_VALUE:
-                    aval = self.value_text()
-                elif nxt in (_TOK_SUBST, _TOK_SUBST_OPT):
-                    self.u8()
-                    sid = self.take("<H")
-                    self.u8()  # declared type; actual comes with value
-                    aval = subs[sid][1] if subs else f"{{sub:{sid}}}"
-                else:
+                pieces = []
+                while True:
+                    piece = self._attr_piece(subs)
+                    if piece is None:
+                        break
+                    pieces.append(piece)
+                if not pieces:
                     raise NotImplementedError(
-                        f"attribute value token {nxt:#x}")
-                parts.append(f' {aname}="{_xml_escape(aval)}"')
+                        f"attribute value token {self.peek():#x}")
+                parts.append(f' {aname}="{"".join(pieces)}"')
                 if not (atok & 0x40):   # 0x06 (no continue flag) = last
                     break
         closer = self.u8()
@@ -347,6 +444,14 @@ class _BinXmlReader:
                 parts.append(self.element(subs))
             elif nxt & 0x3F == _TOK_VALUE:
                 parts.append(_xml_escape(self.value_text()))
+            elif nxt & 0x3F == _TOK_CDATA:
+                parts.append(self.cdata())
+            elif nxt & 0x3F == _TOK_CHARREF:
+                parts.append(self.charref())
+            elif nxt & 0x3F == _TOK_ENTITYREF:
+                parts.append(self.entityref())
+            elif nxt == _TOK_PI_TARGET:
+                parts.append(self.pi())
             elif nxt in (_TOK_SUBST, _TOK_SUBST_OPT):
                 self.u8()
                 sid = self.take("<H")
@@ -491,10 +596,35 @@ class _BinXmlWriter:
             if text is not None:
                 self._content_value(text)
             for ch in children:
-                self.element(*ch)
+                self._child(ch)
             self.out.append(_TOK_END)
         struct.pack_into("<I", self.out, size_pos,
                          len(self.out) - size_pos - 4)
+
+    def _child(self, ch):
+        """A child spec: ('cdata', s) / ('charref', n) /
+        ('entityref', name) / ('pi', target, data) special nodes, else
+        a nested (name, attrs, children, text) element tuple."""
+        kind = ch[0] if ch else None
+        if kind == "cdata":
+            self.out.append(_TOK_CDATA)
+            self.out += struct.pack("<H", len(ch[1]))
+            self.out += ch[1].encode("utf-16-le")
+        elif kind == "charref":
+            self.out.append(_TOK_CHARREF)
+            self.out += struct.pack("<H", int(ch[1]))
+        elif kind == "entityref":
+            self.out.append(_TOK_ENTITYREF)
+            self._name(ch[1])
+        elif kind == "pi":
+            self.out.append(_TOK_PI_TARGET)
+            self._name(ch[1])
+            data = ch[2] if len(ch) > 2 else ""
+            self.out.append(_TOK_PI_DATA)
+            self.out += struct.pack("<H", len(data))
+            self.out += data.encode("utf-16-le")
+        else:
+            self.element(*ch)
 
     def _attr_value(self, v):
         if isinstance(v, tuple) and v[0] == "sub":
@@ -587,6 +717,29 @@ def _pack_value(vtype: int, v) -> bytes:
         return (struct.pack("<IHH", int(s[:8], 16), int(s[8:12], 16),
                             int(s[12:16], 16))
                 + bytes.fromhex(s[16:]))
+    if vtype == _VT_ANSI:
+        return str(v).encode("cp1252")
+    if vtype == _VT_REAL32:
+        return struct.pack("<f", float(v))
+    if vtype == _VT_REAL64:
+        return struct.pack("<d", float(v))
+    if vtype == _VT_BOOL:
+        return struct.pack("<I", 1 if v else 0)
+    if vtype == _VT_BINARY:
+        return bytes(v)
+    if vtype in (_VT_SIZET, _VT_HEX64):
+        return struct.pack("<Q", int(v))
+    if vtype == _VT_HEX32:
+        return struct.pack("<I", int(v))
+    if vtype == _VT_SYSTIME:
+        y, mo, dow, d, h, mi, s, ms = v
+        return struct.pack("<8H", y, mo, dow, d, h, mi, s, ms)
+    if vtype == _VT_SID:
+        parts = str(v).split("-")       # S-rev-auth-sub...
+        rev, auth = int(parts[1]), int(parts[2])
+        subs = [int(x) for x in parts[3:]]
+        return (bytes([rev, len(subs)]) + auth.to_bytes(6, "big")
+                + struct.pack(f"<{len(subs)}I", *subs))
     raise NotImplementedError(f"pack value type 0x{vtype:02x}")
 
 

@@ -193,11 +193,11 @@ def test_transform_xml_stylesheet_engine(spark):
     assert out[1] == ('<summary id="7" n="2"><total>13</total>'
                       '<l>10</l><l>6</l></summary>')
     # unsupported instruction still raises — driver-side, at compile
-    with pytest.raises(XsltError, match="xsl:key"):
+    with pytest.raises(XsltError, match="decimal-format"):
         transform_xml(df, "content", stylesheet=(
             '<xsl:stylesheet version="1.0" xmlns:xsl='
             '"http://www.w3.org/1999/XSL/Transform">'
-            '<xsl:key name="k" match="a" use="@id"/></xsl:stylesheet>'))
+            '<xsl:decimal-format name="d"/></xsl:stylesheet>'))
     with pytest.raises(ValueError, match="unknown transform op"):
         transform_xml(df, "content", [{"op": "explode"}])
 
@@ -222,10 +222,17 @@ def test_evaluate_xquery_paths_and_flwor(spark):
          'return <hit p="{$i/@p}">{string($i/n)}</hit>')
     got = evaluate_xquery(df, "content", {"hits": q}).collect()[0]
     assert list(got.hits) == ['<hit p="9">b</hit>', '<hit p="5">a</hit>']
-    # nested FLWOR stays a declared boundary
-    with pytest.raises(XQueryError, match="nested FLWOR"):
+    # nested FLWOR in return now evaluates (one joined string per
+    # outer binding; markup items concatenate)
+    nest = evaluate_xquery(df, "content", {
+        "q": ("for $i in /o/i[@p > 3] "
+              "return for $j in $i/n return <x>{string($j)}</x>")
+    }).collect()[0]
+    assert list(nest.q) == ["<x>a</x>", "<x>b</x>"]
+    # external variable declarations remain the declared boundary
+    with pytest.raises(XQueryError, match="external"):
         evaluate_xquery(df, "content", {
-            "q": "for $i in /o/i return for $j in /o/i return $j"})
+            "q": "declare variable $v external; for $i in /o/i return $i"})
 
 
 def test_identify_mime_type(spark):
@@ -520,3 +527,43 @@ def test_parse_evtx_chunk_resident_backrefs(spark):
     payloads = [p for _, _, _, p, _, _ in _walk_records(blob)]
     with pytest.raises(BinXmlResidentRef):
         decode_binxml(payloads[1])
+
+
+def test_parse_evtx_full_token_set(spark):
+    """CDATA / charref / entityref / PI tokens and the full value-spec
+    list decode to their XML text forms under strict decode."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_ANSI, _VT_BINARY, _VT_BOOL,
+                                           _VT_HEX32, _VT_HEX64,
+                                           _VT_REAL64, _VT_SID, _VT_SIZET,
+                                           _VT_SYSTIME,
+                                           encode_binxml,
+                                           encode_binxml_template)
+    p1 = encode_binxml(
+        "Ev", children=[
+            ("cdata", "a <raw> & b"),
+            ("charref", 169),
+            ("entityref", "amp"),
+            ("pi", "target", "do this"),
+            ("N", [], [], "tail"),
+        ])
+    p2 = encode_binxml_template(
+        "V", children=[(f"v{i}", [], [], ("sub", i)) for i in range(9)],
+        values=[(_VT_ANSI, "café"), (_VT_REAL64, 2.5),
+                (_VT_BOOL, True), (_VT_BINARY, b"\xde\xad\xbe\xef"),
+                (_VT_SIZET, 4096), (_VT_HEX32, 0x1f), (_VT_HEX64, 2**40),
+                (_VT_SYSTIME, (2024, 3, 0, 9, 12, 30, 45, 7)),
+                (_VT_SID, "S-1-5-21-1111-2222")],
+        template_id=3)
+    blob = build_evtx([(1, 1_000_000, p1), (2, 2_000_000, p2)])
+    df = spark.createDataFrame([(1, blob)], "fid long, content binary")
+    out = {r.record_id: r.xml
+           for r in parse_evtx(df, "content", id_col="fid",
+                               decode_stub=False).collect()}
+    assert out[1] == ("<Ev><![CDATA[a <raw> & b]]>&#169;&amp;"
+                      "<?target do this?><N>tail</N></Ev>")
+    assert out[2] == ("<V><v0>café</v0><v1>2.5</v1><v2>true</v2>"
+                      "<v3>deadbeef</v3><v4>0x1000</v4><v5>0x1f</v5>"
+                      "<v6>0x10000000000</v6>"
+                      "<v7>2024-03-09T12:30:45.007Z</v7>"
+                      "<v8>S-1-5-21-1111-2222</v8></V>")
