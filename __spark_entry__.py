@@ -440,6 +440,101 @@ def q_execute_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_execute_sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q7 shape (volume shipping between two nations)
+    — a 5-table join with the nation dim joined TWICE under a
+    symmetric OR condition, grouped by shipment year."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(
+        sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"])
+    return eng.sql("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """)
+
+
+def q_execute_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q13 shape (customer order-count distribution)
+    — LEFT OUTER JOIN with a join-side filter so zero-order customers
+    survive into a two-level aggregation."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(sf_dir, ["customer", "orders"])
+    return eng.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) t
+        GROUP BY c_count
+    """)
+
+
+def q_execute_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q18 shape (large-volume orders) — IN over a
+    grouped HAVING subquery, top-100 by totalprice with a key
+    tie-break so LIMIT is deterministic. Quantities are integral in
+    the fixture, so double sums are exact on both engines."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(
+        sf_dir, ["customer", "orders", "lineitem"])
+    return eng.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS o_date_us,
+               o_totalprice,
+               CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 150)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """)
+
+
+def q_execute_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteSQL: TPC-H Q22 shape (global sales opportunity) — scalar
+    average subquery as the filter threshold plus NOT EXISTS, which
+    Catalyst rewrites to a LEFT ANTI join (the shape Q4's EXISTS/semi
+    doesn't cover). The average is an exact decimal sum divided by a
+    count, cast to double, so the threshold is bit-identical in both
+    engines; the country code is derived from c_custkey (the fixture
+    has no phone column)."""
+    from nifi_spark.plans import SqlEngine
+    eng = SqlEngine(spark).register_dir(sf_dir, ["customer", "orders"])
+    return eng.sql("""
+        SELECT c_custkey % 7 AS cntry, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
+                                              AS DECIMAL(18,4)))
+                                       AS DOUBLE) / count(*)
+                           FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= '2000-06-01')
+        GROUP BY c_custkey % 7
+    """)
+
+
 def q_execute_sql_flow_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExecuteSQL's incoming-triggered form: an upstream DataFrame stage
     becomes the table the SQL text queries (Flow + SqlEngine.stage),
@@ -2762,6 +2857,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_defragment_roundtrip": q_split_defragment_roundtrip,
         "execute_sql_tpch_q6": q_execute_sql_tpch_q6,
         "execute_sql_tpch_q4": q_execute_sql_tpch_q4,
+        "execute_sql_tpch_q7": q_execute_sql_tpch_q7,
+        "execute_sql_tpch_q13": q_execute_sql_tpch_q13,
+        "execute_sql_tpch_q18": q_execute_sql_tpch_q18,
+        "execute_sql_tpch_q22": q_execute_sql_tpch_q22,
         "execute_sql_tpch_q10": q_execute_sql_tpch_q10,
         "execute_sql_tpch_q14": q_execute_sql_tpch_q14,
         "execute_sql_flow_topn": q_execute_sql_flow_topn,
@@ -3020,6 +3119,58 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
+""",
+        "execute_sql_tpch_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       (sum(l_extendedprice::DECIMAL(18,4)
+            * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))))::DOUBLE
+         AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+        "execute_sql_tpch_q13": """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+""",
+        "execute_sql_tpch_q18": """
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_date_us, o_totalprice,
+       sum(l_quantity)::DOUBLE AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 150)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+        "execute_sql_tpch_q22": """
+SELECT c_custkey % 7 AS cntry, count(*) AS numcust,
+       (sum(c_acctbal::DECIMAL(18,4)))::DOUBLE AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT (sum(c_acctbal::DECIMAL(18,4)))::DOUBLE
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_custkey % 7
 """,
         "execute_sql_tpch_q10": """
 SELECT c_custkey, c_name, n_name,
