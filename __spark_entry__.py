@@ -1520,6 +1520,54 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"select * from {name}")
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view → purchase by the
+    same user within 4 hours): with the whole fixture in one
+    availableNow micro-batch nothing is late, so the result equals the
+    batch interval join the oracle runs."""
+    import shutil
+    import uuid
+
+    from nifi_spark.streaming import interval_join_streams
+
+    work = tempfile.mkdtemp(prefix="stream_ij_")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    name = "ij_gate_" + uuid.uuid4().hex[:8]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+
+    def reader():
+        return spark.readStream.schema(schema).parquet(src)
+
+    left = (reader().filter(F.col("event_type") == "view")
+            .select("user_id", "ts",
+                    F.col("event_id").alias("view_id")))
+    right = (reader().filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts",
+                     F.col("event_id").alias("purchase_id"),
+                     F.col("value").alias("purchase_value")))
+    # stream-stream join state lives per shuffle partition; 10k rows
+    # across 32 state stores is all setup cost — narrow it for the gate
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (interval_join_streams(left, right, ["user_id"],
+                                   watermark="2 hours", within="4 hours")
+             .select("user_id", "view_id", "purchase_id",
+                     "purchase_value")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"select * from {name}")
+
+
 def q_user_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful sessionization: 30-min inactivity gap starts a new session
     (lag window); per-user session/event counts."""
@@ -2909,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_hourly_rollup": q_stream_hourly_rollup,
         "stream_dedup": q_stream_dedup,
+        "stream_interval_join": q_stream_interval_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -3631,6 +3680,14 @@ FROM g GROUP BY user_id
 """,
         "stream_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "stream_interval_join": """
+SELECT l.user_id, l.event_id AS view_id,
+       r.event_id AS purchase_id, r.value AS purchase_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 4 HOURS
 """,
         "stream_sessionize": """
 WITH g AS (

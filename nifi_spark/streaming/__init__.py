@@ -10,8 +10,11 @@ streaming checkpoint alone.
 """
 
 from nifi_spark.streaming.cdc_stream import (StreamingCdcPipeline,
-                                             dedup_stream, windowed_rollup)
+                                             dedup_stream,
+                                             interval_join_streams,
+                                             windowed_rollup)
 from nifi_spark.streaming.stateful import rate_limit_stream, sessionize_stream
 
-__all__ = ["StreamingCdcPipeline", "dedup_stream", "windowed_rollup",
+__all__ = ["StreamingCdcPipeline", "dedup_stream",
+           "interval_join_streams", "windowed_rollup",
            "rate_limit_stream", "sessionize_stream"]

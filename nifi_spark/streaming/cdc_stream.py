@@ -106,3 +106,45 @@ def dedup_stream(events: DataFrame, key_cols: list[str],
     near-duplicates in time by construction)."""
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+def interval_join_streams(left: DataFrame, right: DataFrame,
+                          key_cols: list[str],
+                          left_ts: str = "ts", right_ts: str = "ts",
+                          watermark: str = "1 hour",
+                          within: str = "30 minutes",
+                          how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join: a right event matches a
+    left event with equal keys whose time lies in
+    [left_ts, left_ts + within]. This is the two-live-feeds enrichment
+    the reference approximates with Fetch/PutDistributedMapCache
+    (standard/FetchDistributedMapCache.java) — but with real event-time
+    semantics: both sides carry watermarks, so the join state each side
+    buffers is bounded by rate × (watermark + within) instead of the
+    whole feed. Late rows beyond the watermark are dropped, the
+    documented trade.
+
+    Output: key columns + left columns (l_ prefix where renamed by the
+    caller) + right columns; the right timestamp keeps its name with a
+    `right_` prefix if it collides. Columns other than the keys must be
+    disjoint across the two sides."""
+    if right_ts == left_ts:
+        right = right.withColumnRenamed(right_ts, f"right_{right_ts}")
+        right_ts = f"right_{right_ts}"
+    dup = (set(left.columns) & set(right.columns)) - set(key_cols)
+    if dup:
+        raise ValueError(f"non-key columns collide across sides: {dup}")
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in key_cols:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (cond & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+            & (F.col(f"r.{right_ts}")
+               <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")))
+    joined = lw.join(rw, cond, how)
+    keep = [F.col(f"l.{k}").alias(k) for k in key_cols]
+    keep += [F.col(f"l.{c}") for c in left.columns if c not in key_cols]
+    keep += [F.col(f"r.{c}") for c in right.columns if c not in key_cols]
+    return joined.select(*keep)

@@ -160,3 +160,36 @@ def test_stateful_counter_continues_across_batches(spark, tmp_path):
     assert sorted(s0["seq"]) == [0, 1, 2, 3, 4]
     assert sorted(s1["seq"]) == [5, 6, 7]
     assert st.get("ctr")["next"] == 8
+
+
+def test_interval_join_streams_across_batches(spark, tmp_path):
+    from nifi_spark.streaming import interval_join_streams
+    t0 = datetime(2024, 1, 1)
+    m = timedelta(minutes=1)
+    # left views in batch0; right purchases split across batch0/batch1 —
+    # the cross-batch match must come from buffered join state
+    b0 = [(1, 10, t0), (2, 20, t0 + 5 * m)]
+    b1 = [(1, 11, t0 + 10 * m), (2, 21, t0 + 90 * m)]  # 21 outside window
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [b0, b1])
+
+    def reader():
+        return (spark.readStream.schema(EV_SCHEMA)
+                .option("maxFilesPerTrigger", "1").parquet(src + "/*"))
+
+    left = (reader().filter(F.col("event_id").isin(10, 20))
+            .select("user_id", "ts", F.col("event_id").alias("l_id")))
+    right = (reader().filter(F.col("event_id").isin(11, 21))
+             .select("user_id", "ts", F.col("event_id").alias("r_id")))
+    q = (interval_join_streams(left, right, ["user_id"],
+                               watermark="30 minutes", within="30 minutes")
+         .writeStream.format("memory").queryName("ij_t")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.user_id, r.l_id, r.r_id)
+            for r in spark.sql("select * from ij_t").collect()}
+    # user 1: view@t0 ↔ purchase@t0+10m (cross-batch, inside 30m) joins;
+    # user 2: purchase 85 minutes after the view — outside the window
+    assert rows == {(1, 10, 11)}
