@@ -152,6 +152,27 @@ def q_cdc_watermark_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("repo").alias("n_keys")))
 
 
+def q_cdc_multi_watermark_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column max-value watermark slice — the reference's exact
+    getQuery semantics (first column strict >, later columns >=, ANDed;
+    QueryDatabaseTable.java:324-354), e.g. a coarse timestamp cursor
+    tie-broken by a sequence id. Both predicates reach the parquet
+    scan."""
+    import datetime
+
+    from nifi_spark.sources import ChangelogSource
+    src = ChangelogSource(spark, os.path.join(sf_dir, "events.parquet"),
+                          lsn_col="event_id")
+    sliced = src.read_slice_multi(
+        [("ts", datetime.datetime(2024, 1, 20)), ("event_id", 3000)])
+    return (sliced.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("id_min"),
+                 F.max("event_id").alias("id_max"),
+                 F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                 .alias("ts_min_us")))
+
+
 def q_cdc_detect_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once dedup: a fully re-delivered batch (union of the log
     with itself) collapses to one first-seen row per (key, lsn);
@@ -2888,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_apply": q_cdc_lww_apply,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
         "cdc_watermark_slice": q_cdc_watermark_slice,
+        "cdc_multi_watermark_slice": q_cdc_multi_watermark_slice,
         "lineage_batch_rows": q_lineage_batch_rows,
         "cdc_detect_duplicate": q_cdc_detect_duplicate,
         "route_on_attribute": q_route_on_attribute,
@@ -3033,6 +3055,14 @@ SELECT CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
        count(*) AS n_events, min(event_id) AS lsn_min, max(event_id) AS lsn_max,
        count(DISTINCT user_id) AS n_keys
 FROM events WHERE event_id > 5000 GROUP BY 1
+""",
+        "cdc_multi_watermark_slice": """
+SELECT event_type, count(*) AS n_events,
+       min(event_id) AS id_min, max(event_id) AS id_max,
+       min(epoch_us(ts)) AS ts_min_us
+FROM events
+WHERE ts > TIMESTAMP '2024-01-20' AND event_id >= 3000
+GROUP BY event_type
 """,
         "cdc_detect_duplicate": """
 WITH ops AS (

@@ -38,10 +38,12 @@ prior record — how real EVTX writers dedup names/templates within a
 chunk), the decode retries with the whole chunk as offset context
 (decode_binxml_in_chunk) and reads the referenced name data / template
 definition in place. The encoder mirrors this (base/registry mode), so
-back-referencing blobs are synthesized and round-trip-tested. What
-remains outside the subset: array value types (0x80|T) and embedded-
-BinXML values (0x21) — those raise (decode_stub=False) or yield the
-digest placeholder (decode_stub=True).
+back-referencing blobs are synthesized and round-trip-tested. Array
+value types (0x80|T) render comma-joined for fixed-size element types
+and UTF-16 string arrays (NUL-terminated back-to-back). What remains
+outside the subset: embedded-BinXML values (0x21) and arrays of
+variable-size non-string types — those raise (decode_stub=False) or
+yield the digest placeholder (decode_stub=True).
 
 ``build_evtx`` is the deterministic synthesizer for tests and gate
 queries — the analog of the reference's checked-in ``.evtx`` test
@@ -283,7 +285,37 @@ def _render_value(vtype: int, data: bytes) -> str:
         return f"0x{struct.unpack('<I', data)[0]:x}"
     if vtype == _VT_HEX64:
         return f"0x{struct.unpack('<Q', data)[0]:x}"
+    if vtype & 0x80:
+        return ",".join(_render_value(vtype & 0x7F, el)
+                        for el in _split_array(vtype & 0x7F, data))
     raise NotImplementedError(f"BinXML value type 0x{vtype:02x}")
+
+
+_VT_FIXED_SIZES = {_VT_REAL32: 4, _VT_REAL64: 8, _VT_BOOL: 4,
+                   _VT_GUID: 16, _VT_SIZET: 8, _VT_FILETIME: 8,
+                   _VT_SYSTIME: 16, _VT_HEX32: 4, _VT_HEX64: 8}
+
+
+def _split_array(base: int, data: bytes) -> list[bytes]:
+    """Array value payload → element payloads. Fixed-size types pack
+    back-to-back; UTF-16 string arrays are NUL-terminated strings
+    back-to-back. Variable-size types beyond strings (SID, binary,
+    ANSI) stay out of the subset."""
+    if base == _VT_STRING:
+        out, i = [], 0
+        while i < len(data):
+            j = i
+            while j < len(data) and data[j:j + 2] != b"\x00\x00":
+                j += 2
+            out.append(data[i:j])
+            i = j + 2
+        return out
+    size = _VT_INTS[base][1] if base in _VT_INTS \
+        else _VT_FIXED_SIZES.get(base)
+    if size is None:
+        raise NotImplementedError(
+            f"array of value type 0x{base:02x}")
+    return [data[i:i + size] for i in range(0, len(data), size)]
 
 
 def _xml_escape(s: str) -> str:
@@ -740,6 +772,12 @@ def _pack_value(vtype: int, v) -> bytes:
         subs = [int(x) for x in parts[3:]]
         return (bytes([rev, len(subs)]) + auth.to_bytes(6, "big")
                 + struct.pack(f"<{len(subs)}I", *subs))
+    if vtype & 0x80:
+        base = vtype & 0x7F
+        if base == _VT_STRING:
+            return b"".join(str(el).encode("utf-16-le") + b"\x00\x00"
+                            for el in v)
+        return b"".join(_pack_value(base, el) for el in v)
     raise NotImplementedError(f"pack value type 0x{vtype:02x}")
 
 

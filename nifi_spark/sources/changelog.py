@@ -31,6 +31,31 @@ class ChangelogSource:
             df = df.filter(F.col(self.lsn_col) <= F.lit(up_to_lsn))
         return df
 
+    def read_slice_multi(self, watermarks: list[tuple[str, object]]
+                         ) -> DataFrame:
+        """Multi-column max-value watermark slice, the reference's
+        getQuery semantics exactly (QueryDatabaseTable.java:324-354):
+        the FIRST max-value column compares strictly `>` (it is the
+        primary cursor — re-reading rows AT the watermark would
+        re-deliver them), every later column compares `>=` (they
+        tie-break within the first column's granularity, e.g. a
+        coarse timestamp plus a sequence id). All predicates are
+        scan-pushable conjuncts, so parquet row-group min/max pruning
+        applies to each."""
+        df = self.spark.read.parquet(self.path)
+        for i, (c, w) in enumerate(watermarks):
+            df = df.filter(F.col(c) > F.lit(w) if i == 0
+                           else F.col(c) >= F.lit(w))
+        return df
+
+    def max_values(self, cols: list[str]) -> dict[str, object]:
+        """New per-column high-water marks after a slice is applied —
+        one footer-statistics aggregate, the COUNT/MAX pre-scan of
+        GenerateTableFetch reduced to MAX."""
+        row = (self.spark.read.parquet(self.path)
+               .agg(*[F.max(c).alias(c) for c in cols]).first())
+        return {c: row[c] for c in cols}
+
     def max_lsn(self) -> int:
         """High-water mark of the log (the COUNT/MAX pre-scan of
         GenerateTableFetch, reduced to MAX — parquet answers it from

@@ -62,6 +62,20 @@ def main():
     if dump:
         print(p)
 
+    # ---- 1b. multi-column watermark slice: every conjunct pushed -------
+    import datetime as _dt
+
+    from nifi_spark.sources import ChangelogSource
+    msrc = ChangelogSource(spark, lp, lsn_col="lsn")
+    p = plan_of(msrc.read_slice_multi(
+        [("lsn", 1000), ("ts", _dt.datetime(2020, 1, 1))])
+        .select("lsn", "op"))
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(lsn,1000\)", p), p
+    assert "GreaterThanOrEqual(ts," in p, p
+    results.append(("multi-watermark slice", "first column strict >, later "
+                    "columns >= (getQuery semantics) — all conjuncts in "
+                    "PushedFilters"))
+
     # ---- 2. merge: broadcast winners join, no wide pre-join exchange ---
     store = SnapshotTableStore(os.path.join(work, "tbl"), n_buckets=8)
     store.init()

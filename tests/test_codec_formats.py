@@ -567,3 +567,23 @@ def test_parse_evtx_full_token_set(spark):
                       "<v6>0x10000000000</v6>"
                       "<v7>2024-03-09T12:30:45.007Z</v7>"
                       "<v8>S-1-5-21-1111-2222</v8></V>")
+
+
+def test_parse_evtx_array_values(spark):
+    """Array value types (0x80|T): fixed-size elements and UTF-16
+    string arrays render comma-joined."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_STRING, _VT_UINT32,
+                                           encode_binxml_template)
+    payload = encode_binxml_template(
+        "A", children=[("ids", [], [], ("sub", 0)),
+                       ("tags", [], [], ("sub", 1))],
+        values=[(0x80 | _VT_UINT32, [7, 11, 13]),
+                (0x80 | _VT_STRING, ["alpha", "beta"])],
+        template_id=4)
+    blob = build_evtx([(1, 1_000_000, payload)])
+    df = spark.createDataFrame([(1, blob)], "fid long, content binary")
+    out = parse_evtx(df, "content", id_col="fid",
+                     decode_stub=False).collect()[0]
+    assert out.xml == ("<A><ids>7,11,13</ids>"
+                       "<tags>alpha,beta</tags></A>")

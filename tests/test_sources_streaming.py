@@ -160,3 +160,19 @@ def test_list_database_tables_refresh_interval(spark, tmp_path):
     again, _ = list_database_tables(spark, state, pattern="ldt_*",
                                     refresh_seconds=100, now=1201.0)
     assert [e["table"] for e in again] == ["ldt_a", "ldt_b", "ldt_c"]
+
+
+def test_read_slice_multi_and_max_values(spark, tmp_path):
+    """Multi-column max-value watermark: first col strict >, later >=
+    (QueryDatabaseTable.getQuery); max_values returns the new marks."""
+    from nifi_spark.sources import ChangelogSource
+    rows = [(i, i // 10, f"v{i}") for i in range(100)]
+    path = str(tmp_path / "log")
+    spark.createDataFrame(rows, "seq long, bucket long, v string") \
+         .write.parquet(path)
+    src = ChangelogSource(spark, path, lsn_col="seq")
+    got = src.read_slice_multi([("bucket", 5), ("seq", 62)]) \
+             .select("seq").toPandas()["seq"].tolist()
+    # bucket > 5 (seq >= 60) AND seq >= 62
+    assert sorted(got) == list(range(62, 100))
+    assert src.max_values(["seq", "bucket"]) == {"seq": 99, "bucket": 9}
