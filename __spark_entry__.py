@@ -2640,6 +2640,75 @@ def q_template_flow_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("content").alias("min_b64")))
 
 
+_GATE_TEMPLATE_JSON_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<template><name>gate-flow-json</name><snippet>
+  <processors><id>j1</id><name>gen_json</name>
+    <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>j2</id><name>mime</name>
+    <type>org.apache.nifi.processors.standard.IdentifyMimeType</type>
+    <config><properties/></config></processors>
+  <processors><id>j3</id><name>split</name>
+    <type>org.apache.nifi.processors.standard.SplitJson</type>
+    <config><properties>
+      <entry><key>JsonPath Expression</key><value>$[*]</value></entry>
+    </properties></config></processors>
+  <processors><id>x1</id><name>gen_xml</name>
+    <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>x2</id><name>xp</name>
+    <type>org.apache.nifi.processors.standard.EvaluateXPath</type>
+    <config><properties>
+      <entry><key>k</key><value>/r/k</value></entry>
+    </properties></config></processors>
+  <connections><id>c1</id>
+    <source><id>j1</id><type>PROCESSOR</type></source>
+    <destination><id>j2</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>c2</id>
+    <source><id>j2</id><type>PROCESSOR</type></source>
+    <destination><id>j3</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>success</selectedRelationships>
+  </connections>
+  <connections><id>c3</id>
+    <source><id>x1</id><type>PROCESSOR</type></source>
+    <destination><id>x2</id><type>PROCESSOR</type></destination>
+  </connections>
+</snippet></template>"""
+
+
+def q_template_flow_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template loader breadth, round 3: IdentifyMimeType → SplitJson
+    on one chain (mime sniffing feeds the split, which carries the
+    fragment contract) and EvaluateXPath on a second — three more
+    reference processor types compiled from the export format, fully
+    replayed in SQL."""
+    from nifi_spark.plans import load_template
+    docs = _t(spark, sf_dir, "documents")
+    js = docs.select(
+        "doc_id",
+        F.concat(F.lit('["a'), F.col("doc_id").cast("string"),
+                 F.lit('","b'), (F.col("doc_id") % 3).cast("string"),
+                 F.lit('"]')).alias("content"))
+    xml = docs.select(
+        "doc_id",
+        F.concat(F.lit("<r><k>v"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("</k></r>")).alias("content"))
+    flow = load_template(_GATE_TEMPLATE_JSON_XML,
+                         sources={"gen_json": js, "gen_xml": xml})
+    out = flow.run()
+    a = (out["split.split"]
+         .groupBy(F.col("mime_type"), F.col("fragment").alias("key"))
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("json").alias("chain"), "mime_type", "key", "n"))
+    b = (out["xp.matched"]
+         .groupBy(F.col("k").alias("key"))
+         .agg(F.count(F.lit(1)).alias("n"))
+         .select(F.lit("xml").alias("chain"),
+                 F.lit("text/plain").alias("mime_type"), "key", "n"))
+    return a.unionByName(b)
+
+
 def q_el_string_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NiFi EL STRING front-end: property-value strings from a real flow
     definition compile once (driver-side) into Catalyst columns."""
@@ -3015,6 +3084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_url_dedup": q_curate_url_dedup,
         "template_flow": q_template_flow,
         "template_flow_ext": q_template_flow_ext,
+        "template_flow_json": q_template_flow_json,
         "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
         "exec_process_source": q_exec_process_source,
@@ -4032,6 +4102,18 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "template_flow_json": """
+SELECT 'json' AS chain, 'text/plain' AS mime_type, k AS key,
+       count(*) AS n
+FROM (SELECT 'a' || doc_id::VARCHAR AS k FROM documents
+      UNION ALL
+      SELECT 'b' || (doc_id % 3)::VARCHAR FROM documents)
+GROUP BY k
+UNION ALL
+SELECT 'xml', 'text/plain', 'v' || (doc_id % 5)::VARCHAR AS key,
+       count(*) AS n
+FROM documents GROUP BY doc_id % 5
 """,
         "template_flow_ext": """
 WITH slotted AS (

@@ -18,6 +18,7 @@ DetectDuplicate, EvaluateJsonPath, MergeContent (Defragment),
 CompressContent, HashContent, AttributesToJSON, DistributeLoad
 (weighted relationships), ControlRate, Base64EncodeContent,
 ConvertCharacterSet, ScanAttribute (dictionary via `dictionaries=`),
+IdentifyMimeType, SplitJson, EvaluateXPath,
 LogAttribute (identity), and FUNNEL nodes (union).
 Anything else raises TemplateError under strict=True, or becomes an
 identity pass-through stage with a warning entry otherwise (sinks like
@@ -421,6 +422,43 @@ def _build_stage(proc: TProcessor, content_col: str,
                                               "matched"),
                     "unmatched": scan_attribute(df, attr, dict_source,
                                                 "term", "unmatched")}
+        return fn
+
+    if proc.ptype == "IdentifyMimeType":
+        from nifi_spark.operators import identify_mime_type
+
+        def fn(*dfs):
+            return {"success": identify_mime_type(_union(list(dfs)),
+                                                  content_col)}
+        return fn
+
+    if proc.ptype == "SplitJson":
+        from nifi_spark.operators import split_json_array
+        schema = _dyn(proc).get("Element Schema")  # engine extension
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            ok = df.filter(F.col(content_col).rlike(r"^\s*\["))
+            return {"split": split_json_array(ok, content_col, schema),
+                    "failure": df.filter(
+                        ~F.col(content_col).rlike(r"^\s*\["))}
+        return fn
+
+    if proc.ptype == "EvaluateXPath":
+        from nifi_spark.operators.content import evaluate_xpath
+        paths = dict(_dyn(proc))
+
+        def fn(*dfs):
+            df = evaluate_xpath(_union(list(dfs)), content_col, paths)
+            matched = None
+            for name in paths:
+                hit = F.col(name) != ""
+                matched = hit if matched is None else (matched & hit)
+            if matched is None:
+                return {"matched": df, "unmatched": df.limit(0)}
+            return {"matched": df.filter(matched),
+                    "unmatched": df.filter(~F.coalesce(matched,
+                                                       F.lit(False)))}
         return fn
 
     if proc.ptype in ("LogAttribute", "FUNNEL"):
