@@ -1679,7 +1679,10 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable-hash window keys, so the gaps-and-islands SQL oracle
     matches bit-for-bit."""
     from nifi_spark.datalib import exact_substring_spans
-    docs = _t(spark, sf_dir, "documents")
+    # the documents fixture is one parquet file = one scan partition;
+    # spread it so the window-hash projection parallelizes
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return exact_substring_spans(docs, "doc_id", "text", k=15)
 
 
@@ -2177,19 +2180,30 @@ FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
 
 
 def _exact_substring_sql(k: int = 15) -> str:
-    """Gaps-and-islands replica of exact_substring_spans: window hashes
-    via the portable hash, duplicated-hash semi-join, lag-based island
-    numbering, per-island coverage = max(pos) - min(pos) + k."""
-    wh = PH.format(
-        x=f"'xs:' || array_to_string(words[i : i + {k - 1}], ' ')")
+    """Gaps-and-islands replica of exact_substring_spans: one portable
+    60-bit digest per token, the same dual 31-bit Horner rolling hash
+    (list_reduce == Spark's lead-column fold: acc starts at the first
+    element, then (acc*B + x) mod P), duplicated-hash semi-join,
+    lag-based island numbering, per-island coverage
+    = max(pos) - min(pos) + k."""
+    from nifi_spark.datalib.dedup import XS_B1, XS_B2, XS_P
+    th = PH.format(x="'xs:' || t")
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+         list_transform(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+           t -> {th}) AS th
   FROM documents),
 wins AS (
-  SELECT doc_id, i AS pos, {wh} AS wh
-  FROM w, unnest(range(1, len(words) - {k - 2})) AS t(i)),
+  SELECT doc_id, i - 1 AS pos,
+         list_reduce(list_transform(th[i : i + {k - 1}],
+                                    x -> x % 1073741824),
+                     (a, x) -> (a * {XS_B1} + x) % {XS_P}) * 2147483648
+         + list_reduce(list_transform(th[i : i + {k - 1}],
+                                      x -> x // 1073741824),
+                       (a, x) -> (a * {XS_B2} + x) % {XS_P}) AS wh
+  FROM w, unnest(range(1, len(th) - {k - 2})) AS t(i)),
 dups AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
 hits AS (SELECT doc_id, pos FROM wins JOIN dups USING (wh)),
 brk AS (
@@ -2209,7 +2223,7 @@ per_doc AS (
   SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
          sum(cov)::BIGINT AS dup_tokens
   FROM spans GROUP BY doc_id)
-SELECT d.doc_id, len(d.words)::BIGINT AS n_tokens,
+SELECT d.doc_id, len(d.th)::BIGINT AS n_tokens,
        coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
        coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
 FROM w d LEFT JOIN per_doc p USING (doc_id)

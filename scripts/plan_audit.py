@@ -225,10 +225,14 @@ def main():
                     "per-bucket count + LeftSemi BELOW the collect_list "
                     "agg — oversized buckets never build an id list"))
 
-    # ---- 2e3. exact-substring dedup: narrow hash shuffle, no windows ---
+    # ---- 2e3. exact-substring dedup: narrow shuffles, doc-keyed window -
     from nifi_spark.datalib import exact_substring_spans
     p = plan_of(exact_substring_spans(docs_dd, "doc_id", "text", k=3))
-    assert "Window" not in p, p             # span merge is an agg fold
+    # the rolling-hash lead() pass is the ONLY Window, and it is
+    # partitioned by the doc id (bounded partitions — never global)
+    for spec in re.findall(r"Window \[[^\n]*partitionBy=\[([^\]]*)\]", p):
+        assert "doc_id" in spec, spec
+    assert "Window" in p, p
     assert "LeftSemi" in p, p               # only duplicated windows join
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
     # the exploded window rows that shuffle carry only (id, pos, hash) —
@@ -236,9 +240,10 @@ def main():
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "text" not in ex, ex
     results.append(("exact_substring_spans", "window-hash rows are narrow "
-                    "(id, pos, hash) at every exchange; duplicated windows "
-                    "via LeftSemi; span merge is a sorted-positions "
-                    "aggregate fold — no Window operator"))
+                    "(id, pos, hash) at every exchange; the rolling-hash "
+                    "lead() Window is doc-id-partitioned; duplicated "
+                    "windows via LeftSemi; span merge is a "
+                    "sorted-positions aggregate fold"))
 
     # ---- 2f. curation: broadcast decontam join; split is exchange-free -
     from nifi_spark.datalib import (benchmark_contamination, dataset_split)
