@@ -1686,6 +1686,28 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, "doc_id", "text", k=15)
 
 
+def q_curate_contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-anchored exact-substring decontamination: token ranges
+    whose 15-token window appears verbatim in the benchmark slice
+    (every 25th document) merge into contaminated spans — the
+    ExactSubstr counterpart of curate_contamination's shingle-overlap
+    screen. Benchmark hashes broadcast; oracle derives both sides from
+    the same window CTE."""
+    from nifi_spark.datalib import contaminated_spans
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = base.filter(F.col("doc_id") % 25 == 0)
+    # plant cross-contamination: copies of benchmark texts behind a
+    # novel prefix land in the corpus under fresh ids — their span
+    # stats must flag exactly the copied region
+    planted = bench.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.lit("zq zq zq "), F.col("text")).alias("text"))
+    corpus = base.unionByName(planted).repartition(
+        spark.sparkContext.defaultParallelism)
+    return contaminated_spans(corpus, "doc_id", "text",
+                              bench.select("text"), "text", k=15)
+
+
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-banded near-dup pairs: pigeonhole banding for
     candidates, exact bit_count(xor) verification — no all-pairs scan."""
@@ -2179,7 +2201,10 @@ FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
-def _exact_substring_sql(k: int = 15) -> str:
+def _exact_substring_sql(k: int = 15, dups_cte: str | None = None,
+                         n_col: str = "n_dup_spans",
+                         tok_col: str = "dup_tokens",
+                         corpus: str = "documents") -> str:
     """Gaps-and-islands replica of exact_substring_spans: one portable
     60-bit digest per token, the same dual 31-bit Horner rolling hash
     (list_reduce == Spark's lead-column fold: acc starts at the first
@@ -2194,7 +2219,7 @@ WITH w AS (
          list_transform(
            list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
            t -> {th}) AS th
-  FROM documents),
+  FROM ({corpus})),
 wins AS (
   SELECT doc_id, i - 1 AS pos,
          list_reduce(list_transform(th[i : i + {k - 1}],
@@ -2204,7 +2229,8 @@ wins AS (
                                       x -> x // 1073741824),
                        (a, x) -> (a * {XS_B2} + x) % {XS_P}) AS wh
   FROM w, unnest(range(1, len(th) - {k - 2})) AS t(i)),
-dups AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+dups AS ({dups_cte or
+          "SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2"}),
 hits AS (SELECT doc_id, pos FROM wins JOIN dups USING (wh)),
 brk AS (
   SELECT doc_id, pos,
@@ -2220,12 +2246,12 @@ spans AS (
   SELECT doc_id, g, max(pos) - min(pos) + {k} AS cov
   FROM isl GROUP BY doc_id, g),
 per_doc AS (
-  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
-         sum(cov)::BIGINT AS dup_tokens
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(cov)::BIGINT AS n_toks
   FROM spans GROUP BY doc_id)
 SELECT d.doc_id, len(d.th)::BIGINT AS n_tokens,
-       coalesce(p.n_dup_spans, 0)::BIGINT AS n_dup_spans,
-       coalesce(p.dup_tokens, 0)::BIGINT AS dup_tokens
+       coalesce(p.n_spans, 0)::BIGINT AS {n_col},
+       coalesce(p.n_toks, 0)::BIGINT AS {tok_col}
 FROM w d LEFT JOIN per_doc p USING (doc_id)
 """
 
@@ -3071,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_verify_lsh": q_dedup_ngram_verify_lsh,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_exact_substring": q_dedup_exact_substring,
+        "curate_contam_spans": q_curate_contam_spans,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_repetition": q_text_repetition,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -3835,6 +3862,13 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram_verify_lsh": _NGRAM_VERIFY_LSH_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "dedup_exact_substring": _exact_substring_sql(15),
+        "curate_contam_spans": _exact_substring_sql(
+            15, dups_cte="SELECT DISTINCT wh FROM wins "
+                         "WHERE doc_id % 25 = 0 AND doc_id < 10000",
+            n_col="n_contam_spans", tok_col="contam_tokens",
+            corpus="SELECT doc_id, text FROM documents UNION ALL "
+                   "SELECT doc_id + 10000, 'zq zq zq ' || text "
+                   "FROM documents WHERE doc_id % 25 = 0"),
         "dedup_simhash_pairs": _simhash_pairs_sql(16, 2),
         "text_repetition": _TEXT_REPETITION_SQL,
         "dedup_near_clusters": _near_clusters_sql(12, 4),

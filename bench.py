@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "curate_token_budget",
     "dedup_paragraphs",
     "dedup_exact_substring",
+    "curate_contam_spans",
     "text_normalize",
     "text_scrub_pii",
     "quantize_embeddings",

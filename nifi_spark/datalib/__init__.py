@@ -16,7 +16,8 @@ from nifi_spark.datalib.curation import (benchmark_contamination,
                                          cap_per_group, dataset_split,
                                          stratified_sample,
                                          token_budget_sample, url_dedup)
-from nifi_spark.datalib.dedup import (exact_dedup, exact_substring_dedup,
+from nifi_spark.datalib.dedup import (contaminated_spans,
+                                      exact_dedup, exact_substring_dedup,
                                       exact_substring_spans, lsh_band_plan,
                                       minhash_lsh_pairs,
                                       minhash_signatures, near_dup_clusters,
@@ -34,7 +35,8 @@ from nifi_spark.datalib.text import (fingerprint, lang_id, normalize_text,
                                      quality_score, repetition_stats,
                                      token_stats)
 
-__all__ = ["exact_dedup", "exact_substring_dedup", "exact_substring_spans",
+__all__ = ["contaminated_spans",
+           "exact_dedup", "exact_substring_dedup", "exact_substring_spans",
            "lsh_band_plan", "minhash_lsh_pairs",
            "minhash_signatures", "near_dup_clusters", "ngram_jaccard_pairs",
            "paragraph_dedup", "shingle", "simhash", "simhash_pairs",

@@ -460,6 +460,15 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
     dup = (hits.groupBy("wh").agg(F.count(F.lit(1)).alias("c"))
            .filter(F.col("c") >= min_count).select("wh"))
     dup_hits = hits.join(dup, "wh", "left_semi")
+    return _span_stats(df, dup_hits, id_col, text_col, k,
+                       "n_dup_spans", "dup_tokens")
+
+
+def _span_stats(df: DataFrame, dup_hits: DataFrame, id_col: str,
+                text_col: str, k: int, n_col: str,
+                tok_col: str) -> DataFrame:
+    """Merge marked window positions into spans per doc (sorted-positions
+    integer fold) and join the stats back onto every input row."""
     zero = F.lit(0).cast("long")
     init = F.struct(zero.alias("n"), zero.alias("cov"),
                     F.lit(-1).cast("long").alias("s"),
@@ -479,9 +488,9 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
 
     def finish(acc):
         return F.struct(
-            acc["n"].alias("n_dup_spans"),
+            acc["n"].alias("n"),
             (acc["cov"] + F.when(acc["s"] >= 0, acc["e"] - acc["s"])
-             .otherwise(0)).cast("long").alias("dup_tokens"))
+             .otherwise(0)).cast("long").alias("cov"))
 
     per_doc = (dup_hits.groupBy(id_col)
                .agg(F.aggregate(
@@ -495,10 +504,36 @@ def exact_substring_spans(df: DataFrame, id_col: str, text_col: str,
     return (sizes.join(per_doc, id_col, "left")
             .select(id_col,
                     F.col("n_tokens"),
-                    F.coalesce(F.col("_sp.n_dup_spans"), zero)
-                    .alias("n_dup_spans"),
-                    F.coalesce(F.col("_sp.dup_tokens"), zero)
-                    .alias("dup_tokens")))
+                    F.coalesce(F.col("_sp.n"), zero).alias(n_col),
+                    F.coalesce(F.col("_sp.cov"), zero).alias(tok_col)))
+
+
+def contaminated_spans(df: DataFrame, id_col: str, text_col: str,
+                       benchmark: DataFrame, bench_text_col: str,
+                       k: int = 15) -> DataFrame:
+    """Benchmark-anchored exact-substring decontamination (the GPT-3
+    appendix-C / Lee et al. ExactSubstr form of what
+    benchmark_contamination approximates with shingle overlap): a
+    corpus token range is contaminated when its k-token window appears
+    VERBATIM anywhere in the benchmark set; overlapping windows merge
+    into spans. Returns (id, n_tokens, n_contam_spans, contam_tokens)
+    for every corpus row — filter or cut on these downstream.
+
+    Plan shape: the benchmark side's window hashes are distinct'd and
+    BROADCAST (benchmarks are small by construction — this is the same
+    contract benchmark_contamination documents), so the corpus-side
+    semi-join is map-side: the only shuffles are the corpus's own
+    narrow (id, pos, hash) window pass and the per-doc span fold.
+    """
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("_bid"),
+        F.col(bench_text_col))
+    bench_wh = (_window_hash_hits(bench, "_bid", bench_text_col, k)
+                .select("wh").distinct())
+    hits = _window_hash_hits(df, id_col, text_col, k)
+    marked = hits.join(F.broadcast(bench_wh), "wh", "left_semi")
+    return _span_stats(df, marked, id_col, text_col, k,
+                       "n_contam_spans", "contam_tokens")
 
 
 def exact_substring_dedup(df: DataFrame, id_col: str, text_col: str,

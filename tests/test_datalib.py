@@ -1015,3 +1015,26 @@ def test_exact_substring_within_doc_repeat(spark):
                                           k=5).collect()}
     assert got[1] == (2, 10)
     assert got[2] == (0, 0)
+
+
+def test_contaminated_spans_planted(spark):
+    """A corpus doc embedding a benchmark passage verbatim gets exactly
+    that region flagged; clean docs get zeros."""
+    from nifi_spark.datalib import contaminated_spans
+    bench_txt = " ".join(f"b{i}" for i in range(12))
+    rows = [
+        (1, "clean " + " ".join(f"c{i}" for i in range(20))),
+        (2, " ".join(f"p{i}" for i in range(5)) + " " + bench_txt
+            + " " + " ".join(f"s{i}" for i in range(4))),
+        (3, bench_txt),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_txt,)], "text string")
+    got = {r.doc_id: (r.n_tokens, r.n_contam_spans, r.contam_tokens)
+           for r in contaminated_spans(df, "doc_id", "text",
+                                       bench, "text", k=8).collect()}
+    assert got[1] == (21, 0, 0)
+    # doc 2: windows fully inside the 12-token passage (positions 5..9
+    # in doc coordinates) merge to one span of 12 tokens
+    assert got[2] == (21, 1, 12)
+    assert got[3] == (12, 1, 12)
