@@ -229,9 +229,10 @@ def main():
     from nifi_spark.datalib import exact_substring_spans
     p = plan_of(exact_substring_spans(docs_dd, "doc_id", "text", k=3))
     # the rolling-hash lead() pass is the ONLY Window, and it is
-    # partitioned by the doc id (bounded partitions — never global)
-    for spec in re.findall(r"Window \[[^\n]*partitionBy=\[([^\]]*)\]", p):
-        assert "doc_id" in spec, spec
+    # partitioned by the doc id (bounded partitions — never global):
+    # every windowspecdefinition's first argument must be the id
+    specs = re.findall(r"windowspecdefinition\(([^,]*)", p)
+    assert specs and all(s.startswith("doc_id") for s in specs), specs
     assert "Window" in p, p
     assert "LeftSemi" in p, p               # only duplicated windows join
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
