@@ -2204,7 +2204,8 @@ FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
 def _exact_substring_sql(k: int = 15, dups_cte: str | None = None,
                          n_col: str = "n_dup_spans",
                          tok_col: str = "dup_tokens",
-                         corpus: str = "documents") -> str:
+                         corpus: str = "SELECT doc_id, text FROM documents"
+                         ) -> str:
     """Gaps-and-islands replica of exact_substring_spans: one portable
     60-bit digest per token, the same dual 31-bit Horner rolling hash
     (list_reduce == Spark's lead-column fold: acc starts at the first
