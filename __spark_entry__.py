@@ -1686,6 +1686,30 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, "doc_id", "text", k=15)
 
 
+def q_curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation chain composed as ONE DataFrame plan —
+    token-length floor (token_stats) → exact-dedup winners →
+    deterministic train/val/test split → per-source quota lottery —
+    with the whole pipeline replayed stage-for-stage in SQL. Each
+    stage has its own gate row; this row proves they compose (one
+    Catalyst plan, no materialization between stages)."""
+    from nifi_spark.datalib import (cap_per_group, dataset_split,
+                                    exact_dedup, token_stats)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    kept = (token_stats(docs, "text")
+            .filter(F.col("n_tokens") >= 30)
+            .select("doc_id", "source", "text"))
+    winners = exact_dedup(kept, "doc_id", "text").select("doc_id")
+    uniq = kept.join(winners, "doc_id", "left_semi")
+    split = dataset_split(uniq, "doc_id",
+                          weights={"train": 90, "val": 5, "test": 5})
+    capped = cap_per_group(split, "source", "doc_id", 40)
+    return capped.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"))
+
+
 def q_curate_contam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-anchored exact-substring decontamination: token ranges
     whose 15-token window appears verbatim in the benchmark slice
@@ -3099,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_exact_substring": q_dedup_exact_substring,
         "curate_contam_spans": q_curate_contam_spans,
+        "curate_pipeline_e2e": q_curate_pipeline_e2e,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "text_repetition": q_text_repetition,
         "dedup_near_clusters": q_dedup_near_clusters,
@@ -3863,6 +3888,32 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram_verify_lsh": _NGRAM_VERIFY_LSH_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "dedup_exact_substring": _exact_substring_sql(15),
+        "curate_pipeline_e2e": """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+kept AS (SELECT doc_id, source, text FROM toks WHERE n_tokens >= 30),
+winners AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+uniq AS (SELECT k.* FROM kept k SEMI JOIN winners USING (doc_id)),
+split AS (
+  SELECT doc_id, source,
+         CASE WHEN b < 90 THEN 'train'
+              WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id, source,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                 % 100 AS b
+        FROM uniq)),
+capped AS (
+  SELECT * FROM split
+  QUALIFY row_number() OVER (
+    PARTITION BY source
+    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+             doc_id) <= 40)
+SELECT split, source, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+FROM capped GROUP BY split, source
+""",
         "curate_contam_spans": _exact_substring_sql(
             15, dups_cte="SELECT DISTINCT wh FROM wins "
                          "WHERE doc_id % 25 = 0 AND doc_id < 10000",
