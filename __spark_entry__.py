@@ -1686,6 +1686,17 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_spans(docs, "doc_id", "text", k=15)
 
 
+def q_dedup_exact_substring_cut(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The remove half of ExactSubstr dedup: duplicated spans are cut
+    and the survivors rejoin with single spaces — the oracle replays
+    the span list and the per-token (x, i) filter lambda."""
+    from nifi_spark.datalib import exact_substring_dedup
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return exact_substring_dedup(docs, "doc_id", "text", k=15)
+
+
 def q_curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation chain composed as ONE DataFrame plan —
     token-length floor (token_stats) → exact-dedup winners →
@@ -2228,23 +2239,58 @@ FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
 def _exact_substring_sql(k: int = 15, dups_cte: str | None = None,
                          n_col: str = "n_dup_spans",
                          tok_col: str = "dup_tokens",
-                         corpus: str = "SELECT doc_id, text FROM documents"
-                         ) -> str:
+                         corpus: str = "SELECT doc_id, text FROM documents",
+                         mode: str = "stats") -> str:
     """Gaps-and-islands replica of exact_substring_spans: one portable
     60-bit digest per token, the same dual 31-bit Horner rolling hash
     (list_reduce == Spark's lead-column fold: acc starts at the first
     element, then (acc*B + x) mod P), duplicated-hash semi-join,
     lag-based island numbering, per-island coverage
-    = max(pos) - min(pos) + k."""
+    = max(pos) - min(pos) + k. mode='cut' instead reproduces
+    exact_substring_dedup: tokens inside any span are dropped and the
+    survivors rejoin with single spaces."""
     from nifi_spark.datalib.dedup import XS_B1, XS_B2, XS_P
     th = PH.format(x="'xs:' || t")
+    if mode == "cut":
+        final = f"""
+spans2 AS (
+  SELECT doc_id, g, min(pos) AS s, max(pos) + {k} AS e
+  FROM isl GROUP BY doc_id, g),
+sp_list AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+  FROM spans2 GROUP BY doc_id)
+SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text_dedup,
+       n_tokens, len(kept)::BIGINT AS n_kept
+FROM (SELECT d.doc_id, len(d.words)::BIGINT AS n_tokens,
+             list_filter(d.words, (x, i) ->
+               len(list_filter(coalesce(sp.sps,
+                                        []::STRUCT(s BIGINT,
+                                                   e BIGINT)[]),
+                               r -> i - 1 >= r.s AND i - 1 < r.e)) = 0)
+               AS kept
+      FROM w d LEFT JOIN sp_list sp USING (doc_id))"""
+    else:
+        final = f"""
+spans AS (
+  SELECT doc_id, g, max(pos) - min(pos) + {k} AS cov
+  FROM isl GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(cov)::BIGINT AS n_toks
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id, len(d.th)::BIGINT AS n_tokens,
+       coalesce(p.n_spans, 0)::BIGINT AS {n_col},
+       coalesce(p.n_toks, 0)::BIGINT AS {tok_col}
+FROM w d LEFT JOIN per_doc p USING (doc_id)"""
     return f"""
-WITH w AS (
+WITH d0 AS (
   SELECT doc_id,
-         list_transform(
-           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-           t -> {th}) AS th
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+           AS words
   FROM ({corpus})),
+w AS (
+  SELECT doc_id, words, list_transform(words, t -> {th}) AS th
+  FROM d0),
 wins AS (
   SELECT doc_id, i - 1 AS pos,
          list_reduce(list_transform(th[i : i + {k - 1}],
@@ -2266,18 +2312,7 @@ brk AS (
 isl AS (
   SELECT doc_id, pos,
          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
-  FROM brk),
-spans AS (
-  SELECT doc_id, g, max(pos) - min(pos) + {k} AS cov
-  FROM isl GROUP BY doc_id, g),
-per_doc AS (
-  SELECT doc_id, count(*)::BIGINT AS n_spans,
-         sum(cov)::BIGINT AS n_toks
-  FROM spans GROUP BY doc_id)
-SELECT d.doc_id, len(d.th)::BIGINT AS n_tokens,
-       coalesce(p.n_spans, 0)::BIGINT AS {n_col},
-       coalesce(p.n_toks, 0)::BIGINT AS {tok_col}
-FROM w d LEFT JOIN per_doc p USING (doc_id)
+  FROM brk),{final}
 """
 
 
@@ -3122,6 +3157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_verify_lsh": q_dedup_ngram_verify_lsh,
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_exact_substring": q_dedup_exact_substring,
+        "dedup_exact_substring_cut": q_dedup_exact_substring_cut,
         "curate_contam_spans": q_curate_contam_spans,
         "curate_pipeline_e2e": q_curate_pipeline_e2e,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -3888,6 +3924,7 @@ FROM documents GROUP BY md5(text)
         "dedup_ngram_verify_lsh": _NGRAM_VERIFY_LSH_SQL,
         "dedup_paragraphs": _PARAGRAPH_DEDUP_SQL,
         "dedup_exact_substring": _exact_substring_sql(15),
+        "dedup_exact_substring_cut": _exact_substring_sql(15, mode="cut"),
         "curate_pipeline_e2e": """
 WITH toks AS (
   SELECT doc_id, source, text,

@@ -636,9 +636,17 @@ class _BinXmlWriter:
     def _child(self, ch):
         """A child spec: ('cdata', s) / ('charref', n) /
         ('entityref', name) / ('pi', target, data) special nodes, else
-        a nested (name, attrs, children, text) element tuple."""
+        a nested (name, attrs, children, text) element tuple. A tuple
+        only dispatches as a special node when its SHAPE matches (second
+        item scalar) — an element that happens to be named 'pi' carries
+        a list of attrs there and still encodes as an element."""
         kind = ch[0] if ch else None
-        if kind == "cdata":
+        is_special = (kind in ("cdata", "charref", "entityref", "pi")
+                      and len(ch) >= 2 and len(ch) <= 3
+                      and not isinstance(ch[1], (list, tuple)))
+        if not is_special:
+            self.element(*ch)
+        elif kind == "cdata":
             self.out.append(_TOK_CDATA)
             self.out += struct.pack("<H", len(ch[1]))
             self.out += ch[1].encode("utf-16-le")
@@ -655,8 +663,6 @@ class _BinXmlWriter:
             self.out.append(_TOK_PI_DATA)
             self.out += struct.pack("<H", len(data))
             self.out += data.encode("utf-16-le")
-        else:
-            self.element(*ch)
 
     def _attr_value(self, v):
         if isinstance(v, tuple) and v[0] == "sub":

@@ -85,11 +85,13 @@ _NS_RE = re.compile(r'^declare\s+namespace\s+([\w.-]+)\s*=\s*'
 _DEFAULT_NS_RE = re.compile(r'^declare\s+default\s+(?:element|function)\s+'
                             r'namespace\s+("[^"]*"|\'[^\']*\')\s*;\s*',
                             re.IGNORECASE)
-_VAR_DECL_RE = re.compile(r'^declare\s+variable\s+\$([\w.:-]+)'
+_VAR_DECL_RE = re.compile(r'^declare\s+variable\s+'
+                          r'\$([\w.-]+(?::[\w.-]+)?)'
                           r'(?:\s+as\s+[\w.:?*+-]+)?\s*', re.IGNORECASE)
 _FUNC_DECL_RE = re.compile(r'^declare\s+function\s+([\w.-]+(?::[\w.-]+)?)'
                            r'\s*\(', re.IGNORECASE)
-_PARAM_RE = re.compile(r'\$([\w.:-]+)(?:\s+as\s+[\w.:?*+-]+)?\s*$')
+_PARAM_RE = re.compile(r'\$([\w.-]+(?::[\w.-]+)?)'
+                       r'(?:\s+as\s+[\w.:?*+-]+)?\s*$')
 
 
 def _scan_to(src: str, start: int, stop_chars: str) -> int:
@@ -348,14 +350,12 @@ def _instantiate_return(text: str, ctx: Context) -> str:
     """Return-clause instantiation: direct constructor, nested FLWOR
     (its items join into this binding's one result string), or
     expression."""
-    t = text.strip()
-    if t.startswith("("):
-        t = t[1:-1].strip() if t.endswith(")") else t
-    if t.startswith("<"):
+    t = _strip_outer_parens(text)   # balanced-aware: '(a) op (b)' keeps
+    if t.startswith("<"):           # its parens (only enclosing pairs go)
         return _instantiate_constructor(t, ctx)
     if _XQUERY_START_RE.match(t):
         return _serialize_value(_eval_expr(t, ctx))
-    return _serialize_value(evaluate(t, ctx))
+    return _serialize_value(evaluate(text.strip(), ctx))
 
 
 def _build_functions(plan: dict, inherited: dict | None) -> dict:

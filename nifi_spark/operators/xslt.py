@@ -141,6 +141,7 @@ class XsltStylesheet:
         self.keys: list[tuple[str, list[str], str]] = []
         self._next_prec = 0
         self._next_pos = 0
+        self._loading: set[str] = set()   # import/include cycle guard
         self._load(self._parse_sheet(stylesheet), resolver)
 
     @staticmethod
@@ -154,6 +155,9 @@ class XsltStylesheet:
         return root
 
     def _resolve(self, resolver, href: str) -> ET.Element:
+        if href in self._loading:
+            raise XsltError(f"cyclic xsl:import/include via {href!r}")
+        self._loading.add(href)
         text = None
         if callable(resolver):
             text = resolver(href)
@@ -311,6 +315,20 @@ class XsltStylesheet:
 
     # ---- xsl:number ----------------------------------------------------
 
+    def _sorted_match_keys(self, doc: Document, alt: str,
+                           variables: dict) -> list:
+        """Sorted doc-order sort keys of a pattern's matches, cached per
+        (document, pattern) like _match_keys."""
+        cache = getattr(doc, "_xslt_pat_sorted", None)
+        if cache is None:
+            cache = doc._xslt_pat_sorted = {}
+        if alt not in cache:
+            hits = evaluate(alt, Context(doc, doc, variables=variables))
+            if not isinstance(hits, list):
+                hits = []
+            cache[alt] = sorted(doc.sort_key(h) for h in hits)
+        return cache[alt]
+
     def _pat_matches(self, doc: Document, nd, alts: list[str],
                      variables: dict) -> bool:
         key = _node_key(nd)
@@ -320,7 +338,9 @@ class XsltStylesheet:
     def _number(self, el: ET.Element, ctx: Context) -> str:
         value = el.get("value")
         if value is not None:
-            nums = [int(round(to_number(evaluate(value, ctx))))]
+            # XPath round() = floor(x + 0.5), NOT banker's rounding
+            import math
+            nums = [int(math.floor(to_number(evaluate(value, ctx)) + 0.5))]
             return _format_numbers(nums, el.get("format", "1"))
         doc = ctx.doc
         level = el.get("level", "single")
@@ -370,25 +390,24 @@ class XsltStylesheet:
                 chain = kept
             nums = [sib_index(a) for a in reversed(chain) if matches(a)]
         elif level == "any":
+            # per-doc sorted-key cache + bisect: numbering n nodes costs
+            # O(n log n), not n full node-set re-evaluations
+            import bisect
             me = doc.sort_key(ctx.node)
             lo = ()
             if from_match:
                 # nearest from-match at or before the current node
                 for alt in from_alts:
-                    hits = evaluate(alt, Context(doc, doc,
-                                                 variables=ctx.variables))
-                    for h in hits if isinstance(hits, list) else []:
-                        k = doc.sort_key(h)
-                        if lo < k <= me:
-                            lo = k
+                    ks = self._sorted_match_keys(doc, alt, ctx.variables)
+                    i = bisect.bisect_right(ks, me)
+                    if i and lo < ks[i - 1] <= me:
+                        lo = ks[i - 1]
             keys = set()
             for alt in alts:
-                hits = evaluate(alt, Context(doc, doc,
-                                             variables=ctx.variables))
-                for h in hits if isinstance(hits, list) else []:
-                    k = doc.sort_key(h)
-                    if lo < k <= me:
-                        keys.add(k)
+                ks = self._sorted_match_keys(doc, alt, ctx.variables)
+                a = bisect.bisect_right(ks, lo)
+                b = bisect.bisect_right(ks, me)
+                keys.update(ks[a:b])
             nums = [len(keys)] if keys else []
         else:
             raise XsltError(f"unsupported xsl:number level {level!r}")

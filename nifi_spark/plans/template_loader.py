@@ -435,6 +435,11 @@ def _build_stage(proc: TProcessor, content_col: str,
     if proc.ptype == "SplitJson":
         from nifi_spark.operators import split_json_array
         schema = _dyn(proc).get("Element Schema")  # engine extension
+        jp = p.get("JsonPath Expression", "$[*]")
+        if jp not in ("$[*]", "$.*", "$"):
+            raise TemplateError(
+                f"SplitJson only splits top-level arrays; JsonPath "
+                f"{jp!r} is not supported")
 
         def fn(*dfs):
             df = _union(list(dfs))
@@ -446,7 +451,12 @@ def _build_stage(proc: TProcessor, content_col: str,
 
     if proc.ptype == "EvaluateXPath":
         from nifi_spark.operators.content import evaluate_xpath
-        paths = dict(_dyn(proc))
+        # NiFi serializes its STATIC properties alongside the dynamic
+        # XPath entries; treating them as paths would add always-empty
+        # columns and silently route everything to unmatched (the
+        # EvaluateJsonPath branch filters on '$' for the same reason)
+        static = {"Destination", "Return Type", "Validate Data"}
+        paths = {k: v for k, v in _dyn(proc).items() if k not in static}
 
         def fn(*dfs):
             df = evaluate_xpath(_union(list(dfs)), content_col, paths)

@@ -296,3 +296,26 @@ def test_flwor_prolog_functions(root):
             for $b in //book[1] return local:down(1)"""
     with pytest.raises(XQueryError, match="recursion"):
         eval_flwor(parse_flwor(q3), root)
+
+
+def test_flwor_review_fixes(root):
+    # variable declaration without whitespace before := parses
+    q = "declare variable $v:=3; for $b in //book[@price > 20] return $v"
+    assert eval_flwor(parse_flwor(q), root) == ["3"]
+    # a return of '(a) op (b)' keeps non-enclosing parens intact
+    q2 = "for $c in /catalog return (count($c/book)) * (1 + 1)"
+    assert eval_flwor(parse_flwor(q2), root) == ["6"]
+
+
+def test_xslt_review_fixes():
+    # xsl:number value= rounds half-up (XPath round), not banker's
+    xsl = (_XSL_HEAD + '<xsl:output method="text"/>'
+           '<xsl:template match="/"><xsl:number value="2.5"/>'
+           '</xsl:template></xsl:stylesheet>')
+    assert XsltStylesheet(xsl).apply("<r/>") == "3"
+    # cyclic imports raise cleanly instead of recursing forever
+    a = (_XSL_HEAD + '<xsl:import href="b.xsl"/></xsl:stylesheet>')
+    b = (_XSL_HEAD + '<xsl:import href="a.xsl"/></xsl:stylesheet>')
+    main = (_XSL_HEAD + '<xsl:import href="a.xsl"/></xsl:stylesheet>')
+    with pytest.raises(XsltError, match="cyclic"):
+        XsltStylesheet(main, resolver={"a.xsl": a, "b.xsl": b})
