@@ -112,6 +112,34 @@ def q_cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING front-end of the engine: the same changelog lands
+    as multiple parquet files, readStream + foreachBatch drives the
+    identical batch apply path (ledger watermark — not the streaming
+    checkpoint — decides what is new), availableNow drains the backlog
+    in several micro-batches, and the final LWW table must equal the
+    batch oracle exactly."""
+    from nifi_spark.ledger import OffsetLedger
+    from nifi_spark.storage import SnapshotTableStore
+    from nifi_spark.streaming import StreamingCdcPipeline
+
+    work = tempfile.mkdtemp(prefix="cdc_stream_e2e_")
+    log_path = os.path.join(work, "changelog")
+    (_events_as_changelog(_t(spark, sf_dir, "events"))
+     .repartition(24).write.parquet(log_path))   # 24 files / 8 per
+    store = SnapshotTableStore(os.path.join(work, "table"), n_buckets=16)
+    store.init()                                  # trigger = 3 batches
+    pipe = StreamingCdcPipeline(
+        spark, log_path, store, OffsetLedger(os.path.join(work, "ledger")),
+        checkpoint_dir=os.path.join(work, "ck"))
+    q = pipe.start(trigger_once=True)
+    q.awaitTermination()
+    final = store.read(spark, with_lsn=True)
+    return final.select("repo", "path", "commit", "lang", "content",
+                        F.col("_last_lsn").alias("last_lsn"),
+                        F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
 def q_lineage_batch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance/lineage query surface: run the engine with provenance
     enabled, then answer 'rows/bytes per batch per stage' FROM THE
@@ -3077,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
         "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+        "stream_cdc_e2e": q_stream_cdc_e2e,
         "cdc_watermark_slice": q_cdc_watermark_slice,
         "cdc_multi_watermark_slice": q_cdc_multi_watermark_slice,
         "lineage_batch_rows": q_lineage_batch_rows,
@@ -3208,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_apply": _CDC_FINAL_ORACLE,
         "cdc_pipeline_e2e": _CDC_FINAL_ORACLE,
+        "stream_cdc_e2e": _CDC_FINAL_ORACLE,
         "lineage_batch_rows": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),
 tagged AS (
