@@ -110,6 +110,17 @@ def parse_template(xml_text: str) -> tuple[list[TProcessor],
     for fu in snippet.iter("funnels"):
         procs.append(TProcessor(pid=(fu.findtext("id") or "").strip(),
                                 name="", ptype="FUNNEL"))
+    # process-group input/output ports are identity pass-throughs too —
+    # iter() already recursed into nested processGroups for processors
+    # and connections, so ports are the only remaining connection
+    # endpoints (an unfed input port is a source position: supply its
+    # DataFrame via sources= by port name)
+    for tag in ("inputPorts", "outputPorts"):
+        for port in snippet.iter(tag):
+            procs.append(TProcessor(
+                pid=(port.findtext("id") or "").strip(),
+                name=(port.findtext("name") or "").strip(),
+                ptype="PORT"))
     conns: list[TConnection] = []
     for c in snippet.iter("connections"):
         src = c.findtext("./source/id")
@@ -471,7 +482,7 @@ def _build_stage(proc: TProcessor, content_col: str,
                                                        F.lit(False)))}
         return fn
 
-    if proc.ptype in ("LogAttribute", "FUNNEL"):
+    if proc.ptype in ("LogAttribute", "FUNNEL", "PORT"):
         def fn(*dfs):
             return _union(list(dfs))
         return fn
@@ -505,12 +516,17 @@ def load_template(xml_text: str, sources: dict[str, DataFrame],
         return base
 
     incoming: dict[str, list[str]] = {pr.pid: [] for pr in procs}
+    has_input = {c.dst for c in conns}
     for c in conns:
         if c.src not in by_id or c.dst not in by_id:
             raise TemplateError(f"connection references unknown processor "
                                 f"({c.src} -> {c.dst})")
         src_stage = stage_id(by_id[c.src])
-        rels = c.relationships or [""]
+        # a source-position stage emits ONE unnamed output — its
+        # connection's selected relationship (e.g. GenerateFlowFile's
+        # "success") is the whole stream, not a routed subset
+        rels = [""] if c.src not in has_input else (c.relationships
+                                                    or [""])
         for rel in rels:
             ref = f"{src_stage}.{rel}" if rel else src_stage
             incoming[c.dst].append(ref)
