@@ -1278,6 +1278,58 @@ def q_convert_schema_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_AVRO_DOC_SCHEMA = ('{"type":"record","name":"doc","fields":['
+                    '{"name":"doc_id","type":"long"},'
+                    '{"name":"text","type":"string"}]}')
+
+
+def q_avro_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro family (SplitAvro/ConvertAvroToJSON/ConvertJSONToAvro): pack
+    documents into per-group Avro object-container blobs (pure-Python
+    spec codec, deflate), split them back to records, land typed columns
+    — record order and the fragment contract must survive the format."""
+    from nifi_spark.operators import avro_to_records, records_to_avro
+    from nifi_spark.operators.avro_codec import schema_to_ddl
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("grp"))
+    packed = records_to_avro(docs, ["grp"], _AVRO_DOC_SCHEMA,
+                             ["doc_id", "text"], order_col="doc_id")
+    back = avro_to_records(packed, "avro", id_cols=["grp"])
+    return back.select(
+        "record_index", "record_count",
+        F.from_json("record_json",
+                    schema_to_ddl(_AVRO_DOC_SCHEMA)).alias("r")) \
+        .select(F.col("r.doc_id").alias("doc_id"), "record_index",
+                "record_count", F.md5(F.col("r.text")).alias("text_md5"))
+
+
+def q_avro_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractAvroMetadata: container header → schema fingerprint, codec,
+    record/block counts per packed group."""
+    from nifi_spark.operators import extract_avro_metadata, records_to_avro
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 8).alias("grp"))
+    packed = records_to_avro(docs, ["grp"], _AVRO_DOC_SCHEMA,
+                             ["doc_id", "text"], order_col="doc_id")
+    meta = extract_avro_metadata(packed, "avro", id_cols=["grp"])
+    return meta.select("grp", "schema_md5", "codec", "item_count",
+                       "block_count")
+
+
+def q_format_convert_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-level Avro conversion without the spark-avro datasource:
+    parquet → .avro files (pure-Python container writer, one file per
+    partition, executor-side) → read back through the binaryFile-backed
+    decoder; content-hash invariant proves lossless conversion."""
+    from nifi_spark.operators import convert_format
+    work = tempfile.mkdtemp(prefix="fmt_avro_")
+    out = convert_format(
+        spark, os.path.join(sf_dir, "documents.parquet"), "parquet",
+        os.path.join(work, "docs_avro"), "avro",
+        transform=lambda df: df.select("doc_id", "text"))
+    return out.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
 def q_el_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended EL surface: index/compare/arithmetic/escape/delineated
     folds compiled to Catalyst expressions."""
@@ -3163,6 +3215,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_xml_route": q_validate_xml_route,
         "format_convert_orc": q_format_convert_orc,
         "convert_schema_map": q_convert_schema_map,
+        "avro_container_roundtrip": q_avro_container_roundtrip,
+        "avro_metadata_extract": q_avro_metadata_extract,
+        "format_convert_avro": q_format_convert_avro,
         "el_functions_extended": q_el_functions_extended,
         "el_math_date_b64": q_el_math_date_b64,
         "distribute_load_weighted": q_distribute_load_weighted,
@@ -3757,6 +3812,28 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
 SELECT doc_id::VARCHAR AS doc_id, lang AS language, source AS origin,
        'v2' AS schema_ver
 FROM documents
+""",
+        "avro_container_roundtrip": """
+WITH g AS (
+  SELECT doc_id, text,
+         (row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+          - 1)::INT                                  AS record_index,
+         (count(*) OVER (PARTITION BY doc_id % 8))::INT AS record_count
+  FROM documents)
+SELECT doc_id, record_index, record_count, md5(text) AS text_md5 FROM g
+""",
+        "avro_metadata_extract": """
+SELECT doc_id % 8 AS grp,
+       md5('{"type":"record","name":"doc","fields":['
+           || '{"name":"doc_id","type":"long"},'
+           || '{"name":"text","type":"string"}]}') AS schema_md5,
+       'deflate' AS codec,
+       count(*) AS item_count,
+       ((count(*) + 4095) // 4096)::INT AS block_count
+FROM documents GROUP BY 1
+""",
+        "format_convert_avro": """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
 """,
         "el_math_date_b64": """
 WITH base AS (

@@ -35,6 +35,10 @@ from nifi_spark.operators.codec import (compress_content,
                                         unpack_content)
 from nifi_spark.operators.formats import (avro_available, convert_format,
                                           convert_schema, infer_ddl)
+from nifi_spark.operators.avro_codec import (avro_to_records,
+                                             extract_avro_metadata,
+                                             read_avro_path, records_to_avro,
+                                             write_avro_path)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
 from nifi_spark.operators.evtx import build_evtx, parse_evtx
 from nifi_spark.operators.jolt import jolt_apply, jolt_transform
@@ -62,6 +66,8 @@ __all__ = [
     "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",
     "split_content", "unpack_content",
     "avro_available", "convert_format", "convert_schema", "infer_ddl",
+    "avro_to_records", "extract_avro_metadata", "read_avro_path",
+    "records_to_avro", "write_avro_path",
     "detect_duplicate", "latest_wins",
     "build_evtx", "parse_evtx",
     "jolt_apply", "jolt_transform",

@@ -19,10 +19,11 @@ operator-covered (validate_csv, evaluate_json_path, reshape_json,
 attributes_to_json).
 
 Avro note: the sandbox's Spark build ships WITHOUT the external
-spark-avro module (the avro datasource since Spark 2.4), so 'avro' is
-accepted only when the datasource resolves — `avro_available` gates it
-with a clear error instead of an AnalysisException mid-pipeline. ORC is
-built in and fully exercised.
+spark-avro module (the avro datasource since Spark 2.4). 'avro' is
+served by the datasource when it resolves, and otherwise by the in-repo
+pure-Python codec (operators/avro_codec.py — spec-complete container
+read/write, interop-tested against org.apache.avro), so format
+conversion works either way. ORC is built in and fully exercised.
 """
 
 from __future__ import annotations
@@ -33,23 +34,23 @@ BUILTIN_FORMATS = ("parquet", "orc", "json", "csv", "text")
 
 
 def avro_available(spark: SparkSession) -> bool:
-    """True when the spark-avro datasource is on the classpath."""
+    """True when the spark-avro datasource is on the classpath.
+    Class.forName, not attribute access — py4j hands back a JavaPackage
+    stub for missing classes instead of raising."""
     try:
-        spark._jvm.org.apache.spark.sql.avro.AvroFileFormat  # noqa: B018
+        # the class the external module registers as the 'avro' source;
+        # a same-named shim of AvroFileFormat exists inside Spark itself
+        # (it backs the "deploy spark-avro" error message), so probing
+        # that one false-positives.
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.v2.avro.AvroDataSourceV2")
         return True
     except Exception:
         return False
 
 
 def _check_format(spark: SparkSession, fmt: str) -> None:
-    if fmt in BUILTIN_FORMATS:
-        return
-    if fmt == "avro":
-        if not avro_available(spark):
-            raise ValueError(
-                "avro requires the external spark-avro module "
-                "(--packages org.apache.spark:spark-avro_2.13:<ver>); "
-                "not present on this classpath")
+    if fmt in BUILTIN_FORMATS or fmt == "avro":
         return
     raise ValueError(f"unknown format {fmt!r} (have {BUILTIN_FORMATS}+avro)")
 
@@ -66,14 +67,24 @@ def convert_format(spark: SparkSession, in_path: str, in_format: str,
     processor family as one distributed reader→writer plan."""
     _check_format(spark, in_format)
     _check_format(spark, out_format)
-    reader = spark.read.format(in_format).options(**(read_options or {}))
-    if schema:
-        reader = reader.schema(schema)
-    elif in_format == "csv":
-        reader = reader.option("inferSchema", "true")
-    df = reader.load(in_path)
+    pure_py_avro = not avro_available(spark)
+    if in_format == "avro" and pure_py_avro:
+        from nifi_spark.operators.avro_codec import read_avro_path
+        df = read_avro_path(spark, in_path)
+    else:
+        reader = spark.read.format(in_format).options(**(read_options or {}))
+        if schema:
+            reader = reader.schema(schema)
+        elif in_format == "csv":
+            reader = reader.option("inferSchema", "true")
+        df = reader.load(in_path)
     if transform is not None:
         df = transform(df)
+    if out_format == "avro" and pure_py_avro:
+        from nifi_spark.operators.avro_codec import (read_avro_path,
+                                                     write_avro_path)
+        write_avro_path(df, out_path)
+        return read_avro_path(spark, out_path)
     (df.write.format(out_format).options(**(write_options or {}))
      .mode("overwrite").save(out_path))
     return spark.read.format(out_format).load(out_path)
