@@ -3153,6 +3153,36 @@ def q_curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs, "doc_id", "url")
 
 
+def q_media_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: deterministic rasters encoded through the
+    pure-Python PNG/BMP/PPM encoders (datalib/media_codec.py), decoded back
+    inside mapInPandas, integer-exact raster stats. The DuckDB oracle
+    regenerates the same pixels with generate_series — proving the whole
+    encode→sniff→decode→stats chain bit-for-bit (the EVTX gate strategy).
+    Formula contract documented at multimodal.synthesize_media."""
+    from nifi_spark.datalib.multimodal import decode_media_stats, synthesize_media
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 2 == 0).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    stats = decode_media_stats(synthesize_media(docs, "doc_id"))
+    return stats.select(F.col("id").alias("doc_id"), "mime", "width",
+                        "height", "channels", "px_sum", "px_min", "px_max")
+
+
+def q_media_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: PCM-16 WAV encoded + RIFF-walk decoded in
+    mapInPandas; integer-exact stats (abs-sum, peak, duration) vs a
+    generate_series oracle over the same sample formula."""
+    from nifi_spark.datalib.multimodal import decode_media_stats, synthesize_media
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 2 == 1).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    stats = decode_media_stats(synthesize_media(docs, "doc_id"))
+    return stats.select(F.col("id").alias("doc_id"), "mime", "sample_rate",
+                        "channels", "n_samples", "duration_ms", "abs_sum",
+                        "peak")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -3260,6 +3290,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "media_decode_image_stats": q_media_decode_image_stats,
+        "media_decode_audio_stats": q_media_decode_audio_stats,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4195,6 +4227,40 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "media_decode_image_stats": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 2 = 0 ORDER BY doc_id LIMIT 100),
+dims AS (
+  SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM ids),
+px AS (
+  SELECT id, w, h, (id + 3 * unnest(range(0, w * h * 3))) % 256 AS v
+  FROM dims)
+SELECT id AS doc_id,
+       CASE id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/bmp'
+            ELSE 'image/x-portable-pixmap' END AS mime,
+       any_value(w) AS width, any_value(h) AS height, 3 AS channels,
+       sum(v)::BIGINT AS px_sum, min(v)::INT AS px_min,
+       max(v)::INT AS px_max
+FROM px GROUP BY id
+""",
+        "media_decode_audio_stats": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 2 = 1 ORDER BY doc_id LIMIT 100),
+dims AS (
+  SELECT id, 1 + id % 2 AS ch, 64 + id % 37 AS frames FROM ids),
+s AS (
+  SELECT id, ch, frames,
+         abs((id * 17 + 13 * unnest(range(0, ch * frames))) % 4001 - 2000) AS a
+  FROM dims)
+SELECT id AS doc_id, 'audio/wav' AS mime, 8000 AS sample_rate,
+       any_value(ch)::INT AS channels,
+       any_value(ch * frames)::INT AS n_samples,
+       any_value((frames * 1000) // 8000)::INT AS duration_ms,
+       sum(a)::BIGINT AS abs_sum, max(a)::INT AS peak
+FROM s GROUP BY id
 """,
         "multimodal_frame_sample": """
 WITH m AS (

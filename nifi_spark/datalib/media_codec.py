@@ -1,0 +1,329 @@
+"""Pure-Python (stdlib-only) media codecs: PNG / BMP / PPM / PGM / WAV.
+
+Closes the multimodal "codec = declared stub" seam for every format the
+container can actually handle without Pillow/ffmpeg: PNG rides on stdlib
+zlib, BMP/PPM/PGM are raw rasters, WAV is RIFF + PCM. Each format has BOTH
+an encoder and a decoder so tests and gate rows can prove encode→decode
+roundtrips bit-for-bit (the same strategy as the EVTX pack→parse gates).
+
+Decoded images are returned as (width, height, channels, pixels) where
+``pixels`` is a flat ``bytes`` of rows top-to-bottom, channels interleaved
+— the canonical raster the feature stage consumes regardless of source
+format. Audio decodes to (sample_rate, channels, int16-sample list).
+
+Format coverage (and the declared remaining boundary):
+* PNG — 8-bit, color types 0 (gray), 2 (RGB), 6 (RGBA); all five filter
+  types on decode; encoder emits filter 0 (None). Interlaced (Adam7),
+  16-bit, and palette images raise a clear error.
+* BMP — 24-bit uncompressed BI_RGB, bottom-up or top-down.
+* PPM/PGM — binary P6/P5, maxval 255.
+* WAV — PCM 16-bit, any channel count; extra RIFF chunks are skipped.
+* JPEG/MP4 and other DCT/container formats remain the declared seam in
+  datalib/multimodal.py (no entropy-coding stack in the sandbox).
+
+Reference parity: NiFi 1.1.2 has no image processors in the standard
+bundle (media handling rides ExtractMediaMetadata in the media bundle,
+nifi-nar-bundles/nifi-media-bundle/.../ExtractMediaMetadata.java which
+wraps Tika); this module provides the training-data-pipeline analog the
+task brief mandates, with the decode math done here instead of a library.
+
+Scale shape: all functions are plain bytes→tuple transforms, invoked from
+Arrow-batched mapInPandas in datalib/multimodal.py — per-partition, no
+driver involvement, no Python per-row UDF registration.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes,
+               compresslevel: int = 6) -> bytes:
+    """Encode a flat raster as a non-interlaced 8-bit PNG (filter 0)."""
+    if channels not in (1, 3, 4):
+        raise ValueError(f"PNG encoder supports 1/3/4 channels, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 = None
+        raw += pixels[y * stride:(y + 1) * stride]
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), compresslevel))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG → raster tuple."""
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width = 8, None
+    height = channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4:pos + 8]
+        body = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data size mismatch")
+    out = bytearray(stride * height)
+    prev = bytes(stride)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:    # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = bytes(line)
+    return width, height, channels, bytes(out)
+
+
+# ---------------------------------------------------------------- BMP
+
+def encode_bmp(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode as a 24-bit uncompressed bottom-up BMP (gray is expanded)."""
+    if channels == 1:
+        pixels = bytes(v for v in pixels for _ in range(3))
+        channels = 3
+    if channels == 4:  # drop alpha
+        pixels = bytes(v for i, v in enumerate(pixels) if i % 4 != 3)
+        channels = 3
+    if channels != 3:
+        raise ValueError("BMP encoder needs 1/3/4-channel input")
+    pad = (-width * 3) % 4
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = pixels[y * width * 3:(y + 1) * width * 3]
+        # RGB -> BGR
+        for x in range(width):
+            r, g, b = row[x * 3:x * 3 + 3]
+            rows += bytes((b, g, r))
+        rows += bytes(pad)
+    data_off = 14 + 40
+    file_size = data_off + len(rows)
+    header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    return header + bytes(rows)
+
+
+def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a 24-bit uncompressed BMP → (w, h, 3, RGB raster)."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = height < 0
+    height = abs(height)
+    stride = width * 3 + ((-width * 3) % 4)
+    out = bytearray(width * height * 3)
+    for row_i in range(height):
+        y = row_i if top_down else height - 1 - row_i
+        line = blob[data_off + row_i * stride:data_off + row_i * stride + width * 3]
+        for x in range(width):
+            b, g, r = line[x * 3:x * 3 + 3]
+            o = (y * width + x) * 3
+            out[o:o + 3] = bytes((r, g, b))
+    return width, height, 3, bytes(out)
+
+
+# ---------------------------------------------------------------- PPM/PGM
+
+def encode_pnm(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode as binary PPM (P6, 3ch) or PGM (P5, 1ch)."""
+    if channels == 3:
+        magic = b"P6"
+    elif channels == 1:
+        magic = b"P5"
+    else:
+        raise ValueError("PNM supports 1 or 3 channels")
+    return magic + f"\n{width} {height}\n255\n".encode() + pixels
+
+
+def decode_pnm(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode binary P5/P6 (maxval 255, '#' comments allowed)."""
+    if blob[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    channels = 3 if blob[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos:pos + 1].isspace():
+            pos += 1
+        if blob[pos:pos + 1] == b"#":
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PNM maxval {maxval}")
+    n = width * height * channels
+    return width, height, channels, blob[pos:pos + n]
+
+
+# ---------------------------------------------------------------- WAV
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Encode interleaved int16 samples as PCM WAV."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    riff = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_wav(blob: bytes) -> tuple[int, int, list[int]]:
+    """Decode PCM-16 WAV → (sample_rate, channels, interleaved samples).
+
+    Walks RIFF chunks explicitly (LIST/INFO etc. are skipped) rather than
+    assuming the canonical 44-byte layout.
+    """
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    sample_rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", blob, pos + 4)
+        body = blob[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", body)
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (fmt={fmt_code}, bits={bits}) — PCM16 only")
+        elif tag == b"data":
+            data = body
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n = len(data) // 2
+    return sample_rate, channels, list(struct.unpack(f"<{n}h", data[:n * 2]))
+
+
+# ---------------------------------------------------------------- sniff + dispatch
+
+def sniff_media(blob: bytes) -> str:
+    """MIME sniff over the magic bytes of the supported formats."""
+    if blob[:8] == _PNG_SIG:
+        return "image/png"
+    if blob[:2] == b"BM":
+        return "image/bmp"
+    if blob[:2] == b"P6":
+        return "image/x-portable-pixmap"
+    if blob[:2] == b"P5":
+        return "image/x-portable-graymap"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return "audio/wav"
+    return "application/octet-stream"
+
+
+_IMAGE_DECODERS = {
+    "image/png": decode_png,
+    "image/bmp": decode_bmp,
+    "image/x-portable-pixmap": decode_pnm,
+    "image/x-portable-graymap": decode_pnm,
+}
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Sniff + decode any supported image format to the canonical raster."""
+    mime = sniff_media(blob)
+    dec = _IMAGE_DECODERS.get(mime)
+    if dec is None:
+        raise ValueError(f"no image decoder for {mime}")
+    return dec(blob)
+
+
+def image_stats(blob: bytes) -> dict:
+    """Decode + integer-exact raster stats (oracle-friendly: no floats).
+
+    Returns per-image: width, height, channels, and over all samples the
+    sum / min / max — integers, so a SQL oracle that regenerates the same
+    raster matches bit-for-bit.
+    """
+    w, h, c, px = decode_image(blob)
+    return {"mime": sniff_media(blob), "width": w, "height": h,
+            "channels": c, "px_sum": sum(px), "px_min": min(px),
+            "px_max": max(px), "n_bytes": len(px)}
+
+
+def audio_stats(blob: bytes) -> dict:
+    """Decode + integer-exact PCM stats (sum of abs, peak, counts)."""
+    rate, ch, samples = decode_wav(blob)
+    n_frames = len(samples) // ch if ch else 0
+    return {"mime": "audio/wav", "sample_rate": rate, "channels": ch,
+            "n_samples": len(samples),
+            "duration_ms": (n_frames * 1000) // rate if rate else 0,
+            "abs_sum": sum(abs(s) for s in samples),
+            "peak": max((abs(s) for s in samples), default=0)}

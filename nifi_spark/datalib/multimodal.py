@@ -2,14 +2,20 @@
 
 Images/audio/video ride as opaque `binary` columns with a typed metadata
 struct. The Spark-side plumbing — schema, partitioning, mapInPandas batch
-shape, size accounting — is real and tested; the codec step is stubbed
-because no image/audio libraries exist in this container:
+shape, size accounting — is real and tested. The codec layer is REAL for
+every format the container can handle without Pillow/ffmpeg: PNG (stdlib
+zlib), BMP, PPM/PGM, and PCM WAV decode+encode live in
+datalib/media_codec.py; `decode_media_stats` below runs them inside
+mapInPandas and `synthesize_media` builds payloads through the same
+encoders from a deterministic formula (so the DuckDB oracle can regenerate
+the expected integer stats via generate_series — the EVTX pack→parse gate
+strategy).
 
-* decode_stub=True (default) → deterministic fake features derived from
-  the payload bytes (stable across runs; lets downstream stages and tests
-  exercise real data flow).
-* decode_stub=False → NotImplementedError at the decode call site, marking
-  exactly where Pillow/ffmpeg/torchaudio plug in on a real cluster.
+The remaining declared seam is entropy-coded formats only (JPEG/MP4/Opus):
+* decode_stub=True (default in extract_features) → deterministic fake
+  features derived from the payload bytes.
+* decode_stub=False → real decode via media_codec for supported mimes;
+  NotImplementedError only for formats that genuinely need Pillow/ffmpeg.
 
 Scale notes: payloads are grouped into size-bounded Arrow batches
 (`maxRecordsPerBatch` plus the byte-budget repartition below) so a 4K
@@ -54,6 +60,33 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
     return [d[i % 32] / 255.0 for i in range(dim)]
 
 
+def _real_features(payload: bytes, dim: int) -> list[float]:
+    """REAL decode path: per-channel means + shape for images, PCM stats
+    for audio. Raises only for formats the sandbox genuinely can't decode
+    (JPEG/MP4 — the remaining declared seam)."""
+    from nifi_spark.datalib import media_codec as mc
+    mime = mc.sniff_media(payload)
+    if mime.startswith("image/"):
+        w, h, c, px = mc.decode_image(payload)
+        sums = [0] * c
+        for i, v in enumerate(px):
+            sums[i % c] += v
+        n = w * h
+        feat = [w / 4096.0, h / 4096.0, float(c)]
+        feat += [s / n / 255.0 for s in sums]
+    elif mime == "audio/wav":
+        rate, ch, samples = mc.decode_wav(payload)
+        n = max(len(samples), 1)
+        feat = [rate / 48000.0, float(ch), len(samples) / 1e6,
+                sum(abs(s) for s in samples) / n / 32768.0]
+    else:
+        raise NotImplementedError(
+            f"no sandbox decoder for {mime} — JPEG/MP4 need Pillow/ffmpeg; "
+            "plug them here on a real cluster")
+    feat = feat[:dim]
+    return feat + [0.0] * (dim - len(feat))
+
+
 def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True,
                      batch_bytes: int = 64 << 20,
                      size_partitioning: bool = False) -> DataFrame:
@@ -75,17 +108,17 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "media decode requires Pillow/ffmpeg — not in sandbox; "
-                    "plug the real codec here")
             payloads = pdf["payload"]
+            if decode_stub:
+                feats = payloads.map(lambda b: _fake_features(b, dim))
+            else:
+                feats = payloads.map(lambda b: _real_features(bytes(b), dim))
             out = pd.DataFrame({
                 "id": pdf["id"],
                 "kind": pdf["kind"],
                 "byte_len": payloads.map(len).astype("int64"),
                 "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                "feat": payloads.map(lambda b: _fake_features(b, dim)),
+                "feat": feats,
             })
             yield out
 
@@ -117,3 +150,97 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
                                         F.encode(F.col("frame_idx").cast("string"),
                                                  "utf-8")), 256)) \
         .drop("payload")
+
+
+# ------------------------------------------------------------------
+# REAL codec path (media_codec.py): deterministic fixtures + decode stats
+# ------------------------------------------------------------------
+#
+# Fixture formulas — shared contract between synthesize_media (encode side)
+# and the DuckDB gate oracle (which regenerates the raster/PCM stream with
+# generate_series and aggregates the SAME integers):
+#   image(id): w = 8 + id%5, h = 6 + id%4, c = 3,
+#              pixel[k] = (id + 3*k) % 256 for k in [0, w*h*3)
+#              container = id%3 → PNG / BMP / PPM
+#   audio(id): rate = 8000, ch = 1 + id%2, frames = 64 + id%37,
+#              sample[j] = (id*17 + j*13) % 4001 - 2000,
+#              j in [0, frames*ch)
+
+MEDIA_STATS_SCHEMA = (
+    "id long, kind string, mime string, width int, height int, "
+    "channels int, px_sum long, px_min int, px_max int, "
+    "sample_rate int, n_samples int, duration_ms int, abs_sum long, peak int")
+
+
+def _synth_image(i: int) -> bytes:
+    from nifi_spark.datalib import media_codec as mc
+    w, h = 8 + i % 5, 6 + i % 4
+    px = bytes((i + 3 * k) % 256 for k in range(w * h * 3))
+    fmt = i % 3
+    if fmt == 0:
+        return mc.encode_png(w, h, 3, px)
+    if fmt == 1:
+        return mc.encode_bmp(w, h, 3, px)
+    return mc.encode_pnm(w, h, 3, px)
+
+
+def _synth_audio(i: int) -> bytes:
+    from nifi_spark.datalib import media_codec as mc
+    ch, frames = 1 + i % 2, 64 + i % 37
+    samples = [(i * 17 + j * 13) % 4001 - 2000 for j in range(frames * ch)]
+    return mc.encode_wav(8000, ch, samples)
+
+
+def synthesize_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Fixture source: encode deterministic rasters/PCM through the REAL
+    encoders (PNG/BMP/PPM/WAV), one media row per input id — even ids
+    become images, odd ids audio. Runs in mapInPandas so encoding is
+    distributed exactly like a production ingest of raw media files."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    rows.append((i, "image", _synth_image(i)))
+                else:
+                    rows.append((i, "audio", _synth_audio(i)))
+            yield pd.DataFrame(rows, columns=["id", "kind", "payload"])
+
+    return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
+
+
+def decode_media_stats(df: DataFrame) -> DataFrame:
+    """REAL decode: sniff each payload's magic, run the pure-Python codec,
+    and emit integer-exact stats (image: raster sum/min/max + shape; audio:
+    PCM abs-sum/peak/duration). Integer outputs keep the DuckDB oracle
+    bit-exact. Arrow-batched; unsupported formats surface as mime with NULL
+    stats rather than failing the batch (quarantine-friendly)."""
+    from nifi_spark.datalib import media_codec as mc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, kind, payload in zip(pdf["id"], pdf["kind"], pdf["payload"]):
+                blob = bytes(payload)
+                mime = mc.sniff_media(blob)
+                base = {"id": int(i), "kind": kind, "mime": mime,
+                        "width": None, "height": None, "channels": None,
+                        "px_sum": None, "px_min": None, "px_max": None,
+                        "sample_rate": None, "n_samples": None,
+                        "duration_ms": None, "abs_sum": None, "peak": None}
+                try:
+                    if mime.startswith("image/"):
+                        base.update(mc.image_stats(blob))
+                        base.pop("n_bytes", None)
+                    elif mime == "audio/wav":
+                        base.update(mc.audio_stats(blob))
+                except ValueError:
+                    pass  # undecodable → NULL stats row (quarantine path)
+                base["mime"] = mime
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
