@@ -3153,6 +3153,51 @@ def q_curate_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs, "doc_id", "url")
 
 
+def q_parse_evtx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParseEvtx with embedded-BinXML substitution values (0x21 — the
+    EventData shape real event records use) plus variable-size arrays
+    (ANSI strings, SIDs). The embedded fragment splices in as markup with
+    its scalar text escaped; the SQL oracle rebuilds the exact XML."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_ANSI, _VT_BINXML, _VT_SID,
+                                           _VT_UINT32,
+                                           encode_binxml_template)
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 3) \
+        .select("event_id",
+                F.pmod(F.col("user_id"), F.lit(8)).alias("file_id"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "event_type", "user_id")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for r in pdf.itertuples():
+            eid = int(r.event_id)
+            emb = ("EventData", [],
+                   [("Data", [("Name", "u")], [], f"u{int(r.user_id)}"),
+                    ("Data", [("Name", "t")], [], str(r.event_type))], None)
+            payload = encode_binxml_template(
+                "Event", children=[("Id", [], [], ("sub", 0)),
+                                   ("Body", [], [], ("sub", 1)),
+                                   ("Tags", [], [], ("sub", 2)),
+                                   ("Sids", [], [], ("sub", 3))],
+                values=[(_VT_UINT32, eid % 100000),
+                        (_VT_BINXML, emb),
+                        (0x80 | _VT_ANSI, [f"a{eid % 5}", f"b{eid % 3}"]),
+                        (0x80 | _VT_SID,
+                         [f"S-1-5-{eid % 9}", "S-1-5-21-3"])],
+                template_id=3)
+            recs.append((eid, int(r.us), payload))
+        recs.sort()
+        return pd.DataFrame({"file_id": [int(pdf["file_id"].iloc[0])],
+                             "content": [build_evtx(recs)]})
+
+    blobs = ev.groupBy("file_id").applyInPandas(
+        pack, "file_id long, content binary")
+    return parse_evtx(blobs, "content", id_col="file_id",
+                      decode_stub=False).select(
+        "record_id", "record_time_us", "xml")
+
+
 def q_media_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec path: deterministic rasters encoded through the
     pure-Python PNG/BMP/PPM encoders (datalib/media_codec.py), decoded back
@@ -3230,6 +3275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_evtx_binxml": q_parse_evtx_binxml,
         "parse_evtx_tokens": q_parse_evtx_tokens,
         "parse_evtx_chunkref": q_parse_evtx_chunkref,
+        "parse_evtx_embedded": q_parse_evtx_embedded,
         "transform_xml_roundtrip": q_transform_xml_roundtrip,
         "transform_xml_xslt": q_transform_xml_xslt,
         "xquery_extract": q_xquery_extract,
@@ -3695,6 +3741,18 @@ FROM events
 SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
        strlen(props) AS payload_len, md5(props) AS payload_md5
 FROM events
+""",
+        "parse_evtx_embedded": """
+SELECT event_id AS record_id, epoch_us(ts) AS record_time_us,
+       '<Event><Id>' || (event_id % 100000)::VARCHAR || '</Id>' ||
+       '<Body><EventData><Data Name="u">u' || user_id::VARCHAR ||
+       '</Data><Data Name="t">' || event_type ||
+       '</Data></EventData></Body>' ||
+       '<Tags>a' || (event_id % 5)::VARCHAR || ',b' ||
+       (event_id % 3)::VARCHAR || '</Tags>' ||
+       '<Sids>S-1-5-' || (event_id % 9)::VARCHAR ||
+       ',S-1-5-21-3</Sids></Event>' AS xml
+FROM events WHERE event_id % 10 = 3
 """,
         "parse_evtx_chunkref": """
 WITH src AS (

@@ -39,11 +39,17 @@ chunk), the decode retries with the whole chunk as offset context
 (decode_binxml_in_chunk) and reads the referenced name data / template
 definition in place. The encoder mirrors this (base/registry mode), so
 back-referencing blobs are synthesized and round-trip-tested. Array
-value types (0x80|T) render comma-joined for fixed-size element types
-and UTF-16 string arrays (NUL-terminated back-to-back). What remains
-outside the subset: embedded-BinXML values (0x21) and arrays of
-variable-size non-string types — those raise (decode_stub=False) or
-yield the digest placeholder (decode_stub=True).
+value types (0x80|T) render comma-joined: fixed-size element types,
+UTF-16 string arrays (NUL-terminated back-to-back), ANSI string arrays
+(single-NUL-terminated), and SID arrays (self-describing length).
+Embedded-BinXML substitution values (0x21) decode recursively and
+splice in as MARKUP (how EventData rides inside real event records);
+the encoder defers their packing so internal offsets land correct in
+both payload- and chunk-relative modes. The one shape left outside the
+subset: arrays of binary values — the format carries no per-element
+length for them, so they are not representable; unknown future value
+types raise (decode_stub=False) or yield the digest placeholder
+(decode_stub=True).
 
 ``build_evtx`` is the deterministic synthesizer for tests and gate
 queries — the analog of the reference's checked-in ``.evtx`` test
@@ -215,6 +221,7 @@ _VT_SYSTIME = 0x12
 _VT_SID = 0x13
 _VT_HEX32 = 0x14
 _VT_HEX64 = 0x15
+_VT_BINXML = 0x21         # value is itself a BinXML fragment (EventData)
 
 _VT_INTS = {_VT_INT8: ("<b", 1), _VT_UINT8: ("<B", 1),
             _VT_INT16: ("<h", 2), _VT_UINT16: ("<H", 2),
@@ -298,9 +305,10 @@ _VT_FIXED_SIZES = {_VT_REAL32: 4, _VT_REAL64: 8, _VT_BOOL: 4,
 
 def _split_array(base: int, data: bytes) -> list[bytes]:
     """Array value payload → element payloads. Fixed-size types pack
-    back-to-back; UTF-16 string arrays are NUL-terminated strings
-    back-to-back. Variable-size types beyond strings (SID, binary,
-    ANSI) stay out of the subset."""
+    back-to-back; UTF-16/ANSI string arrays are NUL-terminated strings
+    back-to-back; SIDs are self-describing (8 + 4·subauth-count bytes).
+    Binary arrays stay out — the format carries no per-element length,
+    so they are not representable (matching the reference's behavior)."""
     if base == _VT_STRING:
         out, i = [], 0
         while i < len(data):
@@ -309,6 +317,22 @@ def _split_array(base: int, data: bytes) -> list[bytes]:
                 j += 2
             out.append(data[i:j])
             i = j + 2
+        return out
+    if base == _VT_ANSI:
+        out, i = [], 0
+        while i < len(data):
+            j = data.find(b"\x00", i)
+            if j < 0:
+                j = len(data)
+            out.append(data[i:j])
+            i = j + 1
+        return out
+    if base == _VT_SID:
+        out, i = [], 0
+        while i < len(data):
+            size = 8 + 4 * data[i + 1]
+            out.append(data[i:i + size])
+            i += size
         return out
     size = _VT_INTS[base][1] if base in _VT_INTS \
         else _VT_FIXED_SIZES.get(base)
@@ -491,7 +515,11 @@ class _BinXmlReader:
                 if subs is not None:
                     vt, rendered = subs[sid]
                     if not (nxt == _TOK_SUBST_OPT and vt == _VT_NULL):
-                        parts.append(_xml_escape(rendered))
+                        # embedded-BinXML substitutions are MARKUP — they
+                        # splice in unescaped (how EventData rides in real
+                        # events); every scalar type escapes as text.
+                        parts.append(rendered if vt == _VT_BINXML
+                                     else _xml_escape(rendered))
                 else:
                     parts.append(f"{{sub:{sid}}}")
             else:
@@ -548,7 +576,17 @@ class _BinXmlReader:
         specs = [self.take("<HBB")[:2] for _ in range(count)]
         subs: list[tuple[int, str]] = []
         for size, vtype in specs:
-            subs.append((vtype, _render_value(vtype, self.raw(size))))
+            if vtype == _VT_BINXML:
+                # the value bytes are themselves a BinXML fragment whose
+                # internal offsets are relative to the SAME buffer — decode
+                # in place (works for both payload- and chunk-relative
+                # modes), then skip over the value bytes.
+                start = self.pos
+                self.raw(size)
+                rd = _BinXmlReader(self.buf, start, resident=self.resident)
+                subs.append((vtype, rd.fragment()))
+            else:
+                subs.append((vtype, _render_value(vtype, self.raw(size))))
         # second pass over the body with values bound
         rd = _BinXmlReader(self.buf, body_start, resident=self.resident)
         return rd.element(subs)
@@ -732,7 +770,23 @@ def encode_binxml_template(name: str, attrs=(), children=(), text=None,
         w.element(name, list(attrs), list(children), text)
         w.out.append(_TOK_EOF)
         struct.pack_into("<I", w.out, dsz_pos, len(w.out) - body_start)
-    blobs = [_pack_value(vt, v) for vt, v in values]
+    # Embedded-BinXML values (0x21) need the absolute position of their
+    # value bytes as encoding base (their internal name offsets are
+    # buffer-relative). Sizes are base-independent (offsets are fixed
+    # u32), so: size everything with base 0 first, then re-encode the
+    # embedded fragments at their final positions.
+    blobs: list[bytes] = []
+    for vt, v in values:
+        if vt == _VT_BINXML:
+            blobs.append(encode_binxml(*v))        # sizing pass (base 0)
+        else:
+            blobs.append(_pack_value(vt, v))
+    pos0 = base + len(w.out) + 4 + 4 * len(values)  # first value byte
+    off = 0
+    for i, (vt, v) in enumerate(values):
+        if vt == _VT_BINXML:
+            blobs[i] = encode_binxml(*v, base=pos0 + off)
+        off += len(blobs[i])
     w.out += struct.pack("<I", len(blobs))
     for (vt, _), b in zip(values, blobs):
         w.out += struct.pack("<HBB", len(b), vt, 0)
@@ -782,6 +836,9 @@ def _pack_value(vtype: int, v) -> bytes:
         base = vtype & 0x7F
         if base == _VT_STRING:
             return b"".join(str(el).encode("utf-16-le") + b"\x00\x00"
+                            for el in v)
+        if base == _VT_ANSI:
+            return b"".join(str(el).encode("cp1252") + b"\x00"
                             for el in v)
         return b"".join(_pack_value(base, el) for el in v)
     raise NotImplementedError(f"pack value type 0x{vtype:02x}")

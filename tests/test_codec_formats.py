@@ -587,3 +587,58 @@ def test_parse_evtx_array_values(spark):
                      decode_stub=False).collect()[0]
     assert out.xml == ("<A><ids>7,11,13</ids>"
                        "<tags>alpha,beta</tags></A>")
+
+
+def test_parse_evtx_embedded_binxml_and_var_arrays(spark):
+    """Embedded-BinXML substitution values (0x21) splice in as markup —
+    recursively decoded, escaping applied to their scalar text only —
+    and variable-size arrays (ANSI strings, SIDs) render comma-joined."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import (_VT_ANSI, _VT_BINXML, _VT_SID,
+                                           encode_binxml_template)
+    emb = ("EventData", [],
+           [("Data", [("Name", "k")], [], "v<esc>&")], None)
+    payload = encode_binxml_template(
+        "Event", children=[("Body", [], [], ("sub", 0)),
+                           ("Tags", [], [], ("sub", 1)),
+                           ("Sids", [], [], ("sub", 2))],
+        values=[(_VT_BINXML, emb),
+                (0x80 | _VT_ANSI, ["aa", "b", "ccc"]),
+                (0x80 | _VT_SID, ["S-1-5-21-7", "S-1-5-3"])],
+        template_id=6)
+    blob = build_evtx([(1, 2_000_000, payload)])
+    df = spark.createDataFrame([(1, blob)], "fid long, content binary")
+    out = parse_evtx(df, "content", id_col="fid",
+                     decode_stub=False).collect()[0]
+    assert out.xml == (
+        "<Event><Body><EventData>"
+        '<Data Name="k">v&lt;esc&gt;&amp;</Data></EventData></Body>'
+        "<Tags>aa,b,ccc</Tags><Sids>S-1-5-21-7,S-1-5-3</Sids></Event>")
+
+
+def test_parse_evtx_embedded_binxml_chunk_mode(spark):
+    """0x21 values inside chunk-resident (back-referenced) templates:
+    the embedded fragment's offsets stay correct in base/registry mode,
+    and later instances shrink to the back-reference form."""
+    from nifi_spark.operators import build_evtx, parse_evtx
+    from nifi_spark.operators.evtx import _VT_BINXML, _VT_STRING, \
+        encode_binxml_template
+    def mk(tag):
+        def payload(base, registry):
+            emb = ("D", [], [], f"x{tag}")
+            return encode_binxml_template(
+                "E", children=[("B", [], [], ("sub", 0)),
+                               ("N", [], [], ("sub", 1))],
+                values=[(_VT_BINXML, emb), (_VT_STRING, f"n{tag}")],
+                template_id=5, base=base, registry=registry)
+        return payload
+    blob = build_evtx([(i, 1_000_000 * i, mk(i)) for i in range(1, 5)])
+    df = spark.createDataFrame([(1, blob)], "fid long, content binary")
+    rows = {r.record_id: r for r in
+            parse_evtx(df, "content", id_col="fid",
+                       decode_stub=False).collect()}
+    assert len(rows) == 4
+    for i in range(1, 5):
+        assert rows[i].xml == f"<E><B><D>x{i}</D></B><N>n{i}</N></E>"
+    # later records carry only the back-reference + values
+    assert rows[2].payload_len < rows[1].payload_len
