@@ -1171,6 +1171,31 @@ def q_xquery_prolog_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.element_at("res", 1).alias("result"))
 
 
+def q_xquery_external_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XQuery external variables: ``declare variable $v external;`` bound
+    through evaluate_xquery(bindings=...) — the Saxon setExternalVariable
+    analog the round-2 engine declared out — plus a 3.0-style default
+    (``external := expr``) left unbound so the default evaluates."""
+    from nifi_spark.operators import evaluate_xquery
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 6)
+    e = F.col("event_id")
+    p1, p2, p3 = (e % 5) * 3 + 1, (e % 4) * 3 + 2, (e % 6) * 3 + 3
+    xml = F.concat(
+        F.lit('<o><i p="'), p1.cast("string"), F.lit('">x</i><i p="'),
+        p2.cast("string"), F.lit('">y</i><i p="'),
+        p3.cast("string"), F.lit('">z</i></o>'))
+    q = ("declare variable $min external; "
+         'declare variable $sep external := "-"; '
+         "for $i in /o/i where $i/@p > $min "
+         "return concat($i/@p, $sep, string($i))")
+    out = evaluate_xquery(
+        ev.select("event_id", xml.alias("content"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        "content", {"res": q}, bindings={"min": 6.0})
+    return out.select("event_id", F.size("res").alias("n_hits"),
+                      F.try_element_at("res", F.lit(1)).alias("first_hit"))
+
+
 def q_scan_attribute_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ScanAttribute: dictionary membership on an attribute column
     (broadcast semi/anti join), matched + unmatched counts per term."""
@@ -3281,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xquery_extract": q_xquery_extract,
         "xquery_flwor": q_xquery_flwor,
         "xquery_prolog_nested": q_xquery_prolog_nested,
+        "xquery_external_vars": q_xquery_external_vars,
         "transform_xml_key_number": q_transform_xml_key_number,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
@@ -3812,6 +3838,20 @@ SELECT event_id,
        ';2:c' || c2::VARCHAR || '=' || n2::VARCHAR ||
        ';3:c' || c3::VARCHAR || '=' || n3::VARCHAR || ';' AS result
 FROM cnt
+""",
+        "xquery_external_vars": """
+WITH src AS (
+  SELECT event_id,
+         (event_id % 5) * 3 + 1 AS p1,
+         (event_id % 4) * 3 + 2 AS p2,
+         (event_id % 6) * 3 + 3 AS p3
+  FROM events WHERE event_id % 10 = 6)
+SELECT event_id,
+       ((p1 > 6)::INT + (p2 > 6)::INT + (p3 > 6)::INT) AS n_hits,
+       CASE WHEN p1 > 6 THEN p1::VARCHAR || '-x'
+            WHEN p2 > 6 THEN p2::VARCHAR || '-y'
+            WHEN p3 > 6 THEN p3::VARCHAR || '-z' END AS first_hit
+FROM src
 """,
         "xquery_prolog_nested": """
 WITH base AS (

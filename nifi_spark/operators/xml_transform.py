@@ -142,7 +142,8 @@ def transform_xml(df: DataFrame, content_col: str,
 
 def evaluate_xquery(df: DataFrame, content_col: str,
                     queries: dict[str, str],
-                    first_only: bool = False) -> DataFrame:
+                    first_only: bool = False,
+                    bindings: dict | None = None) -> DataFrame:
     """XQuery path-expression evaluation → one column per query.
 
     {out_col: query}. Path expressions run JVM-side via the built-in
@@ -154,6 +155,10 @@ def evaluate_xquery(df: DataFrame, content_col: str,
     (operators/xquery.py) as an Arrow-batched mapInPandas column —
     array<string> of serialized return items (first item only under
     first_only=True). Malformed XML yields NULL for FLWOR columns.
+    ``bindings`` supplies values for ``declare variable $v external;``
+    prolog declarations — static per run, like Saxon's
+    setExternalVariable in the reference (EvaluateXQuery.java binds
+    flowfile attributes the same way).
     """
     flwor = {n: q for n, q in queries.items() if _FLWOR.search(q)}
     paths = {n: q for n, q in queries.items() if n not in flwor}
@@ -188,7 +193,7 @@ def evaluate_xquery(df: DataFrame, content_col: str,
                         root = ET.fromstring(text)
                     except ET.ParseError:
                         return None
-                    items = eval_flwor(plan, root)
+                    items = eval_flwor(plan, root, variables=bindings)
                     if first_only:
                         return items[0] if items else None
                     return items

@@ -25,8 +25,11 @@ Prologs: ``xquery version "...";``, ``declare namespace p = "uri";``
 (evaluated top-down before the body), and
 ``declare function local:f($a, $b) { body };`` (body = any expression
 or FLWOR; recursion allowed to depth 64; ``as type`` annotations are
-accepted and ignored). ``declare variable ... external`` raises —
-there is no host binding surface.
+accepted and ignored). ``declare variable $v external;`` binds from the
+``variables=`` argument of eval_flwor (the Saxon setExternalVariable
+analog — evaluate_xquery exposes it as ``bindings=``); the XQuery 3.0
+default form ``external := expr`` evaluates the default when unbound,
+and a plain external with no binding raises.
 """
 
 from __future__ import annotations
@@ -131,9 +134,20 @@ def _parse_prolog(body: str, plan: dict) -> str:
         m = _VAR_DECL_RE.match(body)
         if m:
             rest = body[m.end():]
-            if re.match(r"external\s*;", rest, re.IGNORECASE):
-                raise XQueryError("declare variable ... external is not "
-                                  "supported (no host binding surface)")
+            em = re.match(r"external\s*(;|:=)", rest, re.IGNORECASE)
+            if em:
+                if em.group(1) == ";":
+                    plan["external_vars"].append((m.group(1), None))
+                    body = rest[em.end():].lstrip()
+                    continue
+                # XQuery 3.0 default form: external := expr;
+                end = _scan_to(rest, em.end(), ";")
+                if end < 0:
+                    raise XQueryError("unterminated external variable")
+                plan["external_vars"].append(
+                    (m.group(1), rest[em.end():end].strip()))
+                body = rest[end + 1:].lstrip()
+                continue
             if not rest.startswith(":="):
                 raise XQueryError(f"bad variable declaration: {body[:40]!r}")
             end = _scan_to(rest, 2, ";")
@@ -200,7 +214,8 @@ def parse_flwor(src: str) -> dict:
     (source text kept; sub-expressions compile lazily through the
     XPath cache)."""
     plan = {"binds": [], "where": None, "order": [], "return": None,
-            "prolog_vars": [], "functions": {}, "namespaces": {}}
+            "prolog_vars": [], "external_vars": [], "functions": {},
+            "namespaces": {}}
     body = _parse_prolog(src.strip(), plan)
     hits = _top_level_clause_hits(body)
     if not hits or hits[0].start() != 0:
@@ -389,6 +404,15 @@ def eval_flwor(plan: dict, root: ET.Element | None,
     doc = doc if doc is not None else Document(root)
     funcs = _build_functions(plan, functions)
     vars0 = dict(variables or {})
+    for name, default in plan.get("external_vars", ()):
+        if name in vars0:
+            continue
+        if default is None:
+            raise XQueryError(
+                f"external variable ${name} not bound (pass it via "
+                "variables= / evaluate_xquery(bindings=...))")
+        vars0[name] = _eval_expr(
+            default, Context(doc, doc, variables=vars0, functions=funcs))
     for name, expr in plan["prolog_vars"]:
         vars0[name] = _eval_expr(
             expr, Context(doc, doc, variables=vars0, functions=funcs))

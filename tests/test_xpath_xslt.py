@@ -273,9 +273,24 @@ def test_flwor_prolog_variables_and_namespace(root):
     plan = parse_flwor(q)
     assert plan["namespaces"] == {"x": "http://example.test"}
     assert eval_flwor(plan, root) == ["b1", "b3"]
-    with pytest.raises(XQueryError, match="external"):
-        parse_flwor("declare variable $v external; "
-                    "for $i in //a return $i")
+
+
+def test_flwor_external_variables(root):
+    q = """declare variable $floor external;
+           declare variable $fmt external := "id:";
+           for $b in //book where $b/@price > $floor
+           return concat($fmt, $b/@id)"""
+    plan = parse_flwor(q)
+    assert plan["external_vars"] == [("floor", None), ("fmt", '"id:"')]
+    # bound externally; the default kicks in for the unbound one
+    assert eval_flwor(plan, root, variables={"floor": 5.0}) == \
+        ["id:b1", "id:b3"]
+    # both bound: binding wins over the default
+    assert eval_flwor(plan, root,
+                      variables={"floor": 5.0, "fmt": "#"}) == ["#b1", "#b3"]
+    # a plain external with no binding raises the declared error
+    with pytest.raises(XQueryError, match=r"external variable \$floor"):
+        eval_flwor(plan, root)
 
 
 def test_flwor_prolog_functions(root):
