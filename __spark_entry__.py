@@ -1144,6 +1144,50 @@ def q_transform_xml_key_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "result")
 
 
+def q_transform_xml_format_number(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """XSLT format-number()/xsl:decimal-format + xsl:apply-imports (the
+    instructions the round-2 engine declared out): grouping, character
+    overrides, min-integer padding, and a negative subpattern, with the
+    formatting template imported at lower precedence and wrapped via
+    apply-imports. Values are built so 2-decimal rounding is exact, and
+    the oracle rebuilds every string with integer-only grouping."""
+    from nifi_spark.operators import transform_xml
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 1)
+    e = F.col("event_id")
+    intp, frac = (e * 13) % 1000000, e % 97
+    xml = F.concat(F.lit('<o><p v="'), intp.cast("string"), F.lit("."),
+                   F.lpad(frac.cast("string"), 2, "0"), F.lit('"/></o>'))
+    base = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+            '"http://www.w3.org/1999/XSL/Transform">'
+            '<xsl:decimal-format name="eu" decimal-separator=","'
+            ' grouping-separator="."/>'
+            '<xsl:template match="p">'
+            "<xsl:value-of select=\"format-number(@v, '#,##0.00')\"/>"
+            '<xsl:text>|</xsl:text>'
+            "<xsl:value-of select=\"format-number(@v, '#.##0,00', 'eu')\"/>"
+            '<xsl:text>|</xsl:text>'
+            "<xsl:value-of select=\"format-number(@v, '000000000.00')\"/>"
+            '<xsl:text>|</xsl:text>'
+            '<xsl:value-of select="format-number(0 - @v, '
+            "'#,##0.00;(#,##0.00)')\"/>"
+            '</xsl:template></xsl:stylesheet>')
+    xsl = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+           '"http://www.w3.org/1999/XSL/Transform">'
+           '<xsl:import href="base.xsl"/>'
+           '<xsl:output method="text"/>'
+           '<xsl:template match="/">'
+           '<xsl:apply-templates select="//p"/></xsl:template>'
+           '<xsl:template match="p">[<xsl:apply-imports/>]'
+           '</xsl:template></xsl:stylesheet>')
+    out = transform_xml(
+        ev.select("event_id", xml.alias("content"))
+        .repartition(spark.sparkContext.defaultParallelism),
+        "content", stylesheet=xsl, out_col="result",
+        resolver={"base.xsl": base})
+    return out.select("event_id", "result")
+
+
 def q_xquery_prolog_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XQuery with a prolog (version decl, declare variable, declare
     function) and a nested FLWOR inside a constructor hole — the
@@ -3308,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xquery_prolog_nested": q_xquery_prolog_nested,
         "xquery_external_vars": q_xquery_external_vars,
         "transform_xml_key_number": q_transform_xml_key_number,
+        "transform_xml_format_number": q_transform_xml_format_number,
         "identify_mime": q_identify_mime,
         "scan_attribute_route": q_scan_attribute_route,
         "attributes_to_json": q_attributes_to_json,
@@ -3838,6 +3883,23 @@ SELECT event_id,
        ';2:c' || c2::VARCHAR || '=' || n2::VARCHAR ||
        ';3:c' || c3::VARCHAR || '=' || n3::VARCHAR || ';' AS result
 FROM cnt
+""",
+        "transform_xml_format_number": """
+WITH src AS (
+  SELECT event_id,
+         (event_id * 13) % 1000000 AS intp,
+         event_id % 97 AS frac
+  FROM events WHERE event_id % 10 = 1),
+parts AS (
+  SELECT event_id,
+         format('{:,}', intp) || '.' || lpad(frac::VARCHAR, 2, '0') AS g1,
+         lpad(intp::VARCHAR, 9, '0') || '.'
+             || lpad(frac::VARCHAR, 2, '0') AS g3
+  FROM src)
+SELECT event_id,
+       '[' || g1 || '|' || translate(g1, ',.', '.,') || '|' || g3 ||
+       '|(' || g1 || ')]' AS result
+FROM parts
 """,
         "xquery_external_vars": """
 WITH src AS (

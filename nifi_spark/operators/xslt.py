@@ -18,13 +18,21 @@ stylesheets:
   rules, and xsl:output method="xml|text".
 
 Out of scope (raises XsltError with the instruction name — a declared
-boundary, never a silent wrong answer): xsl:apply-imports,
-xsl:decimal-format/namespace-alias, extension namespaces.
+boundary, never a silent wrong answer): extension namespaces and
+xsl:strip-space/attribute-set (accepted, ignored).
 Supported beyond the round-2 subset: xsl:key + key() (per-document
 index, doc-ordered results), xsl:number (value=, levels
 single/any/multiple, count=/from= patterns, format tokens 1/01/a/A/i/I),
-and xsl:import/xsl:include through a resolver mapping hrefs to
-stylesheet text (imports carry lower import precedence).
+xsl:import/xsl:include through a resolver mapping hrefs to stylesheet
+text (imports carry lower import precedence), xsl:apply-imports (the
+next-best template strictly below the current template's import
+precedence; built-in rules when none), xsl:decimal-format +
+format-number() (JDK-DecimalFormat subset: #/0 digits, grouping,
+min/max fraction, percent/per-mille, negative subpattern, character
+overrides, HALF_EVEN), and xsl:namespace-alias (literal result
+elements/attributes re-homed to the result namespace; prefix→uri maps
+recovered lexically from the stylesheet source since ElementTree
+resolves prefixes away).
 
 Execution model on Spark: one stylesheet compiled once per executor
 task, applied row-wise inside Arrow-batched ``mapInPandas`` — a pure
@@ -139,10 +147,14 @@ class XsltStylesheet:
         self.named: dict[str, _Template] = {}
         self.global_vars: list[ET.Element] = []
         self.keys: list[tuple[str, list[str], str]] = []
+        self.decimal_formats: dict[str | None, dict] = {}
+        self.ns_aliases: dict[str, str] = {}   # stylesheet-uri → result-uri
+        self._tpl_stack: list[_Template] = []  # for xsl:apply-imports
         self._next_prec = 0
         self._next_pos = 0
         self._loading: set[str] = set()   # import/include cycle guard
-        self._load(self._parse_sheet(stylesheet), resolver)
+        self._load(self._parse_sheet(stylesheet), resolver,
+                   _ns_decls(stylesheet))
 
     @staticmethod
     def _parse_sheet(stylesheet: str) -> ET.Element:
@@ -154,7 +166,7 @@ class XsltStylesheet:
             raise XsltError(f"not an XSLT stylesheet root: {root.tag}")
         return root
 
-    def _resolve(self, resolver, href: str) -> ET.Element:
+    def _resolve(self, resolver, href: str) -> tuple[ET.Element, dict]:
         if href in self._loading:
             raise XsltError(f"cyclic xsl:import/include via {href!r}")
         self._loading.add(href)
@@ -166,33 +178,35 @@ class XsltStylesheet:
         if text is None:
             raise XsltError(f"unresolvable stylesheet href {href!r} "
                             "(pass resolver={href: text})")
-        return self._parse_sheet(text)
+        return self._parse_sheet(text), _ns_decls(text)
 
-    def _load(self, root: ET.Element, resolver) -> None:
+    def _load(self, root: ET.Element, resolver, nsmap: dict) -> None:
         # imports first: each imported sheet takes a LOWER precedence
         # number than this sheet (and later imports beat earlier ones)
         for child in root:
             if child.tag == _X + "import":
-                self._load(self._resolve(resolver, child.get("href")),
-                           resolver)
+                sub, sub_ns = self._resolve(resolver, child.get("href"))
+                self._load(sub, resolver, sub_ns)
         prec = self._next_prec
         self._next_prec += 1
-        self._load_body(root, resolver, prec)
+        self._load_body(root, resolver, prec, nsmap)
 
-    def _load_body(self, root: ET.Element, resolver, prec: int) -> None:
+    def _load_body(self, root: ET.Element, resolver, prec: int,
+                   nsmap: dict) -> None:
         for child in root:
             if child.tag == _X + "import":
                 continue  # handled by _load
             if child.tag == _X + "include":
-                sub = self._resolve(resolver, child.get("href"))
+                sub, sub_ns = self._resolve(resolver, child.get("href"))
                 if any(c.tag == _X + "import" for c in sub):
                     raise XsltError("xsl:import inside an included "
                                     "sheet is not supported")
-                self._load_body(sub, resolver, prec)
+                self._load_body(sub, resolver, prec, sub_ns)
                 continue
-            self._add_top_level(child, prec)
+            self._add_top_level(child, prec, nsmap)
 
-    def _add_top_level(self, child: ET.Element, prec: int) -> None:
+    def _add_top_level(self, child: ET.Element, prec: int,
+                       nsmap: dict) -> None:
         i = self._next_pos
         self._next_pos += 1
         if child.tag == _X + "output":
@@ -219,9 +233,19 @@ class XsltStylesheet:
             self.keys.append((child.get("name"),
                               _anchor_alts(child.get("match")),
                               child.get("use")))
-        elif child.tag in (_X + "decimal-format", _X + "namespace-alias"):
-            raise XsltError(f"unsupported top-level instruction "
-                            f"{child.tag.replace(_X, 'xsl:')}")
+        elif child.tag == _X + "decimal-format":
+            # format-number() picks these up; None = the default format
+            self.decimal_formats[child.get("name")] = dict(child.attrib)
+        elif child.tag == _X + "namespace-alias":
+            sp = child.get("stylesheet-prefix", "#default")
+            rp = child.get("result-prefix", "#default")
+            s_uri = nsmap.get("" if sp == "#default" else sp)
+            r_uri = nsmap.get("" if rp == "#default" else rp)
+            if s_uri is None or r_uri is None:
+                raise XsltError(
+                    f"namespace-alias prefix not declared on the "
+                    f"stylesheet: {sp!r} / {rp!r}")
+            self.ns_aliases[s_uri] = r_uri
         # strip-space/preserve-space/attribute-set: ignore
 
     # ---- pattern matching -------------------------------------------
@@ -244,11 +268,16 @@ class XsltStylesheet:
         return cache[alt]
 
     def _find_template(self, doc: Document, node, mode: str | None,
-                       variables: dict) -> _Template | None:
+                       variables: dict,
+                       below_prec: int | None = None) -> _Template | None:
+        """below_prec: only consider templates with import precedence
+        strictly below it — the xsl:apply-imports selection rule."""
         best = None
         key = _node_key(node)
         for t in self.templates:
             if t.pattern is None or t.mode != mode:
+                continue
+            if below_prec is not None and t.prec >= below_prec:
                 continue
             if best is not None and \
                     (t.prec, t.priority, t.pos) <= \
@@ -264,8 +293,9 @@ class XsltStylesheet:
     def apply(self, xml_text: str) -> str:
         src = ET.fromstring(xml_text)
         doc = Document(src)
+        doc.functions = {"format-number": self._format_number_fn}
         if self.keys:
-            doc.functions = {"key": self._key_fn}
+            doc.functions["key"] = self._key_fn
         variables: dict[str, Any] = {}
         for gv in self.global_vars:
             ctx = Context(doc, doc, variables=dict(variables))
@@ -312,6 +342,18 @@ class XsltStylesheet:
                     out.append(nd)
         out.sort(key=ctx.doc.sort_key)
         return out
+
+    # ---- format-number() / xsl:decimal-format ---------------------------
+
+    def _format_number_fn(self, ctx: Context, args: list):
+        if len(args) not in (2, 3):
+            raise XsltError("format-number() takes (number, pattern"
+                            "[, decimal-format-name])")
+        name = to_string(args[2]) if len(args) == 3 else None
+        if name is not None and name not in self.decimal_formats:
+            raise XsltError(f"undeclared decimal format {name!r}")
+        fmt = self.decimal_formats.get(name, {})
+        return _format_decimal(to_number(args[0]), to_string(args[1]), fmt)
 
     # ---- xsl:number ----------------------------------------------------
 
@@ -483,7 +525,11 @@ class XsltStylesheet:
                         ctx.doc, ctx.node, ctx.position, ctx.size, scope))
         body_ctx = Context(ctx.doc, ctx.node, ctx.position, ctx.size,
                            scope)
-        self._instantiate(out, t.body, body_ctx, skip_params=True)
+        self._tpl_stack.append(t)   # xsl:apply-imports needs the current
+        try:                        # template's precedence + mode
+            self._instantiate(out, t.body, body_ctx, skip_params=True)
+        finally:
+            self._tpl_stack.pop()
 
     def _instantiate(self, out: list, parent: ET.Element, ctx: Context,
                      skip_params: bool = False,
@@ -594,6 +640,16 @@ class XsltStylesheet:
                         out.append(string_value(nd))
             else:
                 out.append(to_string(v))
+        elif local == "apply-imports":
+            if not self._tpl_stack:
+                raise XsltError("xsl:apply-imports outside a template")
+            cur = self._tpl_stack[-1]
+            t = self._find_template(ctx.doc, ctx.node, cur.mode,
+                                    ctx.variables, below_prec=cur.prec)
+            if t is None:
+                self._builtin(out, ctx.node, cur.mode, ctx)
+            else:
+                self._invoke(out, t, ctx, {})
         elif local == "number":
             out.append(self._number(el, ctx))
         elif local == "variable":
@@ -613,10 +669,20 @@ class XsltStylesheet:
                 params[c.get("name")] = self._var_value(c, ctx)
         return params
 
+    def _alias_tag(self, tag: str) -> str:
+        """xsl:namespace-alias: literal result elements/attributes in an
+        aliased stylesheet namespace come out in the result namespace."""
+        if self.ns_aliases and tag.startswith("{"):
+            uri, local = tag[1:].split("}", 1)
+            mapped = self.ns_aliases.get(uri)
+            if mapped is not None:
+                return local if mapped == "" else "{" + mapped + "}" + local
+        return tag
+
     def _literal(self, out: list, el: ET.Element, ctx: Context):
-        new = ET.Element(el.tag)
+        new = ET.Element(self._alias_tag(el.tag))
         for k, v in el.attrib.items():
-            new.set(k, _avt(v, ctx))
+            new.set(self._alias_tag(k), _avt(v, ctx))
         items: list = []
         if el.text and el.text.strip():
             items.append(el.text)
@@ -627,6 +693,108 @@ class XsltStylesheet:
                 items.append(child.tail)
         _attach(new, items)
         out.append(new)
+
+
+_NS_DECL_RE = re.compile(r"xmlns(?::([\w.-]+))?\s*=\s*(\"[^\"]*\"|'[^']*')")
+
+
+def _ns_decls(stylesheet_text: str) -> dict:
+    """prefix → uri declarations from the stylesheet SOURCE text.
+    ElementTree resolves prefixes away while parsing, but
+    xsl:namespace-alias names prefixes — recover the map lexically
+    ('' = the default namespace)."""
+    return {m.group(1) or "": m.group(2)[1:-1]
+            for m in _NS_DECL_RE.finditer(stylesheet_text)}
+
+
+def _split_subpattern(sub: str, fmt: dict) -> tuple[str, str, str]:
+    """A JDK-DecimalFormat subpattern → (prefix, numeric-body, suffix).
+    Quoted sections ('...') in affixes are literal."""
+    digit = fmt.get("digit", "#")
+    zero = fmt.get("zero-digit", "0")
+    dec = fmt.get("decimal-separator", ".")
+    grp = fmt.get("grouping-separator", ",")
+    numeric = {digit, zero, dec, grp}
+    i, n = 0, len(sub)
+    while i < n and sub[i] not in numeric:
+        if sub[i] == "'":                     # quoted literal section
+            close = sub.find("'", i + 1)
+            if close < 0:
+                raise XsltError(f"unterminated quote in pattern {sub!r}")
+            i = close + 1
+        else:
+            i += 1
+    j = i
+    while j < n and sub[j] in numeric:
+        j += 1
+    return sub[:i], sub[i:j], sub[j:]
+
+
+def _strip_quotes(affix: str) -> str:
+    return affix.replace("''", "\x00").replace("'", "").replace("\x00", "'")
+
+
+def _format_decimal(v: float, pattern: str, fmt: dict) -> str:
+    """format-number(): the JDK DecimalFormat subset XSLT 1.0 specifies —
+    #/0 digits, grouping, min/max fraction digits, percent/per-mille
+    multipliers, a negative subpattern supplying prefix/suffix, and the
+    xsl:decimal-format character overrides. Rounding is HALF_EVEN on the
+    double's exact decimal expansion, as DecimalFormat does."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    if v != v:
+        return fmt.get("NaN", "NaN")
+    dec = fmt.get("decimal-separator", ".")
+    grp = fmt.get("grouping-separator", ",")
+    zero = fmt.get("zero-digit", "0")
+    pat_sep = fmt.get("pattern-separator", ";")
+    minus = fmt.get("minus-sign", "-")
+    subs = pattern.split(pat_sep)
+    pos_pre, body, pos_suf = _split_subpattern(subs[0], fmt)
+    if v < 0 and len(subs) > 1:
+        neg_pre, _, neg_suf = _split_subpattern(subs[1], fmt)
+    elif v < 0:
+        neg_pre, neg_suf = minus + pos_pre, pos_suf
+    else:
+        neg_pre, neg_suf = pos_pre, pos_suf
+    prefix, suffix = (neg_pre, neg_suf) if v < 0 else (pos_pre, pos_suf)
+    mult = 1
+    percent, permille = fmt.get("percent", "%"), fmt.get("per-mille",
+                                                         "‰")
+    if percent in prefix + suffix:
+        mult = 100
+    elif permille in prefix + suffix:
+        mult = 1000
+    int_pat, _, frac_pat = body.partition(dec)
+    min_int = int_pat.count(zero) or (0 if frac_pat else 1)
+    min_frac = frac_pat.count(zero)
+    max_frac = len(frac_pat)
+    g = len(int_pat) - int_pat.rfind(grp) - 1 if grp in int_pat else 0
+    if abs(v) == float("inf"):
+        digits, frac = fmt.get("infinity", "Infinity"), ""
+        return prefix + digits + suffix
+    q = (Decimal(abs(v)) * mult).quantize(
+        Decimal(1).scaleb(-max_frac), rounding=ROUND_HALF_EVEN)
+    s = f"{q:f}"
+    int_digits, _, frac_digits = s.partition(".")
+    frac_digits = frac_digits[:max_frac].rstrip("0")
+    frac_digits += "0" * (min_frac - len(frac_digits))
+    int_digits = int_digits.rjust(min_int, "0")
+    if g > 0 and len(int_digits) > g:
+        chunks = []
+        while len(int_digits) > g:
+            chunks.append(int_digits[-g:])
+            int_digits = int_digits[:-g]
+        chunks.append(int_digits)
+        int_digits = grp.join(reversed(chunks))
+    if zero != "0":
+        trans = str.maketrans("0123456789",
+                              "".join(chr(ord(zero) + d)
+                                      for d in range(10)))
+        int_digits = int_digits.translate(trans)
+        frac_digits = frac_digits.translate(trans)
+    num = int_digits + (dec + frac_digits if frac_digits else "")
+    return _strip_quotes(prefix) + num + _strip_quotes(suffix)
 
 
 def _to_roman(n: int) -> str:

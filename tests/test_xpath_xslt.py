@@ -151,11 +151,100 @@ def test_xslt_unsupported_raises():
             '<xsl:stylesheet version="1.0" xmlns:xsl='
             '"http://www.w3.org/1999/XSL/Transform">'
             '<xsl:import href="x.xsl"/></xsl:stylesheet>')
-    with pytest.raises(XsltError, match="decimal-format"):
+    with pytest.raises(XsltError, match="xsl:unknown-thing"):
+        xsl = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+               '"http://www.w3.org/1999/XSL/Transform">'
+               '<xsl:template match="/"><xsl:unknown-thing/>'
+               '</xsl:template></xsl:stylesheet>')
+        XsltStylesheet(xsl).apply("<r/>")
+
+
+def test_xslt_format_number_and_decimal_format():
+    from nifi_spark.operators.xslt import _format_decimal
+    assert _format_decimal(1234.5678, "#,##0.00", {}) == "1,234.57"
+    assert _format_decimal(-1234.5, "#,##0.0;(#,##0.0)", {}) == "(1,234.5)"
+    assert _format_decimal(-7.25, "0.00", {}) == "-7.25"
+    assert _format_decimal(0.256, "0%", {}) == "26%"
+    assert _format_decimal(42.0, "000000", {}) == "000042"
+    assert _format_decimal(float("nan"), "0", {}) == "NaN"
+    assert _format_decimal(float("inf"), "0", {}) == "Infinity"
+    assert _format_decimal(2.5, "0", {}) == "2"    # HALF_EVEN
+    assert _format_decimal(3.5, "0", {}) == "4"
+    assert _format_decimal(
+        1234.5, "#.##0,00",
+        {"decimal-separator": ",", "grouping-separator": "."}) == "1.234,50"
+    sheet = XsltStylesheet(
+        '<xsl:stylesheet version="1.0" xmlns:xsl='
+        '"http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:decimal-format name="eu" decimal-separator=","'
+        ' grouping-separator="."/>'
+        '<xsl:output method="text"/>'
+        '<xsl:template match="/">'
+        "<xsl:value-of select=\"format-number(sum(//p/@v), '#,##0.00')\"/>"
+        "<xsl:text>|</xsl:text>"
+        "<xsl:value-of select="
+        "\"format-number(sum(//p/@v), '#.##0,00', 'eu')\"/>"
+        '</xsl:template></xsl:stylesheet>')
+    assert sheet.apply('<r><p v="1200.5"/><p v="34.25"/></r>') == \
+        "1,234.75|1.234,75"
+    with pytest.raises(XsltError, match="undeclared decimal format"):
+        sheet_bad = XsltStylesheet(
+            '<xsl:stylesheet version="1.0" xmlns:xsl='
+            '"http://www.w3.org/1999/XSL/Transform">'
+            '<xsl:output method="text"/>'
+            '<xsl:template match="/">'
+            "<xsl:value-of select=\"format-number(1, '0', 'nope')\"/>"
+            '</xsl:template></xsl:stylesheet>')
+        sheet_bad.apply("<r/>")
+
+
+def test_xslt_apply_imports():
+    imported = ('<xsl:stylesheet version="1.0" xmlns:xsl='
+                '"http://www.w3.org/1999/XSL/Transform">'
+                '<xsl:template match="item"><base>'
+                '<xsl:value-of select="."/></base></xsl:template>'
+                '</xsl:stylesheet>')
+    main = XsltStylesheet(
+        '<xsl:stylesheet version="1.0" xmlns:xsl='
+        '"http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:import href="base.xsl"/>'
+        '<xsl:template match="/">'
+        '<xsl:apply-templates select="//item"/></xsl:template>'
+        '<xsl:template match="item"><wrap><xsl:apply-imports/></wrap>'
+        '</xsl:template></xsl:stylesheet>',
+        resolver={"base.xsl": imported})
+    assert main.apply("<r><item>a</item><item>b</item></r>") == \
+        "<wrap><base>a</base></wrap><wrap><base>b</base></wrap>"
+    # no lower-precedence match -> the built-in rules take over
+    solo = XsltStylesheet(
+        '<xsl:stylesheet version="1.0" xmlns:xsl='
+        '"http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:template match="/">'
+        '<xsl:apply-templates select="//item"/></xsl:template>'
+        '<xsl:template match="item"><w><xsl:apply-imports/></w>'
+        '</xsl:template></xsl:stylesheet>')
+    assert solo.apply("<r><item>x</item></r>") == "<w>x</w>"
+
+
+def test_xslt_namespace_alias():
+    sheet = XsltStylesheet(
+        '<xsl:stylesheet version="1.0"'
+        ' xmlns:xsl="http://www.w3.org/1999/XSL/Transform"'
+        ' xmlns:axsl="http://example.test/alias">'
+        '<xsl:namespace-alias stylesheet-prefix="axsl"'
+        ' result-prefix="xsl"/>'
+        '<xsl:template match="/">'
+        '<axsl:template match="x"><axsl:value-of select="."/>'
+        '</axsl:template></xsl:template></xsl:stylesheet>')
+    out = sheet.apply("<r/>")
+    assert "http://www.w3.org/1999/XSL/Transform" in out
+    assert "example.test/alias" not in out
+    with pytest.raises(XsltError, match="not declared"):
         XsltStylesheet(
             '<xsl:stylesheet version="1.0" xmlns:xsl='
             '"http://www.w3.org/1999/XSL/Transform">'
-            '<xsl:decimal-format name="d"/></xsl:stylesheet>')
+            '<xsl:namespace-alias stylesheet-prefix="nope"'
+            ' result-prefix="xsl"/></xsl:stylesheet>')
 
 
 _XSL_HEAD = ('<xsl:stylesheet version="1.0" xmlns:xsl='
