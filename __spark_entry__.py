@@ -3267,6 +3267,27 @@ def q_parse_evtx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "xml")
 
 
+def q_flowfile_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlowFile v3 packaging (MergeContent FlowFileStream / UnpackContent
+    flowfile-v3): events pack into one multi-package stream per group,
+    then unpack back to rows — attributes, in-stream order, and content
+    bytes all recovered; the oracle recomputes order with a window."""
+    from nifi_spark.operators import package_flowfiles, unpack_flowfiles
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 2) \
+        .select(F.col("event_id").cast("string").alias("eid"),
+                F.col("event_type").alias("etype"),
+                F.pmod(F.col("user_id"), F.lit(16)).alias("g"),
+                F.encode(F.col("props"), "utf-8").alias("content"))
+    packed = package_flowfiles(ev, "content", ["eid", "etype"],
+                               version=3, group_cols=["g"])
+    back = unpack_flowfiles(packed, "package", ["g"])
+    return back.select(
+        F.col("attributes")["eid"].cast("long").alias("event_id"),
+        F.col("attributes")["etype"].alias("event_type"),
+        "package_index",
+        F.md5("content").alias("content_md5"))
+
+
 def q_media_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image codec path: deterministic rasters encoded through the
     pure-Python PNG/BMP/PPM encoders (datalib/media_codec.py), decoded back
@@ -3409,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "media_decode_image_stats": q_media_decode_image_stats,
         "media_decode_audio_stats": q_media_decode_audio_stats,
+        "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4387,6 +4409,14 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "flowfile_pack_roundtrip": """
+SELECT event_id, event_type,
+       (ROW_NUMBER() OVER (PARTITION BY user_id % 16
+                           ORDER BY event_id::VARCHAR) - 1)::INT
+           AS package_index,
+       md5(props) AS content_md5
+FROM events WHERE event_id % 7 = 2
 """,
         "media_decode_image_stats": """
 WITH ids AS (

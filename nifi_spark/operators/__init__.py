@@ -33,6 +33,8 @@ from nifi_spark.operators.codec import (compress_content,
                                         encode_content, encrypt_content,
                                         modify_bytes, split_content,
                                         unpack_content)
+from nifi_spark.operators.flowfile_pack import (package_flowfiles,
+                                                unpack_flowfiles)
 from nifi_spark.operators.formats import (avro_available, convert_format,
                                           convert_schema, infer_ddl)
 from nifi_spark.operators.avro_codec import (avro_to_records,
@@ -64,7 +66,8 @@ __all__ = [
     "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
     "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",
-    "split_content", "unpack_content",
+    "split_content", "unpack_content", "package_flowfiles",
+    "unpack_flowfiles",
     "avro_available", "convert_format", "convert_schema", "infer_ddl",
     "avro_to_records", "extract_avro_metadata", "read_avro_path",
     "records_to_avro", "write_avro_path",

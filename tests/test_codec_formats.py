@@ -642,3 +642,63 @@ def test_parse_evtx_embedded_binxml_chunk_mode(spark):
         assert rows[i].xml == f"<E><B><D>x{i}</D></B><N>n{i}</N></E>"
     # later records carry only the back-reference + values
     assert rows[2].payload_len < rows[1].payload_len
+
+
+def test_flowfile_pack_roundtrips():
+    """v1/v2/v3 codec roundtrips, long-value length escaping, multi-
+    package v3 streams, and the version sniffer."""
+    from nifi_spark.operators.flowfile_pack import (
+        pack_v1, pack_v2, pack_v3, sniff_package, unpack_v1, unpack_v2,
+        unpack_v3)
+    attrs = {"path": "/a/b", "uuid": "u-1", "empty": ""}
+    content = b"hello \x00 world" * 3
+    for pack, unpack, ver in ((pack_v1, unpack_v1, 1),
+                              (pack_v2, unpack_v2, 2),
+                              (pack_v3, unpack_v3, 3)):
+        blob = pack(attrs, content)
+        assert sniff_package(blob) == ver
+        assert unpack(blob) == [(attrs, content)]
+    # >=64KiB value forces the 0xFFFF + 4-byte length escape
+    big = {"k": "x" * 70000}
+    blob = pack_v3(big, b"c")
+    assert b"\xff\xff" in blob
+    assert unpack_v3(blob) == [(big, b"c")]
+    # packages concatenate (the FlowFileStream merge format)
+    stream = pack_v3({"i": "1"}, b"one") + pack_v3({"i": "2"}, b"two")
+    assert unpack_v3(stream) == [({"i": "1"}, b"one"),
+                                 ({"i": "2"}, b"two")]
+    with pytest.raises(ValueError, match="not a FlowFile v3"):
+        unpack_v3(b"garbage-not-a-package")
+
+
+def test_flowfile_pack_spark_roundtrip(spark):
+    """package_flowfiles -> unpack_flowfiles over Spark: per-row v1 and
+    merged v3 group streams both recover attributes + content."""
+    from nifi_spark.operators import package_flowfiles, unpack_flowfiles
+    src = spark.createDataFrame(
+        [(i, f"grp{i % 2}", f"name-{i}", f"content {i}".encode())
+         for i in range(8)],
+        "id long, grp string, name string, content binary")
+    # per-row v1 (TAR)
+    packed = package_flowfiles(src, "content", ["name"], version=1)
+    back = unpack_flowfiles(packed, "package", ["name"]).collect()
+    assert len(back) == 8
+    for r in back:
+        i = int(r.name.split("-")[1])
+        assert r.attributes == {"name": f"name-{i}"}
+        assert bytes(r.content) == f"content {i}".encode()
+    # merged v3 streams: one per group, 4 packages each
+    merged = package_flowfiles(src, "content", ["name"], version=3,
+                               group_cols=["grp"])
+    rows = merged.collect()
+    assert sorted(r.n_packages for r in rows) == [4, 4]
+    back = unpack_flowfiles(merged, "package", ["grp"]).collect()
+    assert len(back) == 8
+    by_grp = {}
+    for r in back:
+        by_grp.setdefault(r.grp, []).append(r.attributes["name"])
+    for g, names in by_grp.items():
+        assert names == sorted(names)  # attr-sorted within the stream
+    with pytest.raises(ValueError, match="TAR"):
+        package_flowfiles(src, "content", ["name"], version=1,
+                          group_cols=["grp"])
