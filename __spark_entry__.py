@@ -584,6 +584,230 @@ def q_execute_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# TPC-H completion through the ExecuteSQL passthrough. ONE SQL text per
+# query, run verbatim on BOTH engines (Spark via plans.SqlEngine, DuckDB
+# as its own oracle) — the strongest possible parity statement for the
+# SQL surface. Shapes adapt to the fixture schema (no partsupp table, no
+# commitdate/shipmode/phone columns): a derived partsupp analog
+# aggregated from lineitem where needed, and column stand-ins that keep
+# each query's JOIN/subquery structure intact (noted per query).
+# Decimal discipline as everywhere: exact DECIMAL sums, DOUBLE casts at
+# the end, integral doubles (l_quantity) summed raw.
+_TPCH_EXTRA = {
+    # Q2 shape: correlated min-cost subquery over the partsupp analog;
+    # ps_supplycost := min extended price the (part,supplier) pair sold at
+    "q2": (["lineitem", "part", "supplier", "nation", "region"], """
+        WITH ps AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 CAST(min(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) AS ps_supplycost
+          FROM lineitem GROUP BY l_partkey, l_suppkey)
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        FROM part, supplier, ps, nation, region
+        WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+          AND p_size = 15
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND ps_supplycost = (
+            SELECT min(ps2.ps_supplycost)
+            FROM ps ps2, supplier s2, nation n2, region r2
+            WHERE p_partkey = ps2.ps_partkey
+              AND s2.s_suppkey = ps2.ps_suppkey
+              AND s2.s_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r2.r_regionkey
+              AND r2.r_name = 'EUROPE')
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """),
+    # Q8 shape: national market share inside a region, 8-table join
+    "q8": (["lineitem", "part", "supplier", "orders", "customer",
+            "nation", "region"], """
+        WITH flat AS (
+          SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+                 n2.n_name AS nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey
+            AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= '1996-01-01'
+            AND o_orderdate <= '1997-12-31'
+            AND p_type = 'PROMO')
+        SELECT o_year,
+               ROUND(CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END)
+                          AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM flat GROUP BY o_year ORDER BY o_year
+    """),
+    # Q9 shape: profit by nation/year with a LIKE part filter;
+    # cost := p_retailprice * quantity (no ps_supplycost column)
+    "q9": (["lineitem", "part", "supplier", "orders", "nation"], """
+        WITH flat AS (
+          SELECT n_name AS nation,
+                 CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))
+                 - CAST(p_retailprice AS DECIMAL(18,4))
+                   * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%gear%')
+        SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM flat GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """),
+    # Q11 shape: important-part values with a scalar-subquery threshold;
+    # kept all-decimal (v * 10000 > total) so the cut is exact
+    "q11": (["lineitem", "supplier", "nation"], """
+        WITH val AS (
+          SELECT l_partkey AS ps_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(l_quantity AS DECIMAL(18,4))) AS v
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_3'
+          GROUP BY l_partkey)
+        SELECT ps_partkey, CAST(v AS DOUBLE) AS part_value
+        FROM val
+        WHERE v * CAST(10000 AS DECIMAL(18,0)) > (SELECT sum(v) FROM val)
+        ORDER BY part_value DESC, ps_partkey
+    """),
+    # Q12 shape: priority-class line counts per group;
+    # l_returnflag stands in for the absent l_shipmode
+    "q12": (["lineitem", "orders"], """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """),
+    # Q15 shape: top supplier via a revenue view + scalar max (equality
+    # on the EXACT decimal, only the output casts to double)
+    "q15": (["lineitem", "supplier"], """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4))))
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """),
+    # Q16 shape: supplier counts per part attribute with a NOT IN
+    # exclusion; negative-balance suppliers stand in for complaints
+    "q16": (["lineitem", "part", "supplier"], """
+        WITH ps AS (
+          SELECT DISTINCT l_partkey AS ps_partkey,
+                          l_suppkey AS ps_suppkey
+          FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps, part
+        WHERE p_partkey = ps_partkey
+          AND p_brand <> 'Brand#3'
+          AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """),
+    # Q17 shape: small-quantity revenue with a correlated avg subquery;
+    # the threshold is sum/count of INTEGRAL doubles, so it is exact
+    "q17": (["lineitem", "part"], """
+        SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly,
+               count(*) AS n
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+          AND p_size = 15
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(sum(l2.l_quantity) AS DOUBLE) / count(*))
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """),
+    # Q19 shape: OR-of-ANDs join predicate (discount revenue)
+    "q19": (["lineitem", "part"], """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n
+        FROM lineitem, part
+        WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+               AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+               AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+               AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """),
+    # Q20 shape: nested IN subqueries over the partsupp analog
+    "q20": (["lineitem", "part", "supplier", "nation"], """
+        SELECT s_name, s_acctbal
+        FROM supplier, nation
+        WHERE s_suppkey IN (
+          SELECT agg.l_suppkey FROM (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01'
+              AND l_shipdate < '1997-01-01'
+            GROUP BY l_suppkey, l_partkey) agg
+          WHERE agg.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'small%')
+            AND agg.q > 50)
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        ORDER BY s_name
+    """),
+    # Q21 shape: EXISTS + NOT EXISTS over sibling lineitems of the same
+    # order; 'R' returnflag stands in for the absent receipt/commit dates
+    "q21": (["lineitem", "supplier", "orders", "nation"], """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+          AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """),
+}
+
+
+def _tpch_extra_q(key: str):
+    tables, sql = _TPCH_EXTRA[key]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from nifi_spark.plans import SqlEngine
+        eng = SqlEngine(spark).register_dir(sf_dir, tables)
+        return eng.sql(sql)
+    run.__doc__ = f"ExecuteSQL: TPC-H {key.upper()} shape (shared text)."
+    return run
+
+
 def q_execute_sql_flow_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExecuteSQL's incoming-triggered form: an upstream DataFrame stage
     becomes the table the SQL text queries (Flow + SqlEngine.stage),
@@ -3348,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "execute_sql_tpch_q22": q_execute_sql_tpch_q22,
         "execute_sql_tpch_q10": q_execute_sql_tpch_q10,
         "execute_sql_tpch_q14": q_execute_sql_tpch_q14,
+        **{f"execute_sql_tpch_{k}": _tpch_extra_q(k)
+           for k in _TPCH_EXTRA},
         "execute_sql_flow_topn": q_execute_sql_flow_topn,
         "codec_base64_hex": q_codec_base64_hex,
         "codec_compress_roundtrip": q_codec_compress_roundtrip,
@@ -3609,6 +3835,8 @@ FROM events GROUP BY 1
         "split_defragment_roundtrip": """
 SELECT doc_id, md5(text) AS content_md5, true AS complete FROM documents
 """,
+        **{f"execute_sql_tpch_{k}": sql
+           for k, (_, sql) in _TPCH_EXTRA.items()},
         "execute_sql_tpch_q6": """
 SELECT sum((l_extendedprice::DECIMAL(18,4)
             * l_discount::DECIMAL(18,4)))::DOUBLE AS revenue,
