@@ -3113,6 +3113,54 @@ def q_template_flow_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("content").alias("min_b64")))
 
 
+_GATE_TEMPLATE_PACK_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<template><name>gate-flow-pack</name><snippet>
+  <processors><id>p1</id><name>gen</name>
+    <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>p2</id><name>merge</name>
+    <type>org.apache.nifi.processors.standard.MergeContent</type>
+    <config><properties>
+      <entry><key>Merge Format</key><value>FlowFile Stream, v3</value></entry>
+      <entry><key>Correlation Attribute Name</key><value>grp</value></entry>
+    </properties></config></processors>
+  <processors><id>p3</id><name>unpack</name>
+    <type>org.apache.nifi.processors.standard.UnpackContent</type>
+    <config><properties>
+      <entry><key>Packaging Format</key><value>flowfile-stream-v3</value></entry>
+    </properties></config></processors>
+  <connections><id>c1</id>
+    <source><id>p1</id><type>PROCESSOR</type></source>
+    <destination><id>p2</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>c2</id>
+    <source><id>p2</id><type>PROCESSOR</type></source>
+    <destination><id>p3</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>merged</selectedRelationships>
+  </connections>
+</snippet></template>"""
+
+
+def q_template_flow_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template loader + FlowFile packaging end-to-end: MergeContent in
+    'FlowFile Stream, v3' format (one multi-package stream per
+    correlation group) feeding UnpackContent flowfile-stream-v3 —
+    attributes, in-stream order, and content all survive the
+    pack→unpack chain compiled from the reference's export format."""
+    from nifi_spark.plans import load_template
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0) \
+        .select("doc_id",
+                F.pmod(F.col("doc_id"), F.lit(11)).alias("grp"),
+                F.encode(F.col("text"), "utf-8").alias("content"))
+    flow = load_template(_GATE_TEMPLATE_PACK_XML, sources={"gen": docs})
+    out = flow.run()["unpack.success"]
+    return out.select(
+        F.col("attributes")["doc_id"].cast("long").alias("doc_id"),
+        F.col("attributes")["grp"].cast("int").alias("grp"),
+        "package_index", "n_packages",
+        F.md5("content").alias("content_md5"))
+
+
 _GATE_TEMPLATE_JSON_XML = """<?xml version="1.0" encoding="UTF-8"?>
 <template><name>gate-flow-json</name><snippet>
   <processors><id>j1</id><name>gen_json</name>
@@ -3657,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_image_stats": q_media_decode_image_stats,
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
+        "template_flow_pack": q_template_flow_pack,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4637,6 +4686,18 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "template_flow_pack": """
+WITH src AS (
+  SELECT doc_id, doc_id % 11 AS grp, text
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, grp::INT AS grp,
+       (ROW_NUMBER() OVER (PARTITION BY grp
+                           ORDER BY doc_id::VARCHAR) - 1)::INT
+           AS package_index,
+       (count(*) OVER (PARTITION BY grp))::INT AS n_packages,
+       md5(text) AS content_md5
+FROM src
 """,
         "flowfile_pack_roundtrip": """
 SELECT event_id, event_type,

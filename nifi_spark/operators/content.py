@@ -279,6 +279,10 @@ MIME_MAGIC = [
     ("425A68", "application/x-bzip2"), ("424D", "image/bmp"),
     ("494433", "audio/mpeg"), ("4F676753", "audio/ogg"),
     ("52494646", "audio/x-wav"),
+    # NiFi's own envelope + container formats (IdentifyMimeType reports
+    # these for site-to-site payloads and Avro datafiles)
+    ("4E694669464633", "application/flowfile-v3"),   # "NiFiFF3"
+    ("4F626A01", "application/avro-binary"),          # "Obj\x01"
 ]
 
 

@@ -188,9 +188,12 @@ def package_flowfiles(df: DataFrame, content_col: str,
             out["package"] = packages
             yield out
 
+    dtypes = dict(df.dtypes)
     if not group_cols:
-        schema = ", ".join(f"`{n}` {t}" for n, t in df.dtypes
-                           if n in attr_cols) + ", package binary"
+        # schema columns in attr_cols order — the order the pandas
+        # frames are emitted in (mapInPandas aligns positionally)
+        schema = ", ".join(f"`{n}` {dtypes[n]}" for n in attr_cols) \
+            + ", package binary"
         return src.mapInPandas(pack_rows, schema=schema)
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -206,8 +209,7 @@ def package_flowfiles(df: DataFrame, content_col: str,
             tuple(first[c] for c in group_cols) + (len(pdf), stream)],
             columns=group_cols + ["n_packages", "package"])
 
-    gschema = ", ".join(f"`{n}` {t}" for n, t in df.dtypes
-                        if n in group_cols) \
+    gschema = ", ".join(f"`{n}` {dtypes[n]}" for n in group_cols) \
         + ", n_packages int, package binary"
     return src.groupBy(*group_cols).applyInPandas(pack_group, gschema)
 
@@ -218,8 +220,8 @@ def unpack_flowfiles(df: DataFrame, content_col: str,
     """Packed stream → one row per package: (id_cols..., package_index,
     attributes map<string,string>, content binary). version=None sniffs
     per blob (v2 as fallback, it being headerless)."""
-    passthrough = ", ".join(f"`{n}` {t}" for n, t in df.dtypes
-                            if n in id_cols)
+    dtypes = dict(df.dtypes)
+    passthrough = ", ".join(f"`{n}` {dtypes[n]}" for n in id_cols)
     schema = (f"{passthrough}, package_index int, "
               "attributes map<string,string>, content binary")
 

@@ -330,6 +330,27 @@ def _build_stage(proc: TProcessor, content_col: str,
 
     if proc.ptype == "MergeContent":
         from nifi_spark.operators import merge_defragment
+        fmt = p.get("Merge Format", "Binary Concatenation")
+        if fmt.startswith("FlowFile Stream"):
+            # FlowFile Stream, v3 / v2: pack each correlation group into
+            # one multi-package stream (MergeContent.java MERGE_FORMAT_*)
+            from nifi_spark.operators import package_flowfiles
+            version = 2 if fmt.rstrip().endswith("v2") else 3
+            corr = p.get("Correlation Attribute Name")
+            if not corr:
+                return None  # size-based binning is sink-side
+
+            def fn(*dfs):
+                df = _union(list(dfs))
+                attr_cols = [c for c in df.columns if c != content_col]
+                for c in attr_cols:
+                    df = df.withColumn(c, F.col(c).cast("string"))
+                out = package_flowfiles(df, content_col, attr_cols,
+                                        version=version,
+                                        group_cols=[corr])
+                return {"merged": out.withColumnRenamed("package",
+                                                        content_col)}
+            return fn
         if p.get("Merge Strategy", "Bin-Packing Algorithm") != "Defragment":
             return None  # bin-packing needs sink-side sizing; not a stage
         sep = p.get("Delimiter Strategy Text", "")
@@ -342,6 +363,35 @@ def _build_stage(proc: TProcessor, content_col: str,
             return {"merged": out.withColumnRenamed("content", content_col)
                     if content_col != "content" else out}
         return fn
+
+    if proc.ptype == "UnpackContent":
+        # Packaging Format: flowfile-stream-v3 / flowfile-stream-v2 /
+        # flowfile-tar-v1 / zip (UnpackContent.java PACKAGING_FORMAT)
+        fmt = p.get("Packaging Format", "use mime.type attribute")
+        if fmt.startswith("flowfile"):
+            from nifi_spark.operators import unpack_flowfiles
+            version = {"flowfile-stream-v3": 3, "flowfile-stream-v2": 2,
+                       "flowfile-tar-v1": 1}.get(fmt)
+
+            def fn(*dfs):
+                df = _union(list(dfs))
+                id_cols = [c for c in df.columns if c != content_col]
+                out = unpack_flowfiles(df, content_col, id_cols,
+                                       version=version)
+                return {"success": out.withColumnRenamed("content",
+                                                         content_col)}
+            return fn
+        if fmt == "zip":
+            from nifi_spark.operators import unpack_content
+
+            def fn(*dfs):
+                df = _union(list(dfs))
+                id_cols = [c for c in df.columns if c != content_col]
+                out = unpack_content(df, content_col, id_cols)
+                return {"success": out.withColumnRenamed("entry",
+                                                         content_col)}
+            return fn
+        return None  # mime-driven dispatch needs per-row branching
 
     if proc.ptype == "CompressContent":
         from nifi_spark.operators import compress_content

@@ -318,6 +318,24 @@ def main():
     results.append(("scrub_pii / stratified_sample", "regex chain and "
                     "hash-threshold filter are zero-exchange projections"))
 
+    # ---- 2i. media decode / flowfile pack: shuffle discipline -----------
+    from nifi_spark.datalib.multimodal import (decode_media_stats,
+                                               synthesize_media)
+    media = synthesize_media(docs_small.selectExpr("doc_id AS id"), "id")
+    p = plan_of(decode_media_stats(media))
+    assert "Exchange" not in p and "Window" not in p, p
+    from nifi_spark.operators import package_flowfiles
+    src = docs_small.selectExpr("doc_id", "CAST(doc_id % 7 AS STRING) AS g",
+                                "encode(text, 'utf-8') AS content",
+                                "CAST(doc_id AS STRING) AS did")
+    p = plan_of(package_flowfiles(src, "content", ["did"], version=3,
+                                  group_cols=["g"]))
+    # exactly the one group-keyed shuffle (count plan NODES, not text)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    results.append(("media decode / flowfile pack", "codec passes are "
+                    "zero-exchange maps; the merged-stream pack is exactly "
+                    "one group-keyed exchange (the MergeContent bin shape)"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"

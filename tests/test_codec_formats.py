@@ -192,12 +192,12 @@ def test_transform_xml_stylesheet_engine(spark):
     assert out[2] is None
     assert out[1] == ('<summary id="7" n="2"><total>13</total>'
                       '<l>10</l><l>6</l></summary>')
-    # unsupported instruction still raises — driver-side, at compile
-    with pytest.raises(XsltError, match="decimal-format"):
+    # an unresolvable import still raises — driver-side, at compile
+    with pytest.raises(XsltError, match="unresolvable"):
         transform_xml(df, "content", stylesheet=(
             '<xsl:stylesheet version="1.0" xmlns:xsl='
             '"http://www.w3.org/1999/XSL/Transform">'
-            '<xsl:decimal-format name="d"/></xsl:stylesheet>'))
+            '<xsl:import href="missing.xsl"/></xsl:stylesheet>'))
     with pytest.raises(ValueError, match="unknown transform op"):
         transform_xml(df, "content", [{"op": "explode"}])
 
@@ -229,10 +229,20 @@ def test_evaluate_xquery_paths_and_flwor(spark):
               "return for $j in $i/n return <x>{string($j)}</x>")
     }).collect()[0]
     assert list(nest.q) == ["<x>a</x>", "<x>b</x>"]
-    # external variable declarations remain the declared boundary
-    with pytest.raises(XQueryError, match="external"):
-        evaluate_xquery(df, "content", {
-            "q": "declare variable $v external; for $i in /o/i return $i"})
+    # external variables bind through bindings= (Saxon
+    # setExternalVariable analog); unbound plain externals raise at eval
+    ext = evaluate_xquery(df, "content", {
+        "q": ("declare variable $min external; "
+              "for $i in /o/i where $i/@p > $min return string($i/@p)")},
+        bindings={"min": 4.0}).collect()[0]
+    assert list(ext.q) == ["5", "9"]  # doc order (no order-by clause)
+    from xml.etree import ElementTree as ET
+
+    from nifi_spark.operators.xquery import eval_flwor, parse_flwor
+    with pytest.raises(XQueryError, match="external variable"):
+        eval_flwor(parse_flwor(
+            "declare variable $v external; for $i in /o/i return $i"),
+            ET.fromstring(xml))
 
 
 def test_identify_mime_type(spark):
@@ -702,3 +712,21 @@ def test_flowfile_pack_spark_roundtrip(spark):
     with pytest.raises(ValueError, match="TAR"):
         package_flowfiles(src, "content", ["name"], version=1,
                           group_cols=["grp"])
+
+
+def test_identify_mime_flowfile_and_avro_magic(spark):
+    """IdentifyMimeType reports NiFi's own envelope formats: flowfile-v3
+    streams and Avro datafiles (plus the new magics don't disturb the
+    text fallback)."""
+    from nifi_spark.operators import identify_mime_type
+    from nifi_spark.operators.flowfile_pack import pack_v3
+    df = spark.createDataFrame(
+        [(1, bytearray(pack_v3({"a": "1"}, b"x"))),
+         (2, bytearray(b"Obj\x01\x02rest-of-avro")),
+         (3, bytearray(b"plain text here"))],
+        "id long, content binary")
+    rows = {r.id: r.mime_type
+            for r in identify_mime_type(df, "content").collect()}
+    assert rows[1] == "application/flowfile-v3"
+    assert rows[2] == "application/avro-binary"
+    assert rows[3] == "text/plain"

@@ -32,11 +32,22 @@ def test_convert_format_csv_to_json_with_transform(spark, tmp_path):
     assert got == {1: 2, 2: 4}
 
 
-def test_avro_gated_with_clear_error(spark, tmp_path):
+def test_avro_conversion_without_datasource(spark, tmp_path):
+    """With no spark-avro on the classpath, convert_format now rides the
+    pure-Python container codec both directions (previously a gated
+    error); an empty input dir still fails with a clear message."""
     if avro_available(spark):
-        pytest.skip("spark-avro present; gate not applicable")
-    with pytest.raises(ValueError, match="spark-avro"):
-        convert_format(spark, str(tmp_path), "avro",
+        pytest.skip("spark-avro present; fallback not exercised")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+    out = convert_format(spark, str(tmp_path / "in"), "parquet",
+                         str(tmp_path / "av"), "avro")
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "b")}
+    back = convert_format(spark, str(tmp_path / "av"), "avro",
+                          str(tmp_path / "pq"), "parquet")
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+    with pytest.raises(Exception, match="avro|PATH_NOT_FOUND"):
+        convert_format(spark, str(tmp_path / "nope"), "avro",
                        str(tmp_path / "o"), "parquet")
 
 

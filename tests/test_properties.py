@@ -153,3 +153,34 @@ def test_quantize_int8_property(spark, vecs):
             expect = [math.floor(float(x) / s * 127.0 + 0.5) for x in v]
             assert q == expect
             assert all(-127 <= e <= 127 for e in q)
+
+
+@given(st.dictionaries(
+    st.text(min_size=1, max_size=20), st.text(max_size=200), max_size=6),
+    st.binary(max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_flowfile_pack_roundtrip_property(attrs, content):
+    """pack→unpack is the identity for every attr dict / content blob,
+    across all three FlowFile package versions (pure codec, no Spark)."""
+    from nifi_spark.operators.flowfile_pack import (
+        pack_v1, pack_v2, pack_v3, unpack_v1, unpack_v2, unpack_v3)
+    for pack, unpack in ((pack_v2, unpack_v2), (pack_v3, unpack_v3)):
+        assert unpack(pack(attrs, content)) == [(attrs, content)]
+    # v1 XML-escapes through ElementTree; control chars below 0x20 are
+    # not representable in XML 1.0 text, so restrict that leg
+    if all("\x00" <= ch and ch >= " " or ch in "\t\n"
+           for kv in attrs.items() for ch in kv[0] + kv[1]):
+        assert unpack_v1(pack_v1(attrs, content)) == [(attrs, content)]
+
+
+@given(st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=10),
+       st.sampled_from([1, 3, 4]),
+       st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, channels, rng):
+    """encode_png→decode_png is the identity on arbitrary rasters."""
+    from nifi_spark.datalib import media_codec as mc
+    px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    assert mc.decode_png(mc.encode_png(w, h, channels, px)) == \
+        (w, h, channels, px)
