@@ -3539,6 +3539,19 @@ def q_parse_evtx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "xml")
 
 
+def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM training-row assembly): shard by portable
+    hash, greedy-contiguous token bins via a ROWS window, ordered concat
+    per pack — the whole pipeline replayed in SQL (string_agg ORDER BY
+    mirrors the sorted-struct array_join)."""
+    from nifi_spark.datalib import pack_sequences
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "doc_id", "text", max_tokens=512,
+                         n_shards=64)
+    return out.select("shard", "pack_id", "n_docs", "total_tokens",
+                      F.md5("packed_text").alias("packed_md5"))
+
+
 def q_flowfile_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FlowFile v3 packaging (MergeContent FlowFileStream / UnpackContent
     flowfile-v3): events pack into one multi-package stream per group,
@@ -3706,6 +3719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
         "template_flow_pack": q_template_flow_pack,
+        "curate_pack_sequences": q_curate_pack_sequences,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4686,6 +4700,24 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "curate_pack_sequences": """
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS tok,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64)
+           AS shard
+  FROM documents),
+w AS (
+  SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+           AS strt
+  FROM base)
+SELECT shard, (strt // 512)::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(tok)::BIGINT AS total_tokens,
+       md5(string_agg(text, e'\n\n' ORDER BY doc_id)) AS packed_md5
+FROM w GROUP BY shard, (strt // 512)
 """,
         "template_flow_pack": """
 WITH src AS (

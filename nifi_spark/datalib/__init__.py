@@ -14,6 +14,7 @@ Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 from nifi_spark.datalib.curation import (benchmark_contamination,
                                          canonical_url,
                                          cap_per_group, dataset_split,
+                                         pack_sequences,
                                          stratified_sample,
                                          token_budget_sample, url_dedup)
 from nifi_spark.datalib.dedup import (contaminated_spans,
@@ -47,5 +48,6 @@ __all__ = ["contaminated_spans",
            "repetition_stats",
            "token_stats", "url_stats",
            "benchmark_contamination", "canonical_url", "cap_per_group",
-           "dataset_split", "stratified_sample", "token_budget_sample",
+           "dataset_split", "pack_sequences", "stratified_sample",
+           "token_budget_sample",
            "url_dedup"]

@@ -276,3 +276,47 @@ def stratified_sample(df: DataFrame, group_col: str, id_col: str,
         thr = F.coalesce(thr, F.lit(int(default * full)))
     h = portable_hash64(F.col(id_col).cast("string"), seed)
     return df.filter(thr.isNotNull() & (h < thr))
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   max_tokens: int = 2048, n_shards: int = 256,
+                   sep: str = "\n\n") -> DataFrame:
+    """Sequence packing: concatenate documents into fixed-token-budget
+    training rows (the pre-tokenization packing step of an LLM data
+    pipeline; same greedy-contiguous discipline as MergeContent's
+    bin-packing thresholds, BinFiles.java:52-96, but in tokens).
+
+    Deterministic and migration-free: each document hashes to one of
+    ``n_shards`` shards (portable hash, so reruns and the SQL oracle
+    agree), documents order by id within their shard, and a ROWS-frame
+    running token sum opens a new pack whenever the budget boundary is
+    crossed — every pack holds <= max_tokens + one document, and packs
+    are contiguous in the shard order. The only shuffle is the
+    shard/pack aggregation; the window partitions by shard (parallel
+    across 256+ slices — never a global window).
+
+    Tokens = whitespace tokens (compose with token_stats' BPE
+    pre-tokenizer upstream for a model-accurate count). Output: one row
+    per pack with the packed text, document count, and token total.
+    """
+    toks = F.size(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda t: t != ""))
+    shard = F.pmod(portable_hash64(F.col(id_col).cast("string")),
+                   F.lit(n_shards))
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(text_col).alias("_text"),
+                     toks.alias("_tok"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy(F.col("_id")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum("_tok").over(w) - F.col("_tok")
+    packed = base.withColumn("pack_id",
+                             (start / max_tokens).cast("long"))
+    return (packed.groupBy("shard", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("_tok").alias("total_tokens"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("_id"), F.col("_text")))),
+                         lambda s: s["_text"]),
+                     sep).alias("packed_text")))

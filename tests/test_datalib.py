@@ -1038,3 +1038,35 @@ def test_contaminated_spans_planted(spark):
     # in doc coordinates) merge to one span of 12 tokens
     assert got[2] == (21, 1, 12)
     assert got[3] == (12, 1, 12)
+
+
+def test_pack_sequences_matches_pandas_and_bounds(docs):
+    """pack_sequences: packs match a pure-pandas greedy-contiguous
+    replay (same hash, same order), and every pack respects the
+    max_tokens + one-document bound."""
+    from nifi_spark.datalib import pack_sequences
+    out = pack_sequences(docs, "doc_id", "text", max_tokens=256,
+                         n_shards=16).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    pdf["tok"] = pdf["text"].map(lambda t: len(t.split()))
+    pdf["shard"] = pdf["doc_id"].map(
+        lambda i: portable_hash64_py(str(i)) % 16)
+    expect = {}
+    for shard, g in pdf.sort_values("doc_id").groupby("shard"):
+        start = 0
+        for _, r in g.iterrows():
+            pack = start // 256
+            key = (shard, pack)
+            n, tot, texts = expect.get(key, (0, 0, []))
+            expect[key] = (n + 1, tot + r["tok"], texts + [r["text"]])
+            start += r["tok"]
+    got = {(r["shard"], r["pack_id"]):
+           (r["n_docs"], r["total_tokens"], r["packed_text"])
+           for _, r in out.iterrows()}
+    assert set(got) == set(expect)
+    max_doc = pdf["tok"].max()
+    for key, (n, tot, texts) in expect.items():
+        gn, gtot, gtext = got[key]
+        assert (gn, gtot) == (n, tot), key
+        assert gtext == "\n\n".join(texts), key
+        assert tot <= 256 + max_doc
