@@ -3539,6 +3539,45 @@ def q_parse_evtx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "xml")
 
 
+def q_duplicate_flowfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuplicateFlowFile (original + N clones per row, one JVM sequence
+    explode) composed through a template with LogAttribute (identity
+    observability stage) — two more reference processors compiled from
+    the export format."""
+    from nifi_spark.plans import load_template
+    tmpl = """<?xml version="1.0" encoding="UTF-8"?>
+<template><name>gate-dup</name><snippet>
+  <processors><id>d1</id><name>gen</name>
+    <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+    <config><properties/></config></processors>
+  <processors><id>d2</id><name>dup</name>
+    <type>org.apache.nifi.processors.standard.DuplicateFlowFile</type>
+    <config><properties>
+      <entry><key>Number of Copies</key><value>2</value></entry>
+    </properties></config></processors>
+  <processors><id>d3</id><name>log</name>
+    <type>org.apache.nifi.processors.standard.LogAttribute</type>
+    <config><properties/></config></processors>
+  <connections><id>c1</id>
+    <source><id>d1</id><type>PROCESSOR</type></source>
+    <destination><id>d2</id><type>PROCESSOR</type></destination>
+  </connections>
+  <connections><id>c2</id>
+    <source><id>d2</id><type>PROCESSOR</type></source>
+    <destination><id>d3</id><type>PROCESSOR</type></destination>
+    <selectedRelationships>success</selectedRelationships>
+  </connections>
+</snippet></template>"""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0) \
+        .select("doc_id", F.col("text").alias("content"))
+    flow = load_template(tmpl, sources={"gen": docs})
+    out = flow.run()["log.success"]
+    return (out.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("copy_index").alias("idx_sum"),
+                 F.count_distinct("content").alias("n_distinct")))
+
+
 def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (LLM training-row assembly): shard by portable
     hash, greedy-contiguous token bins via a ROWS window, ordered concat
@@ -3720,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
         "template_flow_pack": q_template_flow_pack,
         "curate_pack_sequences": q_curate_pack_sequences,
+        "duplicate_flowfile": q_duplicate_flowfile,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4700,6 +4740,10 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "duplicate_flowfile": """
+SELECT doc_id, 3 AS n_rows, 3::BIGINT AS idx_sum, 1 AS n_distinct
+FROM documents WHERE doc_id % 5 = 0
 """,
         "curate_pack_sequences": """
 WITH base AS (

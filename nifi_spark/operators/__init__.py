@@ -16,7 +16,8 @@ from nifi_spark.operators.attributes import (attributes_to_json,
                                              global_sequence, hash_attribute,
                                              hash_content, stateful_counter,
                                              update_columns)
-from nifi_spark.operators.content import (bin_assign, bin_pack,
+from nifi_spark.operators.content import (duplicate_flowfile,
+                                          bin_assign, bin_pack,
                                           evaluate_json_path,
                                           evaluate_xpath, extract_text,
                                           identify_mime_type,
@@ -62,7 +63,8 @@ __all__ = [
     "bin_assign", "bin_pack", "evaluate_json_path", "evaluate_xpath",
     "extract_text", "identify_mime_type", "merge_defragment", "parse_cef",
     "parse_syslog", "replace_text", "replace_text_with_mapping",
-    "reshape_json", "segment_content", "split_json_array", "split_text",
+    "duplicate_flowfile", "reshape_json", "segment_content",
+    "split_json_array", "split_text",
     "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
     "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",

@@ -405,3 +405,17 @@ def parse_syslog(df: DataFrame, content_col: str) -> dict[str, DataFrame]:
             "invalid": df.filter(~(F.col(content_col).rlike(SYSLOG_3164))
                                  | (F.regexp_extract(F.col(content_col),
                                                      SYSLOG_3164, 2) == ""))}
+
+
+def duplicate_flowfile(df: DataFrame, copies: int,
+                       index_col: str = "copy_index") -> DataFrame:
+    """Original + N clones per row (DuplicateFlowFile,
+    standard/DuplicateFlowFile.java:69-82 — a load/test fan-out
+    utility). index 0 = the original, 1..N the clones; the index column
+    is this engine's observability addition (1.1.2 adds no attribute).
+    One JVM-side sequence explode — no Python, no shuffle."""
+    if copies < 0:
+        raise ValueError("copies must be >= 0")
+    return df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(copies)))
+        .alias(index_col))

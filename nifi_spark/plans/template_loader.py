@@ -364,6 +364,22 @@ def _build_stage(proc: TProcessor, content_col: str,
                     if content_col != "content" else out}
         return fn
 
+    if proc.ptype == "DuplicateFlowFile":
+        from nifi_spark.operators import duplicate_flowfile
+        copies = int(p.get("Number of Copies", "1"))
+
+        def fn(*dfs):
+            return {"success": duplicate_flowfile(_union(list(dfs)),
+                                                  copies)}
+        return fn
+
+    if proc.ptype == "LogAttribute":
+        # pure observability in the reference (LogAttribute.java) — the
+        # dataflow is identity; lineage rides the Flow's provenance counts
+        def fn(*dfs):
+            return {"success": _union(list(dfs))}
+        return fn
+
     if proc.ptype == "UnpackContent":
         # Packaging Format: flowfile-stream-v3 / flowfile-stream-v2 /
         # flowfile-tar-v1 / zip (UnpackContent.java PACKAGING_FORMAT)
