@@ -3539,6 +3539,43 @@ def q_parse_evtx_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "record_id", "record_time_us", "xml")
 
 
+def _gate_http_transport(url: str, method: str, body):
+    """Deterministic fake transport for the invoke_http gate: the
+    response is a pure function of the URL, so DuckDB can rebuild it."""
+    i = int(url.rsplit("/", 1)[1])
+    if i % 11 == 0:
+        raise ConnectionError("synthetic transport failure")
+    if i % 7 == 0:
+        return 503, b"busy"
+    if i % 5 == 0:
+        return 404, b"nope"
+    return 200, f"resp:{i}".encode()
+
+
+def q_invoke_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InvokeHTTP with the reference's relationship routing (2xx →
+    response, 5xx → retry, other codes → no_retry, transport exception →
+    failure) over an injectable deterministic transport — response body,
+    status, and route all recomputed by the oracle from the URL."""
+    from nifi_spark.operators import invoke_http, route_http_response
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 1) \
+        .select("event_id",
+                F.concat(F.lit("https://svc.example/api/"),
+                         F.col("event_id").cast("string")).alias("url")) \
+        .repartition(8)
+    out = invoke_http(ev, "url", transport=_gate_http_transport)
+    routed = route_http_response(out)
+    parts = []
+    for rel in ("response", "retry", "no_retry", "failure"):
+        parts.append(routed[rel].select(
+            "event_id", "status_code", F.lit(rel).alias("rel"),
+            F.col("response_body").cast("string").alias("body")))
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.unionByName(p_)
+    return u
+
+
 def q_duplicate_flowfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DuplicateFlowFile (original + N clones per row, one JVM sequence
     explode) composed through a template with LogAttribute (identity
@@ -3760,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_flow_pack": q_template_flow_pack,
         "curate_pack_sequences": q_curate_pack_sequences,
         "duplicate_flowfile": q_duplicate_flowfile,
+        "invoke_http_route": q_invoke_http,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4740,6 +4778,22 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "invoke_http_route": """
+SELECT event_id,
+       CASE WHEN event_id % 11 = 0 THEN -1
+            WHEN event_id % 7 = 0 THEN 503
+            WHEN event_id % 5 = 0 THEN 404
+            ELSE 200 END AS status_code,
+       CASE WHEN event_id % 11 = 0 THEN 'failure'
+            WHEN event_id % 7 = 0 THEN 'retry'
+            WHEN event_id % 5 = 0 THEN 'no_retry'
+            ELSE 'response' END AS rel,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            WHEN event_id % 7 = 0 THEN 'busy'
+            WHEN event_id % 5 = 0 THEN 'nope'
+            ELSE 'resp:' || event_id::VARCHAR END AS body
+FROM events WHERE event_id % 3 = 1
 """,
         "duplicate_flowfile": """
 SELECT doc_id, 3 AS n_rows, 3::BIGINT AS idx_sum, 1 AS n_distinct

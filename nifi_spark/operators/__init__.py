@@ -34,6 +34,8 @@ from nifi_spark.operators.codec import (compress_content,
                                         encode_content, encrypt_content,
                                         modify_bytes, split_content,
                                         unpack_content)
+from nifi_spark.operators.http_invoke import (invoke_http,
+                                              route_http_response)
 from nifi_spark.operators.flowfile_pack import (package_flowfiles,
                                                 unpack_flowfiles)
 from nifi_spark.operators.formats import (avro_available, convert_format,
@@ -68,6 +70,7 @@ __all__ = [
     "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
     "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",
+    "invoke_http", "route_http_response",
     "split_content", "unpack_content", "package_flowfiles",
     "unpack_flowfiles",
     "avro_available", "convert_format", "convert_schema", "infer_ddl",

@@ -446,3 +446,39 @@ def test_execute_process_source_mode(spark):
     assert got == {0: "1\n2\n3", 1: "4\n5\n6", 2: "7"}
     with _pt.raises(subprocess.CalledProcessError):
         execute_process(spark, ["false"])
+
+
+def test_invoke_http_routing_and_body(spark):
+    """InvokeHTTP relationship routing (2xx/5xx/4xx/exception) and the
+    request-body path, over an injectable transport."""
+    from nifi_spark.operators import invoke_http, route_http_response
+    seen = {}
+
+    def transport(url, method, body):
+        i = int(url.rsplit("/", 1)[1])
+        if i == 3:
+            raise TimeoutError("boom")
+        if i == 2:
+            return 500, b"err"
+        if i == 1:
+            return 301, b"moved"
+        return 200, b"ok:" + (body or b"-")
+
+    df = spark.createDataFrame(
+        [(i, f"http://x/{i}", f"b{i}") for i in range(4)],
+        "id long, url string, payload string")
+    out = invoke_http(df, "url", method="POST", body_col="payload",
+                      transport=transport)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[0].status_code == 200
+    assert bytes(rows[0].response_body) == b"ok:b0"  # body reached POST
+    assert rows[1].status_code == 301
+    assert rows[2].status_code == 500
+    assert rows[3].status_code == -1
+    assert "TimeoutError" in rows[3].error and rows[3].response_body is None
+    routed = route_http_response(out)
+    assert {r.id for r in routed["response"].collect()} == {0}
+    assert {r.id for r in routed["retry"].collect()} == {2}
+    assert {r.id for r in routed["no_retry"].collect()} == {1}
+    assert {r.id for r in routed["failure"].collect()} == {3}
+    assert {r.id for r in routed["original"].collect()} == {0}
