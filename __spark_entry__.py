@@ -3552,6 +3552,17 @@ def _gate_http_transport(url: str, method: str, body):
     return 200, f"resp:{i}".encode()
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (RAG/embedding prep): window
+    placement, overlap coverage, and chunk text all rebuilt in SQL via
+    list_slice over the same whitespace tokens."""
+    from nifi_spark.datalib import chunk_text
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_text(docs, "doc_id", "text", window_tokens=128, overlap=32)
+    return out.select("doc_id", "chunk_index", "n_chunks", "chunk_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
 def q_invoke_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InvokeHTTP with the reference's relationship routing (2xx →
     response, 5xx → retry, other codes → no_retry, transport exception →
@@ -3798,6 +3809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_sequences": q_curate_pack_sequences,
         "duplicate_flowfile": q_duplicate_flowfile,
         "invoke_http_route": q_invoke_http,
+        "text_chunking": q_text_chunking,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4778,6 +4790,29 @@ SELECT doc_id, 'image' AS kind,
        octet_length(encode(text)) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+""",
+        "text_chunking": """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+d AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 128 THEN 1
+              ELSE ceil((len(toks) - 128) / 96.0)::INT + 1 END AS n_chunks
+  FROM base),
+e AS (
+  SELECT doc_id, toks, n_chunks,
+         unnest(range(0, n_chunks))::INT AS chunk_index
+  FROM d)
+SELECT doc_id, chunk_index, n_chunks,
+       len(list_slice(toks, chunk_index * 96 + 1,
+                      chunk_index * 96 + 128))::INT AS chunk_tokens,
+       md5(coalesce(array_to_string(
+           list_slice(toks, chunk_index * 96 + 1, chunk_index * 96 + 128),
+           ' '), '')) AS chunk_md5
+FROM e
 """,
         "invoke_http_route": """
 SELECT event_id,

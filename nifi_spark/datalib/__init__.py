@@ -30,7 +30,8 @@ from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            ivf_ann_topk, lsh_ann_topk,
                                            lsh_candidate_pairs,
                                            ann_topk_int8, quantize_int8)
-from nifi_spark.datalib.text import (fingerprint, lang_id, normalize_text,
+from nifi_spark.datalib.text import (chunk_text, fingerprint,
+                                     lang_id, normalize_text,
                                      quality_classify,
                                      scrub_pii, url_stats,
                                      quality_score, repetition_stats,
@@ -48,6 +49,6 @@ __all__ = ["contaminated_spans",
            "repetition_stats",
            "token_stats", "url_stats",
            "benchmark_contamination", "canonical_url", "cap_per_group",
-           "dataset_split", "pack_sequences", "stratified_sample",
+           "chunk_text", "dataset_split", "pack_sequences", "stratified_sample",
            "token_budget_sample",
            "url_dedup"]

@@ -364,3 +364,43 @@ def scrub_pii(df: DataFrame, text_col: str = "text",
         scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind}]")
     out = df.withColumn(out_col, scrubbed)
     return out.withColumns(counts) if counts else out
+
+
+def chunk_text(df: DataFrame, id_col: str, text_col: str,
+               window_tokens: int = 256, overlap: int = 32) -> DataFrame:
+    """Overlapping context-window chunking (the embedding/RAG prep step
+    of a training-data pipeline): each document splits into whitespace
+    tokens, then into windows of ``window_tokens`` advancing by
+    ``window_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens. The final window is the remainder (never empty, never
+    duplicated: a document shorter than one window yields exactly one
+    chunk).
+
+    Pure JVM column expressions — tokens via split+filter, window starts
+    via sequence(), one posexplode, slice+array_join per chunk. Zero
+    shuffle, embarrassingly parallel at any corpus size.
+
+    Output: (id, chunk_index, n_chunks, chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < window_tokens:
+        raise ValueError("need 0 <= overlap < window_tokens")
+    step = window_tokens - overlap
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    # last window start: the largest multiple of step still leaving a
+    # non-empty, non-fully-overlapped tail; ceil((n - window)/step) keeps
+    # every token covered with the minimal window count
+    n_chunks = F.when(n <= window_tokens, F.lit(1)).otherwise(
+        F.ceil((n - window_tokens) / F.lit(step)).cast("int") + 1)
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * step, F.lit(step))
+    out = base.withColumn("n_chunks", n_chunks) \
+        .select(id_col, "_toks", "n_chunks",
+                F.posexplode(starts).alias("chunk_index", "_start"))
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1,
+                    F.lit(window_tokens))
+    return out.select(
+        id_col, "chunk_index", "n_chunks",
+        F.size(piece).alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

@@ -1070,3 +1070,38 @@ def test_pack_sequences_matches_pandas_and_bounds(docs):
         assert (gn, gtot) == (n, tot), key
         assert gtext == "\n\n".join(texts), key
         assert tot <= 256 + max_doc
+
+
+def test_chunk_text_coverage_and_overlap(docs, spark):
+    """chunk_text: every token covered, consecutive chunks share exactly
+    `overlap` tokens (except the clipped tail), short/empty docs yield
+    one chunk, and bad params raise."""
+    from nifi_spark.datalib import chunk_text
+    out = chunk_text(docs, "doc_id", "text", window_tokens=64,
+                     overlap=16).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    for _, r in pdf.iterrows():
+        toks = r["text"].split()
+        chunks = out[out["doc_id"] == r["doc_id"]].sort_values("chunk_index")
+        assert (chunks["n_chunks"] == len(chunks)).all()
+        rebuilt = []
+        prev = None
+        for _, c in chunks.iterrows():
+            piece = c["chunk_text"].split() if c["chunk_text"] else []
+            assert len(piece) == c["chunk_tokens"] <= 64
+            if prev is not None and len(piece) >= 16:
+                assert prev[-16:] == piece[:16]  # overlap region agrees
+            rebuilt.extend(piece if prev is None else piece[16:])
+            prev = piece
+        if len(toks) <= 64:
+            assert len(chunks) == 1 and rebuilt == toks
+        else:
+            assert rebuilt[:len(toks)] == toks  # full coverage in order
+    empty = spark.createDataFrame([(1, ""), (2, "one two")],
+                                  "doc_id long, text string")
+    e = chunk_text(empty, "doc_id", "text", 8, 2).collect()
+    assert {(r.doc_id, r.n_chunks, r.chunk_tokens) for r in e} == \
+        {(1, 1, 0), (2, 1, 2)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_text(empty, "doc_id", "text", 8, 8)
