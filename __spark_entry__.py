@@ -112,6 +112,33 @@ def q_cdc_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_cdc_rebucket_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-count rescaling mid-stream (storage.rebucket — the Iceberg
+    rewrite-with-new-partition-spec analog): apply two batches at 4
+    buckets, rebucket to 16, apply the final batch into the NEW bucket
+    space — the final table must equal the plain LWW replay exactly, so
+    the maintenance op is proven invisible to results."""
+    from nifi_spark.ledger import OffsetLedger
+    from nifi_spark.pipeline import CdcPipeline
+    from nifi_spark.storage import SnapshotTableStore
+
+    work = tempfile.mkdtemp(prefix="cdc_rebucket_")
+    log_path = os.path.join(work, "changelog")
+    _events_as_changelog(_t(spark, sf_dir, "events")).write.parquet(log_path)
+    store = SnapshotTableStore(os.path.join(work, "table"), n_buckets=4)
+    store.init()
+    pipe = CdcPipeline(spark, log_path, store,
+                       OffsetLedger(os.path.join(work, "ledger")))
+    max_lsn = _t(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    pipe.run([max_lsn // 3, 2 * max_lsn // 3])
+    store.rebucket(spark, 16)
+    pipe.run([max_lsn])
+    final = store.read(spark, with_lsn=True)
+    return final.select("repo", "path", "commit", "lang", "content",
+                        F.col("_last_lsn").alias("last_lsn"),
+                        F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
 def q_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING front-end of the engine: the same changelog lands
     as multiple parquet files, readStream + foreachBatch drives the
@@ -3808,6 +3835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_flow_pack": q_template_flow_pack,
         "curate_pack_sequences": q_curate_pack_sequences,
         "duplicate_flowfile": q_duplicate_flowfile,
+        "cdc_rebucket_maintenance": q_cdc_rebucket_maintenance,
         "invoke_http_route": q_invoke_http,
         "text_chunking": q_text_chunking,
         "control_rate_grouped": q_control_rate_grouped,
@@ -3843,6 +3871,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_apply": _CDC_FINAL_ORACLE,
         "cdc_pipeline_e2e": _CDC_FINAL_ORACLE,
         "stream_cdc_e2e": _CDC_FINAL_ORACLE,
+        "cdc_rebucket_maintenance": _CDC_FINAL_ORACLE,
         "lineage_batch_rows": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),
 tagged AS (

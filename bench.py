@@ -132,6 +132,10 @@ BENCH_QUERIES = [
     "split_defragment_roundtrip",
     "transform_xml_xslt",
     "xquery_flwor",
+    "curate_pack_sequences",
+    "text_chunking",
+    "media_decode_image_stats",
+    "flowfile_pack_roundtrip",
 ]
 
 

@@ -238,6 +238,44 @@ class SnapshotTableStore:
                 "removed_manifests": removed_manifests,
                 "removed_dirs": sorted(removed_dirs)}
 
+    def rebucket(self, spark: SparkSession, new_n_buckets: int) -> dict:
+        """Rescale the bucket count — the Iceberg rewrite-data-files-
+        with-new-partition-spec analog, and the maintenance operation a
+        growing table needs at scale (a 100 TB table that started at 64
+        buckets wants thousands so each bucket stays a few GB and merge
+        parallelism matches the cluster).
+
+        One full rewrite committed as a new snapshot: read the current
+        version, re-hash every row into the new bucket space, write one
+        file per new bucket, commit a manifest carrying the new
+        n_buckets. Old snapshots remain time-travel-readable (each
+        manifest carries its own bucket map); subsequent merges hash
+        changes with the NEW bucket count automatically since they read
+        n_buckets from the current manifest. Crash-safe like merge: the
+        manifest pointer flips only after the full write."""
+        if new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        m = self._load_manifest()
+        full = self.read(spark, with_lsn=True) \
+            .withColumn("bucket", bucket_expr(new_n_buckets))
+        new_version = m["version"] + 1
+        rel = os.path.join("versions", f"v{new_version:06d}")
+        out_dir = os.path.join(self.root, rel)
+        (full.repartition(new_n_buckets, "bucket")
+             .write.partitionBy("bucket").mode("overwrite").parquet(out_dir))
+        written = {int(d.split("=")[1]) for d in os.listdir(out_dir)
+                   if d.startswith("bucket=")}
+        sid = m["current_schema_id"]
+        m["buckets"] = {str(b): {"path": os.path.join(rel, f"bucket={b}"),
+                                 "schema_id": sid}
+                        for b in sorted(written)}
+        m["n_buckets"] = new_n_buckets
+        m["version"] = new_version
+        m["committed_at"] = time.time()
+        self._commit(m)
+        return {"n_buckets": new_n_buckets, "buckets_written": len(written),
+                "version": new_version}
+
     # ---------------- merge (the PutSQL / MERGE INTO analog) ----------------
     def merge(self, spark: SparkSession, changes: DataFrame,
               strategy: str = "argmax",

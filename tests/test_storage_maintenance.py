@@ -145,3 +145,38 @@ def test_expire_removes_orphaned_version_dirs(spark, tmp_path):
     assert {(r.repo, r.path, r.content)
             for r in store.read(spark).collect()} == {("r1", "x", "c")}
     assert store.versions() == [vs[-1]]
+
+
+def test_rebucket_rescales_and_stays_mergeable(spark, tmp_path):
+    """rebucket: data survives the rewrite byte-for-byte, old versions
+    stay time-travel-readable, and subsequent merges hash into the NEW
+    bucket space."""
+    store = SnapshotTableStore(str(tmp_path / "tbl"), n_buckets=2)
+    store.init()
+    rows = [(f"r{i % 5}", f"p{i}", f"c{i}", "py", f"v{i}", "upsert", i + 1)
+            for i in range(40)]
+    _merge_batch(spark, store, rows)
+    v_before = store.current_version()
+    before = {(r.repo, r.path): (r.content, r._last_lsn)
+              for r in store.read(spark, with_lsn=True).collect()}
+
+    stats = store.rebucket(spark, 8)
+    assert stats["n_buckets"] == 8 and stats["buckets_written"] <= 8
+    m = store._load_manifest()
+    assert m["n_buckets"] == 8
+    after = {(r.repo, r.path): (r.content, r._last_lsn)
+             for r in store.read(spark, with_lsn=True).collect()}
+    assert after == before
+    # old snapshot still readable with the OLD bucket map
+    back = {(r.repo, r.path): (r.content, r._last_lsn)
+            for r in store.read(spark, version=v_before,
+                                with_lsn=True).collect()}
+    assert back == before
+    # merges after the rescale hash with the new bucket count
+    _merge_batch(spark, store, [("r0", "p0", "cx", "py", "NEW", "upsert", 99),
+                                ("r9", "pz", "cy", "py", "ADD", "upsert", 100)])
+    now = {(r.repo, r.path): r.content for r in store.read(spark).collect()}
+    assert now[("r0", "p0")] == "NEW" and now[("r9", "pz")] == "ADD"
+    assert len(now) == len(before) + 1
+    with pytest.raises(ValueError):
+        store.rebucket(spark, 0)
