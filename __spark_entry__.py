@@ -3579,6 +3579,44 @@ def _gate_http_transport(url: str, method: str, body):
     return 200, f"resp:{i}".encode()
 
 
+def q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping (web-corpus text extraction): fixture
+    HTML wrapped around each document, stripped by the JVM regex chain;
+    the oracle replays the EXACT chain (generated from
+    HTML_STRIP_PATTERNS, the scrub_pii strategy)."""
+    from nifi_spark.datalib import html_to_text
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><!-- id "), F.col("doc_id").cast("string"),
+        F.lit(" --><head><style>p{color:red}</style>"
+              "<script>var a=1;</script></head><body><h1>T"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><div class="x">tail &amp; <b>more</b>&nbsp;!</div>'
+              "</body></html>"))
+    out = html_to_text(docs.select("doc_id", html.alias("page")), "page")
+    return out.select("doc_id", F.md5("text_plain").alias("plain_md5"),
+                      F.length("text_plain").alias("plain_len"))
+
+
+def _html_to_text_sql() -> str:
+    """Oracle generated from the SAME pattern chain html_to_text runs."""
+    from nifi_spark.datalib.text import HTML_STRIP_PATTERNS
+    expr = ("'<html><!-- id ' || doc_id::VARCHAR || "
+            "' --><head><style>p{color:red}</style>"
+            "<script>var a=1;</script></head><body><h1>T' || "
+            "(doc_id % 7)::VARCHAR || '</h1><p>' || text || "
+            "'</p><div class=\"x\">tail &amp; <b>more</b>&nbsp;!</div>"
+            "</body></html>'")
+    for pat, rep in HTML_STRIP_PATTERNS:
+        pq = pat.replace("'", "''")
+        rq = rep.replace("\\", "\\\\").replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pq}', '{rq}', 'g')"
+    expr = f"trim({expr})"
+    return (f"SELECT doc_id, md5({expr}) AS plain_md5, "
+            f"length({expr})::INT AS plain_len FROM documents")
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping context-window chunking (RAG/embedding prep): window
     placement, overlap coverage, and chunk text all rebuilt in SQL via
@@ -3838,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rebucket_maintenance": q_cdc_rebucket_maintenance,
         "invoke_http_route": q_invoke_http,
         "text_chunking": q_text_chunking,
+        "text_html_extract": q_html_to_text,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dataset_split": q_curate_dataset_split,
@@ -4820,6 +4859,7 @@ SELECT doc_id, 'image' AS kind,
        sha256(text) AS sha256
 FROM documents
 """,
+        "text_html_extract": _html_to_text_sql(),
         "text_chunking": """
 WITH base AS (
   SELECT doc_id,

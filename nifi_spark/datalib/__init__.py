@@ -31,6 +31,7 @@ from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            lsh_candidate_pairs,
                                            ann_topk_int8, quantize_int8)
 from nifi_spark.datalib.text import (chunk_text, fingerprint,
+                                     html_to_text,
                                      lang_id, normalize_text,
                                      quality_classify,
                                      scrub_pii, url_stats,
@@ -49,6 +50,6 @@ __all__ = ["contaminated_spans",
            "repetition_stats",
            "token_stats", "url_stats",
            "benchmark_contamination", "canonical_url", "cap_per_group",
-           "chunk_text", "dataset_split", "pack_sequences", "stratified_sample",
+           "chunk_text", "dataset_split", "html_to_text", "pack_sequences", "stratified_sample",
            "token_budget_sample",
            "url_dedup"]

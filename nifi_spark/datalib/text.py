@@ -404,3 +404,35 @@ def chunk_text(df: DataFrame, id_col: str, text_col: str,
         id_col, "chunk_index", "n_chunks",
         F.size(piece).alias("chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+# (pattern, replacement) chain — module constant so the DuckDB oracle is
+# GENERATED from the same list (the scrub_pii strategy); every pattern is
+# Java-regex/RE2 compatible (no lookbehind, no backrefs).
+HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?s)<!--.*?-->", " "),                          # comments
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),        # script blocks
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),          # style blocks
+    # block-level tags become newlines so paragraphs survive
+    (r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|"
+     r"section|article|header|footer)\b[^>]*/?>", "\n"),
+    (r"<[^>]+>", " "),                                 # any other tag
+    (r"&nbsp;", " "), (r"&amp;", "&"), (r"&lt;", "<"),
+    (r"&gt;", ">"), (r"&quot;", "\""), (r"&#39;", "'"),
+    (r"[ \t]+", " "),                                  # collapse spaces
+    (r" ?\n[ \n]*", "\n"),                             # collapse blanks
+]
+
+
+def html_to_text(df: DataFrame, text_col: str,
+                 out_col: str = "text_plain") -> DataFrame:
+    """HTML → plain text (the boilerplate-strip step of a web-corpus
+    pipeline): drop comments/script/style, turn block tags into
+    newlines, strip remaining tags, unescape the common entities,
+    collapse whitespace. One chained regexp_replace projection — JVM
+    whole-stage codegen, zero shuffle; the pattern chain is a module
+    constant so the gate oracle replays the EXACT same rewrites."""
+    c = F.col(text_col)
+    for pat, rep in HTML_STRIP_PATTERNS:
+        c = F.regexp_replace(c, pat, rep)
+    return df.withColumn(out_col, F.trim(c))

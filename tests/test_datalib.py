@@ -1105,3 +1105,21 @@ def test_chunk_text_coverage_and_overlap(docs, spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_text(empty, "doc_id", "text", 8, 8)
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    from nifi_spark.datalib import html_to_text
+    page = ("<html><!-- hidden --><head><title>t</title>"
+            "<style>p {a:b}</style><script>if (x<2) alert('hi')</script>"
+            "</head><body><h1>Title</h1>"
+            "<p>para one</p><p>two &amp; three&nbsp;&lt;ok&gt;</p>"
+            "<div><ul><li>x</li><li>y</li></ul></div>"
+            "<span>inline  stays</span></body></html>")
+    df = spark.createDataFrame([(1, page)], "id long, page string")
+    out = html_to_text(df, "page").collect()[0]["text_plain"]
+    assert "hidden" not in out and "alert" not in out and "a:b" not in out
+    assert "<" not in out.replace("<ok>", "") and "Title" in out
+    assert "two & three <ok>" in out
+    assert "\nx\ny\n" in out            # list items kept as lines
+    assert "inline stays" in out        # spaces collapsed
+    assert "  " not in out and "\n\n" not in out
