@@ -84,6 +84,26 @@ def _write_out(out: dict, path: str, value: Any) -> None:
 
 def _shift_node(data: Any, spec: Any, matched: list[str], out: dict) -> None:
     if isinstance(spec, dict):
+        # "$" / "$N" spec entries write the MATCHED KEY itself as a value
+        # (Jolt's dollar operator): "$" = the key that matched this spec
+        # level, "$1" = one level up, etc. They are directives, not data
+        # matches, so they apply before the data-key walk.
+        for skey, starget in spec.items():
+            if skey == "$" or (skey.startswith("$") and skey[1:].isdigit()):
+                n = int(skey[1:]) if len(skey) > 1 else 0
+                if len(matched) > n:
+                    keyval = matched[-1 - n]
+                    # "$" is a LEAF of this spec node: its target's &N
+                    # refs count from the leaf position, exactly like a
+                    # sibling literal key ("max": "...&1...") — so the
+                    # resolve stack gains one level (&1 = the key this
+                    # node matched, per the reference's chainr golden)
+                    for target in (starget if isinstance(starget, list)
+                                   else [starget]):
+                        _write_out(out,
+                                   _resolve_refs(target,
+                                                 matched + [keyval]),
+                                   keyval)
         if isinstance(data, list):
             data = {str(i): v for i, v in enumerate(data)}
         if not isinstance(data, dict):

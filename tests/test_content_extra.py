@@ -142,3 +142,40 @@ def test_jolt_transform_column(spark):
            for r in jolt_transform(df, "content", chain).collect()}
     assert got[1] == '{"new":5,"v":1}'
     assert got[2] is None
+
+
+import json as _json
+import os as _os
+
+import pytest as _pytest
+
+_JOLT_GOLDEN = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+                "nifi-standard-processors/src/test/resources/"
+                "TestJoltTransformJson")
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_JOLT_GOLDEN),
+                     reason="reference checkout not present")
+@_pytest.mark.parametrize("name,specf,outf,op", [
+    ("chainr", "chainrSpec.json", "chainrOutput.json", None),
+    ("shiftr", "shiftrSpec.json", "shiftrOutput.json", "shift"),
+    ("defaultr", "defaultrSpec.json", "defaultrOutput.json", "default"),
+    ("removr", "removrSpec.json", "removrOutput.json", "remove"),
+    ("cardr", "cardrSpec.json", "cardrOutput.json", "cardinality"),
+    ("sortr", None, "sortrOutput.json", "sort"),
+])
+def test_jolt_reference_golden_files(name, specf, outf, op):
+    """The engine must reproduce the reference's OWN JoltTransformJSON
+    golden files byte-semantically (TestJoltTransformJson resources) —
+    including the chainr spec's '$' key-as-value operator."""
+    from nifi_spark.operators.jolt import jolt_apply
+    inp = open(_os.path.join(_JOLT_GOLDEN, "input.json")).read()
+    expected = _json.load(open(_os.path.join(_JOLT_GOLDEN, outf)))
+    if op is None:
+        chain = _json.load(open(_os.path.join(_JOLT_GOLDEN, specf)))
+    else:
+        spec = _json.load(open(_os.path.join(_JOLT_GOLDEN, specf))) \
+            if specf else None
+        chain = [{"operation": op, "spec": spec}]
+    got = jolt_apply(inp, chain)
+    assert got is not None and _json.loads(got) == expected
