@@ -173,28 +173,39 @@ UNPACK_SCHEMA_SUFFIX = ("entry_index int, entry_count int, "
 
 
 def unpack_content(df: DataFrame, content_col: str,
-                   id_cols: list[str]) -> DataFrame:
-    """Zip archive → one row per entry with the fragment contract
-    (UnpackContent; fragment fields named entry_* to keep the archive
-    vocabulary). mapInPandas: the zip directory parse is the seam, the
-    fan-out schema and Arrow batching are the real plumbing."""
+                   id_cols: list[str], archive: str = "zip") -> DataFrame:
+    """Zip/TAR archive → one row per entry with the fragment contract
+    (UnpackContent zip + tar modes; fragment fields named entry_* to
+    keep the archive vocabulary). mapInPandas: the directory parse is
+    the seam, the fan-out schema and Arrow batching are the real
+    plumbing. Directory entries in tars are skipped (file rows only),
+    matching the reference's per-file fan-out."""
     import io
+    import tarfile
     import zipfile
 
+    if archive not in ("zip", "tar"):
+        raise ValueError(f"unsupported archive format {archive!r}")
     passthrough = ", ".join(f"`{n}` {t}" for n, t in df.dtypes
                             if n in id_cols)
     schema = f"{passthrough}, {UNPACK_SCHEMA_SUFFIX}"
+
+    def entries(blob: bytes) -> list[tuple[str, bytes]]:
+        if archive == "zip":
+            with zipfile.ZipFile(io.BytesIO(blob)) as z:
+                return [(n, z.read(n)) for n in z.namelist()]
+        with tarfile.open(fileobj=io.BytesIO(blob)) as t:
+            return [(m.name, t.extractfile(m).read())
+                    for m in t.getmembers() if m.isfile()]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                blob = r[content_col]
-                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as z:
-                    names = z.namelist()
-                    for i, n in enumerate(names):
-                        rows.append(tuple(r[c] for c in id_cols)
-                                    + (i, len(names), n, z.read(n)))
+                ents = entries(bytes(r[content_col]))
+                for i, (n, data) in enumerate(ents):
+                    rows.append(tuple(r[c] for c in id_cols)
+                                + (i, len(ents), n, data))
             cols = id_cols + ["entry_index", "entry_count", "entry_name",
                               "entry"]
             yield pd.DataFrame(rows, columns=cols)

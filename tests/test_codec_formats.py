@@ -730,3 +730,61 @@ def test_identify_mime_flowfile_and_avro_magic(spark):
     assert rows[1] == "application/flowfile-v3"
     assert rows[2] == "application/avro-binary"
     assert rows[3] == "text/plain"
+
+
+_REF_RES = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+            "nifi-standard-processors/src/test/resources")
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_REF_RES),
+                    reason="reference checkout not present")
+def test_reference_flowfile_streams_and_archives(spark):
+    """Decode the reference's OWN checked-in artifacts: flowfile-v3/v2
+    streams (TestUnpackContent) through unpack_flowfiles, plus its
+    zip/tar archives through unpack_content — contents must match the
+    source files in the sibling 'folder' directory."""
+    import os
+
+    from nifi_spark.operators import unpack_content, unpack_flowfiles
+    base = os.path.join(_REF_RES, "TestUnpackContent")
+    cal = open(os.path.join(base, "folder", "cal.txt"), "rb").read()
+    date = open(os.path.join(base, "folder", "date.txt"), "rb").read()
+
+    for fname, version in (("data.flowfilev3", 3), ("data.flowfilev2", 2)):
+        blob = open(os.path.join(base, fname), "rb").read()
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "id long, content binary")
+        rows = unpack_flowfiles(df, "content", ["id"],
+                                version=version).collect()
+        got = {r.attributes["filename"]: bytes(r.content) for r in rows}
+        assert got == {"cal.txt": cal, "date.txt": date}
+        if version == 3:
+            assert all(r.attributes["path"] == "folder" for r in rows)
+
+    for fname, fmt in (("data.zip", "zip"), ("data.tar", "tar")):
+        blob = open(os.path.join(base, fname), "rb").read()
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "id long, content binary")
+        rows = unpack_content(df, "content", ["id"], archive=fmt).collect()
+        got = {r.entry_name.split("/")[-1]: bytes(r.entry) for r in rows}
+        assert got == {"cal.txt": cal, "date.txt": date}, (fmt, got.keys())
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(_REF_RES),
+                    reason="reference checkout not present")
+def test_reference_compressed_samples(spark):
+    """Decompress the reference's own gz/bz2 samples back to its
+    checked-in plaintext (CompressedData resources)."""
+    import os
+
+    from nifi_spark.operators import compress_content
+    base = os.path.join(_REF_RES, "CompressedData")
+    plain = open(os.path.join(base, "SampleFile.txt"), "rb").read()
+    for fname, codec in (("SampleFile.txt.gz", "gzip"),
+                         ("SampleFile.txt.bz2", "bzip2")):
+        blob = open(os.path.join(base, fname), "rb").read()
+        df = spark.createDataFrame([(1, bytearray(blob))],
+                                   "id long, content binary")
+        out = compress_content(df, "content", codec,
+                               mode="decompress").collect()[0]
+        assert bytes(out.content) == plain, fname
