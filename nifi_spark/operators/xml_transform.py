@@ -41,7 +41,8 @@ def transform_xml(df: DataFrame, content_col: str,
                   rules: list[dict] | None = None,
                   stylesheet: str | None = None,
                   out_col: str | None = None,
-                  resolver: dict | None = None) -> DataFrame:
+                  resolver: dict | None = None,
+                  stylesheet_params: dict | None = None) -> DataFrame:
     """Apply declarative XML transform rules to a content column.
 
     Each rule is a dict applied in order to every document:
@@ -79,7 +80,8 @@ def transform_xml(df: DataFrame, content_col: str,
                 out = pdf.copy()
                 out[out_col] = pdf[content_col].map(
                     lambda t: None if t is None
-                    else xslt_transform(t, sheet))
+                    else xslt_transform(t, sheet,
+                                        params=stylesheet_params))
                 yield out[out_names]
 
         return df.mapInPandas(run_xslt, schema=schema)

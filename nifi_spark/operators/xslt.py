@@ -290,16 +290,27 @@ class XsltStylesheet:
 
     # ---- instantiation ----------------------------------------------
 
-    def apply(self, xml_text: str) -> str:
+    def apply(self, xml_text: str,
+              params: dict[str, Any] | None = None) -> str:
+        """params: caller-supplied values for top-level xsl:param
+        elements (TransformXml's dynamic properties — the reference
+        passes flowfile attributes as stylesheet parameters,
+        standard/TransformXml.java:150-160); a supplied value overrides
+        the param's default, unnamed params fall back to it."""
         src = ET.fromstring(xml_text)
         doc = Document(src)
         doc.functions = {"format-number": self._format_number_fn}
         if self.keys:
             doc.functions["key"] = self._key_fn
+        params = params or {}
         variables: dict[str, Any] = {}
         for gv in self.global_vars:
+            name = gv.get("name")
+            if gv.tag == _X + "param" and name in params:
+                variables[name] = params[name]
+                continue
             ctx = Context(doc, doc, variables=dict(variables))
-            variables[gv.get("name")] = self._var_value(gv, ctx)
+            variables[name] = self._var_value(gv, ctx)
         out: list = []
         self._apply_to(out, [doc], None,
                        Context(doc, doc, variables=variables), {})
@@ -890,10 +901,10 @@ def _xml_escape(s: str) -> str:
             .replace(">", "&gt;"))
 
 
-def xslt_transform(xml_text: str, stylesheet: XsltStylesheet
-                   ) -> str | None:
+def xslt_transform(xml_text: str, stylesheet: XsltStylesheet,
+                   params: dict | None = None) -> str | None:
     """Apply a compiled stylesheet; malformed input -> None."""
     try:
-        return stylesheet.apply(xml_text)
+        return stylesheet.apply(xml_text, params=params)
     except ET.ParseError:
         return None

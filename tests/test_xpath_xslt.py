@@ -423,3 +423,39 @@ def test_xslt_review_fixes():
     main = (_XSL_HEAD + '<xsl:import href="a.xsl"/></xsl:stylesheet>')
     with pytest.raises(XsltError, match="cyclic"):
         XsltStylesheet(main, resolver={"a.xsl": a, "b.xsl": b})
+
+
+import os as _os
+
+_REF_XSL = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+            "nifi-standard-processors/src/test/resources/TestTransformXml")
+
+
+@pytest.mark.skipif(not _os.path.isdir(_REF_XSL),
+                    reason="reference checkout not present")
+def test_reference_math_stylesheet():
+    """Run the reference's own math.xsl (TestTransformXml resources) —
+    an XPath tokenizer torture test using div/mod/or as ELEMENT NAMES in
+    operator positions — with the header param injected the way
+    TransformXml passes flowfile attributes. Every semantic line of the
+    checked-in math.html must appear. (tokens.xsl is XSLT 2.0 —
+    xsl:function/analyze-string — outside the engine's 1.0 scope.)"""
+    xsl = open(_os.path.join(_REF_XSL, "math.xsl")).read()
+    xml = open(_os.path.join(_REF_XSL, "math.xml")).read()
+    out = XsltStylesheet(xsl).apply(xml, params={"header": "Test for mod"})
+    assert "<H1>Test for mod</H1>" in out
+    assert out.count('Should say "1": 1') == 2
+    assert 'Should say "-1": -1' in out
+    assert "<P>true</P>" in out
+
+
+def test_xslt_param_injection_overrides_default():
+    sheet = XsltStylesheet(
+        '<xsl:stylesheet version="1.0" xmlns:xsl='
+        '"http://www.w3.org/1999/XSL/Transform">'
+        '<xsl:param name="p" select="\'default\'"/>'
+        '<xsl:output method="text"/>'
+        '<xsl:template match="/"><xsl:value-of select="$p"/>'
+        '</xsl:template></xsl:stylesheet>')
+    assert sheet.apply("<r/>") == "default"
+    assert sheet.apply("<r/>", params={"p": "given"}) == "given"
