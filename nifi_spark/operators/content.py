@@ -181,6 +181,16 @@ def replace_text_with_mapping(df: DataFrame, content_col: str,
     """
     pairs = mapping.select(find_col, replace_col).collect()
     lookup = F.create_map(*[F.lit(v) for kv in pairs for v in (kv[0], kv[1])])
+    if sep == "whitespace":
+        # reference semantics (any-whitespace token boundaries, mixed
+        # separators preserved): zero-width split keeps the separator
+        # characters as their own array elements, so the rebuild is a
+        # plain concat and every token sees ONE map lookup — still a
+        # single-pass projection, zero exchanges.
+        words = F.split(F.col(content_col),
+                        r"(?=[ \t\r\n])|(?<=[ \t\r\n])")
+        replaced = F.transform(words, lambda w: F.coalesce(lookup[w], w))
+        return df.withColumn(content_col, F.array_join(replaced, ""))
     words = F.split(F.col(content_col), sep)
     replaced = F.transform(words, lambda w: F.coalesce(lookup[w], w))
     return df.withColumn(content_col, F.array_join(replaced, sep))

@@ -736,6 +736,11 @@ _REF_RES = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
             "nifi-standard-processors/src/test/resources")
 
 
+def _os_path_join_simple_jpg():
+    import os
+    return os.path.join(_REF_RES, "simple.jpg")
+
+
 @pytest.mark.skipif(not __import__("os").path.isdir(_REF_RES),
                     reason="reference checkout not present")
 def test_reference_flowfile_streams_and_archives(spark):
@@ -780,6 +785,13 @@ def test_reference_compressed_samples(spark):
     from nifi_spark.operators import compress_content
     base = os.path.join(_REF_RES, "CompressedData")
     plain = open(os.path.join(base, "SampleFile.txt"), "rb").read()
+    # the reference's checked-in JPEG sniffs as image/jpeg
+    from nifi_spark.operators import identify_mime_type
+    jpg = open(_os_path_join_simple_jpg(), "rb").read()
+    jdf = spark.createDataFrame([(1, bytearray(jpg))],
+                                "id long, content binary")
+    assert identify_mime_type(jdf, "content").first().mime_type == \
+        "image/jpeg"
     for fname, codec in (("SampleFile.txt.gz", "gzip"),
                          ("SampleFile.txt.bz2", "bzip2")):
         blob = open(os.path.join(base, fname), "rb").read()

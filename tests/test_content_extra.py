@@ -179,3 +179,33 @@ def test_jolt_reference_golden_files(name, specf, outf, op):
         chain = [{"operation": op, "spec": spec}]
     got = jolt_apply(inp, chain)
     assert got is not None and _json.loads(got) == expected
+
+
+_REF_MAP = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+            "nifi-standard-processors/src/test/resources/"
+            "TestReplaceTextWithMapping")
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_REF_MAP),
+                     reason="reference checkout not present")
+def test_replace_with_mapping_reference_golden(spark):
+    """ReplaceTextWithMapping against the reference's own mapping file
+    and input, matching TestReplaceTextWithMapping.testSimple's expected
+    output exactly (whitespace-boundary mode)."""
+    from nifi_spark.operators import replace_text_with_mapping
+    mapping_rows = []
+    for line in open(_os.path.join(_REF_MAP,
+                                   "color-fruit-mapping.txt")):
+        parts = line.split()
+        if len(parts) == 2:
+            mapping_rows.append(tuple(parts))
+    mapping = spark.createDataFrame(mapping_rows, "find string, replace string")
+    content = open(_os.path.join(_REF_MAP,
+                                 "colors-without-dashes.txt")).read()
+    df = spark.createDataFrame([(1, content)], "id long, content string")
+    out = replace_text_with_mapping(df, "content", mapping,
+                                    sep="whitespace").first().content
+    assert out == ("roses are apple\n"
+                   "violets are blueberry\n"
+                   "something else is grape\n"
+                   "I'm not good at writing poems")
