@@ -3755,6 +3755,40 @@ def q_media_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "peak")
 
 
+def q_media_decode_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG path (datalib/jpeg.py): block-constant grayscale
+    rasters encoded with an all-ones quant table are LOSSLESS through the
+    full Huffman/DCT pipeline (single integer DC coefficient per block),
+    so the DuckDB oracle regenerates the decoded pixels from the fixture
+    formula — proving entropy encode → marker parse → Huffman decode →
+    dequant → IDCT bit-for-bit. Every 5th image carries restart markers
+    (DRI/RSTn). Formula contract at multimodal._synth_jpeg."""
+    from nifi_spark.datalib.multimodal import decode_media_stats, synthesize_jpeg
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 3 == 0).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    stats = decode_media_stats(synthesize_jpeg(docs, "doc_id"))
+    return stats.select(F.col("id").alias("doc_id"), "mime", "width",
+                        "height", "channels", "px_sum", "px_min", "px_max")
+
+
+def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path (datalib/mp4.py): PNG-codec MP4s built by the real
+    muxer are demuxed by the real box walk (stsz × stsc × stco × stts
+    sample-table join), frames picked at 700 ms ticks and decoded with the
+    pure-Python PNG codec; integer-exact per-frame raster stats vs a
+    closed-form oracle. Formula contract at multimodal._synth_video."""
+    from nifi_spark.datalib.multimodal import sample_video_frames, synthesize_video
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 3 == 1).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    frames = sample_video_frames(synthesize_video(docs, "doc_id"),
+                                 every_ms=700)
+    return frames.select(F.col("id").alias("doc_id"), "sample_idx",
+                         "frame_idx", "frame_ts_ms", "width", "height",
+                         "px_sum", "px_min", "px_max")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -3869,6 +3903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "media_decode_image_stats": q_media_decode_image_stats,
         "media_decode_audio_stats": q_media_decode_audio_stats,
+        "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
+        "media_frame_sample_mp4": q_media_frame_sample_mp4,
         "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
         "template_flow_pack": q_template_flow_pack,
         "curate_pack_sequences": q_curate_pack_sequences,
@@ -4974,6 +5010,47 @@ SELECT id AS doc_id, 'audio/wav' AS mime, 8000 AS sample_rate,
        any_value((frames * 1000) // 8000)::INT AS duration_ms,
        sum(a)::BIGINT AS abs_sum, max(a)::INT AS peak
 FROM s GROUP BY id
+""",
+        "media_decode_jpeg_stats": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 3 = 0 ORDER BY doc_id LIMIT 100),
+dims AS (
+  SELECT id, 2 + id % 3 AS wb, 1 + id % 2 AS hb FROM ids),
+blk AS (
+  SELECT id, wb, hb, (id * 7 + unnest(range(0, wb * hb))) % 256 AS v
+  FROM dims)
+SELECT id AS doc_id, 'image/jpeg' AS mime,
+       any_value(wb * 8)::INT AS width, any_value(hb * 8)::INT AS height,
+       1 AS channels,
+       (64 * sum(v))::BIGINT AS px_sum, min(v)::INT AS px_min,
+       max(v)::INT AS px_max
+FROM blk GROUP BY id
+""",
+        "media_frame_sample_mp4": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 100),
+v AS (
+  SELECT id, 3 + id % 4 AS n, 8 + (id % 3) * 4 AS fw, 8 AS fh FROM ids),
+ticks AS (
+  SELECT id, n, fw, fh, unnest(range(0, (n * 500 + 699) // 700)) AS sample_idx
+  FROM v),
+sel AS (
+  SELECT id, fw, fh, sample_idx,
+         least((sample_idx * 700) // 500, n - 1) AS fj
+  FROM ticks),
+px AS (
+  SELECT id, fw, fh, sample_idx, fj,
+         (id * 11 + fj * 5 + 3 * unnest(range(0, fw * fh * 3))) % 256 AS pv
+  FROM sel)
+SELECT id AS doc_id, sample_idx::INT AS sample_idx,
+       any_value(fj)::INT AS frame_idx,
+       any_value(fj * 500)::BIGINT AS frame_ts_ms,
+       any_value(fw)::INT AS width, any_value(fh)::INT AS height,
+       sum(pv)::BIGINT AS px_sum, min(pv)::INT AS px_min,
+       max(pv)::INT AS px_max
+FROM px GROUP BY id, sample_idx
 """,
         "multimodal_frame_sample": """
 WITH m AS (

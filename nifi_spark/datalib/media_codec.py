@@ -18,8 +18,14 @@ Format coverage (and the declared remaining boundary):
 * BMP — 24-bit uncompressed BI_RGB, bottom-up or top-down.
 * PPM/PGM — binary P6/P5, maxval 255.
 * WAV — PCM 16-bit, any channel count; extra RIFF chunks are skipped.
-* JPEG/MP4 and other DCT/container formats remain the declared seam in
-  datalib/multimodal.py (no entropy-coding stack in the sandbox).
+* JPEG — baseline sequential (SOF0) encode+decode in datalib/jpeg.py
+  (Huffman entropy coding, numpy IDCT, 4:2:0/4:2:2 upsampling, restart
+  markers); registered in the dispatch below. Decodes the reference's own
+  simple.jpg / blueBtnBg.jpg test artifacts. Progressive (SOF2) raises.
+* MP4 — real ISO-BMFF mux/demux in datalib/mp4.py (box walk +
+  stsz x stsc x stco x stts sample-table join); frame payloads decode for
+  codecs this repo implements (PNG-in-MP4); H.264 frames = the remaining
+  declared seam (container parse works, frame decode needs ffmpeg).
 
 Reference parity: NiFi 1.1.2 has no image processors in the standard
 bundle (media handling rides ExtractMediaMetadata in the media bundle,
@@ -277,6 +283,8 @@ def sniff_media(blob: bytes) -> str:
     """MIME sniff over the magic bytes of the supported formats."""
     if blob[:8] == _PNG_SIG:
         return "image/png"
+    if blob[:3] == b"\xFF\xD8\xFF":
+        return "image/jpeg"
     if blob[:2] == b"BM":
         return "image/bmp"
     if blob[:2] == b"P6":
@@ -285,11 +293,19 @@ def sniff_media(blob: bytes) -> str:
         return "image/x-portable-graymap"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return "audio/wav"
+    if blob[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
+
+
+def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
+    from nifi_spark.datalib.jpeg import decode_jpeg
+    return decode_jpeg(blob)
 
 
 _IMAGE_DECODERS = {
     "image/png": decode_png,
+    "image/jpeg": _decode_jpeg,
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_pnm,
     "image/x-portable-graymap": decode_pnm,

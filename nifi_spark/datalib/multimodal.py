@@ -11,11 +11,14 @@ encoders from a deterministic formula (so the DuckDB oracle can regenerate
 the expected integer stats via generate_series — the EVTX pack→parse gate
 strategy).
 
-The remaining declared seam is entropy-coded formats only (JPEG/MP4/Opus):
+JPEG (baseline, datalib/jpeg.py) and MP4 (ISO-BMFF demux + PNG-codec
+frame decode, datalib/mp4.py) are now REAL too. The remaining declared
+seam is compressed A/V bitstreams the sandbox genuinely can't decode
+(H.264/H.265/Opus frame payloads — the MP4 container still parses):
 * decode_stub=True (default in extract_features) → deterministic fake
   features derived from the payload bytes.
 * decode_stub=False → real decode via media_codec for supported mimes;
-  NotImplementedError only for formats that genuinely need Pillow/ffmpeg.
+  NotImplementedError only for codecs that genuinely need ffmpeg.
 
 Scale notes: payloads are grouped into size-bounded Arrow batches
 (`maxRecordsPerBatch` plus the byte-budget repartition below) so a 4K
@@ -79,10 +82,23 @@ def _real_features(payload: bytes, dim: int) -> list[float]:
         n = max(len(samples), 1)
         feat = [rate / 48000.0, float(ch), len(samples) / 1e6,
                 sum(abs(s) for s in samples) / n / 32768.0]
+    elif mime == "video/mp4":
+        from nifi_spark.datalib import mp4
+        tr = mp4.parse_mp4(payload)
+        feat = [tr.width / 4096.0, tr.height / 4096.0,
+                float(tr.n_samples), tr.duration_ms() / 1e6]
+        # first-frame pixel mean when the sample codec is one we decode
+        samples = mp4.extract_samples(payload, tr)
+        if samples:
+            try:
+                w, h, c, px = mc.decode_image(samples[0])
+                feat.append(sum(px) / max(len(px), 1) / 255.0)
+            except ValueError:
+                pass  # e.g. avc1 payloads: container stats only
     else:
         raise NotImplementedError(
-            f"no sandbox decoder for {mime} — JPEG/MP4 need Pillow/ffmpeg; "
-            "plug them here on a real cluster")
+            f"no sandbox decoder for {mime} — compressed A/V bitstreams "
+            "(H.264/Opus) need ffmpeg; plug them here on a real cluster")
     feat = feat[:dim]
     return feat + [0.0] * (dim - len(feat))
 
@@ -137,19 +153,69 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True,
 def frame_sample(df: DataFrame, every_ms: int = 1000,
                  decode_stub: bool = True) -> DataFrame:
     """Video frame sampling: one output row per sampled timestamp — the
-    explode is real (JVM-side sequence), the frame grab is the stub."""
+    explode is real (JVM-side sequence); decode_stub=False runs the REAL
+    container demux + frame decode path (sample_video_frames)."""
+    if not decode_stub:
+        return sample_video_frames(df, every_ms=every_ms)
     n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
     sampled = df.select("id", "kind", "payload", "duration_ms",
                         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")) \
                 .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
-    if not decode_stub:
-        raise NotImplementedError("frame decode requires ffmpeg")
     # stub frame digest: hash(payload bytes + frame index) — deterministic
     return sampled.withColumn(
         "frame_sha256", F.sha2(F.concat(F.col("payload"),
                                         F.encode(F.col("frame_idx").cast("string"),
                                                  "utf-8")), 256)) \
         .drop("payload")
+
+
+FRAME_STATS_SCHEMA = (
+    "id long, sample_idx int, frame_idx int, frame_ts_ms long, "
+    "width int, height int, px_sum long, px_min int, px_max int")
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL video frame sampling: demux the MP4 box tree (datalib/mp4.py),
+    join the stsz/stsc/stco/stts sample tables, pick the latest sample at
+    each every_ms tick, decode the frame payload with the pure-Python
+    codecs, and emit integer-exact raster stats per sampled frame.
+
+    Frames whose codec the sandbox can't decode (avc1/hev1) still yield
+    rows — container-level fields filled, pixel stats NULL (the quarantine
+    convention decode_media_stats uses). Arrow-batched mapInPandas; one
+    output row per (video, tick)."""
+    from bisect import bisect_right
+
+    from nifi_spark.datalib import media_codec as mc
+    from nifi_spark.datalib import mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                blob = bytes(payload)
+                tr = mp4.parse_mp4(blob)
+                ts_ms = [tr.sample_ts_ms(k) for k in range(tr.n_samples)]
+                dur = tr.duration_ms()
+                for sidx, tick in enumerate(range(0, max(dur, 1), every_ms)):
+                    fj = max(bisect_right(ts_ms, tick) - 1, 0)
+                    row = {"id": int(i), "sample_idx": sidx, "frame_idx": fj,
+                           "frame_ts_ms": ts_ms[fj] if ts_ms else 0,
+                           "width": None, "height": None, "px_sum": None,
+                           "px_min": None, "px_max": None}
+                    frame = blob[tr.offsets[fj]:tr.offsets[fj] + tr.sizes[fj]]
+                    try:
+                        w, h, _c, px = mc.decode_image(frame)
+                        row.update(width=w, height=h, px_sum=sum(px),
+                                   px_min=min(px), px_max=max(px))
+                    except ValueError:
+                        pass  # undecodable codec → container fields only
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=["id", "sample_idx", "frame_idx",
+                                              "frame_ts_ms", "width", "height",
+                                              "px_sum", "px_min", "px_max"])
+
+    return df.select("id", "payload").mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
 # ------------------------------------------------------------------
@@ -165,6 +231,15 @@ def frame_sample(df: DataFrame, every_ms: int = 1000,
 #   audio(id): rate = 8000, ch = 1 + id%2, frames = 64 + id%37,
 #              sample[j] = (id*17 + j*13) % 4001 - 2000,
 #              j in [0, frames*ch)
+#   jpeg(id):  grayscale, wb = 2 + id%3 / hb = 1 + id%2 blocks of 8x8,
+#              pixel(x,y) = (id*7 + (y//8)*wb + (x//8)) % 256 — constant
+#              per block, encoded with an all-ones quant table, which
+#              makes the DCT path LOSSLESS (single integer DC coeff), so
+#              the oracle regenerates decoded pixels from the formula;
+#              restart_interval = 2 when id%5 == 0 (exercises DRI/RSTn)
+#   video(id): n = 3 + id%4 PNG frames of (8 + (id%3)*4) x 8 RGB,
+#              frame j pixel k = (id*11 + j*5 + 3*k) % 256, 500 ms/frame
+#              (PNG is lossless, so frame stats are closed-form exact)
 
 MEDIA_STATS_SCHEMA = (
     "id long, kind string, mime string, width int, height int, "
@@ -208,6 +283,56 @@ def synthesize_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                 else:
                     rows.append((i, "audio", _synth_audio(i)))
             yield pd.DataFrame(rows, columns=["id", "kind", "payload"])
+
+    return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
+
+
+def _synth_jpeg(i: int) -> bytes:
+    from nifi_spark.datalib.jpeg import encode_jpeg
+    wb, hb = 2 + i % 3, 1 + i % 2
+    w, h = 8 * wb, 8 * hb
+    px = bytes(((i * 7 + (y // 8) * wb + (x // 8)) % 256)
+               for y in range(h) for x in range(w))
+    return encode_jpeg(w, h, 1, px, quant=1,
+                       restart_interval=2 if i % 5 == 0 else 0)
+
+
+def _synth_video(i: int) -> bytes:
+    from nifi_spark.datalib import media_codec as mc
+    from nifi_spark.datalib.mp4 import encode_mp4
+    n, w, h = 3 + i % 4, 8 + (i % 3) * 4, 8
+    frames = [mc.encode_png(w, h, 3,
+                            bytes(((i * 11 + j * 5 + 3 * k) % 256)
+                                  for k in range(w * h * 3)))
+              for j in range(n)]
+    return encode_mp4(frames, w, h, sample_duration=500, timescale=1000)
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Fixture source: block-constant grayscale rasters through the REAL
+    baseline-JPEG encoder (lossless under the all-ones quant contract)."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), "image", _synth_jpeg(int(i))) for i in pdf["id"]],
+                columns=["id", "kind", "payload"])
+
+    return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
+
+
+def synthesize_video(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Fixture source: PNG-codec MP4s through the REAL muxer — every byte
+    of the container (box tree, sample tables, mdat) is produced by
+    encode_mp4, every frame by encode_png."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), "video", _synth_video(int(i))) for i in pdf["id"]],
+                columns=["id", "kind", "payload"])
 
     return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
 

@@ -204,9 +204,23 @@ def test_extract_features_real_decode(spark):
     assert abs(feats[0][0] - 8 / 4096) < 1e-9 and feats[0][2] == 3.0
     # audio row 1: rate 8000 -> feat[0]=8000/48000, feat[1]=channels
     assert abs(feats[1][0] - 8000 / 48000) < 1e-6 and feats[1][1] == 2.0
-    # unsupported mime still raises at the declared seam
+    # JPEG is now a REAL decoder (datalib/jpeg.py): a valid file decodes…
+    from nifi_spark.datalib.jpeg import encode_jpeg
+    jpeg_blob = encode_jpeg(8, 8, 1, bytes([77] * 64), quant=1)
     jpeg = spark.createDataFrame(
-        [(9, "image", bytearray(b"\xff\xd8\xff\xe0fake-jpeg"))],
+        [(9, "image", bytearray(jpeg_blob))],
         "id long, kind string, payload binary")
-    with pytest.raises(Exception, match="Pillow|ffmpeg|NotImplemented"):
-        extract_features(jpeg, dim=4, decode_stub=False).collect()
+    feats = extract_features(jpeg, dim=4, decode_stub=False).collect()
+    assert feats[0]["feat"][2] == 1.0  # grayscale channel count
+    # …a truncated one fails with the codec's own error…
+    bad = spark.createDataFrame(
+        [(10, "image", bytearray(b"\xff\xd8\xff\xe0fake-jpeg"))],
+        "id long, kind string, payload binary")
+    with pytest.raises(Exception, match="SOF|marker|JPEG"):
+        extract_features(bad, dim=4, decode_stub=False).collect()
+    # …and a format with no sandbox decoder still raises the declared seam
+    unknown = spark.createDataFrame(
+        [(11, "audio", bytearray(b"OggS\x00opus-ish"))],
+        "id long, kind string, payload binary")
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        extract_features(unknown, dim=4, decode_stub=False).collect()
