@@ -3789,6 +3789,24 @@ def q_media_frame_sample_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "px_sum", "px_min", "px_max")
 
 
+def q_media_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractImageMetadata / ExtractMediaMetadata analog (datalib/exif.py):
+    JPEG Exif APP1 TIFF-IFD walk, PNG tEXt, WAV LIST/INFO — fixtures carry
+    metadata written by the repo's own TIFF/tEXt/INFO writers through the
+    REAL encoders, so the DuckDB oracle regenerates every key/value pair
+    from the closed-form formulas (multimodal.synthesize_tagged_media).
+    Reference: nifi-media-bundle ExtractImageMetadata.java:56-66
+    (`<directory>.<tag>` attribute naming), ExtractMediaMetadata.java:74-136
+    (prefix/filter/max knobs)."""
+    from nifi_spark.datalib.multimodal import (extract_media_metadata,
+                                               synthesize_tagged_media)
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 4 == 1).orderBy("doc_id").limit(90) \
+        .repartition(8)
+    meta = extract_media_metadata(synthesize_tagged_media(docs, "doc_id"))
+    return meta.select(F.col("id").alias("doc_id"), "key", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -3905,6 +3923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
         "media_frame_sample_mp4": q_media_frame_sample_mp4,
+        "media_extract_metadata": q_media_extract_metadata,
         "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
         "template_flow_pack": q_template_flow_pack,
         "curate_pack_sequences": q_curate_pack_sequences,
@@ -5026,6 +5045,56 @@ SELECT id AS doc_id, 'image/jpeg' AS mime,
        (64 * sum(v))::BIGINT AS px_sum, min(v)::INT AS px_min,
        max(v)::INT AS px_max
 FROM blk GROUP BY id
+""",
+        "media_extract_metadata": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 4 = 1 ORDER BY doc_id LIMIT 90),
+jp AS (SELECT id FROM ids WHERE id % 3 = 0),
+pg AS (SELECT id FROM ids WHERE id % 3 = 1),
+wv AS (SELECT id FROM ids WHERE id % 3 = 2),
+kv AS (
+  SELECT id, 'MediaType' AS key, 'image/jpeg' AS value FROM jp
+  UNION ALL SELECT id, 'IFD0.Make', 'Maker-' || (id % 5) FROM jp
+  UNION ALL SELECT id, 'IFD0.Model', 'Model ' || (id % 11) FROM jp
+  UNION ALL SELECT id, 'IFD0.Orientation', (1 + id % 8)::VARCHAR FROM jp
+  UNION ALL SELECT id, 'IFD0.XResolution', (72 + id % 4) || '/1' FROM jp
+  UNION ALL SELECT id, 'IFD0.Software', 'nifi_spark' FROM jp
+  UNION ALL SELECT id, 'IFD0.DateTime',
+    '2020:01:' || lpad((1 + id % 28)::VARCHAR, 2, '0') || ' ' ||
+    lpad((id % 24)::VARCHAR, 2, '0') || ':' ||
+    lpad((id % 60)::VARCHAR, 2, '0') || ':' ||
+    lpad((id * 7 % 60)::VARCHAR, 2, '0') FROM jp
+  UNION ALL SELECT id, 'ExifIFD.ExposureTime', '1/' || (30 + id % 60) FROM jp
+  UNION ALL SELECT id, 'ExifIFD.FNumber', (28 + id % 10) || '/10' FROM jp
+  UNION ALL SELECT id, 'ExifIFD.ISOSpeedRatings',
+    (100 * (1 + id % 16))::VARCHAR FROM jp
+  UNION ALL SELECT id, 'ExifIFD.PixelXDimension', '8' FROM jp
+  UNION ALL SELECT id, 'JFIF.Version', '1.1' FROM jp
+  UNION ALL SELECT id, 'JFIF.ResolutionUnits', '0' FROM jp
+  UNION ALL SELECT id, 'JFIF.XResolution', '1' FROM jp
+  UNION ALL SELECT id, 'JFIF.YResolution', '1' FROM jp
+  UNION ALL SELECT id, 'JPEG.DataPrecision', '8' FROM jp
+  UNION ALL SELECT id, 'JPEG.ImageHeight', '8' FROM jp
+  UNION ALL SELECT id, 'JPEG.ImageWidth', '8' FROM jp
+  UNION ALL SELECT id, 'JPEG.NumberOfComponents', '1' FROM jp
+  UNION ALL SELECT id, 'JPEG.Progressive', 'false' FROM jp
+  UNION ALL SELECT id, 'MediaType', 'image/png' FROM pg
+  UNION ALL SELECT id, 'PNG.ImageWidth', '4' FROM pg
+  UNION ALL SELECT id, 'PNG.ImageHeight', '2' FROM pg
+  UNION ALL SELECT id, 'PNG.BitDepth', '8' FROM pg
+  UNION ALL SELECT id, 'PNG.ColorType', '2' FROM pg
+  UNION ALL SELECT id, 'PNG-tEXt.Title', 'Doc ' || id FROM pg
+  UNION ALL SELECT id, 'PNG-tEXt.Software', 'nifi_spark' FROM pg
+  UNION ALL SELECT id, 'PNG-tEXt.Comment', 'c' || (id % 97) FROM pg
+  UNION ALL SELECT id, 'MediaType', 'audio/wav' FROM wv
+  UNION ALL SELECT id, 'WAV.Channels', (1 + id % 2)::VARCHAR FROM wv
+  UNION ALL SELECT id, 'WAV.SampleRate', '8000' FROM wv
+  UNION ALL SELECT id, 'WAV.BitsPerSample', '16' FROM wv
+  UNION ALL SELECT id, 'WAV-INFO.Title', 'Track ' || id FROM wv
+  UNION ALL SELECT id, 'WAV-INFO.Artist', 'A' || (id % 13) FROM wv
+  UNION ALL SELECT id, 'WAV-INFO.Software', 'nifi_spark' FROM wv)
+SELECT id AS doc_id, key, value FROM kv
 """,
         "media_frame_sample_mp4": """
 WITH ids AS (

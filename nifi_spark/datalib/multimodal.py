@@ -369,3 +369,98 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=MEDIA_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# ExtractImageMetadata / ExtractMediaMetadata analog (datalib/exif.py)
+# ------------------------------------------------------------------
+# Fixture formulas (synthesize_tagged_media — the oracle regenerates every
+# key/value pair from these):
+#   id%3==0 JPEG 8x8 gray const (id%256), EXIF:
+#     IFD0.Make="Maker-"+(id%5)  IFD0.Model="Model "+(id%11)
+#     IFD0.Orientation=1+id%8    IFD0.XResolution=(72+id%4)+"/1"
+#     IFD0.Software="nifi_spark" IFD0.DateTime="2020:01:DD hh:mm:ss"
+#       with DD=1+id%28, hh=id%24, mm=id%60, ss=(id*7)%60
+#     ExifIFD.ExposureTime="1/"+(30+id%60)  ExifIFD.FNumber=(28+id%10)+"/10"
+#     ExifIFD.ISOSpeedRatings=100*(1+id%16) ExifIFD.PixelXDimension=8
+#     (+ the constant JFIF.*/JPEG.* header keys the encoder emits)
+#   id%3==1 PNG 4x2 RGB const (id%251), tEXt:
+#     Title="Doc "+id, Software="nifi_spark", Comment="c"+(id%97)
+#   id%3==2 WAV 8000 Hz, ch=1+id%2, 16 zero samples, LIST/INFO:
+#     Title="Track "+id, Artist="A"+(id%13), Software="nifi_spark"
+
+METADATA_SCHEMA = "id long, key string, value string"
+
+
+def extract_media_metadata(df: DataFrame, key_prefix: str = "",
+                           key_filter: str | None = None,
+                           max_attrs: int | None = None) -> DataFrame:
+    """One row per (payload, metadata key) — the exploded form of the
+    reference's `<directory name>.<tag name>` attribute map.
+
+    Knob parity with ExtractMediaMetadata (nifi-media-bundle/.../media/
+    ExtractMediaMetadata.java:74-136): `key_filter` is a regex applied to
+    the raw key BEFORE prefixing, `max_attrs` caps pairs per payload
+    (deterministically: container document order, unlike the reference's
+    declared no-order-guarantee), `key_prefix` is prepended last.
+    Arrow-batched mapInPandas; the TIFF/PNG/RIFF walks are pure offset
+    arithmetic over in-memory bytes."""
+    import re as _re
+
+    from nifi_spark.datalib.exif import extract_metadata_blob
+
+    pat = _re.compile(key_filter) if key_filter else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                pairs = extract_metadata_blob(bytes(payload))
+                if pat is not None:
+                    pairs = [(k, v) for k, v in pairs if pat.search(k)]
+                if max_attrs is not None:
+                    pairs = pairs[:max_attrs]
+                rows += [{"id": int(i), "key": key_prefix + k, "value": v}
+                         for k, v in pairs]
+            yield pd.DataFrame(rows, columns=["id", "key", "value"])
+
+    return df.select("id", "payload").mapInPandas(run, schema=METADATA_SCHEMA)
+
+
+def _synth_tagged(i: int) -> bytes:
+    from nifi_spark.datalib import exif, media_codec as mc
+    from nifi_spark.datalib.jpeg import encode_jpeg
+    if i % 3 == 0:
+        j = encode_jpeg(8, 8, 1, bytes([i % 256] * 64), quant=1)
+        app1 = exif.build_exif_app1(
+            {0x010F: f"Maker-{i % 5}", 0x0110: f"Model {i % 11}",
+             0x0112: 1 + i % 8, 0x011A: (72 + i % 4, 1),
+             0x0131: "nifi_spark",
+             0x0132: f"2020:01:{1 + i % 28:02d} {i % 24:02d}:{i % 60:02d}:{i * 7 % 60:02d}"},
+            {0x829A: (1, 30 + i % 60), 0x829D: (28 + i % 10, 10),
+             0x8827: 100 * (1 + i % 16), 0xA002: 8})
+        return exif.insert_app1(j, app1)
+    if i % 3 == 1:
+        png = mc.encode_png(4, 2, 3, bytes([i % 251] * 24))
+        return exif.insert_png_text(png, [("Title", f"Doc {i}"),
+                                          ("Software", "nifi_spark"),
+                                          ("Comment", f"c{i % 97}")])
+    wav = mc.encode_wav(8000, 1 + i % 2, [0] * 16)
+    return exif.insert_wav_info(wav, [("Title", f"Track {i}"),
+                                      ("Artist", f"A{i % 13}"),
+                                      ("Software", "nifi_spark")])
+
+
+def synthesize_tagged_media(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Fixture source: metadata-bearing payloads through the REAL encoders
+    (JPEG+Exif APP1 / PNG+tEXt / WAV+LIST-INFO) — formulas in the module
+    comment above."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), "media", _synth_tagged(int(i))) for i in pdf["id"]],
+                columns=["id", "kind", "payload"])
+
+    return ids.mapInPandas(gen, schema="id long, kind string, payload binary")

@@ -1,0 +1,145 @@
+"""EXIF/TIFF + container metadata (datalib/exif.py) — writer→parser
+roundtrips, the reference's own simple.jpg artifact, and the Spark
+extract_media_metadata operator with the ExtractMediaMetadata knobs."""
+import os
+
+import pytest
+
+from nifi_spark.datalib import exif, media_codec as mc
+from nifi_spark.datalib.jpeg import encode_jpeg
+
+REF_JPG = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+           "nifi-standard-processors/src/test/resources/simple.jpg")
+
+
+def _tiff_dict(data):
+    return {(d, n): v for d, n, v in exif.parse_tiff(data)}
+
+
+class TestTiffRoundtrip:
+    def test_all_value_kinds(self):
+        t = exif.build_tiff(
+            {0x010F: "A Very Long Maker Name Inc.",  # ASCII > 4 bytes
+             0x0110: "ab",                            # ASCII <= 4 (inline)
+             0x0112: 6,                               # SHORT
+             0x0117: [70000, 80000],                  # LONG array
+             0x011A: (300, 1),                        # RATIONAL
+             0x0213: [1, 2, 3]},                      # SHORT array
+            {0x9000: b"0221",                         # UNDEFINED printable
+             0xA302: b"\x00\x01\x02",                 # UNDEFINED binary
+             0x9102: [(5, 2), (7, 3)]})               # RATIONAL array
+        got = _tiff_dict(t)
+        assert got[("IFD0", "Make")] == "A Very Long Maker Name Inc."
+        assert got[("IFD0", "Model")] == "ab"
+        assert got[("IFD0", "Orientation")] == "6"
+        assert got[("IFD0", "StripByteCounts")] == "70000 80000"
+        assert got[("IFD0", "XResolution")] == "300/1"
+        assert got[("IFD0", "YCbCrPositioning")] == "1 2 3"
+        assert got[("ExifIFD", "ExifVersion")] == "0221"
+        assert got[("ExifIFD", "CFAPattern")] == "000102"
+        assert got[("ExifIFD", "CompressedBitsPerPixel")] == "5/2 7/3"
+
+    def test_big_endian(self):
+        t = exif.build_tiff({0x010F: "BE", 0x0112: 3}, bo=">")
+        got = _tiff_dict(t)
+        assert got[("IFD0", "Make")] == "BE"
+        assert got[("IFD0", "Orientation")] == "3"
+
+    def test_unknown_tag_renders_hex(self):
+        t = exif.build_tiff({0xBEEF: 7})
+        assert _tiff_dict(t)[("IFD0", "Tag0xBEEF")] == "7"
+
+    def test_truncated_is_lenient(self):
+        t = exif.build_tiff({0x010F: "Maker name out of line"})
+        # chop the out-of-line heap: entry skipped, no crash
+        assert exif.parse_tiff(t[:16]) == []
+
+
+class TestContainers:
+    def test_jpeg_app1_roundtrip(self):
+        j = encode_jpeg(8, 8, 1, bytes(64), quant=1)
+        j2 = exif.insert_app1(j, exif.build_exif_app1({0x010F: "X"}))
+        got = dict(exif.parse_jpeg_metadata(j2))
+        assert got["IFD0.Make"] == "X"
+        assert got["JPEG.ImageWidth"] == "8"
+        assert got["JPEG.Progressive"] == "false"
+        # still decodable after the splice
+        w, h, c, px = mc.decode_image(j2)
+        assert (w, h, c) == (8, 8, 1)
+
+    def test_png_text_roundtrip(self):
+        p = mc.encode_png(3, 3, 1, bytes(9))
+        p2 = exif.insert_png_text(p, [("Title", "t"), ("Comment", "c")])
+        got = dict(exif.parse_png_metadata(p2))
+        assert got["PNG-tEXt.Title"] == "t"
+        assert got["PNG-tEXt.Comment"] == "c"
+        assert got["PNG.ImageWidth"] == "3"
+        w, h, c, px = mc.decode_image(p2)  # CRC-correct splice
+        assert (w, h) == (3, 3)
+
+    def test_wav_info_roundtrip_and_riff_size(self):
+        w = mc.encode_wav(44100, 2, [1, -1, 2, -2])
+        w2 = exif.insert_wav_info(w, [("Title", "odd"), ("Artist", "ab")])
+        assert int.from_bytes(w2[4:8], "little") == len(w2) - 8
+        got = dict(exif.parse_wav_metadata(w2))
+        assert got["WAV-INFO.Title"] == "odd"
+        assert got["WAV-INFO.Artist"] == "ab"
+        assert got["WAV.SampleRate"] == "44100"
+        assert got["WAV.Channels"] == "2"
+        rate, ch, samples = mc.decode_wav(w2)
+        assert samples == [1, -1, 2, -2]
+
+    def test_mp4_metadata(self):
+        from nifi_spark.datalib.mp4 import encode_mp4
+        frames = [mc.encode_png(4, 4, 3, bytes(48))] * 3
+        blob = encode_mp4(frames, 4, 4, sample_duration=500, timescale=1000)
+        got = dict(exif.extract_metadata_blob(blob))
+        assert got["MediaType"] == "video/mp4"
+        assert got["MP4.SampleCount"] == "3"
+        assert got["MP4.DurationMs"] == "1500"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_JPG),
+                    reason="reference artifacts not mounted")
+class TestReferenceArtifact:
+    def test_simple_jpg_exif(self):
+        """The reference's own test image (TestIdentifyMimeType +
+        nifi-media-bundle fixtures): a real Canon PowerShot S330 Exif
+        block, big-endian TIFF, Exif sub-IFD + thumbnail IFD1."""
+        got = dict(exif.parse_jpeg_metadata(open(REF_JPG, "rb").read()))
+        assert got["IFD0.Make"] == "Canon"
+        assert got["IFD0.Model"] == "Canon PowerShot S330"
+        assert got["IFD0.Software"] == "QuickTime 6.0.2"
+        assert got["IFD0.DateTime"] == "2002:11:18 22:46:09"
+        assert got["IFD0.XResolution"] == "11796480/65536"
+        assert got["ExifIFD.DateTimeOriginal"] == "2002:11:16 15:27:01"
+        assert got["ExifIFD.ExposureTime"] == "1/10"
+        assert got["ExifIFD.FNumber"] == "47/10"
+        assert got["ExifIFD.PixelXDimension"] == "1600"
+        assert got["ExifIFD.PixelYDimension"] == "1200"
+        assert got["ExifIFD.ExifVersion"] == "0210"
+        assert got["IFD1.Compression"] == "6"  # thumbnail IFD chained
+        # the SOF frame header says 800x600 — the Exif PixelXDimension
+        # (1600) is stale, as real camera files often are; both surface
+        assert got["JPEG.ImageWidth"] == "800"
+        assert got["JPEG.ImageHeight"] == "600"
+        assert got["JPEG.Progressive"] == "false"
+
+
+class TestSparkOperator:
+    def test_knobs(self, spark):
+        from nifi_spark.datalib.multimodal import (extract_media_metadata,
+                                                   synthesize_tagged_media)
+        ids = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+        media = synthesize_tagged_media(ids, "doc_id")
+        allrows = extract_media_metadata(media).toPandas()
+        assert set(allrows[allrows.id == 0].key) >= {
+            "IFD0.Make", "ExifIFD.ISOSpeedRatings", "JFIF.Version"}
+        # filter applies before prefix; prefix prepends after
+        filt = extract_media_metadata(
+            media, key_prefix="m.", key_filter=r"^IFD0\.").toPandas()
+        assert set(filt.key.str[:7]) == {"m.IFD0."}
+        # max_attrs caps per payload deterministically (document order)
+        capped = extract_media_metadata(media, max_attrs=1).toPandas()
+        assert (capped.groupby("id").size() == 1).all()
+        assert set(capped.key) == {"MediaType"}
