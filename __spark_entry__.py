@@ -3807,6 +3807,27 @@ def q_media_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select(F.col("id").alias("doc_id"), "key", "value")
 
 
+def q_media_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ResizeImage analog: deterministic rasters through the real PNG/BMP/
+    PPM encoders → nearest-neighbor resize (floor mapping src =
+    (dst*src_dim)//dst_dim, pure integer) → PNG re-encode → decode stats.
+    The DuckDB oracle regenerates the resized raster from the source
+    formula and the same floor mapping — bit-exact. Reference:
+    nifi-media-bundle/.../image/ResizeImage.java:69-134."""
+    from nifi_spark.datalib.multimodal import (decode_media_stats,
+                                               resize_images,
+                                               synthesize_media)
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 10 == 8).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    resized = resize_images(synthesize_media(docs, "doc_id"),
+                            width=7, height=5)
+    stats = decode_media_stats(
+        resized.select("id", F.lit("image").alias("kind"), "payload"))
+    return stats.select(F.col("id").alias("doc_id"), "width", "height",
+                        "px_sum", "px_min", "px_max")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -3924,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
         "media_frame_sample_mp4": q_media_frame_sample_mp4,
         "media_extract_metadata": q_media_extract_metadata,
+        "media_resize_image": q_media_resize_image,
         "flowfile_pack_roundtrip": q_flowfile_pack_roundtrip,
         "template_flow_pack": q_template_flow_pack,
         "curate_pack_sequences": q_curate_pack_sequences,
@@ -5045,6 +5067,22 @@ SELECT id AS doc_id, 'image/jpeg' AS mime,
        (64 * sum(v))::BIGINT AS px_sum, min(v)::INT AS px_min,
        max(v)::INT AS px_max
 FROM blk GROUP BY id
+""",
+        "media_resize_image": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 10 = 8 ORDER BY doc_id LIMIT 100),
+dims AS (SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM ids),
+px AS (SELECT id, w, h, unnest(range(0, 105)) AS m FROM dims),
+v AS (
+  SELECT id,
+         (id + 3 * (((((m // 21) * h) // 5) * w
+                     + (((m // 3) % 7) * w) // 7) * 3 + m % 3)) % 256 AS val
+  FROM px)
+SELECT id AS doc_id, 7 AS width, 5 AS height,
+       sum(val)::BIGINT AS px_sum, min(val)::INT AS px_min,
+       max(val)::INT AS px_max
+FROM v GROUP BY id
 """,
         "media_extract_metadata": """
 WITH ids AS (

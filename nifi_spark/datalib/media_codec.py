@@ -343,3 +343,39 @@ def audio_stats(blob: bytes) -> dict:
             "duration_ms": (n_frames * 1000) // rate if rate else 0,
             "abs_sum": sum(abs(s) for s in samples),
             "peak": max((abs(s) for s in samples), default=0)}
+
+
+def resize_raster(width: int, height: int, channels: int, pixels: bytes,
+                  dst_w: int, dst_h: int,
+                  algorithm: str = "nearest") -> bytes:
+    """Resize a flat interleaved raster — the ResizeImage core
+    (nifi-media-bundle/.../image/ResizeImage.java:69-105: width/height
+    properties + Scaling Algorithm).
+
+    `nearest` uses the floor mapping src = (dst * src_dim) // dst_dim —
+    pure integer arithmetic, so a SQL oracle can regenerate the resized
+    raster from the source formula bit-for-bit. `bilinear` is the
+    quality path (float sample-center mapping, half-up rounding); its
+    output is deterministic but not SQL-regenerable, so it is
+    pytest-verified against a numpy reference instead of gate-verified.
+    """
+    import numpy as np
+    src = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+    if algorithm == "nearest":
+        xs = (np.arange(dst_w) * width) // dst_w
+        ys = (np.arange(dst_h) * height) // dst_h
+        out = src[ys][:, xs]
+    elif algorithm == "bilinear":
+        # sample-center mapping (the standard align-corners=False form)
+        xs = np.clip((np.arange(dst_w) + 0.5) * width / dst_w - 0.5, 0, width - 1)
+        ys = np.clip((np.arange(dst_h) + 0.5) * height / dst_h - 0.5, 0, height - 1)
+        x0 = np.floor(xs).astype(int); y0 = np.floor(ys).astype(int)
+        x1 = np.minimum(x0 + 1, width - 1); y1 = np.minimum(y0 + 1, height - 1)
+        fx = (xs - x0)[None, :, None]; fy = (ys - y0)[:, None, None]
+        s = src.astype(np.float64)
+        top = s[y0][:, x0] * (1 - fx) + s[y0][:, x1] * fx
+        bot = s[y1][:, x0] * (1 - fx) + s[y1][:, x1] * fx
+        out = np.floor(top * (1 - fy) + bot * fy + 0.5).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown scaling algorithm {algorithm!r}")
+    return out.tobytes()

@@ -349,7 +349,7 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for i, kind, payload in zip(pdf["id"], pdf["kind"], pdf["payload"]):
-                blob = bytes(payload)
+                blob = bytes(payload) if payload is not None else b""
                 mime = mc.sniff_media(blob)
                 base = {"id": int(i), "kind": kind, "mime": mime,
                         "width": None, "height": None, "channels": None,
@@ -464,3 +464,32 @@ def synthesize_tagged_media(df: DataFrame, id_col: str = "id") -> DataFrame:
                 columns=["id", "kind", "payload"])
 
     return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  algorithm: str = "nearest") -> DataFrame:
+    """ResizeImage analog (nifi-media-bundle/.../image/ResizeImage.java:
+    69-134): decode whatever container the payload sniffs as, resize the
+    raster (media_codec.resize_raster), re-encode as PNG. Arrow-batched;
+    undecodable payloads yield NULL payloads (quarantine convention)."""
+    from nifi_spark.datalib import media_codec as mc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    w, h, c, px = mc.decode_image(bytes(payload))
+                    out = mc.resize_raster(w, h, c, px, width, height,
+                                           algorithm)
+                    blob = mc.encode_png(width, height, c, out)
+                except ValueError:
+                    blob = None
+                rows.append({"id": int(i), "mime": "image/png",
+                             "width": width, "height": height,
+                             "payload": blob})
+            yield pd.DataFrame(rows, columns=["id", "mime", "width",
+                                              "height", "payload"])
+
+    return df.select("id", "payload").mapInPandas(
+        run, schema="id long, mime string, width int, height int, payload binary")

@@ -143,3 +143,62 @@ class TestSparkOperator:
         capped = extract_media_metadata(media, max_attrs=1).toPandas()
         assert (capped.groupby("id").size() == 1).all()
         assert set(capped.key) == {"MediaType"}
+
+
+class TestResize:
+    def test_identity_and_floor_mapping(self):
+        px = bytes(range(4 * 2 * 3))
+        assert mc.resize_raster(4, 2, 3, px, 4, 2) == px
+        # floor mapping picks src columns 0 and 2, row 0
+        assert mc.resize_raster(4, 2, 3, px, 2, 1) == px[0:3] + px[6:9]
+
+    def test_upscale_duplicates_nearest(self):
+        px = bytes([10, 20, 30, 40])
+        out = mc.resize_raster(2, 2, 1, px, 4, 4)
+        assert out == bytes([10, 10, 20, 20] * 2 + [30, 30, 40, 40] * 2)
+
+    def test_bilinear_matches_numpy_reference(self):
+        import numpy as np
+        rng_px = bytes((7 * k + 3) % 256 for k in range(6 * 4 * 3))
+        out = mc.resize_raster(6, 4, 3, rng_px, 9, 5, "bilinear")
+        src = np.frombuffer(rng_px, np.uint8).reshape(4, 6, 3).astype(float)
+        xs = np.clip((np.arange(9) + 0.5) * 6 / 9 - 0.5, 0, 5)
+        ys = np.clip((np.arange(5) + 0.5) * 4 / 5 - 0.5, 0, 3)
+        exp = np.empty((5, 9, 3))
+        for yi, y in enumerate(ys):
+            for xi, x in enumerate(xs):
+                x0, y0 = int(x), int(y)
+                x1, y1 = min(x0 + 1, 5), min(y0 + 1, 3)
+                fx, fy = x - x0, y - y0
+                exp[yi, xi] = ((src[y0, x0] * (1 - fx) + src[y0, x1] * fx) * (1 - fy)
+                               + (src[y1, x0] * (1 - fx) + src[y1, x1] * fx) * fy)
+        assert out == bytes(np.floor(exp + 0.5).astype(np.uint8).tobytes())
+
+    def test_bilinear_constant_image_exact(self):
+        px = bytes([99] * 5 * 3 * 3)
+        assert mc.resize_raster(5, 3, 3, px, 11, 7, "bilinear") == bytes([99] * 11 * 7 * 3)
+
+    def test_unknown_algorithm(self):
+        with pytest.raises(ValueError):
+            mc.resize_raster(2, 2, 1, bytes(4), 1, 1, "lanczos")
+
+    @pytest.mark.skipif(not os.path.exists(REF_JPG),
+                        reason="reference artifacts not mounted")
+    def test_resize_reference_jpeg(self):
+        w, h, c, px = mc.decode_image(open(REF_JPG, "rb").read())
+        assert (w, h, c) == (800, 600, 3)
+        out = mc.resize_raster(w, h, c, px, 80, 60)
+        assert len(out) == 80 * 60 * 3
+        # photographic content survives: non-trivial dynamic range
+        assert max(out) - min(out) > 50
+
+    def test_spark_operator_quarantines_undecodable(self, spark):
+        from nifi_spark.datalib.multimodal import resize_images
+        import pyspark.sql.functions as F
+        df = spark.range(2).select(
+            "id", F.when(F.col("id") == 0,
+                         F.lit(mc.encode_png(2, 2, 1, bytes(4))))
+                   .otherwise(F.lit(b"not an image")).alias("payload"))
+        got = resize_images(df, 3, 3).toPandas().set_index("id")
+        assert got.loc[0, "payload"] is not None
+        assert got.loc[1, "payload"] is None
