@@ -1941,6 +1941,40 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"select * from {name}")
 
 
+def q_stream_detect_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DetectDuplicate (applyInPandasWithState): first row per
+    (user_id, event_type) routes non-duplicate, later sightings route
+    duplicate with a running dup_count — NiFi's routing semantics
+    (standard/DetectDuplicate.java:58-96), never dropping rows. With the
+    whole fixture in one availableNow micro-batch the handler's
+    order-by-event_id makes the winner the global min id, so the oracle
+    is a plain row_number() window."""
+    import shutil
+    import uuid
+
+    from nifi_spark.streaming import detect_duplicate_stream
+
+    work = tempfile.mkdtemp(prefix="stream_detdup_")
+    src = os.path.join(work, "events")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "events.parquet"))
+    name = "detdup_gate_" + uuid.uuid4().hex[:8]
+    reader = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .parquet(src))
+    q = (detect_duplicate_stream(reader, ["user_id", "event_type"],
+                                 id_col="event_id")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.sql(f"select user_id, event_type, event_id, is_duplicate, "
+                     f"dup_count from {name}")
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (view → purchase by the
     same user within 4 hours): with the whole fixture in one
@@ -3912,6 +3946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_hourly_rollup": q_stream_hourly_rollup,
         "stream_dedup": q_stream_dedup,
+        "stream_detect_duplicate": q_stream_detect_duplicate,
         "stream_interval_join": q_stream_interval_join,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
@@ -4730,6 +4765,13 @@ FROM g GROUP BY user_id
 """,
         "stream_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
+""",
+        "stream_detect_duplicate": """
+SELECT user_id, event_type, event_id,
+       (row_number() OVER w) > 1 AS is_duplicate,
+       (row_number() OVER w - 1)::BIGINT AS dup_count
+FROM events
+WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
 """,
         "stream_interval_join": """
 SELECT l.user_id, l.event_id AS view_id,

@@ -94,3 +94,62 @@ def rate_limit_stream(df: DataFrame, key_col: str, value_col: str,
     return (df.groupBy(key_col)
             .applyInPandasWithState(run, out_schema, _RATE_STATE,
                                     "update", GroupStateTimeout.NoTimeout))
+
+
+_DEDUP_STATE = "first_id long, n_seen long"
+
+
+def detect_duplicate_stream(df: DataFrame, key_cols: list[str],
+                            id_col: str = "event_id",
+                            age_off_ms: int | None = None) -> DataFrame:
+    """Streaming DetectDuplicate with the reference's routing semantics
+    (standard/DetectDuplicate.java:58-96): the FIRST row per key routes
+    non-duplicate, every later sighting routes duplicate, and the cache
+    entry ages off after `age_off_ms` (the Age Off Duration property —
+    here a ProcessingTime GroupState timeout; after expiry the next
+    sighting is "first" again, exactly like the reference's
+    DistributedMapCache TTL).
+
+    Differences from `dedup_stream` (dropDuplicatesWithinWatermark):
+    duplicates are EMITTED with is_duplicate=true + a running dup_count
+    rather than dropped — NiFi routes them to a relationship, it never
+    deletes data. Within a micro-batch rows are ordered by `id_col` so
+    the surviving "first" is deterministic (min id), which is what lets
+    the gate oracle replay this in SQL as a row_number() window.
+
+    State per key: (first_id, n_seen) — 16 bytes; at 10^9 live keys the
+    store shards across executors like any keyed state, and age-off
+    bounds it to the active-key working set."""
+    key_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = ", ".join([f"{k} {key_fields[k]}" for k in key_cols]
+                           + [f"{id_col} {key_fields[id_col]}",
+                              "is_duplicate boolean", "dup_count long"])
+
+    def run(key, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=list(key_cols) + [id_col, "is_duplicate", "dup_count"])
+            return
+        first_id, n_seen = (state.get if state.exists else (None, 0))
+        pdf = pd.concat(list(pdfs)).sort_values(id_col)
+        ids = pdf[id_col].to_list()
+        rows = []
+        for eid in ids:
+            dup = first_id is not None
+            if first_id is None:
+                first_id = int(eid)
+            rows.append(dict(zip(key_cols, key)) |
+                        {id_col: eid, "is_duplicate": dup,
+                         "dup_count": n_seen})
+            n_seen += 1
+        state.update((first_id, n_seen))
+        if age_off_ms is not None:
+            state.setTimeoutDuration(age_off_ms)
+        yield pd.DataFrame(rows)
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if age_off_ms
+               else GroupStateTimeout.NoTimeout)
+    return (df.groupBy(*key_cols)
+            .applyInPandasWithState(run, out_schema, _DEDUP_STATE,
+                                    "append", timeout))

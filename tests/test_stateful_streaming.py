@@ -193,3 +193,60 @@ def test_interval_join_streams_across_batches(spark, tmp_path):
     # user 1: view@t0 ↔ purchase@t0+10m (cross-batch, inside 30m) joins;
     # user 2: purchase 85 minutes after the view — outside the window
     assert rows == {(1, 10, 11)}
+
+
+def test_detect_duplicate_stream_across_batches(spark, tmp_path):
+    """First sighting routes non-duplicate; re-sightings in LATER
+    micro-batches still route duplicate (the state crosses batches),
+    with dup_count continuing where the previous batch left off."""
+    from nifi_spark.streaming import detect_duplicate_stream
+
+    t0 = datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [
+        # batch 0: key 1 twice (ids 10, 11), key 2 once
+        [(1, 10, t0), (1, 11, t0), (2, 20, t0)],
+        # batch 1: key 1 again twice, key 3 new
+        [(1, 12, t0), (1, 13, t0), (3, 30, t0)],
+    ])
+    reader = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    q = (detect_duplicate_stream(reader, ["user_id"], id_col="event_id")
+         .writeStream.format("memory").queryName("detdup_x")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql("select * from detdup_x").toPandas()
+           .set_index("event_id").sort_index())
+    assert got.loc[10, "is_duplicate"] == False  # noqa: E712
+    assert got.loc[11, "is_duplicate"] == True   # noqa: E712 — in-batch dup
+    assert got.loc[12, "is_duplicate"] == True   # cross-batch dup
+    assert list(got.loc[[10, 11, 12, 13], "dup_count"]) == [0, 1, 2, 3]
+    assert got.loc[20, "is_duplicate"] == False  # noqa: E712
+    assert got.loc[30, "is_duplicate"] == False  # noqa: E712 — new key, batch 1
+
+
+def test_detect_duplicate_stream_age_off_runs(spark, tmp_path):
+    """The Age Off Duration knob (ProcessingTime GroupState timeout)
+    wires up and the query completes; deterministic expiry can't be
+    asserted under availableNow (wall-clock), so this pins the plumbing
+    while the no-TTL semantics are gate-verified."""
+    from nifi_spark.streaming import detect_duplicate_stream
+
+    t0 = datetime(2024, 1, 1)
+    src = str(tmp_path / "src")
+    _write_batches(spark, src, [[(1, 10, t0), (1, 11, t0)]])
+    reader = (spark.readStream.schema(EV_SCHEMA)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/*"))
+    q = (detect_duplicate_stream(reader, ["user_id"], id_col="event_id",
+                                 age_off_ms=60_000)
+         .writeStream.format("memory").queryName("detdup_ttl")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from detdup_ttl").toPandas()
+    assert sorted(got.is_duplicate) == [False, True]
