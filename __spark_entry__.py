@@ -3862,6 +3862,22 @@ def q_media_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "px_sum", "px_min", "px_max")
 
 
+def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (datalib/curation.py, Xie et al.
+    2023): hashed unigram+bigram bucket models over a target slice vs
+    the raw corpus, per-doc weight = Σ counts · quantized-log-ratio
+    (integer ilog2, so the oracle is bit-exact), top-200 selection with
+    a deterministic hash tiebreak. Two bucket-table aggs (≤512 rows,
+    broadcast) + one map-side join + one (id, weight) agg — no windows,
+    no self-joins."""
+    from nifi_spark.datalib.curation import dsir_select
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 41 != 0)
+    target = docs.where(F.col("doc_id") % 41 == 0)
+    return dsir_select(corpus, target, "doc_id", "text",
+                       budget=200, n_buckets=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -3991,6 +4007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_extract": q_html_to_text,
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
+        "curate_dsir": q_curate_dsir,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5220,6 +5237,39 @@ WITH t AS (
 SELECT user_id, batch_id, count(*) AS n,
        min(event_id) AS lo, max(event_id) AS hi
 FROM t GROUP BY 1, 2
+""",
+        "curate_dsir": """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+inst AS (
+  SELECT doc_id, unnest(words) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(range(1, len(words)),
+                                       i -> words[i] || ' ' || words[i+1]))
+  FROM w),
+bi AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(gram), 1, 15))::BIGINT % 512) AS bucket
+  FROM inst),
+rb AS (SELECT bucket, count(*) AS r FROM bi WHERE doc_id % 41 <> 0 GROUP BY 1),
+tb AS (SELECT bucket, count(*) AS t FROM bi WHERE doc_id % 41 = 0 GROUP BY 1),
+st AS (
+  SELECT bucket,
+         (length(printf('%b', coalesce(t, 0) + 1)) - 1)
+         - (length(printf('%b', coalesce(r, 0) + 1)) - 1) AS q
+  FROM rb FULL OUTER JOIN tb USING (bucket)),
+dw AS (
+  SELECT bi.doc_id, sum(q)::BIGINT AS weight
+  FROM bi JOIN st USING (bucket) WHERE bi.doc_id % 41 <> 0 GROUP BY 1)
+SELECT d.doc_id, coalesce(dw.weight, 0)::BIGINT AS weight
+FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+LEFT JOIN dw USING (doc_id)
+ORDER BY weight DESC,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+LIMIT 200
 """,
         "curate_contamination": """
 WITH w AS (

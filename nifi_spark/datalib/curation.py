@@ -320,3 +320,98 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                              F.struct(F.col("_id"), F.col("_text")))),
                          lambda s: s["_text"]),
                      sep).alias("packed_text")))
+
+
+# ---------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling", arXiv:2302.03169)
+# ---------------------------------------------------------------------
+
+def _ngram_instances(df: DataFrame, id_col: str, text_col: str,
+                     max_n: int = 2):
+    """Hashed-ngram feature INSTANCES (not distinct — DSIR is a
+    bag-of-ngrams model): one row per unigram..max_n-gram occurrence.
+    Same slice+zip_with shape as dedup.shingle (the transform(...) form
+    re-tokenizes per gram — see that docstring)."""
+    from nifi_spark.datalib.dedup import WORD_SPLIT
+    w = F.filter(F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+                 lambda t: t != "")
+    parts = []
+    for n in range(1, max_n + 1):
+        m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+        grams = F.slice(w, 1, m)
+        for j in range(1, n):
+            grams = F.zip_with(grams, F.slice(w, j + 1, m),
+                               lambda a, b: F.concat(a, F.lit(" "), b))
+        parts.append(grams)
+    allgrams = parts[0]
+    for p in parts[1:]:
+        allgrams = F.concat(allgrams, p)
+    return df.select(F.col(id_col), F.explode(allgrams).alias("gram"))
+
+
+def _ilog2(c):
+    """floor(log2(x)) for x >= 1 as pure integer/string ops — identical
+    in Spark (length(bin(x))-1) and DuckDB (length(printf('%b',x))-1),
+    so quantized log-ratios land in output without float drift."""
+    return (F.length(F.bin(c)) - 1).cast("long")
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, n_buckets: int = 4096, max_n: int = 2,
+                 seed: str = "") -> DataFrame:
+    """Per-document importance weight against a target distribution.
+
+    DSIR: featurize documents as hashed n-gram counts, fit unigram
+    bucket models over the target (p) and raw (q) corpora, and weight
+    each document by sum_b c_b * log(p_b / q_b). This implementation
+    quantizes the log-ratio to integer bits — Q_b = ilog2(t_b + 1) -
+    ilog2(r_b + 1), a floor-log2 with add-one smoothing — so the weight
+    is an exact integer a SQL oracle reproduces bit-for-bit (the same
+    trade the quality classifier makes with Rényi-2 instead of log
+    entropy; swap a float log in on a real cluster if sub-bit ranking
+    resolution matters — it changes no plan shape).
+
+    Scale shape: two hash-agg passes produce the bucket table (<=
+    n_buckets rows — driver/broadcast sized BY CONSTRUCTION), the
+    corpus joins it map-side (broadcast equi-join on bucket), and one
+    partial-agg shuffle of (id, weight) finishes. No windows, no
+    self-joins; the target corpus is typically a small high-quality
+    set and is never shuffled wholesale.
+
+    Returns (id_col, weight) for EVERY input doc (empty docs weigh 0).
+    """
+    bucket = F.pmod(portable_hash64(F.col("gram"), seed),
+                    F.lit(n_buckets)).alias("bucket")
+    raw_b = (_ngram_instances(docs, id_col, text_col, max_n)
+             .select(bucket).groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("r")))
+    tgt_b = (_ngram_instances(target, id_col, text_col, max_n)
+             .select(bucket).groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("t")))
+    stats = (raw_b.join(tgt_b, "bucket", "full_outer")
+             .select("bucket",
+                     (_ilog2(F.coalesce(F.col("t"), F.lit(0)) + 1)
+                      - _ilog2(F.coalesce(F.col("r"), F.lit(0)) + 1))
+                     .alias("q")))
+    inst = (_ngram_instances(docs, id_col, text_col, max_n)
+            .select(F.col(id_col), bucket))
+    w = (inst.join(F.broadcast(stats), "bucket")
+         .groupBy(id_col).agg(F.sum("q").alias("weight")))
+    return (docs.select(id_col).join(w, id_col, "left")
+            .select(id_col, F.coalesce(F.col("weight"), F.lit(0))
+                    .cast("long").alias("weight")))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, id_col: str,
+                text_col: str, budget: int, n_buckets: int = 4096,
+                max_n: int = 2, seed: str = "") -> DataFrame:
+    """Top-`budget` documents by DSIR weight (deterministic tiebreak:
+    portable hash of the id, then the id). DSIR proper resamples with
+    Gumbel noise; the deterministic rank keeps the selection replayable
+    and oracle-checkable — inject Gumbel by adding it to `weight`
+    upstream if sampling diversity matters more than replayability."""
+    w = dsir_weights(docs, target, id_col, text_col, n_buckets, max_n, seed)
+    tie = portable_hash64(F.col(id_col).cast("string"), seed)
+    return (w.orderBy(F.col("weight").desc(), tie, F.col(id_col))
+            .limit(budget))

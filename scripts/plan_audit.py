@@ -318,6 +318,18 @@ def main():
     results.append(("scrub_pii / stratified_sample", "regex chain and "
                     "hash-threshold filter are zero-exchange projections"))
 
+    # ---- 2h2. dsir_weights: broadcast bucket join, no window/cartesian --
+    from nifi_spark.datalib.curation import dsir_weights
+    p = plan_of(dsir_weights(docs_small, docs_small.limit(5),
+                             "doc_id", "text", n_buckets=64))
+    assert "BroadcastHashJoin" in p, p       # bucket stats join map-side
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    results.append(("dsir_weights", "bucket-stats table joins broadcast "
+                    "(<= n_buckets rows by construction); no windows, no "
+                    "cross products — corpus shuffles only as (id, weight) "
+                    "partial aggs"))
+
     # ---- 2i. media decode / flowfile pack: shuffle discipline -----------
     from nifi_spark.datalib.multimodal import (decode_media_stats,
                                                synthesize_media)

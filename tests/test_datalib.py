@@ -1123,3 +1123,43 @@ def test_html_to_text_strips_boilerplate(spark):
     assert "\nx\ny\n" in out            # list items kept as lines
     assert "inline stays" in out        # spaces collapsed
     assert "  " not in out and "\n\n" not in out
+
+
+class TestDsir:
+    def test_planted_relevance(self, spark):
+        """Docs sharing the target's vocabulary outrank unrelated docs."""
+        from nifi_spark.datalib.curation import dsir_select, dsir_weights
+        target = spark.createDataFrame(
+            [(100 + i, "quantum entanglement decoherence qubit gate")
+             for i in range(5)], "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "quantum gate fidelity and qubit decoherence rates"),
+             (2, "entanglement swapping across a quantum network"),
+             (3, "recipe for sourdough bread with rye flour"),
+             (4, "football league standings after matchday nine"),
+             (5, "")],
+            "doc_id long, text string")
+        w = {r.doc_id: r.weight for r in
+             dsir_weights(corpus, target, "doc_id", "text",
+                          n_buckets=256).collect()}
+        assert len(w) == 5 and w[5] == 0  # empty doc present, weight 0
+        # off-topic docs score NEGATIVE (log p/q < 0 where q dominates),
+        # so the empty doc's 0 legitimately outranks them
+        assert min(w[1], w[2]) > max(w[3], w[4])
+        assert max(w[3], w[4]) < 0
+        top = [r.doc_id for r in
+               dsir_select(corpus.where("doc_id <> 5"), target,
+                           "doc_id", "text", budget=2,
+                           n_buckets=256).collect()]
+        assert set(top) == {1, 2}
+
+    def test_weights_deterministic(self, spark, docs):
+        from nifi_spark.datalib.curation import dsir_weights
+        sub = docs.limit(50)
+        tgt = docs.where("doc_id % 17 = 0").limit(10)
+        a = sorted(map(tuple, dsir_weights(sub, tgt, "doc_id", "text",
+                                           n_buckets=128).collect()))
+        b = sorted(map(tuple, dsir_weights(sub, tgt, "doc_id", "text",
+                                           n_buckets=128).collect()))
+        assert a == b
+        assert all(isinstance(x[1], int) for x in a)  # integer contract
