@@ -6,15 +6,26 @@ DQT/DHT/SOF0/SOS/DRI segments, Huffman entropy decode with byte-unstuffing
 and restart markers, dequantize + dezigzag, batched numpy IDCT, chroma
 upsampling (4:4:4 / 4:2:2 / 4:2:0), and BT.601 YCbCr<->RGB.
 
-Scope (baseline sequential DCT, the format ~all camera/web JPEGs use):
-* decode: SOF0 frames, 8-bit, 1 or 3 components, any sampling factors up
-  to 2x2, multiple DQT/DHT per segment, 16-bit quant entries, DRI/RSTn.
-  Progressive (SOF2) and arithmetic coding raise a clear error.
+Scope (baseline sequential + progressive DCT — the formats ~all
+camera/web JPEGs use):
+* decode: SOF0/SOF1 frames AND SOF2 progressive frames (spectral
+  selection + successive approximation: DC first/refine, AC first with
+  EOB runs, AC refinement with correction bits — T.81 G.1.2/G.2), 8-bit,
+  1 or 3 components, sampling factors up to 2x2, multiple DQT/DHT per
+  segment (tables may be redefined between scans), 16-bit quant entries,
+  DRI/RSTn (per-scan in progressive). Arithmetic coding and
+  hierarchical/lossless SOFs raise a clear error.
 * encode: grayscale or YCbCr 4:4:4, quality-scaled Annex-K quant tables
   (or caller-provided, e.g. all-ones for the lossless-on-flat-blocks gate
   fixtures), per-image canonical Huffman tables written to DHT (the
   decoder reads whatever DHT declares, so table choice is private to the
-  encoder), optional restart intervals.
+  encoder), optional restart intervals (baseline). progressive=True
+  emits a 6-scan-per-component successive-approximation script (DC
+  Al=1→0, AC 1-5/6-63 first at Al=2, two refinement passes) so every
+  progressive decode path is exercised by our own fixtures; the
+  progressive entropy paths are additionally proven by the
+  pixel-identical-to-baseline property (same coefficients, different
+  transmission order — tests/test_jpeg_mp4.py).
 
 Exactness contract used by the driver gate (media_decode_jpeg_stats):
 with an all-ones quant table and an image whose every 8x8 block is a
@@ -233,8 +244,10 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
 def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
                 quality: int = 90,
                 quant: list[int] | int | None = None,
-                restart_interval: int = 0) -> bytes:
-    """Encode a flat raster as a baseline sequential JPEG (SOF0, 4:4:4).
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode a flat raster as a baseline sequential JPEG (SOF0, 4:4:4),
+    or a progressive one (SOF2) with progressive=True.
 
     quant: None -> Annex-K tables scaled by `quality`; an int -> that
     constant for every entry of both tables (quant=1 makes flat-block
@@ -243,6 +256,8 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
     """
     if channels not in (1, 3):
         raise ValueError("JPEG encoder supports 1 or 3 channels")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported with progressive=True")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
@@ -275,6 +290,21 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
     n_blocks_y = (height + 7) // 8
     n_blocks_x = (width + 7) // 8
     n_blocks = n_blocks_y * n_blocks_x
+
+    if progressive:
+        out = bytearray(b"\xFF\xD8")
+        out += (b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00"
+                + bytes((1, 1, 0)) + struct.pack(">HH", 1, 1) + bytes((0, 0)))
+        for ti, q in enumerate(qtabs):
+            body = bytes([ti]) + bytes(q[z] for z in ZIGZAG)
+            out += b"\xFF\xDB" + struct.pack(">H", len(body) + 2) + body
+        sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+        for ci in range(channels):
+            sof += bytes([ci + 1, 0x11, min(ci, 1)])
+        out += b"\xFF\xC2" + struct.pack(">H", len(sof) + 2) + sof
+        out += _encode_progressive_scans(comp_blocks, channels, n_blocks)
+        out += b"\xFF\xD9"
+        return bytes(out)
 
     # pass 1: symbol statistics per table class (0 = luma, 1 = chroma) —
     # must mirror pass 2 exactly, including the DC predictor reset at
@@ -383,6 +413,214 @@ def encode_jpeg(width: int, height: int, channels: int, pixels: bytes,
     return bytes(out)
 
 
+# ------------------------------------------------------ progressive encode
+
+class _SymbolSink:
+    """Scan emitters run twice: a stats pass (record Huffman symbols only)
+    and a write pass (real codes + raw bits). Same algorithm both times or
+    the write pass emits a symbol the table never saw."""
+
+    def __init__(self, encoders: dict[int, _HuffEncoder] | None = None):
+        self.symbols: dict[int, list[int]] = {}
+        self.encoders = encoders
+        self.bw = _BitWriter() if encoders is not None else None
+
+    def symbol(self, cls: int, sym: int) -> None:
+        if self.encoders is None:
+            self.symbols.setdefault(cls, []).append(sym)
+        else:
+            self.encoders[cls].emit(self.bw, sym)
+
+    def bits(self, value: int, nbits: int) -> None:
+        if self.bw is not None and nbits:
+            self.bw.write(value, nbits)
+
+
+def _scan_dc(comp_blocks: list, comp_ids: list[int], n_blocks: int,
+             ah: int, al: int, sink: _SymbolSink) -> None:
+    """Interleaved DC scan (4:4:4 ⇒ MCU order == block raster order).
+    First scan (ah=0): Huffman-coded diffs of dc >> al (arithmetic
+    shift — T.81 point transform for DC); refinement: one raw bit per
+    block, bit `al` of the DC coefficient."""
+    preds = {ci: 0 for ci in comp_ids}
+    for b in range(n_blocks):
+        for ci in comp_ids:
+            dc = int(comp_blocks[ci][b][0])
+            if ah == 0:
+                v = dc >> al
+                diff = v - preds[ci]
+                preds[ci] = v
+                t = _category(diff)
+                sink.symbol(min(ci, 1), t)
+                sink.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            else:
+                sink.bits((dc >> al) & 1, 1)
+
+
+def _scan_ac_first(blocks, n_blocks: int, cls: int, ss: int, se: int,
+                   al: int, sink: _SymbolSink) -> None:
+    """Non-interleaved AC first scan: RLE over the band of
+    sign(v)·(|v| >> al) with EOB-run coding (T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(cls, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for b in range(n_blocks):
+        blk = blocks[b]
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            vals.append(-((-v) >> al) if v < 0 else v >> al)
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        for i, v in enumerate(vals):
+            if i > last_nz:
+                run = 0
+                eobrun += 1          # trailing zeros fold into the EOB run
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.symbol(cls, 0xF0)
+                run -= 16
+            t = _category(v)
+            sink.symbol(cls, (run << 4) | t)
+            sink.bits(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+    flush_eob()
+
+
+def _scan_ac_refine(blocks, n_blocks: int, cls: int, ss: int, se: int,
+                    al: int, sink: _SymbolSink) -> None:
+    """Non-interleaved AC refinement scan (T.81 G.1.2.3): newly-nonzero
+    coefficients (|v| >> al == 1) carry (run, 1)+sign; already-nonzero
+    ones (|v| >> (al+1) != 0) contribute buffered correction bits; blocks
+    whose band has no newly-nonzero coefficient join the EOB run."""
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(cls, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            for bit in eob_bits:
+                sink.bits(bit, 1)
+            eobrun = 0
+            eob_bits = []
+
+    for b in range(n_blocks):
+        blk = blocks[b]
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = -1                     # index of the LAST newly-nonzero coef
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        run = 0
+        pend: list[int] = []         # correction bits since the last symbol
+        for i in range(eob + 1):     # past eob everything folds into EOBRUN
+            a = absv[i]
+            if a == 0:
+                run += 1
+                continue
+            # any nonzero position flushes pending ZRLs first (libjpeg's
+            # ordering invariant: buffered bits always land within the
+            # span the decoder walks for the symbol they follow)
+            while run > 15:
+                flush_eob()
+                sink.symbol(cls, 0xF0)
+                run -= 16
+                for bit in pend:
+                    sink.bits(bit, 1)
+                pend = []
+            if a > 1:                # already nonzero: one correction bit,
+                pend.append(a & 1)   # buffered (does NOT reset the run)
+                continue
+            flush_eob()              # newly nonzero: (run, 1) + sign
+            sink.symbol(cls, (run << 4) | 1)
+            sink.bits(0 if int(blk[ss + i]) < 0 else 1, 1)
+            for bit in pend:
+                sink.bits(bit, 1)
+            pend = []
+            run = 0
+        # tail past the last newly-nonzero coefficient joins the EOB run;
+        # its already-nonzero coefs ride along as buffered correction bits.
+        # A block whose last newly-nonzero coefficient IS the band end has
+        # no tail: the decoder leaves it when k passes Se and must not be
+        # handed an EOB symbol for it.
+        if eob < len(absv) - 1:
+            eobrun += 1
+            eob_bits.extend(absv[i] & 1 for i in range(eob + 1, len(absv))
+                            if absv[i] > 1)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _encode_progressive_scans(comp_blocks: list, channels: int,
+                              n_blocks: int) -> bytes:
+    """Emit the scan script: interleaved DC first (Al=1) + DC refine,
+    then per component AC 1-5 / 6-63 first at Al=2 and two refinement
+    passes — every progressive decode path (EOB runs, ZRL, correction
+    bits, DC refinement) appears in our own fixtures."""
+    out = bytearray()
+    comp_ids = list(range(channels))
+    scans: list[tuple] = [("dc", comp_ids, 0, 0, 0, 1),
+                          ("dc", comp_ids, 0, 0, 1, 0)]
+    for ci in comp_ids:
+        scans += [("ac_first", [ci], 1, 5, 0, 2),
+                  ("ac_first", [ci], 6, 63, 0, 2),
+                  ("ac_refine", [ci], 1, 63, 2, 1),
+                  ("ac_refine", [ci], 1, 63, 1, 0)]
+
+    for kind, cids, ss, se, ah, al in scans:
+        def run(sink: _SymbolSink) -> None:
+            if kind == "dc":
+                _scan_dc(comp_blocks, cids, n_blocks, ah, al, sink)
+            elif kind == "ac_first":
+                _scan_ac_first(comp_blocks[cids[0]], n_blocks,
+                               min(cids[0], 1), ss, se, al, sink)
+            else:
+                _scan_ac_refine(comp_blocks[cids[0]], n_blocks,
+                                min(cids[0], 1), ss, se, al, sink)
+
+        stats = _SymbolSink()
+        run(stats)
+        encoders: dict[int, _HuffEncoder] = {}
+        is_ac = 1 if kind != "dc" else 0
+        # DC refinement scans carry raw bits only — no symbols, no DHT
+        for cls in sorted(stats.symbols):
+            bits, vals = _fixed_length_table(stats.symbols[cls])
+            body = bytes([(is_ac << 4) | cls]) + bytes(bits[1:17]) + bytes(vals)
+            out += b"\xFF\xC4" + struct.pack(">H", len(body) + 2) + body
+            encoders[cls] = _HuffEncoder(bits, vals)
+        sos = bytes([len(cids)])
+        for ci in cids:
+            cls = min(ci, 1)
+            sos += bytes([ci + 1, (cls << 4) | cls])
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += b"\xFF\xDA" + struct.pack(">H", len(sos) + 2) + sos
+        sink = _SymbolSink(encoders if encoders else {})
+        run(sink)
+        sink.bw.align()
+        out += sink.bw.out
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ decode
 
 class _Component:
@@ -395,8 +633,205 @@ class _Component:
         self.bx = self.by = 0
 
 
+def _unit_baseline(br: _BitReader, blk: np.ndarray, dct: _HuffDecoder,
+                   act: _HuffDecoder, preds: dict[int, int], cid: int) -> None:
+    """Full-band sequential data unit (T.81 F.2.2)."""
+    t = dct.decode(br)
+    diff = _extend(br.read_bits(t), t) if t else 0
+    preds[cid] += diff
+    blk[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break                                             # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        blk[k] = _extend(br.read_bits(s), s)
+        k += 1
+
+
+def _unit_dc_prog(br: _BitReader, blk: np.ndarray, dct: _HuffDecoder,
+                  preds: dict[int, int], cid: int, ah: int, al: int) -> None:
+    """Progressive DC data unit: first scan (ah=0) Huffman-codes diffs of
+    the point-transformed DC; refinement appends one raw bit (T.81 G.2)."""
+    if ah == 0:
+        t = dct.decode(br)
+        diff = _extend(br.read_bits(t), t) if t else 0
+        preds[cid] += diff
+        blk[0] = preds[cid] << al
+    elif br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _unit_ac_first(br: _BitReader, blk: np.ndarray, act: _HuffDecoder,
+                   ss: int, se: int, al: int, state: list[int]) -> None:
+    """Progressive AC first scan for one data unit (T.81 G.1.2.2):
+    RLE over the band with EOB-run coding; state[0] = pending EOBRUN."""
+    if state[0]:
+        state[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = act.decode(br)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16                                       # ZRL
+                continue
+            state[0] = (1 << r) - 1
+            if r:
+                state[0] += br.read_bits(r)
+            return                                            # EOB run
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _unit_ac_refine(br: _BitReader, blk: np.ndarray, act: _HuffDecoder,
+                    ss: int, se: int, al: int, state: list[int]) -> None:
+    """Progressive AC refinement for one data unit (T.81 G.1.2.3):
+    newly-nonzero coefficients arrive as (run,1)+sign; every
+    already-nonzero coefficient passed on the walk reads one correction
+    bit; EOB runs carry the correction bits of the blocks they cover."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if state[0] == 0:
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    state[0] = 1 << r
+                    if r:
+                        state[0] += br.read_bits(r)
+                    break                                     # EOB run
+                # r == 15: ZRL — consume 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG AC refinement size != 1")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and not (int(blk[k]) & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError("JPEG AC refinement past band end")
+                blk[k] = val
+            k += 1
+    if state[0] > 0:
+        while k <= se:                                        # EOB'd tail
+            if blk[k] != 0:
+                if br.read_bit() and not (int(blk[k]) & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state[0] -= 1
+
+
+def _split_restart_segments(scan_data: bytes) -> list[bytes]:
+    """Split entropy data on RSTn markers and undo 0xFF00 byte stuffing;
+    each segment resets predictors, EOB runs, and bit phase."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_data):
+        if scan_data[i] == 0xFF and i + 1 < len(scan_data):
+            nxt = scan_data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(scan_data[i])
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _run_scan(segments: list[bytes], restart_interval: int,
+              scan_comps: list[_Component], comps: list[_Component],
+              dc_tabs: dict[int, _HuffDecoder], ac_tabs: dict[int, _HuffDecoder],
+              progressive: bool, ss: int, se: int, ah: int, al: int,
+              mcux: int, width: int, height: int,
+              hmax: int, vmax: int) -> None:
+    """Decode one entropy-coded scan into the components' coefficient
+    blocks. Interleaved scans (ns > 1) walk MCUs; single-component scans
+    walk the component's own block raster (T.81 A.2.2 — its natural
+    dimensions, NOT the MCU-padded ones)."""
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        if progressive and ss != 0:
+            raise ValueError("progressive AC scans must be single-component")
+        n_units = mcux * (scan_comps[0].by // scan_comps[0].v)  # mcux * mcuy
+    else:
+        c0 = scan_comps[0]
+        cw = -(-width * c0.h // hmax)
+        ch = -(-height * c0.v // vmax)
+        bx_nat, by_nat = -(-cw // 8), -(-ch // 8)
+        n_units = bx_nat * by_nat
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    preds = {c.cid: 0 for c in scan_comps}
+    eob_state = [0]
+
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            preds = {c.cid: 0 for c in scan_comps}
+            eob_state[0] = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for c in scan_comps:
+                for by in range(c.v):
+                    for bx in range(c.h):
+                        bi = (my * c.v + by) * c.bx + (mx * c.h + bx)
+                        blk = c.blocks[bi]
+                        if not progressive:
+                            _unit_baseline(br, blk, dc_tabs[c.td],
+                                           ac_tabs[c.ta], preds, c.cid)
+                        else:
+                            _unit_dc_prog(br, blk, dc_tabs[c.td],
+                                          preds, c.cid, ah, al)
+        else:
+            c = scan_comps[0]
+            row, col = divmod(u, bx_nat)
+            blk = c.blocks[row * c.bx + col]
+            if not progressive:
+                _unit_baseline(br, blk, dc_tabs[c.td], ac_tabs[c.ta],
+                               preds, c.cid)
+            elif ss == 0:
+                _unit_dc_prog(br, blk, dc_tabs[c.td], preds, c.cid, ah, al)
+            elif ah == 0:
+                _unit_ac_first(br, blk, ac_tabs[c.ta], ss, se, al, eob_state)
+            else:
+                _unit_ac_refine(br, blk, ac_tabs[c.ta], ss, se, al, eob_state)
+
+
 def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG -> (width, height, channels, RGB/gray raster)."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2) JPEG
+    -> (width, height, channels, RGB/gray raster)."""
     if blob[:3] != b"\xFF\xD8\xFF":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -406,8 +841,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     comps: list[_Component] = []
     width = height = 0
     restart_interval = 0
-    scan_data = None
-    scan_comps: list[_Component] = []
+    progressive = False
+    got_scan = False
+    hmax = vmax = mcux = 1
 
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -444,7 +880,8 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 p += 17 + n
                 dec = _HuffDecoder(bits, vals)
                 (ac_tabs if tc else dc_tabs)[th] = dec
-        elif marker == 0xC0 or marker == 0xC1:                # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):                    # SOF0/1/2
+            progressive = marker == 0xC2
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -452,14 +889,24 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append(_Component(cid, hv >> 4, hv & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c.bx, c.by = mcux * c.h, mcuy * c.v
+                c.blocks = [np.zeros(64, dtype=np.int32)
+                            for _ in range(c.bx * c.by)]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(baseline sequential only)")
+                "(baseline sequential + progressive only)")
         elif marker == 0xDD:                                  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:                                  # SOS
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
@@ -467,86 +914,26 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
                 comp = next(c for c in comps if c.cid == cs)
                 comp.td, comp.ta = tdta >> 4, tdta & 0x0F
                 scan_comps.append(comp)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             # entropy-coded data runs to the next non-RST marker
-            start = pos
             p = pos
             while p + 1 < len(blob):
                 if blob[p] == 0xFF and blob[p + 1] not in (0x00,) \
                         and not (0xD0 <= blob[p + 1] <= 0xD7):
                     break
                 p += 1
-            scan_data = blob[start:p]
+            segments = _split_restart_segments(blob[pos:p])
             pos = p
-            break
+            _run_scan(segments, restart_interval, scan_comps, comps,
+                      dc_tabs, ac_tabs, progressive, ss, se, ah, al,
+                      mcux, width, height, hmax, vmax)
+            got_scan = True
         # APPn / COM / others: skipped
 
-    if not comps or scan_data is None:
+    if not comps or not got_scan:
         raise ValueError("JPEG missing SOF/SOS")
-
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = (width + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
-    for c in comps:
-        c.bx, c.by = mcux * c.h, mcuy * c.v
-        c.blocks = [np.zeros(64, dtype=np.int32) for _ in range(c.bx * c.by)]
-
-    # split on RST markers; each segment resets predictors + bit phase
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan_data):
-        if scan_data[i] == 0xFF and i + 1 < len(scan_data):
-            nxt = scan_data[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-        cur.append(scan_data[i])
-        i += 1
-    segments.append(bytes(cur))
-
-    n_mcu = mcux * mcuy
-    seg_idx = 0
-    br = _BitReader(segments[0])
-    preds = {c.cid: 0 for c in scan_comps}
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG missing restart segment")
-            br = _BitReader(segments[seg_idx])
-            preds = {c.cid: 0 for c in scan_comps}
-        my, mx = divmod(m, mcux)
-        for c in scan_comps:
-            for by in range(c.v):
-                for bx in range(c.h):
-                    blk = np.zeros(64, dtype=np.int32)
-                    t = dc_tabs[c.td].decode(br)
-                    diff = _extend(br.read_bits(t), t) if t else 0
-                    preds[c.cid] += diff
-                    blk[0] = preds[c.cid]
-                    k = 1
-                    while k < 64:
-                        rs = ac_tabs[c.ta].decode(br)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break                             # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        blk[k] = _extend(br.read_bits(s), s)
-                        k += 1
-                    bi = (my * c.v + by) * c.bx + (mx * c.h + bx)
-                    c.blocks[bi] = blk
 
     # dequant + batched IDCT + reassembly per component
     planes = []

@@ -293,8 +293,11 @@ def _synth_jpeg(i: int) -> bytes:
     w, h = 8 * wb, 8 * hb
     px = bytes(((i * 7 + (y // 8) * wb + (x // 8)) % 256)
                for y in range(h) for x in range(w))
-    return encode_jpeg(w, h, 1, px, quant=1,
-                       restart_interval=2 if i % 5 == 0 else 0)
+    # every third id takes the progressive (SOF2) scan script so the gate
+    # proves both entropy layouts against the same pixel-formula oracle
+    prog = i % 3 == 1
+    return encode_jpeg(w, h, 1, px, quant=1, progressive=prog,
+                       restart_interval=2 if (i % 5 == 0 and not prog) else 0)
 
 
 def _synth_video(i: int) -> bytes:

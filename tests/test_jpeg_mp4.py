@@ -143,15 +143,46 @@ def test_jpeg_420_subsampled_decode():
         assert (quad == v).all(), (qi, v, np.unique(quad))
 
 
-def test_jpeg_rejects_progressive_and_garbage():
-    sof2 = b"\xFF\xD8\xFF\xC2" + struct.pack(">H", 11) + bytes(
-        [8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(sof2)
+def test_jpeg_rejects_unsupported_and_garbage():
+    # SOF3 (lossless) and SOF9 (arithmetic) stay out of scope; SOF2
+    # (progressive) is now decoded, covered by the tests below.
+    for sof in (0xC3, 0xC9):
+        blob = (b"\xFF\xD8\xFF" + bytes([sof]) + struct.pack(">H", 11)
+                + bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        with pytest.raises(ValueError, match="SOF"):
+            decode_jpeg(blob)
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         encode_jpeg(4, 4, 2, bytes(32))  # 2-channel unsupported
+    with pytest.raises(ValueError):     # restarts not wired for progressive
+        encode_jpeg(8, 8, 1, bytes(64), progressive=True, restart_interval=2)
+
+
+def test_jpeg_progressive_flat_blocks_lossless():
+    # the exactness contract holds for the progressive scan script too:
+    # same coefficients, different transmission order
+    w, h = 32, 16
+    px = bytes(((y // 8) * 4 + (x // 8) * 37 + 5) % 256
+               for y in range(h) for x in range(w))
+    blob = encode_jpeg(w, h, 1, px, quant=1, progressive=True)
+    assert b"\xFF\xC2" in blob and blob.count(b"\xFF\xDA") >= 6
+    assert mc.sniff_media(blob) == "image/jpeg"
+    assert decode_jpeg(blob) == (w, h, 1, px)
+
+
+@pytest.mark.parametrize("dims,channels", [((16, 16), 1), ((24, 16), 3),
+                                           ((37, 23), 3), ((129, 65), 1)])
+def test_jpeg_progressive_matches_baseline(dims, channels):
+    """Pixel-identical to the baseline decode on arbitrary content: the
+    progressive path transmits the identical quantized coefficients, so any
+    divergence is an entropy-coding bug (EOB runs, ZRL, correction bits)."""
+    w, h = dims
+    px = _raster(w, h, channels, seed=w * h + channels)
+    base = decode_jpeg(encode_jpeg(w, h, channels, px, quality=85))
+    prog = decode_jpeg(encode_jpeg(w, h, channels, px, quality=85,
+                                   progressive=True))
+    assert base == prog
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo absent")
