@@ -3878,6 +3878,24 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                        budget=200, n_buckets=512)
 
 
+def q_warc_split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonCrawl-style WARC/WET ingest (datalib/warc.py): archives built
+    THROUGH the real ISO 28500 writer (warcinfo + K response + K
+    conversion records per id, odd ids as member-per-record gzip — the
+    CommonCrawl layout) are split back into one row per record with the
+    HTTP envelope stripped; the oracle regenerates every uri/status/body
+    (and its md5) from the _synth_text closed-form formula. Parsing is
+    per-archive mapInPandas — zero shuffles, the 100 TB unit of
+    parallelism is the WARC shard itself."""
+    from nifi_spark.datalib.warc import split_warc, synthesize_warc
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 4 == 2).orderBy("doc_id").limit(120) \
+        .repartition(8)
+    recs = split_warc(synthesize_warc(docs, "doc_id"))
+    return recs.select("id", "rec_idx", "rec_type", "target_uri",
+                       "http_status", "payload_len", "payload_md5")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_lww_apply": q_cdc_lww_apply,
@@ -4008,6 +4026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "control_rate_grouped": q_control_rate_grouped,
         "curate_contamination": q_curate_contamination,
         "curate_dsir": q_curate_dsir,
+        "warc_split_records": q_warc_split_records,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5270,6 +5289,42 @@ LEFT JOIN dw USING (doc_id)
 ORDER BY weight DESC,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 LIMIT 200
+""",
+        "warc_split_records": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 4 = 2 ORDER BY doc_id LIMIT 120),
+ks AS (SELECT id, 1 + id % 3 AS k FROM ids),
+info AS (
+  SELECT id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+         NULL::VARCHAR AS target_uri, NULL::INT AS http_status,
+         'software: nifi_spark warc writer' || chr(13) || chr(10) ||
+         'isPartOf: crawl-' || (id % 7) || chr(13) || chr(10) AS body
+  FROM ks),
+pages AS (SELECT id, k, unnest(range(0, k)) AS j FROM ks),
+texts AS (
+  SELECT id, k, j,
+         string_agg('w' || ((id * 13 + j * 29 + kk * 7) % 101),
+                    ' ' ORDER BY kk) AS text
+  FROM (SELECT id, k, j, unnest(range(0, 20 + (id + j) % 11)) AS kk
+        FROM pages)
+  GROUP BY id, k, j),
+resp AS (
+  SELECT id, (1 + j)::INT AS rec_idx, 'response' AS rec_type,
+         'https://site' || ((id * 7 + j) % 50) || '/page' || j AS target_uri,
+         200 AS http_status,
+         '<html><body>' || text || '</body></html>' AS body
+  FROM texts),
+conv AS (
+  SELECT id, (1 + k + j)::INT AS rec_idx, 'conversion' AS rec_type,
+         'https://site' || ((id * 7 + j) % 50) || '/page' || j AS target_uri,
+         NULL::INT AS http_status, text AS body
+  FROM texts),
+allr AS (
+  SELECT * FROM info UNION ALL SELECT * FROM resp UNION ALL SELECT * FROM conv)
+SELECT id, rec_idx, rec_type, target_uri, http_status,
+       length(body)::INT AS payload_len, md5(body) AS payload_md5
+FROM allr
 """,
         "curate_contamination": """
 WITH w AS (
