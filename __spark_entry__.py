@@ -3878,6 +3878,39 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                        budget=200, n_buckets=512)
 
 
+_PERCEPTRON_FEATURES = [
+    # (spark expr builder, sql expr) — same arithmetic on both engines
+    (lambda: F.length("text"), "length(text)"),
+    (lambda: F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))),
+     "length(text) - length(replace(text, ' ', ''))"),
+    (lambda: F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit("e"), F.lit(""))),
+     "length(text) - length(replace(text, 'e', ''))"),
+]
+_PERCEPTRON_ITERS = 3
+
+
+def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training (datalib/curation.py
+    train_perceptron): full-batch integer Rosenblatt updates over corpus
+    stats — each iteration ONE scan collapsing to d+1 longs, weights
+    re-enter as plan literals. The oracle replays the ENTIRE training
+    run declaratively (one nested CTE per iteration, generated by
+    perceptron_oracle_sql from the same feature list), so the gate proves
+    the iterative driver loop, not just the final projection."""
+    from nifi_spark.datalib.curation import train_perceptron
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(-1).alias("y"),
+        *[b().alias(f"f{j}") for j, (b, _) in enumerate(_PERCEPTRON_FEATURES)])
+    _, scored = train_perceptron(
+        feats, [f"f{j}" for j in range(len(_PERCEPTRON_FEATURES))],
+        "y", iters=_PERCEPTRON_ITERS)
+    return scored.select("doc_id", "score", "pred", "y")
+
+
 def q_warc_split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonCrawl-style WARC/WET ingest (datalib/warc.py): archives built
     THROUGH the real ISO 28500 writer (warcinfo + K response + K
@@ -4027,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_contamination": q_curate_contamination,
         "curate_dsir": q_curate_dsir,
         "warc_split_records": q_warc_split_records,
+        "curate_train_classifier": q_curate_train_classifier,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5290,6 +5324,16 @@ ORDER BY weight DESC,
          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
 LIMIT 200
 """,
+        "curate_train_classifier": __import__(
+            "nifi_spark.datalib.curation", fromlist=["perceptron_oracle_sql"]
+        ).perceptron_oracle_sql(
+            "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS y,"
+            " 1 AS x0, "
+            + ", ".join(f"{sql} AS x{j + 1}"
+                        for j, (_, sql) in enumerate(_PERCEPTRON_FEATURES))
+            + " FROM documents",
+            n_features=1 + len(_PERCEPTRON_FEATURES),
+            iters=_PERCEPTRON_ITERS),
         "warc_split_records": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents

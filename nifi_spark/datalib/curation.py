@@ -415,3 +415,87 @@ def dsir_select(docs: DataFrame, target: DataFrame, id_col: str,
     tie = portable_hash64(F.col(id_col).cast("string"), seed)
     return (w.orderBy(F.col("weight").desc(), tie, F.col(id_col))
             .limit(budget))
+
+
+def train_perceptron(df: DataFrame, feature_cols: list,
+                     label_col: str = "y", iters: int = 3,
+                     bias: bool = True) -> tuple[list[int], DataFrame]:
+    """Distributed batch-perceptron trainer for quality-filter models
+    (the fastText-style "train a tiny classifier over corpus stats, then
+    filter" step of web-corpus curation — e.g. GPT-3/CCNet pipelines).
+
+    INTEGER-exact by construction: features must be integer columns,
+    labels +1/-1, weights start at 0 and every update is
+    ``w += sum(y * x over rows with y * (w . x) <= 0)`` — one full-batch
+    Rosenblatt step per iteration. No floats anywhere, so the whole
+    training run (not just the scores) is replayable bit-for-bit by a
+    declarative SQL oracle with one nested CTE per iteration.
+
+    Scale shape: each iteration is ONE scan + map-side partial aggregate
+    collapsing to d+1 longs on the driver (weights travel back as plan
+    literals, never a shuffle of rows). At 100 TB that is `iters`
+    sequential scans — the canonical distributed full-batch GD layout;
+    cache/checkpoint the feature projection upstream to pay the scan
+    once. Keep ``iters * rows * max|feature|`` under 2^62: ANSI mode
+    makes any overflow loud, not silent.
+
+    Returns (weights, scored) where scored = input ids + integer
+    ``score`` (w . x), ``pred`` (+1 if score >= 0 else -1) and the label.
+    """
+    feats = [F.col(c) if isinstance(c, str) else c for c in feature_cols]
+    if bias:
+        feats = [F.lit(1)] + feats
+    names = [f"x{j}" for j in range(len(feats))]
+    y = F.col(label_col).cast("long")
+    base = df.select(*[f.cast("long").alias(n) for f, n in zip(feats, names)],
+                     y.alias("_y"),
+                     *[c for c in df.columns if c != label_col])
+
+    w = [0] * len(names)
+    for _ in range(iters):
+        margin = sum((F.lit(wj) * F.col(n) for wj, n in zip(w, names)),
+                     F.lit(0))
+        mis = (F.col("_y") * margin) <= 0
+        upd = base.agg(*[
+            F.sum(F.when(mis, F.col("_y") * F.col(n)).otherwise(0))
+            .cast("long").alias(n) for n in names]).collect()[0]
+        w = [wj + int(upd[n] or 0) for wj, n in zip(w, names)]
+
+    score = sum((F.lit(wj) * F.col(n) for wj, n in zip(w, names)), F.lit(0))
+    scored = base.withColumn("score", score.cast("long")) \
+        .withColumn("pred", F.when(F.col("score") >= 0, 1).otherwise(-1)) \
+        .withColumnRenamed("_y", label_col)
+    return w, scored
+
+
+def perceptron_oracle_sql(base_sql: str, n_features: int, iters: int,
+                          id_col: str = "doc_id") -> str:
+    """The SQL twin of train_perceptron, GENERATED from the same loop so
+    the unrolled CTEs cannot drift from the implementation: `base_sql`
+    must yield (id_col, y, x0..x{d-1}); each wN CTE replays Rosenblatt
+    step N with the previous weights pulled in as scalar subqueries."""
+    xs = [f"x{j}" for j in range(n_features)]
+
+    def wref(t: int, j: int) -> str:
+        return f"(SELECT s{j} FROM w{t})"
+
+    ctes = [f"d AS ({base_sql})"]
+    # step 1: w0 = 0 -> every row has margin 0 <= 0 (all misclassified)
+    ctes.append("w1 AS (SELECT "
+                + ", ".join(f"sum(y * {x})::BIGINT AS s{j}"
+                            for j, x in enumerate(xs))
+                + " FROM d)")
+    for t in range(2, iters + 1):
+        margin = " + ".join(f"{wref(t - 1, j)} * {x}"
+                            for j, x in enumerate(xs))
+        terms = ", ".join(
+            f"{wref(t - 1, j)} + sum(CASE WHEN y * ({margin}) <= 0 "
+            f"THEN y * {x} ELSE 0 END)::BIGINT AS s{j}"
+            for j, x in enumerate(xs))
+        ctes.append(f"w{t} AS (SELECT {terms} FROM d)")
+    final_score = " + ".join(f"{wref(iters, j)} * {x}"
+                             for j, x in enumerate(xs))
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT {id_col}, ({final_score})::BIGINT AS score,\n"
+            f"       CASE WHEN ({final_score}) >= 0 THEN 1 ELSE -1 END "
+            f"AS pred, y\nFROM d")

@@ -1163,3 +1163,81 @@ class TestDsir:
                                            n_buckets=128).collect()))
         assert a == b
         assert all(isinstance(x[1], int) for x in a)  # integer contract
+
+
+# --------------------------------------------------------------- perceptron
+
+def _np_perceptron(X, y, iters):
+    import numpy as np
+    Xb = np.hstack([np.ones((len(X), 1), dtype=np.int64), X])
+    w = np.zeros(Xb.shape[1], dtype=np.int64)
+    for _ in range(iters):
+        mis = y * (Xb @ w) <= 0
+        w = w + (Xb[mis] * y[mis, None]).sum(axis=0)
+    return w
+
+
+def test_train_perceptron_matches_numpy_reference(spark):
+    import numpy as np
+    from nifi_spark.datalib.curation import train_perceptron
+    rng = np.random.default_rng(3)
+    X = rng.integers(0, 50, size=(300, 3)).astype(np.int64)
+    # separable-ish labels with some noise flips
+    y = np.where(X[:, 0] + 2 * X[:, 1] - 3 * X[:, 2] - 10 > 0, 1, -1)
+    y[::37] = -y[::37]
+    pdf = __import__("pandas").DataFrame(
+        {"id": range(300), "a": X[:, 0], "b": X[:, 1], "c": X[:, 2], "y": y})
+    w, scored = train_perceptron(spark.createDataFrame(pdf),
+                                 ["a", "b", "c"], "y", iters=4)
+    assert w == list(_np_perceptron(X, y, 4))
+    rows = {r["id"]: r for r in scored.collect()}
+    Xb = np.hstack([np.ones((300, 1), dtype=np.int64), X])
+    exp_score = Xb @ np.array(w)
+    for i in range(300):
+        assert rows[i]["score"] == exp_score[i]
+        assert rows[i]["pred"] == (1 if exp_score[i] >= 0 else -1)
+
+
+def test_train_perceptron_converges_on_separable_data(spark):
+    import numpy as np
+    from nifi_spark.datalib.curation import train_perceptron
+    rng = np.random.default_rng(5)
+    X = rng.integers(1, 30, size=(200, 2)).astype(np.int64)
+    y = np.where(X[:, 0] > X[:, 1], 1, -1)  # exactly separable, margin >= 1
+    pdf = __import__("pandas").DataFrame(
+        {"id": range(200), "a": X[:, 0], "b": X[:, 1], "y": y})
+    # full-BATCH perceptron oscillates early then settles near the
+    # separator (unlike the online variant it has no finite-mistake
+    # bound); 12 steps reach ~0.95 on this data, asserted with slack
+    _, scored = train_perceptron(spark.createDataFrame(pdf),
+                                 ["a", "b"], "y", iters=12)
+    acc = scored.where("pred = y").count() / 200
+    assert acc >= 0.9
+
+
+def test_perceptron_oracle_sql_replays_training(spark, tmp_path):
+    """The generated SQL twin reproduces the Spark training run on DuckDB
+    exactly (weights enter as nested scalar subqueries per iteration)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from nifi_spark.datalib.curation import (perceptron_oracle_sql,
+                                             train_perceptron)
+    rng = np.random.default_rng(9)
+    X = rng.integers(0, 20, size=(150, 2)).astype(np.int64)
+    y = np.where(X.sum(axis=1) % 5 < 2, 1, -1)  # messy labels
+    pdf = pd.DataFrame({"doc_id": range(150), "a": X[:, 0], "b": X[:, 1],
+                        "y": y})
+    _, scored = train_perceptron(spark.createDataFrame(pdf),
+                                 ["a", "b"], "y", iters=3)
+    got = scored.select("doc_id", "score", "pred").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = perceptron_oracle_sql(
+        "SELECT doc_id, y, 1 AS x0, a AS x1, b AS x2 FROM t",
+        n_features=3, iters=3)
+    exp = con.execute(sql).df()[["doc_id", "score", "pred"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (got["score"].to_numpy() == exp["score"].to_numpy()).all()
+    assert (got["pred"].to_numpy() == exp["pred"].to_numpy()).all()
