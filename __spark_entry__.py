@@ -3911,6 +3911,32 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+def q_ip_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoEnrichIP analog (operators/enrich.py, reference
+    nifi-enrich-bundle/GeoEnrichIP.java): most-specific CIDR match as a
+    BROADCAST equi-join — overlapping ranges are flattened driver-side
+    into disjoint segments (most-specific wins), exploded into /16
+    prefix buckets, and the fact side joins on its bucket + range filter
+    (no BroadcastNestedLoopJoin, no post-join dedup; map-only facts).
+    Dim: 64 /6 blocks covering the space + ~200 /24 overrides that must
+    win inside them; the oracle resolves the same precedence with a
+    coalesce of the /24 equi-join over the /6 arithmetic."""
+    from nifi_spark.operators.enrich import geo_enrich_ip, long_to_ip
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(2000)
+    ipn = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    facts = ev.select("event_id", long_to_ip(ipn).alias("ip"))
+    ranges = [((g << 26, ((g + 1) << 26) - 1), {"country": f"C{g % 10}"})
+              for g in range(64)]
+    seen: dict = {}
+    for g in range(200):
+        base = ((g * 2654435761) % 2**32) & ~255
+        seen.setdefault(base, g)
+    ranges += [((b, b + 255), {"country": f"X{g % 7}"})
+               for b, g in seen.items()]
+    out = geo_enrich_ip(facts, "ip", ranges, "country string")
+    return out.select("event_id", "ip", "country")
+
+
 def q_warc_split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CommonCrawl-style WARC/WET ingest (datalib/warc.py): archives built
     THROUGH the real ISO 28500 writer (warcinfo + K response + K
@@ -4061,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_dsir": q_curate_dsir,
         "warc_split_records": q_warc_split_records,
         "curate_train_classifier": q_curate_train_classifier,
+        "ip_geo_enrich": q_ip_geo_enrich,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5334,6 +5361,22 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "ip_geo_enrich": """
+WITH ev AS (
+  SELECT event_id,
+         (event_id * 2654435761) % 4294967296 AS ipn
+  FROM events ORDER BY event_id LIMIT 2000),
+ov0 AS (
+  SELECT g, ((g * 2654435761) % 4294967296) // 256 * 256 AS base
+  FROM (SELECT unnest(range(0, 200)) AS g)),
+ov AS (SELECT base, min(g) AS g FROM ov0 GROUP BY base)
+SELECT e.event_id,
+       ((ipn // 16777216) % 256) || '.' || ((ipn // 65536) % 256) || '.'
+         || ((ipn // 256) % 256) || '.' || (ipn % 256) AS ip,
+       coalesce('X' || (o.g % 7),
+                'C' || ((ipn // 67108864) % 10)) AS country
+FROM ev e LEFT JOIN ov o ON e.ipn // 256 * 256 = o.base
+""",
         "warc_split_records": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents

@@ -348,9 +348,20 @@ def main():
                     "zero-exchange maps; the merged-stream pack is exactly "
                     "one group-keyed exchange (the MergeContent bin shape)"))
 
-    # ---- 3. q5: broadcast dimension joins ------------------------------
+    # ---- geo enrich: broadcast equi range-join, no nested loop ---------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"
+    p = plan_of(E.queries()["ip_geo_enrich"](spark, sf))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    results.append(("ip_geo_enrich", "CIDR dim flattened+bucketed -> "
+                    "BroadcastHashJoin on the prefix bucket (no nested-"
+                    "loop range join); fact side map-only"))
+    if dump:
+        print(p)
+
+    # ---- 3. q5: broadcast dimension joins ------------------------------
     p = executed_plan_of(E.queries()["q5_nation_revenue"](spark, sf))
     n_bhj = p.count("BroadcastHashJoin")
     assert n_bhj >= 4, f"expected >=4 broadcast joins, got {n_bhj}\n{p}"
