@@ -3911,6 +3911,22 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank (datalib/graph.py): integer fixed-point power
+    iterations over a link graph derived from the corpus — the standard
+    web-corpus quality prior. Edges are degree-joined once, partitioned
+    on src and persisted (only the rank table shuffles per round), every
+    round localCheckpoints (flat lineage), and the arithmetic is exact
+    (div, rational damping), so pagerank_oracle_sql generates an
+    unrolled-CTE twin that replays all 4 iterations bit-for-bit."""
+    from nifi_spark.datalib.graph import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    edges = docs.select(
+        (F.col("doc_id") % 50).alias("src"),
+        ((F.col("doc_id") * 3 + 1 + F.col("doc_id") % 7) % 50).alias("dst"))
+    return pagerank(edges, iters=4, partitions=8)
+
+
 def q_ip_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoEnrichIP analog (operators/enrich.py, reference
     nifi-enrich-bundle/GeoEnrichIP.java): most-specific CIDR match as a
@@ -4088,6 +4104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_split_records": q_warc_split_records,
         "curate_train_classifier": q_curate_train_classifier,
         "ip_geo_enrich": q_ip_geo_enrich,
+        "graph_pagerank": q_graph_pagerank,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5361,6 +5378,12 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "graph_pagerank": __import__(
+            "nifi_spark.datalib.graph", fromlist=["pagerank_oracle_sql"]
+        ).pagerank_oracle_sql(
+            "SELECT doc_id % 50 AS src,"
+            " (doc_id * 3 + 1 + doc_id % 7) % 50 AS dst FROM documents",
+            iters=4),
         "ip_geo_enrich": """
 WITH ev AS (
   SELECT event_id,

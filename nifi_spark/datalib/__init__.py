@@ -11,12 +11,16 @@ Everything hash-valued uses the portable md5-derived hash
 Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 """
 
+from nifi_spark.datalib.graph import pagerank, pagerank_oracle_sql
+from nifi_spark.datalib.warc import (build_warc, parse_warc, split_warc,
+                                     synthesize_warc, wet_documents)
 from nifi_spark.datalib.curation import (benchmark_contamination,
                                          canonical_url,
                                          cap_per_group, dataset_split,
                                          pack_sequences,
                                          stratified_sample,
-                                         token_budget_sample, url_dedup)
+                                         token_budget_sample,
+                                         train_perceptron, url_dedup)
 from nifi_spark.datalib.dedup import (contaminated_spans,
                                       exact_dedup, exact_substring_dedup,
                                       exact_substring_spans, lsh_band_plan,
@@ -52,4 +56,6 @@ __all__ = ["contaminated_spans",
            "benchmark_contamination", "canonical_url", "cap_per_group",
            "chunk_text", "dataset_split", "html_to_text", "pack_sequences", "stratified_sample",
            "token_budget_sample",
-           "url_dedup"]
+           "url_dedup", "train_perceptron", "pagerank",
+           "pagerank_oracle_sql", "build_warc", "parse_warc", "split_warc",
+           "synthesize_warc", "wet_documents"]

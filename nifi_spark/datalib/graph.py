@@ -1,0 +1,95 @@
+"""Link-graph analytics for web-corpus curation: fixed-point PageRank.
+
+Host-level PageRank is a standard web-corpus quality prior (rank hosts by
+link authority, then weight or filter documents by their host's score —
+the CommonCrawl host-ranking layout). This implementation is:
+
+* INTEGER fixed-point (ranks scaled by ``scale``; damping as the rational
+  ``d_num/d_den``; per-edge contribution ``r(u) div deg(u)``), so every
+  iteration is exact integer arithmetic and the whole run is replayable
+  bit-for-bit by a generated SQL twin (``pagerank_oracle_sql`` — the same
+  unrolled-CTE pattern as curation.perceptron_oracle_sql).
+* Scale-shaped: edges are degree-joined ONCE, hash-partitioned on the
+  source key and persisted — each iteration then shuffles only the
+  (node, rank) table (nodes << edges on the web graph) into the join,
+  aggregates contributions per target with map-side partial combine, and
+  localCheckpoints the new rank table so lineage stays flat (the
+  near_dup_clusters lesson: iterative plans without per-round truncation
+  re-execute the whole history every round).
+
+Dangling nodes (no out-links) keep receiving the teleport term but their
+mass is dropped, the common simplification; redistribute upstream by
+adding sink edges if mass conservation matters.
+
+Reference: NiFi has no graph operator; this extends §2.13 (training-data
+pipeline mandate). Deterministic + oracle-checked like every datalib op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+             iters: int = 5, d_num: int = 85, d_den: int = 100,
+             scale: int = 1_000_000,
+             partitions: int | None = None) -> DataFrame:
+    """Returns (node, rank) after `iters` exact fixed-point iterations:
+    ``r'(v) = ((d_den - d_num) * scale + d_num * sum_{u->v} (r(u) div
+    deg(u))) div d_den`` with ``r0 = scale`` for every node appearing as
+    a source or target. Multi-edges count once each (multigraph PR)."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ep = e.join(deg, "src")
+    if partitions:
+        ep = ep.repartition(partitions, "src")
+    # one shuffle for edges, reused every iteration (InMemoryTableScan
+    # preserves the hash partitioning, so only ranks shuffle per round)
+    ep = ep.persist()
+    nodes = nodes.localCheckpoint()
+
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (ep.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .withColumn("c", F.expr("r div deg"))
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum("c").alias("s")))
+        # integer `div`, never float `/` — exactness is the contract
+        ranks = (nodes.join(contrib, "node", "left")
+                 .withColumn("s", F.coalesce(F.col("s"), F.lit(0)))
+                 .withColumn("r", F.expr(
+                     f"({(d_den - d_num) * scale} + {d_num} * s) "
+                     f"div {d_den}").cast("long"))
+                 .select("node", "r")
+                 .localCheckpoint())
+    ep.unpersist()
+    return ranks.withColumnRenamed("r", "rank")
+
+
+def pagerank_oracle_sql(edges_sql: str, iters: int, d_num: int = 85,
+                        d_den: int = 100, scale: int = 1_000_000) -> str:
+    """SQL twin of ``pagerank`` (generated from the same parameters so
+    the unrolled CTEs cannot drift): ``edges_sql`` must yield (src, dst).
+    Returns (node, rank) after `iters` exact iterations."""
+    base = (d_den - d_num) * scale
+    ctes = [
+        f"e AS ({edges_sql})",
+        "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"r0 AS (SELECT node, {scale}::BIGINT AS r FROM n)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS node, sum(r.r // deg.d)::BIGINT AS s"
+            f" FROM e JOIN deg USING (src)"
+            f" JOIN r{t - 1} r ON e.src = r.node GROUP BY e.dst)")
+        ctes.append(
+            f"r{t} AS (SELECT n.node,"
+            f" (({base} + {d_num} * coalesce(c.s, 0)) // {d_den})::BIGINT"
+            f" AS r FROM n LEFT JOIN c{t} c USING (node))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, r AS rank FROM r{iters}")
