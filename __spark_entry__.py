@@ -3911,6 +3911,24 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+_BM25_QUERIES = [(1, "spark window agg"), (2, "customer query fast"),
+                 (3, "stream sort merge join"), (4, "nosuchterm scan")]
+
+
+def q_relevance_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-quantized BM25 top-k (datalib/relevance.py): the retrieval
+    step of data curation (mine corpus subsets matching seed queries).
+    idf = bit_length(N div df); the saturation term is cleared of
+    fractions by multiplying through by 10·avgdl, so ranking is exact
+    integer arithmetic — the oracle (generated by bm25_oracle_sql from
+    the same query list) reproduces scores AND the top-k cut
+    bit-for-bit. Plan: tf/df hash-aggs, broadcast query terms, one
+    per-query window for the cut."""
+    from nifi_spark.datalib.relevance import bm25_topk
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERIES, "doc_id", "text", k=25)
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level PageRank (datalib/graph.py): integer fixed-point power
     iterations over a link graph derived from the corpus — the standard
@@ -4105,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_train_classifier": q_curate_train_classifier,
         "ip_geo_enrich": q_ip_geo_enrich,
         "graph_pagerank": q_graph_pagerank,
+        "relevance_bm25_topk": q_relevance_bm25_topk,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5378,6 +5397,10 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "relevance_bm25_topk": __import__(
+            "nifi_spark.datalib.relevance", fromlist=["bm25_oracle_sql"]
+        ).bm25_oracle_sql("SELECT doc_id, text FROM documents",
+                          _BM25_QUERIES, k=25),
         "graph_pagerank": __import__(
             "nifi_spark.datalib.graph", fromlist=["pagerank_oracle_sql"]
         ).pagerank_oracle_sql(
