@@ -3911,6 +3911,38 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+_BPE_MERGES = [("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"),
+               ("s", "c"), ("sc", "an")]
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (datalib/bpe.py, Sennrich et
+    al. 2016): each merge round is one corpus-wide adjacent-pair
+    hash-agg (map-side combine) returning a single argmax row to the
+    driver; the corpus rewrite stays inside the plan as nested literal
+    replace()s over delimiter-wrapped symbol strings (plain replace is
+    left-to-right non-overlapping = BPE's greedy order). The oracle
+    replays all 6 training rounds declaratively (generated unrolled
+    CTEs, winners as scalar subqueries)."""
+    from nifi_spark.datalib.bpe import bpe_train
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    rows = [(i + 1, x, y, n)
+            for i, (x, y, n) in enumerate(bpe_train(docs, "text", 6))]
+    return spark.createDataFrame(rows, "step int, x string, y string, n long")
+
+
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with a fixed merge list: one zero-shuffle projection
+    (nested replaces + split + flatten) — the shape of a 100 TB
+    tokenization pass. tokens_md5 hashes the space-joined token stream,
+    so the oracle checks every token in order, not just counts."""
+    from nifi_spark.datalib.bpe import bpe_encode
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, "doc_id", "text", _BPE_MERGES)
+    return enc.select("doc_id", F.col("n_tokens").cast("int"),
+                      F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"))
+
+
 _BM25_QUERIES = [(1, "spark window agg"), (2, "customer query fast"),
                  (3, "stream sort merge join"), (4, "nosuchterm scan")]
 
@@ -4124,6 +4156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_geo_enrich": q_ip_geo_enrich,
         "graph_pagerank": q_graph_pagerank,
         "relevance_bm25_topk": q_relevance_bm25_topk,
+        "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -5397,6 +5431,14 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "bpe_train_merges": __import__(
+            "nifi_spark.datalib.bpe", fromlist=["bpe_oracle_sql"]
+        ).bpe_oracle_sql(
+            "SELECT text FROM documents WHERE doc_id % 2 = 0", 6),
+        "bpe_encode_tokens": __import__(
+            "nifi_spark.datalib.bpe", fromlist=["bpe_encode_oracle_sql"]
+        ).bpe_encode_oracle_sql("SELECT doc_id, text FROM documents",
+                                _BPE_MERGES),
         "relevance_bm25_topk": __import__(
             "nifi_spark.datalib.relevance", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",

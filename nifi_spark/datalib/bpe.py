@@ -1,0 +1,161 @@
+"""Distributed BPE tokenizer training + encoding (Sennrich et al. 2016).
+
+Training a byte-pair-encoding vocabulary IS a distributed aggregation
+problem: each merge round counts adjacent-symbol pairs across the whole
+corpus (one hash-agg with map-side combine), picks the most frequent pair
+(deterministic tiebreak), and rewrites the corpus. This implementation
+keeps the rewrite INSIDE the plan: the token sequence of each word is a
+delimiter-wrapped string (``·a··b··c·``) and applying a merge is one
+literal ``replace('·x··y·' -> '·xy·')`` — plain string replace is
+left-to-right non-overlapping in every engine, which is exactly BPE's
+greedy merge order, and the wrapping makes cross-token false matches
+impossible. After M rounds the corpus column is just M nested replaces —
+no materialization, no shuffle beyond the per-round pair-count agg.
+
+Driver traffic per round: ONE row (the argmax pair). Every round is
+integer counting with a lexicographic tiebreak, so ``bpe_oracle_sql``
+generates an unrolled-CTE SQL twin that replays the entire training run
+bit-for-bit (the perceptron/pagerank pattern). ``bpe_encode`` applies a
+learned merge list as the same nested-replace chain.
+
+Word pre-splitting is lowercase whitespace tokenization (the corpus
+family's split); symbols start as characters. End-of-word markers are a
+vocabulary convention, not a mechanics change — add '</w>' as a final
+character upstream if desired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SEP = "·"  # '·' — must not occur in the corpus alphabet
+
+
+def _wrapped_words(text_col: str) -> Column:
+    """words -> one wrapped symbol-sequence string per word:
+    'ab' -> '·a··b·'."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+    wrap = lambda w: F.concat(  # noqa: E731
+        F.lit(SEP), F.array_join(F.split(w, ""), SEP + SEP), F.lit(SEP))
+    return F.transform(words, wrap)
+
+
+def _apply_merges(col: Column, merges: list[tuple[str, str]]) -> Column:
+    for x, y in merges:
+        col = F.replace(col, F.lit(f"{SEP}{x}{SEP}{SEP}{y}{SEP}"),
+                        F.lit(f"{SEP}{x}{y}{SEP}"))
+    return col
+
+
+def _unwrap_tokens(col: Column) -> Column:
+    """'·a··b·' -> ['a', 'b']."""
+    return F.split(F.regexp_replace(col, f"^{SEP}|{SEP}$", ""), SEP + SEP)
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """seqs(seq string) -> (x, y, n) adjacent-pair counts."""
+    toks = _unwrap_tokens(F.col("seq"))
+    return (seqs.select(toks.alias("toks"))
+            .where(F.size("toks") >= 2)
+            .select(F.explode(F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), "
+                "(t, i) -> struct(t AS x, toks[i + 1] AS y))")).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.count("*").cast("long").alias("n")))
+
+
+def bpe_train(docs: DataFrame, text_col: str, n_merges: int
+              ) -> list[tuple[str, str, int]]:
+    """Learn `n_merges` BPE merges over the corpus. Returns
+    [(x, y, count)] in merge order. Winner per round = max count, ties by
+    lexicographic (x, y) — fully deterministic."""
+    words = docs.select(F.explode(_wrapped_words(text_col)).alias("seq"))
+    words = words.localCheckpoint()  # pay the explode once, flat lineage
+
+    merges: list[tuple[str, str]] = []
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        seqs = words.select(_apply_merges(F.col("seq"), merges).alias("seq"))
+        top = (_pair_counts(seqs)
+               .orderBy(F.col("n").desc(), "x", "y").limit(1).collect())
+        if not top:
+            break
+        r = top[0]
+        merges.append((r["x"], r["y"]))
+        out.append((r["x"], r["y"], int(r["n"])))
+    return out
+
+
+def bpe_encode(docs: DataFrame, id_col: str, text_col: str,
+               merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a learned merge list: (id, tokens array<string>, n_tokens).
+    The whole encode is ONE projection (nested replaces + split) — zero
+    shuffles, codegen-friendly, exactly what a 100 TB tokenization pass
+    should be."""
+    seqs = F.transform(_wrapped_words(text_col),
+                       lambda w: _apply_merges(w, merges))
+    toks = F.flatten(F.transform(seqs, _unwrap_tokens))
+    return docs.select(F.col(id_col),
+                       toks.alias("tokens"),
+                       F.size(toks).alias("n_tokens"))
+
+
+def bpe_oracle_sql(docs_sql: str, n_merges: int) -> str:
+    """SQL twin of bpe_train (generated — the unrolled-CTE pattern):
+    `docs_sql` must yield (text). Returns (step, x, y, n) for the
+    `n_merges` training rounds. INCREMENTAL: round t's corpus CTE is
+    round t-1's with ONE replace applied, the winner row entering via a
+    single-row CROSS JOIN (scalar subqueries inside replace() are
+    re-evaluated per row by DuckDB — that shape was catastrophically
+    slow; one-row cross joins are constant-folded)."""
+    d = SEP
+    ctes = [f"""q0 AS (
+  SELECT '{d}' || array_to_string(string_split(w, ''), '{d}{d}') || '{d}'
+         AS seq
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM ({docs_sql})))"""]
+    for t in range(1, n_merges + 1):
+        ctes.append(f"""p{t} AS (
+  SELECT toks[i] AS x, toks[i + 1] AS y, count(*)::BIGINT AS n
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM (SELECT string_split(trim(seq, '{d}'), '{d}{d}') AS toks
+              FROM q{t - 1})
+        WHERE len(toks) >= 2)
+  GROUP BY toks[i], toks[i + 1])""")
+        ctes.append(f"""m{t} AS (
+  SELECT x, y, n FROM p{t} ORDER BY n DESC, x, y LIMIT 1)""")
+        ctes.append(f"""q{t} AS (
+  SELECT replace(q.seq, '{d}' || m.x || '{d}{d}' || m.y || '{d}',
+                 '{d}' || m.x || m.y || '{d}') AS seq
+  FROM q{t - 1} q CROSS JOIN m{t} m)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, x, y, n FROM m{t}"
+        for t in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+def bpe_encode_oracle_sql(docs_sql: str, merges: list[tuple[str, str]],
+                          id_col: str = "doc_id") -> str:
+    """SQL twin of bpe_encode for a LITERAL merge list: yields
+    (id_col, n_tokens, tokens_md5) where tokens_md5 hashes the
+    space-joined token stream (word order preserved)."""
+    d = SEP
+    e = f"'{d}' || array_to_string(string_split(w, ''), '{d}{d}') || '{d}'"
+    for x, y in merges:
+        e = f"replace({e}, '{d}{x}{d}{d}{y}{d}', '{d}{x}{y}{d}')"
+    per_word = f"string_split(trim({e}, '{d}'), '{d}{d}')"
+    return f"""
+WITH docs AS ({docs_sql}),
+w AS (
+  SELECT {id_col},
+         flatten(list_transform(
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''),
+           w -> {per_word})) AS toks
+  FROM docs)
+SELECT {id_col}, len(toks)::INT AS n_tokens,
+       md5(array_to_string(toks, ' ')) AS tokens_md5
+FROM w
+"""
