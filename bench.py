@@ -136,6 +136,12 @@ BENCH_QUERIES = [
     "text_chunking",
     "media_decode_image_stats",
     "flowfile_pack_roundtrip",
+    "warc_split_records",
+    "relevance_bm25_topk",
+    "graph_pagerank",
+    "bpe_encode_tokens",
+    "curate_train_classifier",
+    "ip_geo_enrich",
 ]
 
 

@@ -351,6 +351,17 @@ def main():
     # ---- geo enrich: broadcast equi range-join, no nested loop ---------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"
+
+    p = plan_of(E.queries()["bpe_encode_tokens"](spark, sf))
+    assert "Exchange" not in p, p
+    results.append(("bpe_encode", "tokenization pass is ONE zero-exchange "
+                    "projection (nested replaces + split + flatten)"))
+    p = plan_of(E.queries()["relevance_bm25_topk"](spark, sf))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    results.append(("bm25 topk", "seed query terms broadcast; df/dl joins "
+                    "distributed equi-joins; per-query window only for the "
+                    "top-k cut"))
     p = plan_of(E.queries()["ip_geo_enrich"](spark, sf))
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
