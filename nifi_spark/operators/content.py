@@ -23,12 +23,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def nifi_replacement(search: str, replacement: str) -> str:
+    """NiFi's replacement-string normalization (ReplaceText.java:275-305,
+    634-640), reproduced exactly so golden-file outputs match:
+
+    1. escapeLiteralBackReferences — each ``$N`` whose index (after
+       repeatedly truncating a >=10 index by /10, Java Matcher's greedy
+       group-number parse) exceeds the search pattern's capture-group
+       count gets a ``\\`` prefix, becoming a literal.
+    2. normalizeReplacementString — if the result still contains ``$``
+       followed by a NON-digit, the WHOLE string is quoted
+       (Matcher.quoteReplacement): every ``\\`` and ``$`` literal.
+
+    Java regexp replacement syntax is shared by Spark's regexp_replace,
+    so the normalized string drops straight in."""
+    import re as _re
+    groups = _re.compile(search).groups
+    out, i = [], 0
+    for m in _re.finditer(r"\$(\d+)", replacement):
+        num = m.group(1)
+        if num.startswith("0"):
+            continue
+        n = int(num)
+        while n > groups and n >= 10:
+            n //= 10
+        if n > groups:
+            out += [replacement[i:m.start()], "\\", replacement[m.start():m.end()]]
+            i = m.end()
+    out.append(replacement[i:])
+    value = "".join(out)
+    if _re.search(r"\$\D", value):
+        value = value.replace("\\", "\\\\").replace("$", "\\$")
+    return value
+
+
 def replace_text(df: DataFrame, content_col: str, search: str, replacement: str,
                  mode: str = "regex", out_col: str | None = None) -> DataFrame:
     """modes: regex | literal | prepend | append | always (ReplaceText)."""
     c = F.col(content_col)
     if mode == "regex":
-        new = F.regexp_replace(c, search, replacement)
+        new = F.regexp_replace(c, search, nifi_replacement(search, replacement))
     elif mode == "literal":
         new = F.replace(c, F.lit(search), F.lit(replacement))
     elif mode == "prepend":
@@ -43,12 +77,28 @@ def replace_text(df: DataFrame, content_col: str, search: str, replacement: str,
 
 
 def replace_text_line_by_line(df: DataFrame, content_col: str, search: str,
-                              replacement: str, sep: str = "\n") -> DataFrame:
+                              replacement: str, sep: str = "\n",
+                              mode: str = "regex") -> DataFrame:
     """Line-by-Line mode: transform() over split lines, re-joined —
-    still fully JVM-side (higher-order function, no UDF)."""
+    still fully JVM-side (higher-order function, no UDF). modes: regex |
+    literal | prepend | append, matching the reference's strategies
+    (ReplaceText.java:90-110); prepend/append respect a trailing CR when
+    splitting on LF (the reference's CRLF golden behavior)."""
     lines = F.split(F.col(content_col), sep)
-    fixed = F.transform(lines, lambda ln: F.regexp_replace(ln, search, replacement))
-    return df.withColumn(content_col, F.array_join(fixed, sep))
+    if mode == "regex":
+        repl = nifi_replacement(search, replacement)
+        fn = lambda ln: F.regexp_replace(ln, search, repl)  # noqa: E731
+    elif mode == "literal":
+        fn = lambda ln: F.replace(ln, F.lit(search), F.lit(replacement))  # noqa: E731
+    elif mode == "prepend":
+        fn = lambda ln: F.concat(F.lit(replacement), ln)  # noqa: E731
+    elif mode == "append":
+        fn = lambda ln: F.concat(  # insert before a trailing CR
+            F.regexp_replace(ln, "\r$", ""), F.lit(replacement),
+            F.when(ln.rlike("\r$"), F.lit("\r")).otherwise(F.lit("")))  # noqa: E731
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return df.withColumn(content_col, F.array_join(F.transform(lines, fn), sep))
 
 
 def extract_text(df: DataFrame, content_col: str,

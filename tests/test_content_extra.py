@@ -209,3 +209,62 @@ def test_replace_with_mapping_reference_golden(spark):
                    "violets are blueberry\n"
                    "something else is grape\n"
                    "I'm not good at writing poems")
+
+
+# ---------------------------------------------------- ReplaceText goldens
+
+_RT_DIR = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+           "nifi-standard-processors/src/test/resources/"
+           "TestReplaceTextLineByLine")
+
+# (search, replacement, mode, expected golden file) — extracted verbatim
+# from the reference's TestReplaceText.java line-by-line tests; every
+# NiFi back-reference quirk is here: invalid index escaping ($1$2 with
+# one group -> literal $2), non-digit $ quoting ($d -> whole replacement
+# literal), \$ escaping, literal-strategy $ passthrough.
+_RT_CASES = [
+    ("odo", "ood", "regex", "food.txt"),
+    (None, "TEST ", "prepend", "PrependLineByLineTest.txt"),
+    (None, " TEST", "append", "AppendLineByLineTest.txt"),
+    ("odo", "ood", "literal", "food.txt"),
+    ("jo", "[$1]", "literal", "cu[$1]_Po[$1].txt"),
+    ("(DODO)", "[$1]", "regex", "[DODO].txt"),
+    ("(lu)", "$1$2", "regex", "Blu$2e_clu$2e.txt"),
+    ("(ew)", "$d", "regex", "D$d_h$d.txt"),
+    ("(DO)", "\\$1", "regex", "$1$1.txt"),
+    ("(jo)", "", "regex", "cu_Po.txt"),
+    ("Z", "Morning", "regex", "testFile.txt"),
+    ("l", "R", "regex", "BRue_cRue_RiRey.txt"),
+]
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_RT_DIR),
+                     reason="reference checkout not present")
+@_pytest.mark.parametrize("search,repl,mode,golden", _RT_CASES,
+                          ids=[c[3] for c in _RT_CASES])
+def test_replace_text_reference_goldens(spark, search, repl, mode, golden):
+    """replace_text_line_by_line reproduces the reference's OWN golden
+    outputs byte-for-byte over its testFile.txt, including the
+    back-reference normalization quirks (ReplaceText.java:275-305,634)."""
+    from nifi_spark.operators.content import replace_text_line_by_line
+    with open(f"{_RT_DIR}/testFile.txt") as f:
+        src = f.read()
+    with open(f"{_RT_DIR}/{golden}") as f:
+        expected = f.read()
+    df = spark.createDataFrame([(src,)], "content string")
+    out = replace_text_line_by_line(df, "content", search or "",
+                                    repl, mode=mode)
+    assert out.collect()[0]["content"] == expected, golden
+
+
+def test_nifi_replacement_normalization():
+    from nifi_spark.operators.content import nifi_replacement
+    assert nifi_replacement("(a)", "[$1]") == "[$1]"
+    assert nifi_replacement("(a)", "$1$2") == "$1\\$2"      # invalid escaped
+    assert nifi_replacement("(a)", "$d") == "\\$d"          # whole-quote
+    assert nifi_replacement("(a)", "\\$1") == "\\$1"        # already literal
+    assert nifi_replacement("(a)(b)(c)(d)(e)(f)(g)(h)(i)(j)(k)(l)",
+                            "$123") == "$123"               # 12 groups: $12+3
+    # 123 truncates /10 -> 12 -> 1 which IS a valid group: left untouched
+    # (Java's Matcher then greedily parses it as $1 + literal "23")
+    assert nifi_replacement("(a)", "$123") == "$123"
