@@ -3911,6 +3911,25 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+def q_split_text_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-semantics SplitText (operators/content.py split_text_grouped,
+    reference SplitText.java:90-461): N-lines-per-fragment grouping with
+    a replicated header and the reference's exact trailing-terminator
+    trim, over multi-line content synthesized by word->line translation.
+    The oracle rebuilds every fragment from list slices (golden-file
+    parity for the byte semantics lives in tests/test_content_extra.py)."""
+    from nifi_spark.operators.content import split_text_grouped
+    docs = (_t(spark, sf_dir, "documents")
+            .where(~F.col("text").rlike("(^ )|(  )|( $)")
+                   & (F.size(F.split("text", " ")) >= 2))
+            .select("doc_id", F.translate("text", " ", "\n").alias("content")))
+    out = split_text_grouped(docs, "content", line_split_count=5,
+                             header_line_count=1, id_cols=["doc_id"])
+    return out.select("doc_id", "relationship", "fragment_index",
+                      "fragment_count", "split_line_count", "fragment_size",
+                      F.md5("fragment").alias("fragment_md5"))
+
+
 _BPE_MERGES = [("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"),
                ("s", "c"), ("sc", "an")]
 
@@ -4157,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
+        "split_text_grouped": q_split_text_grouped,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5431,6 +5451,30 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "split_text_grouped": """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+  WHERE NOT regexp_matches(text, '(^ )|(  )|( $)')
+    AND len(string_split(text, ' ')) >= 2),
+hx AS (SELECT doc_id, ls[1] AS header, ls[2:] AS rest FROM w),
+ch AS (
+  SELECT doc_id, header,
+         (len(rest) + 4) // 5 AS n_chunks,
+         unnest(range(0, (len(rest) + 4) // 5)) AS ci, rest
+  FROM hx),
+fr AS (
+  SELECT doc_id, ci,
+         header || chr(10)
+           || array_to_string(list_slice(rest, ci * 5 + 1, ci * 5 + 5),
+                              chr(10)) AS fragment,
+         len(list_slice(rest, ci * 5 + 1, ci * 5 + 5)) AS lc,
+         n_chunks
+  FROM ch)
+SELECT doc_id, 'splits' AS relationship, (ci + 1)::INT AS fragment_index,
+       n_chunks::INT AS fragment_count, lc::INT AS split_line_count,
+       length(fragment)::INT AS fragment_size, md5(fragment) AS fragment_md5
+FROM fr
+""",
         "bpe_train_merges": __import__(
             "nifi_spark.datalib.bpe", fromlist=["bpe_oracle_sql"]
         ).bpe_oracle_sql(

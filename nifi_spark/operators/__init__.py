@@ -26,6 +26,7 @@ from nifi_spark.operators.content import (duplicate_flowfile,
                                           replace_text_with_mapping,
                                           reshape_json, segment_content,
                                           split_json_array, split_text,
+                                          split_text_grouped,
                                           split_xml, validate_csv,
                                           validate_xml)
 from nifi_spark.operators.codec import (compress_content,
@@ -66,7 +67,7 @@ __all__ = [
     "extract_text", "identify_mime_type", "merge_defragment", "parse_cef",
     "parse_syslog", "replace_text", "replace_text_with_mapping",
     "duplicate_flowfile", "reshape_json", "segment_content",
-    "split_json_array", "split_text",
+    "split_json_array", "split_text", "split_text_grouped",
     "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
     "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",

@@ -268,3 +268,107 @@ def test_nifi_replacement_normalization():
     # 123 truncates /10 -> 12 -> 1 which IS a valid group: left untouched
     # (Java's Matcher then greedily parses it as $1 + literal "23")
     assert nifi_replacement("(a)", "$123") == "$123"
+
+
+# ------------------------------------------------------ SplitText goldens
+
+_ST_DIR = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+           "nifi-standard-processors/src/test/resources/TestSplitText")
+
+
+def _split_doc(spark, text, **kw):
+    from nifi_spark.operators.content import split_text_grouped
+    df = spark.createDataFrame([(1, text)], "id long, content string")
+    rows = split_text_grouped(df, "content", **kw).collect()
+    return sorted(rows, key=lambda r: (r["fragment_index"] or 0))
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_ST_DIR),
+                     reason="reference checkout not present")
+def test_split_text_reference_goldens(spark):
+    """split_text_grouped reproduces the reference's OWN golden fragments
+    (TestSplitText: original.txt -> 1-4.txt at split 3, 5-6.txt at
+    split 5, header 2 lines, trailing newlines removed)."""
+    with open(f"{_ST_DIR}/original.txt") as f:
+        src = f.read()
+    rows = _split_doc(spark, src, line_split_count=3, header_line_count=2)
+    assert len(rows) == 4
+    for i, r in enumerate(rows, start=1):
+        with open(f"{_ST_DIR}/{i}.txt") as f:
+            assert r["fragment"] == f.read(), i
+        assert r["fragment_index"] == i and r["fragment_count"] == 4
+    rows = _split_doc(spark, src, line_split_count=5, header_line_count=2)
+    assert len(rows) == 2
+    for i, r in enumerate(rows, start=5):
+        with open(f"{_ST_DIR}/{i}.txt") as f:
+            assert r["fragment"] == f.read(), i
+
+
+@_pytest.mark.skipif(not _os.path.isdir(_ST_DIR),
+                     reason="reference checkout not present")
+def test_split_text_reference_attribute_cases(spark):
+    """The reference's attribute assertions, case for case."""
+    with open(f"{_ST_DIR}/original.txt") as f:
+        src = f.read()
+    # testSingleCharacterHeaderMarker: marker H, split 7, keep newlines
+    rows = _split_doc(spark, src, line_split_count=7, header_marker="H",
+                      remove_trailing_newlines=False)
+    assert [(r["split_line_count"], r["fragment_size"]) for r in rows] \
+        == [(7, 86), (3, 54)]
+    # testMultipleHeaderIndicators: count=1 beats marker; split 5
+    rows = _split_doc(spark, src, line_split_count=5, header_line_count=1,
+                      header_marker="Head", remove_trailing_newlines=False)
+    assert [(r["split_line_count"], r["fragment_size"]) for r in rows] \
+        == [(5, 62), (5, 55), (1, 23)]
+    # testMaxSizeExceeded: size-only budget includes the header each chunk
+    rows = _split_doc(spark, src, line_split_count=0, header_line_count=2,
+                      max_fragment_size=71, remove_trailing_newlines=False)
+    assert [(r["split_line_count"], r["fragment_size"]) for r in rows] \
+        == [(5, 70), (5, 70)]
+
+
+def test_split_text_multiple_directives(spark):
+    # testMultipleSplitDirectives: an oversize line ships alone mid-stream
+    src = ("Header Line #1\nHeader Line #2\nLine #1\nLine #2\n"
+           "Line #3 This line has additional text added so that it exceeds "
+           "the maximum fragment size\n"
+           "Line #4\nLine #5\nLine #6\nLine #7\nLine #8\nLine #9\nLine #10\n")
+    rows = _split_doc(spark, src, line_split_count=2, header_line_count=2,
+                      max_fragment_size=50, remove_trailing_newlines=False)
+    assert [r["fragment_size"] for r in rows] == [46, 119, 46, 46, 46, 39]
+
+
+def test_split_text_failure_and_header_only(spark):
+    # insufficient header -> failure relationship
+    rows = _split_doc(spark, "only one line", line_split_count=2,
+                      header_line_count=2)
+    assert len(rows) == 1 and rows[0]["relationship"] == "failure"
+    # header-only flowfile -> single fragment, trailing newline trimmed
+    rows = _split_doc(spark, "Header Line #1\nHeaderLine#2\n",
+                      line_split_count=2, header_marker="Head",
+                      max_fragment_size=50)
+    assert len(rows) == 1
+    assert rows[0]["fragment"] == "Header Line #1\nHeaderLine#2"
+    assert rows[0]["fragment_count"] == 0 and rows[0]["split_line_count"] == 0
+
+
+def test_split_text_blank_chunk_semantics(spark):
+    # the reference's testSplitWithOnlyCarriageReturn /
+    # testSplitWithCarriageReturnAndNewLines, inputs verbatim: blank
+    # chunks emit header-only fragments; with no header they are dropped
+    # but still counted in fragment_count (reference quirk)
+    for nl in ("\r", "\r\n"):
+        src = nl.join(["H1", "H2", "1", "2", "3",
+                       "", "", "", "", "", "", "10", "11", "12"]) + nl
+        rows = _split_doc(spark, src, line_split_count=3,
+                          header_line_count=2)
+        assert [r["fragment"] for r in rows] == [
+            f"H1{nl}H2{nl}1{nl}2{nl}3", "H1" + nl + "H2", "H1" + nl + "H2",
+            f"H1{nl}H2{nl}10{nl}11{nl}12"], nl
+        src2 = nl.join(["1", "2", "3", "", "", "", "", "", "",
+                        "10", "11", "12"]) + nl
+        rows = _split_doc(spark, src2, line_split_count=3)
+        assert [r["fragment"] for r in rows] == [
+            f"1{nl}2{nl}3", f"10{nl}11{nl}12"], nl
+        assert all(r["fragment_count"] == 4 for r in rows)
+        assert [r["fragment_index"] for r in rows] == [1, 2]
