@@ -78,17 +78,78 @@ def decode_content(df: DataFrame, content_col: str, encoding: str = "base64",
     return df.withColumn(out_col or content_col, dec)
 
 
+# charsets Spark's encode()/decode() accept natively; anything else
+# (e.g. Java's UTF-32 = big-endian, no BOM) routes through the Arrow seam
+_SPARK_CHARSETS = {"us-ascii", "iso-8859-1", "utf-8", "utf-16be",
+                   "utf-16le", "utf-16"}
+_PY_CHARSETS = {"utf-32": "utf-32-be", "utf-32be": "utf-32-be",
+                "utf-32le": "utf-32-le"}
+
+
 def convert_character_set(df: DataFrame, content_col: str,
                           to_charset: str, from_charset: str | None = None,
                           out_col: str | None = None) -> DataFrame:
     """ConvertCharacterSet: string → bytes in `to_charset`; a binary
-    input is first decoded with `from_charset`."""
+    input is first decoded with `from_charset`. Charsets outside Spark's
+    encode() set (UTF-32 variants — Java's "UTF-32" is big-endian
+    without a BOM) run through an Arrow-batched re-encode instead."""
     c = F.col(content_col)
-    if dict(df.dtypes)[content_col] == "binary":
-        if not from_charset:
-            raise ValueError("binary input requires from_charset")
-        c = F.decode(c, from_charset)
-    return df.withColumn(out_col or content_col, F.encode(c, to_charset))
+    is_bin = dict(df.dtypes)[content_col] == "binary"
+    if is_bin and not from_charset:
+        raise ValueError("binary input requires from_charset")
+    if to_charset.lower() in _SPARK_CHARSETS and (
+            not is_bin or from_charset.lower() in _SPARK_CHARSETS):
+        if is_bin:
+            c = F.decode(c, from_charset)
+        return df.withColumn(out_col or content_col, F.encode(c, to_charset))
+
+    py_to = _PY_CHARSETS.get(to_charset.lower(), to_charset)
+    py_from = _PY_CHARSETS.get((from_charset or "utf-8").lower(),
+                               from_charset or "utf-8")
+    out = out_col or content_col
+
+    final_cols = [c for c in df.columns if c != out] + [out]
+
+    def run(batches):
+        for pdf in batches:
+            vals = []
+            for v in pdf[content_col]:
+                if v is None:
+                    vals.append(None)
+                    continue
+                s = bytes(v).decode(py_from) if is_bin else str(v)
+                vals.append(s.encode(py_to))
+            pdf = pdf.copy()
+            pdf[out] = vals
+            yield pdf[final_cols]
+
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    fields[out] = "binary"
+    schema = ", ".join(f"{name} {fields[name]}" for name in final_cols)
+    src = df if out == content_col or out in df.columns else \
+        df.withColumn(out, F.lit(None).cast("binary"))
+    return src.mapInPandas(run, schema=schema)
+
+
+def load_dictionary(lines, filter_pattern: str | None = None) -> list[str]:
+    """ScanAttribute/ScanContent dictionary-file loader
+    (standard/ScanAttribute.java DICTIONARY_FILTER semantics): empty
+    lines are skipped; with a filter pattern, only FULL-match lines are
+    kept and the term is capture group 1."""
+    import re as _re
+    pat = _re.compile(filter_pattern) if filter_pattern else None
+    terms = []
+    for raw in lines:
+        line = raw.rstrip("\r\n") if isinstance(raw, str) else raw
+        if not line:
+            continue
+        if pat is None:
+            terms.append(line)
+        else:
+            m = pat.fullmatch(line)
+            if m:
+                terms.append(m.group(1))
+    return terms
 
 
 def compress_content(df: DataFrame, content_col: str, codec: str = "gzip",

@@ -800,3 +800,63 @@ def test_reference_compressed_samples(spark):
         out = compress_content(df, "content", codec,
                                mode="decompress").collect()[0]
         assert bytes(out.content) == plain, fname
+
+
+def test_convert_charset_reference_utf32_golden(spark):
+    """ConvertCharacterSet UTF-8 -> UTF-32 must reproduce the reference's
+    own Converted2.txt bytes (Java "UTF-32" = big-endian, no BOM) — this
+    charset is outside Spark encode()'s set, so it exercises the Arrow
+    fallback path."""
+    import os
+    from nifi_spark.operators.codec import convert_character_set
+    R = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+         "nifi-standard-processors/src/test/resources/"
+         "CharacterSetConversionSamples")
+    if not os.path.isdir(R):
+        import pytest
+        pytest.skip("reference checkout not present")
+    with open(f"{R}/Original.txt", "rb") as f:
+        original = f.read()
+    with open(f"{R}/Converted2.txt", "rb") as f:
+        expected = f.read()
+    df = spark.createDataFrame([(1, original)], "id long, content binary")
+    out = convert_character_set(df, "content", "UTF-32",
+                                from_charset="UTF-8").collect()
+    assert bytes(out[0]["content"]) == expected
+    # and back
+    df2 = spark.createDataFrame([(1, expected)], "id long, content binary")
+    rt = convert_character_set(df2, "content", "UTF-8",
+                               from_charset="UTF-32").collect()
+    assert bytes(rt[0]["content"]) == original
+
+
+def test_load_dictionary_reference_filters(spark):
+    """ScanAttribute dictionary files with DICTIONARY_FILTER, the
+    reference's own fixtures and assertions (TestScanAttribute.java)."""
+    import os
+    from nifi_spark.operators.codec import load_dictionary
+    from nifi_spark.operators.routing import scan_attribute
+    R = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+         "nifi-standard-processors/src/test/resources/ScanAttribute")
+    if not os.path.isdir(R):
+        import pytest
+        pytest.skip("reference checkout not present")
+    with open(f"{R}/dictionary-with-extra-info") as f:
+        lines = f.readlines()
+    greet = load_dictionary(lines, "(.*)<greeting>")
+    assert greet == ["hello", "goodbye", "adios", "foo"]
+    anyt = load_dictionary(lines, "(.*)<.*>")
+    assert "world" in anyt and len(anyt) == 9
+    with open(f"{R}/dictionary-with-empty-new-lines") as f:
+        nonempty = load_dictionary(f.readlines())
+    assert "" not in nonempty
+    # routing parity: 'hello' matches under the greeting filter, 'world'
+    # only under the any-tag filter
+    df = spark.createDataFrame([("hello",), ("world",)], "abc string")
+    dim = spark.createDataFrame([(t,) for t in greet], "term string")
+    assert {r["abc"] for r in
+            scan_attribute(df, "abc", dim, "term").collect()} == {"hello"}
+    dim2 = spark.createDataFrame([(t,) for t in anyt], "term string")
+    assert {r["abc"] for r in
+            scan_attribute(df, "abc", dim2, "term").collect()} \
+        == {"hello", "world"}
