@@ -319,6 +319,28 @@ def merge_defragment(df: DataFrame, content_col: str = "fragment",
     return merged.drop("_n", "_expected")
 
 
+def merge_concat(df: DataFrame, content_col: str, group_col: str,
+                 order_col: str, header: str = "", demarcator: str = "",
+                 footer: str = "") -> DataFrame:
+    """MergeContent Binary-Concatenation format with text delimiters
+    (MergeContent.java MERGE_FORMAT_CONCAT + HEADER/DEMARCATOR/FOOTER —
+    the reference reads them from files or literals; pass the resolved
+    text here). One merged row per group: header + parts-in-order joined
+    by demarcator + footer. One group-keyed hash-agg (map-side
+    combinable) — the same shape as the v3 FlowFileStream pack."""
+    merged = (df.groupBy(group_col)
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct(F.col(order_col).alias("i"),
+                                   F.col(content_col).alias("c")))),
+                      lambda s: s["c"]), demarcator).alias("_body"),
+                  F.count(F.lit(1)).alias("merge_count")))
+    return (merged.withColumn(
+        "content", F.concat(F.lit(header), F.col("_body"), F.lit(footer)))
+        .drop("_body"))
+
+
 def bin_assign(df: DataFrame, order_col: str, content_col: str,
                max_bytes: int = 64 << 20, max_rows: int = 100_000,
                correlation_col: str | None = None,

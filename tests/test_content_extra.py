@@ -372,3 +372,34 @@ def test_split_text_blank_chunk_semantics(spark):
             f"1{nl}2{nl}3", f"10{nl}11{nl}12"], nl
         assert all(r["fragment_count"] == 4 for r in rows)
         assert [r["fragment_index"] for r in rows] == [1, 2]
+
+
+def test_merge_concat_reference_delimiters(spark):
+    """MergeContent CONCAT with the reference's own head/demarcate/foot
+    delimiter files: 'Hello', ', ', 'World!' must merge to
+    '(|)Hello***, ***World!___' (TestMergeContent.java
+    testSimpleBinaryConcatWithFileDelimiters)."""
+    from nifi_spark.operators.content import merge_concat
+    base = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+            "nifi-standard-processors/src/test/resources/TestMergeContent")
+    if _os.path.isdir(base):
+        head = open(f"{base}/head").read()
+        dem = open(f"{base}/demarcate").read()
+        foot = open(f"{base}/foot").read()
+    else:
+        head, dem, foot = "(|)", "***", "___"
+    df = spark.createDataFrame(
+        [(1, 0, "Hello"), (1, 1, ", "), (1, 2, "World!"),
+         (2, 0, "solo")],
+        "gid long, idx long, part string")
+    rows = {r["gid"]: r for r in
+            merge_concat(df, "part", "gid", "idx",
+                         header=head, demarcator=dem, footer=foot).collect()}
+    assert rows[1]["content"] == "(|)Hello***, ***World!___"
+    assert rows[1]["merge_count"] == 3
+    assert rows[2]["content"] == "(|)solo___"
+    # header-only variant from testSimpleBinaryConcatWithTextDelimiters
+    rows = {r["gid"]: r for r in
+            merge_concat(df.where("gid = 1"), "part", "gid", "idx",
+                         header="@").collect()}
+    assert rows[1]["content"] == "@Hello, World!"
