@@ -3911,6 +3911,32 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+def q_split_xml_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-based SplitXml with ancestor-namespace reinjection
+    (operators/xml_split_depth.py; byte-for-byte golden parity with the
+    reference's TestXml/namespaceSplit files lives in
+    tests/test_xml_split_depth.py). XML synthesized from formulas so the
+    oracle rebuilds every fragment — prolog, injected xmlns, attrs —
+    as a string expression."""
+    from nifi_spark.operators.xml_split_depth import split_xml_depth
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 5 == 3).orderBy("doc_id").limit(200) \
+        .select("doc_id")
+    k = 1 + F.col("doc_id") % 4
+    parts = F.aggregate(
+        F.sequence(F.lit(0), (k - 1).cast("int")), F.lit(""),
+        lambda acc, j: F.concat(
+            acc, F.lit('<a:x k="'), j.cast("string"), F.lit('">w'),
+            ((F.col("doc_id") * 7 + j) % 50).cast("string"),
+            F.lit("</a:x>")))
+    xml = F.concat(F.lit('<r xmlns:a="urn:a"><g>'), parts,
+                   F.lit("</g></r>"))
+    out = split_xml_depth(docs.withColumn("xml", xml), "xml",
+                          split_depth=2, id_cols=["doc_id"])
+    return out.select("doc_id", "relationship", "fragment_index",
+                      "fragment_count", "fragment")
+
+
 def q_split_text_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-semantics SplitText (operators/content.py split_text_grouped,
     reference SplitText.java:90-461): N-lines-per-fragment grouping with
@@ -4177,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
         "split_text_grouped": q_split_text_grouped,
+        "split_xml_depth": q_split_xml_depth,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5451,6 +5478,18 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "split_xml_depth": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 5 = 3 ORDER BY doc_id LIMIT 200),
+e AS (SELECT id, 1 + id % 4 AS k, unnest(range(0, 1 + id % 4)) AS j
+      FROM ids)
+SELECT id AS doc_id, 'split' AS relationship, j::INT AS fragment_index,
+       k::INT AS fragment_count,
+       '<?xml version="1.0" encoding="UTF-8"?><a:x xmlns:a="urn:a" k="'
+         || j || '">w' || ((id * 7 + j) % 50) || '</a:x>' AS fragment
+FROM e
+""",
         "split_text_grouped": """
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS ls FROM documents
