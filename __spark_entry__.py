@@ -3911,6 +3911,33 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+def q_warc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed web-corpus pipeline, ONE Catalyst plan end-to-end:
+    WARC archives (real ISO 28500 writer) → WET documents → URL
+    canonicalization dedup (first doc per canonical URL) → token-count
+    floor → exact content dedup → per-host quota lottery. The oracle
+    replays every stage in SQL over formula-regenerated text — the whole
+    curation chain, not just its pieces, is hash-checked."""
+    from nifi_spark.datalib.curation import cap_per_group, url_dedup
+    from nifi_spark.datalib.text import token_stats
+    from nifi_spark.datalib.dedup import exact_dedup
+    from nifi_spark.datalib.warc import synthesize_warc, wet_documents
+    ids = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 4 == 1).orderBy("doc_id").limit(150) \
+        .repartition(8)
+    docs = wet_documents(synthesize_warc(ids, "doc_id"))
+    u = url_dedup(docs, "doc_id", "url")
+    kept = u.select("doc_id", F.col("canonical_url").alias("url")) \
+        .join(docs.select("doc_id", "text"), "doc_id")
+    toks = token_stats(kept, text_col="text").where(F.col("n_tokens") >= 23)
+    winners = exact_dedup(toks, "doc_id", "text").select("doc_id")
+    survivors = toks.join(winners, "doc_id") \
+        .withColumn("host", F.regexp_extract("url", "https://([^/]+)", 1))
+    capped = cap_per_group(survivors, "host", "doc_id", n=4)
+    return capped.select("doc_id", "url", "host",
+                         F.col("n_tokens").cast("int"))
+
+
 def q_split_xml_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-based SplitXml with ancestor-namespace reinjection
     (operators/xml_split_depth.py; byte-for-byte golden parity with the
@@ -4204,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "split_text_grouped": q_split_text_grouped,
         "split_xml_depth": q_split_xml_depth,
+        "warc_corpus_pipeline": q_warc_corpus_pipeline,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5478,6 +5506,45 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "warc_corpus_pipeline": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 4 = 1 ORDER BY doc_id LIMIT 150),
+pages AS (SELECT id, 1 + id % 3 AS k,
+                 unnest(range(0, 1 + id % 3)) AS j FROM
+          (SELECT id, 1 + id % 3 AS k FROM ids) t(id, k)),
+texts AS (
+  SELECT id, k, j,
+         string_agg('w' || ((id * 13 + j * 29 + kk * 7) % 101),
+                    ' ' ORDER BY kk) AS text
+  FROM (SELECT id, k, j, unnest(range(0, 20 + (id + j) % 11)) AS kk
+        FROM pages)
+  GROUP BY id, k, j),
+docs AS (
+  SELECT id * 1000 + 1 + k + j AS doc_id,
+         'https://site' || ((id * 7 + j) % 50) || '/page' || j AS url,
+         text
+  FROM texts),
+u AS (SELECT url, min(doc_id) AS doc_id FROM docs GROUP BY url),
+kept AS (SELECT u.doc_id, u.url, d.text FROM u JOIN docs d USING (doc_id)),
+toks AS (
+  SELECT *, len(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> ''))::INT AS n_tokens
+  FROM kept),
+flt AS (SELECT * FROM toks WHERE n_tokens >= 23),
+winners AS (SELECT min(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
+surv AS (
+  SELECT f.doc_id, f.url, f.n_tokens,
+         regexp_extract(f.url, 'https://([^/]+)', 1) AS host
+  FROM flt f JOIN winners USING (doc_id)),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host
+    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+             doc_id) AS r
+  FROM surv)
+SELECT doc_id, url, host, n_tokens FROM rk WHERE r <= 4
+""",
         "split_xml_depth": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents
