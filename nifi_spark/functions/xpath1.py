@@ -141,7 +141,7 @@ def node_name(node) -> str:
 _TOKEN_RE = re.compile(r"""
     \s*(?:
       (?P<num>\d+(?:\.\d+)?|\.\d+)
-    | (?P<str>"[^"]*"|'[^']*')
+    | (?P<str>"(?:[^"]|"")*"|'(?:[^']|'')*')
     | (?P<var>\$[A-Za-z_][\w.-]*)
     | (?P<dslash>//)
     | (?P<axis>[A-Za-z-]+::)
@@ -356,7 +356,10 @@ class _Parser:
         if k == "num":
             e = ("num", float(v))
         elif k == "str":
-            e = ("str", v[1:-1])
+            # XPath 2.0 literal escaping: doubled quotes inside the
+            # matching delimiter collapse to one
+            q = v[0]
+            e = ("str", v[1:-1].replace(q + q, q))
         elif k == "var":
             e = ("var", v[1:])
         elif v == "(":
@@ -413,6 +416,34 @@ class Context:
     def with_node(self, node, position, size):
         return Context(self.doc, node, position, size, self.variables,
                        self.functions)
+
+
+def xpath_replacement(rep: str) -> str:
+    """XPath replace() replacement string -> Python re.sub template:
+    only ``$N`` and ``\\`` are special in XPath; Python's backslash
+    escapes must not fire for literal text."""
+    out = []
+    i = 0
+    while i < len(rep):
+        ch = rep[i]
+        if ch == "\\" and i + 1 < len(rep):
+            nxt = rep[i + 1]
+            out.append("\\\\" if nxt == "\\" else nxt if nxt == "$"
+                       else "\\\\" + nxt)
+            i += 2
+        elif ch == "$" and i + 1 < len(rep) and rep[i + 1].isdigit():
+            j = i + 1
+            while j < len(rep) and rep[j].isdigit():
+                j += 1
+            out.append(f"\\g<{rep[i + 1:j]}>")
+            i = j
+        elif ch == "\\":
+            out.append("\\\\")
+            i += 1
+        else:
+            out.append(ch.replace("\\", "\\\\"))
+            i += 1
+    return "".join(out)
 
 
 def to_string(v: Any) -> str:
@@ -724,6 +755,33 @@ def _call(ctx: Context, name: str, args: list) -> Any:
     if name == "round":
         v = to_number(a(0))
         return math.floor(v + 0.5) * 1.0 if v == v else v
+    # ---- XPath 2.0 subset (XSLT 2.0 stylesheets: tokens.xsl family) ----
+    if name == "tokenize" and n == 2:
+        s = to_string(a(0))
+        return re.split(to_string(a(1)), s) if s else []
+    if name == "remove" and n == 2:
+        seq = a(0)
+        seq = seq if isinstance(seq, list) else [seq]
+        pos = int(to_number(a(1)))
+        return [x for i, x in enumerate(seq, 1) if i != pos]
+    if name == "replace" and n >= 3:
+        return re.sub(to_string(a(1)), xpath_replacement(to_string(a(2))),
+                      to_string(a(0)))
+    if name == "matches" and n >= 2:
+        return re.search(to_string(a(1)), to_string(a(0))) is not None
+    if name == "regex-group" and n == 1:
+        m = ctx.variables.get("__regex_match__")
+        if m is None:
+            return ""
+        try:
+            return m.group(int(to_number(a(0)))) or ""
+        except (IndexError, re.error):
+            return ""
+    if name == "string-join" and n == 2:
+        seq = a(0)
+        seq = seq if isinstance(seq, list) else [seq]
+        return to_string(a(1)).join(
+            x if isinstance(x, str) else string_value(x) for x in seq)
     if name in ctx.functions:
         return ctx.functions[name](ctx, [_eval(ctx, arg) for arg in args])
     # document-scoped registrations (XSLT's key()) — with_node copies

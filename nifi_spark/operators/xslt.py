@@ -55,6 +55,25 @@ XSL_NS = "http://www.w3.org/1999/XSL/Transform"
 _X = "{%s}" % XSL_NS
 
 
+class _SeqVal:
+    """xsl:sequence result carried through an output list unserialized
+    (consumed by _run_function; in template context it stringifies)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+_XML_DECL_RE = re.compile(r"^\s*<\?xml[^>]*\?>\s*")
+
+
+def _strip_xml_decl(text: str) -> str:
+    """ET.fromstring rejects unicode strings carrying an encoding
+    declaration; the declaration is advisory for already-decoded text."""
+    return _XML_DECL_RE.sub("", text, count=1)
+
+
 class XsltError(ValueError):
     pass
 
@@ -143,6 +162,9 @@ class XsltStylesheet:
     def __init__(self, stylesheet: str,
                  resolver: dict | None = None):
         self.output_method = "xml"
+        self.output_encoding: str | None = None
+        self.output_indent = False
+        self.functions2: dict[str, ET.Element] = {}  # xsl:function (2.0)
         self.templates: list[_Template] = []
         self.named: dict[str, _Template] = {}
         self.global_vars: list[ET.Element] = []
@@ -159,7 +181,7 @@ class XsltStylesheet:
     @staticmethod
     def _parse_sheet(stylesheet: str) -> ET.Element:
         try:
-            root = ET.fromstring(stylesheet)
+            root = ET.fromstring(_strip_xml_decl(stylesheet))
         except ET.ParseError as e:
             raise XsltError(f"stylesheet is not well-formed: {e}") from e
         if root.tag not in (_X + "stylesheet", _X + "transform"):
@@ -211,6 +233,13 @@ class XsltStylesheet:
         self._next_pos += 1
         if child.tag == _X + "output":
             self.output_method = child.get("method", "xml")
+            self.output_encoding = child.get("encoding",
+                                             self.output_encoding)
+            self.output_indent = child.get("indent") == "yes" \
+                or self.output_indent
+        elif child.tag == _X + "function":
+            # XSLT 2.0 stylesheet function, registered by LEXICAL qname
+            self.functions2[child.get("name")] = child
         elif child.tag == _X + "template":
             match = child.get("match")
             prio = child.get("priority")
@@ -297,11 +326,14 @@ class XsltStylesheet:
         passes flowfile attributes as stylesheet parameters,
         standard/TransformXml.java:150-160); a supplied value overrides
         the param's default, unnamed params fall back to it."""
-        src = ET.fromstring(xml_text)
+        src = ET.fromstring(_strip_xml_decl(xml_text))
         doc = Document(src)
         doc.functions = {"format-number": self._format_number_fn}
         if self.keys:
             doc.functions["key"] = self._key_fn
+        for fname, fel in self.functions2.items():
+            doc.functions[fname] = \
+                (lambda f: lambda c, args: self._run_function(f, c, args))(fel)
         params = params or {}
         variables: dict[str, Any] = {}
         for gv in self.global_vars:
@@ -466,16 +498,63 @@ class XsltStylesheet:
             raise XsltError(f"unsupported xsl:number level {level!r}")
         return _format_numbers(nums, el.get("format", "1"))
 
+    def _run_function(self, fel: ET.Element, ctx: Context,
+                      args: list) -> list:
+        """Execute an xsl:function body: params bind positionally; the
+        result is the SEQUENCE its xsl:sequence instructions (and any
+        literal strings) produce."""
+        scope = dict(ctx.variables)
+        scope.pop("__regex_match__", None)
+        pi = 0
+        for child in fel:
+            if child.tag == _X + "param":
+                scope[child.get("name")] = args[pi] if pi < len(args) \
+                    else ""
+                pi += 1
+        fctx = Context(ctx.doc, ctx.node, ctx.position, ctx.size, scope,
+                       ctx.functions)
+        items: list = []
+        self._instantiate(items, fel, fctx, skip_params=True)
+        result: list = []
+        for it in items:
+            if isinstance(it, _SeqVal):
+                v = it.value
+                result.extend(v if isinstance(v, list) else [v])
+            else:
+                result.append(it if isinstance(it, str)
+                              else string_value(it))
+        return result
+
+    @staticmethod
+    def _indent_tree(el: ET.Element, level: int = 0) -> None:
+        """Xalan-style indent="yes": indent an element's children only
+        when it has element children and no non-whitespace text
+        (mixed/text content stays inline); three spaces per level."""
+        if len(el) == 0 or (el.text or "").strip():
+            return
+        pad = "\n" + "   " * (level + 1)
+        el.text = pad
+        for i, c in enumerate(el):
+            XsltStylesheet._indent_tree(c, level + 1)
+            c.tail = pad if i < len(el) - 1 else "\n" + "   " * level
+
     def _serialize(self, items: list) -> str:
         if self.output_method == "text":
             return "".join(it if isinstance(it, str)
                            else "".join(it.itertext()) for it in items)
         parts = []
+        if self.output_encoding:
+            parts.append(f'<?xml version="1.0" '
+                         f'encoding="{self.output_encoding}"?>\n')
         for it in items:
             if isinstance(it, str):
                 parts.append(_xml_escape(it))
             else:
+                if self.output_indent:
+                    self._indent_tree(it)
                 parts.append(ET.tostring(it, encoding="unicode"))
+        if self.output_indent and parts and not parts[-1].endswith("\n"):
+            parts.append("\n")      # Xalan ends an indented document
         return "".join(parts)
 
     def _var_value(self, el: ET.Element, ctx: Context):
@@ -661,6 +740,12 @@ class XsltStylesheet:
                 self._builtin(out, ctx.node, cur.mode, ctx)
             else:
                 self._invoke(out, t, ctx, {})
+        elif local == "sequence":
+            out.append(_SeqVal(evaluate(el.get("select"), ctx)))
+        elif local == "analyze-string":
+            self._analyze_string(out, el, ctx)
+        elif local == "function":
+            pass  # top-level declaration, registered at load time
         elif local == "number":
             out.append(self._number(el, ctx))
         elif local == "variable":
@@ -672,6 +757,39 @@ class XsltStylesheet:
             pass  # no-ops for this engine
         else:
             raise XsltError(f"unsupported instruction xsl:{local}")
+
+    def _analyze_string(self, out: list, el: ET.Element,
+                        ctx: Context) -> None:
+        """xsl:analyze-string (XSLT 2.0): iterate regex matches over the
+        select string; inside xsl:matching-substring the context item is
+        the matched substring and regex-group(N) reads its groups."""
+        s = to_string(evaluate(el.get("select"), ctx))
+        pat = _avt(el.get("regex"), ctx)
+        matching = el.find(_X + "matching-substring")
+        nonmatching = el.find(_X + "non-matching-substring")
+
+        def run(body, text, m, pos):
+            if body is None:
+                return
+            scope = dict(ctx.variables)
+            if m is not None:
+                scope["__regex_match__"] = m
+            else:
+                scope.pop("__regex_match__", None)
+            nctx = Context(ctx.doc, text, pos, 1, scope, ctx.functions)
+            self._instantiate(out, body, nctx)
+
+        pos = 0
+        i = 0
+        for m in re.finditer(pat, s):
+            if m.start() > pos:
+                i += 1
+                run(nonmatching, s[pos:m.start()], None, i)
+            i += 1
+            run(matching, m.group(0), m, i)
+            pos = m.end()
+        if pos < len(s):
+            run(nonmatching, s[pos:], None, i + 1)
 
     def _with_params(self, el: ET.Element, ctx: Context) -> dict:
         params = {}
@@ -866,6 +984,8 @@ def _format_numbers(nums: list[int], fmt: str) -> str:
 def _attach(parent: ET.Element, items: list):
     """Attach a mixed string/element item list as parent's content."""
     for it in items:
+        if isinstance(it, _SeqVal):        # xsl:sequence in tree context
+            it = to_string(it.value)
         if isinstance(it, ET.Element):
             parent.append(it)
         else:

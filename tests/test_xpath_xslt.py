@@ -459,3 +459,90 @@ def test_xslt_param_injection_overrides_default():
         '</xsl:template></xsl:stylesheet>')
     assert sheet.apply("<r/>") == "default"
     assert sheet.apply("<r/>", params={"p": "given"}) == "given"
+
+
+# ------------------------------------------------- XSLT 2.0 subset
+
+TOKENS_DIR = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+              "nifi-standard-processors/src/test/resources/TestTransformXml")
+
+
+@pytest.mark.skipif(not _os.path.isdir(TOKENS_DIR),
+                    reason="reference checkout not present")
+def test_reference_tokens_stylesheet_golden():
+    """tokens.xsl is XSLT 2.0 (xsl:function + xsl:analyze-string +
+    tokenize/remove/replace/regex-group + string sequences) — previously
+    a declared scope boundary, now byte-for-byte against the reference's
+    tokens.xml incl. Xalan-style indent and the encoding declaration."""
+    from nifi_spark.operators.xslt import XsltStylesheet
+    csv = open(f"{TOKENS_DIR}/tokens.csv").read()
+    data = "<data>\n" + "".join(ln + "\n" for ln in csv.splitlines()) \
+        + "</data>"
+    out = XsltStylesheet(open(f"{TOKENS_DIR}/tokens.xsl").read()).apply(
+        data, params={"uuid_0": "uuid_0", "uuid_1": "uuid_1"})
+    assert out == open(f"{TOKENS_DIR}/tokens.xml").read()
+
+
+@pytest.mark.skipif(not _os.path.isdir(TOKENS_DIR),
+                    reason="reference checkout not present")
+def test_tokens_stylesheet_quote_torture():
+    """The getTokens doc-comment cases from the stylesheet itself:
+    quoted commas, empty quoted fields, doubled quotes."""
+    from nifi_spark.operators.xslt import XsltStylesheet
+    # row 2 is the header the stylesheet discards with remove($rows, 2);
+    # the well-formed CSV quote cases from the stylesheet's doc comment:
+    # quoted commas, empty quoted fields, doubled quotes
+    data = ('<data>\nh1,h2,h3,h4,h5\n'
+            '"foo, bar",foo,"",bar,""""\n</data>')
+    out = XsltStylesheet(open(f"{TOKENS_DIR}/tokens.xsl").read()).apply(
+        data, params={"uuid_0": "u0", "uuid_1": "u1"})
+    import re
+    toks = [m.group(1) if m.group(1) is not None else ""
+            for m in re.finditer(r"<token(?:\s*/>|>(.*?)</token>)", out,
+                                 re.S)]
+    assert toks[:5] == ["foo, bar", "foo", "", "bar", '"']
+
+
+def test_analyze_string_and_sequence_function():
+    from nifi_spark.operators.xslt import XsltStylesheet
+    sheet = XsltStylesheet("""
+<xsl:stylesheet version="2.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform" xmlns:f="f">
+  <xsl:output method="text"/>
+  <xsl:function name="f:nums">
+    <xsl:param name="s"/>
+    <xsl:analyze-string select="$s" regex="(\\d+)">
+      <xsl:matching-substring>
+        <xsl:sequence select="concat('[', regex-group(1), ']')"/>
+      </xsl:matching-substring>
+      <xsl:non-matching-substring>
+        <xsl:sequence select="'-'"/>
+      </xsl:non-matching-substring>
+    </xsl:analyze-string>
+  </xsl:function>
+  <xsl:template match="d">
+    <xsl:variable name="v" select="f:nums(.)"/>
+    <xsl:value-of select="$v[2]"/>
+    <xsl:value-of select="string-join($v, '')"/>
+  </xsl:template>
+</xsl:stylesheet>""")
+    out = sheet.apply("<d>a12b345c</d>")
+    assert out == "[12]-[12]-[345]-"
+
+
+def test_xpath2_functions_direct():
+    from nifi_spark.functions.xpath1 import (Context, Document, evaluate,
+                                             xpath_replacement)
+    import xml.etree.ElementTree as ET
+    ctx = Context(Document(ET.fromstring("<r/>")), None)
+    ctx = Context(ctx.doc, ctx.doc)
+    assert evaluate("tokenize('a,b,,c', ',')", ctx) == ["a", "b", "", "c"]
+    assert evaluate("tokenize('', ',')", ctx) == []
+    assert evaluate("remove(tokenize('x,y,z', ','), 2)", ctx) == ["x", "z"]
+    assert evaluate("replace('aXbXc', 'X', '-')", ctx) == "a-b-c"
+    assert evaluate("replace('a1b', '(\\d)', '[$1]')", ctx) == "a[1]b"
+    assert evaluate('replace(\'"q"\', \'^"|"$|("")"\', "$1")', ctx) == "q"
+    # XPath doubled-quote literal escaping
+    assert evaluate('concat("a""b", \'c\'\'d\')', ctx) == 'a"bc\'d'
+    assert xpath_replacement("\\$1") == "$1"
+    assert xpath_replacement("$12") == "\\g<12>"
