@@ -3911,6 +3911,49 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+_ANALYZE_XSL = """
+<xsl:stylesheet version="2.0"
+    xmlns:xsl="http://www.w3.org/1999/XSL/Transform" xmlns:f="f">
+  <xsl:output method="text"/>
+  <xsl:function name="f:getTokens">
+    <xsl:param name="str"/>
+    <xsl:analyze-string select="concat($str, ',')"
+                        regex='(("[^"]*")+|[^,]*),'>
+      <xsl:matching-substring>
+        <xsl:sequence select='replace(regex-group(1), "^""|""$", "")'/>
+      </xsl:matching-substring>
+    </xsl:analyze-string>
+  </xsl:function>
+  <xsl:template match="data">
+    <xsl:variable name="v" select="f:getTokens(.)"/>
+    <xsl:value-of select="string-join($v, '|')"/>
+  </xsl:template>
+</xsl:stylesheet>"""
+
+
+def q_transform_xml_analyze_string(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """XSLT 2.0 path distributed (operators/xslt.py: xsl:function +
+    xsl:analyze-string + string sequences — the tokens.xsl machinery,
+    byte-parity with the reference golden in tests/test_xpath_xslt.py):
+    a CSV field splitter as a stylesheet function over formula content;
+    the oracle regenerates every token arithmetically. Quoted fields
+    keep embedded commas, outer quotes stripped by replace()."""
+    from nifi_spark.operators.xml_transform import transform_xml
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 6 == 2).orderBy("doc_id").limit(300) \
+        .select("doc_id")
+    csv = F.concat(F.lit("r"), F.col("doc_id").cast("string"),
+                   F.lit('," q,'), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(' ",w'), ((F.col("doc_id") * 3) % 11).cast("string"))
+    xml = F.concat(F.lit("<data>"), csv, F.lit("</data>"))
+    out = transform_xml(docs.withColumn("content", xml), "content",
+                        stylesheet=_ANALYZE_XSL)
+    toks = F.split(F.col("content"), r"\|")
+    return (out.select("doc_id", F.posexplode(toks)
+                       .alias("token_idx", "token")))
+
+
 def q_warc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed web-corpus pipeline, ONE Catalyst plan end-to-end:
     WARC archives (real ISO 28500 writer) → WET documents → URL
@@ -4232,6 +4275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_text_grouped": q_split_text_grouped,
         "split_xml_depth": q_split_xml_depth,
         "warc_corpus_pipeline": q_warc_corpus_pipeline,
+        "transform_xml_analyze_string": q_transform_xml_analyze_string,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5506,6 +5550,18 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "transform_xml_analyze_string": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 6 = 2 ORDER BY doc_id LIMIT 300),
+t AS (
+  SELECT id, 0 AS token_idx, 'r' || id AS token FROM ids
+  UNION ALL
+  SELECT id, 1, ' q,' || (id % 7) || ' ' FROM ids
+  UNION ALL
+  SELECT id, 2, 'w' || ((id * 3) % 11) FROM ids)
+SELECT id AS doc_id, token_idx::INT AS token_idx, token FROM t
+""",
         "warc_corpus_pipeline": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents
