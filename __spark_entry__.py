@@ -3911,6 +3911,23 @@ def q_curate_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "score", "pred", "y")
 
 
+def q_kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means over int8-quantized embeddings
+    (datalib/cluster.py): semantic clustering for embedding-space
+    curation with a fully replayable run — quantization is half-up
+    floor, distances integer squared-L2, centroid updates truncating
+    integer division, seeds = the k lowest ids. Per iteration the
+    centroids travel as plan literals (assignment is one two-stage argmin
+    projection, no join) and the update is one (cluster, dim) hash-agg.
+    Oracle: kmeans_oracle_sql unrolls all 3 Lloyd iterations."""
+    from nifi_spark.datalib.cluster import kmeans_int8
+    emb = _t(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") % 3 == 0).orderBy("vec_id").limit(400) \
+        .select("vec_id", "embedding")
+    assigned, _ = kmeans_int8(emb, "vec_id", "embedding", k=6, iters=3)
+    return assigned
+
+
 _ANALYZE_XSL = """
 <xsl:stylesheet version="2.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform" xmlns:f="f">
@@ -4276,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_xml_depth": q_split_xml_depth,
         "warc_corpus_pipeline": q_warc_corpus_pipeline,
         "transform_xml_analyze_string": q_transform_xml_analyze_string,
+        "kmeans_int8_clusters": q_kmeans_int8_clusters,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5550,6 +5568,12 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "kmeans_int8_clusters": __import__(
+            "nifi_spark.datalib.cluster", fromlist=["kmeans_oracle_sql"]
+        ).kmeans_oracle_sql(
+            "SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 400",
+            k=6, iters=3, dim=64),
         "transform_xml_analyze_string": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents
