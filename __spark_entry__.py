@@ -3928,6 +3928,22 @@ def q_kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def q_curate_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-sample diversity selection (SemDeDup-style): k-means
+    partitions the embedding space, then the deterministic per-group
+    lottery keeps at most n per cluster — composition of
+    kmeans_int8 + cap_per_group in ONE plan, oracle replaying both (the
+    unrolled Lloyd CTEs feed the rank window)."""
+    from nifi_spark.datalib.cluster import kmeans_int8
+    from nifi_spark.datalib.curation import cap_per_group
+    emb = _t(spark, sf_dir, "embeddings") \
+        .where(F.col("vec_id") % 3 == 0).orderBy("vec_id").limit(400) \
+        .select("vec_id", "embedding")
+    assigned, _ = kmeans_int8(emb, "vec_id", "embedding", k=6, iters=3)
+    return cap_per_group(assigned, "cluster", "vec_id", n=12) \
+        .select("vec_id", "cluster")
+
+
 _ANALYZE_XSL = """
 <xsl:stylesheet version="2.0"
     xmlns:xsl="http://www.w3.org/1999/XSL/Transform" xmlns:f="f">
@@ -4294,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_corpus_pipeline": q_warc_corpus_pipeline,
         "transform_xml_analyze_string": q_transform_xml_analyze_string,
         "kmeans_int8_clusters": q_kmeans_int8_clusters,
+        "curate_diversity_sample": q_curate_diversity_sample,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5574,6 +5591,20 @@ LIMIT 200
             "SELECT vec_id, embedding FROM embeddings "
             "WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 400",
             k=6, iters=3, dim=64),
+        "curate_diversity_sample": "WITH base AS (" + __import__(
+            "nifi_spark.datalib.cluster", fromlist=["kmeans_oracle_sql"]
+        ).kmeans_oracle_sql(
+            "SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 400",
+            k=6, iters=3, dim=64) + """)
+SELECT vec_id, cluster FROM (
+  SELECT vec_id, cluster, row_number() OVER (
+    PARTITION BY cluster
+    ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+             vec_id) AS rk
+  FROM base)
+WHERE rk <= 12
+""",
         "transform_xml_analyze_string": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents
