@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "bpe_encode_tokens",
     "curate_train_classifier",
     "ip_geo_enrich",
+    "kmeans_int8_clusters",
+    "warc_corpus_pipeline",
 ]
 
 

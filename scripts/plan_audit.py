@@ -372,6 +372,23 @@ def main():
     if dump:
         print(p)
 
+    # warc: the split itself is mapInPandas over the synthesized archives;
+    # assert no shuffle between synthesis and split (one linear pipe)
+    p = plan_of(E.queries()["warc_split_records"](spark, sf))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex <= 1, p   # only the fixture's repartition(8)
+    results.append(("warc_split", "archive split is a linear mapInPandas "
+                    "pipe — no shuffle between synthesis and parse"))
+
+    # kmeans assignment: centroids are literals — no join, no cartesian
+    from nifi_spark.datalib.cluster import kmeans_int8
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").limit(200)
+    assigned, _ = kmeans_int8(emb, "vec_id", "embedding", k=4, iters=1)
+    p = plan_of(assigned)
+    assert "Join" not in p and "CartesianProduct" not in p, p
+    results.append(("kmeans assign", "centroid distances are inline "
+                    "literal folds: zero joins, fact side map-only"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     p = executed_plan_of(E.queries()["q5_nation_revenue"](spark, sf))
     n_bhj = p.count("BroadcastHashJoin")
