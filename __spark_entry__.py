@@ -3928,6 +3928,29 @@ def q_kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractEmailHeaders + ExtractEmailAttachments analog
+    (operators/email_ops.py, nifi-email-bundle): real stdlib-MIME
+    messages (deterministic boundaries) parsed back distributed — one
+    header row and one row per attachment, joined flat; the oracle
+    regenerates every header string and attachment md5 from the
+    _synth_email formulas."""
+    from nifi_spark.operators.email_ops import (extract_email_attachments,
+                                                extract_email_headers,
+                                                synthesize_email)
+    ids = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 7 == 4).orderBy("doc_id").limit(140) \
+        .repartition(8).select(F.col("doc_id").alias("id"))
+    msgs = synthesize_email(ids, "id").localCheckpoint()
+    heads = extract_email_headers(msgs).select(
+        "id", "subject", "sender", "recipients", "message_id",
+        "n_attachments", "body")
+    atts = extract_email_attachments(msgs).select(
+        "id", "attach_idx", "filename", "size",
+        F.md5(F.hex("payload")).alias("payload_hexmd5"))
+    return heads.join(atts, "id", "left")
+
+
 def q_curate_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-then-sample diversity selection (SemDeDup-style): k-means
     partitions the embedding space, then the deterministic per-group
@@ -4311,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_xml_analyze_string": q_transform_xml_analyze_string,
         "kmeans_int8_clusters": q_kmeans_int8_clusters,
         "curate_diversity_sample": q_curate_diversity_sample,
+        "email_extract": q_email_extract,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5585,6 +5609,30 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "email_extract": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 7 = 4 ORDER BY doc_id LIMIT 140),
+heads AS (
+  SELECT id, 'Report ' || (id % 20) AS subject,
+         'user' || (id % 7) || '@siteA' AS sender,
+         'list' || (id % 5) || '@siteB' AS recipients,
+         '<m' || id || '@siteA>' AS message_id,
+         (id % 3)::INT AS n_attachments,
+         'body w' || (id * 13 % 101) || ' w' || (id * 29 % 101) AS body
+  FROM ids),
+atts AS (
+  SELECT id, j::INT AS attach_idx,
+         'f' || id || '_' || j || '.bin' AS filename,
+         (16 + (id + j) % 9)::INT AS size,
+         md5(string_agg(printf('%02X', (id * 7 + j * 11 + t) % 256),
+                        '' ORDER BY t)) AS payload_hexmd5
+  FROM (SELECT id, j, unnest(range(0, 16 + (id + j) % 9)) AS t
+        FROM (SELECT id, unnest(range(0, id % 3)) AS j FROM ids))
+  GROUP BY id, j)
+SELECT h.*, a.attach_idx, a.filename, a.size, a.payload_hexmd5
+FROM heads h LEFT JOIN atts a USING (id)
+""",
         "kmeans_int8_clusters": __import__(
             "nifi_spark.datalib.cluster", fromlist=["kmeans_oracle_sql"]
         ).kmeans_oracle_sql(
