@@ -3928,6 +3928,35 @@ def q_kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def q_html_get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetHTMLElement analog (operators/html_ops.py, nifi-html-bundle;
+    reference Weather.html parity in tests/test_html_ops.py): CSS
+    selector over a tolerant stdlib-HTMLParser DOM, one row per match
+    with not-found routing — the link-extraction step of web-corpus
+    pipelines. HTML synthesized from formulas; the oracle regenerates
+    every href."""
+    from nifi_spark.operators.html_ops import get_html_element
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 8 == 5).orderBy("doc_id").limit(200) \
+        .select("doc_id")
+    k = 1 + F.col("doc_id") % 3
+    links = F.aggregate(
+        F.sequence(F.lit(0), (k - 1).cast("int")), F.lit(""),
+        lambda acc, j: F.concat(
+            acc, F.lit('<a id="L'), j.cast("string"), F.lit('" href="'),
+            F.lit("https://site"),
+            ((F.col("doc_id") * 7 + j) % 50).cast("string"),
+            F.lit("/p"), j.cast("string"), F.lit('">t'),
+            ((F.col("doc_id") + j) % 13).cast("string"), F.lit("</a>")))
+    html = F.concat(F.lit('<html><body><div class="links">'), links,
+                    F.lit("</div></body></html>"))
+    out = get_html_element(docs.withColumn("content", html), "content",
+                           "div.links > a", output="attr", attr="href",
+                           id_col="doc_id")
+    return out.select(F.col("id").alias("doc_id"), "relationship",
+                      "match_idx", F.col("value").alias("href"))
+
+
 def q_email_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExtractEmailHeaders + ExtractEmailAttachments analog
     (operators/email_ops.py, nifi-email-bundle): real stdlib-MIME
@@ -4335,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_int8_clusters": q_kmeans_int8_clusters,
         "curate_diversity_sample": q_curate_diversity_sample,
         "email_extract": q_email_extract,
+        "html_get_links": q_html_get_links,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5609,6 +5639,14 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "html_get_links": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 8 = 5 ORDER BY doc_id LIMIT 200)
+SELECT id AS doc_id, 'success' AS relationship, j::INT AS match_idx,
+       'https://site' || ((id * 7 + j) % 50) || '/p' || j AS href
+FROM (SELECT id, unnest(range(0, 1 + id % 3)) AS j FROM ids)
+""",
         "email_extract": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents
