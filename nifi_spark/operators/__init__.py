@@ -28,7 +28,7 @@ from nifi_spark.operators.content import (duplicate_flowfile,
                                           split_json_array, split_text,
                                           split_text_grouped,
                                           split_xml, validate_csv,
-                                          validate_xml)
+                                          validate_xml, merge_concat)
 from nifi_spark.operators.codec import (compress_content,
                                         convert_character_set,
                                         decode_content, decrypt_content,
@@ -56,6 +56,15 @@ from nifi_spark.operators.distribute import (distribute_load, enforce_order,
 from nifi_spark.operators.exec_command import (execute_process,
                                                 execute_stream_command)
 from nifi_spark.operators.rate import control_rate, monitor_activity
+
+from nifi_spark.operators.email_ops import (extract_email_attachments,
+                                             extract_email_headers,
+                                             synthesize_email)
+from nifi_spark.operators.enrich import geo_enrich_ip, query_dns
+from nifi_spark.operators.html_ops import (get_html_element,
+                                           modify_html_element,
+                                           put_html_element)
+from nifi_spark.operators.xml_split_depth import split_xml_depth
 
 __all__ = [
     "route_on_attribute", "route_on_content", "route_tag", "route_text",
@@ -86,4 +95,8 @@ __all__ = [
     "control_rate",
     "execute_process", "execute_stream_command",
     "monitor_activity",
+    "extract_email_attachments", "extract_email_headers",
+    "synthesize_email", "geo_enrich_ip", "query_dns",
+    "get_html_element", "modify_html_element", "put_html_element",
+    "split_xml_depth", "merge_concat",
 ]
