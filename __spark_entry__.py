@@ -3928,6 +3928,40 @@ def q_kmeans_int8_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    return docs.select(F.explode(toks).alias("tok"))
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream (datalib/sketch.py):
+    depth×width mergeable cells on the PORTABLE hash, so the oracle
+    reproduces the sketch itself bit-for-bit (not a tolerance band). One
+    hash-agg with map-side combine; partial sketches union by cell sum."""
+    from nifi_spark.datalib.sketch import count_min_sketch
+    return count_min_sketch(_doc_tokens(spark, sf_dir), "tok",
+                            width=512, depth=4)
+
+
+def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers over corpus tokens: bucket = top bits of
+    the portable 60-bit hash, register = max(rho) — max IS the HLL
+    merge, so partial aggregation is sketch union and the register
+    table replays exactly in SQL (estimate formula driver-side)."""
+    from nifi_spark.datalib.sketch import hll_registers
+    return hll_registers(_doc_tokens(spark, sf_dir), "tok", b=10)
+
+
+def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-15 corpus tokens (count desc, value asc) with a
+    per-partition pre-cut so the global rank window only ever sees
+    k-bounded survivors."""
+    from nifi_spark.datalib.sketch import heavy_hitters
+    return heavy_hitters(_doc_tokens(spark, sf_dir), "tok", k=15)
+
+
 def q_html_get_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetHTMLElement analog (operators/html_ops.py, nifi-html-bundle;
     reference Weather.html parity in tests/test_html_ops.py): CSS
@@ -4365,6 +4399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_diversity_sample": q_curate_diversity_sample,
         "email_extract": q_email_extract,
         "html_get_links": q_html_get_links,
+        "sketch_count_min": q_sketch_count_min,
+        "sketch_hll_registers": q_sketch_hll_registers,
+        "text_heavy_hitters": q_text_heavy_hitters,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
@@ -5639,6 +5676,44 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "sketch_count_min": """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cells AS (
+  SELECT d::INT AS row,
+         (('0x' || substr(md5('cm' || d || ':' || tok), 1, 15))::BIGINT
+          % 512)::INT AS bucket
+  FROM toks, (SELECT unnest(range(0, 4)) AS d))
+SELECT row, bucket, count(*)::BIGINT AS n FROM cells GROUP BY row, bucket
+""",
+        "sketch_hll_registers": """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+r AS (
+  SELECT (h // 1125899906842624)::INT AS bucket,        -- 2^50 (60-10)
+         CASE WHEN h % 1125899906842624 = 0 THEN 51
+              ELSE 50 - (length(printf('%b', h % 1125899906842624)) - 1)
+         END AS rho
+  FROM h)
+SELECT bucket, max(rho)::INT AS rho FROM r GROUP BY bucket
+""",
+        "text_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT tok AS value, count(*)::BIGINT AS n FROM toks GROUP BY tok)
+SELECT value, n, rank FROM (
+  SELECT value, n,
+         row_number() OVER (ORDER BY n DESC, value)::INT AS rank
+  FROM c)
+WHERE rank <= 15
+""",
         "html_get_links": """
 WITH ids AS (
   SELECT doc_id::BIGINT AS id FROM documents
