@@ -3935,6 +3935,25 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(F.explode(toks).alias("tok"))
 
 
+def q_dns_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryDNS analog (operators/enrich.py, reference found/not-found
+    routing) with a deterministic arithmetic resolver — the injectable-
+    transport pattern (invoke_http): PTR answers exist only for hosts
+    whose last octet isn't divisible by 4, so both the answer string and
+    the routing replay in SQL."""
+    from nifi_spark.operators.enrich import long_to_ip, query_dns
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(1500)
+    ipn = (F.col("event_id") * F.lit(48271)) % F.lit(4294967296)
+    facts = ev.select("event_id", long_to_ip(ipn).alias("ip"))
+
+    def resolver(name: str, rtype: str) -> list:
+        octet = int(name.rsplit(".", 1)[1])
+        return [f"host{octet}.rev"] if octet % 4 else []
+
+    out = query_dns(facts, "ip", resolver, record_type="PTR")
+    return out.select("event_id", "ip", "dns_answer", "relationship")
+
+
 def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over the corpus token stream (datalib/sketch.py):
     depth×width mergeable cells on the PORTABLE hash, so the oracle
@@ -4400,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_extract": q_email_extract,
         "html_get_links": q_html_get_links,
         "sketch_count_min": q_sketch_count_min,
+        "dns_enrich_route": q_dns_enrich_route,
         "sketch_hll_registers": q_sketch_hll_registers,
         "text_heavy_hitters": q_text_heavy_hitters,
         "bpe_encode_tokens": q_bpe_encode_tokens,
@@ -5676,6 +5696,19 @@ LIMIT 200
             + " FROM documents",
             n_features=1 + len(_PERCEPTRON_FEATURES),
             iters=_PERCEPTRON_ITERS),
+        "dns_enrich_route": """
+WITH ev AS (
+  SELECT event_id, (event_id * 48271) % 4294967296 AS ipn
+  FROM events ORDER BY event_id LIMIT 1500)
+SELECT event_id,
+       ((ipn // 16777216) % 256) || '.' || ((ipn // 65536) % 256) || '.'
+         || ((ipn // 256) % 256) || '.' || (ipn % 256) AS ip,
+       CASE WHEN ipn % 256 % 4 <> 0
+            THEN 'host' || (ipn % 256) || '.rev' END AS dns_answer,
+       CASE WHEN ipn % 256 % 4 <> 0 THEN 'found'
+            ELSE 'not found' END AS relationship
+FROM ev
+""",
         "sketch_count_min": """
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
