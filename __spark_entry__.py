@@ -3954,6 +3954,17 @@ def q_dns_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ip", "dns_answer", "relationship")
 
 
+def q_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width histogram over doc lengths
+    (datalib/sketch.py): the quantile sketch for known-range telemetry
+    columns — one hash-agg, union = cell sum; bin arithmetic is the
+    same IEEE double expression on both engines (hi-lo divides the
+    scaled value exactly here), so the table replays bit-for-bit."""
+    from nifi_spark.datalib.sketch import histogram_sketch
+    docs = _t(spark, sf_dir, "documents")
+    return histogram_sketch(docs, "n_chars", lo=0, hi=8192, bins=256)
+
+
 def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over the corpus token stream (datalib/sketch.py):
     depth×width mergeable cells on the PORTABLE hash, so the oracle
@@ -4419,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_extract": q_email_extract,
         "html_get_links": q_html_get_links,
         "sketch_count_min": q_sketch_count_min,
+        "sketch_histogram": q_sketch_histogram,
         "dns_enrich_route": q_dns_enrich_route,
         "sketch_hll_registers": q_sketch_hll_registers,
         "text_heavy_hitters": q_text_heavy_hitters,
@@ -5708,6 +5720,15 @@ SELECT event_id,
        CASE WHEN ipn % 256 % 4 <> 0 THEN 'found'
             ELSE 'not found' END AS relationship
 FROM ev
+""",
+        "sketch_histogram": """
+SELECT bin, count(*)::BIGINT AS n FROM (
+  SELECT CASE WHEN n_chars < 0 THEN -1
+              WHEN n_chars >= 8192 THEN 256
+              ELSE floor((n_chars::DOUBLE - 0) * 256 / 8192.0) END::INT
+         AS bin
+  FROM documents)
+GROUP BY bin
 """,
         "sketch_count_min": """
 WITH toks AS (

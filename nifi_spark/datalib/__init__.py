@@ -13,7 +13,8 @@ Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 
 from nifi_spark.datalib.cluster import kmeans_int8, kmeans_oracle_sql
 from nifi_spark.datalib.sketch import (cm_estimate, count_min_sketch,
-                                       heavy_hitters, hll_estimate,
+                                       heavy_hitters, histogram_quantile,
+                                       histogram_sketch, hll_estimate,
                                        hll_registers)
 from nifi_spark.datalib.graph import pagerank, pagerank_oracle_sql
 from nifi_spark.datalib.warc import (build_warc, parse_warc, split_warc,
@@ -63,5 +64,6 @@ __all__ = ["contaminated_spans",
            "url_dedup", "train_perceptron", "pagerank",
            "pagerank_oracle_sql", "kmeans_int8", "kmeans_oracle_sql",
            "count_min_sketch", "cm_estimate", "hll_registers",
-           "hll_estimate", "heavy_hitters", "build_warc", "parse_warc", "split_warc",
+           "hll_estimate", "heavy_hitters", "histogram_sketch",
+           "histogram_quantile", "build_warc", "parse_warc", "split_warc",
            "synthesize_warc", "wet_documents"]

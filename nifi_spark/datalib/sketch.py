@@ -105,3 +105,46 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10) -> DataFrame:
         .where(F.col("_r") <= k).drop("_p", "_r"))
     return (pre.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def histogram_sketch(df: DataFrame, col: str, lo: float, hi: float,
+                     bins: int = 256) -> DataFrame:
+    """(bin, n): fixed-width histogram over [lo, hi) with underflow bin
+    -1 and overflow bin `bins` — the mergeable quantile sketch for
+    telemetry columns with a known range (doc lengths, token counts,
+    scores). One hash-agg; union = cell sum. Bin edges are exact integer
+    arithmetic over the scaled value so the table replays in SQL."""
+    if hi <= lo or bins <= 0:
+        raise ValueError("need hi > lo and bins > 0")
+    v = F.col(col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * bins / F.lit(float(hi - lo)))
+    b = (F.when(v < lo, F.lit(-1))
+         .when(v >= hi, F.lit(bins))
+         .otherwise(raw)).cast("int")
+    return (df.select(b.alias("bin"))
+            .groupBy("bin").agg(F.count("*").cast("long").alias("n")))
+
+
+def histogram_quantile(rows: list, q: float, lo: float, hi: float,
+                       bins: int = 256) -> float:
+    """Driver-side quantile estimate from collected histogram rows:
+    linear interpolation within the bin containing the q-th row.
+    Underflow/overflow bins clamp to lo/hi."""
+    counts = {r["bin"]: r["n"] for r in rows}
+    total = sum(counts.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    target = q * total
+    acc = 0
+    width = (hi - lo) / bins
+    for b in sorted(counts):
+        n = counts[b]
+        if acc + n >= target:
+            if b < 0:
+                return lo
+            if b >= bins:
+                return hi
+            frac = (target - acc) / n if n else 0.0
+            return lo + (b + frac) * width
+        acc += n
+    return hi

@@ -75,3 +75,34 @@ def test_heavy_hitters_exact(spark):
            for r in sorted(heavy_hitters(df.repartition(5), "v", k=3)
                            .collect(), key=lambda r: r["rank"])]
     assert got == [("a", 9, 1), ("b", 7, 2), ("c", 7, 3)]  # tie: b < c
+
+
+def test_histogram_sketch_and_quantile(spark):
+    import numpy as np
+    from nifi_spark.datalib.sketch import (histogram_quantile,
+                                           histogram_sketch)
+    rng = np.random.default_rng(8)
+    vals = rng.uniform(0, 1000, 20_000)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    rows = histogram_sketch(df, "v", lo=0, hi=1000, bins=200).collect()
+    rows2 = histogram_sketch(df.repartition(9), "v", lo=0, hi=1000,
+                             bins=200).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    assert sum(r["n"] for r in rows) == 20_000
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = histogram_quantile(rows, q, lo=0, hi=1000, bins=200)
+        true = float(np.quantile(vals, q))
+        assert abs(est - true) <= 1000 / 200 + 1e-6  # within one bin
+
+
+def test_histogram_overflow_bins(spark):
+    from nifi_spark.datalib.sketch import histogram_quantile, histogram_sketch
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [-5.0, 0.0, 5.0, 9.99, 10.0, 50.0]}))
+    rows = {r["bin"]: r["n"]
+            for r in histogram_sketch(df, "v", 0, 10, bins=10).collect()}
+    assert rows[-1] == 1 and rows[10] == 2     # under/overflow captured
+    assert histogram_quantile(
+        [{"bin": -1, "n": 4}], 0.5, 0, 10, bins=10) == 0
+    with pytest.raises(ValueError):
+        histogram_sketch(df, "v", 10, 0)
