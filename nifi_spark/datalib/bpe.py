@@ -33,11 +33,21 @@ SEP = "·"  # '·' — must not occur in the corpus alphabet
 
 def _wrapped_words(text_col: str) -> Column:
     """words -> one wrapped symbol-sequence string per word:
-    'ab' -> '·a··b·'."""
+    'ab' -> '·a··b·'.
+
+    The SEP contract ("must not occur in the corpus alphabet") is enforced
+    IN-PLAN: a word containing U+00B7 throws (ANSI assert_true) instead of
+    silently corrupting pair counts — one substring scan per word, same
+    cost class as the split beside it."""
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                      lambda t: t != "")
-    wrap = lambda w: F.concat(  # noqa: E731
-        F.lit(SEP), F.array_join(F.split(w, ""), SEP + SEP), F.lit(SEP))
+    wrap = lambda w: F.when(  # noqa: E731
+        F.assert_true(~w.contains(SEP),
+                      F.concat(F.lit("bpe: corpus word contains the "
+                                     "SEP delimiter '" + SEP + "': "), w)
+                      ).isNull(),
+        F.concat(F.lit(SEP), F.array_join(F.split(w, ""), SEP + SEP),
+                 F.lit(SEP)))
     return F.transform(words, wrap)
 
 
@@ -54,36 +64,62 @@ def _unwrap_tokens(col: Column) -> Column:
 
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
-    """seqs(seq string) -> (x, y, n) adjacent-pair counts."""
+    """seqs(seq string, cnt long) -> (x, y, n) adjacent-pair counts,
+    weighted by cnt (the word-form frequency): a pair occurring inside a
+    word form that appears cnt times in the corpus contributes cnt — the
+    exact same totals as counting over the exploded corpus."""
     toks = _unwrap_tokens(F.col("seq"))
-    return (seqs.select(toks.alias("toks"))
+    return (seqs.select(toks.alias("toks"), "cnt")
             .where(F.size("toks") >= 2)
             .select(F.explode(F.expr(
                 "transform(slice(toks, 1, size(toks) - 1), "
-                "(t, i) -> struct(t AS x, toks[i + 1] AS y))")).alias("p"))
+                "(t, i) -> struct(t AS x, toks[i + 1] AS y))")).alias("p"),
+                "cnt")
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
-            .agg(F.count("*").cast("long").alias("n")))
+            .agg(F.sum("cnt").cast("long").alias("n")))
 
 
-def bpe_train(docs: DataFrame, text_col: str, n_merges: int
-              ) -> list[tuple[str, str, int]]:
+def bpe_train(docs: DataFrame, text_col: str, n_merges: int,
+              checkpoint_every: int = 16) -> list[tuple[str, str, int]]:
     """Learn `n_merges` BPE merges over the corpus. Returns
     [(x, y, count)] in merge order. Winner per round = max count, ties by
-    lexicographic (x, y) — fully deterministic."""
-    words = docs.select(F.explode(_wrapped_words(text_col)).alias("seq"))
-    words = words.localCheckpoint()  # pay the explode once, flat lineage
+    lexicographic (x, y) — fully deterministic.
 
-    merges: list[tuple[str, str]] = []
+    Scale shape (the Sennrich form): the corpus collapses to DISTINCT
+    word forms with counts up front — one hash-agg; distinct forms are
+    typically ~10^3x smaller than the corpus — and every later round
+    counts pairs over the (form, cnt) table with cnt-weighted sums, so
+    per-round work is O(distinct forms), independent of corpus size.
+    Merges apply INCREMENTALLY: only the merges learned since the last
+    checkpoint are replayed onto the checkpointed column (a full-chain
+    replay from raw words would be O(M^2) replaces over M rounds), and
+    the column re-checkpoints every `checkpoint_every` rounds to bound
+    plan depth. Results are bit-identical to the exploded-corpus form:
+    replace() is corpus-wide per merge in both shapes."""
+    words = (docs.select(F.explode(_wrapped_words(text_col)).alias("seq"))
+             .groupBy("seq")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    words = words.localCheckpoint()  # pay the explode+agg once
+
+    pending: list[tuple[str, str]] = []  # merges newer than the checkpoint
     out: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        seqs = words.select(_apply_merges(F.col("seq"), merges).alias("seq"))
+        seqs = words.select(
+            _apply_merges(F.col("seq"), pending).alias("seq"), "cnt")
         top = (_pair_counts(seqs)
                .orderBy(F.col("n").desc(), "x", "y").limit(1).collect())
         if not top:
             break
         r = top[0]
-        merges.append((r["x"], r["y"]))
+        pending.append((r["x"], r["y"]))
         out.append((r["x"], r["y"], int(r["n"])))
+        if len(pending) >= checkpoint_every:
+            # distinct char sequences stay distinct under the (pure
+            # function) merge chain, so no re-grouping is needed
+            words = words.select(
+                _apply_merges(F.col("seq"), pending).alias("seq"),
+                "cnt").localCheckpoint()
+            pending = []
     return out
 
 

@@ -49,6 +49,10 @@ def kmeans_int8(df: DataFrame, id_col: str, vec_col: str, k: int,
     q = q.localCheckpoint()  # quantize once; iterations re-scan this
 
     seeds = q.orderBy(id_col).limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_int8: need at least k={k} input vectors, "
+            f"got {len(seeds)}")
     cents: list[list[int]] = [list(r["qvec"]) for r in seeds]
 
     assigned = None

@@ -112,8 +112,12 @@ def histogram_sketch(df: DataFrame, col: str, lo: float, hi: float,
     """(bin, n): fixed-width histogram over [lo, hi) with underflow bin
     -1 and overflow bin `bins` — the mergeable quantile sketch for
     telemetry columns with a known range (doc lengths, token counts,
-    scores). One hash-agg; union = cell sum. Bin edges are exact integer
-    arithmetic over the scaled value so the table replays in SQL."""
+    scores). One hash-agg; union = cell sum. Binning is IEEE double
+    arithmetic — floor((v - lo) * bins / (hi - lo)) — evaluated in the
+    SAME expression order by the SQL twin, so cross-engine replay relies
+    on identical double rounding (both engines are IEEE-754), not on
+    integer exactness; a value just below `hi` can legitimately round
+    into the overflow bin on both sides."""
     if hi <= lo or bins <= 0:
         raise ValueError("need hi > lo and bins > 0")
     v = F.col(col).cast("double")

@@ -212,11 +212,21 @@ def wet_documents(df: DataFrame, content_col: str = "payload",
     """CommonCrawl WET ingest: conversion records only, shaped like the
     ``documents`` table (doc_id, url, text) so every downstream datalib
     operator (dedup/quality/lang-id/scrub) composes directly. doc_id packs
-    (archive id, record index) into one BIGINT — collision-free and
-    reproducible in SQL as ``id * 1000 + rec_idx``."""
+    (archive id, record index) into one BIGINT — reproducible in SQL as
+    ``id * 1000 + rec_idx``, and collision-free only while archives hold
+    < 1000 records, so that bound is enforced IN-PLAN (ANSI assert_true):
+    a >=1000-record archive throws instead of silently colliding."""
     recs = split_warc(df, content_col, id_col)
+    doc_id = F.when(
+        F.assert_true(
+            F.col("rec_idx") < 1000,
+            F.concat(F.lit("wet_documents: archive "),
+                     F.col("id").cast("string"),
+                     F.lit(" has >= 1000 records — doc_id packing would "
+                           "collide"))).isNull(),
+        F.col("id") * 1000 + F.col("rec_idx"))
     return (recs.where(F.col("rec_type") == "conversion")
-            .select((F.col("id") * 1000 + F.col("rec_idx")).alias("doc_id"),
+            .select(doc_id.alias("doc_id"),
                     F.col("target_uri").alias("url"),
                     F.col("text")))
 

@@ -27,10 +27,17 @@ def nifi_replacement(search: str, replacement: str) -> str:
     """NiFi's replacement-string normalization (ReplaceText.java:275-305,
     634-640), reproduced exactly so golden-file outputs match:
 
-    1. escapeLiteralBackReferences — each ``$N`` whose index (after
-       repeatedly truncating a >=10 index by /10, Java Matcher's greedy
-       group-number parse) exceeds the search pattern's capture-group
-       count gets a ``\\`` prefix, becoming a literal.
+    1. escapeLiteralBackReferences — with ZERO capture groups in the
+       search pattern the reference returns the input untouched
+       (ReplaceText.java:276-278; a ``$N`` then throws at replace time
+       and routes to failure — here the Spark task errors, the same
+       contract). Otherwise each ``$N`` whose index (after repeatedly
+       truncating a >=10 index by /10, Java Matcher's greedy group-number
+       parse) exceeds the capture-group count gets a ``\\`` prefix.
+       The reference computes insertion offsets on the PRE-insertion
+       string (its Matcher keeps walking the original), so when two or
+       more backrefs escape, the kth backslash lands k-1 characters
+       early — mirrored here verbatim, quirk and all.
     2. normalizeReplacementString — if the result still contains ``$``
        followed by a NON-digit, the WHOLE string is quoted
        (Matcher.quoteReplacement): every ``\\`` and ``$`` literal.
@@ -39,19 +46,20 @@ def nifi_replacement(search: str, replacement: str) -> str:
     so the normalized string drops straight in."""
     import re as _re
     groups = _re.compile(search).groups
-    out, i = [], 0
-    for m in _re.finditer(r"\$(\d+)", replacement):
-        num = m.group(1)
-        if num.startswith("0"):
-            continue
-        n = int(num)
-        while n > groups and n >= 10:
-            n //= 10
-        if n > groups:
-            out += [replacement[i:m.start()], "\\", replacement[m.start():m.end()]]
-            i = m.end()
-    out.append(replacement[i:])
-    value = "".join(out)
+    value = replacement
+    if groups > 0:
+        positions = []
+        for m in _re.finditer(r"\$(\d+)", replacement):
+            num = m.group(1)
+            if num.startswith("0"):
+                continue
+            n = int(num)
+            while n > groups and n >= 10:
+                n //= 10
+            if n > groups:
+                positions.append(m.start(1))  # first digit; '$' is at p-1
+        for p in positions:  # stale offsets, exactly like the reference
+            value = value[:p - 1] + "\\" + value[p - 1:]
     if _re.search(r"\$\D", value):
         value = value.replace("\\", "\\\\").replace("$", "\\$")
     return value
