@@ -139,6 +139,35 @@ def q_cdc_rebucket_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sha2(F.col("content"), 256).alias("content_sha"))
 
 
+def q_cdc_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read mode (storage.merge strategy='delta' + compact()):
+    apply two batches as per-bucket delta appends (bytes-written ∝
+    change set — no base bucket is read or rewritten), compact
+    mid-stream, apply the final batch as deltas on the compacted base —
+    the final read-time-LWW table must equal the plain replay exactly,
+    proving COW/MOR read-equivalence AND compaction invisibility."""
+    from nifi_spark.ledger import OffsetLedger
+    from nifi_spark.pipeline import CdcPipeline
+    from nifi_spark.storage import SnapshotTableStore
+
+    work = tempfile.mkdtemp(prefix="cdc_mor_")
+    log_path = os.path.join(work, "changelog")
+    _events_as_changelog(_t(spark, sf_dir, "events")).write.parquet(log_path)
+    store = SnapshotTableStore(os.path.join(work, "table"), n_buckets=8)
+    store.init()
+    pipe = CdcPipeline(spark, log_path, store,
+                       OffsetLedger(os.path.join(work, "ledger")),
+                       merge_strategy="delta")
+    max_lsn = _t(spark, sf_dir, "events").agg(F.max("event_id")).first()[0]
+    pipe.run([max_lsn // 3, 2 * max_lsn // 3])
+    store.compact(spark)
+    pipe.run([max_lsn])
+    final = store.read(spark, with_lsn=True)
+    return final.select("repo", "path", "commit", "lang", "content",
+                        F.col("_last_lsn").alias("last_lsn"),
+                        F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
 def q_stream_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING front-end of the engine: the same changelog lands
     as multiple parquet files, readStream + foreachBatch drives the
@@ -4458,6 +4487,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_sequences": q_curate_pack_sequences,
         "duplicate_flowfile": q_duplicate_flowfile,
         "cdc_rebucket_maintenance": q_cdc_rebucket_maintenance,
+        "cdc_merge_on_read": q_cdc_merge_on_read,
         "invoke_http_route": q_invoke_http,
         "text_chunking": q_text_chunking,
         "text_html_extract": q_html_to_text,
@@ -4516,6 +4546,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pipeline_e2e": _CDC_FINAL_ORACLE,
         "stream_cdc_e2e": _CDC_FINAL_ORACLE,
         "cdc_rebucket_maintenance": _CDC_FINAL_ORACLE,
+        "cdc_merge_on_read": _CDC_FINAL_ORACLE,
         "lineage_batch_rows": """
 WITH mx AS (SELECT max(event_id) AS m FROM events),
 tagged AS (

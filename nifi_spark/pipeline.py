@@ -84,6 +84,11 @@ class CdcPipeline:
     # ProcessSession.java:316). Like NiFi's failure relationship the
     # quarantine write is at-least-once: a crash-replayed batch re-appends
     # its poison rows; readers dedup on (lsn) if they need exactly-once.
+    merge_strategy: str = "argmax"  # SnapshotTableStore.merge strategy:
+    # 'argmax' (COW, shuffle-narrow) | 'maxby' (COW, wide agg) | 'delta'
+    # (merge-on-read: per-bucket delta appends, bytes-written ∝ change
+    # set — the steady-state small-batch shape; run store.compact()
+    # periodically to restore the zero-agg read path)
     dedup_deliveries: bool = True  # at-least-once feeds can re-deliver the
     # same (key, lsn) inside one batch; the merge's 1:1 winner join
     # requires (key,lsn)-unique changes, so dedup the SLICE here (a
@@ -215,6 +220,7 @@ class CdcPipeline:
         if self.provenance:
             self.provenance.emit(changes, "JOIN", batch_id, "compact")
         res = self.store.merge(self.spark, changes,
+                               strategy=self.merge_strategy,
                                assume_all_dirty=self.bulk_mode)
         if res["dirty_buckets"] and self.provenance:
             self.provenance.emit_counts(self.spark, "SEND", batch_id, "merge",

@@ -142,7 +142,8 @@ class SnapshotTableStore:
         self._commit(m)
 
     # ---------------- read ----------------
-    def _normalize(self, df: DataFrame, file_schema: list, cur: list) -> DataFrame:
+    def _normalize(self, df: DataFrame, file_schema: list, cur: list,
+                   extra: tuple[str, ...] = ("_last_lsn",)) -> DataFrame:
         """Map a file written under an older schema onto the current one.
 
         Positions are stable field ids (adds append, renames keep position),
@@ -154,7 +155,7 @@ class SnapshotTableStore:
                 sel.append(F.col(file_schema[i][0]).alias(name))
             else:
                 sel.append(F.lit(None).cast(dtype).alias(name))
-        sel.append(F.col("_last_lsn"))
+        sel.extend(F.col(e) for e in extra)
         return df.select(*sel)
 
     def read(self, spark: SparkSession, buckets: list[int] | None = None,
@@ -164,7 +165,14 @@ class SnapshotTableStore:
         readable directly — the Iceberg snapshot-read analog; NiFi's
         closest ancestor is provenance-journal archival,
         PersistentProvenanceRepository.java:156-175). Raises
-        FileNotFoundError for versions dropped by expire_snapshots."""
+        FileNotFoundError for versions dropped by expire_snapshots.
+
+        Buckets carrying merge-on-read deltas (strategy='delta' merges)
+        are folded here: base ∪ delta rows reduce with LWW by
+        (lsn, base<delta) and delete tombstones drop — one extra
+        hash-agg, only over the delta-carrying buckets (the classic MOR
+        read cost; `compact()` restores the zero-agg fast path). Tables
+        with no deltas take the COW fast path unchanged."""
         m = self._load_manifest(version)
         cur = self.schema_columns(m)
         cols = [n for n, _ in cur] + (["_last_lsn"] if with_lsn else [])
@@ -172,15 +180,55 @@ class SnapshotTableStore:
         if buckets is not None:
             entries = {str(b): entries[str(b)] for b in buckets if str(b) in entries}
         # group bucket paths by schema_id → one multi-path scan per group
-        by_sid: dict[str, list[str]] = {}
-        for e in entries.values():
+        delta_by_sid: dict[str, list[str]] = {}
+        delta_buckets: set[str] = set()
+        for b, e in entries.items():
+            if e.get("deltas"):
+                delta_buckets.add(b)
+                for d in e["deltas"]:
+                    delta_by_sid.setdefault(str(d["schema_id"]), []).append(
+                        os.path.join(self.root, d["path"]))
+        # base files of delta-carrying buckets enter the fold; clean
+        # buckets bypass the agg entirely
+        base_clean: dict[str, list[str]] = {}
+        base_delta: dict[str, list[str]] = {}
+        for b, e in entries.items():
             if e.get("path"):
-                by_sid.setdefault(str(e["schema_id"]), []).append(
+                tgt = base_delta if b in delta_buckets else base_clean
+                tgt.setdefault(str(e["schema_id"]), []).append(
                     os.path.join(self.root, e["path"]))
         parts = []
-        for sid, paths in by_sid.items():
+        for sid, paths in base_clean.items():
             df = spark.read.parquet(*paths)
             parts.append(self._normalize(df, m["schemas"][sid], cur))
+        if delta_by_sid:
+            names = [n for n, _ in cur]
+            fold_in = None
+            for sid, paths in base_delta.items():
+                p = (self._normalize(spark.read.parquet(*paths),
+                                     m["schemas"][sid], cur)
+                     .withColumn("op", F.lit("upsert"))
+                     .withColumn("_src", F.lit(0)))
+                fold_in = p if fold_in is None else fold_in.unionByName(p)
+            for sid, paths in delta_by_sid.items():
+                p = (self._normalize(spark.read.parquet(*paths),
+                                     m["schemas"][sid], cur,
+                                     extra=("_last_lsn", "op"))
+                     .withColumn("_src", F.lit(1)))
+                fold_in = p if fold_in is None else fold_in.unionByName(p)
+            # LWW fold: one hash-agg (map-side combine ⇒ skew-safe);
+            # ties (crash-replayed delta == compacted base, identical
+            # payload by contract) resolve to the delta copy via _src,
+            # mirroring the COW merge's (lsn, _src) rule.
+            row = F.struct(*[F.col(c) for c in names], F.col("op"))
+            folded = (fold_in.groupBy(*KEY)
+                      .agg(F.max_by(row, F.struct("_last_lsn", "_src"))
+                            .alias("w"),
+                           F.max(F.col("_last_lsn")).alias("_last_lsn"))
+                      .filter(F.col("w.op") != "delete")
+                      .select(*[F.col(f"w.{c}").alias(c) for c in names],
+                              "_last_lsn"))
+            parts.append(folded)
         if not parts:
             fields = ", ".join(f"`{n}` {t}" for n, t in cur) + ", `_last_lsn` long"
             empty = spark.createDataFrame([], schema=fields)
@@ -223,6 +271,8 @@ class SnapshotTableStore:
                 if e.get("path"):
                     # bucket path = versions/vNNNNNN/bucket=k
                     live_dirs.add(e["path"].split(os.sep)[1])
+                for d in e.get("deltas", []):
+                    live_dirs.add(d["path"].split(os.sep)[1])
         removed_manifests, removed_dirs = [], []
         for v in vs:
             if v not in keep:
@@ -299,6 +349,15 @@ class SnapshotTableStore:
           count job needed.
         * 'maxby' — single wide hash-agg `max_by(full_row, lsn)`;
           simplest plan, shuffles full-width partial aggregates.
+        * 'delta' — merge-on-read: the batch (within-batch LWW
+          compacted, delete tombstones KEPT) appends as per-bucket
+          delta files; no base bucket is read or rewritten, so
+          bytes-written ∝ change set, not table size — the scale-safe
+          shape for steady-state small batches over wide key
+          distributions, where copy-on-write's per-batch bucket rewrite
+          amplifies writes by table_size/batch_size. read() folds
+          base ∪ deltas with the same (lsn, _src) LWW rule;
+          `compact()` folds deltas back into base files.
 
         Replay ties: a replayed batch (crash between table commit and
         ledger write) re-delivers changes whose lsn equals the stored
@@ -338,6 +397,9 @@ class SnapshotTableStore:
                            chg.select("bucket").distinct().collect())
         if not dirty:
             return {"dirty_buckets": [], "rows_written": 0, "version": m["version"]}
+
+        if strategy == "delta":
+            return self._merge_delta(spark, chg, dirty, m)
 
         current = (self.read(spark, buckets=dirty, with_lsn=True)
                    .withColumn("op", F.lit("upsert"))
@@ -406,6 +468,84 @@ class SnapshotTableStore:
         m["committed_at"] = time.time()
         self._commit(m)
         return {"dirty_buckets": dirty, "rows_written": -1, "version": new_version}
+
+    def _merge_delta(self, spark: SparkSession, chg: DataFrame,
+                     dirty: list[int], m: dict) -> dict:
+        """Merge-on-read append: within-batch LWW compaction (one
+        batch-sized hash-agg — multiple ops per key in the batch reduce
+        to the latest; delete tombstones survive as rows, read-time LWW
+        needs them), then one delta file per dirty bucket. The base
+        table is neither read nor rewritten."""
+        cur = self.schema_columns(m)
+        names = [n for n, _ in cur]
+        row = F.struct(*[F.col(c) for c in names], F.col("op"),
+                       F.col("bucket"))
+        compacted = (chg.groupBy(*KEY)
+                     .agg(F.max_by(row, F.col("lsn")).alias("w"),
+                          F.max("lsn").alias("_last_lsn"))
+                     .select(*[F.col(f"w.{c}").alias(c) for c in names],
+                             F.col("w.op").alias("op"),
+                             F.col("w.bucket").alias("bucket"),
+                             "_last_lsn"))
+        new_version = m["version"] + 1
+        rel = os.path.join("versions", f"v{new_version:06d}")
+        out_dir = os.path.join(self.root, rel)
+        (compacted.repartition(len(dirty), "bucket")
+                  .write.partitionBy("bucket").mode("overwrite")
+                  .parquet(out_dir))
+        written = {int(d.split("=")[1]) for d in os.listdir(out_dir)
+                   if d.startswith("bucket=")}
+        sid = m["current_schema_id"]
+        for b in sorted(written):
+            e = m["buckets"].setdefault(str(b),
+                                        {"path": None, "schema_id": sid})
+            e.setdefault("deltas", []).append(
+                {"path": os.path.join(rel, f"bucket={b}"),
+                 "schema_id": sid})
+        m["version"] = new_version
+        m["committed_at"] = time.time()
+        self._commit(m)
+        return {"dirty_buckets": dirty, "rows_written": -1,
+                "version": new_version, "mode": "delta"}
+
+    def compact(self, spark: SparkSession,
+                buckets: list[int] | None = None) -> dict:
+        """Fold merge-on-read deltas back into base files (the Iceberg
+        rewrite-data-files analog for MOR tables). Only delta-carrying
+        buckets are touched; results are invisible to readers — read()
+        returns the identical table before and after (the rebucket
+        invisibility contract). Commits a new snapshot; old versions
+        stay time-travel-readable."""
+        m = self._load_manifest()
+        nb = m["n_buckets"]
+        want = None if buckets is None else {int(b) for b in buckets}
+        target = sorted(int(b) for b, e in m["buckets"].items()
+                        if e.get("deltas")
+                        and (want is None or int(b) in want))
+        if not target:
+            return {"compacted_buckets": [], "version": m["version"]}
+        folded = (self.read(spark, buckets=target, with_lsn=True)
+                  .withColumn("bucket", bucket_expr(nb)))
+        new_version = m["version"] + 1
+        rel = os.path.join("versions", f"v{new_version:06d}")
+        out_dir = os.path.join(self.root, rel)
+        (folded.repartition(len(target), "bucket")
+               .write.partitionBy("bucket").mode("overwrite")
+               .parquet(out_dir))
+        written = {int(d.split("=")[1]) for d in os.listdir(out_dir)
+                   if d.startswith("bucket=")}
+        sid = m["current_schema_id"]
+        for b in target:
+            if b in written:
+                m["buckets"][str(b)] = {
+                    "path": os.path.join(rel, f"bucket={b}"),
+                    "schema_id": sid}
+            else:  # every row in the bucket was tombstoned away
+                m["buckets"].pop(str(b), None)
+        m["version"] = new_version
+        m["committed_at"] = time.time()
+        self._commit(m)
+        return {"compacted_buckets": target, "version": new_version}
 
 
 class IcebergTableAdapter:
