@@ -3983,6 +3983,78 @@ def q_dns_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ip", "dns_answer", "relationship")
 
 
+def q_convert_json_to_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConvertJSONToSQL (operators/json_sql.py — reference generateInsert/
+    generateUpdate, typed sql.args.N attributes, unmatched-field ignore,
+    absent-vs-null field distinction, normalized-name WHERE quirk): JSON
+    records derive arithmetically from events — every third record omits
+    'score' (absent field → column skipped), every fifth carries an
+    unmapped 'extra' (ignored) — even ids generate INSERTs, odd ids
+    UPDATEs keyed on user_id; the full statement TEXT and the positional
+    arg values/types replay in SQL."""
+    from nifi_spark.operators.json_sql import convert_json_to_sql
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(2000)
+    js = F.concat(
+        F.lit('{"user_id": '), F.col("user_id").cast("string"),
+        F.lit(', "event_type": "'), F.col("event_type"), F.lit('"'),
+        F.when(F.col("event_id") % 3 != 0,
+               F.concat(F.lit(', "score": '),
+                        (F.col("event_id") * 17 % 1000).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(F.col("event_id") % 5 == 0,
+               F.lit(', "extra": "x"')).otherwise(F.lit("")),
+        F.lit("}"))
+    recs = ev.select("event_id", js.alias("js"))
+    cols = [("user_id", "bigint"), ("event_type", "string"),
+            ("score", "bigint")]
+    ins = convert_json_to_sql(
+        recs.where(F.col("event_id") % 2 == 0), "js", "users", cols,
+        id_cols=["event_id"], statement_type="INSERT")
+    upd = convert_json_to_sql(
+        recs.where(F.col("event_id") % 2 == 1), "js", "users", cols,
+        id_cols=["event_id"], statement_type="UPDATE",
+        update_keys=["user_id"])
+    out = ins.unionByName(upd)
+    a = F.col("sql_attrs")
+    return out.select(
+        "event_id", "relationship", "sql",
+        a["sql.args.1.type"].alias("t1"), a["sql.args.1.value"].alias("v1"),
+        a["sql.args.2.type"].alias("t2"), a["sql.args.2.value"].alias("v2"),
+        a["sql.args.3.type"].alias("t3"), a["sql.args.3.value"].alias("v3"))
+
+
+def q_whois_enrich_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryWhois analog (operators/enrich.py, reference bulk Begin/End
+    dialect + batch response parser + found/not-found routing,
+    QueryWhois.java:208-310) with a deterministic arithmetic whois
+    server: pipe-delimited records exist only for ids not divisible by
+    5, so the parsed attributes and the routing replay in SQL."""
+    from nifi_spark.operators.enrich import query_whois
+    ev = _t(spark, sf_dir, "events").orderBy("event_id").limit(1500)
+    facts = ev.select("event_id",
+                      F.col("event_id").cast("string").alias("qval"))
+
+    def lookup(q: str) -> str:
+        lines = []
+        for ln in q.splitlines():
+            ln = ln.strip()
+            if not ln or ln.startswith("begin") or ln == "end":
+                continue
+            i = int(ln)
+            if i % 5:
+                lines.append(f"AS{(i * 7) % 97} | {i} | peer-{i % 13}")
+        return "\n".join(lines)
+
+    out = query_whois(facts, "qval", lookup, bulk="begin_end",
+                      query_type="origin", parser="split",
+                      parser_input=r"\s*\|\s*", key_group=2)
+    a = F.col("whois_attrs")
+    return out.select(
+        "event_id", "relationship",
+        a["enrich.whois.record0.group0"].alias("asn"),
+        a["enrich.whois.record0.group2"].alias("peer"))
+
+
 def q_sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-width histogram over doc lengths
     (datalib/sketch.py): the quantile sketch for known-range telemetry
@@ -4511,6 +4583,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_count_min": q_sketch_count_min,
         "sketch_histogram": q_sketch_histogram,
         "dns_enrich_route": q_dns_enrich_route,
+        "whois_enrich_route": q_whois_enrich_route,
+        "convert_json_to_sql": q_convert_json_to_sql,
         "sketch_hll_registers": q_sketch_hll_registers,
         "text_heavy_hitters": q_text_heavy_hitters,
         "bpe_encode_tokens": q_bpe_encode_tokens,
@@ -5799,6 +5873,48 @@ SELECT event_id,
             THEN 'host' || (ipn % 256) || '.rev' END AS dns_answer,
        CASE WHEN ipn % 256 % 4 <> 0 THEN 'found'
             ELSE 'not found' END AS relationship
+FROM ev
+""",
+        "convert_json_to_sql": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         event_id % 3 <> 0 AS has_score,
+         (event_id * 17) % 1000 AS score
+  FROM events ORDER BY event_id LIMIT 2000)
+SELECT event_id, 'sql' AS relationship,
+  CASE WHEN event_id % 2 = 0 THEN
+    'INSERT INTO users (user_id, event_type'
+      || CASE WHEN has_score THEN ', score' ELSE '' END
+      || ') VALUES (?, ?' || CASE WHEN has_score THEN ', ?' ELSE '' END
+      || ')'
+  ELSE
+    'UPDATE users SET event_type = ?'
+      || CASE WHEN has_score THEN ', score = ?' ELSE '' END
+      || ' WHERE USERID = ?'
+  END AS sql,
+  CASE WHEN event_id % 2 = 0 THEN '-5' ELSE '12' END AS t1,
+  CASE WHEN event_id % 2 = 0 THEN user_id::VARCHAR
+       ELSE event_type END AS v1,
+  CASE WHEN event_id % 2 = 0 THEN '12' ELSE '-5' END AS t2,
+  CASE WHEN event_id % 2 = 0 THEN event_type
+       WHEN has_score THEN score::VARCHAR
+       ELSE user_id::VARCHAR END AS v2,
+  CASE WHEN event_id % 2 = 0 AND has_score THEN '-5'
+       WHEN event_id % 2 = 1 AND has_score THEN '-5' END AS t3,
+  CASE WHEN event_id % 2 = 0 AND has_score THEN score::VARCHAR
+       WHEN event_id % 2 = 1 AND has_score THEN user_id::VARCHAR
+       END AS v3
+FROM ev
+""",
+        "whois_enrich_route": """
+WITH ev AS (SELECT event_id FROM events ORDER BY event_id LIMIT 1500)
+SELECT event_id,
+       CASE WHEN event_id % 5 <> 0 THEN 'found'
+            ELSE 'not found' END AS relationship,
+       CASE WHEN event_id % 5 <> 0
+            THEN 'AS' || ((event_id * 7) % 97) END AS asn,
+       CASE WHEN event_id % 5 <> 0
+            THEN 'peer-' || (event_id % 13) END AS peer
 FROM ev
 """,
         "sketch_histogram": """

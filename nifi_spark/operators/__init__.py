@@ -60,7 +60,10 @@ from nifi_spark.operators.rate import control_rate, monitor_activity
 from nifi_spark.operators.email_ops import (extract_email_attachments,
                                              extract_email_headers,
                                              synthesize_email)
-from nifi_spark.operators.enrich import geo_enrich_ip, query_dns
+from nifi_spark.operators.enrich import (geo_enrich_ip, query_dns,
+                                         query_whois)
+from nifi_spark.operators.json_sql import (convert_json_to_sql,
+                                           generate_sql_for_record)
 from nifi_spark.operators.html_ops import (get_html_element,
                                            modify_html_element,
                                            put_html_element)
@@ -96,7 +99,8 @@ __all__ = [
     "execute_process", "execute_stream_command",
     "monitor_activity",
     "extract_email_attachments", "extract_email_headers",
-    "synthesize_email", "geo_enrich_ip", "query_dns",
+    "synthesize_email", "geo_enrich_ip", "query_dns", "query_whois",
+    "convert_json_to_sql", "generate_sql_for_record",
     "get_html_element", "modify_html_element", "put_html_element",
     "split_xml_depth", "merge_concat",
 ]

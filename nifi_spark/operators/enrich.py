@@ -162,3 +162,126 @@ def query_dns(df: DataFrame, query_col: str,
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# --------------------------------------------------------------- whois
+
+def _java_split(line: str, regex: str) -> list[str]:
+    """Java String.split semantics: trailing empty strings removed."""
+    import re
+
+    parts = re.split(regex, line)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def parse_whois_batch(raw: str, parser: str, parser_input: str,
+                      key_group: int, schema: str = "whois"
+                      ) -> dict[str, dict[str, str]]:
+    """AbstractEnrichProcessor.parseBatchResponse analog
+    (nifi-enrich-bundle/.../AbstractEnrichProcessor.java:191-236):
+    split the bulk response into records keyed by the lookup value;
+    each record's fields land as
+    ``enrich.<schema>.record0.group<N>`` attributes (record0 is
+    hardcoded in the reference for batched responses too).
+
+    parser='split': each LINE splits on `parser_input` (Java split —
+    trailing empties dropped); the key is column `key_group` (1-based).
+    A line shorter than key_group raises, like the reference's
+    unguarded ``splitResult[lookupKey - 1]``.
+    parser='regex': `parser_input` compiled MULTILINE; the key is
+    capture group `key_group`; groups 0..groupCount stored (the
+    reference catches out-of-range groups per match and skips them).
+    """
+    import re
+
+    rows: dict[str, dict[str, str]] = {}
+    if parser == "split":
+        for line in raw.splitlines():
+            parts = _java_split(line, parser_input)
+            if not parts:
+                continue
+            key = parts[key_group - 1]  # IndexError mirrors the reference
+            d = rows.setdefault(key, {})
+            for r, v in enumerate(parts):
+                d[f"enrich.{schema}.record0.group{r}"] = v
+    elif parser == "regex":
+        p = re.compile(parser_input, re.MULTILINE)
+        for m in p.finditer(raw):
+            try:
+                key = m.group(key_group)
+            except IndexError:  # mirrors the reference's warn + skip
+                continue
+            d = rows.setdefault(key, {})
+            for r in range((m.lastindex or 0) + 1):
+                d[f"enrich.{schema}.record0.group{r}"] = m.group(r)
+    else:
+        raise ValueError(f"unknown whois parser {parser!r}")
+    return rows
+
+
+def build_whois_query(values: list[str], bulk: str = "none",
+                      query_type: str | None = None) -> str:
+    """QueryWhois.onTrigger's buildString, verbatim
+    (QueryWhois.java:219-240): Begin/End bulk dialect wraps the values
+    in ``begin``/``end`` pseudo-commands (the ShadowServer bulk form);
+    the optional query type prefixes with a trailing space."""
+    q = "begin " if bulk == "begin_end" else ""
+    if query_type:
+        q += query_type + " "
+    if bulk == "begin_end":
+        q += "\n"
+    for v in values:
+        q += v + "\n"
+    if bulk == "begin_end":
+        q += "end"
+    return q
+
+
+def query_whois(df: DataFrame, query_col: str,
+                lookup: Callable[[str], str], *,
+                bulk: str = "none", query_type: str | None = None,
+                parser: str = "split", parser_input: str = r"\|",
+                key_group: int = 1) -> DataFrame:
+    """QueryWhois analog (nifi-enrich-bundle/.../QueryWhois.java:208-310):
+    BULK whois enrichment. Each Arrow batch of rows builds ONE bulk
+    query (`build_whois_query` — the reference batches
+    ``session.get(batchSize)`` flowfiles per socket query; here the
+    Arrow batch is the unit, so socket amortization scales with
+    `spark.sql.execution.arrow.maxRecordsPerBatch`), sends it through
+    the injectable ``lookup(query) -> raw response`` (production: a
+    TCP/43 client; tests/gates: a deterministic fake — the query_dns /
+    invoke_http transport pattern), parses the response with the
+    reference's batch parser, and routes each row:
+
+    * matched lookup value → relationship='found' +
+      ``whois_attrs`` map column (the putAllAttributes analog,
+      keys ``enrich.whois.record0.groupN``)
+    * missing from the response / empty response / lookup error →
+      relationship='not found', whois_attrs NULL.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields)
+    out_schema += ", whois_attrs map<string,string>, relationship string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = ["" if v is None else str(v) for v in pdf[query_col]]
+            try:
+                raw = lookup(build_whois_query(vals, bulk, query_type))
+            except Exception:  # noqa: BLE001 — lookup failure → not found
+                raw = ""
+            rows = (parse_whois_batch(raw, parser, parser_input,
+                                      key_group) if raw else {})
+            attrs = [rows.get(v) for v in vals]
+            rels = ["found" if a is not None else "not found"
+                    for a in attrs]
+            pdf = pdf.copy()
+            pdf["whois_attrs"] = attrs
+            pdf["relationship"] = rels
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
