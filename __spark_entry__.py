@@ -3359,6 +3359,63 @@ def q_exec_process_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("content", "\n")).alias("n_lines"))
 
 
+def q_listen_syslog_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listen-source bridge (ListenSyslog/ListenUDP/ListenTCP analog,
+    standard/ListenSyslog.java:370-470): two injected deterministic byte
+    feeds — 500 UDP datagrams drained in 150-message batches, and a TCP
+    newline-framed byte STREAM of 200 lines chopped into 37-byte chunks
+    (per-sender carry reassembly across reads) — land as parquet spool
+    files via atomic rename, then the landed tables are ordinary
+    distributed scans parsed by the same engine ParseSyslog uses.
+    Output: per (protocol, hostname) valid counts/pid sums plus the
+    invalid route, with msg_seq bounds proving batch + order
+    assignment (UDP seq = batch*1e6+idx over 150-message drains; TCP
+    all 200 frames in one drain)."""
+    from nifi_spark.sources import ListenSyslogSource
+
+    def mkline(i: int) -> bytes:
+        if i % 7 == 3:
+            return f"raw junk {i}".encode()
+        return (f"<{i % 191}>Jan  1 00:00:0{i % 10} host{i % 5} "
+                f"app[{i % 100}]: event {i}").encode()
+
+    udp = ListenSyslogSource(tempfile.mkdtemp(prefix="listen_udp_"),
+                             protocol="UDP")
+    udp_msgs = [(f"10.0.{i % 5}.1", mkline(i)) for i in range(500)]
+    it_u = iter(udp_msgs)
+    udp.drain_all(lambda: next(it_u, None), max_batch_size=150)
+
+    tcp = ListenSyslogSource(tempfile.mkdtemp(prefix="listen_tcp_"),
+                             protocol="TCP")
+    stream = b"".join(mkline(i) + b"\n" for i in range(200))
+    chunks = [("10.9.9.9", stream[p:p + 37])
+              for p in range(0, len(stream), 37)]
+    it_t = iter(chunks)
+    tcp.drain_all(lambda: next(it_t, None), max_batch_size=100000)
+
+    parts = []
+    for src in (udp, tcp):
+        routed = src.read_parsed(spark)
+        v = (routed["valid"]
+             .groupBy("protocol",
+                      F.col("syslog_hostname").alias("hostname"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("syslog_pid").cast("bigint").alias("sum_pid"),
+                  F.min("msg_seq").alias("min_seq"),
+                  F.max("msg_seq").alias("max_seq")))
+        iv = (routed["invalid"].groupBy("protocol")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.lit(None).cast("bigint").alias("sum_pid"),
+                   F.min("msg_seq").alias("min_seq"),
+                   F.max("msg_seq").alias("max_seq"))
+              .withColumn("hostname", F.lit("_invalid_")))
+        parts.append(v.unionByName(iv.select(*v.columns)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4601,6 +4658,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
         "exec_process_source": q_exec_process_source,
+        "listen_syslog_landed": q_listen_syslog_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6303,6 +6361,25 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "listen_syslog_landed": """
+WITH u AS (SELECT range AS i, 'UDP' AS protocol,
+                  (i // 150) * 1000000 + (i % 150) AS seq
+           FROM range(500)),
+     t AS (SELECT range AS i, 'TCP' AS protocol, range AS seq
+           FROM range(200)),
+     allm AS (SELECT i, protocol, seq,
+                     'host' || (i % 5)::VARCHAR AS hostname,
+                     (i % 100)::BIGINT AS pid
+              FROM (SELECT * FROM u UNION ALL SELECT * FROM t))
+SELECT protocol, hostname, count(*) AS n,
+       CAST(sum(pid) AS BIGINT) AS sum_pid,
+       min(seq) AS min_seq, max(seq) AS max_seq
+FROM allm WHERE i % 7 <> 3 GROUP BY protocol, hostname
+UNION ALL
+SELECT protocol, '_invalid_', count(*), NULL::BIGINT,
+       min(seq), max(seq)
+FROM allm WHERE i % 7 = 3 GROUP BY protocol
 """,
         "template_flow_json": """
 SELECT 'json' AS chain, 'text/plain' AS mime_type, k AS key,

@@ -14,6 +14,8 @@ from nifi_spark.sources.http import HttpIncrementalSource
 from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
                                       next_starting_offsets, offsets_json,
                                       publish_kafka)
+from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
+                                       ListenTCPSource, ListenUDPSource)
 from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
 
@@ -21,5 +23,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "fetch_files", "get_files",
            "kafka_available", "next_starting_offsets", "offsets_json",
            "publish_kafka",
+           "ListenSource", "ListenSyslogSource", "ListenTCPSource",
+           "ListenUDPSource",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
