@@ -3416,6 +3416,64 @@ def q_listen_syslog_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_scripted_processor_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExecuteScript + InvokeScriptedProcessor analogs
+    (nifi-scripting-bundle ExecuteScript.java:160-210,
+    InvokeScriptedProcessor.java:58-90) compiled FROM TEMPLATE XML: a
+    python Script Body (with a dynamic property bound into its
+    namespace) routes events, then a register_processor()-ed custom
+    processor aggregates — the whole chain stays one Catalyst plan, and
+    the oracle replays it as plain SQL."""
+    from nifi_spark.plans import (ScriptedProcessor, load_template,
+                                  register_processor)
+    from nifi_spark.plans.scripted import clear_registry
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type",
+                                            "user_id")
+    xml = """<template><name>scripted</name><snippet>
+<processors><id>p1</id><name>gen</name><type>a.GenerateFlowFile</type>
+  <config><properties/></config></processors>
+<processors><id>p2</id><name>score</name><type>a.ExecuteScript</type>
+  <config><properties>
+    <entry><key>Script Engine</key><value>python</value></entry>
+    <entry><key>modulus</key><value>7</value></entry>
+    <entry><key>Script Body</key><value>
+def process(df):
+    m = int(modulus)
+    scored = df.withColumn("slot", F.col("event_id") % m)
+    return {"success": scored.filter(F.col("slot") &lt; 4),
+            "failure": scored.filter(F.col("slot") &gt;= 4)}
+</value></entry>
+  </properties></config></processors>
+<processors><id>p3</id><name>agg_by_type</name>
+  <type>com.example.Aggregate</type>
+  <config><properties/></config></processors>
+<connections><source><id>p1</id></source>
+  <destination><id>p2</id></destination></connections>
+<connections><source><id>p2</id></source>
+  <destination><id>p3</id></destination>
+  <selectedRelationships>success</selectedRelationships></connections>
+</snippet></template>"""
+    clear_registry()
+    register_processor(ScriptedProcessor(
+        "agg_by_type",
+        lambda df: {"out": df.groupBy("event_type", "slot").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").alias("sum_uid"))},
+        relationships=["out"]))
+    try:
+        out = load_template(xml, sources={"gen": ev}).run()
+        routed = out["agg_by_type.out"].withColumn("route",
+                                                   F.lit("success"))
+        fail = (out["score.failure"].groupBy("event_type", "slot")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("user_id").alias("sum_uid"))
+                .withColumn("route", F.lit("failure")))
+        return routed.unionByName(fail)
+    finally:
+        clear_registry()
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4659,6 +4717,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exec_stream_command": q_exec_stream_command,
         "exec_process_source": q_exec_process_source,
         "listen_syslog_landed": q_listen_syslog_landed,
+        "scripted_processor_flow": q_scripted_processor_flow,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6361,6 +6420,14 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "scripted_processor_flow": """
+SELECT event_type, event_id % 7 AS slot, count(*) AS n,
+       CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       CASE WHEN event_id % 7 < 4 THEN 'success' ELSE 'failure' END
+         AS route
+FROM events GROUP BY event_type, event_id % 7,
+                     event_id % 7 < 4
 """,
         "listen_syslog_landed": """
 WITH u AS (SELECT range AS i, 'UDP' AS protocol,

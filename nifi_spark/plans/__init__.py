@@ -11,9 +11,17 @@ queues structurally prevent.
 """
 
 from nifi_spark.plans.flow import Flow, FlowError
+from nifi_spark.plans.scripted import (ScriptedProcessor, ScriptError,
+                                       compile_script,
+                                       compile_script_properties,
+                                       register_processor,
+                                       registered_processor)
 from nifi_spark.plans.sqlexec import SqlEngine
 from nifi_spark.plans.template_loader import (TemplateError, load_template,
                                               parse_template)
 
-__all__ = ["Flow", "FlowError", "SqlEngine",
-           "TemplateError", "load_template", "parse_template"]
+__all__ = ["Flow", "FlowError", "ScriptError", "ScriptedProcessor",
+           "SqlEngine", "TemplateError",
+           "compile_script", "compile_script_properties",
+           "load_template", "parse_template",
+           "register_processor", "registered_processor"]

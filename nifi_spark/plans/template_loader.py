@@ -19,11 +19,14 @@ CompressContent, HashContent, AttributesToJSON, DistributeLoad
 (weighted relationships), ControlRate, Base64EncodeContent,
 ConvertCharacterSet, ScanAttribute (dictionary via `dictionaries=`),
 IdentifyMimeType, SplitJson, EvaluateXPath,
-LogAttribute (identity), and FUNNEL nodes (union).
-Anything else raises TemplateError under strict=True, or becomes an
-identity pass-through stage with a warning entry otherwise (sinks like
-PutFile are usually what you want to pass through — read the result off
-the Flow instead).
+LogAttribute (identity), FUNNEL nodes (union), ExecuteScript /
+InvokeScriptedProcessor (python Script Body/File via plans.scripted;
+`script_resolver=` loads node-local Script File paths), and any node
+whose name or type matches a `plans.scripted.register_processor`-ed
+ScriptedProcessor. Anything else raises TemplateError under
+strict=True, or becomes an identity pass-through stage with a warning
+entry otherwise (sinks like PutFile are usually what you want to pass
+through — read the result off the Flow instead).
 
 Scale note: compilation is driver-side and free; the resulting Flow is
 exactly the hand-built one — every stage is the same Catalyst
@@ -145,7 +148,8 @@ def _union(dfs: list[DataFrame]) -> DataFrame:
 
 
 def _build_stage(proc: TProcessor, content_col: str,
-                 dictionaries: dict[str, DataFrame] | None = None):
+                 dictionaries: dict[str, DataFrame] | None = None,
+                 script_resolver=None):
     """Returns fn(*input_dfs) -> DataFrame | dict[rel, DataFrame]."""
     p = proc.properties
     dictionaries = dictionaries or {}
@@ -553,13 +557,33 @@ def _build_stage(proc: TProcessor, content_col: str,
             return _union(list(dfs))
         return fn
 
+    if proc.ptype in ("ExecuteScript", "InvokeScriptedProcessor"):
+        from nifi_spark.plans.scripted import compile_script_properties
+        sp = compile_script_properties(p, script_resolver=script_resolver)
+
+        def fn(*dfs):
+            return sp(_union(list(dfs)))
+        return fn
+
+    # unknown type: a registered ScriptedProcessor (by template node
+    # name, falling back to the short type) compiles in — this is how
+    # flows carrying custom processors template-compile
+    from nifi_spark.plans.scripted import registered_processor
+    reg = (registered_processor(proc.name)
+           or registered_processor(proc.ptype))
+    if reg is not None:
+        def fn(*dfs):
+            return reg(_union(list(dfs)))
+        return fn
+
     return None
 
 
 def load_template(xml_text: str, sources: dict[str, DataFrame],
                   content_col: str = "content",
                   strict: bool = True,
-                  dictionaries: dict[str, DataFrame] | None = None) -> Flow:
+                  dictionaries: dict[str, DataFrame] | None = None,
+                  script_resolver=None) -> Flow:
     """Compile template XML into a runnable Flow.
 
     `sources` maps source-processor NAME (or id) → input DataFrame for
@@ -609,7 +633,8 @@ def load_template(xml_text: str, sources: dict[str, DataFrame],
                     f"entry in sources=")
             flow.source(sid, (lambda s: (lambda: s))(src))
             continue
-        fn = _build_stage(pr, content_col, dictionaries)
+        fn = _build_stage(pr, content_col, dictionaries,
+                          script_resolver)
         if fn is None:
             if strict:
                 raise TemplateError(
