@@ -3474,6 +3474,57 @@ def process(df):
         clear_registry()
 
 
+def q_hl7_route_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RouteHL7 + ExtractHL7Attributes over synthesized ORU^R01
+    messages (nifi-hl7-bundle RouteHL7.java:146-196,
+    ExtractHL7Attributes.java:205-330; query language =
+    nifi-hl7-query-language, reference-parity proven in
+    tests/test_hl7.py): every 13th message malformed → 'failure';
+    HL7-QL queries route abnormal (OBX-7 != 'N') and low (OBX-4 < 65)
+    results; the extract row re-sums the routed OBX-4 values from the
+    long-format attribute table."""
+    from nifi_spark.operators import extract_hl7_attributes, route_hl7
+    ev = _t(spark, sf_dir, "events")
+    v = (F.col("event_id") % 200).cast("string")
+    flag = (F.when(F.col("event_id") % 200 < 65, "L")
+            .when(F.col("event_id") % 200 > 99, "H").otherwise("N"))
+    msg = F.when(F.col("event_id") % 13 == 0,
+                 F.concat(F.lit("junk "), F.col("event_id"))) \
+        .otherwise(F.concat(
+            F.lit("MSH|^~\\&|Eng|Org||||ORU^R01|M"),
+            F.col("event_id").cast("string"), F.lit("|P|2.3\r"),
+            F.lit("PID|||"), F.col("user_id").cast("string"),
+            F.lit("||U"), F.col("user_id").cast("string"), F.lit("\r"),
+            F.lit("OBX|1|NM|GLU^Glucose|"), v,
+            F.lit("|mg/dL|65-99^65^99|"), flag, F.lit("|||F|")))
+    # the route projection is consumed by 5 aggregates + the extract —
+    # spread the Python pass (single parquet file = one task otherwise)
+    df = ev.select("event_id", "user_id",
+                   msg.alias("hl7")).repartition(32)
+    routed = route_hl7(df, "hl7", {
+        "abnormal": ("DECLARE r AS REQUIRED OBX SELECT MESSAGE "
+                     "WHERE r.7 != 'N'"),
+        "low": ("DECLARE r AS REQUIRED OBX SELECT MESSAGE "
+                "WHERE r.4 < 65"),
+    })
+    parts = [routed[k].groupBy()
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("user_id").alias("sum_uid"))
+             .withColumn("route", F.lit(k))
+             for k in ("abnormal", "low", "original", "failure")]
+    attrs = extract_hl7_attributes(routed["low"], "hl7",
+                                   id_cols=["event_id"])
+    ext = (attrs.filter(F.col("attr_name") == "OBX.4")
+           .groupBy().agg(F.count(F.lit(1)).alias("n"),
+                          F.sum(F.col("attr_value").cast("bigint"))
+                          .alias("sum_uid"))
+           .withColumn("route", F.lit("_low_obx4_sum")))
+    out = parts[0]
+    for p in parts[1:] + [ext]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4718,6 +4769,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exec_process_source": q_exec_process_source,
         "listen_syslog_landed": q_listen_syslog_landed,
         "scripted_processor_flow": q_scripted_processor_flow,
+        "hl7_route_extract": q_hl7_route_extract,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6420,6 +6472,26 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "hl7_route_extract": """
+WITH valid AS (
+  SELECT event_id, user_id, event_id % 200 AS v,
+         CASE WHEN event_id % 200 < 65 THEN 'L'
+              WHEN event_id % 200 > 99 THEN 'H' ELSE 'N' END AS flag
+  FROM events WHERE event_id % 13 <> 0)
+SELECT count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_uid,
+       'abnormal' AS route FROM valid WHERE flag <> 'N'
+UNION ALL
+SELECT count(*), CAST(sum(user_id) AS BIGINT), 'low'
+FROM valid WHERE v < 65
+UNION ALL
+SELECT count(*), CAST(sum(user_id) AS BIGINT), 'original' FROM valid
+UNION ALL
+SELECT count(*), CAST(sum(user_id) AS BIGINT), 'failure'
+FROM events WHERE event_id % 13 = 0
+UNION ALL
+SELECT count(*), CAST(sum(v) AS BIGINT), '_low_obx4_sum'
+FROM valid WHERE v < 65
 """,
         "scripted_processor_flow": """
 SELECT event_type, event_id % 7 AS slot, count(*) AS n,

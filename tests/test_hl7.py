@@ -1,0 +1,247 @@
+"""HL7: parser model, query language (reference TestHL7Query parity),
+RouteHL7 / ExtractHL7Attributes analogs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nifi_spark.operators.hl7 import (HL7ParseError, HL7Query,
+                                      HL7QueryError,
+                                      extract_hl7_attributes, parse_hl7,
+                                      route_hl7)
+
+_REF = ("/root/reference/nifi-commons/nifi-hl7-query-language/"
+        "src/test/resources")
+
+_HYPO = (
+    "MSH|^~\\&|XXXXXX||HealthOrg01||||ORU^R01|Q1111111111111111111|P|2.3|\r"
+    "PID|||000000001||SMITH^JOHN||19700101|M||||||||||999999999999|"
+    "123456789|\r"
+    "PD1||||1234567890^LAST^FIRST^M^^^^^NPI|\r"
+    "OBR|1|341856649^HNAM_ORDERID|000000000000000000|"
+    "648088^Basic Metabolic Panel|||20150101000100|||||||||"
+    "1620^Johnson^John^R||||||20150101000100|||M|||||||||||"
+    "20150101000100|\r"
+    "OBX|1|NM|GLU^Glucose Lvl|59|mg/dL|65-99^65^99|L|||F|||"
+    "20150101000100|\r")
+
+
+# ------------------------------------------------------------ parser
+
+def test_parse_model():
+    m = parse_hl7(_HYPO)
+    assert [s.name for s in m.segments] == ["MSH", "PID", "PD1", "OBR",
+                                            "OBX"]
+    msh = m.segments[0]
+    assert msh.fields[0].value == "|"          # MSH-1 = field separator
+    assert msh.fields[1].value == "^~\\&"      # MSH-2, never split
+    obx = m.get_segments("OBX")[0]
+    assert obx.fields[0].value == "1"
+    assert obx.fields[3].value == "59"
+    assert obx.fields[5].components[2].value == "99"   # 65-99^65^99
+    # empty field -> None value
+    assert obx.fields[7].value is None
+
+
+def test_parse_repetitions_and_subcomponents():
+    m = parse_hl7("MSH|^~\\&|A\rPID|1|X~Y~Z|a&b^c|")
+    pid = m.get_segments("PID")[0]
+    reps = pid.fields[1]
+    assert [r.value for r in reps] == ["X", "Y", "Z"]
+    f3 = pid.fields[2]
+    assert f3.value == "a&b^c"
+    assert f3.components[0].components[1].value == "b"
+
+
+def test_parse_errors():
+    for bad in ("", "garbage", "PID|1|", "MSH_no_sep"):
+        with pytest.raises(HL7ParseError):
+            parse_hl7(bad)
+
+
+# ------------------------------------- reference TestHL7Query parity
+
+_PARITY = [
+    ("SELECT MESSAGE", "hypo", True),
+    ("SELECT PID.5", "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT result "
+     "WHERE result.7 != 'N' AND result.1 = 1", "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.7 = 'L'",
+     "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.7 = 'H'",
+     "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 < 600",
+     "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 < 59",
+     "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE result.4 < result.6.2", "hypo", True),
+    # reference-exact: NOT is identity (NotEvaluator.java:33-37)
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE NOT(result.4 > result.6.3)", "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 <= 59",
+     "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 <= 58",
+     "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 >= 59",
+     "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 >= 580",
+     "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 > 58",
+     "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.4 > 580",
+     "hypo", False),
+    ("DECLARE result1 AS REQUIRED OBX, result2 AS REQUIRED OBX "
+     "SELECT MESSAGE WHERE result1.7 = 'L' OR result2.7 != 'H'",
+     "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE result.7 = 'L' AND result.3.1 = 'GLU'", "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE result.7 = 'L' AND result.3.1 = 'GLU'", "hyper", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE result.7 = 'H' AND result.3.1 = 'GLU'", "hyper", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE (( ((result.7 = 'H')) AND ( ((result.3.1 = 'GLU')) )))",
+     "hyper", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE result.999 IS NULL", "hypo", True),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.1 IS NULL",
+     "hypo", False),
+    ("SELECT MESSAGE WHERE ZZZ IS NULL", "hypo", True),
+    ("SELECT MESSAGE WHERE OBX IS NULL", "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE "
+     "WHERE result.999 NOT NULL", "hypo", False),
+    ("DECLARE result AS REQUIRED OBX SELECT MESSAGE WHERE result.1 NOT NULL",
+     "hypo", True),
+    ("SELECT MESSAGE WHERE ZZZ NOT NULL", "hypo", False),
+    ("SELECT MESSAGE WHERE OBX NOT NULL", "hypo", True),
+]
+
+
+@pytest.fixture(scope="module")
+def messages():
+    if os.path.isdir(_REF):
+        hypo = open(os.path.join(_REF, "hypoglycemia")).read()
+        hyper = open(os.path.join(_REF, "hyperglycemia")).read()
+    else:
+        hypo = _HYPO
+        hyper = _HYPO.replace("|59|", "|125|").replace("|L|", "|H|")
+    return {"hypo": parse_hl7(hypo), "hyper": parse_hl7(hyper)}
+
+
+@pytest.mark.parametrize("query,which,want", _PARITY)
+def test_reference_query_parity(messages, query, which, want):
+    assert HL7Query.compile(query).evaluate(messages[which]).is_match \
+        is want
+
+
+def test_select_field_value_and_distinct_hits(messages):
+    r = HL7Query.compile("SELECT PID.5").evaluate(messages["hypo"])
+    assert r.labels == ["PID.5"]
+    vals = r.hits[0]["PID.5"]
+    assert [f.value for f in vals] == ["SMITH^JOHN"]
+    # two aliases over the same single OBX: one DISTINCT hit
+    r2 = HL7Query.compile(
+        "DECLARE a AS REQUIRED OBX, b AS REQUIRED OBX SELECT MESSAGE "
+        "WHERE a.7 = 'L' OR b.7 != 'H'").evaluate(messages["hypo"])
+    assert r2.hit_count == 1
+
+
+def test_optional_and_required_declarations(messages):
+    m = messages["hypo"]
+    assert not HL7Query.compile(
+        "DECLARE z AS REQUIRED ZZZ SELECT MESSAGE").evaluate(m).is_match
+    assert HL7Query.compile(
+        "DECLARE z AS OPTIONAL ZZZ SELECT MESSAGE "
+        "WHERE z IS NULL").evaluate(m).is_match
+
+
+def test_select_alias_label(messages):
+    r = HL7Query.compile("SELECT PID.5 AS name, MESSAGE").evaluate(
+        messages["hypo"])
+    assert r.labels == ["name", "MESSAGE"]
+
+
+def test_query_errors():
+    for bad in ("WHERE x = 1",                        # no SELECT
+                "SELECT foo",                         # undeclared alias
+                "DECLARE a AS MAYBE OBX SELECT a",    # bad qualifier
+                "SELECT MESSAGE WHERE OBX.1 LIKE 'x'",   # lexer-only op
+                "SELECT MESSAGE WHERE $bad"):
+        with pytest.raises(HL7QueryError):
+            HL7Query.compile(bad)
+
+
+def test_repetition_any_match():
+    m = parse_hl7("MSH|^~\\&|A\rPID|1|A~B~X|")
+    q = HL7Query.compile("DECLARE p AS REQUIRED PID SELECT MESSAGE "
+                         "WHERE p.2 = 'X'")
+    assert q.evaluate(m).is_match
+    q2 = HL7Query.compile("DECLARE p AS REQUIRED PID SELECT MESSAGE "
+                          "WHERE p.2 = 'Q'")
+    assert not q2.evaluate(m).is_match
+
+
+# ------------------------------------------------------ spark analogs
+
+def _mk_df(spark):
+    good = _HYPO.replace("\r", "\n")
+    rows = [(1, good),
+            (2, good.replace("|59|", "|700|")),
+            (3, "this is not HL7")]
+    return spark.createDataFrame(rows, "id long, msg string")
+
+
+def test_route_hl7(spark):
+    df = _mk_df(spark)
+    routed = route_hl7(df, "msg", {
+        "low_glucose": ("DECLARE r AS REQUIRED OBX SELECT MESSAGE "
+                        "WHERE r.4 < 100"),
+        "any_obx": "SELECT MESSAGE WHERE OBX NOT NULL",
+    })
+    assert {r.id for r in routed["low_glucose"].collect()} == {1}
+    assert {r.id for r in routed["any_obx"].collect()} == {1, 2}
+    assert {r.id for r in routed["original"].collect()} == {1, 2}
+    assert {r.id for r in routed["failure"].collect()} == {3}
+    with pytest.raises(HL7QueryError, match="reserved"):
+        route_hl7(df, "msg", {"original": "SELECT MESSAGE"})
+
+
+def test_extract_hl7_attributes(spark):
+    df = _mk_df(spark).filter("id = 1")
+    out = extract_hl7_attributes(df, "msg", id_cols=["id"])
+    attrs = {r.attr_name: r.attr_value for r in out.collect()}
+    assert attrs["OBX.4"] == "59"
+    assert attrs["OBX.3.1"] == "GLU"          # composite splits
+    assert attrs["OBX.3.2"] == "Glucose Lvl"
+    assert attrs["PID.5.1"] == "SMITH"
+    assert attrs["MSH.9.1"] == "ORU"
+    assert "OBX.8" not in attrs               # empty fields skipped
+    bad = extract_hl7_attributes(
+        spark.createDataFrame([(9, "junk")], "id long, msg string"),
+        "msg", id_cols=["id"])
+    assert bad.collect()[0].attr_name == "<parse_error>"
+
+
+def test_extract_repeating_segment_keys(spark):
+    two_obx = ("MSH|^~\\&|A\n"
+               "OBX|1|NM|X|10|\n"
+               "OBX|2|NM|Y|20|\n")
+    df = spark.createDataFrame([(1, two_obx)], "id long, msg string")
+    attrs = {r.attr_name: r.attr_value
+             for r in extract_hl7_attributes(df, "msg",
+                                             id_cols=["id"]).collect()}
+    assert attrs["OBX_1.4"] == "10"
+    assert attrs["OBX_2.4"] == "20"
+    assert "OBX.4" not in attrs
+
+
+def test_unescape_in_extract(spark):
+    m = "MSH|^~\\&|A\nNTE|1|co\\F\\de|"
+    df = spark.createDataFrame([(1, m)], "id long, msg string")
+    attrs = {r.attr_name: r.attr_value
+             for r in extract_hl7_attributes(df, "msg",
+                                             id_cols=["id"]).collect()}
+    assert attrs["NTE.2"] == "co|de"
