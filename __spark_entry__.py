@@ -3525,6 +3525,52 @@ def q_hl7_route_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_s2s_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-to-Site wire protocol end-to-end
+    (nifi-site-to-site-client: magic → version negotiation → handshake
+    → codec negotiation → CRC32 two-phase-commit transactions,
+    sources/site_to_site.py): 300 packets travel client→server over a
+    real socketpair in 3 transactions, 120 travel server→client in one
+    RECEIVE transaction; the landed packets become the DataFrame. The
+    oracle regenerates both directions arithmetically — equality proves
+    the whole wire path (codec framing, CRC confirm, transaction
+    atomicity) preserved every byte."""
+    from nifi_spark.sources import (DataPacket, S2SClient, S2SPort,
+                                    loopback_serve)
+    port = S2SPort("lake-intake", to_send=[
+        DataPacket({"origin": "server"}, f"srv {i}:{'y' * (i % 11)}"
+                   .encode()) for i in range(120)])
+    inp, out, join = loopback_serve({"lake-intake": port})
+    client = S2SClient(inp, out, port_identifier="lake-intake")
+    for batch in range(3):
+        tx = client.create_transaction("send")
+        for i in range(batch * 100, batch * 100 + 100):
+            tx.send(f"evt {i}:{'x' * (i % 7)}".encode(),
+                    {"batch": str(batch), "idx": str(i)})
+        tx.confirm()
+        tx.complete()
+    rx = client.create_transaction("receive")
+    got = []
+    while (p := rx.receive()) is not None:
+        got.append(p)
+    rx.confirm()
+    rx.complete()
+    client.shutdown()
+    join()
+    rows = [("to_server", int(p.attributes["batch"]),
+             p.content.decode(), len(p.content))
+            for p in port.received]
+    rows += [("to_client", -1, p.content.decode(), len(p.content))
+             for p in got]
+    df = spark.createDataFrame(
+        rows, "direction string, batch int, content string, clen int")
+    return (df.groupBy("direction", "batch")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("clen").cast("bigint").alias("sum_len"),
+                 F.md5(F.concat_ws("|", F.sort_array(
+                     F.collect_list("content")))).alias("content_hash")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4770,6 +4816,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_syslog_landed": q_listen_syslog_landed,
         "scripted_processor_flow": q_scripted_processor_flow,
         "hl7_route_extract": q_hl7_route_extract,
+        "s2s_roundtrip": q_s2s_roundtrip,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6472,6 +6519,22 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "s2s_roundtrip": """
+WITH to_server AS (
+  SELECT 'to_server' AS direction, (i // 100)::INT AS batch,
+         'evt ' || i::VARCHAR || ':' || repeat('x', (i % 7)::INT)
+           AS content
+  FROM (SELECT range AS i FROM range(300))),
+     to_client AS (
+  SELECT 'to_client', -1,
+         'srv ' || i::VARCHAR || ':' || repeat('y', (i % 11)::INT)
+  FROM (SELECT range AS i FROM range(120))),
+     allp AS (SELECT * FROM to_server UNION ALL SELECT * FROM to_client)
+SELECT direction, batch, count(*) AS n,
+       CAST(sum(length(content)) AS BIGINT) AS sum_len,
+       md5(string_agg(content, '|' ORDER BY content)) AS content_hash
+FROM allp GROUP BY direction, batch
 """,
         "hl7_route_extract": """
 WITH valid AS (

@@ -18,6 +18,10 @@ from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
 from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
+from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
+                                             S2SPort, S2STransaction,
+                                             loopback_serve,
+                                             serve_connection)
 
 __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "fetch_files", "get_files",
@@ -25,5 +29,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "publish_kafka",
            "ListenSource", "ListenSyslogSource", "ListenTCPSource",
            "ListenUDPSource",
+           "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
+           "loopback_serve", "serve_connection",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
