@@ -458,10 +458,22 @@ class S2SClient:
 @dataclass
 class S2SPort:
     """One input/output port: packets sent TO us land in `received`;
-    packets queued in `to_send` serve RECEIVE_FLOWFILES transactions."""
+    packets queued in `to_send` serve RECEIVE_FLOWFILES transactions.
+    `backpressure_object_threshold` is the connection back-pressure
+    analog (StandardFlowFileQueue.java:85-98): when the landed count
+    crosses it, the send transaction still completes but the server
+    answers TRANSACTION_FINISHED_BUT_DESTINATION_FULL, which the client
+    surfaces as backoff=True (AbstractTransaction.java:281-284 →
+    peer.penalize)."""
     identifier: str
     received: list[DataPacket] = field(default_factory=list)
     to_send: list[DataPacket] = field(default_factory=list)
+    backpressure_object_threshold: "int | None" = None
+
+    @property
+    def destination_full(self) -> bool:
+        return (self.backpressure_object_threshold is not None
+                and len(self.received) >= self.backpressure_object_threshold)
 
 
 def serve_connection(inp, out, ports: dict[str, S2SPort],
@@ -536,7 +548,11 @@ def serve_connection(inp, out, ports: dict[str, S2SPort],
                     echo, _ = read_response(inp)
                     if echo == "CONFIRM_TRANSACTION":
                         port.received.extend(staged)
-                        write_response(out, "TRANSACTION_FINISHED")
+                        write_response(
+                            out,
+                            "TRANSACTION_FINISHED_BUT_DESTINATION_FULL"
+                            if port.destination_full
+                            else "TRANSACTION_FINISHED")
                     else:               # BAD_CHECKSUM: land nothing
                         staged = []
                     break

@@ -219,6 +219,26 @@ def test_loopback_unknown_port():
         join()
 
 
+def test_loopback_backpressure_backoff():
+    """Back-pressure analog: the send lands, but the client gets
+    backoff=True once the port's object threshold is crossed."""
+    port = S2SPort("p", backpressure_object_threshold=2)
+    inp, out, join = loopback_serve({"p": port})
+    client = S2SClient(inp, out, port_identifier="p")
+    tx = client.create_transaction("send")
+    tx.send(b"a", {})
+    tx.confirm()
+    assert tx.complete()["backoff"] is False
+    tx = client.create_transaction("send")
+    tx.send(b"b", {})
+    tx.send(b"c", {})
+    tx.confirm()
+    assert tx.complete()["backoff"] is True      # landed, but penalized
+    client.shutdown()
+    join()
+    assert [p.content for p in port.received] == [b"a", b"b", b"c"]
+
+
 def test_loopback_cancel_lands_nothing():
     port = S2SPort("p")
     inp, out, join = loopback_serve({"p": port})
