@@ -557,6 +557,26 @@ def _build_stage(proc: TProcessor, content_col: str,
             return _union(list(dfs))
         return fn
 
+    if proc.ptype == "RouteHL7":
+        # dynamic property name = relationship, value = HL7 query
+        # (RouteHL7.java:75-77); static property = Character Encoding
+        queries = {k: v for k, v in _dyn(proc).items()
+                   if k != "Character Encoding"}
+
+        def fn(*dfs):
+            from nifi_spark.operators import route_hl7
+            return route_hl7(_union(list(dfs)), content_col, queries)
+        return fn
+
+    if proc.ptype == "ExtractHL7Attributes":
+        def fn(*dfs):
+            from nifi_spark.operators import extract_hl7_attributes
+            df = _union(list(dfs))
+            ids = [c for c in df.columns if c != content_col]
+            return {"success": extract_hl7_attributes(df, content_col,
+                                                      id_cols=ids)}
+        return fn
+
     if proc.ptype in ("ExecuteScript", "InvokeScriptedProcessor"):
         from nifi_spark.plans.scripted import compile_script_properties
         sp = compile_script_properties(p, script_resolver=script_resolver)

@@ -26,9 +26,11 @@ reference's own protocol tests mock the streams the same way
 (TestSocketClientTransaction.java:64-75) — and `serve_connection` /
 `S2SClient.connect` also run over real TCP sockets.
 
-Declared boundaries: HTTP(S) transport and the peer-list/load-balancing
-layer (EndpointConnectionPool) are not implemented — one peer, one
-socket is the contract here; GZIP compression is negotiated off.
+Declared boundaries: HTTP(S) transport and the multi-peer connection
+pool (EndpointConnectionPool's weighted peer selection) are not
+implemented — one peer, one socket is the contract here, though
+REQUEST_PEER_LIST itself is served (the selector's input); GZIP
+compression is negotiated off.
 """
 
 from __future__ import annotations
@@ -447,6 +449,22 @@ class S2SClient:
         return S2STransaction(self.inp, self.out, direction,
                               protocol_version=self.version)
 
+    def request_peer_list(self) -> list[dict]:
+        """SocketClientProtocol.java:223-231: (hostname, port, secure,
+        flowFileCount) per peer — the PeerSelector's weighting input."""
+        write_utf(self.out, "REQUEST_PEER_LIST")
+        self.out.flush()
+        n = struct.unpack(">i", _read_exact(self.inp, 4))[0]
+        peers = []
+        for _ in range(n):
+            host = read_utf(self.inp)
+            port, = struct.unpack(">i", _read_exact(self.inp, 4))
+            secure = _read_exact(self.inp, 1) != b"\x00"
+            count, = struct.unpack(">i", _read_exact(self.inp, 4))
+            peers.append({"hostname": host, "port": port,
+                          "secure": secure, "flowfile_count": count})
+        return peers
+
     def shutdown(self):
         write_utf(self.out, "SHUTDOWN")
         self.out.flush()
@@ -585,9 +603,16 @@ def serve_connection(inp, out, ports: dict[str, S2SPort],
             served += 1
             continue
         if request == "REQUEST_PEER_LIST":
-            # single-peer deployment: declared boundary — the reference
-            # returns the cluster peer set for client-side balancing
-            write_response(out, "ABORT", "peer list not supported")
+            # SocketClientProtocol.java:223-231 wire format; a
+            # single-node server reports itself, flowFileCount = queue
+            # depth so clients can weight (PeerSelector's input)
+            depth = sum(len(p.received) for p in ports.values())
+            out.write(struct.pack(">i", 1))
+            write_utf(out, "localhost")
+            out.write(struct.pack(">i", 0))
+            out.write(b"\x00")              # secure = false
+            out.write(struct.pack(">i", depth))
+            out.flush()
             continue
         raise S2SProtocolError(f"unknown request {request!r}")
 

@@ -238,6 +238,40 @@ def test_extract_repeating_segment_keys(spark):
     assert "OBX.4" not in attrs
 
 
+_HL7_TEMPLATE = """<template><name>hl7flow</name><snippet>
+<processors><id>p1</id><name>gen</name><type>a.GenerateFlowFile</type>
+  <config><properties/></config></processors>
+<processors><id>p2</id><name>route</name>
+  <type>org.apache.nifi.processors.hl7.RouteHL7</type>
+  <config><properties>
+    <entry><key>Character Encoding</key><value>UTF-8</value></entry>
+    <entry><key>lowGlu</key><value>DECLARE r AS REQUIRED OBX SELECT \
+MESSAGE WHERE r.4 &lt; 100</value></entry>
+  </properties></config></processors>
+<processors><id>p3</id><name>extract</name>
+  <type>org.apache.nifi.processors.hl7.ExtractHL7Attributes</type>
+  <config><properties/></config></processors>
+<connections><source><id>p1</id></source>
+  <destination><id>p2</id></destination></connections>
+<connections><source><id>p2</id></source>
+  <destination><id>p3</id></destination>
+  <selectedRelationships>lowGlu</selectedRelationships></connections>
+</snippet></template>"""
+
+
+def test_template_compiles_hl7_processors(spark):
+    from nifi_spark.plans import load_template
+    df = _mk_df(spark)
+    flow = load_template(_HL7_TEMPLATE, sources={"gen": df},
+                         content_col="msg")
+    out = flow.run()
+    assert {r.id for r in out["route.lowGlu"].collect()} == {1}
+    assert {r.id for r in out["route.failure"].collect()} == {3}
+    attrs = {r.attr_name: r.attr_value
+             for r in out["extract.success"].collect()}
+    assert attrs["OBX.4"] == "59"
+
+
 def test_unescape_in_extract(spark):
     m = "MSH|^~\\&|A\nNTE|1|co\\F\\de|"
     df = spark.createDataFrame([(1, m)], "id long, msg string")

@@ -239,6 +239,21 @@ def test_loopback_backpressure_backoff():
     assert [p.content for p in port.received] == [b"a", b"b", b"c"]
 
 
+def test_loopback_peer_list():
+    port = S2SPort("p")
+    inp, out, join = loopback_serve({"p": port})
+    client = S2SClient(inp, out, port_identifier="p")
+    tx = client.create_transaction("send")
+    tx.send(b"x", {})
+    tx.confirm()
+    tx.complete()
+    peers = client.request_peer_list()
+    client.shutdown()
+    join()
+    assert peers == [{"hostname": "localhost", "port": 0,
+                      "secure": False, "flowfile_count": 1}]
+
+
 def test_loopback_cancel_lands_nothing():
     port = S2SPort("p")
     inp, out, join = loopback_serve({"p": port})
