@@ -3571,6 +3571,27 @@ def q_s2s_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list("content")))).alias("content_hash")))
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (datalib/cluster.py semantic_dedup): k-means the
+    embedding space, drop within-cluster near-duplicates — the pair
+    join is an equi-join on cluster id, never all-pairs. Exact copies
+    of every 10th vector are planted at id+1000000; at threshold 0.9
+    the integer-cosine pruning removes them (plus any genuinely
+    parallel pairs — the oracle replays the identical integer
+    arithmetic, Lloyd iterations included)."""
+    from nifi_spark.datalib import semantic_dedup
+    embs = (_t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 2 == 0)   # keep the oracle's
+            .select("vec_id", "embedding"))     # pair join gate-sized
+    planted = (embs.filter(F.col("vec_id") % 10 == 0)
+               .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                       "embedding"))
+    allv = embs.unionByName(planted)
+    kept, _ = semantic_dedup(allv, "vec_id", "embedding", k=8,
+                             threshold_num=9, threshold_den=10, iters=2)
+    return kept
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4817,6 +4838,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scripted_processor_flow": q_scripted_processor_flow,
         "hl7_route_extract": q_hl7_route_extract,
         "s2s_roundtrip": q_s2s_roundtrip,
+        "dedup_semantic": q_dedup_semantic,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6212,6 +6234,16 @@ atts AS (
 SELECT h.*, a.attach_idx, a.filename, a.size, a.payload_hexmd5
 FROM heads h LEFT JOIN atts a USING (id)
 """,
+        "dedup_semantic": __import__(
+            "nifi_spark.datalib.cluster",
+            fromlist=["semantic_dedup_oracle_sql"]
+        ).semantic_dedup_oracle_sql(
+            "SELECT vec_id, embedding FROM embeddings "
+            "WHERE vec_id % 2 = 0 "
+            "UNION ALL "
+            "SELECT vec_id + 1000000, embedding FROM embeddings "
+            "WHERE vec_id % 2 = 0 AND vec_id % 10 = 0",
+            k=8, iters=2, dim=64, threshold_num=9, threshold_den=10),
         "kmeans_int8_clusters": __import__(
             "nifi_spark.datalib.cluster", fromlist=["kmeans_oracle_sql"]
         ).kmeans_oracle_sql(

@@ -11,7 +11,10 @@ Everything hash-valued uses the portable md5-derived hash
 Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 """
 
-from nifi_spark.datalib.cluster import kmeans_int8, kmeans_oracle_sql
+from nifi_spark.datalib.cluster import (kmeans_int8,
+                                        kmeans_oracle_sql,
+                                        semantic_dedup,
+                                        semantic_dedup_oracle_sql)
 from nifi_spark.datalib.sketch import (cm_estimate, count_min_sketch,
                                        heavy_hitters, histogram_quantile,
                                        histogram_sketch, hll_estimate,
@@ -63,6 +66,7 @@ __all__ = ["contaminated_spans",
            "token_budget_sample",
            "url_dedup", "train_perceptron", "pagerank",
            "pagerank_oracle_sql", "kmeans_int8", "kmeans_oracle_sql",
+           "semantic_dedup", "semantic_dedup_oracle_sql",
            "count_min_sketch", "cm_estimate", "hll_registers",
            "hll_estimate", "heavy_hitters", "histogram_sketch",
            "histogram_quantile", "build_warc", "parse_warc", "split_warc",

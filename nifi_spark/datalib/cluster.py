@@ -128,3 +128,96 @@ c0 AS (
   GROUP BY p.cl, p.cvec)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT {id_col}, cluster, dist FROM a{iters}")
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, k: int,
+                   threshold_num: int, threshold_den: int,
+                   iters: int = 3
+                   ) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then drop near-duplicates WITHIN each cluster —
+    the trick that makes embedding dedup scale is that the pair join is
+    an equi-join on cluster id (O(Σ|cluster|²) with k sized so clusters
+    stay small), never an all-pairs product.
+
+    Integer-exact in the int8 domain so the SQL twin replays
+    bit-for-bit: with threshold t = num/den, a pair is a duplicate iff
+    ``dot > 0 AND den²·dot² >= num²·|qi|²·|qj|²``  (⟺ cos >= t; the
+    quantization scales cancel in cosine, the ann_topk_int8 argument).
+    All products stay < 2^62 for dim ≤ 64 (dot ≤ 127²·64), ANSI-safe.
+    The kept set is deterministic: the LOWEST id in a duplicate pair
+    survives; any id that is the higher side of some duplicate pair
+    drops (one pass — no transitive chasing, exactly the paper's
+    keep-one-per-pair pruning).
+
+    Returns (kept, dropped): kept = (id, cluster) rows that survive,
+    dropped = distinct higher-side ids with their cluster."""
+    assigned, _ = kmeans_int8(df, id_col, vec_col, k, iters)
+    q = quantize_int8(df, id_col, vec_col).select(
+        F.col(id_col), F.col("qvec"))
+    withq = assigned.join(q, id_col).select(id_col, "cluster", "qvec")
+    a = withq.select(F.col(id_col).alias("_i"),
+                     F.col("cluster").alias("_ci"),
+                     F.col("qvec").alias("_qi"))
+    b = withq.select(F.col(id_col).alias("_j"),
+                     F.col("cluster").alias("_cj"),
+                     F.col("qvec").alias("_qj"))
+    dot = F.aggregate(
+        F.zip_with("_qi", "_qj", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    norm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    pairs = (a.join(b, (F.col("_ci") == F.col("_cj"))
+                    & (F.col("_i") < F.col("_j")))
+             .select("_i", "_j", "_cj", dot.alias("_dot"),
+                     norm("_qi").alias("_ni"), norm("_qj").alias("_nj")))
+    tn, td = threshold_num, threshold_den
+    dup = pairs.filter(
+        (F.col("_dot") > 0)
+        & (F.lit(td * td) * F.col("_dot") * F.col("_dot")
+           >= F.lit(tn * tn) * F.col("_ni") * F.col("_nj")))
+    dropped = (dup.select(F.col("_j").alias(id_col),
+                          F.col("_cj").alias("cluster")).distinct())
+    kept = (withq.join(dropped.select(id_col), id_col, "left_anti")
+            .select(id_col, "cluster"))
+    return kept, dropped
+
+
+def semantic_dedup_oracle_sql(vec_sql: str, k: int, iters: int, dim: int,
+                              threshold_num: int, threshold_den: int,
+                              id_col: str = "vec_id") -> str:
+    """SQL twin of semantic_dedup: wraps the unrolled Lloyd CTEs as a
+    subquery (the curate_diversity_sample pattern), re-derives qvec with
+    the same quantization expression, and replays the in-cluster pair
+    pruning. Returns (id_col, cluster) kept rows."""
+    kmeans = kmeans_oracle_sql(vec_sql, k, iters, dim, id_col)
+    dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"ii -> qi.qvec[ii] * qj.qvec[ii]))")
+    nrm = (lambda t: f"list_sum(list_transform(range(1, {dim + 1}), "
+                     f"ii -> {t}.qvec[ii] * {t}.qvec[ii]))")
+    tn, td = threshold_num, threshold_den
+    return f"""
+WITH asg AS ({kmeans}),
+vv AS ({vec_sql}),
+qq AS (
+  SELECT {id_col}, CASE WHEN s = 0 THEN
+           list_transform(embedding, x -> 0::BIGINT)
+         ELSE list_transform(embedding,
+                x -> floor(x::DOUBLE / s * 127 + 0.5)::BIGINT) END AS qvec
+  FROM (SELECT {id_col}, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(x::DOUBLE))) AS s
+        FROM vv)),
+wq AS (SELECT a.{id_col}, a.cluster, q.qvec
+       FROM asg a JOIN qq q USING ({id_col})),
+dup AS (
+  SELECT DISTINCT qj.{id_col}
+  FROM wq qi JOIN wq qj
+    ON qi.cluster = qj.cluster AND qi.{id_col} < qj.{id_col}
+  WHERE {dot} > 0
+    AND {td * td}::BIGINT * {dot} * {dot}
+        >= {tn * tn}::BIGINT * {nrm('qi')} * {nrm('qj')})
+SELECT {id_col}, cluster FROM wq
+WHERE {id_col} NOT IN (SELECT {id_col} FROM dup)
+"""

@@ -90,3 +90,49 @@ def test_kmeans_oracle_sql_replays_iterations(spark):
         .sort_values("vec_id").reset_index(drop=True)
     assert (g["cluster"].to_numpy() == exp["cluster"].to_numpy()).all()
     assert (g["dist"].to_numpy() == exp["dist"].to_numpy()).all()
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from nifi_spark.datalib.cluster import semantic_dedup
+    X, _ = _blobs(n=60, dim=8, k=3)
+    rows = [(i, r.tolist()) for i, r in enumerate(X)]
+    # plant exact copies of every 5th vector at id+1000
+    planted = [(i + 1000, v) for i, v in rows if i % 5 == 0]
+    df = spark.createDataFrame(rows + planted,
+                               "vec_id long, embedding array<float>")
+    # blob-mates are directionally near-parallel (cos ~0.999), so use
+    # threshold 1: only exactly-parallel quantized vectors (the planted
+    # copies) are duplicates
+    kept, dropped = semantic_dedup(df, "vec_id", "embedding", k=3,
+                                   threshold_num=1, threshold_den=1,
+                                   iters=2)
+    dropped_ids = {r.vec_id for r in dropped.collect()}
+    kept_ids = {r.vec_id for r in kept.collect()}
+    assert {i + 1000 for i, _ in rows if i % 5 == 0} <= dropped_ids
+    assert dropped_ids.isdisjoint(kept_ids)
+    assert kept_ids | dropped_ids == {i for i, _ in rows + planted}
+    # every original survives (copies carry the higher id)
+    assert {i for i, _ in rows} <= kept_ids
+
+
+def test_semantic_dedup_oracle_twin(spark, tmp_path):
+    import duckdb
+
+    from nifi_spark.datalib.cluster import (semantic_dedup,
+                                            semantic_dedup_oracle_sql)
+    X, _ = _blobs(n=45, dim=8, k=3, seed=9)
+    rows = [(i, r.tolist()) for i, r in enumerate(X)]
+    rows += [(i + 500, v) for i, v in rows if i % 7 == 0]
+    pdf = pd.DataFrame({"vec_id": [i for i, _ in rows],
+                        "embedding": [v for _, v in rows]})
+    df = spark.createDataFrame(pdf)
+    kept, _ = semantic_dedup(df, "vec_id", "embedding", k=3,
+                             threshold_num=9, threshold_den=10, iters=2)
+    got = sorted((r.vec_id, r.cluster) for r in kept.collect())
+    con = duckdb.connect()
+    con.register("vecs", pdf)
+    sql = semantic_dedup_oracle_sql(
+        "SELECT vec_id, embedding FROM vecs", k=3, iters=2, dim=8,
+        threshold_num=9, threshold_den=10)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
