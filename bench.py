@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "text_normalize",
     "text_scrub_pii",
     "quantize_embeddings",
+    "dedup_semantic",
+    "lm_ngram_backoff",
     "multimodal_features",
     "scan_content",
     "split_defragment_roundtrip",
