@@ -3592,6 +3592,20 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept
 
 
+def q_lm_ngram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed n-gram LM (datalib/ngram_lm.py, Brants et al. 2007
+    stupid backoff): train trigram counts on a documents slice (one
+    hash-agg per order), score the same slice (per-order LEFT equi-join
+    lookups from array-slice contexts — no windows). Integer floor
+    arithmetic end-to-end; the oracle regenerates counts AND scores."""
+    from nifi_spark.datalib import score_ngram_lm, train_ngram_counts
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 == 0)
+            .select("doc_id", "text"))
+    counts = train_ngram_counts(docs, "text", n=3)
+    return score_ngram_lm(docs, counts, "doc_id", "text", n=3)
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4839,6 +4853,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hl7_route_extract": q_hl7_route_extract,
         "s2s_roundtrip": q_s2s_roundtrip,
         "dedup_semantic": q_dedup_semantic,
+        "lm_ngram_backoff": q_lm_ngram_backoff,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6234,6 +6249,12 @@ atts AS (
 SELECT h.*, a.attach_idx, a.filename, a.size, a.payload_hexmd5
 FROM heads h LEFT JOIN atts a USING (id)
 """,
+        "lm_ngram_backoff": __import__(
+            "nifi_spark.datalib.ngram_lm",
+            fromlist=["ngram_lm_oracle_sql"]
+        ).ngram_lm_oracle_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0",
+            n=3),
         "dedup_semantic": __import__(
             "nifi_spark.datalib.cluster",
             fromlist=["semantic_dedup_oracle_sql"]

@@ -11,6 +11,9 @@ Everything hash-valued uses the portable md5-derived hash
 Spark, DuckDB (driver correctness oracle), and numpy (pytest oracle).
 """
 
+from nifi_spark.datalib.ngram_lm import (ngram_lm_oracle_sql,
+                                         score_ngram_lm,
+                                         train_ngram_counts)
 from nifi_spark.datalib.cluster import (kmeans_int8,
                                         kmeans_oracle_sql,
                                         semantic_dedup,
@@ -67,6 +70,7 @@ __all__ = ["contaminated_spans",
            "url_dedup", "train_perceptron", "pagerank",
            "pagerank_oracle_sql", "kmeans_int8", "kmeans_oracle_sql",
            "semantic_dedup", "semantic_dedup_oracle_sql",
+           "ngram_lm_oracle_sql", "score_ngram_lm", "train_ngram_counts",
            "count_min_sketch", "cm_estimate", "hll_registers",
            "hll_estimate", "heavy_hitters", "histogram_sketch",
            "histogram_quantile", "build_warc", "parse_warc", "split_warc",
