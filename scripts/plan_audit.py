@@ -399,6 +399,41 @@ def main():
     if dump:
         print(p)
 
+    # ---- 3d. semantic dedup: in-cluster pruning is an equi-join --------
+    from nifi_spark.datalib import semantic_dedup
+    vecs_small = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 2.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    kept, _ = semantic_dedup(vecs_small, "vec_id", "embedding", k=2,
+                             threshold_num=9, threshold_den=10, iters=1)
+    p = plan_of(kept)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    results.append(("semantic_dedup", "in-cluster pair pruning is an "
+                    "equi-join on the cluster id — never an all-pairs "
+                    "product; drop set joins back LeftAnti"))
+
+    # ---- 3e. ngram LM: no windows; per-order lookup equi-joins ---------
+    from nifi_spark.datalib import score_ngram_lm, train_ngram_counts
+    docs_lm = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(10)],
+        "doc_id long, text string")
+    cnts = train_ngram_counts(docs_lm, "text", n=3)
+    p = plan_of(cnts)
+    assert "Window" not in p and "partial" in p.lower() \
+        or p.count("HashAggregate") >= 2, p
+    p = plan_of(score_ngram_lm(docs_lm, cnts, "doc_id", "text", n=3))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    # exactly ONE nested-loop NODE is allowed: the broadcast of the
+    # 1-row total-token-count scalar (constant-size build side) —
+    # count node headers, not substrings (tree + detail both print it)
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert n_bnlj <= 1, f"{n_bnlj} nested-loop joins\n{p}"
+    results.append(("ngram_lm", "count training = hash-aggs with map-side "
+                    "partials; scoring contexts come from array slices "
+                    "(no Window), lookups are per-order equi-joins; the "
+                    "only nested-loop is the 1-row total-count broadcast"))
+
     # ---- 4. q1: partial agg before exchange ----------------------------
     p = plan_of(E.queries()["q1_pricing_summary"](spark, sf))
     first_agg = p.find("HashAggregate")
