@@ -154,6 +154,23 @@ class ListenSource:
             "msg_seq",
             F.col("batch_id") * _MAX_PER_BATCH + F.col("msg_idx"))
 
+    def read_stream(self, spark: SparkSession,
+                    max_files_per_trigger: "int | None" = None
+                    ) -> DataFrame:
+        """Continuous consumption: the spool is a Structured Streaming
+        file source (spool files are immutable + atomically renamed, the
+        exact contract the file source requires). Each drain() lands one
+        file → one unit of trigger progress; checkpointing the stream
+        replaces the batch watermark pattern."""
+        reader = spark.readStream.schema(_SPOOL_SCHEMA)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        df = reader.parquet(self.spool_dir)
+        return df.withColumn(
+            "msg_seq",
+            F.col("batch_id") * _MAX_PER_BATCH + F.col("msg_idx"))
+
 
 class ListenUDPSource(ListenSource):
     """ListenUDP: datagram framing, no parsing — sender/protocol/port

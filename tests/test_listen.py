@@ -94,3 +94,28 @@ def test_syslog_parse_routing(spark, tmp_path):
     # invalid keeps the listener attributes (sender/protocol/port)
     assert invalid[0]["sender"] == "10.0.0.2"
     assert invalid[0]["protocol"] == "UDP"
+
+
+def test_read_stream_consumes_spool_incrementally(spark, tmp_path):
+    """Spool → Structured Streaming file source: drains landed before
+    the stream starts are consumed availableNow; a later drain is
+    picked up by a second availableNow pass from the same checkpoint."""
+    src = ListenUDPSource(str(tmp_path / "spool"))
+    src.drain(feed([("h", b"m1"), ("h", b"m2")]))
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (src.read_stream(spark, max_files_per_trigger=1)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+
+    run_once()
+    got = {r.raw for r in spark.read.parquet(out).collect()}
+    assert got == {"m1", "m2"}
+    src.drain(feed([("h", b"m3")]))
+    run_once()
+    got = sorted(r.raw for r in spark.read.parquet(out).collect())
+    assert got == ["m1", "m2", "m3"]     # exactly-once: no re-reads
