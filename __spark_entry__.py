@@ -4675,11 +4675,23 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+# operators added THIS round, fronted so the driver's 50-row sample
+# externally verifies the newest work first (then the never-verified
+# backlog in base order, then previously-verified rows)
+_NEW_THIS_ROUND = [
+    "listen_syslog_landed", "scripted_processor_flow",
+    "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
+    "lm_ngram_backoff",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    fresh = {k: v for k, v in base.items() if k not in _DRIVER_VERIFIED}
+    newest = {k: base[k] for k in _NEW_THIS_ROUND if k in base}
+    fresh = {k: v for k, v in base.items()
+             if k not in _DRIVER_VERIFIED and k not in newest}
     seen = {k: v for k, v in base.items() if k in _DRIVER_VERIFIED}
-    return {**fresh, **seen}
+    return {**newest, **fresh, **seen}
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
