@@ -3606,6 +3606,43 @@ def q_lm_ngram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_ngram_lm(docs, counts, "doc_id", "text", n=3)
 
 
+def q_listen_smtp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenSMTP analog (nifi-email-bundle ListenSMTP.java:69-80,
+    sources/smtp_listen.py): 120 messages delivered over 4 scripted
+    SMTP connections (real dialogue: EHLO/MAIL/RCPT/DATA with
+    dot-stuffed bodies) land in the parquet spool; per-sender
+    aggregates over the landed table replay arithmetically in SQL."""
+    from nifi_spark.sources import ListenSMTPSource, lines_feed
+
+    src = ListenSMTPSource(tempfile.mkdtemp(prefix="listen_smtp_"))
+    for conn in range(4):
+        parts = [b"EHLO client%d\r\n" % conn]
+        for i in range(conn * 30, conn * 30 + 30):
+            parts.append(f"MAIL FROM:<u{i % 7}@example.com>\r\n"
+                         .encode())
+            parts.append(f"RCPT TO:<r{i % 5}@dest.org>\r\n".encode())
+            if i % 4 == 0:
+                parts.append(f"RCPT TO:<cc{i % 3}@dest.org>\r\n"
+                             .encode())
+            parts.append(b"DATA\r\n")
+            parts.append(f"Subject: s{i}\r\n\r\n"
+                         f".dotline {i}\r\n{'z' * (i % 13)}\r\n"
+                         .replace(".", "..", 1).encode())
+            parts.append(b".\r\n")
+        parts.append(b"QUIT\r\n")
+        src.drain_connection(lines_feed(b"".join(parts)),
+                             lambda b: None, src=f"10.0.0.{conn}:25")
+    df = src.read(spark)
+    return (df.groupBy("mail_from")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("content")).cast("bigint")
+                 .alias("sum_clen"),
+                 F.sum(F.size("recipients")).cast("bigint")
+                 .alias("n_rcpt"),
+                 F.count(F.when(F.col("helo") == "client0", 1))
+                 .alias("n_conn0")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4681,7 +4718,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
-    "lm_ngram_backoff",
+    "lm_ngram_backoff", "listen_smtp_landed",
 ]
 
 
@@ -4866,6 +4903,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2s_roundtrip": q_s2s_roundtrip,
         "dedup_semantic": q_dedup_semantic,
         "lm_ngram_backoff": q_lm_ngram_backoff,
+        "listen_smtp_landed": q_listen_smtp_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6584,6 +6622,20 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "listen_smtp_landed": """
+WITH m AS (
+  SELECT range AS i,
+         'u' || (range % 7)::VARCHAR || '@example.com' AS mail_from,
+         CASE WHEN range % 4 = 0 THEN 2 ELSE 1 END AS n_rcpt,
+         27 + 2 * length(range::VARCHAR) + (range % 13)::INT AS clen,
+         range // 30 AS conn
+  FROM range(120))
+SELECT mail_from, count(*) AS n,
+       CAST(sum(clen) AS BIGINT) AS sum_clen,
+       CAST(sum(n_rcpt) AS BIGINT) AS n_rcpt,
+       count(*) FILTER (WHERE conn = 0) AS n_conn0
+FROM m GROUP BY mail_from
 """,
         "s2s_roundtrip": """
 WITH to_server AS (

@@ -17,6 +17,8 @@ from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
 from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.smtp_listen import (ListenSMTPSource, lines_feed,
+                                            serve_smtp)
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
 from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
                                              S2SPort, S2STransaction,
@@ -31,5 +33,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenUDPSource",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
            "loopback_serve", "serve_connection",
+           "ListenSMTPSource", "lines_feed", "serve_smtp",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
