@@ -4088,6 +4088,25 @@ def q_media_decode_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "height", "channels", "px_sum", "px_min", "px_max")
 
 
+def q_media_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec path (datalib/gif.py): 8-color palette rasters
+    encoded through the pure-Python GIF89a encoder (palette build +
+    variable-width LSB-first LZW), sniffed + decoded back in
+    mapInPandas, integer-exact raster stats vs the formula oracle —
+    proving LZW both directions and palette mapping bit-for-bit.
+    (Decoder conformance against third-party encoders is separately
+    pinned by the reference's own .gif artifacts in tests/.)"""
+    from nifi_spark.datalib.multimodal import (decode_media_stats,
+                                               synthesize_gif)
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 4 == 1).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    stats = decode_media_stats(synthesize_gif(docs, "doc_id"))
+    return stats.select(F.col("id").alias("doc_id"), "mime", "width",
+                        "height", "channels", "px_sum", "px_min",
+                        "px_max")
+
+
 def q_media_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec path: PCM-16 WAV encoded + RIFF-walk decoded in
     mapInPandas; integer-exact stats (abs-sum, peak, duration) vs a
@@ -4718,7 +4737,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
-    "lm_ngram_backoff", "listen_smtp_landed",
+    "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
 ]
 
 
@@ -4845,6 +4864,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "media_decode_image_stats": q_media_decode_image_stats,
+        "media_decode_gif_stats": q_media_decode_gif_stats,
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
         "media_frame_sample_mp4": q_media_frame_sample_mp4,
@@ -5960,6 +5980,26 @@ SELECT event_id, event_type,
            AS package_index,
        md5(props) AS content_md5
 FROM events WHERE event_id % 7 = 2
+""",
+        "media_decode_gif_stats": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 4 = 1 ORDER BY doc_id LIMIT 100),
+dims AS (
+  SELECT id, 8 + id % 5 AS w, 6 + id % 4 AS h FROM ids),
+px AS (
+  SELECT id, w, h, (id + 3 * unnest(range(0, w * h))) % 8 AS c
+  FROM dims),
+samples AS (
+  SELECT id, w, h, (c * 31) % 256 AS r, (c * 57) % 256 AS g,
+         (c * 91) % 256 AS b
+  FROM px)
+SELECT id AS doc_id, 'image/gif' AS mime,
+       any_value(w) AS width, any_value(h) AS height, 3 AS channels,
+       CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+       least(min(r), min(g), min(b))::INT AS px_min,
+       greatest(max(r), max(g), max(b))::INT AS px_max
+FROM samples GROUP BY id
 """,
         "media_decode_image_stats": """
 WITH ids AS (

@@ -1,0 +1,258 @@
+"""GIF87a/89a codec — pure stdlib, real LZW both directions.
+
+Closes the GIF member of the media seam (the reference ships GIF
+fixtures through IdentifyMimeType and its image viewer bundle renders
+them; here decode feeds the same canonical raster the PNG/BMP/JPEG
+decoders produce, so image_stats/resize compose unchanged).
+
+Scope: static GIFs end-to-end — header, logical screen descriptor,
+global/local color tables, interlaced and sequential scan order,
+graphic-control/comment/application extension skipping, variable-width
+LSB-first LZW (3..12-bit codes, table growth, CLEAR reset, EOI), and a
+frame counter for animations. `decode_gif` returns the FIRST frame as
+(w, h, 3, raster); animation composition (disposal methods, frame
+deltas) is a declared boundary. `encode_gif` palettizes the raster and
+refuses >256 distinct colors (GIF's own limit) rather than quantizing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class GifError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------- LZW
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: LSB-first across the concatenated sub-block bytes
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def init_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = init_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    prev: "bytes | None" = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)       # truncated stream: best effort
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = init_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise GifError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # GIF encoders grow the width when the NEXT code to assign
+            # no longer fits (deferred-clear variant: reset at 4096)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ encode
+
+
+def encode_gif(width: int, height: int, channels: int,
+               pixels: bytes) -> bytes:
+    """Raster → single-frame GIF89a. channels 1 (gray) or 3 (RGB);
+    ≤256 distinct colors (GIF's palette limit — no quantizer here)."""
+    if channels == 1:
+        rgb = bytes(v for p in pixels for v in (p, p, p))
+    elif channels == 3:
+        rgb = pixels
+    else:
+        raise GifError(f"channels must be 1 or 3, got {channels}")
+    if len(rgb) != width * height * 3:
+        raise GifError("pixel buffer does not match dimensions")
+    palette: dict[bytes, int] = {}
+    indices = bytearray()
+    for i in range(0, len(rgb), 3):
+        col = rgb[i:i + 3]
+        idx = palette.get(col)
+        if idx is None:
+            if len(palette) == 256:
+                raise GifError(">256 distinct colors — palettize first")
+            idx = len(palette)
+            palette[col] = idx
+        indices.append(idx)
+    bits = max(1, (len(palette) - 1).bit_length())
+    table_size = 1 << bits
+    gct = bytearray()
+    for col in palette:
+        gct += col
+    gct += b"\x00" * (3 * (table_size - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0)
+    out += gct
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = max(2, bits)
+    out.append(mcs)
+    lzw = _lzw_encode(bytes(indices), mcs)
+    for off in range(0, len(lzw), 255):
+        block = lzw[off:off + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+# ------------------------------------------------------------ decode
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    """First frame → (width, height, 3, RGB raster)."""
+    w, h, _nf, raster = _parse_gif(blob, want_pixels=True)
+    return w, h, 3, raster
+
+
+def gif_frame_count(blob: bytes) -> int:
+    return _parse_gif(blob, want_pixels=False)[2]
+
+
+def _parse_gif(blob: bytes, want_pixels: bool
+               ) -> tuple[int, int, int, bytes]:
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = blob[pos:pos + 3 * n]
+        pos += 3 * n
+    frames = 0
+    first: "bytes | None" = None
+    fw = fh = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        pos += 1
+        if b0 == 0x3B:                      # trailer
+            break
+        if b0 == 0x21:                      # extension: skip sub-blocks
+            pos += 1                        # label
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise GifError(f"unexpected block 0x{b0:02x}")
+        lx, ly, iw, ih, iflags = struct.unpack("<HHHHB",
+                                               blob[pos:pos + 9])
+        pos += 9
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            lct = blob[pos:pos + 3 * n]
+            pos += 3 * n
+        mcs = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos] != 0:
+            ln = blob[pos]
+            data += blob[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        frames += 1
+        if frames == 1 and want_pixels:
+            idx = _lzw_decode(bytes(data), mcs, iw * ih)
+            if len(idx) < iw * ih:
+                raise GifError("short LZW stream")
+            if iflags & 0x40:               # interlaced: 4-pass order
+                deinterlaced = bytearray(iw * ih)
+                src = 0
+                for start, step in _INTERLACE_PASSES:
+                    for row in range(start, ih, step):
+                        deinterlaced[row * iw:(row + 1) * iw] = \
+                            idx[src:src + iw]
+                        src += iw
+                idx = bytes(deinterlaced)
+            raster = bytearray()
+            for i in idx[:iw * ih]:
+                off = 3 * i
+                raster += lct[off:off + 3]
+            first = bytes(raster)
+            fw, fh = iw, ih
+    if want_pixels and first is None:
+        raise GifError("no image data")
+    return (fw or sw), (fh or sh), frames, (first or b"")

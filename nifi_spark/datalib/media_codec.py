@@ -295,6 +295,8 @@ def sniff_media(blob: bytes) -> str:
         return "audio/wav"
     if blob[4:8] == b"ftyp":
         return "video/mp4"
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     return "application/octet-stream"
 
 
@@ -303,12 +305,18 @@ def _decode_jpeg(blob: bytes) -> tuple[int, int, int, bytes]:
     return decode_jpeg(blob)
 
 
+def _decode_gif(blob: bytes) -> tuple[int, int, int, bytes]:
+    from nifi_spark.datalib.gif import decode_gif
+    return decode_gif(blob)
+
+
 _IMAGE_DECODERS = {
     "image/png": decode_png,
     "image/jpeg": _decode_jpeg,
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_pnm,
     "image/x-portable-graymap": decode_pnm,
+    "image/gif": _decode_gif,
 }
 
 

@@ -325,6 +325,35 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "id") -> DataFrame:
     return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
 
 
+def _synth_gif(i: int) -> bytes:
+    """Formula contract (mirrored by the gate oracle): w = 8 + i%5,
+    h = 6 + i%4; palette index at raster position j = (i + 3j) % 8;
+    palette color c = ((c·31)%256, (c·57)%256, (c·91)%256). Every 4th
+    id % condition isn't needed — interlace is exercised by the decode
+    tests against real files; the gate proves LZW + palette mapping."""
+    from nifi_spark.datalib.gif import encode_gif
+    w, h = 8 + i % 5, 6 + i % 4
+    px = bytearray()
+    for j in range(w * h):
+        c = (i + 3 * j) % 8
+        px += bytes(((c * 31) % 256, (c * 57) % 256, (c * 91) % 256))
+    return encode_gif(w, h, 3, bytes(px))
+
+
+def synthesize_gif(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Fixture source: 8-color palette rasters through the REAL GIF
+    encoder (palette build + variable-width LZW)."""
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), "image", _synth_gif(int(i))) for i in pdf["id"]],
+                columns=["id", "kind", "payload"])
+
+    return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
+
+
 def synthesize_video(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Fixture source: PNG-codec MP4s through the REAL muxer — every byte
     of the container (box tree, sample tables, mdat) is produced by
