@@ -4107,6 +4107,35 @@ def q_media_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "px_max")
 
 
+def q_tnef_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractTNEFAttachments analog (operators/tnef.py; wire parity
+    pinned by the reference's own winmail-*.dat fixtures in pytest):
+    TNEF streams synthesized through build_tnef (real checksummed
+    records) from a documents slice — every 5th doc attachment-less —
+    parsed back with routing; filenames/sizes/payload hex-md5s replay
+    in SQL."""
+    from nifi_spark.operators import extract_tnef_attachments
+
+    def gen(batches):
+        from nifi_spark.operators.tnef import build_tnef
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                atts = [] if did % 5 == 0 else [
+                    (f"doc{did}.txt", str(text)[:100].encode()),
+                    (f"doc{did}.bin", b"x" * (did % 50))]
+                rows.append((did, build_tnef(atts)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+            .repartition(8))
+    blobs = docs.mapInPandas(gen, schema="doc_id long, payload binary")
+    return extract_tnef_attachments(blobs, "payload",
+                                    id_cols=["doc_id"])
+
+
 def q_media_decode_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio codec path: PCM-16 WAV encoded + RIFF-walk decoded in
     mapInPandas; integer-exact stats (abs-sum, peak, duration) vs a
@@ -4738,6 +4767,7 @@ _NEW_THIS_ROUND = [
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
+    "tnef_extract",
 ]
 
 
@@ -4865,6 +4895,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "media_decode_image_stats": q_media_decode_image_stats,
         "media_decode_gif_stats": q_media_decode_gif_stats,
+        "tnef_extract": q_tnef_extract,
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
         "media_frame_sample_mp4": q_media_frame_sample_mp4,
@@ -5980,6 +6011,26 @@ SELECT event_id, event_type,
            AS package_index,
        md5(props) AS content_md5
 FROM events WHERE event_id % 7 = 2
+""",
+        "tnef_extract": """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2)
+SELECT doc_id, 'original' AS relationship, NULL::INT AS attach_idx,
+       'IPM.Microsoft Mail.Note' AS filename,
+       NULL::VARCHAR AS long_filename, NULL::INT AS size,
+       NULL::VARCHAR AS payload_hexmd5
+FROM d
+UNION ALL
+SELECT doc_id, 'attachments', 0,
+       'doc' || doc_id::VARCHAR || '.txt', NULL,
+       strlen(substr(text, 1, 100))::INT,
+       md5(hex(substr(text, 1, 100)))
+FROM d WHERE doc_id % 5 <> 0
+UNION ALL
+SELECT doc_id, 'attachments', 1,
+       'doc' || doc_id::VARCHAR || '.bin', NULL,
+       (doc_id % 50)::INT,
+       md5(repeat('78', (doc_id % 50)::INT))
+FROM d WHERE doc_id % 5 <> 0
 """,
         "media_decode_gif_stats": """
 WITH ids AS (

@@ -64,6 +64,9 @@ from nifi_spark.operators.enrich import (geo_enrich_ip, query_dns,
                                          query_whois)
 from nifi_spark.operators.hl7 import (HL7Query, extract_hl7_attributes,
                                       parse_hl7, route_hl7)
+from nifi_spark.operators.tnef import (build_tnef,
+                                       extract_tnef_attachments,
+                                       parse_tnef)
 from nifi_spark.operators.json_sql import (convert_json_to_sql,
                                            generate_sql_for_record)
 from nifi_spark.operators.html_ops import (get_html_element,
@@ -103,6 +106,7 @@ __all__ = [
     "extract_email_attachments", "extract_email_headers",
     "synthesize_email", "geo_enrich_ip", "query_dns", "query_whois",
     "HL7Query", "extract_hl7_attributes", "parse_hl7", "route_hl7",
+    "build_tnef", "extract_tnef_attachments", "parse_tnef",
     "convert_json_to_sql", "generate_sql_for_record",
     "get_html_element", "modify_html_element", "put_html_element",
     "split_xml_depth", "merge_concat",
