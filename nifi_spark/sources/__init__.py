@@ -17,8 +17,12 @@ from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
 from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
 from nifi_spark.sources.listing import list_new_files
-from nifi_spark.sources.smtp_listen import (ListenSMTPSource, lines_feed,
-                                            serve_smtp)
+from nifi_spark.sources.pop3 import (ConsumePOP3Source, pop3_fetch,
+                                     pop3_loopback, serve_pop3)
+from nifi_spark.sources.smtp_listen import (ListenSMTPSource,
+                                            compose_rfc822,
+                                            lines_feed, put_email,
+                                            serve_smtp, smtp_send)
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
 from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
                                              S2SPort, S2STransaction,
@@ -34,5 +38,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
            "loopback_serve", "serve_connection",
            "ListenSMTPSource", "lines_feed", "serve_smtp",
+           "ConsumePOP3Source", "pop3_fetch", "pop3_loopback",
+           "serve_pop3", "compose_rfc822", "put_email", "smtp_send",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]

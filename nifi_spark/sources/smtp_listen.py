@@ -202,3 +202,90 @@ class ListenSMTPSource:
                               F.col("batch_id") * self._MAX_PER_BATCH
                               + F.col("msg_idx"))
                 .withColumn("mime_type", F.lit("message/rfc822")))
+
+
+# ------------------------------------------------ client (PutEmail)
+
+
+def smtp_send(messages: list[SmtpMessage], read_line, write, *,
+              helo: str = "nifi-spark") -> int:
+    """SMTP CLIENT dialogue (PutEmail's transport half,
+    standard/PutEmail.java:296-340 — the javax.mail Transport.send
+    analog): drives HELO/MAIL/RCPT/DATA against any server speaking the
+    protocol, incl. `serve_smtp` in-process. Applies dot-stuffing on
+    transmit (the inverse of the server's unstuffing). Returns messages
+    accepted; raises on a rejecting reply."""
+    def expect(prefix: str):
+        line = read_line().decode("utf-8", errors="replace").rstrip()
+        if not line.startswith(prefix):
+            raise IOError(f"SMTP server said {line!r}, "
+                          f"expected {prefix}xx")
+        return line
+
+    expect("2")                       # 220 greeting
+    write(f"HELO {helo}\r\n".encode())
+    expect("250")
+    sent = 0
+    for m in messages:
+        write(f"MAIL FROM:<{m.mail_from}>\r\n".encode())
+        expect("250")
+        for r in m.recipients:
+            write(f"RCPT TO:<{r}>\r\n".encode())
+            expect("250")
+        write(b"DATA\r\n")
+        expect("354")
+        body = m.content
+        if not body.endswith("\r\n"):
+            body += "\r\n"
+        for line in body.split("\r\n")[:-1]:
+            if line.startswith("."):
+                line = "." + line
+            write(line.encode() + b"\r\n")
+        write(b".\r\n")
+        expect("250")
+        sent += 1
+    write(b"QUIT\r\n")
+    expect("221")
+    return sent
+
+
+def compose_rfc822(mail_from: str, to: list[str], subject: str,
+                   body: str, *, cc: "list[str] | None" = None,
+                   x_mailer: str = "nifi-spark",
+                   extra_headers: "dict[str, str] | None" = None) -> str:
+    """PutEmail's message assembly (PutEmail.java:296-316: From/To/CC,
+    Subject, X-Mailer header, text/plain content)."""
+    lines = [f"From: {mail_from}",
+             f"To: {', '.join(to)}"]
+    if cc:
+        lines.append(f"Cc: {', '.join(cc)}")
+    lines += [f"Subject: {subject}", f"X-Mailer: {x_mailer}",
+              "Content-Type: text/plain"]
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}")
+    lines += ["", body]
+    return "\r\n".join(lines) + "\r\n"
+
+
+def put_email(df, *, from_col: str, to_col: str, subject_col: str,
+              body_col: str, connect, max_rows: int = 1000) -> int:
+    """PutEmail analog: send one email per row. BOUNDED DRIVER SINK by
+    contract — email is an alerting channel, not a data plane; the cap
+    raises rather than silently truncating (same bounded-collect rule
+    as every driver aggregate in this repo). `connect()` must return a
+    fresh (read_line, write) transport pair."""
+    rows = df.select(from_col, to_col, subject_col,
+                     body_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(f"put_email: >{max_rows} rows — email is an "
+                         "alerting sink; raise max_rows deliberately "
+                         "or aggregate first")
+    msgs = []
+    for r in rows:
+        to = r[1] if isinstance(r[1], list) else [r[1]]
+        msgs.append(SmtpMessage(
+            helo="nifi-spark", src="driver", mail_from=r[0],
+            recipients=list(to),
+            content=compose_rfc822(r[0], list(to), r[2], r[3])))
+    read_line, write = connect()
+    return smtp_send(msgs, read_line, write)
