@@ -3643,6 +3643,46 @@ def q_listen_smtp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_conn0")))
 
 
+def q_listen_http_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenHTTP/HandleHttpRequest analog
+    (standard/servlets/ListenHTTPServlet.java, HandleHttpRequest.java
+    :521-585; sources/http_listen.py): 150 scripted POSTs across 3
+    keep-alive connections — every 5th body chunked-encoded, every 7th
+    request a rejected GET — land in the spool; per-uri aggregates over
+    method/query/body replay arithmetically."""
+    from nifi_spark.sources import ListenHTTPSource, requests_feed
+
+    src = ListenHTTPSource(tempfile.mkdtemp(prefix="listen_http_"))
+    for conn in range(3):
+        raw = bytearray()
+        for i in range(conn * 50, conn * 50 + 50):
+            body = f"payload {i} {'w' * (i % 9)}".encode()
+            if i % 7 == 3:
+                raw += (f"GET /skip/{i} HTTP/1.1\r\nHost: h\r\n\r\n"
+                        .encode())
+                continue
+            head = (f"POST /ep{i % 4}?id={i} HTTP/1.1\r\n"
+                    f"Host: h\r\nX-Req: {i}\r\n").encode()
+            if i % 5 == 0:
+                half = len(body) // 2
+                raw += head + b"Transfer-Encoding: chunked\r\n\r\n"
+                raw += (f"{half:x}\r\n".encode() + body[:half] + b"\r\n")
+                raw += (f"{len(body) - half:x}\r\n".encode()
+                        + body[half:] + b"\r\n0\r\n\r\n")
+            else:
+                raw += head + (f"Content-Length: {len(body)}\r\n\r\n"
+                               .encode()) + body
+        src.drain_connection(requests_feed(bytes(raw)), lambda b: None)
+    df = src.read(spark)
+    return (df.groupBy("uri")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("body")).cast("bigint").alias("sum_blen"),
+                 F.sum(F.element_at("headers", "x-req").cast("bigint"))
+                 .alias("sum_req"),
+                 F.count(F.when(F.col("query_string") != "", 1))
+                 .alias("n_query")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4767,7 +4807,7 @@ _NEW_THIS_ROUND = [
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
-    "tnef_extract",
+    "tnef_extract", "listen_http_landed",
 ]
 
 
@@ -4955,6 +4995,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "lm_ngram_backoff": q_lm_ngram_backoff,
         "listen_smtp_landed": q_listen_smtp_landed,
+        "listen_http_landed": q_listen_http_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6713,6 +6754,15 @@ FROM canon GROUP BY canonical_url
 SELECT * FROM (VALUES (0::BIGINT, 1::BIGINT, 30),
                       (1, 31, 30), (2, 61, 30), (3, 91, 10))
   v(part, first_line, n_lines)
+""",
+        "listen_http_landed": """
+WITH m AS (SELECT range AS i,
+                  '/ep' || (range % 4)::VARCHAR AS uri,
+                  9 + length(range::VARCHAR) + (range % 9)::INT AS blen
+           FROM range(150) WHERE range % 7 <> 3)
+SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
+       CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
+FROM m GROUP BY uri
 """,
         "listen_smtp_landed": """
 WITH m AS (

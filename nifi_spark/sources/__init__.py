@@ -16,6 +16,8 @@ from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
                                       publish_kafka)
 from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
+from nifi_spark.sources.http_listen import (ListenHTTPSource,
+                                            requests_feed, serve_http)
 from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.pop3 import (ConsumePOP3Source, pop3_fetch,
                                      pop3_loopback, serve_pop3)
@@ -40,5 +42,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenSMTPSource", "lines_feed", "serve_smtp",
            "ConsumePOP3Source", "pop3_fetch", "pop3_loopback",
            "serve_pop3", "compose_rfc822", "put_email", "smtp_send",
+           "ListenHTTPSource", "requests_feed", "serve_http",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
