@@ -3683,6 +3683,45 @@ def q_listen_http_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_query")))
 
 
+def q_listen_websocket_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenWebSocket analog (nifi-websocket-bundle;
+    sources/websocket.py — real RFC 6455 handshake + frame codec): 180
+    masked client messages (every 6th binary, every 10th text sent
+    FRAGMENTED through continuation frames) over a loopback connection
+    land in the spool; per-kind aggregates replay arithmetically."""
+    from nifi_spark.sources import ListenWebSocketSource, WsClient
+
+    import socket
+    import threading
+
+    src = ListenWebSocketSource(tempfile.mkdtemp(prefix="listen_ws_"))
+    a, b = socket.socketpair()
+    t = threading.Thread(
+        target=lambda: (src.drain_connection(b.recv, b.sendall),
+                        b.close()),
+        daemon=True)
+    t.start()
+    c = WsClient(a.recv, a.sendall)
+    for i in range(180):
+        if i % 6 == 0:
+            c.send_binary(bytes((i + k) % 256
+                                for k in range(1 + i % 5)))
+        else:
+            c.send_text(f"ws {i} {'q' * (i % 11)}",
+                        fragment_at=4 if i % 10 == 3 else None)
+    c.close()
+    t.join(30)
+    a.close()
+    df = src.read(spark)
+    return (df.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.coalesce(F.length("text"), F.lit(0))
+                       + F.coalesce(F.length("data"), F.lit(0)))
+                 .cast("bigint").alias("sum_len"),
+                 F.min("msg_seq").alias("min_seq"),
+                 F.max("msg_seq").alias("max_seq")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4807,7 +4846,7 @@ _NEW_THIS_ROUND = [
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
-    "tnef_extract", "listen_http_landed",
+    "tnef_extract", "listen_http_landed", "listen_websocket_landed",
 ]
 
 
@@ -4996,6 +5035,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ngram_backoff": q_lm_ngram_backoff,
         "listen_smtp_landed": q_listen_smtp_landed,
         "listen_http_landed": q_listen_http_landed,
+        "listen_websocket_landed": q_listen_websocket_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6763,6 +6803,16 @@ WITH m AS (SELECT range AS i,
 SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
        CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
 FROM m GROUP BY uri
+""",
+        "listen_websocket_landed": """
+WITH m AS (SELECT range AS i,
+  CASE WHEN range % 6 = 0 THEN 'binary' ELSE 'text' END AS kind,
+  CASE WHEN range % 6 = 0 THEN 1 + (range % 5)
+       ELSE 4 + length(range::VARCHAR) + (range % 11) END AS len
+  FROM range(180))
+SELECT kind, count(*) AS n, CAST(sum(len) AS BIGINT) AS sum_len,
+       min(i) AS min_seq, max(i) AS max_seq
+FROM m GROUP BY kind
 """,
         "listen_smtp_landed": """
 WITH m AS (

@@ -19,6 +19,8 @@ from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.websocket import (ListenWebSocketSource, WsClient,
+                                          serve_websocket, ws_loopback)
 from nifi_spark.sources.pop3 import (ConsumePOP3Source, pop3_fetch,
                                      pop3_loopback, serve_pop3)
 from nifi_spark.sources.smtp_listen import (ListenSMTPSource,
@@ -43,5 +45,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ConsumePOP3Source", "pop3_fetch", "pop3_loopback",
            "serve_pop3", "compose_rfc822", "put_email", "smtp_send",
            "ListenHTTPSource", "requests_feed", "serve_http",
+           "ListenWebSocketSource", "WsClient", "serve_websocket",
+           "ws_loopback",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
