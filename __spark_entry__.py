@@ -3722,6 +3722,34 @@ def q_listen_websocket_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("msg_seq").alias("max_seq")))
 
 
+def q_listen_relp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenRELP analog (standard/relp/frame/RELPDecoder.java state
+    machine; sources/relp.py): 300 syslog events delivered over an
+    acknowledged RELP session (open → per-txnr 200 OK acks → close,
+    fed in awkward 7-byte chunks through the streaming decoder), landed
+    and parsed with the ParseSyslog engine; per-host aggregates +
+    txnr sums replay arithmetically."""
+    from nifi_spark.operators import parse_syslog
+    from nifi_spark.sources import ListenRELPSource
+    from nifi_spark.sources.relp import bytes_feed, encode_frame
+
+    raw = encode_frame(1, "open", b"relp_version=0\ncommands=syslog")
+    for i in range(300):
+        line = (f"<{i % 191}>Jan  1 00:00:0{i % 10} host{i % 5} "
+                f"app[{i % 100}]: relp event {i}")
+        raw += encode_frame(2 + i, "syslog", line.encode())
+    raw += encode_frame(302, "close", b"")
+    src = ListenRELPSource(tempfile.mkdtemp(prefix="listen_relp_"))
+    src.drain_connection(bytes_feed(raw), lambda b: None,
+                         sender="10.1.1.1:601")
+    routed = parse_syslog(src.read(spark), "raw")
+    return (routed["valid"]
+            .groupBy(F.col("syslog_hostname").alias("hostname"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("txnr").cast("bigint").alias("sum_txnr"),
+                 F.max("syslog_pid").alias("max_pid")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4847,6 +4875,7 @@ _NEW_THIS_ROUND = [
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
+    "listen_relp_landed",
 ]
 
 
@@ -5036,6 +5065,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_smtp_landed": q_listen_smtp_landed,
         "listen_http_landed": q_listen_http_landed,
         "listen_websocket_landed": q_listen_websocket_landed,
+        "listen_relp_landed": q_listen_relp_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6803,6 +6833,14 @@ WITH m AS (SELECT range AS i,
 SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
        CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
 FROM m GROUP BY uri
+""",
+        "listen_relp_landed": """
+WITH m AS (SELECT range AS i, 'host' || (range % 5)::VARCHAR AS hostname,
+                  range + 2 AS txnr, (range % 100)::INT AS pid
+           FROM range(300))
+SELECT hostname, count(*) AS n, CAST(sum(txnr) AS BIGINT) AS sum_txnr,
+       max(pid) AS max_pid
+FROM m GROUP BY hostname
 """,
         "listen_websocket_landed": """
 WITH m AS (SELECT range AS i,

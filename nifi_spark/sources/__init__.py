@@ -19,6 +19,8 @@ from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.relp import (ListenRELPSource, RelpDecoder,
+                                     serve_relp)
 from nifi_spark.sources.websocket import (ListenWebSocketSource, WsClient,
                                           serve_websocket, ws_loopback)
 from nifi_spark.sources.pop3 import (ConsumePOP3Source, pop3_fetch,
@@ -47,5 +49,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenHTTPSource", "requests_feed", "serve_http",
            "ListenWebSocketSource", "WsClient", "serve_websocket",
            "ws_loopback",
+           "ListenRELPSource", "RelpDecoder", "serve_relp",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
