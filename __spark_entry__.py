@@ -3750,6 +3750,50 @@ def q_listen_relp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("syslog_pid").alias("max_pid")))
 
 
+def q_listen_lumberjack_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListenLumberjack analog (nifi-lumberjack-bundle frame codec;
+    sources/lumberjack.py): 240 events — the second half zlib-packed
+    into ONE compressed frame of embedded data frames — delivered with
+    window-30 acks, landed, aggregated per source file; the oracle
+    replays arithmetically."""
+    from nifi_spark.sources import ListenLumberjackSource
+    from nifi_spark.sources.lumberjack import (encode_compressed_frame,
+                                               encode_data_frame,
+                                               encode_window_frame)
+
+    def kv(i: int) -> dict:
+        return {"line": f"lj {i} {'p' * (i % 8)}",
+                "file": f"/var/log/app{i % 3}.log",
+                "offset": str(i * 100)}
+
+    raw = encode_window_frame(30)
+    for i in range(120):
+        raw += encode_data_frame(i + 1, kv(i))
+    inner = b"".join(encode_data_frame(i + 1, kv(i))
+                     for i in range(120, 240))
+    raw += encode_compressed_frame(inner)
+    src = ListenLumberjackSource(tempfile.mkdtemp(prefix="listen_lj_"))
+
+    def feed(data):
+        pos = 0
+
+        def read(n):
+            nonlocal pos
+            out = data[pos:pos + n]
+            pos += len(out)
+            return out
+        return read
+
+    src.drain_connection(feed(raw), lambda b: None)
+    df = src.read(spark)
+    return (df.groupBy(F.element_at("fields", "file").alias("file"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("line")).cast("bigint").alias("sum_len"),
+                 F.sum("seq").cast("bigint").alias("sum_seq"),
+                 F.sum(F.element_at("fields", "offset").cast("bigint"))
+                 .alias("sum_offset")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4875,7 +4919,7 @@ _NEW_THIS_ROUND = [
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
-    "listen_relp_landed",
+    "listen_relp_landed", "listen_lumberjack_landed",
 ]
 
 
@@ -5066,6 +5110,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_http_landed": q_listen_http_landed,
         "listen_websocket_landed": q_listen_websocket_landed,
         "listen_relp_landed": q_listen_relp_landed,
+        "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6833,6 +6878,18 @@ WITH m AS (SELECT range AS i,
 SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
        CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
 FROM m GROUP BY uri
+""",
+        "listen_lumberjack_landed": """
+WITH m AS (SELECT range AS i,
+                  '/var/log/app' || (range % 3)::VARCHAR || '.log'
+                    AS file,
+                  4 + length(range::VARCHAR) + (range % 8)::INT AS len,
+                  range + 1 AS seq, range * 100 AS off
+           FROM range(240))
+SELECT file, count(*) AS n, CAST(sum(len) AS BIGINT) AS sum_len,
+       CAST(sum(seq) AS BIGINT) AS sum_seq,
+       CAST(sum(off) AS BIGINT) AS sum_offset
+FROM m GROUP BY file
 """,
         "listen_relp_landed": """
 WITH m AS (SELECT range AS i, 'host' || (range % 5)::VARCHAR AS hostname,

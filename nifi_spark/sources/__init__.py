@@ -19,6 +19,8 @@ from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.lumberjack import (ListenLumberjackSource,
+                                           serve_lumberjack)
 from nifi_spark.sources.relp import (ListenRELPSource, RelpDecoder,
                                      serve_relp)
 from nifi_spark.sources.websocket import (ListenWebSocketSource, WsClient,
@@ -50,5 +52,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenWebSocketSource", "WsClient", "serve_websocket",
            "ws_loopback",
            "ListenRELPSource", "RelpDecoder", "serve_relp",
+           "ListenLumberjackSource", "serve_lumberjack",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
