@@ -3794,6 +3794,36 @@ def q_listen_lumberjack_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sum_offset")))
 
 
+def q_consume_mqtt_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumeMQTT analog (nifi-mqtt-bundle; sources/mqtt.py — real
+    MQTT 3.1.1 packet codec, QoS 0/1 with PUBACK, wildcard
+    subscriptions): 200 broker-queued messages delivered to a
+    `sensors/#` subscription over a loopback session land in the
+    spool; per-topic aggregates replay arithmetically. 40 `other/...`
+    messages must NOT match the filter."""
+    from nifi_spark.sources import (ConsumeMQTTSource, MqttBroker,
+                                    MqttClient, mqtt_loopback)
+    broker = MqttBroker(outbound=[
+        (f"sensors/dev{i % 4}/t", f"v {i} {'m' * (i % 6)}".encode(),
+         i % 2, i % 10 == 0) for i in range(200)
+    ] + [(f"other/{i}", b"x", 0, False) for i in range(40)])
+    read, write, join = mqtt_loopback(broker)
+    client = MqttClient(read, write, client_id="gate")
+    src = ConsumeMQTTSource(tempfile.mkdtemp(prefix="consume_mqtt_"))
+    n = src.drain(client, "sensors/#")
+    client.disconnect()
+    join()
+    assert n == 200, n
+    df = src.read(spark)
+    return (df.groupBy("topic")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("payload")).cast("bigint")
+                 .alias("sum_plen"),
+                 F.sum(F.col("qos").cast("bigint")).alias("sum_qos"),
+                 F.count(F.when(F.col("retained"), 1))
+                 .alias("n_retained")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4920,6 +4950,7 @@ _NEW_THIS_ROUND = [
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
     "listen_relp_landed", "listen_lumberjack_landed",
+    "consume_mqtt_landed",
 ]
 
 
@@ -5111,6 +5142,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_websocket_landed": q_listen_websocket_landed,
         "listen_relp_landed": q_listen_relp_landed,
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
+        "consume_mqtt_landed": q_consume_mqtt_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6878,6 +6910,18 @@ WITH m AS (SELECT range AS i,
 SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
        CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
 FROM m GROUP BY uri
+""",
+        "consume_mqtt_landed": """
+WITH m AS (SELECT range AS i,
+                  'sensors/dev' || (range % 4)::VARCHAR || '/t' AS topic,
+                  3 + length(range::VARCHAR) + (range % 6)::INT AS plen,
+                  range % 2 AS qos,
+                  CASE WHEN range % 10 = 0 THEN 1 ELSE 0 END AS ret
+           FROM range(200))
+SELECT topic, count(*) AS n, CAST(sum(plen) AS BIGINT) AS sum_plen,
+       CAST(sum(qos) AS BIGINT) AS sum_qos,
+       count(*) FILTER (WHERE ret = 1) AS n_retained
+FROM m GROUP BY topic
 """,
         "listen_lumberjack_landed": """
 WITH m AS (SELECT range AS i,

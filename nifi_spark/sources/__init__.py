@@ -21,6 +21,8 @@ from nifi_spark.sources.http_listen import (ListenHTTPSource,
 from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.lumberjack import (ListenLumberjackSource,
                                            serve_lumberjack)
+from nifi_spark.sources.mqtt import (ConsumeMQTTSource, MqttBroker,
+                                     MqttClient, mqtt_loopback)
 from nifi_spark.sources.relp import (ListenRELPSource, RelpDecoder,
                                      serve_relp)
 from nifi_spark.sources.websocket import (ListenWebSocketSource, WsClient,
@@ -53,5 +55,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ws_loopback",
            "ListenRELPSource", "RelpDecoder", "serve_relp",
            "ListenLumberjackSource", "serve_lumberjack",
+           "ConsumeMQTTSource", "MqttBroker", "MqttClient",
+           "mqtt_loopback",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
