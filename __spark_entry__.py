@@ -3824,6 +3824,35 @@ def q_consume_mqtt_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_retained")))
 
 
+def q_consume_imap_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumeIMAP analog (nifi-email-bundle ConsumeIMAP.java;
+    sources/imap.py — tagged dialogue, RFC822 literals, \\Deleted +
+    EXPUNGE): 150 folder messages fetched-and-deleted over a loopback
+    session; a SECOND drain of the (now empty) folder proves the
+    exactly-once contract. Aggregates replay arithmetically."""
+    from nifi_spark.sources import ConsumeIMAPSource, imap_loopback
+
+    folders = {"INBOX": [
+        (f"Subject: s{i}\r\n\r\nimap {i} {'k' * (i % 7)}\r\n").encode()
+        for i in range(150)]}
+    src = ConsumeIMAPSource(tempfile.mkdtemp(prefix="consume_imap_"))
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders)
+    n1 = src.drain(connect, user="u", password="p")
+    join()
+    connect2, join2 = imap_loopback(user="u", password="p",
+                                    folders=folders)
+    n2 = src.drain(connect2, user="u", password="p")
+    join2()
+    df = src.read(spark)
+    return (df.groupBy("folder")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("content")).cast("bigint")
+                 .alias("sum_clen"))
+            .withColumn("first_drain", F.lit(n1))
+            .withColumn("second_drain", F.lit(n2)))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4950,7 +4979,7 @@ _NEW_THIS_ROUND = [
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
     "listen_relp_landed", "listen_lumberjack_landed",
-    "consume_mqtt_landed",
+    "consume_mqtt_landed", "consume_imap_landed",
 ]
 
 
@@ -5143,6 +5172,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_relp_landed": q_listen_relp_landed,
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "consume_mqtt_landed": q_consume_mqtt_landed,
+        "consume_imap_landed": q_consume_imap_landed,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6910,6 +6940,13 @@ WITH m AS (SELECT range AS i,
 SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
        CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
 FROM m GROUP BY uri
+""",
+        "consume_imap_landed": """
+SELECT 'INBOX' AS folder, count(*) AS n,
+       CAST(sum(22 + 2 * length(range::VARCHAR) + (range % 7)::INT)
+            AS BIGINT) AS sum_clen,
+       150 AS first_drain, 0 AS second_drain
+FROM range(150)
 """,
         "consume_mqtt_landed": """
 WITH m AS (SELECT range AS i,

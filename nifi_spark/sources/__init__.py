@@ -18,6 +18,8 @@ from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
+from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
+                                     imap_loopback, serve_imap)
 from nifi_spark.sources.listing import list_new_files
 from nifi_spark.sources.lumberjack import (ListenLumberjackSource,
                                            serve_lumberjack)
@@ -57,5 +59,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenLumberjackSource", "serve_lumberjack",
            "ConsumeMQTTSource", "MqttBroker", "MqttClient",
            "mqtt_loopback",
+           "ConsumeIMAPSource", "imap_fetch", "imap_loopback",
+           "serve_imap",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
