@@ -3853,6 +3853,36 @@ def q_consume_imap_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("second_drain", F.lit(n2)))
 
 
+def q_snmp_get_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetSNMP GET+WALK analogs (nifi-snmp-bundle; sources/snmp.py —
+    real BER v2c codec): an arithmetic 80-entry MIB is walked via
+    GETNEXT (plus spot GETs and a SET round-trip); the resulting
+    varbind table aggregates per OID branch and replays
+    arithmetically."""
+    from nifi_spark.sources import SnmpAgent, snmp_get, snmp_set, snmp_walk
+    from nifi_spark.sources.snmp import COUNTER32
+
+    mib: dict = {}
+    for i in range(1, 81):
+        mib[f"1.3.6.1.2.1.2.2.1.10.{i}"] = (COUNTER32, i * 100)
+        if i % 4 == 0:
+            mib[f"1.3.6.1.2.1.31.1.1.{i}"] = f"if{i}"
+    agent = SnmpAgent(mib=mib)
+    snmp_set(agent.transport, [("1.3.6.1.2.1.2.2.1.10.5", 999_999)])
+    walked = snmp_walk(agent.transport, "1.3.6.1.2.1.2")
+    got_names = snmp_walk(agent.transport, "1.3.6.1.2.1.31")
+    spot = snmp_get(agent.transport, ["1.3.6.1.2.1.2.2.1.10.7"])
+    assert spot["snmp$errorStatus"] == 0
+    rows = [("counters", oid, int(val)) for oid, val in walked]
+    rows += [("names", oid, len(val)) for oid, val in got_names]
+    df = spark.createDataFrame(rows, "branch string, oid string, v long")
+    return (df.groupBy("branch")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("sum_v"),
+                 F.md5(F.concat_ws("|", F.sort_array(
+                     F.collect_list("oid")))).alias("oid_hash")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4979,7 +5009,7 @@ _NEW_THIS_ROUND = [
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
     "listen_relp_landed", "listen_lumberjack_landed",
-    "consume_mqtt_landed", "consume_imap_landed",
+    "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
 ]
 
 
@@ -5173,6 +5203,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "consume_mqtt_landed": q_consume_mqtt_landed,
         "consume_imap_landed": q_consume_imap_landed,
+        "snmp_get_walk": q_snmp_get_walk,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
         "list_file_watermark": q_list_file_watermark,
@@ -6940,6 +6971,22 @@ WITH m AS (SELECT range AS i,
 SELECT uri, count(*) AS n, CAST(sum(blen) AS BIGINT) AS sum_blen,
        CAST(sum(i) AS BIGINT) AS sum_req, count(*) AS n_query
 FROM m GROUP BY uri
+""",
+        "snmp_get_walk": """
+WITH counters AS (
+  SELECT 'counters' AS branch,
+         '1.3.6.1.2.1.2.2.1.10.' || i::VARCHAR AS oid,
+         CASE WHEN i = 5 THEN 999999 ELSE i * 100 END AS v
+  FROM (SELECT unnest(range(1, 81)) AS i)),
+names AS (
+  SELECT 'names' AS branch,
+         '1.3.6.1.2.1.31.1.1.' || i::VARCHAR AS oid,
+         2 + length(i::VARCHAR) AS v
+  FROM (SELECT unnest(range(1, 81)) AS i) WHERE i % 4 = 0),
+allv AS (SELECT * FROM counters UNION ALL SELECT * FROM names)
+SELECT branch, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       md5(string_agg(oid, '|' ORDER BY oid)) AS oid_hash
+FROM allv GROUP BY branch
 """,
         "consume_imap_landed": """
 SELECT 'INBOX' AS folder, count(*) AS n,

@@ -27,6 +27,8 @@ from nifi_spark.sources.mqtt import (ConsumeMQTTSource, MqttBroker,
                                      MqttClient, mqtt_loopback)
 from nifi_spark.sources.relp import (ListenRELPSource, RelpDecoder,
                                      serve_relp)
+from nifi_spark.sources.snmp import (SnmpAgent, snmp_get, snmp_set,
+                                     snmp_walk)
 from nifi_spark.sources.websocket import (ListenWebSocketSource, WsClient,
                                           serve_websocket, ws_loopback)
 from nifi_spark.sources.pop3 import (ConsumePOP3Source, pop3_fetch,
@@ -61,5 +63,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "mqtt_loopback",
            "ConsumeIMAPSource", "imap_fetch", "imap_loopback",
            "serve_imap",
+           "SnmpAgent", "snmp_get", "snmp_set", "snmp_walk",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]
