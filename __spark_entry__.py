@@ -3883,6 +3883,47 @@ def q_snmp_get_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list("oid")))).alias("oid_hash")))
 
 
+def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
+    amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
+    basic.publish/basic.get): 240 client-published messages route
+    through a topic exchange into two bound queues (`*.*.metric` /
+    `#.error`), drain to the spool with the amqp$ property surface,
+    and the per-routing-key aggregates replay arithmetically."""
+    from nifi_spark.sources import (AmqpBroker, AmqpClient,
+                                    ConsumeAMQPSource, amqp_loopback)
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    client = AmqpClient(read, write)
+    client.exchange_declare("events", "topic")
+    client.queue_declare("metrics")
+    client.queue_declare("errors")
+    client.queue_bind("metrics", "events", "*.*.metric")
+    client.queue_bind("errors", "events", "#.error")
+    for i in range(240):
+        kind = "metric" if i % 3 == 0 else "error"
+        client.basic_publish(
+            "events", f"app.{i % 5}.{kind}",
+            f"v {i} {'z' * (i % 7)}".encode(),
+            {"priority": i % 10, "delivery_mode": 1 + i % 2,
+             "app_id": f"app{i % 5}", "message_id": f"m{i}"})
+    src = ConsumeAMQPSource(tempfile.mkdtemp(prefix="consume_amqp_"))
+    n_m = src.drain(client, "metrics")
+    n_e = src.drain(client, "errors")
+    client.close()
+    join()
+    assert (n_m, n_e) == (80, 160), (n_m, n_e)
+    df = src.read(spark)
+    return (df.groupBy("queue", "routing_key")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("payload")).cast("bigint")
+                 .alias("sum_plen"),
+                 F.sum(F.col("priority").cast("bigint"))
+                 .alias("sum_prio"),
+                 F.count(F.when(F.col("delivery_mode") == 2, 1))
+                 .alias("n_persistent")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -4868,6 +4909,24 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, x string, y string, n long")
 
 
+def q_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (datalib/bpe.py wordpiece_train;
+    Schuster & Nakajima 2012, the BERT family): same distributed rewrite
+    mechanics as BPE but the winner maximizes the likelihood score
+    count(xy)/(count(x)*count(y)). The argmax is exact over integer
+    fractions — a double prefilter bounds the winner in-plan, integer
+    cross-multiplication settles the survivors — and the oracle replays
+    all 6 rounds with the same two-stage shape (HUGEINT NOT EXISTS over
+    the survivor set)."""
+    from nifi_spark.datalib.bpe import wordpiece_train
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    rows = [(i + 1, x, y, n, cx, cy)
+            for i, (x, y, n, cx, cy)
+            in enumerate(wordpiece_train(docs, "text", 6))]
+    return spark.createDataFrame(
+        rows, "step int, x string, y string, n long, cx long, cy long")
+
+
 def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE with a fixed merge list: one zero-shuffle projection
     (nested replaces + split + flatten) — the shape of a 100 TB
@@ -5010,6 +5069,7 @@ _NEW_THIS_ROUND = [
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
     "listen_relp_landed", "listen_lumberjack_landed",
     "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
+    "consume_amqp_landed", "wordpiece_train_merges",
 ]
 
 
@@ -5161,6 +5221,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
+        "wordpiece_train_merges": q_wordpiece_train_merges,
         "split_text_grouped": q_split_text_grouped,
         "split_xml_depth": q_split_xml_depth,
         "warc_corpus_pipeline": q_warc_corpus_pipeline,
@@ -5202,6 +5263,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_relp_landed": q_listen_relp_landed,
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "consume_mqtt_landed": q_consume_mqtt_landed,
+        "consume_amqp_landed": q_consume_amqp_landed,
         "consume_imap_landed": q_consume_imap_landed,
         "snmp_get_walk": q_snmp_get_walk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -6766,6 +6828,10 @@ FROM fr
             "nifi_spark.datalib.bpe", fromlist=["bpe_oracle_sql"]
         ).bpe_oracle_sql(
             "SELECT text FROM documents WHERE doc_id % 2 = 0", 6),
+        "wordpiece_train_merges": __import__(
+            "nifi_spark.datalib.bpe", fromlist=["wordpiece_oracle_sql"]
+        ).wordpiece_oracle_sql(
+            "SELECT text FROM documents WHERE doc_id % 2 = 0", 6),
         "bpe_encode_tokens": __import__(
             "nifi_spark.datalib.bpe", fromlist=["bpe_encode_oracle_sql"]
         ).bpe_encode_oracle_sql("SELECT doc_id, text FROM documents",
@@ -6994,6 +7060,22 @@ SELECT 'INBOX' AS folder, count(*) AS n,
             AS BIGINT) AS sum_clen,
        150 AS first_drain, 0 AS second_drain
 FROM range(150)
+""",
+        "consume_amqp_landed": """
+WITH m AS (SELECT range AS i,
+  CASE WHEN range % 3 = 0 THEN 'metrics' ELSE 'errors' END AS queue,
+  'app.' || (range % 5)::VARCHAR || '.' ||
+    (CASE WHEN range % 3 = 0 THEN 'metric' ELSE 'error' END)
+    AS routing_key,
+  3 + length(range::VARCHAR) + (range % 7)::INT AS plen,
+  range % 10 AS prio,
+  1 + (range % 2)::INT AS dm
+  FROM range(240))
+SELECT queue, routing_key, count(*) AS n,
+       CAST(sum(plen) AS BIGINT) AS sum_plen,
+       CAST(sum(prio) AS BIGINT) AS sum_prio,
+       count(*) FILTER (WHERE dm = 2) AS n_persistent
+FROM m GROUP BY queue, routing_key
 """,
         "consume_mqtt_landed": """
 WITH m AS (SELECT range AS i,

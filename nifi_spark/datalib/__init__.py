@@ -22,6 +22,9 @@ from nifi_spark.datalib.sketch import (cm_estimate, count_min_sketch,
                                        heavy_hitters, histogram_quantile,
                                        histogram_sketch, hll_estimate,
                                        hll_registers)
+from nifi_spark.datalib.bpe import (bpe_encode, bpe_encode_oracle_sql,
+                                    bpe_oracle_sql, bpe_train,
+                                    wordpiece_oracle_sql, wordpiece_train)
 from nifi_spark.datalib.graph import pagerank, pagerank_oracle_sql
 from nifi_spark.datalib.warc import (build_warc, parse_warc, split_warc,
                                      synthesize_warc, wet_documents)
@@ -71,6 +74,9 @@ __all__ = ["contaminated_spans",
            "pagerank_oracle_sql", "kmeans_int8", "kmeans_oracle_sql",
            "semantic_dedup", "semantic_dedup_oracle_sql",
            "ngram_lm_oracle_sql", "score_ngram_lm", "train_ngram_counts",
+           "bpe_train", "bpe_encode", "bpe_oracle_sql",
+           "bpe_encode_oracle_sql", "wordpiece_train",
+           "wordpiece_oracle_sql",
            "count_min_sketch", "cm_estimate", "hll_registers",
            "hll_estimate", "heavy_hitters", "histogram_sketch",
            "histogram_quantile", "build_warc", "parse_warc", "split_warc",

@@ -195,3 +195,126 @@ SELECT {id_col}, len(toks)::INT AS n_tokens,
        md5(array_to_string(toks, ' ')) AS tokens_md5
 FROM w
 """
+
+
+# ------------------------------------------------------- WordPiece
+
+
+def wordpiece_train(docs: DataFrame, text_col: str, n_merges: int,
+                    checkpoint_every: int = 16
+                    ) -> list[tuple[str, str, int, int, int]]:
+    """WordPiece-style merge learning (Schuster & Nakajima 2012; the
+    BERT tokenizer family): per round the winner maximizes the
+    LIKELIHOOD score ``count(xy) / (count(x) * count(y))`` instead of
+    BPE's raw pair count. Returns [(x, y, n_pair, cx, cy)] in merge
+    order; apply with `bpe_encode` (the merge-replay tokenizer the
+    learned list defines — longest-match-first inference is the usual
+    serving-time variant).
+
+    The argmax is EXACT over integer fractions without quadratic work:
+    an in-plan double approximation bounds the winner (every pair with
+    approx score >= max_approx * (1 - 1e-9) survives — double's
+    relative error is < 1e-15, so the true winner is provably in the
+    survivor set), then the handful of survivors settle at the driver
+    by integer cross-multiplication (n1*cx2*cy2 vs n2*cx1*cy1, Python
+    bignums), ties by lexicographic (x, y). Driver traffic per round:
+    the survivor rows (almost always 1). Same rewrite mechanics and
+    checkpoint cadence as `bpe_train`."""
+    words = (docs.select(F.explode(_wrapped_words(text_col)).alias("seq"))
+             .groupBy("seq")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    words = words.localCheckpoint()
+
+    pending: list[tuple[str, str]] = []
+    out: list[tuple[str, str, int, int, int]] = []
+    for _ in range(n_merges):
+        seqs = words.select(
+            _apply_merges(F.col("seq"), pending).alias("seq"), "cnt")
+        toks = seqs.select(
+            F.explode(_unwrap_tokens(F.col("seq"))).alias("tok"), "cnt")
+        uni = (toks.groupBy("tok")
+               .agg(F.sum("cnt").cast("long").alias("c")))
+        pairs = _pair_counts(seqs)
+        scored = (pairs
+                  .join(uni.select(F.col("tok").alias("x"),
+                                   F.col("c").alias("cx")), "x")
+                  .join(uni.select(F.col("tok").alias("y"),
+                                   F.col("c").alias("cy")), "y")
+                  .withColumn("s", F.col("n") / (F.col("cx") * F.col("cy"))))
+        m = scored.agg(F.max("s").alias("m"))
+        survivors = (scored.crossJoin(F.broadcast(m))
+                     .where(F.col("s") >= F.col("m") * (1 - 1e-9))
+                     .select("x", "y", "n", "cx", "cy").collect())
+        if not survivors:
+            break
+
+        # exact fraction argmax: n/(cx*cy) desc, then (x, y) asc
+        def beats(a, b):
+            lhs = a["n"] * b["cx"] * b["cy"]
+            rhs = b["n"] * a["cx"] * a["cy"]
+            if lhs != rhs:
+                return lhs > rhs
+            return (a["x"], a["y"]) < (b["x"], b["y"])
+        best = survivors[0]
+        for r in survivors[1:]:
+            if beats(r, best):
+                best = r
+        pending.append((best["x"], best["y"]))
+        out.append((best["x"], best["y"], int(best["n"]),
+                    int(best["cx"]), int(best["cy"])))
+        if len(pending) >= checkpoint_every:
+            words = words.select(
+                _apply_merges(F.col("seq"), pending).alias("seq"),
+                "cnt").localCheckpoint()
+            pending = []
+    return out
+
+
+def wordpiece_oracle_sql(docs_sql: str, n_merges: int) -> str:
+    """SQL twin of wordpiece_train (generated, incremental like
+    bpe_oracle_sql): yields (step, x, y, n, cx, cy). The same
+    two-stage argmax — double-approx prefilter (an independent
+    conservative superset; the engines' candidate sets need not match,
+    only the exact winner does) then HUGEINT cross-multiplication via
+    NOT EXISTS over the tiny survivor set."""
+    d = SEP
+    ctes = [f"""q0 AS MATERIALIZED (
+  SELECT '{d}' || array_to_string(string_split(w, ''), '{d}{d}') || '{d}'
+         AS seq
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM ({docs_sql})))"""]
+    for t in range(1, n_merges + 1):
+        ctes.append(f"""tk{t} AS MATERIALIZED (
+  SELECT string_split(trim(seq, '{d}'), '{d}{d}') AS toks FROM q{t - 1})""")
+        ctes.append(f"""u{t} AS MATERIALIZED (
+  SELECT tok, count(*)::BIGINT AS c
+  FROM (SELECT unnest(toks) AS tok FROM tk{t}) GROUP BY tok)""")
+        ctes.append(f"""p{t} AS MATERIALIZED (
+  SELECT toks[i] AS x, toks[i + 1] AS y, count(*)::BIGINT AS n
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        FROM tk{t} WHERE len(toks) >= 2)
+  GROUP BY toks[i], toks[i + 1])""")
+        ctes.append(f"""c{t} AS MATERIALIZED (
+  SELECT p.x, p.y, p.n, ux.c AS cx, uy.c AS cy,
+         p.n / (ux.c * uy.c)::DOUBLE AS s
+  FROM p{t} p JOIN u{t} ux ON ux.tok = p.x
+              JOIN u{t} uy ON uy.tok = p.y)""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+  SELECT * FROM c{t}
+  WHERE s >= (SELECT max(s) FROM c{t}) * (1 - 1e-9))""")
+        ctes.append(f"""m{t} AS MATERIALIZED (
+  SELECT x, y, n, cx, cy FROM v{t} s1
+  WHERE NOT EXISTS (SELECT 1 FROM v{t} s2 WHERE
+      s2.n::HUGEINT * s1.cx * s1.cy > s1.n::HUGEINT * s2.cx * s2.cy
+      OR (s2.n::HUGEINT * s1.cx * s1.cy = s1.n::HUGEINT * s2.cx * s2.cy
+          AND (s2.x < s1.x OR (s2.x = s1.x AND s2.y < s1.y))))
+  LIMIT 1)""")
+        ctes.append(f"""q{t} AS MATERIALIZED (
+  SELECT replace(q.seq, '{d}' || m.x || '{d}{d}' || m.y || '{d}',
+                 '{d}' || m.x || m.y || '{d}') AS seq
+  FROM q{t - 1} q CROSS JOIN m{t} m)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, x, y, n, cx, cy FROM m{t}"
+        for t in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + sel

@@ -7,6 +7,9 @@ the checkpoint, emit it as a DataFrame, and advance the checkpoint only
 after the downstream commit.
 """
 
+from nifi_spark.sources.amqp import (AmqpBroker, AmqpClient,
+                                     ConsumeAMQPSource, amqp_loopback,
+                                     publish_amqp)
 from nifi_spark.sources.catalog import list_database_tables
 from nifi_spark.sources.changelog import ChangelogSource
 from nifi_spark.sources.files import fetch_files, get_files
@@ -61,6 +64,8 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenLumberjackSource", "serve_lumberjack",
            "ConsumeMQTTSource", "MqttBroker", "MqttClient",
            "mqtt_loopback",
+           "AmqpBroker", "AmqpClient", "ConsumeAMQPSource",
+           "amqp_loopback", "publish_amqp",
            "ConsumeIMAPSource", "imap_fetch", "imap_loopback",
            "serve_imap",
            "SnmpAgent", "snmp_get", "snmp_set", "snmp_walk",

@@ -8,11 +8,14 @@ and PublishMQTT.java (FlowFile content → one PUBLISH). The reference
 delegates the wire protocol to Eclipse Paho; here MQTT 3.1.1 itself is
 implemented — fixed header with the variable-length remaining-length
 varint, CONNECT/CONNACK (protocol-name/level validation, client id),
-PUBLISH QoS 0 and QoS 1 with PUBACK, SUBSCRIBE/SUBACK with topic
-filters (``+`` single-level and ``#`` multi-level wildcards, exactly
-the spec's matching rules), UNSUBSCRIBE/UNSUBACK, PINGREQ/PINGRESP,
-DISCONNECT. QoS 2's four-way handshake is a declared boundary (the
-reference's own default is QoS 0).
+PUBLISH QoS 0 and QoS 1 with PUBACK, QoS 2's full four-way handshake
+(PUBREC/PUBREL/PUBCOMP, §4.3.3 method B: the receiver stashes the
+message under its packet id — a DUP re-publish overwrites, never
+duplicates — and releases it on PUBREL, the exactly-once contract;
+broker→client deliveries complete across drains since PUBREL answers
+the client's PUBREC), SUBSCRIBE/SUBACK with topic filters (``+``
+single-level and ``#`` multi-level wildcards, exactly the spec's
+matching rules), UNSUBSCRIBE/UNSUBACK, PINGREQ/PINGRESP, DISCONNECT.
 
 The broker half (`MqttBroker` + `serve_mqtt`) exists for the same
 reason serve_smtp/serve_pop3 do: loopback sessions prove BOTH sides of
@@ -35,6 +38,7 @@ _SPOOL_SCHEMA = ("batch_id bigint, msg_idx bigint, topic string, "
                  "payload binary")
 
 CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+PUBREC, PUBREL, PUBCOMP = 5, 6, 7
 SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
 PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
 
@@ -161,6 +165,7 @@ class MqttBroker:
         write(bytes([CONNACK << 4, 2, 0, 0x00]))    # session, accepted
         served = 0
         delivery_id = 1
+        self._inflight: dict[int, tuple] = {}       # QoS-2 stash
         while True:
             pkt = read_packet(read)
             if pkt is None:
@@ -173,15 +178,34 @@ class MqttBroker:
                 if qos > 0:
                     (pid,) = struct.unpack_from(">H", body, pos)
                     pos += 2
-                if qos > 1:
-                    raise MqttError("QoS 2 is a declared boundary")
-                self.received.append((topic, body[pos:], qos,
-                                      bool(flags & 0x01),
-                                      bool(flags & 0x08)))
+                msg = (topic, body[pos:], qos, bool(flags & 0x01),
+                       bool(flags & 0x08))
+                if qos == 2:
+                    # exactly-once: stash under pid (a DUP re-publish
+                    # overwrites, never duplicates) and release on
+                    # PUBREL — MQTT 3.1.1 §4.3.3 method B
+                    self._inflight[pid] = msg
+                    write(bytes([PUBREC << 4, 2])
+                          + struct.pack(">H", pid))
+                    continue
+                self.received.append(msg)
                 if qos == 1:
                     write(bytes([PUBACK << 4, 2])
                           + struct.pack(">H", pid))
                 served += 1
+            elif ptype == PUBREL:
+                (pid,) = struct.unpack_from(">H", body, 0)
+                if pid in self._inflight:
+                    self.received.append(self._inflight.pop(pid))
+                    served += 1
+                write(bytes([PUBCOMP << 4, 2]) + struct.pack(">H", pid))
+            elif ptype == PUBREC:
+                # ack leg for one of our QoS-2 deliveries → PUBREL
+                (pid,) = struct.unpack_from(">H", body, 0)
+                write(bytes([(PUBREL << 4) | 0x02, 2])
+                      + struct.pack(">H", pid))
+            elif ptype == PUBCOMP:
+                pass            # final leg of our QoS-2 delivery
             elif ptype == SUBSCRIBE:
                 (pid,) = struct.unpack_from(">H", body, 0)
                 pos = 2
@@ -190,8 +214,8 @@ class MqttBroker:
                     filt, pos = _read_str(body, pos)
                     q = body[pos]
                     pos += 1
-                    sess.subscriptions.append((filt, min(q, 1)))
-                    granted.append(min(q, 1))
+                    sess.subscriptions.append((filt, min(q, 2)))
+                    granted.append(min(q, 2))
                 write(bytes([SUBACK << 4])
                       + encode_varint(2 + len(granted))
                       + struct.pack(">H", pid) + bytes(granted))
@@ -266,6 +290,18 @@ class MqttClient:
                     or struct.unpack(">H", pkt[2][:2])[0] != pid):
                 raise MqttError(f"expected PUBACK {pid}, got {pkt}")
             self._pid += 1
+        elif qos == 2:                      # four-way: REC → REL → COMP
+            pkt = read_packet(self.read)
+            if (pkt is None or pkt[0] != PUBREC
+                    or struct.unpack(">H", pkt[2][:2])[0] != pid):
+                raise MqttError(f"expected PUBREC {pid}, got {pkt}")
+            self.write(bytes([(PUBREL << 4) | 0x02, 2])
+                       + struct.pack(">H", pid))
+            pkt = read_packet(self.read)
+            if (pkt is None or pkt[0] != PUBCOMP
+                    or struct.unpack(">H", pkt[2][:2])[0] != pid):
+                raise MqttError(f"expected PUBCOMP {pid}, got {pkt}")
+            self._pid += 1
 
     def subscribe(self, *filters: str, qos: int = 1) -> list[int]:
         body = struct.pack(">H", self._pid)
@@ -294,6 +330,8 @@ class MqttClient:
         out = []
         pending = getattr(self, "_early", [])
         self._early = []
+        inflight = getattr(self, "_inflight_rx", {})
+        self._inflight_rx = inflight
         while True:
             pkt = pending.pop(0) if pending else read_packet(self.read)
             if pkt is None:
@@ -301,6 +339,16 @@ class MqttClient:
             ptype, flags, body = pkt
             if ptype == PINGRESP:
                 return out
+            if ptype == PUBREL:
+                # release leg of an inbound QoS-2 delivery (§4.3.3 —
+                # may arrive in a LATER drain than its PUBLISH, since
+                # the broker's PUBREL answers our PUBREC)
+                (pid,) = struct.unpack_from(">H", body, 0)
+                if pid in inflight:
+                    out.append(inflight.pop(pid))
+                self.write(bytes([PUBCOMP << 4, 2])
+                           + struct.pack(">H", pid))
+                continue
             if ptype != PUBLISH:
                 raise MqttError(f"unexpected packet {ptype}")
             qos = (flags >> 1) & 0x03
@@ -309,10 +357,17 @@ class MqttClient:
             if qos:
                 (pid,) = struct.unpack_from(">H", body, pos)
                 pos += 2
+            msg = (topic, body[pos:], qos, bool(flags & 0x01),
+                   bool(flags & 0x08))
+            if qos == 2:
+                inflight[pid] = msg         # released on PUBREL
+                self.write(bytes([PUBREC << 4, 2])
+                           + struct.pack(">H", pid))
+                continue
+            if qos == 1:
                 self.write(bytes([PUBACK << 4, 2])
                            + struct.pack(">H", pid))
-            out.append((topic, body[pos:], qos, bool(flags & 0x01),
-                        bool(flags & 0x08)))
+            out.append(msg)
 
     def disconnect(self) -> None:
         self.write(bytes([DISCONNECT << 4, 0]))

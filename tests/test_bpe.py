@@ -99,3 +99,40 @@ def test_bpe_oracle_sql_replays_training(spark):
     exp = con.execute(bpe_oracle_sql("SELECT text FROM t", 5)).df()
     exp = [(r.x, r.y, int(r.n)) for r in exp.sort_values("step").itertuples()]
     assert got == exp
+
+
+def test_wordpiece_train_likelihood_winner(spark):
+    """WordPiece picks the max-likelihood pair, not the max-count one:
+    'ab' occurs 3x but a,b are common (score 3/(5*5)); 'xy' occurs 2x
+    with rare symbols (score 2/(2*2)) -> xy must win round 1."""
+    from nifi_spark.datalib.bpe import wordpiece_train
+    docs = spark.createDataFrame(
+        [("a b ab ab ab x",), ("xy xy b a",)], "text string")
+    # after char split: words: ab->(a,b) x3 ... xy->(x,y) x2
+    got = wordpiece_train(docs, "text", 1)
+    assert len(got) == 1
+    x, y, n, cx, cy = got[0]
+    assert (x, y, n) == ("x", "y", 2)
+    assert n * 5 * 5 > 3 * cx * cy  # beats (a,b) on the exact fraction
+
+
+def test_wordpiece_tiebreak_lexicographic(spark):
+    from nifi_spark.datalib.bpe import wordpiece_train
+    # (c,d) and (e,f) have identical counts and unigrams -> lex tiebreak
+    docs = spark.createDataFrame([("cd ef cd ef",)], "text string")
+    got = wordpiece_train(docs, "text", 1)
+    assert got[0][:2] == ("c", "d")
+
+
+def test_wordpiece_oracle_twin(spark):
+    import duckdb
+    from nifi_spark.datalib.bpe import wordpiece_oracle_sql, wordpiece_train
+    rows = [f"the quick fox fox f{i % 3}x jumps the the" for i in range(40)]
+    docs = spark.createDataFrame([(t,) for t in rows], "text string")
+    con = duckdb.connect()
+    con.register("wp_docs", pd.DataFrame({"text": rows}))
+    want = con.execute(
+        wordpiece_oracle_sql("SELECT text FROM wp_docs", 4)).fetchall()
+    got = [(i + 1, x, y, n, cx, cy) for i, (x, y, n, cx, cy)
+           in enumerate(wordpiece_train(docs, "text", 4))]
+    assert sorted(got) == sorted(tuple(r) for r in want)

@@ -89,3 +89,51 @@ def test_consume_source_spool(spark, tmp_path):
     assert rows[0].retained is True and rows[1].retained is False
     assert {r.topic for r in rows} == {"logs/app0", "logs/app1"}
     assert [r.qos for r in rows] == [0, 1, 0, 1, 0, 1]
+
+
+def test_publish_qos2_exactly_once():
+    broker = MqttBroker()
+    read, write, join = mqtt_loopback(broker)
+    c = MqttClient(read, write, client_id="q2")
+    c.publish("exact/once", b"payload", qos=2)   # full 4-way handshake
+    c.publish("exact/two", b"p2", qos=2)
+    c.disconnect()
+    assert join() == 2
+    assert broker.received == [
+        ("exact/once", b"payload", 2, False, False),
+        ("exact/two", b"p2", 2, False, False)]
+
+
+def test_qos2_dup_republish_not_duplicated():
+    """A DUP re-PUBLISH with the same packet id before PUBREL must land
+    exactly once (§4.3.3: the stash overwrites)."""
+    import struct as _s
+    from nifi_spark.sources.mqtt import (PUBCOMP, PUBREC, PUBREL,
+                                         encode_publish, read_packet)
+    broker = MqttBroker()
+    read, write, join = mqtt_loopback(broker)
+    c = MqttClient(read, write, client_id="dup")
+    pid = 7
+    write(encode_publish("t", b"v", qos=2, packet_id=pid))
+    assert read_packet(read)[0] == PUBREC
+    write(encode_publish("t", b"v", qos=2, dup=True, packet_id=pid))
+    assert read_packet(read)[0] == PUBREC        # re-acknowledged
+    write(bytes([(PUBREL << 4) | 0x02, 2]) + _s.pack(">H", pid))
+    assert read_packet(read)[0] == PUBCOMP
+    c.disconnect()
+    assert join() == 1                           # exactly once
+    assert broker.received == [("t", b"v", 2, False, True)]
+
+
+def test_qos2_broker_to_client_delivery_across_drains():
+    broker = MqttBroker(outbound=[("q2/x", b"exactly", 2, False)])
+    read, write, join = mqtt_loopback(broker)
+    c = MqttClient(read, write)
+    assert c.subscribe("q2/#", qos=2) == [2]
+    first = c.drain()        # PUBLISH arrives, PUBREC sent, not yet out
+    second = c.drain()       # PUBREL arrives → released + PUBCOMP
+    assert first == []
+    assert [(t, p, q) for t, p, q, _, _ in second] == \
+        [("q2/x", b"exactly", 2)]
+    c.disconnect()
+    join()
