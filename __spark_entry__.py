@@ -3883,6 +3883,50 @@ def q_snmp_get_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list("oid")))).alias("oid_hash")))
 
 
+def q_snmp_v3_usm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNMPv3 USM (sources/snmp.py — RFC 3412 envelope, engine
+    discovery via the unknown-engine Report, RFC 3414 localized keys,
+    HMAC-SHA-96/MD5-96 authNoPriv): a 60-entry arithmetic MIB is walked
+    through an authenticated SHA session, spot-read through an MD5
+    session and a noAuth user, and a wrong-password session must be
+    refused with usmStatsWrongDigests. Aggregates replay
+    arithmetically."""
+    from nifi_spark.sources import SnmpV3Agent, SnmpV3Session
+    from nifi_spark.sources.snmp import COUNTER32, SnmpError
+
+    mib = {f"1.3.6.1.2.1.2.2.1.16.{i}": (COUNTER32, i * i + 7)
+           for i in range(1, 61)}
+    agent = SnmpV3Agent(mib=dict(mib),
+                        users={"ops": ("sha", "correct horse"),
+                               "legacy": ("md5", "battery staple"),
+                               "guest": None})
+    sha_sess = SnmpV3Session(agent.transport, "ops",
+                             auth_password="correct horse")
+    walked = sha_sess.walk("1.3.6.1.2.1.2")
+    md5_sess = SnmpV3Session(agent.transport, "legacy",
+                             auth_password="battery staple", proto="md5")
+    spot = md5_sess.get(["1.3.6.1.2.1.2.2.1.16.7"])
+    assert spot["varbinds"][0][1] == 56, spot
+    noauth = SnmpV3Session(agent.transport, "guest")
+    assert noauth.get(["1.3.6.1.2.1.2.2.1.16.9"])["varbinds"][0][1] == 88
+    refused = 0
+    try:
+        SnmpV3Session(agent.transport, "ops",
+                      auth_password="wrong").get(
+            ["1.3.6.1.2.1.2.2.1.16.1"])
+    except SnmpError:
+        refused = 1
+    rows = [(oid, int(v), int(oid.rsplit(".", 1)[1]) % 4)
+            for oid, v in walked]
+    df = spark.createDataFrame(rows, "oid string, v long, slot int")
+    return (df.groupBy("slot")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("sum_v"),
+                 F.max("v").alias("max_v"))
+            .withColumn("wrong_digest_refused",
+                        F.lit(refused + agent.wrong_digests)))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5069,7 +5113,7 @@ _NEW_THIS_ROUND = [
     "tnef_extract", "listen_http_landed", "listen_websocket_landed",
     "listen_relp_landed", "listen_lumberjack_landed",
     "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
-    "consume_amqp_landed", "wordpiece_train_merges",
+    "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
 ]
 
 
@@ -5264,6 +5308,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "consume_mqtt_landed": q_consume_mqtt_landed,
         "consume_amqp_landed": q_consume_amqp_landed,
+        "snmp_v3_usm": q_snmp_v3_usm,
         "consume_imap_landed": q_consume_imap_landed,
         "snmp_get_walk": q_snmp_get_walk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -7060,6 +7105,14 @@ SELECT 'INBOX' AS folder, count(*) AS n,
             AS BIGINT) AS sum_clen,
        150 AS first_drain, 0 AS second_drain
 FROM range(150)
+""",
+        "snmp_v3_usm": """
+WITH m AS (SELECT range AS i, (range % 4)::INT AS slot,
+                  range * range + 7 AS v
+           FROM range(1, 61))
+SELECT slot, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(max(v) AS BIGINT) AS max_v, 2 AS wrong_digest_refused
+FROM m GROUP BY slot
 """,
         "consume_amqp_landed": """
 WITH m AS (SELECT range AS i,

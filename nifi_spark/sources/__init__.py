@@ -30,7 +30,10 @@ from nifi_spark.sources.mqtt import (ConsumeMQTTSource, MqttBroker,
                                      MqttClient, mqtt_loopback)
 from nifi_spark.sources.relp import (ListenRELPSource, RelpDecoder,
                                      serve_relp)
-from nifi_spark.sources.snmp import (SnmpAgent, snmp_get, snmp_set,
+from nifi_spark.sources.snmp import (SnmpAgent, SnmpV3Agent,
+                                     SnmpV3Session, localize_key,
+                                     password_to_key, snmp_get,
+                                     snmp_set, snmp_v3_discover,
                                      snmp_walk)
 from nifi_spark.sources.websocket import (ListenWebSocketSource, WsClient,
                                           serve_websocket, ws_loopback)
@@ -68,6 +71,8 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "amqp_loopback", "publish_amqp",
            "ConsumeIMAPSource", "imap_fetch", "imap_loopback",
            "serve_imap",
-           "SnmpAgent", "snmp_get", "snmp_set", "snmp_walk",
+           "SnmpAgent", "SnmpV3Agent", "SnmpV3Session", "localize_key",
+           "password_to_key", "snmp_get", "snmp_set",
+           "snmp_v3_discover", "snmp_walk",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions"]

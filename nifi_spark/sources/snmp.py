@@ -11,8 +11,20 @@ OBJECT IDENTIFIER / SEQUENCE plus the SNMP application types
 (IpAddress, Counter32, Gauge32, TimeTicks), and the v2c message
 ``SEQUENCE(version, community, PDU(request-id, error-status,
 error-index, varbind-list))`` with GetRequest/GetNextRequest/
-GetResponse/SetRequest PDUs. SNMPv3 USM security is a declared
-boundary (the reference defaults to v1/v2c community strings too).
+GetResponse/SetRequest PDUs.
+
+SNMPv3 USM (RFC 3412/3414) is implemented for noAuthNoPriv and
+authNoPriv — the v3 message envelope (msgGlobalData, the
+securityParameters octet-string wrapping the USM sequence, scoped
+PDUs), engine discovery (empty-engine-ID probe → Report PDU carrying
+usmStatsUnknownEngineIDs + the agent's engineID/boots/time, exactly
+the snmp4j dance the reference triggers via its SNMPv3 properties),
+RFC 3414 A.2 password-to-key (1 MB repetition) with key localization
+H(Ku||engineID||Ku), and HMAC-MD5-96 / HMAC-SHA-96 authentication
+(digest computed over the whole message with zeroed msgAuthParams,
+wrong digests answered with usmStatsWrongDigests). Declared
+boundary: priv (DES/AES — no crypto primitives in the stdlib) and
+the boots/time timeliness window.
 
 Transport = one injectable request/response callable
 ``transport(request_bytes) -> response_bytes`` (SNMP is datagram
@@ -268,3 +280,298 @@ def snmp_set(transport, varbinds: list[tuple[str, object]], *,
         community, SET_REQUEST, request_id, varbinds)))
     return {"snmp$errorStatus": resp["error_status"],
             "varbinds": resp["varbinds"]}
+
+
+# ----------------------------------------------------------- SNMPv3
+
+
+REPORT = 0xA8
+USM_STATS_UNKNOWN_ENGINE = "1.3.6.1.6.3.15.1.1.4.0"
+USM_STATS_WRONG_DIGESTS = "1.3.6.1.6.3.15.1.1.5.0"
+USM_STATS_UNKNOWN_USER = "1.3.6.1.6.3.15.1.1.3.0"
+_AUTH_LEN = 12                      # HMAC-96 truncation, both protocols
+
+
+def password_to_key(password: str, proto: str = "sha") -> bytes:
+    """RFC 3414 A.2: hash 1 MB of the repeated password -> Ku."""
+    import hashlib
+    h = hashlib.new("md5" if proto == "md5" else "sha1")
+    pw = password.encode()
+    reps, rem = divmod(1_048_576, len(pw))
+    h.update(pw * reps + pw[:rem])
+    return h.digest()
+
+
+def localize_key(ku: bytes, engine_id: bytes, proto: str = "sha") -> bytes:
+    """Kul = H(Ku || engineID || Ku) — RFC 3414 §2.6."""
+    import hashlib
+    h = hashlib.new("md5" if proto == "md5" else "sha1")
+    h.update(ku + engine_id + ku)
+    return h.digest()
+
+
+def _auth_hmac(kul: bytes, message: bytes, proto: str) -> bytes:
+    import hmac
+    return hmac.new(kul, message,
+                    "md5" if proto == "md5" else "sha1"
+                    ).digest()[:_AUTH_LEN]
+
+
+def _usm_params(engine_id: bytes, boots: int, etime: int, user: str,
+                auth_params: bytes) -> bytes:
+    return ber(OCTET_STRING, ber(SEQUENCE,
+               ber(OCTET_STRING, engine_id)
+               + ber_int(boots) + ber_int(etime)
+               + ber(OCTET_STRING, user.encode())
+               + ber(OCTET_STRING, auth_params)
+               + ber(OCTET_STRING, b"")))          # privParams (no priv)
+
+
+def encode_v3_message(msg_id: int, pdu_type: int, request_id: int,
+                      varbinds: list[tuple[str, object]], *,
+                      engine_id: bytes = b"", boots: int = 0,
+                      etime: int = 0, user: str = "",
+                      auth_key: bytes | None = None, proto: str = "sha",
+                      error_status: int = 0, error_index: int = 0,
+                      reportable: bool = True) -> bytes:
+    """RFC 3412 SNMPv3 envelope around a scoped PDU; `auth_key` is the
+    LOCALIZED key (Kul). The digest is computed with msgAuthParams
+    zeroed, then the message is rebuilt with the real digest (same
+    lengths, so offsets are identical — RFC 3414 §6.3.1)."""
+    vb = b"".join(ber(SEQUENCE, ber_oid(oid) + _encode_value(val))
+                  for oid, val in varbinds)
+    pdu = ber(pdu_type, ber_int(request_id) + ber_int(error_status)
+              + ber_int(error_index) + ber(SEQUENCE, vb))
+    scoped = ber(SEQUENCE, ber(OCTET_STRING, engine_id)
+                 + ber(OCTET_STRING, b"") + pdu)
+    flags = (0x04 if reportable else 0) | (0x01 if auth_key else 0)
+    global_data = ber(SEQUENCE, ber_int(msg_id) + ber_int(65507)
+                      + ber(OCTET_STRING, bytes([flags])) + ber_int(3))
+
+    def build(auth_params: bytes) -> bytes:
+        return ber(SEQUENCE, ber_int(3) + global_data
+                   + _usm_params(engine_id, boots, etime, user,
+                                 auth_params) + scoped)
+
+    if auth_key is None:
+        return build(b"")
+    digest = _auth_hmac(auth_key, build(b"\x00" * _AUTH_LEN), proto)
+    return build(digest)
+
+
+def decode_v3_message(blob: bytes) -> dict:
+    tag, body, _ = _parse_tlv(blob, 0)
+    if tag != SEQUENCE:
+        raise SnmpError("message is not a SEQUENCE")
+    pos = 0
+    _, vbody, pos = _parse_tlv(body, pos)
+    if _parse_int(vbody) != 3:
+        raise SnmpError("not an SNMPv3 message")
+    _, gdata, pos = _parse_tlv(body, pos)
+    g = 0
+    _, mid, g = _parse_tlv(gdata, g)
+    _, _msz, g = _parse_tlv(gdata, g)
+    _, mflags, g = _parse_tlv(gdata, g)
+    _, secp, pos = _parse_tlv(body, pos)
+    s = 0
+    _, usm, s = _parse_tlv(secp, s)
+    u = 0
+    _, eng, u = _parse_tlv(usm, u)
+    _, bts, u = _parse_tlv(usm, u)
+    _, tim, u = _parse_tlv(usm, u)
+    _, usr, u = _parse_tlv(usm, u)
+    auth_off = len(blob) - len(body) + pos - len(secp) + s - len(usm) + u
+    _, aut, u = _parse_tlv(usm, u)
+    auth_off += 2                        # past the authParams TL header
+    _, scoped, _ = _parse_tlv(body, pos)
+    sp = 0
+    _, ceid, sp = _parse_tlv(scoped, sp)
+    _, _cnam, sp = _parse_tlv(scoped, sp)
+    pdu_type, pdu, _ = _parse_tlv(scoped, sp)
+    p = 0
+    _, rid, p = _parse_tlv(pdu, p)
+    _, est, p = _parse_tlv(pdu, p)
+    _, eix, p = _parse_tlv(pdu, p)
+    _, vbl, p = _parse_tlv(pdu, p)
+    varbinds = []
+    q = 0
+    while q < len(vbl):
+        _, one, q = _parse_tlv(vbl, q)
+        r = 0
+        _, obody, r = _parse_tlv(one, r)
+        vtag, vbody2, r = _parse_tlv(one, r)
+        varbinds.append((_parse_oid(obody), _decode_value(vtag, vbody2)))
+    return {"msg_id": _parse_int(mid), "flags": mflags[0],
+            "engine_id": eng, "boots": _parse_int(bts),
+            "time": _parse_int(tim), "user": usr.decode(),
+            "auth_params": aut, "auth_offset": auth_off,
+            "pdu_type": pdu_type, "request_id": _parse_int(rid),
+            "error_status": _parse_int(est),
+            "error_index": _parse_int(eix), "varbinds": varbinds}
+
+
+def _verify_v3_auth(blob: bytes, msg: dict, kul: bytes,
+                    proto: str) -> bool:
+    if len(msg["auth_params"]) != _AUTH_LEN:
+        return False
+    off = msg["auth_offset"]
+    zeroed = blob[:off] + b"\x00" * _AUTH_LEN + blob[off + _AUTH_LEN:]
+    import hmac
+    return hmac.compare_digest(_auth_hmac(kul, zeroed, proto),
+                               msg["auth_params"])
+
+
+def _serve_pdu(mib: dict, pdu_type: int,
+               varbinds: list[tuple[str, object]]):
+    """Shared GET/GETNEXT/SET dispatch (v2c + v3 agents)."""
+    out: list[tuple[str, object]] = []
+    err, eix = 0, 0
+    if pdu_type == GET_REQUEST:
+        for i, (oid, _v) in enumerate(varbinds, start=1):
+            if oid in mib:
+                out.append((oid, mib[oid]))
+            else:
+                out.append((oid, None))
+                err, eix = NO_SUCH_NAME, i
+    elif pdu_type == GETNEXT_REQUEST:
+        ordered = sorted(mib, key=_oid_key)
+        for oid, _v in varbinds:
+            key = _oid_key(oid)
+            nxt = next((o for o in ordered if _oid_key(o) > key), None)
+            if nxt is None:
+                out.append((oid, END_OF_MIB))
+            else:
+                out.append((nxt, mib[nxt]))
+    elif pdu_type == SET_REQUEST:
+        for oid, val in varbinds:
+            mib[oid] = val
+            out.append((oid, val))
+    else:
+        err, out = 5, list(varbinds)           # genErr
+    return out, err, eix
+
+
+@dataclass
+class SnmpV3Agent:
+    """In-process SNMPv3/USM agent: engine discovery, per-user
+    HMAC-96 auth (localized keys), then the same GET/GETNEXT/SET
+    behavior as the v2c agent. `users` maps userName -> (proto,
+    password) for authNoPriv or None for noAuthNoPriv."""
+
+    mib: dict[str, object] = field(default_factory=dict)
+    users: dict[str, "tuple[str, str] | None"] = field(
+        default_factory=dict)
+    engine_id: bytes = b"\x80\x00\x1f\x88\x04nifi-spark"
+    boots: int = 1
+    etime: int = 100
+    wrong_digests: int = 0
+
+    def _kul(self, user: str) -> "tuple[bytes, str] | None":
+        cred = self.users.get(user)
+        if cred is None:
+            return None
+        proto, password = cred
+        return localize_key(password_to_key(password, proto),
+                            self.engine_id, proto), proto
+
+    def _report(self, msg: dict, oid: str, n: int) -> bytes:
+        return encode_v3_message(
+            msg["msg_id"], REPORT, msg["request_id"], [(oid, (COUNTER32, n))],
+            engine_id=self.engine_id, boots=self.boots, etime=self.etime,
+            reportable=False)
+
+    def transport(self, request: bytes) -> bytes:
+        msg = decode_v3_message(request)
+        if msg["engine_id"] != self.engine_id:
+            return self._report(msg, USM_STATS_UNKNOWN_ENGINE, 1)
+        if msg["user"] not in self.users:
+            return self._report(msg, USM_STATS_UNKNOWN_USER, 1)
+        auth = self._kul(msg["user"])
+        if msg["flags"] & 0x01:
+            if auth is None or not _verify_v3_auth(request, msg, *auth):
+                self.wrong_digests += 1
+                return self._report(msg, USM_STATS_WRONG_DIGESTS,
+                                    self.wrong_digests)
+        elif auth is not None:
+            # user requires auth but the request came unauthenticated
+            return self._report(msg, USM_STATS_WRONG_DIGESTS,
+                                self.wrong_digests + 1)
+        out, err, eix = _serve_pdu(self.mib, msg["pdu_type"],
+                                   msg["varbinds"])
+        return encode_v3_message(
+            msg["msg_id"], GET_RESPONSE, msg["request_id"], out,
+            engine_id=self.engine_id, boots=self.boots, etime=self.etime,
+            user=msg["user"],
+            auth_key=auth[0] if auth and msg["flags"] & 0x01 else None,
+            proto=auth[1] if auth else "sha",
+            error_status=err, error_index=eix, reportable=False)
+
+
+def snmp_v3_discover(transport) -> tuple[bytes, int, int]:
+    """Engine discovery: empty-engine-ID probe -> the agent's Report
+    carries its engineID/boots/time (RFC 3414 §4)."""
+    resp = decode_v3_message(transport(encode_v3_message(
+        1, GET_REQUEST, 1, [])))
+    if (resp["pdu_type"] != REPORT
+            or resp["varbinds"][0][0] != USM_STATS_UNKNOWN_ENGINE):
+        raise SnmpError(f"unexpected discovery response {resp}")
+    return resp["engine_id"], resp["boots"], resp["time"]
+
+
+class SnmpV3Session:
+    """USM session: discovers the engine once, localizes the key, then
+    offers the same get/walk/set surface as the v2c helpers."""
+
+    def __init__(self, transport, user: str, *,
+                 auth_password: str | None = None, proto: str = "sha"):
+        self.transport = transport
+        self.user = user
+        self.proto = proto
+        self.engine_id, self.boots, self.etime = \
+            snmp_v3_discover(transport)
+        self.kul = (localize_key(password_to_key(auth_password, proto),
+                                 self.engine_id, proto)
+                    if auth_password else None)
+        self._mid = 100
+
+    def _rpc(self, pdu_type: int,
+             varbinds: list[tuple[str, object]]) -> dict:
+        self._mid += 1
+        resp_blob = self.transport(encode_v3_message(
+            self._mid, pdu_type, self._mid, varbinds,
+            engine_id=self.engine_id, boots=self.boots,
+            etime=self.etime, user=self.user, auth_key=self.kul,
+            proto=self.proto))
+        resp = decode_v3_message(resp_blob)
+        if resp["pdu_type"] == REPORT:
+            raise SnmpError(f"agent report: {resp['varbinds']}")
+        if self.kul is not None and not _verify_v3_auth(
+                resp_blob, resp, self.kul, self.proto):
+            raise SnmpError("response failed HMAC verification")
+        return resp
+
+    def get(self, oids: list[str]) -> dict:
+        resp = self._rpc(GET_REQUEST, [(o, None) for o in oids])
+        return {"snmp$requestID": resp["request_id"],
+                "snmp$errorStatus": resp["error_status"],
+                "snmp$errorIndex": resp["error_index"],
+                "varbinds": resp["varbinds"]}
+
+    def walk(self, root: str,
+             max_steps: int = 100000) -> list[tuple[str, object]]:
+        rootk = _oid_key(root)
+        cur = root
+        out: list[tuple[str, object]] = []
+        for _ in range(max_steps):
+            resp = self._rpc(GETNEXT_REQUEST, [(cur, None)])
+            oid, val = resp["varbinds"][0]
+            if val == END_OF_MIB or _oid_key(oid)[:len(rootk)] != rootk:
+                return out
+            out.append((oid, val))
+            cur = oid
+        raise SnmpError("walk did not terminate")
+
+    def set(self, varbinds: list[tuple[str, object]]) -> dict:
+        resp = self._rpc(SET_REQUEST, varbinds)
+        return {"snmp$errorStatus": resp["error_status"],
+                "varbinds": resp["varbinds"]}

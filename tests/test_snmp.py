@@ -84,3 +84,59 @@ def test_set_then_get():
 def test_bad_oid():
     with pytest.raises(SnmpError, match="too short"):
         ber_oid("1")
+
+
+def test_v3_key_localization_rfc3414_vectors():
+    """RFC 3414 A.3.1/A.3.2 published test vectors (maplesyrup)."""
+    from nifi_spark.sources.snmp import localize_key, password_to_key
+    eid = bytes.fromhex("000000000000000000000002")
+    ku = password_to_key("maplesyrup", "md5")
+    assert ku.hex() == "9faf3283884e92834ebc9847d8edd963"
+    assert localize_key(ku, eid, "md5").hex() == \
+        "526f5eed9fcce26f8964c2930787d82b"
+    ku = password_to_key("maplesyrup", "sha")
+    assert ku.hex() == "9fb5cc0381497b3793528939ff788d5d79145211"
+    assert localize_key(ku, eid, "sha").hex() == \
+        "6695febc9288e36282235fc7151f128497b38f3f"
+
+
+def test_v3_discovery_and_authenticated_session():
+    from nifi_spark.sources.snmp import (COUNTER32, SnmpV3Agent,
+                                         SnmpV3Session, snmp_v3_discover)
+    agent = SnmpV3Agent(mib={"1.3.6.1.2.1.1.5.0": "host1",
+                             "1.3.6.1.2.1.2.2.1.10.1": (COUNTER32, 500)},
+                        users={"admin": ("sha", "s3cr3tpass")})
+    eid, boots, etime = snmp_v3_discover(agent.transport)
+    assert eid == agent.engine_id and boots == 1
+    s = SnmpV3Session(agent.transport, "admin",
+                      auth_password="s3cr3tpass")
+    assert s.get(["1.3.6.1.2.1.1.5.0"])["varbinds"] == \
+        [("1.3.6.1.2.1.1.5.0", "host1")]
+    assert [v for _o, v in s.walk("1.3.6.1.2.1")] == ["host1", 500]
+    s.set([("1.3.6.1.2.1.1.5.0", "host2")])
+    assert agent.mib["1.3.6.1.2.1.1.5.0"] == "host2"
+
+
+def test_v3_wrong_password_and_unauth_rejected():
+    import pytest
+    from nifi_spark.sources.snmp import (SnmpError, SnmpV3Agent,
+                                         SnmpV3Session)
+    agent = SnmpV3Agent(mib={"1.3.6.1.2.1.1.5.0": "h"},
+                        users={"admin": ("md5", "rightpass"),
+                               "guest": None})
+    bad = SnmpV3Session(agent.transport, "admin", auth_password="wrong",
+                        proto="md5")
+    with pytest.raises(SnmpError, match=r"15\.1\.1\.5"):
+        bad.get(["1.3.6.1.2.1.1.5.0"])
+    assert agent.wrong_digests == 1
+    # an auth-required user sending noAuth is also refused
+    unauth = SnmpV3Session(agent.transport, "admin")
+    with pytest.raises(SnmpError, match=r"15\.1\.1\.5"):
+        unauth.get(["1.3.6.1.2.1.1.5.0"])
+    # unknown user -> usmStatsUnknownUserNames
+    ghost = SnmpV3Session(agent.transport, "nobody")
+    with pytest.raises(SnmpError, match=r"15\.1\.1\.3"):
+        ghost.get(["1.3.6.1.2.1.1.5.0"])
+    # noAuthNoPriv user works
+    g = SnmpV3Session(agent.transport, "guest")
+    assert g.get(["1.3.6.1.2.1.1.5.0"])["varbinds"][0][1] == "h"
