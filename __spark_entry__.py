@@ -3883,6 +3883,40 @@ def q_snmp_get_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list("oid")))).alias("oid_hash")))
 
 
+def q_put_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutSyslog/PutTCP analogs (standard/PutSyslog.java:330-360,
+    PutTCP.java; sources/put_socket.py): 240 built messages — 30 with
+    an invalid timestamp, refused by the reference's own
+    SyslogParser.MESSAGE_PATTERNS BEFORE the TCP newline — are sent
+    over an injected TCP sink, re-chopped into 41-byte reads, drained
+    by ListenSyslogSource (per-sender carry reassembly) and parsed.
+    Per-hostname aggregates + the sent/invalid split replay
+    arithmetically."""
+    from nifi_spark.sources import (ListenSyslogSource, put_syslog,
+                                    sent_feed)
+    rows = [{"priority": i % 191,
+             "timestamp": ("BAD" if i % 8 == 0
+                           else f"Oct 12 10:00:{i % 60:02d}"),
+             "hostname": f"app{i % 4}.example",
+             "body": f"svc[{i % 50}]: msg {i}"}
+            for i in range(240)]
+    sends: list[bytes] = []
+    n_sent, invalid = put_syslog(rows, sends.append, protocol="TCP")
+    assert (n_sent, len(invalid)) == (210, 30), (n_sent, len(invalid))
+    src = ListenSyslogSource(tempfile.mkdtemp(prefix="put_syslog_"),
+                             protocol="TCP")
+    src.drain_all(sent_feed(sends, chop=41))
+    valid = src.read_parsed(spark)["valid"]
+    return (valid.groupBy(F.col("syslog_hostname").alias("hostname"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("syslog_priority").cast("bigint"))
+                 .alias("sum_pri"),
+                 F.sum(F.col("syslog_pid").cast("bigint"))
+                 .alias("sum_pid"))
+            .withColumn("n_sent", F.lit(n_sent))
+            .withColumn("n_invalid", F.lit(len(invalid))))
+
+
 def q_snmp_v3_usm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNMPv3 USM (sources/snmp.py — RFC 3412 envelope, engine
     discovery via the unknown-engine Report, RFC 3414 localized keys,
@@ -5114,6 +5148,7 @@ _NEW_THIS_ROUND = [
     "listen_relp_landed", "listen_lumberjack_landed",
     "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
     "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
+    "put_syslog_roundtrip",
 ]
 
 
@@ -5309,6 +5344,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consume_mqtt_landed": q_consume_mqtt_landed,
         "consume_amqp_landed": q_consume_amqp_landed,
         "snmp_v3_usm": q_snmp_v3_usm,
+        "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
         "snmp_get_walk": q_snmp_get_walk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -7105,6 +7141,17 @@ SELECT 'INBOX' AS folder, count(*) AS n,
             AS BIGINT) AS sum_clen,
        150 AS first_drain, 0 AS second_drain
 FROM range(150)
+""",
+        "put_syslog_roundtrip": """
+WITH m AS (SELECT range AS i,
+                  'app' || (range % 4)::VARCHAR || '.example' AS hostname,
+                  range % 191 AS pri, range % 50 AS pid
+           FROM range(240) WHERE range % 8 <> 0)
+SELECT hostname, count(*) AS n,
+       CAST(sum(pri) AS BIGINT) AS sum_pri,
+       CAST(sum(pid) AS BIGINT) AS sum_pid,
+       210 AS n_sent, 30 AS n_invalid
+FROM m GROUP BY hostname
 """,
         "snmp_v3_usm": """
 WITH m AS (SELECT range AS i, (range % 4)::INT AS slot,

@@ -44,10 +44,15 @@ from nifi_spark.sources.smtp_listen import (ListenSMTPSource,
                                             lines_feed, put_email,
                                             serve_smtp, smtp_send)
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
+from nifi_spark.sources.put_socket import (build_syslog_message,
+                                           put_syslog, put_tcp,
+                                           put_udp, sent_feed,
+                                           syslog_is_valid)
 from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
                                              S2SPort, S2STransaction,
                                              loopback_serve,
-                                             serve_connection)
+                                             serve_connection,
+                                             weighted_peer_destinations)
 
 __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "fetch_files", "get_files",
@@ -56,7 +61,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenSource", "ListenSyslogSource", "ListenTCPSource",
            "ListenUDPSource",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
-           "loopback_serve", "serve_connection",
+           "loopback_serve", "serve_connection", "weighted_peer_destinations",
            "ListenSMTPSource", "lines_feed", "serve_smtp",
            "ConsumePOP3Source", "pop3_fetch", "pop3_loopback",
            "serve_pop3", "compose_rfc822", "put_email", "smtp_send",
@@ -75,4 +80,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "password_to_key", "snmp_get", "snmp_set",
            "snmp_v3_discover", "snmp_walk",
            "list_database_tables", "list_new_files",
-           "plan_fetch_partitions"]
+           "plan_fetch_partitions",
+           "build_syslog_message", "put_syslog", "put_tcp", "put_udp",
+           "sent_feed", "syslog_is_valid"]

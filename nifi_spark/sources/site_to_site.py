@@ -669,3 +669,48 @@ def loopback_serve(ports: dict[str, S2SPort]):
 
     s = _SockStream(a)
     return s, s, join
+
+
+def weighted_peer_destinations(
+        statuses: "list[tuple[str, int]]",
+        direction: str = "send") -> "list[str]":
+    """PeerSelector.createDestinationList
+    (nifi-site-to-site-client/.../PeerSelector.java:159-209),
+    reproduced exactly minus the final random jumble (deterministic
+    here; the reference shuffles): a ring of max(128, n_peers) slots,
+    each peer claiming max(1, slots * weight) entries where weight =
+    1 - min(0.8, queued_share) when SENDing (load-shedding: a peer
+    holding more queued FlowFiles receives less) and min(0.8, share)
+    when RECEIVING; entries land at skip-index positions
+    (n = numEntries * i, linear-probe past collisions), the
+    reference's spreading scheme. With zero total queue depth every
+    peer gets one entry (the Java NaN path collapses to 1).
+
+    statuses: [(peer_id, flowfile_count)] in a deterministic order —
+    the reference iterates a HashMap (order unspecified); input order
+    plays that role here."""
+    n_dest = max(128, len(statuses))
+    total = sum(c for _pid, c in statuses)
+    entry_counts: list[tuple[str, int]] = []
+    total_entries = 0
+    for pid, cnt in statuses:
+        if total == 0:
+            entries = 1
+        else:
+            share = min(0.8, cnt / total)
+            weight = (1 - share) if direction == "send" else share
+            entries = max(1, int(n_dest * weight))
+        entry_counts.append((pid, entries))
+        total_entries += entries
+    ring: "list[str | None]" = [None] * total_entries
+    for pid, num in entry_counts:
+        skip = num
+        for i in range(num):
+            n = skip * i
+            while True:
+                idx = n % len(ring)
+                if ring[idx] is None:
+                    ring[idx] = pid
+                    break
+                n += 1
+    return ring  # type: ignore[return-value]
