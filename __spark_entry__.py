@@ -3883,6 +3883,48 @@ def q_snmp_get_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list("oid")))).alias("oid_hash")))
 
 
+def q_s2s_http_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-to-Site HTTP transport (SiteToSiteRestApiClient.java;
+    sources/s2s_http.py — the REST dance: 201+Location initiate with
+    version negotiation, POST/GET flow-files as codec packet streams,
+    CRC32 confirm DELETE, bad-checksum repush): 160 packets sent into
+    an input port and 120 drained from an output port in 100-packet
+    batches over the loopback seam; per-shard aggregates replay
+    arithmetically."""
+    from nifi_spark.sources import S2SHttpClient, S2SHttpServer
+    from nifi_spark.sources.site_to_site import DataPacket
+
+    out_pk = [DataPacket(attributes={"shard": str(i % 3),
+                                     "n": str(i)},
+                         content=(b"o" * (1 + i % 17)))
+              for i in range(120)]
+    srv = S2SHttpServer(input_ports={"ingest": []},
+                        output_ports={"emit": list(out_pk)})
+    c = S2SHttpClient(srv.handle)
+    r = c.send("ingest", [
+        DataPacket(attributes={"shard": str(i % 4), "n": str(i)},
+                   content=(b"x" * (1 + i % 13)))
+        for i in range(160)])
+    assert r["flowFileSent"] == 160, r
+    received = []
+    while True:
+        batch = c.receive("emit")
+        if not batch:
+            break
+        received.extend(batch)
+    assert len(received) == 120, len(received)
+    rows = ([("ingest", int(p.attributes["shard"]), int(p.attributes["n"]),
+              len(p.content)) for p in srv.input_ports["ingest"]]
+            + [("emit", int(p.attributes["shard"]), int(p.attributes["n"]),
+                len(p.content)) for p in received])
+    df = spark.createDataFrame(
+        rows, "port string, shard int, n long, clen int")
+    return (df.groupBy("port", "shard")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("n").cast("bigint").alias("sum_n"),
+                 F.sum(F.col("clen").cast("bigint")).alias("sum_clen")))
+
+
 def q_put_syslog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PutSyslog/PutTCP analogs (standard/PutSyslog.java:330-360,
     PutTCP.java; sources/put_socket.py): 240 built messages — 30 with
@@ -5148,7 +5190,7 @@ _NEW_THIS_ROUND = [
     "listen_relp_landed", "listen_lumberjack_landed",
     "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
     "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
-    "put_syslog_roundtrip",
+    "put_syslog_roundtrip", "s2s_http_roundtrip",
 ]
 
 
@@ -5345,6 +5387,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consume_amqp_landed": q_consume_amqp_landed,
         "snmp_v3_usm": q_snmp_v3_usm,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
+        "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
         "snmp_get_walk": q_snmp_get_walk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -7141,6 +7184,18 @@ SELECT 'INBOX' AS folder, count(*) AS n,
             AS BIGINT) AS sum_clen,
        150 AS first_drain, 0 AS second_drain
 FROM range(150)
+""",
+        "s2s_http_roundtrip": """
+WITH ingest AS (SELECT 'ingest' AS port, (range % 4)::INT AS shard,
+                       range AS n, 1 + (range % 13) AS clen
+                FROM range(160)),
+emit AS (SELECT 'emit' AS port, (range % 3)::INT AS shard,
+                range AS n, 1 + (range % 17) AS clen
+         FROM range(120)),
+allp AS (SELECT * FROM ingest UNION ALL SELECT * FROM emit)
+SELECT port, shard, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(sum(clen) AS BIGINT) AS sum_clen
+FROM allp GROUP BY port, shard
 """,
         "put_syslog_roundtrip": """
 WITH m AS (SELECT range AS i,

@@ -44,6 +44,7 @@ from nifi_spark.sources.smtp_listen import (ListenSMTPSource,
                                             lines_feed, put_email,
                                             serve_smtp, smtp_send)
 from nifi_spark.sources.partition_planner import plan_fetch_partitions
+from nifi_spark.sources.s2s_http import (S2SHttpClient, S2SHttpServer)
 from nifi_spark.sources.put_socket import (build_syslog_message,
                                            put_syslog, put_tcp,
                                            put_udp, sent_feed,
@@ -62,6 +63,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenUDPSource",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
            "loopback_serve", "serve_connection", "weighted_peer_destinations",
+           "S2SHttpClient", "S2SHttpServer",
            "ListenSMTPSource", "lines_feed", "serve_smtp",
            "ConsumePOP3Source", "pop3_fetch", "pop3_loopback",
            "serve_pop3", "compose_rfc822", "put_email", "smtp_send",
