@@ -57,6 +57,7 @@ CH_OPEN, CH_OPEN_OK, CH_CLOSE, CH_CLOSE_OK = 10, 11, 40, 41
 EX_DECLARE, EX_DECLARE_OK = 10, 11
 Q_DECLARE, Q_DECLARE_OK, Q_BIND, Q_BIND_OK = 10, 11, 20, 21
 B_PUBLISH, B_GET, B_GET_OK, B_GET_EMPTY, B_ACK = 40, 70, 71, 72, 80
+B_CONSUME, B_CONSUME_OK, B_DELIVER = 20, 21, 60
 
 # BasicProperties flag bits (content-header property-flags short),
 # in spec order — mirrors AMQPUtils.PropertyNames.
@@ -265,6 +266,7 @@ class AmqpBroker:
     bindings: list = field(default_factory=list)        # (ex, q, key)
     queues: dict = field(default_factory=dict)          # name → [msg]
     unacked: dict = field(default_factory=dict)         # tag → (q, msg)
+    consumers: dict = field(default_factory=dict)       # q → (tag, noack)
     frame_max: int = 131072
     published: int = 0
 
@@ -319,6 +321,11 @@ class AmqpBroker:
                 return self.published
             ftype, ch, payload = fr
             if ftype == FRAME_HEARTBEAT:
+                # deliver to consumers BEFORE echoing: the echoed
+                # heartbeat bounds the client's drain (the MQTT
+                # PINGREQ/PINGRESP pattern)
+                delivery_tag = self._push_deliveries(write, ch,
+                                                     delivery_tag)
                 write_frame(write, FRAME_HEARTBEAT, 0, b"")
                 continue
             if ftype == FRAME_HEADER:
@@ -374,6 +381,20 @@ class AmqpBroker:
                 ex, pos = _rd_shortstr(args, pos)
                 key, pos = _rd_shortstr(args, pos)
                 pending = (ex, key, {}, bytearray(), -1)
+            elif (class_id, method_id) == (BASIC, B_CONSUME):
+                pos = 2
+                qname, pos = _rd_shortstr(args, pos)
+                ctag, pos = _rd_shortstr(args, pos)
+                no_ack = bool(args[pos] & 0x02)    # bits: no-local,no-ack
+                if qname not in self.queues:
+                    raise AmqpError(f"no such queue {qname!r}")
+                if not ctag:
+                    ctag = f"ctag-{len(self.consumers) + 1}"
+                self.consumers[qname] = (ctag, no_ack)
+                write_frame(write, FRAME_METHOD, ch, method_frame(
+                    BASIC, B_CONSUME_OK, _shortstr(ctag)))
+                delivery_tag = self._push_deliveries(write, ch,
+                                                     delivery_tag)
             elif (class_id, method_id) == (BASIC, B_GET):
                 pos = 2
                 qname, pos = _rd_shortstr(args, pos)
@@ -416,6 +437,31 @@ class AmqpBroker:
             else:
                 raise AmqpError(
                     f"unexpected method {class_id}.{method_id}")
+
+    def _push_deliveries(self, write, ch: int, delivery_tag: int) -> int:
+        """basic.deliver every queued message of every consumed queue
+        (method + header + body frames per message, RFC-order fields:
+        consumer-tag, delivery-tag, redelivered, exchange,
+        routing-key). Data rides channel 1, the one channel the
+        client opens."""
+        for qname, (ctag, no_ack) in self.consumers.items():
+            q = self.queues.get(qname, [])
+            while q:
+                props, body, ex, key = q.pop(0)
+                if not no_ack:
+                    self.unacked[delivery_tag] = (qname,
+                                                  (props, body, ex, key))
+                write_frame(write, FRAME_METHOD, 1, method_frame(
+                    BASIC, B_DELIVER,
+                    _shortstr(ctag) + struct.pack(">QB", delivery_tag, 0)
+                    + _shortstr(ex) + _shortstr(key)))
+                delivery_tag += 1
+                write_frame(write, FRAME_HEADER, 1,
+                            content_header(len(body), props))
+                for i in range(0, len(body), self.frame_max):
+                    write_frame(write, FRAME_BODY, 1,
+                                body[i:i + self.frame_max])
+        return delivery_tag
 
     def _finish_publish(self, pending) -> None:
         ex, key, props, body, _ = pending
@@ -544,6 +590,62 @@ class AmqpClient:
             write_frame(self.write, FRAME_METHOD, 1, method_frame(
                 BASIC, B_ACK, struct.pack(">QB", tag, 0)))
         return props, bytes(body), ex, key, remaining
+
+    def basic_consume(self, queue: str, *, consumer_tag: str = "",
+                      no_ack: bool = True) -> str:
+        """basic.consume → consume-ok; the broker then pushes
+        basic.deliver streams for the queue's messages (the initial
+        flush arrives immediately — read it with `drain`)."""
+        flags = (0x02 if no_ack else 0)
+        write_frame(self.write, FRAME_METHOD, 1, method_frame(
+            BASIC, B_CONSUME,
+            b"\x00\x00" + _shortstr(queue) + _shortstr(consumer_tag)
+            + bytes([flags]) + encode_table({})))
+        _, _, payload = _expect_method(self.read, BASIC, B_CONSUME_OK)
+        tag, _ = _rd_shortstr(payload, 4)
+        return tag
+
+    def drain(self, *, no_ack: bool = True) -> "list[tuple]":
+        """Heartbeat-bounded delivery drain (the ConsumeMQTT pattern):
+        send a heartbeat, collect basic.deliver streams until the
+        broker's heartbeat echo arrives. → [(props, body, exchange,
+        routing_key, consumer_tag)]; acks each delivery unless
+        no_ack."""
+        write_frame(self.write, FRAME_HEARTBEAT, 0, b"")
+        out: list[tuple] = []
+        while True:
+            fr = read_frame(self.read)
+            if fr is None:
+                raise AmqpError("EOF awaiting heartbeat echo")
+            ftype, _ch, payload = fr
+            if ftype == FRAME_HEARTBEAT:
+                return out
+            if ftype != FRAME_METHOD:
+                raise AmqpError(f"unexpected frame {ftype}")
+            cls, mth = struct.unpack_from(">HH", payload, 0)
+            if (cls, mth) != (BASIC, B_DELIVER):
+                raise AmqpError(f"unexpected method {cls}.{mth}")
+            pos = 4
+            ctag, pos = _rd_shortstr(payload, pos)
+            tag, _redeliv = struct.unpack_from(">QB", payload, pos)
+            pos += 9
+            ex, pos = _rd_shortstr(payload, pos)
+            key, pos = _rd_shortstr(payload, pos)
+            fr = read_frame(self.read)
+            if fr is None or fr[0] != FRAME_HEADER:
+                raise AmqpError("expected content header")
+            _cls, _w, size = struct.unpack_from(">HHQ", fr[2], 0)
+            props, _ = decode_properties(fr[2], 12)
+            body = bytearray()
+            while len(body) < size:
+                fr = read_frame(self.read)
+                if fr is None or fr[0] != FRAME_BODY:
+                    raise AmqpError("expected body frame")
+                body.extend(fr[2])
+            if not no_ack:
+                write_frame(self.write, FRAME_METHOD, 1, method_frame(
+                    BASIC, B_ACK, struct.pack(">QB", tag, 0)))
+            out.append((props, bytes(body), ex, key, ctag))
 
     def close(self) -> None:
         write_frame(self.write, FRAME_METHOD, 0, method_frame(

@@ -159,3 +159,46 @@ def test_publish_amqp_rows_helper():
     assert [g[0]["message_id"] for g in got] == ["m0", "m1", "m2"]
     c.close()
     join()
+
+
+def test_basic_consume_push_delivery():
+    """basic.consume → consume-ok, then the broker pushes
+    basic.deliver streams; the heartbeat-bounded drain collects them
+    (including messages published AFTER the consume)."""
+    broker = AmqpBroker()
+    broker.pre_queue("q", [({}, b"pre0", "", "q"), ({}, b"pre1", "", "q")])
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    tag = c.basic_consume("q")
+    assert tag.startswith("ctag-")
+    got = c.drain()
+    assert [(b, k) for _p, b, _e, k, _t in got] == \
+        [(b"pre0", "q"), (b"pre1", "q")]
+    assert all(t == tag for *_x, t in got)
+    # published after the consume: delivered on the next drain
+    c.basic_publish("", "q", b"late" * 50_000,
+                    {"app_id": "push"})      # multi-frame body
+    got2 = c.drain()
+    assert len(got2) == 1
+    props2, body2, *_ = got2[0]
+    assert body2 == b"late" * 50_000 and props2["app_id"] == "push"
+    assert c.drain() == []                   # empty queue → just echo
+    c.close()
+    join()
+
+
+def test_basic_consume_ack_mode():
+    """no_ack=False consume: broker tracks unacked tags, the drain's
+    acks clear them."""
+    broker = AmqpBroker()
+    broker.pre_queue("q", [({}, b"a", "", "q"), ({}, b"b", "", "q")])
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.basic_consume("q", no_ack=False, consumer_tag="mine")
+    got = c.drain(no_ack=False)
+    assert [t for *_x, t in got] == ["mine", "mine"]
+    c.close()
+    join()
+    assert broker.unacked == {}
