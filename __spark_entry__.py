@@ -4044,6 +4044,125 @@ def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_persistent")))
 
 
+def q_get_jms_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetJMSQueue/PutJMS analogs over STOMP 1.2 (standard/
+    GetJMSQueue.java, PutJMS.java; sources/stomp.py — frame codec with
+    header escaping, broker, RECEIPT-bounded drain): 180 pre-queued +
+    20 put_jms-published messages drain to the spool with the
+    reference's jms.<prop>/.type attribute surface
+    (util/JmsFactory.java:442-482); per-origin aggregates replay
+    arithmetically."""
+    from nifi_spark.sources import (GetJMSSource, StompBroker,
+                                    StompClient, put_jms,
+                                    stomp_loopback)
+    broker = StompBroker()
+    broker.pre_queue("/queue/logs", [
+        ({"priority": str(i % 4), "origin": f"host{i % 3}"},
+         f"jms {i} {'p' * (i % 5)}".encode())
+        for i in range(180)])
+    read, write, join = stomp_loopback(broker)
+    client = StompClient(read, write)
+    client.subscribe("/queue/logs")
+    src = GetJMSSource(tempfile.mkdtemp(prefix="get_jms_"))
+    n1 = src.drain(client)
+    put_jms(client, "/queue/logs",
+            [(f"late {i}".encode(), {"origin": "put", "priority": "9"})
+             for i in range(20)])
+    n2 = src.drain(client)
+    client.disconnect()
+    join()
+    assert (n1, n2) == (180, 20), (n1, n2)
+    df = src.read(spark)
+    return (df.withColumn("origin",
+                          F.element_at("attributes", "jms.origin"))
+            .withColumn("prio",
+                        F.element_at("attributes", "jms.priority")
+                        .cast("bigint"))
+            .groupBy("origin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.length("payload")).cast("bigint")
+                 .alias("sum_plen"),
+                 F.sum("prio").alias("sum_prio")))
+
+
+def q_consume_kafka_wire_landed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """GetKafka/PutKafka analogs over the Kafka 0.8 wire protocol
+    (nifi-kafka-0-8-processors/.../GetKafka.java:75-79; sources/
+    kafka_wire.py — Metadata/Produce/Fetch v0, CRC'd MessageSet, gzip
+    wrappers with broker-side recompression): 240 messages produced
+    round-robin across 3 partitions (every other chunk gzip'd), drained
+    through the ledgered spool; a second drain proves the committed
+    offsets. Per-partition offset/length aggregates replay
+    arithmetically (offset of the j-th message in its partition = j)."""
+    from nifi_spark.sources import (ConsumeKafkaWireSource, KafkaBroker,
+                                    KafkaWireClient, kafka_loopback)
+    broker = KafkaBroker()
+    broker.create_topic("events", partitions=3)
+    read, write, join = kafka_loopback(broker)
+    client = KafkaWireClient(read, write)
+    for p in range(3):
+        ids = [i for i in range(240) if i % 3 == p]
+        for c_idx in range(0, len(ids), 20):
+            chunk = ids[c_idx:c_idx + 20]
+            client.produce(
+                "events", p,
+                [(f"k{i}".encode(),
+                  f"ev {i} {'d' * (i % 7)}".encode()) for i in chunk],
+                compress=(c_idx // 20) % 2 == 0)
+    src = ConsumeKafkaWireSource(tempfile.mkdtemp(prefix="kafka_wire_"))
+    n1 = src.drain(client, "events")
+    n2 = src.drain(client, "events")
+    join()
+    assert (n1, n2) == (240, 0), (n1, n2)
+    df = src.read(spark)
+    return (df.groupBy("kafka_partition")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("kafka_offset").cast("bigint")
+                 .alias("sum_offset"),
+                 F.sum(F.length("payload")).cast("bigint")
+                 .alias("sum_plen")))
+
+
+def q_webhdfs_list_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListHDFS/FetchHDFS analogs over the public WebHDFS REST API
+    (nifi-hdfs-processors/.../ListHDFS.java:121,238; sources/
+    webhdfs.py — LISTSTATUS + the two-step 307 OPEN dance against an
+    in-memory namenode/datanode): 60 files across 4 day-partitions are
+    listed through the watermark, fetched, and landed; per-day
+    file-count/byte/mtime aggregates replay arithmetically."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import (ListHDFSSource, WebHdfsClient,
+                                    fake_hdfs_transport)
+    ns, mtimes = {}, {}
+    for g in range(60):
+        d, i = g // 15, g % 15
+        path = f"/lake/day={d}/part-{i:02d}.txt"
+        ns[path] = "\n".join(f"row {g}"
+                             for _ in range(g % 3 + 1)).encode()
+        mtimes[path] = 1000 + g
+    client = WebHdfsClient(
+        "http://nn:9870", user="etl",
+        transport=fake_hdfs_transport(ns, mtimes=mtimes))
+    state = KVState(tempfile.mkdtemp(prefix="webhdfs_state_"))
+    landed = []
+    for d in range(4):
+        src = ListHDFSSource(client, f"/lake/day={d}", state,
+                             now_ms=lambda: 10_000)
+        for e in src.poll():
+            landed.append((d, e["path"], len(client.open(e["path"])),
+                           int(e["modificationTime"])))
+        src.commit()
+        assert src.poll() == []          # watermark committed
+    assert len(landed) == 60, len(landed)
+    df = spark.createDataFrame(
+        landed, "day int, path string, nbytes bigint, mtime_ms bigint")
+    return (df.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("nbytes").cast("bigint").alias("sum_bytes"),
+                 F.sum("mtime_ms").cast("bigint").alias("sum_mtime")))
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (4× ANN
     memory compression); per-vector integer aggregates + scale prove the
@@ -5191,6 +5310,7 @@ _NEW_THIS_ROUND = [
     "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
     "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
     "put_syslog_roundtrip", "s2s_http_roundtrip",
+    "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
 ]
 
 
@@ -5385,6 +5505,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "consume_mqtt_landed": q_consume_mqtt_landed,
         "consume_amqp_landed": q_consume_amqp_landed,
+        "get_jms_landed": q_get_jms_landed,
+        "consume_kafka_wire_landed": q_consume_kafka_wire_landed,
+        "webhdfs_list_fetch": q_webhdfs_list_fetch,
         "snmp_v3_usm": q_snmp_v3_usm,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -7231,6 +7354,39 @@ SELECT queue, routing_key, count(*) AS n,
        CAST(sum(prio) AS BIGINT) AS sum_prio,
        count(*) FILTER (WHERE dm = 2) AS n_persistent
 FROM m GROUP BY queue, routing_key
+""",
+        "get_jms_landed": """
+WITH m AS (SELECT range AS i, 'host' || (range % 3)::VARCHAR AS origin,
+                  (range % 4)::BIGINT AS prio,
+                  5 + length(range::VARCHAR) + (range % 5)::INT AS plen
+           FROM range(180)
+           UNION ALL
+           SELECT 1000 + range, 'put', 9::BIGINT,
+                  5 + length(range::VARCHAR)
+           FROM range(20))
+SELECT origin, count(*) AS n, CAST(sum(plen) AS BIGINT) AS sum_plen,
+       CAST(sum(prio) AS BIGINT) AS sum_prio
+FROM m GROUP BY origin
+""",
+        "consume_kafka_wire_landed": """
+WITH m AS (SELECT range AS i, (range % 3)::INT AS kafka_partition,
+                  (range // 3)::BIGINT AS off,
+                  4 + length(range::VARCHAR) + (range % 7)::INT AS plen
+           FROM range(240))
+SELECT kafka_partition, count(*) AS n,
+       CAST(sum(off) AS BIGINT) AS sum_offset,
+       CAST(sum(plen) AS BIGINT) AS sum_plen
+FROM m GROUP BY kafka_partition
+""",
+        "webhdfs_list_fetch": """
+WITH m AS (SELECT range AS g, (range // 15)::INT AS day,
+                  (range % 3 + 1) AS nlines,
+                  4 + length(range::VARCHAR) AS linelen
+           FROM range(60))
+SELECT day, count(*) AS n_files,
+       CAST(sum(nlines * linelen + nlines - 1) AS BIGINT) AS sum_bytes,
+       CAST(sum(1000 + g) AS BIGINT) AS sum_mtime
+FROM m GROUP BY day
 """,
         "consume_mqtt_landed": """
 WITH m AS (SELECT range AS i,

@@ -49,6 +49,15 @@ from nifi_spark.sources.put_socket import (build_syslog_message,
                                            put_syslog, put_tcp,
                                            put_udp, sent_feed,
                                            syslog_is_valid)
+from nifi_spark.sources.stomp import (GetJMSSource, StompBroker,
+                                      StompClient, put_jms,
+                                      stomp_loopback)
+from nifi_spark.sources.kafka_wire import (ConsumeKafkaWireSource,
+                                           KafkaBroker, KafkaWireClient,
+                                           kafka_loopback,
+                                           partition_for_key)
+from nifi_spark.sources.webhdfs import (ListHDFSSource, WebHdfsClient,
+                                        fake_hdfs_transport)
 from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
                                              S2SPort, S2STransaction,
                                              loopback_serve,
@@ -84,4 +93,9 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions",
            "build_syslog_message", "put_syslog", "put_tcp", "put_udp",
-           "sent_feed", "syslog_is_valid"]
+           "sent_feed", "syslog_is_valid",
+           "GetJMSSource", "StompBroker", "StompClient", "put_jms",
+           "stomp_loopback",
+           "ConsumeKafkaWireSource", "KafkaBroker", "KafkaWireClient",
+           "kafka_loopback", "partition_for_key",
+           "ListHDFSSource", "WebHdfsClient", "fake_hdfs_transport"]
