@@ -4003,6 +4003,60 @@ def q_snmp_v3_usm(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(refused + agent.wrong_digests)))
 
 
+def q_snmp_v3_priv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNMPv3 authPriv (sources/snmp.py + functions/blockciphers.py —
+    RFC 3414 CBC-DES and RFC 3826 CFB128-AES-128 privacy over
+    pure-FIPS block ciphers pinned to published vectors): a 48-entry
+    arithmetic MIB is walked through a DES-priv SHA session AND an
+    AES-priv MD5 session (walks must agree), a SET through the AES
+    channel is read back through the DES channel, and a session with
+    the wrong priv password must be refused with
+    usmStatsDecryptionErrors (auth covers the ciphertext, so the
+    failure surfaces at decrypt, not at HMAC). Aggregates replay
+    arithmetically."""
+    from nifi_spark.sources import SnmpV3Agent, SnmpV3Session
+    from nifi_spark.sources.snmp import COUNTER32, SnmpError
+
+    mib = {f"1.3.6.1.2.1.31.1.1.1.6.{i}": (COUNTER32, i * 3 + 11)
+           for i in range(1, 49)}
+    agent = SnmpV3Agent(
+        mib=dict(mib),
+        users={"desu": ("sha", "priv pass one", "des", "des secret 1"),
+               "aesu": ("md5", "priv pass two", "aes", "aes secret 2")})
+    des_sess = SnmpV3Session(agent.transport, "desu",
+                             auth_password="priv pass one", proto="sha",
+                             priv_password="des secret 1",
+                             priv_proto="des")
+    aes_sess = SnmpV3Session(agent.transport, "aesu",
+                             auth_password="priv pass two", proto="md5",
+                             priv_password="aes secret 2",
+                             priv_proto="aes")
+    walk_des = des_sess.walk("1.3.6.1.2.1.31.1")
+    walk_aes = aes_sess.walk("1.3.6.1.2.1.31.1")
+    assert walk_des == walk_aes and len(walk_des) == 48
+    aes_sess.set([("1.3.6.1.2.1.31.9.0", "set-via-aes")])
+    cross = des_sess.get(["1.3.6.1.2.1.31.9.0"])
+    cross_ok = int(cross["varbinds"][0][1] == "set-via-aes")
+    refused = 0
+    try:
+        SnmpV3Session(agent.transport, "desu",
+                      auth_password="priv pass one", proto="sha",
+                      priv_password="WRONG", priv_proto="des").get(
+            ["1.3.6.1.2.1.31.1.1.1.6.1"])
+    except SnmpError as exc:
+        refused = int("1.3.6.1.6.3.15.1.1.6.0" in str(exc))
+    rows = [(oid, int(v), int(oid.rsplit(".", 1)[1]) % 3)
+            for oid, v in walk_des]
+    df = spark.createDataFrame(rows, "oid string, v long, slot int")
+    return (df.groupBy("slot")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("sum_v"),
+                 F.max("v").alias("max_v"))
+            .withColumn("decrypt_refused",
+                        F.lit(refused * agent.decrypt_errors))
+            .withColumn("cross_read_ok", F.lit(cross_ok)))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5311,6 +5365,7 @@ _NEW_THIS_ROUND = [
     "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
     "put_syslog_roundtrip", "s2s_http_roundtrip",
     "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
+    "snmp_v3_priv",
 ]
 
 
@@ -5509,6 +5564,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consume_kafka_wire_landed": q_consume_kafka_wire_landed,
         "webhdfs_list_fetch": q_webhdfs_list_fetch,
         "snmp_v3_usm": q_snmp_v3_usm,
+        "snmp_v3_priv": q_snmp_v3_priv,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
@@ -7337,6 +7393,15 @@ WITH m AS (SELECT range AS i, (range % 4)::INT AS slot,
            FROM range(1, 61))
 SELECT slot, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
        CAST(max(v) AS BIGINT) AS max_v, 2 AS wrong_digest_refused
+FROM m GROUP BY slot
+""",
+        "snmp_v3_priv": """
+WITH m AS (SELECT range AS i, (range % 3)::INT AS slot,
+                  range * 3 + 11 AS v
+           FROM range(1, 49))
+SELECT slot, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(max(v) AS BIGINT) AS max_v, 1 AS decrypt_refused,
+       1 AS cross_read_ok
 FROM m GROUP BY slot
 """,
         "consume_amqp_landed": """

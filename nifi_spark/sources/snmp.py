@@ -22,9 +22,20 @@ the snmp4j dance the reference triggers via its SNMPv3 properties),
 RFC 3414 A.2 password-to-key (1 MB repetition) with key localization
 H(Ku||engineID||Ku), and HMAC-MD5-96 / HMAC-SHA-96 authentication
 (digest computed over the whole message with zeroed msgAuthParams,
-wrong digests answered with usmStatsWrongDigests). Declared
-boundary: priv (DES/AES — no crypto primitives in the stdlib) and
-the boots/time timeliness window.
+wrong digests answered with usmStatsWrongDigests).
+
+authPriv is implemented too: CBC-DES privacy per RFC 3414 §8 (DES key
+= first 8 bytes of the localized priv key, pre-IV = next 8, salt =
+engineBoots ++ local counter, IV = salt XOR pre-IV, zero padding — BER
+lengths delimit the plaintext) and CFB128-AES-128 per RFC 3826 (key =
+first 16 localized bytes, IV = boots ++ time ++ 64-bit salt carried in
+msgPrivacyParameters, no padding). The block ciphers themselves are
+pure-stdlib FIPS implementations in functions/blockciphers.py, pinned
+to the published known-answer vectors. Garbled ciphertext answers
+with usmStatsDecryptionErrors; priv-without-auth answers with
+usmStatsUnsupportedSecLevels. Remaining declared boundary: the
+boots/time timeliness window (in-process transports have no clock
+skew to arbitrate).
 
 Transport = one injectable request/response callable
 ``transport(request_bytes) -> response_bytes`` (SNMP is datagram
@@ -289,6 +300,8 @@ REPORT = 0xA8
 USM_STATS_UNKNOWN_ENGINE = "1.3.6.1.6.3.15.1.1.4.0"
 USM_STATS_WRONG_DIGESTS = "1.3.6.1.6.3.15.1.1.5.0"
 USM_STATS_UNKNOWN_USER = "1.3.6.1.6.3.15.1.1.3.0"
+USM_STATS_UNSUPPORTED_LEVELS = "1.3.6.1.6.3.15.1.1.1.0"
+USM_STATS_DECRYPT_ERRORS = "1.3.6.1.6.3.15.1.1.6.0"
 _AUTH_LEN = 12                      # HMAC-96 truncation, both protocols
 
 
@@ -318,13 +331,51 @@ def _auth_hmac(kul: bytes, message: bytes, proto: str) -> bytes:
 
 
 def _usm_params(engine_id: bytes, boots: int, etime: int, user: str,
-                auth_params: bytes) -> bytes:
+                auth_params: bytes, priv_params: bytes = b"") -> bytes:
     return ber(OCTET_STRING, ber(SEQUENCE,
                ber(OCTET_STRING, engine_id)
                + ber_int(boots) + ber_int(etime)
                + ber(OCTET_STRING, user.encode())
                + ber(OCTET_STRING, auth_params)
-               + ber(OCTET_STRING, b"")))          # privParams (no priv)
+               + ber(OCTET_STRING, priv_params)))
+
+
+def priv_encrypt(kul: bytes, priv_proto: str, boots: int, etime: int,
+                 salt_int: int, plaintext: bytes) -> tuple[bytes, bytes]:
+    """Encrypt a scoped PDU; returns (ciphertext, msgPrivacyParameters).
+    `kul` is the LOCALIZED priv key (RFC 3414 §2.6, derived with the
+    user's AUTH hash). DES: RFC 3414 §8.1.1.1. AES: RFC 3826 §3.1."""
+    from ..functions import blockciphers as bc
+    if priv_proto == "des":
+        salt = ((boots & 0xFFFFFFFF).to_bytes(4, "big")
+                + (salt_int & 0xFFFFFFFF).to_bytes(4, "big"))
+        iv = bytes(a ^ b for a, b in zip(salt, kul[8:16]))
+        pad = (-len(plaintext)) % 8
+        return bc.des_cbc_encrypt(kul[:8], iv,
+                                  plaintext + b"\x00" * pad), salt
+    if priv_proto == "aes":
+        salt = (salt_int & (2 ** 64 - 1)).to_bytes(8, "big")
+        iv = ((boots & 0xFFFFFFFF).to_bytes(4, "big")
+              + (etime & 0xFFFFFFFF).to_bytes(4, "big") + salt)
+        return bc.aes128_cfb_encrypt(kul[:16], iv, plaintext), salt
+    raise SnmpError(f"unknown priv protocol {priv_proto!r}")
+
+
+def priv_decrypt(kul: bytes, priv_proto: str, boots: int, etime: int,
+                 priv_params: bytes, ciphertext: bytes) -> bytes:
+    from ..functions import blockciphers as bc
+    if priv_proto == "des":
+        if len(priv_params) != 8 or len(ciphertext) % 8:
+            raise SnmpError("malformed DES priv parameters")
+        iv = bytes(a ^ b for a, b in zip(priv_params, kul[8:16]))
+        return bc.des_cbc_decrypt(kul[:8], iv, ciphertext)
+    if priv_proto == "aes":
+        if len(priv_params) != 8:
+            raise SnmpError("malformed AES priv parameters")
+        iv = ((boots & 0xFFFFFFFF).to_bytes(4, "big")
+              + (etime & 0xFFFFFFFF).to_bytes(4, "big") + priv_params)
+        return bc.aes128_cfb_decrypt(kul[:16], iv, ciphertext)
+    raise SnmpError(f"unknown priv protocol {priv_proto!r}")
 
 
 def encode_v3_message(msg_id: int, pdu_type: int, request_id: int,
@@ -332,26 +383,39 @@ def encode_v3_message(msg_id: int, pdu_type: int, request_id: int,
                       engine_id: bytes = b"", boots: int = 0,
                       etime: int = 0, user: str = "",
                       auth_key: bytes | None = None, proto: str = "sha",
+                      priv_key: bytes | None = None,
+                      priv_proto: str = "aes", priv_salt: int = 0,
                       error_status: int = 0, error_index: int = 0,
                       reportable: bool = True) -> bytes:
     """RFC 3412 SNMPv3 envelope around a scoped PDU; `auth_key` is the
     LOCALIZED key (Kul). The digest is computed with msgAuthParams
     zeroed, then the message is rebuilt with the real digest (same
-    lengths, so offsets are identical — RFC 3414 §6.3.1)."""
+    lengths, so offsets are identical — RFC 3414 §6.3.1). With
+    `priv_key` (also localized) the scoped PDU is encrypted FIRST and
+    shipped as an OCTET STRING (RFC 3414 §3.1 step 8a), then
+    authenticated — auth covers the ciphertext."""
     vb = b"".join(ber(SEQUENCE, ber_oid(oid) + _encode_value(val))
                   for oid, val in varbinds)
     pdu = ber(pdu_type, ber_int(request_id) + ber_int(error_status)
               + ber_int(error_index) + ber(SEQUENCE, vb))
     scoped = ber(SEQUENCE, ber(OCTET_STRING, engine_id)
                  + ber(OCTET_STRING, b"") + pdu)
-    flags = (0x04 if reportable else 0) | (0x01 if auth_key else 0)
+    priv_params = b""
+    if priv_key is not None:
+        if auth_key is None:
+            raise SnmpError("priv requires auth (no authNoPriv+priv level)")
+        ct, priv_params = priv_encrypt(priv_key, priv_proto, boots,
+                                       etime, priv_salt, scoped)
+        scoped = ber(OCTET_STRING, ct)
+    flags = ((0x04 if reportable else 0) | (0x01 if auth_key else 0)
+             | (0x02 if priv_key else 0))
     global_data = ber(SEQUENCE, ber_int(msg_id) + ber_int(65507)
                       + ber(OCTET_STRING, bytes([flags])) + ber_int(3))
 
     def build(auth_params: bytes) -> bytes:
         return ber(SEQUENCE, ber_int(3) + global_data
                    + _usm_params(engine_id, boots, etime, user,
-                                 auth_params) + scoped)
+                                 auth_params, priv_params) + scoped)
 
     if auth_key is None:
         return build(b"")
@@ -383,9 +447,27 @@ def decode_v3_message(blob: bytes) -> dict:
     auth_off = len(blob) - len(body) + pos - len(secp) + s - len(usm) + u
     _, aut, u = _parse_tlv(usm, u)
     auth_off += 2                        # past the authParams TL header
-    _, scoped, _ = _parse_tlv(body, pos)
+    _, prv, u = _parse_tlv(usm, u)
+    stag, scoped, _ = _parse_tlv(body, pos)
+    out = {"msg_id": _parse_int(mid), "flags": mflags[0],
+           "engine_id": eng, "boots": _parse_int(bts),
+           "time": _parse_int(tim), "user": usr.decode(),
+           "auth_params": aut, "auth_offset": auth_off,
+           "priv_params": prv, "encrypted": None,
+           "pdu_type": None, "request_id": None,
+           "error_status": None, "error_index": None, "varbinds": None}
+    if stag == OCTET_STRING:                      # priv: ciphertext
+        out["encrypted"] = scoped
+        return out
+    out.update(_parse_scoped(scoped))
+    return out
+
+
+def _parse_scoped(scoped: bytes) -> dict:
+    """Parse a PLAINTEXT scoped-PDU body (contextEngineID,
+    contextName, PDU) into the pdu fields of a decoded message."""
     sp = 0
-    _, ceid, sp = _parse_tlv(scoped, sp)
+    _, _ceid, sp = _parse_tlv(scoped, sp)
     _, _cnam, sp = _parse_tlv(scoped, sp)
     pdu_type, pdu, _ = _parse_tlv(scoped, sp)
     p = 0
@@ -401,13 +483,28 @@ def decode_v3_message(blob: bytes) -> dict:
         _, obody, r = _parse_tlv(one, r)
         vtag, vbody2, r = _parse_tlv(one, r)
         varbinds.append((_parse_oid(obody), _decode_value(vtag, vbody2)))
-    return {"msg_id": _parse_int(mid), "flags": mflags[0],
-            "engine_id": eng, "boots": _parse_int(bts),
-            "time": _parse_int(tim), "user": usr.decode(),
-            "auth_params": aut, "auth_offset": auth_off,
-            "pdu_type": pdu_type, "request_id": _parse_int(rid),
+    return {"pdu_type": pdu_type, "request_id": _parse_int(rid),
             "error_status": _parse_int(est),
             "error_index": _parse_int(eix), "varbinds": varbinds}
+
+
+def decrypt_scoped(msg: dict, priv_key: bytes, priv_proto: str) -> dict:
+    """Decrypt an authPriv message's scoped PDU in place (fills the
+    pdu fields) and return it. Raises SnmpError on garbage — the BER
+    walk fails, which is how decryption errors surface (there is no
+    MAC inside the ciphertext; auth covered the ciphertext)."""
+    plain = priv_decrypt(priv_key, priv_proto, msg["boots"],
+                         msg["time"], msg["priv_params"],
+                         msg["encrypted"])
+    try:
+        tag, scoped, _ = _parse_tlv(plain, 0)
+        if tag != SEQUENCE:
+            raise SnmpError("decrypted scoped PDU is not a SEQUENCE")
+        msg.update(_parse_scoped(scoped))
+    except (SnmpError, ValueError, IndexError) as exc:
+        raise SnmpError(f"scoped-PDU decryption failed: {exc}") from exc
+    msg["encrypted"] = None
+    return msg
 
 
 def _verify_v3_auth(blob: bytes, msg: dict, kul: bytes,
@@ -455,28 +552,44 @@ def _serve_pdu(mib: dict, pdu_type: int,
 class SnmpV3Agent:
     """In-process SNMPv3/USM agent: engine discovery, per-user
     HMAC-96 auth (localized keys), then the same GET/GETNEXT/SET
-    behavior as the v2c agent. `users` maps userName -> (proto,
-    password) for authNoPriv or None for noAuthNoPriv."""
+    behavior as the v2c agent. `users` maps userName -> None for
+    noAuthNoPriv, (auth_proto, auth_password) for authNoPriv, or
+    (auth_proto, auth_password, priv_proto, priv_password) for
+    authPriv."""
 
     mib: dict[str, object] = field(default_factory=dict)
-    users: dict[str, "tuple[str, str] | None"] = field(
-        default_factory=dict)
+    users: dict[str, "tuple | None"] = field(default_factory=dict)
     engine_id: bytes = b"\x80\x00\x1f\x88\x04nifi-spark"
     boots: int = 1
     etime: int = 100
     wrong_digests: int = 0
+    decrypt_errors: int = 0
+    _salt: int = 0x5A5A0000
 
     def _kul(self, user: str) -> "tuple[bytes, str] | None":
         cred = self.users.get(user)
         if cred is None:
             return None
-        proto, password = cred
+        proto, password = cred[0], cred[1]
         return localize_key(password_to_key(password, proto),
                             self.engine_id, proto), proto
 
+    def _priv(self, user: str) -> "tuple[bytes, str] | None":
+        cred = self.users.get(user)
+        if cred is None or len(cred) < 4:
+            return None
+        auth_proto, _, priv_proto, priv_password = cred
+        # RFC 3414: the priv key is derived with the AUTH protocol's
+        # hash, then localized the same way.
+        return localize_key(password_to_key(priv_password, auth_proto),
+                            self.engine_id, auth_proto), priv_proto
+
     def _report(self, msg: dict, oid: str, n: int) -> bytes:
+        # request_id is None when the scoped PDU could not be read
+        # (encrypted and undecryptable) — RFC 3414 reports use 0 then.
         return encode_v3_message(
-            msg["msg_id"], REPORT, msg["request_id"], [(oid, (COUNTER32, n))],
+            msg["msg_id"], REPORT, msg["request_id"] or 0,
+            [(oid, (COUNTER32, n))],
             engine_id=self.engine_id, boots=self.boots, etime=self.etime,
             reportable=False)
 
@@ -496,14 +609,27 @@ class SnmpV3Agent:
             # user requires auth but the request came unauthenticated
             return self._report(msg, USM_STATS_WRONG_DIGESTS,
                                 self.wrong_digests + 1)
+        priv = self._priv(msg["user"])
+        if msg["flags"] & 0x02:
+            if not msg["flags"] & 0x01 or priv is None:
+                return self._report(msg, USM_STATS_UNSUPPORTED_LEVELS, 1)
+            try:
+                decrypt_scoped(msg, *priv)
+            except SnmpError:
+                self.decrypt_errors += 1
+                return self._report(msg, USM_STATS_DECRYPT_ERRORS,
+                                    self.decrypt_errors)
         out, err, eix = _serve_pdu(self.mib, msg["pdu_type"],
                                    msg["varbinds"])
+        self._salt += 1
         return encode_v3_message(
             msg["msg_id"], GET_RESPONSE, msg["request_id"], out,
             engine_id=self.engine_id, boots=self.boots, etime=self.etime,
             user=msg["user"],
             auth_key=auth[0] if auth and msg["flags"] & 0x01 else None,
             proto=auth[1] if auth else "sha",
+            priv_key=priv[0] if priv and msg["flags"] & 0x02 else None,
+            priv_proto=priv[1] if priv else "aes", priv_salt=self._salt,
             error_status=err, error_index=eix, reportable=False)
 
 
@@ -523,31 +649,49 @@ class SnmpV3Session:
     offers the same get/walk/set surface as the v2c helpers."""
 
     def __init__(self, transport, user: str, *,
-                 auth_password: str | None = None, proto: str = "sha"):
+                 auth_password: str | None = None, proto: str = "sha",
+                 priv_password: str | None = None,
+                 priv_proto: str = "aes"):
         self.transport = transport
         self.user = user
         self.proto = proto
+        self.priv_proto = priv_proto
         self.engine_id, self.boots, self.etime = \
             snmp_v3_discover(transport)
         self.kul = (localize_key(password_to_key(auth_password, proto),
                                  self.engine_id, proto)
                     if auth_password else None)
+        if priv_password and not auth_password:
+            raise SnmpError("priv requires auth")
+        self.priv_kul = (localize_key(
+            password_to_key(priv_password, proto),
+            self.engine_id, proto) if priv_password else None)
         self._mid = 100
+        self._salt = 0x00A50000
 
     def _rpc(self, pdu_type: int,
              varbinds: list[tuple[str, object]]) -> dict:
         self._mid += 1
+        self._salt += 1
         resp_blob = self.transport(encode_v3_message(
             self._mid, pdu_type, self._mid, varbinds,
             engine_id=self.engine_id, boots=self.boots,
             etime=self.etime, user=self.user, auth_key=self.kul,
-            proto=self.proto))
+            proto=self.proto, priv_key=self.priv_kul,
+            priv_proto=self.priv_proto, priv_salt=self._salt))
         resp = decode_v3_message(resp_blob)
-        if resp["pdu_type"] == REPORT:
+        if self.kul is not None and resp["encrypted"] is None \
+                and resp["pdu_type"] == REPORT:
             raise SnmpError(f"agent report: {resp['varbinds']}")
         if self.kul is not None and not _verify_v3_auth(
                 resp_blob, resp, self.kul, self.proto):
             raise SnmpError("response failed HMAC verification")
+        if resp["encrypted"] is not None:
+            if self.priv_kul is None:
+                raise SnmpError("unexpected encrypted response")
+            decrypt_scoped(resp, self.priv_kul, self.priv_proto)
+        if resp["pdu_type"] == REPORT:
+            raise SnmpError(f"agent report: {resp['varbinds']}")
         return resp
 
     def get(self, oids: list[str]) -> dict:

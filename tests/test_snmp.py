@@ -140,3 +140,108 @@ def test_v3_wrong_password_and_unauth_rejected():
     # noAuthNoPriv user works
     g = SnmpV3Session(agent.transport, "guest")
     assert g.get(["1.3.6.1.2.1.1.5.0"])["varbinds"][0][1] == "h"
+
+
+# ----------------------------------------------------- authPriv (r4)
+
+
+def test_blockcipher_published_vectors():
+    """Pin DES to the FIPS 46-3 worked example and AES-128 to
+    FIPS-197 appendix B — if either table/schedule drifts, this
+    catches it before any protocol test does."""
+    from nifi_spark.functions.blockciphers import (aes128_encrypt_block,
+                                                   aes128_key_schedule,
+                                                   des_block,
+                                                   des_key_schedule)
+    key = bytes.fromhex("133457799BBCDFF1")
+    ct = des_block(bytes.fromhex("0123456789ABCDEF"),
+                   des_key_schedule(key))
+    assert ct.hex().upper() == "85E813540F0AB405"
+    assert des_block(ct, des_key_schedule(key)[::-1]).hex().upper() == \
+        "0123456789ABCDEF"
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    out = aes128_encrypt_block(
+        bytes.fromhex("3243f6a8885a308d313198a2e0370734"),
+        aes128_key_schedule(k))
+    assert out.hex() == "3925841d02dc09fbdc118597196a0b32"
+
+
+def test_blockcipher_mode_roundtrips():
+    from nifi_spark.functions.blockciphers import (aes128_cfb_decrypt,
+                                                   aes128_cfb_encrypt,
+                                                   des_cbc_decrypt,
+                                                   des_cbc_encrypt)
+    key8, iv8 = b"01234567", bytes(range(8))
+    data = b"snmpv3 des cbc roundtrip" * 3        # multiple of 8
+    assert des_cbc_decrypt(key8, iv8,
+                           des_cbc_encrypt(key8, iv8, data)) == data
+    key16, iv16 = b"0123456789abcdef", bytes(range(16))
+    odd = b"cfb has no padding requirement" * 3 + b"+tail"
+    assert aes128_cfb_decrypt(key16, iv16,
+                              aes128_cfb_encrypt(key16, iv16, odd)) == odd
+
+
+def test_v3_authpriv_des_and_aes_roundtrip():
+    from nifi_spark.sources.snmp import (COUNTER32, SnmpV3Agent,
+                                         SnmpV3Session)
+    mib = {"1.3.6.1.2.1.1.1.0": "sysDescr",
+           "1.3.6.1.2.1.2.2.1.10.1": (COUNTER32, 987)}
+    for pp in ("des", "aes"):
+        agent = SnmpV3Agent(
+            mib=dict(mib),
+            users={"ops": ("sha", "authpass123", pp, "privpass456")})
+        s = SnmpV3Session(agent.transport, "ops",
+                          auth_password="authpass123", proto="sha",
+                          priv_password="privpass456", priv_proto=pp)
+        assert s.get(["1.3.6.1.2.1.1.1.0"])["varbinds"][0][1] == \
+            "sysDescr"
+        assert [v for _o, v in s.walk("1.3.6.1.2.1")] == ["sysDescr", 987]
+        s.set([("1.3.6.1.2.1.1.1.0", "renamed")])
+        assert agent.mib["1.3.6.1.2.1.1.1.0"] == "renamed"
+        # the wire really is encrypted: the plaintext value never
+        # appears in a captured response
+        captured = agent.transport(_capture_get(agent, s))
+        assert b"renamed" not in captured
+
+
+def _capture_get(agent, sess):
+    """Encode one more GET through the session's keys so we can
+    inspect the raw response bytes."""
+    from nifi_spark.sources.snmp import GET_REQUEST, encode_v3_message
+    sess._mid += 1
+    sess._salt += 1
+    return encode_v3_message(
+        sess._mid, GET_REQUEST, sess._mid,
+        [("1.3.6.1.2.1.1.1.0", None)], engine_id=sess.engine_id,
+        boots=sess.boots, etime=sess.etime, user=sess.user,
+        auth_key=sess.kul, proto=sess.proto, priv_key=sess.priv_kul,
+        priv_proto=sess.priv_proto, priv_salt=sess._salt)
+
+
+def test_v3_wrong_priv_key_reports_decryption_error():
+    import pytest
+    from nifi_spark.sources.snmp import (SnmpError, SnmpV3Agent,
+                                         SnmpV3Session)
+    agent = SnmpV3Agent(
+        mib={"1.3.6.1.2.1.1.1.0": "x"},
+        users={"ops": ("sha", "authpass123", "aes", "privpass456")})
+    bad = SnmpV3Session(agent.transport, "ops",
+                        auth_password="authpass123", proto="sha",
+                        priv_password="WRONG", priv_proto="aes")
+    with pytest.raises(SnmpError, match=r"15\.1\.1\.6"):
+        bad.get(["1.3.6.1.2.1.1.1.0"])
+    assert agent.decrypt_errors == 1
+    # auth itself was fine — no wrong-digest increment
+    assert agent.wrong_digests == 0
+
+
+def test_v3_priv_requires_auth():
+    import pytest
+    from nifi_spark.sources.snmp import (SnmpError, SnmpV3Agent,
+                                         SnmpV3Session, encode_v3_message)
+    with pytest.raises(SnmpError, match="priv requires auth"):
+        encode_v3_message(1, 0xA0, 1, [], priv_key=b"k" * 16)
+    agent = SnmpV3Agent(mib={}, users={"ops": ("sha", "authpass123")})
+    with pytest.raises(SnmpError, match="priv requires auth"):
+        SnmpV3Session(agent.transport, "ops",
+                      priv_password="privonly", priv_proto="aes")
