@@ -4057,6 +4057,163 @@ def q_snmp_v3_priv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cross_read_ok", F.lit(cross_ok)))
 
 
+def q_get_mongo_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetMongo analog (nifi-mongodb-bundle GetMongo.java; sources/
+    mongo.py — BSON + OP_MSG from the public specs): 260 documents
+    are inserted over the wire, then drained with a $lt filter, a
+    sort, and batchSize=25 — forcing real getMore cursor paging —
+    into the spool. The landed JSON payloads are parsed back in
+    Spark and per-group aggregates replay arithmetically."""
+    from nifi_spark.sources import (GetMongoSource, MongoClient,
+                                    MongoServer, mongo_loopback)
+    srv = MongoServer(dbname="nifi")
+    r, w, join = mongo_loopback(srv)
+    client = MongoClient(r, w)
+    docs = [{"_id": i, "grp": i % 6, "v": i * i, "name": f"doc{i}"}
+            for i in range(260)]
+    assert client.insert("events", docs) == 260
+    src = GetMongoSource(tempfile.mkdtemp(prefix="get_mongo_"))
+    n = src.drain(client, "events", {"grp": {"$lt": 4}},
+                  sort={"_id": 1}, batch_size=25)
+    join()
+    assert n == sum(1 for d in docs if d["grp"] < 4), n
+    df = src.read(spark)
+    parsed = df.select(
+        F.get_json_object("payload", "$._id").cast("long").alias("id"),
+        F.get_json_object("payload", "$.grp").cast("int").alias("grp"),
+        F.get_json_object("payload", "$.v").cast("long").alias("v"),
+        F.length("payload").alias("plen"))
+    return (parsed.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("sum_v"),
+                 F.max("id").alias("max_id"),
+                 F.sum("plen").cast("bigint").alias("sum_plen"))
+            .orderBy("grp"))
+
+
+def q_query_cassandra_landed(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """QueryCassandra analog (nifi-cassandra-bundle
+    QueryCassandra.java; sources/cql.py — CQL binary protocol v4 from
+    the public spec): a 300-row table is served over protocol-v4
+    frames, queried with WHERE conjunctions + page_size=37 (real
+    server-side paging via paging_state), landed to the spool as
+    typed JSON rows, and the per-group aggregates replay
+    arithmetically. The double column is exact (k/4 over integral
+    k), so sums are bit-stable."""
+    from nifi_spark.sources import (CqlClient, CqlServer,
+                                    QueryCassandraSource, cql_loopback)
+    srv = CqlServer()
+    rows = [(i, i % 5, f"name{i}", i / 4.0, i % 3 == 0, i * 1_000_000)
+            for i in range(300)]
+    srv.add_table("events",
+                  [("id", "int"), ("grp", "int"), ("name", "varchar"),
+                   ("score", "double"), ("flag", "boolean"),
+                   ("big", "bigint")], rows)
+    r, w, join = cql_loopback(srv)
+    client = CqlClient(r, w)
+    src = QueryCassandraSource(tempfile.mkdtemp(prefix="query_cql_"))
+    n = src.drain(client,
+                  "SELECT id, grp, score, flag, big FROM ks.events "
+                  "WHERE id >= 30 AND grp != 4", page_size=37)
+    join()
+    assert n == sum(1 for t in rows if t[0] >= 30 and t[1] != 4), n
+    df = src.read(spark)
+    parsed = df.select(
+        F.get_json_object("payload", "$.id").cast("long").alias("id"),
+        F.get_json_object("payload", "$.grp").cast("int").alias("grp"),
+        F.get_json_object("payload", "$.score").cast("double")
+        .alias("score"),
+        F.get_json_object("payload", "$.flag").cast("boolean")
+        .alias("flag"),
+        F.get_json_object("payload", "$.big").cast("long").alias("big"))
+    return (parsed.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("id").cast("bigint").alias("sum_id"),
+                 F.sum("score").cast("double").alias("sum_score"),
+                 F.count(F.when(F.col("flag"), 1)).alias("n_flag"),
+                 F.max("big").alias("max_big"))
+            .orderBy("grp"))
+
+
+def q_get_sqs_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetSQS analog (nifi-aws-bundle GetSQS.java; sources/sqs.py —
+    the SQS Query protocol with REAL SigV4 signing, verified
+    server-side on every request): 210 signed SendMessage calls land
+    in the in-process queue, a signed drain loop (MaxNumberOfMessages
+    =10 → 21 ReceiveMessage pages) spools them with auto-delete, a
+    wrong-secret client is refused with SignatureDoesNotMatch, and
+    the per-kind aggregates replay arithmetically."""
+    from nifi_spark.sources import (GetSQSSource, SqsClient, SqsError,
+                                    SqsServer)
+    srv = SqsServer(secrets={"AKIDEXAMPLE": "topsecret"})
+    srv.create_queue("jobs")
+    url = "https://sqs.us-east-1.amazonaws.com/123456789012/jobs"
+    client = SqsClient(srv.transport, url, access_key="AKIDEXAMPLE",
+                       secret_key="topsecret")
+    for i in range(210):
+        client.send_message(f"payload {i} {'x' * (i % 9)}",
+                            {"kind": f"k{i % 4}", "n": str(i)})
+    refused = 0
+    try:
+        SqsClient(srv.transport, url, access_key="AKIDEXAMPLE",
+                  secret_key="WRONG").receive_messages()
+    except SqsError as exc:
+        refused = int("SignatureDoesNotMatch" in str(exc))
+    src = GetSQSSource(tempfile.mkdtemp(prefix="get_sqs_"))
+    n = src.drain(client, max_messages=10)
+    assert n == 210 and not srv.queues["jobs"] and not srv.inflight
+    df = src.read(spark)
+    return (df.select(F.element_at("attributes", "kind").alias("kind"),
+                      F.element_at("attributes", "n").cast("long")
+                      .alias("n_attr"),
+                      F.length("body").alias("blen"))
+            .groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_attr").cast("bigint").alias("sum_n"),
+                 F.sum("blen").cast("bigint").alias("sum_blen"))
+            .withColumn("sig_refused", F.lit(refused * srv.rejected))
+            .orderBy("kind"))
+
+
+def q_get_solr_incremental(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """GetSolr analog (nifi-solr-bundle GetSolr.java; sources/solr.py
+    — select API + cursorMark deep paging + the reference's
+    incremental date-window watermark in KVState): drain 1 covers
+    ts<=2500 (cursorMark pages of 13), a same-window re-drain lands
+    NOTHING (watermark advanced, exclusive lower bound), late docs
+    arrive, drain 2 picks up exactly the remainder. Batch membership
+    and per-group aggregates replay arithmetically."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import GetSolrSource, SolrClient, SolrServer
+    srv = SolrServer("docs")
+    srv.add([{"id": f"d{i:04d}", "ts": 1000 + i * 10, "grp": i % 3}
+             for i in range(220)])
+    client = SolrClient(srv.transport, "http://solr.local/solr",
+                        "docs")
+    root = tempfile.mkdtemp(prefix="get_solr_")
+    state = KVState(root + "/state")
+    src = GetSolrSource(root + "/spool", state)
+    n1 = src.drain(client, date_field="ts", now=2500, rows=13)
+    assert n1 == 151, n1                      # ts 1000..2500 = i 0..150
+    assert src.drain(client, date_field="ts", now=2500, rows=13) == 0
+    srv.add([{"id": f"late{i}", "ts": 3200 + i, "grp": i % 3}
+             for i in range(9)])
+    n2 = src.drain(client, date_field="ts", now=9999, rows=13)
+    assert n2 == (220 - 151) + 9, n2
+    df = src.read(spark)
+    return (df.select("batch_id",
+                      F.get_json_object("payload", "$.grp").cast("int")
+                      .alias("grp"),
+                      F.col("ts").cast("long").alias("ts"))
+            .groupBy("batch_id", "grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("ts").cast("bigint").alias("sum_ts"),
+                 F.max("ts").alias("max_ts"))
+            .orderBy("batch_id", "grp"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5365,7 +5522,8 @@ _NEW_THIS_ROUND = [
     "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
     "put_syslog_roundtrip", "s2s_http_roundtrip",
     "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
-    "snmp_v3_priv",
+    "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
+    "get_sqs_landed", "get_solr_incremental",
 ]
 
 
@@ -5565,6 +5723,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webhdfs_list_fetch": q_webhdfs_list_fetch,
         "snmp_v3_usm": q_snmp_v3_usm,
         "snmp_v3_priv": q_snmp_v3_priv,
+        "get_mongo_landed": q_get_mongo_landed,
+        "query_cassandra_landed": q_query_cassandra_landed,
+        "get_sqs_landed": q_get_sqs_landed,
+        "get_solr_incremental": q_get_solr_incremental,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
@@ -7403,6 +7565,48 @@ SELECT slot, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
        CAST(max(v) AS BIGINT) AS max_v, 1 AS decrypt_refused,
        1 AS cross_read_ok
 FROM m GROUP BY slot
+""",
+        "get_mongo_landed": """
+WITH m AS (SELECT range AS i, (range % 6)::INT AS grp,
+                  range * range AS v,
+                  length('{"_id":' || range || ',"grp":' ||
+                         (range % 6) || ',"name":"doc' || range ||
+                         '","v":' || (range * range) || '}') AS plen
+           FROM range(260) WHERE range % 6 < 4)
+SELECT grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(max(i) AS BIGINT) AS max_id,
+       CAST(sum(plen) AS BIGINT) AS sum_plen
+FROM m GROUP BY grp ORDER BY grp
+""",
+        "query_cassandra_landed": """
+WITH m AS (SELECT range AS i, (range % 5)::INT AS grp
+           FROM range(300) WHERE range >= 30 AND range % 5 != 4)
+SELECT grp, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_id,
+       CAST(sum(i) AS DOUBLE) / 4 AS sum_score,
+       count(*) FILTER (WHERE i % 3 = 0) AS n_flag,
+       CAST(max(i) * 1000000 AS BIGINT) AS max_big
+FROM m GROUP BY grp ORDER BY grp
+""",
+        "get_sqs_landed": """
+WITH m AS (SELECT range AS i, 'k' || (range % 4)::VARCHAR AS kind,
+                  9 + length(range::VARCHAR) + (range % 9) AS blen
+           FROM range(210))
+SELECT kind, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_n,
+       CAST(sum(blen) AS BIGINT) AS sum_blen, 1 AS sig_refused
+FROM m GROUP BY kind ORDER BY kind
+""",
+        "get_solr_incremental": """
+WITH base AS (
+  SELECT CAST(CASE WHEN range <= 150 THEN 0 ELSE 1 END AS BIGINT)
+             AS batch_id,
+         (range % 3)::INT AS grp, 1000 + range * 10 AS ts
+  FROM range(220)
+  UNION ALL
+  SELECT 1, (range % 3)::INT, 3200 + range FROM range(9))
+SELECT batch_id, grp, count(*) AS n,
+       CAST(sum(ts) AS BIGINT) AS sum_ts,
+       CAST(max(ts) AS BIGINT) AS max_ts
+FROM base GROUP BY batch_id, grp ORDER BY batch_id, grp
 """,
         "consume_amqp_landed": """
 WITH m AS (SELECT range AS i,

@@ -56,6 +56,15 @@ from nifi_spark.sources.kafka_wire import (ConsumeKafkaWireSource,
                                            KafkaBroker, KafkaWireClient,
                                            kafka_loopback,
                                            partition_for_key)
+from nifi_spark.sources.mongo import (GetMongoSource, MongoClient,
+                                      MongoServer, ObjectId,
+                                      mongo_loopback)
+from nifi_spark.sources.cql import (CqlClient, CqlServer,
+                                    QueryCassandraSource, cql_loopback)
+from nifi_spark.sources.sqs import (GetSQSSource, SqsClient, SqsError,
+                                    SqsServer, sigv4_sign, sigv4_verify)
+from nifi_spark.sources.solr import (GetSolrSource, SolrClient,
+                                     SolrServer)
 from nifi_spark.sources.webhdfs import (ListHDFSSource, WebHdfsClient,
                                         fake_hdfs_transport)
 from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
@@ -98,4 +107,11 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "stomp_loopback",
            "ConsumeKafkaWireSource", "KafkaBroker", "KafkaWireClient",
            "kafka_loopback", "partition_for_key",
-           "ListHDFSSource", "WebHdfsClient", "fake_hdfs_transport"]
+           "ListHDFSSource", "WebHdfsClient", "fake_hdfs_transport",
+           "GetMongoSource", "MongoClient", "MongoServer", "ObjectId",
+           "mongo_loopback",
+           "CqlClient", "CqlServer", "QueryCassandraSource",
+           "cql_loopback",
+           "GetSQSSource", "SqsClient", "SqsError", "SqsServer",
+           "sigv4_sign", "sigv4_verify",
+           "GetSolrSource", "SolrClient", "SolrServer"]

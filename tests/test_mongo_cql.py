@@ -1,0 +1,157 @@
+"""GetMongo (sources/mongo.py — BSON + OP_MSG) and QueryCassandra
+(sources/cql.py — CQL binary protocol v4) analogs: codec roundtrips,
+wire sessions over socketpairs, cursor/paging semantics, error paths.
+No Spark session needed — pure protocol tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from nifi_spark.sources.cql import (CqlClient, CqlError, CqlServer,
+                                    cql_loopback)
+from nifi_spark.sources.mongo import (MongoClient, MongoError,
+                                      MongoServer, ObjectId,
+                                      bson_decode, bson_encode,
+                                      mongo_loopback)
+
+
+# ------------------------------------------------------------- BSON
+
+
+def test_bson_roundtrip_all_types():
+    doc = {"a": 1, "neg": -7, "b": 2.5, "s": "héllo", "empty": "",
+           "n": None, "t": True, "f": False, "big": 2 ** 40,
+           "negbig": -(2 ** 40), "arr": [1, "x", {"y": 2}, None],
+           "sub": {"k": "v", "deep": {"z": [1, 2]}},
+           "bin": b"\x00\x01\xff", "oid": ObjectId(bytes(range(12)))}
+    assert bson_decode(bson_encode(doc)) == doc
+
+
+def test_bson_int_width_boundaries():
+    for v in (2 ** 31 - 1, -(2 ** 31), 2 ** 31, -(2 ** 31) - 1):
+        assert bson_decode(bson_encode({"v": v}))["v"] == v
+
+
+def test_bson_rejects_nul_key_and_trailing_bytes():
+    with pytest.raises(MongoError):
+        bson_encode({"a\x00b": 1})
+    with pytest.raises(MongoError):
+        bson_decode(bson_encode({"a": 1}) + b"\x00")
+
+
+# ----------------------------------------------------------- OP_MSG
+
+
+def test_mongo_find_filters_sort_limit_projection():
+    srv = MongoServer()
+    r, w, join = mongo_loopback(srv)
+    c = MongoClient(r, w)
+    docs = [{"_id": i, "grp": i % 5, "v": i * i} for i in range(137)]
+    assert c.insert("metrics", docs) == 137
+    got = c.find("metrics", {"grp": {"$lt": 2}}, sort={"v": -1},
+                 batch_size=10)
+    exp = sorted([d for d in docs if d["grp"] < 2],
+                 key=lambda d: -d["v"])
+    assert got == exp
+    assert c.find("metrics", {}, sort={"_id": 1}, limit=7,
+                  projection={"v": 1, "_id": 0}) == \
+        [{"v": i * i} for i in range(7)]
+    assert len(c.find("metrics", {"grp": {"$in": [0, 4]}})) == \
+        sum(1 for d in docs if d["grp"] in (0, 4))
+    join()
+
+
+def test_mongo_cursor_paging_is_real():
+    """batchSize smaller than the result forces getMore round trips;
+    the doc stream must still be complete and ordered."""
+    srv = MongoServer()
+    r, w, join = mongo_loopback(srv)
+    c = MongoClient(r, w)
+    c.insert("t", [{"_id": i} for i in range(53)])
+    got = c.find("t", {}, sort={"_id": 1}, batch_size=7)
+    assert [d["_id"] for d in got] == list(range(53))
+    join()
+    # 1 hello + 1 insert + 1 find + ceil((53-7)/7)=7 getMores
+    assert srv.commands_served == 10
+
+
+def test_mongo_unknown_command_and_dead_cursor():
+    srv = MongoServer()
+    assert srv.handle({"frobnicate": 1})["ok"] == 0.0
+    assert srv.handle({"getMore": 999, "collection": "x"})["code"] == 43
+
+
+def test_mongo_kill_cursors():
+    srv = MongoServer()
+    r, w, join = mongo_loopback(srv)
+    c = MongoClient(r, w)
+    c.insert("t", [{"_id": i} for i in range(30)])
+    reply = c._cmd({"find": "t", "filter": {}, "batchSize": 5})
+    cid = reply["cursor"]["id"]
+    assert cid != 0
+    assert c.kill_cursors("t", [cid]) == [cid]
+    assert c.kill_cursors("t", [cid]) == []
+    join()
+
+
+# -------------------------------------------------------------- CQL
+
+
+@pytest.fixture()
+def cql_pair():
+    srv = CqlServer()
+    rows = [(i, i % 7, f"name{i}", i * 1.5, i % 2 == 0, i * 10 ** 10)
+            for i in range(211)]
+    srv.add_table("events",
+                  [("id", "int"), ("grp", "int"), ("name", "varchar"),
+                   ("score", "double"), ("flag", "boolean"),
+                   ("big", "bigint")], rows)
+    r, w, join = cql_loopback(srv)
+    yield srv, CqlClient(r, w), rows, join
+    join()
+
+
+def test_cql_select_where_limit_types(cql_pair):
+    srv, c, rows, _ = cql_pair
+    cols, got = c.query("SELECT id, name, score, flag, big FROM "
+                        "ks.events WHERE grp >= 3 AND grp < 5 LIMIT 40")
+    assert cols == [("id", "int"), ("name", "varchar"),
+                    ("score", "double"), ("flag", "boolean"),
+                    ("big", "bigint")]
+    exp = [(i, f"name{i}", i * 1.5, i % 2 == 0, i * 10 ** 10)
+           for i in range(211) if 3 <= i % 7 < 5][:40]
+    assert got == exp
+
+
+def test_cql_paging_covers_everything(cql_pair):
+    srv, c, rows, _ = cql_pair
+    _cols, got = c.query("SELECT id FROM events", page_size=50)
+    assert [g[0] for g in got] == list(range(211))
+    # 1 startup + ceil(211/50)=5 query pages
+    assert srv.queries_served == 5
+
+
+def test_cql_string_where_and_star(cql_pair):
+    _srv, c, rows, _ = cql_pair
+    _cols, got = c.query("SELECT * FROM events WHERE name = 'name5'")
+    assert got == [rows[5]]
+
+
+def test_cql_error_frame(cql_pair):
+    _srv, c, _rows, _ = cql_pair
+    with pytest.raises(CqlError, match="0x2200"):
+        c.query("DROP TABLE events")
+    # connection survives an error frame
+    _cols, got = c.query("SELECT id FROM events LIMIT 1")
+    assert got == [(0,)]
+
+
+def test_cql_null_values_roundtrip():
+    srv = CqlServer()
+    srv.add_table("t", [("id", "int"), ("opt", "varchar")],
+                  [(1, "x"), (2, None)])
+    r, w, join = cql_loopback(srv)
+    c = CqlClient(r, w)
+    _cols, got = c.query("SELECT id, opt FROM t")
+    assert got == [(1, "x"), (2, None)]
+    join()
