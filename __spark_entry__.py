@@ -4214,6 +4214,50 @@ def q_get_solr_incremental(spark: SparkSession, sf_dir: str
             .orderBy("batch_id", "grp"))
 
 
+def q_get_eventhub_landed(spark: SparkSession, sf_dir: str
+                          ) -> DataFrame:
+    """GetAzureEventHub analog (nifi-azure-bundle
+    GetAzureEventHub.java; sources/amqp10.py — AMQP 1.0 from the
+    OASIS spec: type system, SASL PLAIN, open/begin/attach,
+    credit+drain flow control, transfers, disposition): a 3-partition
+    hub holding 240 events is drained partition-by-partition with
+    batch_size=17 (real drain-echo batch boundaries), landing the
+    reference's exact attribute surface (enqueued.timestamp / offset
+    / sequence / name / partition). Per-partition aggregates replay
+    arithmetically — offsets are 64·seq, enqueued is a fixed epoch +
+    seq."""
+    from nifi_spark.sources import (EventHubBroker, EventHubReceiver,
+                                    GetEventHubSource,
+                                    eventhub_loopback)
+    broker = EventHubBroker("hub1", 3, users={"nifi": "pw"})
+    counts = [70, 80, 90]
+    for pid in range(3):
+        for i in range(counts[pid]):
+            broker.append(pid, f"p{pid} event {i}".encode(),
+                          {"k": i % 5},
+                          enqueued_ms=1_700_000_000_000 + i)
+    r, w, join = eventhub_loopback(broker)
+    recv = EventHubReceiver(r, w, hub="hub1", user="nifi",
+                            password="pw")
+    src = GetEventHubSource(tempfile.mkdtemp(prefix="get_eventhub_"))
+    n = src.drain(recv, [0, 1, 2], batch_size=17)
+    recv.close()
+    join()
+    assert n == sum(counts), n
+    df = src.read(spark)
+    return (df.groupBy("eventhub_name", "eventhub_partition")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("eventhub_offset").cast("bigint")
+                 .alias("sum_offset"),
+                 F.max("eventhub_sequence").alias("max_seq"),
+                 F.sum(F.col("eventhub_enqueued_timestamp")
+                       - 1_700_000_000_000).cast("bigint")
+                 .alias("sum_enq_delta"),
+                 F.sum(F.length("payload")).cast("bigint")
+                 .alias("sum_plen"))
+            .orderBy("eventhub_partition"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5523,7 +5567,7 @@ _NEW_THIS_ROUND = [
     "put_syslog_roundtrip", "s2s_http_roundtrip",
     "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
     "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
-    "get_sqs_landed", "get_solr_incremental",
+    "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
 ]
 
 
@@ -5727,6 +5771,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_cassandra_landed": q_query_cassandra_landed,
         "get_sqs_landed": q_get_sqs_landed,
         "get_solr_incremental": q_get_solr_incremental,
+        "get_eventhub_landed": q_get_eventhub_landed,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
@@ -7607,6 +7652,17 @@ SELECT batch_id, grp, count(*) AS n,
        CAST(sum(ts) AS BIGINT) AS sum_ts,
        CAST(max(ts) AS BIGINT) AS max_ts
 FROM base GROUP BY batch_id, grp ORDER BY batch_id, grp
+""",
+        "get_eventhub_landed": """
+WITH parts AS (SELECT * FROM (VALUES ('0', 70), ('1', 80), ('2', 90))
+               AS t(pid, c)),
+m AS (SELECT pid, unnest(range(c)) AS i FROM parts)
+SELECT 'hub1' AS eventhub_name, pid AS eventhub_partition,
+       count(*) AS n, CAST(64 * sum(i) AS BIGINT) AS sum_offset,
+       CAST(max(i) AS BIGINT) AS max_seq,
+       CAST(sum(i) AS BIGINT) AS sum_enq_delta,
+       CAST(sum(9 + length(i::VARCHAR)) AS BIGINT) AS sum_plen
+FROM m GROUP BY pid ORDER BY pid
 """,
         "consume_amqp_landed": """
 WITH m AS (SELECT range AS i,

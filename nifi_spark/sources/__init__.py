@@ -56,6 +56,10 @@ from nifi_spark.sources.kafka_wire import (ConsumeKafkaWireSource,
                                            KafkaBroker, KafkaWireClient,
                                            kafka_loopback,
                                            partition_for_key)
+from nifi_spark.sources.amqp10 import (EventHubBroker,
+                                       EventHubReceiver,
+                                       GetEventHubSource,
+                                       eventhub_loopback)
 from nifi_spark.sources.mongo import (GetMongoSource, MongoClient,
                                       MongoServer, ObjectId,
                                       mongo_loopback)
@@ -114,4 +118,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "cql_loopback",
            "GetSQSSource", "SqsClient", "SqsError", "SqsServer",
            "sigv4_sign", "sigv4_verify",
-           "GetSolrSource", "SolrClient", "SolrServer"]
+           "GetSolrSource", "SolrClient", "SolrServer",
+           "EventHubBroker", "EventHubReceiver", "GetEventHubSource",
+           "eventhub_loopback"]

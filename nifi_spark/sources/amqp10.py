@@ -1,0 +1,697 @@
+"""GetAzureEventHub analog — AMQP 1.0 (OASIS spec), the protocol the
+Event Hubs client actually speaks, implemented from the public
+standard: the type system (fixed/variable/compound encodings +
+described types), the SASL security layer (PLAIN), the connection/
+session/link state machines (open → begin → attach), credit-based
+flow control with REAL drain semantics (a flow with drain=true makes
+the sender burn remaining credit by advancing delivery-count — the
+batch boundary the Event Hubs receiver relies on), transfer frames
+carrying encoded messages, and disposition settlement (accepted).
+
+NiFi ancestor: nifi-azure-bundle GetAzureEventHub.java — per-partition
+PartitionReceiver.receive(batchSize) loops writing one FlowFile per
+EventData with attributes eventhub.enqueued.timestamp / offset /
+sequence / name / partition (GetAzureEventHub.java:63-67). Event Hubs
+delivers those three values as AMQP message-annotations
+(``x-opt-offset``, ``x-opt-sequence-number``,
+``x-opt-enqueued-time``), which is exactly where the in-process hub
+puts them here.
+
+The broker models an Event Hub: N partitions, each an append-only
+event list; a receiver link attaches to
+``<hub>/ConsumerGroups/<group>/Partitions/<id>`` with an optional
+``amqp.annotation.x-opt-offset > '<n>'`` selector filter (the Event
+Hubs resume position), then pages through it with flow credit.
+
+Declared boundary: the CBS token dance (Event Hubs' $cbs node is a
+proprietary claims protocol on top of AMQP management), multi-frame
+transfers (more=true), and transactional outcomes.
+
+Transport = injectable ``read(n)``/``write(b)`` callables; tests loop
+back on a socketpair; production wraps a TLS socket.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class Amqp10Error(IOError):
+    pass
+
+
+# -------------------------------------------------------- type system
+
+
+class Symbol(str):
+    """AMQP symbol (0xA3/0xB3) — distinct from string on the wire."""
+
+
+class UInt(int):
+    pass
+
+
+class ULong(int):
+    pass
+
+
+class Described:
+    __slots__ = ("descriptor", "value")
+
+    def __init__(self, descriptor, value):
+        self.descriptor = descriptor
+        self.value = value
+
+    def __eq__(self, other):
+        return (isinstance(other, Described)
+                and self.descriptor == other.descriptor
+                and self.value == other.value)
+
+    def __repr__(self):
+        return f"Described(0x{int(self.descriptor):02x}, {self.value!r})"
+
+
+def encode_value(v) -> bytes:
+    if v is None:
+        return b"\x40"
+    if isinstance(v, Described):
+        return b"\x00" + encode_value(v.descriptor) + encode_value(
+            v.value)
+    if isinstance(v, bool):
+        return b"\x41" if v else b"\x42"
+    if isinstance(v, Symbol):
+        b = v.encode()
+        if len(b) < 256:
+            return b"\xa3" + bytes([len(b)]) + b
+        return b"\xb3" + struct.pack(">I", len(b)) + b
+    if isinstance(v, UInt):
+        if v == 0:
+            return b"\x43"
+        if v < 256:
+            return b"\x52" + bytes([v])
+        return b"\x70" + struct.pack(">I", v)
+    if isinstance(v, ULong):
+        if v == 0:
+            return b"\x44"
+        if v < 256:
+            return b"\x53" + bytes([v])
+        return b"\x80" + struct.pack(">Q", v)
+    if isinstance(v, int):
+        if -128 <= v < 128:
+            return b"\x55" + struct.pack(">b", v)
+        if -(2 ** 31) <= v < 2 ** 31:
+            return b"\x71" + struct.pack(">i", v)
+        return b"\x81" + struct.pack(">q", v)
+    if isinstance(v, float):
+        return b"\x82" + struct.pack(">d", v)
+    if isinstance(v, str):
+        b = v.encode()
+        if len(b) < 256:
+            return b"\xa1" + bytes([len(b)]) + b
+        return b"\xb1" + struct.pack(">I", len(b)) + b
+    if isinstance(v, (bytes, bytearray)):
+        if len(v) < 256:
+            return b"\xa0" + bytes([len(v)]) + bytes(v)
+        return b"\xb0" + struct.pack(">I", len(v)) + bytes(v)
+    if isinstance(v, (list, tuple)):
+        if not v:
+            return b"\x45"
+        body = b"".join(encode_value(x) for x in v)
+        if len(body) + 1 < 256 and len(v) < 256:
+            return (b"\xc0" + bytes([len(body) + 1, len(v)]) + body)
+        return (b"\xd0" + struct.pack(">II", len(body) + 4, len(v))
+                + body)
+    if isinstance(v, dict):
+        body = b"".join(encode_value(k) + encode_value(x)
+                        for k, x in v.items())
+        n = 2 * len(v)
+        if len(body) + 1 < 256 and n < 256:
+            return b"\xc1" + bytes([len(body) + 1, n]) + body
+        return b"\xd1" + struct.pack(">II", len(body) + 4, n) + body
+    raise Amqp10Error(f"unencodable {type(v).__name__}")
+
+
+def decode_value(buf: bytes, pos: int = 0):
+    """Returns (value, next_pos)."""
+    code = buf[pos]
+    pos += 1
+    if code == 0x00:                              # described
+        desc, pos = decode_value(buf, pos)
+        val, pos = decode_value(buf, pos)
+        return Described(desc, val), pos
+    if code == 0x40:
+        return None, pos
+    if code == 0x41:
+        return True, pos
+    if code == 0x42:
+        return False, pos
+    if code == 0x56:
+        return buf[pos] == 1, pos + 1
+    if code == 0x43:
+        return UInt(0), pos
+    if code == 0x52:
+        return UInt(buf[pos]), pos + 1
+    if code == 0x70:
+        return UInt(struct.unpack_from(">I", buf, pos)[0]), pos + 4
+    if code == 0x44:
+        return ULong(0), pos
+    if code == 0x53:
+        return ULong(buf[pos]), pos + 1
+    if code == 0x80:
+        return ULong(struct.unpack_from(">Q", buf, pos)[0]), pos + 8
+    if code == 0x55:
+        return struct.unpack_from(">b", buf, pos)[0], pos + 1
+    if code == 0x54:
+        return struct.unpack_from(">b", buf, pos)[0], pos + 1
+    if code == 0x71:
+        return struct.unpack_from(">i", buf, pos)[0], pos + 4
+    if code == 0x81:
+        return struct.unpack_from(">q", buf, pos)[0], pos + 8
+    if code == 0x83:                              # timestamp (ms)
+        return struct.unpack_from(">q", buf, pos)[0], pos + 8
+    if code == 0x82:
+        return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if code in (0xA0, 0xA1, 0xA3):
+        n = buf[pos]
+        raw = buf[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    elif code in (0xB0, 0xB1, 0xB3):
+        (n,) = struct.unpack_from(">I", buf, pos)
+        raw = buf[pos + 4:pos + 4 + n]
+        pos += 4 + n
+    elif code == 0x45:
+        return [], pos
+    elif code in (0xC0, 0xC1):
+        size = buf[pos]
+        count = buf[pos + 1]
+        return _decode_compound(code, buf, pos + 2, count, pos + 1 + size)
+    elif code in (0xD0, 0xD1):
+        size, count = struct.unpack_from(">II", buf, pos)
+        return _decode_compound(code, buf, pos + 8, count,
+                                pos + 4 + size)
+    else:
+        raise Amqp10Error(f"unsupported type code 0x{code:02x}")
+    if code in (0xA0, 0xB0):
+        return bytes(raw), pos
+    if code in (0xA3, 0xB3):
+        return Symbol(raw.decode()), pos
+    return raw.decode(), pos
+
+
+def _decode_compound(code: int, buf: bytes, pos: int, count: int,
+                     end: int):
+    items = []
+    for _ in range(count):
+        v, pos = decode_value(buf, pos)
+        items.append(v)
+    if pos != end:
+        raise Amqp10Error("compound size/count mismatch")
+    if code in (0xC1, 0xD1):
+        return dict(zip(items[::2], items[1::2])), end
+    return items, end
+
+
+# ------------------------------------------------------------- frames
+
+AMQP_HDR = b"AMQP\x00\x01\x00\x00"
+SASL_HDR = b"AMQP\x03\x01\x00\x00"
+
+P_OPEN, P_BEGIN, P_ATTACH, P_FLOW, P_TRANSFER = 0x10, 0x11, 0x12, 0x13, 0x14
+P_DISPOSITION, P_DETACH, P_END, P_CLOSE = 0x15, 0x16, 0x17, 0x18
+D_SOURCE, D_TARGET, D_ACCEPTED = 0x28, 0x29, 0x24
+S_MECHANISMS, S_INIT, S_OUTCOME = 0x40, 0x41, 0x44
+M_ANNOTATIONS, M_PROPERTIES, M_APP_PROPERTIES, M_DATA = \
+    0x72, 0x73, 0x74, 0x75
+
+
+def write_frame(write, channel: int, performative: Described,
+                payload: bytes = b"", *, frame_type: int = 0) -> None:
+    body = encode_value(performative) + payload
+    write(struct.pack(">IBBH", len(body) + 8, 2, frame_type, channel)
+          + body)
+
+
+def read_frame(read) -> "tuple[int, Described | None, bytes] | None":
+    """Returns (channel, performative, payload) or None on EOF.
+    An empty frame (heartbeat) yields performative None."""
+    hdr = _read_exact(read, 8, eof_ok=True)
+    if hdr is None:
+        return None
+    size, doff, _ftype, channel = struct.unpack(">IBBH", hdr)
+    body = _read_exact(read, size - 8)
+    body = body[(doff - 2) * 4:]
+    if not body:
+        return channel, None, b""
+    perf, pos = decode_value(body, 0)
+    return channel, perf, body[pos:]
+
+
+def _read_exact(read, n: int, *, eof_ok: bool = False):
+    buf = b""
+    while len(buf) < n:
+        chunk = read(n - len(buf))
+        if not chunk:
+            if eof_ok and not buf:
+                return None
+            raise Amqp10Error("connection closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def _lget(lst: list, i: int, default=None):
+    return lst[i] if i < len(lst) else default
+
+
+def encode_message(body: bytes, *, annotations: dict | None = None,
+                   app_properties: dict | None = None) -> bytes:
+    out = b""
+    if annotations:
+        out += encode_value(Described(
+            ULong(M_ANNOTATIONS),
+            {Symbol(k): v for k, v in annotations.items()}))
+    if app_properties:
+        out += encode_value(Described(ULong(M_APP_PROPERTIES),
+                                      dict(app_properties)))
+    out += encode_value(Described(ULong(M_DATA), bytes(body)))
+    return out
+
+
+def decode_message(payload: bytes) -> dict:
+    pos, out = 0, {"annotations": {}, "app_properties": {},
+                   "body": b""}
+    while pos < len(payload):
+        section, pos = decode_value(payload, pos)
+        if not isinstance(section, Described):
+            raise Amqp10Error("message section is not described")
+        d = int(section.descriptor)
+        if d == M_ANNOTATIONS:
+            out["annotations"] = {str(k): v
+                                  for k, v in section.value.items()}
+        elif d == M_APP_PROPERTIES:
+            out["app_properties"] = {str(k): v
+                                     for k, v in section.value.items()}
+        elif d == M_DATA:
+            out["body"] += section.value
+        # header/properties sections are tolerated and skipped
+    return out
+
+
+# -------------------------------------------------------------- broker
+
+_ADDR_RE = re.compile(
+    r"^(?P<hub>[^/]+)/ConsumerGroups/(?P<group>[^/]+)/Partitions/"
+    r"(?P<pid>\d+)$")
+_FILTER_RE = re.compile(r"amqp\.annotation\.x-opt-offset\s*>\s*"
+                        r"'(?P<off>-?\d+)'")
+
+
+class EventHubBroker:
+    """In-process Event-Hub-shaped AMQP 1.0 node: N partitions of
+    (offset, sequence, enqueued_ms, body, app_properties)."""
+
+    def __init__(self, hub: str = "hub1", n_partitions: int = 4, *,
+                 users: dict[str, str] | None = None):
+        self.hub = hub
+        self.partitions: list[list[tuple]] = [[] for _ in
+                                              range(n_partitions)]
+        self.users = users or {}
+        self.transfers_sent = 0
+
+    def append(self, partition: int, body: bytes,
+               app_properties: dict | None = None, *,
+               enqueued_ms: int) -> int:
+        part = self.partitions[partition]
+        seq = len(part)
+        offset = 64 * seq                 # monotone, sparse like EH
+        part.append((offset, seq, enqueued_ms, bytes(body),
+                     dict(app_properties or {})))
+        return offset
+
+    # -- connection ------------------------------------------------
+    def _sasl(self, read, write) -> None:
+        hdr = _read_exact(read, 8)
+        if hdr != SASL_HDR:
+            raise Amqp10Error(f"expected SASL header, got {hdr!r}")
+        write(SASL_HDR)
+        write_frame(write, 0, Described(ULong(S_MECHANISMS),
+                                        [Symbol("PLAIN")]),
+                    frame_type=1)
+        ch, perf, _ = read_frame(read)
+        if int(perf.descriptor) != S_INIT:
+            raise Amqp10Error("expected sasl.init")
+        mech, resp = perf.value[0], perf.value[1]
+        ok = False
+        if str(mech) == "PLAIN" and isinstance(resp, bytes):
+            parts = resp.split(b"\x00")
+            if len(parts) == 3:
+                user, pw = parts[1].decode(), parts[2].decode()
+                ok = self.users.get(user) == pw
+        write_frame(write, 0, Described(
+            ULong(S_OUTCOME), [UInt(0 if ok else 1), None]),
+            frame_type=1)
+        if not ok:
+            raise Amqp10Error("sasl authentication failed")
+
+    def serve(self, read, write) -> int:
+        """One connection: SASL PLAIN, then the AMQP layer until
+        close. Returns transfers sent."""
+        self._sasl(read, write)
+        hdr = _read_exact(read, 8)
+        if hdr != AMQP_HDR:
+            raise Amqp10Error(f"expected AMQP header, got {hdr!r}")
+        write(AMQP_HDR)
+        links: dict[int, dict] = {}       # handle -> link state
+        sent0 = self.transfers_sent
+        next_out_id = 0
+        while True:
+            frame = read_frame(read)
+            if frame is None:
+                return self.transfers_sent - sent0
+            channel, perf, _payload = frame
+            if perf is None:
+                continue
+            d = int(perf.descriptor)
+            f = perf.value
+            if d == P_OPEN:
+                write_frame(write, 0, Described(
+                    ULong(P_OPEN), [self.hub, None, UInt(2 ** 20),
+                                    UInt(255), UInt(60000)]))
+            elif d == P_BEGIN:
+                write_frame(write, channel, Described(
+                    ULong(P_BEGIN), [channel, UInt(0), UInt(5000),
+                                     UInt(5000)]))
+            elif d == P_ATTACH:
+                name, handle, role = f[0], int(f[1]), f[2]
+                if role is not True:
+                    raise Amqp10Error("only receiver links supported")
+                source = f[5]
+                addr = str(source.value[0])
+                m = _ADDR_RE.match(addr)
+                if not m or m.group("hub") != self.hub:
+                    raise Amqp10Error(f"unknown address {addr!r}")
+                cursor = 0
+                fmap = _lget(source.value, 5) or {}
+                for fdesc in fmap.values():
+                    fm = _FILTER_RE.search(str(
+                        fdesc.value if isinstance(fdesc, Described)
+                        else fdesc))
+                    if fm:
+                        floor = int(fm.group("off"))
+                        part = self.partitions[int(m.group("pid"))]
+                        cursor = sum(1 for e in part if e[0] <= floor)
+                links[handle] = {"pid": int(m.group("pid")),
+                                 "cursor": cursor,
+                                 "delivery_count": 0}
+                write_frame(write, channel, Described(
+                    ULong(P_ATTACH),
+                    [name, UInt(handle), False, None, None, source,
+                     Described(ULong(D_TARGET), [addr])]))
+            elif d == P_FLOW:
+                handle = f[4]
+                if handle is None:
+                    continue
+                link = links[int(handle)]
+                # flow fields: ...handle(4), delivery-count(5),
+                # link-credit(6), available(7), drain(8)
+                credit = int(f[6] or 0)
+                drain = bool(_lget(f, 8, False))
+                part = self.partitions[link["pid"]]
+                n_send = min(credit, len(part) - link["cursor"])
+                for _ in range(n_send):
+                    off, seq, ts, body, props = part[link["cursor"]]
+                    msg = encode_message(
+                        body,
+                        annotations={"x-opt-offset": str(off),
+                                     "x-opt-sequence-number": seq,
+                                     "x-opt-enqueued-time": ts},
+                        app_properties=props)
+                    write_frame(write, channel, Described(
+                        ULong(P_TRANSFER),
+                        [UInt(int(handle)), UInt(next_out_id),
+                         struct.pack(">I", next_out_id), UInt(0),
+                         False, False]), msg)
+                    next_out_id += 1
+                    link["cursor"] += 1
+                    link["delivery_count"] += 1
+                    self.transfers_sent += 1
+                if drain:
+                    # burn remaining credit: advance delivery-count so
+                    # the receiver knows the batch is complete (§2.6.7)
+                    link["delivery_count"] += credit - n_send
+                    write_frame(write, channel, Described(
+                        ULong(P_FLOW),
+                        [UInt(0), UInt(5000), UInt(next_out_id),
+                         UInt(5000), UInt(int(handle)),
+                         UInt(link["delivery_count"]), UInt(0),
+                         None, True]))
+            elif d == P_DISPOSITION:
+                pass                      # settled; nothing to resend
+            elif d == P_DETACH:
+                links.pop(int(f[0]), None)
+                write_frame(write, channel, Described(
+                    ULong(P_DETACH), [f[0], True]))
+            elif d == P_END:
+                write_frame(write, channel, Described(ULong(P_END), []))
+            elif d == P_CLOSE:
+                write_frame(write, 0, Described(ULong(P_CLOSE), []))
+                return self.transfers_sent - sent0
+            else:
+                raise Amqp10Error(f"unexpected performative 0x{d:02x}")
+
+
+# -------------------------------------------------------------- client
+
+
+class EventHubReceiver:
+    """PartitionReceiver analog: SASL PLAIN + open/begin, one
+    receiver link per partition, receive(batch) via flow credit with
+    drain=true as the deterministic batch boundary."""
+
+    def __init__(self, read, write, *, hub: str, user: str,
+                 password: str, consumer_group: str = "$Default"):
+        self._read, self._write = read, write
+        self.hub = hub
+        self.consumer_group = consumer_group
+        self._next_handle = 0
+        self._links: dict[int, int] = {}      # pid -> handle
+        # SASL layer
+        self._write(SASL_HDR)
+        hdr = _read_exact(read, 8)
+        if hdr != SASL_HDR:
+            raise Amqp10Error("server did not speak SASL")
+        _ch, mechs, _ = read_frame(read)
+        if int(mechs.descriptor) != S_MECHANISMS:
+            raise Amqp10Error("expected sasl.mechanisms")
+        write_frame(write, 0, Described(
+            ULong(S_INIT),
+            [Symbol("PLAIN"),
+             b"\x00" + user.encode() + b"\x00" + password.encode(),
+             None]), frame_type=1)
+        _ch, outcome, _ = read_frame(read)
+        if int(outcome.descriptor) != S_OUTCOME or \
+                int(outcome.value[0]) != 0:
+            raise Amqp10Error("SASL authentication rejected")
+        # AMQP layer
+        self._write(AMQP_HDR)
+        if _read_exact(read, 8) != AMQP_HDR:
+            raise Amqp10Error("bad AMQP header")
+        write_frame(write, 0, Described(
+            ULong(P_OPEN), ["nifi-spark-receiver", hub]))
+        self._expect(P_OPEN)
+        write_frame(write, 0, Described(
+            ULong(P_BEGIN), [None, UInt(0), UInt(5000), UInt(5000)]))
+        self._expect(P_BEGIN)
+
+    def _expect(self, descriptor: int):
+        while True:
+            frame = read_frame(self._read)
+            if frame is None:
+                raise Amqp10Error("connection closed")
+            _ch, perf, payload = frame
+            if perf is None:
+                continue
+            if int(perf.descriptor) == descriptor:
+                return perf, payload
+            raise Amqp10Error(
+                f"expected 0x{descriptor:02x}, "
+                f"got 0x{int(perf.descriptor):02x}")
+
+    def _attach(self, partition: int, *,
+                offset: "int | None" = None) -> int:
+        handle = self._next_handle
+        self._next_handle += 1
+        addr = (f"{self.hub}/ConsumerGroups/{self.consumer_group}"
+                f"/Partitions/{partition}")
+        fmap = {}
+        if offset is not None:
+            fmap[Symbol("apache.org:selector-filter:string")] = \
+                Described(Symbol("apache.org:selector-filter:string"),
+                          f"amqp.annotation.x-opt-offset > '{offset}'")
+        source = Described(ULong(D_SOURCE),
+                           [addr, None, None, None, None, fmap])
+        write_frame(self._write, 0, Described(
+            ULong(P_ATTACH),
+            [f"recv-{partition}", UInt(handle), True, None, None,
+             source, Described(ULong(D_TARGET), [addr])]))
+        self._expect(P_ATTACH)
+        self._links[partition] = handle
+        return handle
+
+    def receive(self, partition: int, batch_size: int, *,
+                offset: "int | None" = None) -> list[dict]:
+        """One credit/drain cycle: issue batch_size credit with
+        drain=true, collect transfers until the echo flow arrives,
+        settle them accepted."""
+        handle = self._links.get(partition)
+        if handle is None:
+            handle = self._attach(partition, offset=offset)
+        write_frame(self._write, 0, Described(
+            ULong(P_FLOW),
+            [UInt(0), UInt(5000), UInt(0), UInt(5000), UInt(handle),
+             UInt(0), UInt(batch_size), None, True]))
+        out: list[dict] = []
+        first_id = last_id = None
+        while True:
+            frame = read_frame(self._read)
+            if frame is None:
+                raise Amqp10Error("connection closed mid-batch")
+            _ch, perf, payload = frame
+            if perf is None:
+                continue
+            d = int(perf.descriptor)
+            if d == P_TRANSFER:
+                did = int(perf.value[1])
+                first_id = did if first_id is None else first_id
+                last_id = did
+                msg = decode_message(payload)
+                ann = msg["annotations"]
+                out.append({
+                    "body": msg["body"],
+                    "app_properties": msg["app_properties"],
+                    "offset": int(ann["x-opt-offset"]),
+                    "sequence": int(ann["x-opt-sequence-number"]),
+                    "enqueued_ms": int(ann["x-opt-enqueued-time"]),
+                    "partition": partition})
+            elif d == P_FLOW:
+                break                     # drain echo: batch complete
+            else:
+                raise Amqp10Error(f"unexpected 0x{d:02x} mid-batch")
+        if out:
+            write_frame(self._write, 0, Described(
+                ULong(P_DISPOSITION),
+                [True, UInt(first_id), UInt(last_id), True,
+                 Described(ULong(D_ACCEPTED), [])]))
+        return out
+
+    def close(self) -> None:
+        write_frame(self._write, 0, Described(ULong(P_CLOSE), []))
+        self._expect(P_CLOSE)
+
+
+def eventhub_loopback(broker: EventHubBroker):
+    import socket
+    import threading
+
+    a, b = socket.socketpair()
+    errs: list[BaseException] = []
+    result: list[int] = []
+
+    def run():
+        try:
+            result.append(broker.serve(b.recv, b.sendall))
+        except BaseException as exc:
+            errs.append(exc)
+        finally:
+            b.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def join(timeout: float = 30.0) -> int:
+        a.close()
+        t.join(timeout)
+        if errs:
+            raise errs[0]
+        if t.is_alive():
+            raise TimeoutError("eventhub broker did not finish")
+        return result[0] if result else 0
+
+    return a.recv, a.sendall, join
+
+
+# -------------------------------------------------------- spool bridge
+
+
+class GetEventHubSource:
+    """GetAzureEventHub drain loop → parquet spool with the
+    reference's exact attribute surface (GetAzureEventHub.java:63-67):
+    eventhub.enqueued.timestamp / offset / sequence / name /
+    partition. One receive(batch) per partition per pass, loops until
+    every partition returns an empty batch."""
+
+    _MAX_PER_BATCH = 1_000_000
+
+    def __init__(self, spool_dir: str):
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        pat = re.compile(r"batch_(\d{8})\.parquet$")
+        ids = [int(m.group(1)) for f in os.listdir(spool_dir)
+               if (m := pat.match(f))]
+        self._next_batch = max(ids) + 1 if ids else 0
+
+    def drain(self, receiver: EventHubReceiver,
+              partitions: list[int], *, batch_size: int = 100) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        landed = 0
+        active = list(partitions)
+        while active:
+            still = []
+            for pid in active:
+                msgs = receiver.receive(pid, batch_size)
+                if not msgs:
+                    continue
+                still.append(pid)
+                bid = self._next_batch
+                table = pa.table({
+                    "batch_id": pa.array([bid] * len(msgs), pa.int64()),
+                    "msg_seq": pa.array(range(len(msgs)), pa.int64()),
+                    "eventhub_name": pa.array(
+                        [receiver.hub] * len(msgs), pa.string()),
+                    "eventhub_partition": pa.array(
+                        [str(m["partition"]) for m in msgs],
+                        pa.string()),
+                    "eventhub_offset": pa.array(
+                        [m["offset"] for m in msgs], pa.int64()),
+                    "eventhub_sequence": pa.array(
+                        [m["sequence"] for m in msgs], pa.int64()),
+                    "eventhub_enqueued_timestamp": pa.array(
+                        [m["enqueued_ms"] for m in msgs], pa.int64()),
+                    "payload": pa.array([m["body"] for m in msgs],
+                                        pa.binary()),
+                    "app_properties": pa.array(
+                        [sorted((str(k), str(v)) for k, v in
+                                m["app_properties"].items())
+                         for m in msgs],
+                        pa.map_(pa.string(), pa.string())),
+                })
+                final = os.path.join(self.spool_dir,
+                                     f"batch_{bid:08d}.parquet")
+                tmp = final + ".tmp"
+                pq.write_table(table, tmp)
+                os.rename(tmp, final)
+                self._next_batch = bid + 1
+                landed += len(msgs)
+            active = still
+        return landed
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (spark.read.parquet(self.spool_dir)
+                .withColumn("msg_seq",
+                            F.col("batch_id") * self._MAX_PER_BATCH
+                            + F.col("msg_seq")))
