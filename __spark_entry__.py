@@ -2269,6 +2269,34 @@ def q_text_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repetition_ratio", "mean_token_len", "quality_class")
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule set (datalib/text.py gopher_rules —
+    Rae et al. 2021 A1.1): per-rule booleans + keep over the corpus
+    plus five crafted degenerate docs (empty, bullet-wall, ellipsis
+    spam, hash soup, a passing natural paragraph ×60). Every ratio is
+    integer cross-multiplied; the oracle SQL is GENERATED from the
+    same constants (gopher_rules_oracle_columns)."""
+    from nifi_spark.datalib import gopher_rules
+    extras = [
+        (-1, ""),
+        (-2, "\n".join("• bullet item " + "x" * (i % 3)
+                       for i in range(40))),
+        (-3, "\n".join(f"line {i} trails off..." for i in range(30))),
+        (-4, "### " * 80),
+        (-5, ("the quick brown fox jumps over that lazy dog "
+              "to be of and have with great energy ") * 6),
+    ]
+    docs = (_t(spark, sf_dir, "documents").select("doc_id", "text")
+            .unionAll(spark.createDataFrame(
+                extras, "doc_id long, text string")))
+    return gopher_rules(docs, "text").select(
+        "doc_id", "n_words", "n_lines", "sum_word_len", "n_symbol",
+        "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+        "n_gopher_stopwords", "r_word_count", "r_mean_word_len",
+        "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+        "r_alpha_words", "r_stopwords", "gopher_keep")
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nifi_spark.datalib import lang_id
     docs = _t(spark, sf_dir, "documents")
@@ -5568,6 +5596,7 @@ _NEW_THIS_ROUND = [
     "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
     "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
+    "text_gopher_rules",
 ]
 
 
@@ -5683,6 +5712,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_quality_classify": q_text_quality_classify,
+        "text_gopher_rules": q_text_gopher_rules,
         "text_lang_id": q_text_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_topk_exact": q_ann_topk_exact,
@@ -5787,6 +5817,26 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_partition_plan": q_fetch_partition_plan,
         "monitor_activity_markers": q_monitor_activity_markers,
     }
+
+
+def _gopher_rules_oracle() -> str:
+    from nifi_spark.datalib import gopher_rules_oracle_columns
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1, ''
+  UNION ALL SELECT -2, list_aggregate(list_transform(range(40),
+      i -> '• bullet item ' || repeat('x', (i % 3)::INT)),
+      'string_agg', chr(10))
+  UNION ALL SELECT -3, list_aggregate(list_transform(range(30),
+      i -> 'line ' || i || ' trails off...'), 'string_agg', chr(10))
+  UNION ALL SELECT -4, repeat('### ', 80)
+  UNION ALL SELECT -5, repeat('the quick brown fox jumps over that '
+      || 'lazy dog to be of and have with great energy ', 6)
+)
+SELECT doc_id, {gopher_rules_oracle_columns('text')}
+FROM corpus
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6662,6 +6712,8 @@ SELECT doc_id, n_tokens,
              + least(uniq * 2, 1.0) * 0.3, 6) AS quality_score
 FROM m
 """,
+        # generated from the SAME rule constants the operator evaluates
+        "text_gopher_rules": _gopher_rules_oracle(),
         # Rényi-2 perplexity (n²/Σcᵢ²) is integer counts + one exact IEEE
         # division, so the histogram route here reproduces the Spark fold
         # bit-for-bit; every CASE mirrors the operator's rule order.

@@ -49,6 +49,8 @@ from nifi_spark.datalib.similarity import (ann_topk, cosine_pairs,
                                            lsh_candidate_pairs,
                                            ann_topk_int8, quantize_int8)
 from nifi_spark.datalib.text import (chunk_text, fingerprint,
+                                     gopher_rules,
+                                     gopher_rules_oracle_columns,
                                      html_to_text,
                                      lang_id, normalize_text,
                                      quality_classify,
@@ -64,6 +66,7 @@ __all__ = ["contaminated_spans",
            "ann_topk", "cosine_pairs", "embedding_near_dup_pairs",
            "ivf_ann_topk", "lsh_ann_topk", "lsh_candidate_pairs", "quantize_int8", "ann_topk_int8",
            "fingerprint", "lang_id", "normalize_text",
+           "gopher_rules", "gopher_rules_oracle_columns",
            "quality_classify", "quality_score", "scrub_pii",
            "repetition_stats",
            "token_stats", "url_stats",

@@ -251,6 +251,113 @@ def quality_classify(df: DataFrame, text_col: str = "text",
     }).drop("_tk", "_ch", "_nstop"))
 
 
+# The Gopher quality-filter rule set (Rae et al. 2021, appendix A1.1 —
+# public heuristics, since reused by MassiveText/RefinedWeb/Dolma).
+# The driver-gate oracle is GENERATED from these constants so Spark and
+# DuckDB always evaluate the same rule parameters.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3, 10
+GOPHER_BULLET_CHARS = ("•", "-", "*")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher rule set as per-rule boolean columns + an overall
+    ``gopher_keep``. Every ratio threshold is evaluated in INTEGER
+    arithmetic (cross-multiplied), so the DuckDB oracle matches
+    bit-for-bit with no float divides:
+
+    - r_word_count:    50 <= words <= 100000
+    - r_mean_word_len: 3 <= sum(len)/words <= 10
+    - r_symbol_ratio:  (#'#' + #'...') / words <= 0.1
+    - r_bullet_lines:  lines starting with a bullet <= 90%
+    - r_ellipsis_lines: lines ending with '...' <= 30%
+    - r_alpha_words:   words containing [A-Za-z] >= 80%
+    - r_stopwords:     >= 2 distinct of the 8 Gopher stop words
+
+    Empty-line and empty-token splits are filtered on both engines
+    (the split('','') phantom-element trap). Line rules are vacuously
+    true for line-less docs — such docs already fail r_word_count.
+    Pure projection: zero exchanges, one codegen stage. The paper's
+    repetition rules (dup-line/top-ngram fractions) live in
+    repetition_stats."""
+    t = F.col(text_col)
+    toks = _ws_tokens(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != "")
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"),
+                          lambda a, tok: a + F.length(tok))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = ((F.length(t)
+              - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+             ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    bullets = F.array(*[F.lit(c) for c in GOPHER_BULLET_CHARS])
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: F.array_contains(bullets, F.substring(ln, 1, 1)))
+    ).cast("long")
+    n_ell_lines = F.size(F.filter(
+        lines, lambda ln: ln.endswith("..."))).cast("long")
+    n_alpha = F.size(F.filter(
+        toks, lambda tok: tok.rlike("[A-Za-z]"))).cast("long")
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_distinct(F.filter(
+        toks, lambda tok: F.array_contains(sw, F.lower(tok)))))
+    rules = {
+        "r_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "r_mean_word_len": (n_words > 0)
+        & (sum_len >= GOPHER_MIN_MEAN_LEN * n_words)
+        & (sum_len <= GOPHER_MAX_MEAN_LEN * n_words),
+        "r_symbol_ratio": 10 * (n_hash + n_ell) <= n_words,
+        "r_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis_lines": 10 * n_ell_lines <= 3 * n_lines,
+        "r_alpha_words": 10 * n_alpha >= 8 * n_words,
+        "r_stopwords": n_stop >= 2,
+    }
+    out = df.withColumns({
+        "n_words": n_words, "n_lines": n_lines,
+        "sum_word_len": sum_len,
+        "n_symbol": (n_hash + n_ell).cast("long"),
+        "n_bullet_lines": n_bullet, "n_ellipsis_lines": n_ell_lines,
+        "n_alpha_words": n_alpha, "n_gopher_stopwords": n_stop,
+        **rules,
+    })
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
+
+
+def gopher_rules_oracle_columns(text_expr: str) -> str:
+    """DuckDB SQL twin of gopher_rules, GENERATED from the same
+    constants — returns the column list for a SELECT over one text
+    expression."""
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    bullets = ", ".join(f"'{c}'" for c in GOPHER_BULLET_CHARS)
+    t = text_expr
+    return f"""
+  len(list_filter(string_split_regex({t}, '\\s+'), x -> x != ''))::BIGINT AS n_words,
+  len(list_filter(string_split({t}, chr(10)), x -> x != ''))::BIGINT AS n_lines,
+  coalesce(list_sum(list_transform(list_filter(string_split_regex({t}, '\\s+'), x -> x != ''), x -> length(x))), 0)::BIGINT AS sum_word_len,
+  ((length({t}) - length(replace({t}, '#', ''))) + (length({t}) - length(replace({t}, '...', ''))) // 3)::BIGINT AS n_symbol,
+  len(list_filter(string_split({t}, chr(10)), x -> x != '' AND substr(x, 1, 1) IN ({bullets})))::BIGINT AS n_bullet_lines,
+  len(list_filter(string_split({t}, chr(10)), x -> x != '' AND x LIKE '%...'))::BIGINT AS n_ellipsis_lines,
+  len(list_filter(string_split_regex({t}, '\\s+'), x -> x != '' AND regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_words,
+  len(list_distinct(list_filter(string_split_regex({t}, '\\s+'), x -> lower(x) IN ({sw}))))::INT AS n_gopher_stopwords,
+  (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}) AS r_word_count,
+  (n_words > 0 AND sum_word_len >= {GOPHER_MIN_MEAN_LEN} * n_words AND sum_word_len <= {GOPHER_MAX_MEAN_LEN} * n_words) AS r_mean_word_len,
+  (10 * n_symbol <= n_words) AS r_symbol_ratio,
+  (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+  (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+  (10 * n_alpha_words >= 8 * n_words) AS r_alpha_words,
+  (n_gopher_stopwords >= 2) AS r_stopwords,
+  (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS gopher_keep
+"""
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 out_col: str = "fingerprint") -> DataFrame:
     """Order-insensitive document fingerprint: md5 over the sorted distinct

@@ -188,6 +188,13 @@ def main():
     assert "Exchange" not in p and "Window" not in p, p
     results.append(("quality_classify", "perplexity-proxy features fold "
                     "per-row: zero exchanges, no groupBy"))
+    from nifi_spark.datalib import gopher_rules
+    gr = gopher_rules(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"))
+    p = plan_of(gr)
+    assert "Exchange" not in p and "Window" not in p, p
+    results.append(("gopher_rules", "all seven rules are integer "
+                    "cross-multiplied per-row folds: zero exchanges"))
 
     # ---- 2e. embedding near-dup: bucket join, never a cross product ----
     from nifi_spark.datalib import embedding_near_dup_pairs

@@ -1241,3 +1241,52 @@ def test_perceptron_oracle_sql_replays_training(spark, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert (got["score"].to_numpy() == exp["score"].to_numpy()).all()
     assert (got["pred"].to_numpy() == exp["pred"].to_numpy()).all()
+
+
+# ------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_degenerate_and_passing_docs(spark):
+    from nifi_spark.datalib import gopher_rules
+    passing = ("the quick brown fox jumps over that lazy dog "
+               "to be of and have with great energy ") * 6
+    docs = spark.createDataFrame(
+        [(1, ""),                                    # empty
+         (2, "\n".join("• item" for _ in range(20))),  # bullet wall
+         (3, "\n".join(f"line {i}..." for i in range(10))),  # ellipses
+         (4, "### " * 80),                           # symbol soup
+         (5, passing)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[1]["n_words"] == 0 and not got[1]["gopher_keep"]
+    assert not got[1]["r_word_count"] and not got[1]["r_mean_word_len"]
+    # line rules are vacuous-true on the empty doc
+    assert got[1]["r_bullet_lines"] and got[1]["r_ellipsis_lines"]
+    assert got[2]["n_bullet_lines"] == 20 and not got[2]["r_bullet_lines"]
+    assert got[3]["n_ellipsis_lines"] == 10 and not got[3]["r_ellipsis_lines"]
+    assert not got[4]["r_symbol_ratio"] and not got[4]["r_alpha_words"]
+    r5 = got[5]
+    assert r5["gopher_keep"] and r5["n_words"] == 102
+    assert r5["n_gopher_stopwords"] == 8
+    assert all(r5[c] for c in
+               ("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+                "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+                "r_stopwords"))
+
+
+def test_gopher_rules_integer_thresholds_are_sharp(spark):
+    """Exactly-at-threshold docs: 50 words passes, 49 fails; a 10%
+    symbol ratio passes, just over fails."""
+    from nifi_spark.datalib import gopher_rules
+    base = ("the be to of and that have with " + "word " * 42).strip()
+    w50 = base                                   # 8 + 42 = 50 words
+    w49 = ("the be to of and that have with " + "word " * 41).strip()
+    sym_ok = ("the be to of and that have with "
+              + "word " * 32 + "# " * 4).strip()   # 44 words... fails count
+    got = {r["doc_id"]: r for r in gopher_rules(spark.createDataFrame(
+        [(1, w50), (2, w49), (3, sym_ok)],
+        "doc_id long, text string")).collect()}
+    assert got[1]["n_words"] == 50 and got[1]["r_word_count"]
+    assert got[2]["n_words"] == 49 and not got[2]["r_word_count"]
+    # 44 words, 4 '#' symbols -> 40 <= 44 passes the ratio rule
+    assert got[3]["n_symbol"] == 4 and got[3]["r_symbol_ratio"]
