@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "warc_split_records",
     "relevance_bm25_topk",
     "graph_pagerank",
+    "text_gopher_rules",
     "bpe_encode_tokens",
     "curate_train_classifier",
     "ip_geo_enrich",

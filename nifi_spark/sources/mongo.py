@@ -236,6 +236,10 @@ def _match(doc: dict, flt: dict) -> bool:
         if isinstance(cond, dict) and any(k.startswith("$")
                                           for k in cond):
             for op, rhs in cond.items():
+                if op == "$exists":
+                    if (key in doc) != bool(rhs):
+                        return False
+                    continue
                 if have is None:
                     return False
                 if op == "$gt" and not have > rhs:
@@ -251,7 +255,7 @@ def _match(doc: dict, flt: dict) -> bool:
                 if op == "$in" and have not in rhs:
                     return False
                 if op not in ("$gt", "$gte", "$lt", "$lte", "$ne",
-                              "$in"):
+                              "$in", "$exists"):
                     raise MongoError(f"unsupported operator {op}")
         elif have != cond:
             return False
@@ -275,7 +279,11 @@ class MongoServer:
                 if _match(d, body.get("filter") or {})]
         for key, direction in reversed(list(
                 (body.get("sort") or {}).items())):
-            docs.sort(key=lambda d: d.get(key), reverse=direction < 0)
+            # missing fields compare as null = lowest (Mongo order);
+            # the presence flag keeps None from meeting int/str
+            docs.sort(key=lambda d: (d.get(key) is not None,
+                                     d.get(key)),
+                      reverse=direction < 0)
         limit = body.get("limit") or 0
         if limit:
             docs = docs[:limit]

@@ -215,16 +215,32 @@ class GetSolrSource:
         self._next_batch = max(ids) + 1 if ids else 0
 
     def drain(self, client: SolrClient, *, date_field: str,
-              now, rows: int = 10) -> int:
+              now, rows: int = 10, q: str = "*:*",
+              fields: "list[str] | None" = None) -> int:
+        """`q`/`fields`/`rows` mirror GetSolr's SOLR_QUERY /
+        RETURN_FIELDS / BATCH_SIZE properties (GetSolr.java:199-218);
+        the date window is the reference's ``{last TO curr]`` filter
+        query exactly. The sort is pinned to ``date asc, id asc`` —
+        the watermark needs the newest date LAST (the reference sorts
+        however SORT_CLAUSE says and takes the wall clock as the new
+        watermark instead; a deterministic engine can't do that).
+        `fields` must include the date field (needed for the
+        watermark) and id (the cursor tiebreak)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if fields and (date_field not in fields or "id" not in fields):
+            raise SolrError("fields must include the date field and id")
         st = self.state.get(self.key)
         wm = st.get("watermark")
         lb = f"{{{wm}" if wm is not None else "[*"
         fq = f"{date_field}:{lb} TO {now}]"
-        docs = client.cursor_all(sort=f"{date_field} asc, id asc",
+        docs = client.cursor_all(q=q, sort=f"{date_field} asc, id asc",
                                  fq=fq, rows=rows)
+        if fields:
+            keep = set(fields)
+            docs = [{k: v for k, v in d.items() if k in keep}
+                    for d in docs]
         if not docs:
             return 0
         bid = self._next_batch

@@ -155,3 +155,61 @@ def test_cql_null_values_roundtrip():
     _cols, got = c.query("SELECT id, opt FROM t")
     assert got == [(1, "x"), (2, None)]
     join()
+
+
+# ----------------------------------------------- GetMongoTest parity
+# Mirrors the reference's GetMongoTest scenarios
+# (nifi-mongodb-bundle/.../GetMongoTest.java:51-203) over the wire
+# analog: the same three DOCUMENTS, the same query/projection/sort/
+# limit properties, the same expected document sequences. (The
+# reference asserts the Java driver's toJson() bytes; here document
+# EQUALITY is asserted — the spool serialization is this repo's
+# documented deterministic compact JSON.)
+
+_GM_DOCS = [
+    {"_id": "doc_1", "a": 1, "b": 2, "c": 3},
+    {"_id": "doc_2", "a": 1, "b": 2, "c": 4},
+    {"_id": "doc_3", "a": 1, "b": 3},
+]
+
+
+@pytest.fixture()
+def getmongo():
+    srv = MongoServer(dbname="getmongotest")
+    r, w, join = mongo_loopback(srv)
+    c = MongoClient(r, w, db="getmongotest")
+    c.insert("test", [dict(d) for d in _GM_DOCS])
+    yield c
+    join()
+
+
+def test_getmongo_read_one_document(getmongo):
+    # GetMongoTest.testReadOneDocument: {a: 1, b: 3} -> DOCUMENTS[2]
+    assert getmongo.find("test", {"a": 1, "b": 3}) == [_GM_DOCS[2]]
+
+
+def test_getmongo_read_multiple_documents(getmongo):
+    # testReadMultipleDocuments: {a: {$exists: true}} -> all three in
+    # insertion order
+    assert getmongo.find("test", {"a": {"$exists": True}}) == _GM_DOCS
+
+
+def test_getmongo_projection(getmongo):
+    # testProjection: query {a:1, b:3}, projection {_id:0, a:1} -> {a:1}
+    got = getmongo.find("test", {"a": 1, "b": 3},
+                        projection={"_id": 0, "a": 1})
+    assert got == [{"a": 1}]
+
+
+def test_getmongo_sort(getmongo):
+    # testSort: {a:-1, b:-1, c:1} -> doc_3, doc_1, doc_2 (doc_3 has no
+    # c; missing sorts as null/lowest exactly like Mongo)
+    got = getmongo.find("test", {"a": {"$exists": True}},
+                        sort={"a": -1, "b": -1, "c": 1})
+    assert got == [_GM_DOCS[2], _GM_DOCS[0], _GM_DOCS[1]]
+
+
+def test_getmongo_limit(getmongo):
+    # testLimit: limit 1 -> DOCUMENTS[0]
+    got = getmongo.find("test", {"a": {"$exists": True}}, limit=1)
+    assert got == [_GM_DOCS[0]]

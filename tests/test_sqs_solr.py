@@ -153,3 +153,76 @@ def test_get_solr_incremental_watermark(solr, tmp_path, spark):
     df = src.read(spark)
     assert df.count() == 98
     assert df.select("doc_seq").distinct().count() == 98
+
+
+# ------------------------------------------------ TestGetSolr parity
+# Mirrors the reference's TestGetSolr batch scenarios
+# (nifi-solr-bundle/.../TestGetSolr.java:121-186): ten docs named
+# doc0..doc9 (5 smiths), SOLR_QUERY last:smith, BATCH_SIZE-driven
+# paging, RETURN_FIELDS projection. The reference counts one FlowFile
+# per page; here the page count is the server's selects_served and
+# the landed set is asserted directly.
+
+
+def _solr_people():
+    srv = SolrServer("people")
+    docs = []
+    for i in range(10):
+        docs.append({"id": f"doc{i}",
+                     "first": f"name{i}",
+                     "last": "smith" if i % 2 == 0 else "jones",
+                     "created": 1000 + i})
+    srv.add(docs)
+    return srv, SolrClient(srv.transport, "http://solr.local/solr",
+                           "people")
+
+
+def test_getsolr_more_than_batch_size_pages(tmp_path):
+    # testMoreThanBatchSizeShouldProduceMultipleFlowFiles: 5 matches,
+    # batch 2 -> 3 pages
+    srv, c = _solr_people()
+    state = KVState(str(tmp_path / "st"))
+    src = GetSolrSource(str(tmp_path / "sp"), state)
+    n = src.drain(c, date_field="created", now=9999, rows=2,
+                  q="last:smith",
+                  fields=["id", "first", "last", "created"])
+    assert n == 5
+    # pages of 2,2,1 + the empty same-mark echo select that
+    # terminates a cursorMark loop
+    assert srv.selects_served == 4
+
+
+def test_getsolr_less_than_batch_size_single_page(tmp_path):
+    srv, c = _solr_people()
+    state = KVState(str(tmp_path / "st"))
+    src = GetSolrSource(str(tmp_path / "sp"), state)
+    n = src.drain(c, date_field="created", now=9999, rows=10,
+                  q="last:smith", fields=["id", "created"])
+    # one data page + the terminating same-mark echo
+    assert n == 5 and srv.selects_served == 2
+
+
+def test_getsolr_no_results_no_output(tmp_path):
+    srv, c = _solr_people()
+    state = KVState(str(tmp_path / "st"))
+    src = GetSolrSource(str(tmp_path / "sp"), state)
+    n = src.drain(c, date_field="created", now=9999, rows=10,
+                  q="last:xyz")
+    assert n == 0
+    import os
+    assert not os.listdir(str(tmp_path / "sp"))
+
+
+def test_getsolr_return_fields_projection(tmp_path):
+    import json
+    srv, c = _solr_people()
+    state = KVState(str(tmp_path / "st"))
+    src = GetSolrSource(str(tmp_path / "sp"), state)
+    src.drain(c, date_field="created", now=9999, rows=10,
+              q="last:smith", fields=["id", "created"])
+    import pyarrow.parquet as pq
+    import os
+    spool = str(tmp_path / "sp")
+    t = pq.read_table(os.path.join(spool, sorted(os.listdir(spool))[0]))
+    payloads = [json.loads(p) for p in t.column("payload").to_pylist()]
+    assert all(set(p) == {"id", "created"} for p in payloads)
