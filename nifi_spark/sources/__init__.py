@@ -56,19 +56,20 @@ from nifi_spark.sources.kafka_wire import (ConsumeKafkaWireSource,
                                            KafkaBroker, KafkaWireClient,
                                            kafka_loopback,
                                            partition_for_key)
-from nifi_spark.sources.amqp10 import (EventHubBroker,
+from nifi_spark.sources.amqp10 import (EventHubBroker, EventHubClient,
                                        EventHubReceiver,
                                        GetEventHubSource,
-                                       eventhub_loopback)
+                                       eventhub_loopback, put_eventhub)
 from nifi_spark.sources.mongo import (GetMongoSource, MongoClient,
                                       MongoServer, ObjectId,
                                       mongo_loopback)
 from nifi_spark.sources.cql import (CqlClient, CqlServer,
-                                    QueryCassandraSource, cql_loopback)
+                                    QueryCassandraSource, cql_loopback,
+                                    put_cassandra_ql)
 from nifi_spark.sources.sqs import (GetSQSSource, SqsClient, SqsError,
                                     SqsServer, sigv4_sign, sigv4_verify)
 from nifi_spark.sources.solr import (GetSolrSource, SolrClient,
-                                     SolrServer)
+                                     SolrServer, put_solr)
 from nifi_spark.sources.webhdfs import (ListHDFSSource, WebHdfsClient,
                                         fake_hdfs_transport)
 from nifi_spark.sources.site_to_site import (DataPacket, S2SClient,
@@ -118,6 +119,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "cql_loopback",
            "GetSQSSource", "SqsClient", "SqsError", "SqsServer",
            "sigv4_sign", "sigv4_verify",
-           "GetSolrSource", "SolrClient", "SolrServer",
-           "EventHubBroker", "EventHubReceiver", "GetEventHubSource",
-           "eventhub_loopback"]
+           "GetSolrSource", "SolrClient", "SolrServer", "put_solr",
+           "put_cassandra_ql",
+           "EventHubBroker", "EventHubClient", "EventHubReceiver",
+           "GetEventHubSource", "eventhub_loopback", "put_eventhub"]

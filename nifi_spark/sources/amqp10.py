@@ -307,6 +307,10 @@ _ADDR_RE = re.compile(
     r"(?P<pid>\d+)$")
 _FILTER_RE = re.compile(r"amqp\.annotation\.x-opt-offset\s*>\s*"
                         r"'(?P<off>-?\d+)'")
+# send targets: bare hub (service picks the partition, round-robin
+# here) or an explicit partition path
+_SEND_ADDR_RE = re.compile(
+    r"^(?P<hub>[^/]+)(?:/Partitions/(?P<pid>\d+))?$")
 
 
 class EventHubBroker:
@@ -314,12 +318,18 @@ class EventHubBroker:
     (offset, sequence, enqueued_ms, body, app_properties)."""
 
     def __init__(self, hub: str = "hub1", n_partitions: int = 4, *,
-                 users: dict[str, str] | None = None):
+                 users: dict[str, str] | None = None,
+                 clock_epoch_ms: int = 1_700_000_000_000):
         self.hub = hub
         self.partitions: list[list[tuple]] = [[] for _ in
                                               range(n_partitions)]
         self.users = users or {}
         self.transfers_sent = 0
+        self.transfers_received = 0
+        # deterministic enqueue clock for wire-side appends (ticks one
+        # ms per event; production would stamp wall time)
+        self._clock = clock_epoch_ms
+        self._rr = 0                      # round-robin send partition
 
     def append(self, partition: int, body: bytes,
                app_properties: dict | None = None, *,
@@ -386,8 +396,26 @@ class EventHubBroker:
                                      UInt(5000)]))
             elif d == P_ATTACH:
                 name, handle, role = f[0], int(f[1]), f[2]
-                if role is not True:
-                    raise Amqp10Error("only receiver links supported")
+                if role is False:         # peer is a SENDER (PutEventHub)
+                    target = f[6]
+                    addr = str(target.value[0])
+                    sm = _SEND_ADDR_RE.match(addr)
+                    if not sm or sm.group("hub") != self.hub:
+                        raise Amqp10Error(f"unknown target {addr!r}")
+                    pid = (int(sm.group("pid"))
+                           if sm.group("pid") is not None else None)
+                    links[handle] = {"in": True, "pid": pid}
+                    write_frame(write, channel, Described(
+                        ULong(P_ATTACH),
+                        [name, UInt(handle), True, None, None,
+                         Described(ULong(D_SOURCE), [addr]), target]))
+                    # grant send credit immediately
+                    write_frame(write, channel, Described(
+                        ULong(P_FLOW),
+                        [UInt(0), UInt(5000), UInt(next_out_id),
+                         UInt(5000), UInt(handle), UInt(0),
+                         UInt(1000)]))
+                    continue
                 source = f[5]
                 addr = str(source.value[0])
                 m = _ADDR_RE.match(addr)
@@ -448,6 +476,27 @@ class EventHubBroker:
                          UInt(5000), UInt(int(handle)),
                          UInt(link["delivery_count"]), UInt(0),
                          None, True]))
+            elif d == P_TRANSFER:
+                handle = int(f[0])
+                link = links.get(handle)
+                if not link or not link.get("in"):
+                    raise Amqp10Error("transfer on a non-sender link")
+                did = int(f[1])
+                settled = bool(_lget(f, 4, False))
+                msg = decode_message(_payload)
+                pid = link["pid"]
+                if pid is None:
+                    pid = self._rr % len(self.partitions)
+                    self._rr += 1
+                self._clock += 1
+                self.append(pid, msg["body"], msg["app_properties"],
+                            enqueued_ms=self._clock)
+                self.transfers_received += 1
+                if not settled:
+                    write_frame(write, channel, Described(
+                        ULong(P_DISPOSITION),
+                        [True, UInt(did), UInt(did), True,
+                         Described(ULong(D_ACCEPTED), [])]))
             elif d == P_DISPOSITION:
                 pass                      # settled; nothing to resend
             elif d == P_DETACH:
@@ -477,7 +526,9 @@ class EventHubReceiver:
         self.hub = hub
         self.consumer_group = consumer_group
         self._next_handle = 0
-        self._links: dict[int, int] = {}      # pid -> handle
+        self._links: dict[int, int] = {}      # pid -> receiver handle
+        self._send_links: dict = {}           # pid|None -> sender handle
+        self._delivery = 0
         # SASL layer
         self._write(SASL_HDR)
         hdr = _read_exact(read, 8)
@@ -587,9 +638,62 @@ class EventHubReceiver:
                  Described(ULong(D_ACCEPTED), [])]))
         return out
 
+    # -- sender half (PutAzureEventHub analog) -----------------------
+    def _attach_sender(self, partition: "int | None") -> int:
+        handle = self._next_handle
+        self._next_handle += 1
+        addr = (self.hub if partition is None
+                else f"{self.hub}/Partitions/{partition}")
+        write_frame(self._write, 0, Described(
+            ULong(P_ATTACH),
+            [f"send-{addr}", UInt(handle), False, None, None,
+             Described(ULong(D_SOURCE), [addr]),
+             Described(ULong(D_TARGET), [addr])]))
+        self._expect(P_ATTACH)
+        _flow, _ = self._expect(P_FLOW)       # server's credit grant
+        self._send_links[partition] = handle
+        return handle
+
+    def send(self, body: bytes, app_properties: dict | None = None,
+             *, partition: "int | None" = None) -> None:
+        """One unsettled transfer + wait for the accepted disposition
+        (PutAzureEventHub.java's sendMessage future)."""
+        handle = self._send_links.get(partition)
+        if handle is None:
+            handle = self._attach_sender(partition)
+        self._delivery += 1
+        did = self._delivery
+        write_frame(self._write, 0, Described(
+            ULong(P_TRANSFER),
+            [UInt(handle), UInt(did), struct.pack(">I", did),
+             UInt(0), False, False]),
+            encode_message(body, app_properties=app_properties))
+        disp, _ = self._expect(P_DISPOSITION)
+        state = _lget(disp.value, 4)
+        if not (isinstance(state, Described)
+                and int(state.descriptor) == D_ACCEPTED):
+            raise Amqp10Error(f"delivery not accepted: {state!r}")
+
     def close(self) -> None:
         write_frame(self._write, 0, Described(ULong(P_CLOSE), []))
         self._expect(P_CLOSE)
+
+
+#: the class carries both halves (receiver links for GetAzureEventHub,
+#: sender links for PutAzureEventHub) over one connection
+EventHubClient = EventHubReceiver
+
+
+def put_eventhub(client: EventHubReceiver,
+                 rows: "list[tuple[bytes, dict]]", *,
+                 partition: "int | None" = None) -> int:
+    """PutAzureEventHub analog: one unsettled transfer per (body,
+    app_properties) row, each confirmed accepted. partition=None
+    sends to the bare hub address — the broker round-robins, like the
+    service-assigned partition of a partition-key-less send."""
+    for body, props in rows:
+        client.send(body, props, partition=partition)
+    return len(rows)
 
 
 def eventhub_loopback(broker: EventHubBroker):

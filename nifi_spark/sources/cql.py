@@ -183,6 +183,11 @@ def decode_value(type_id: int, b: "bytes | None"):
 
 # --------------------------------------------------------- mini-CQL
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>[\w.]+)\s*"
+    r"\((?P<cols>[\w\s,]+)\)\s*VALUES\s*\((?P<vals>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 _SELECT_RE = re.compile(
     r"^\s*SELECT\s+(?P<cols>\*|[\w\s,]+?)\s+FROM\s+(?P<table>[\w.]+)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?(?:\s+LIMIT\s+(?P<limit>\d+))?"
@@ -193,6 +198,33 @@ _COND_RE = re.compile(
 _OPS = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
         "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
         ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+
+
+def _split_csv(s: str) -> list[str]:
+    """Split a VALUES list on top-level commas (quotes respected,
+    '' escape inside strings)."""
+    out, buf, in_str, i = [], [], False, 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == ",":
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    out.append("".join(buf))
+    return out
 
 
 def _parse_literal(tok: str):
@@ -223,6 +255,25 @@ class CqlServer:
             if t not in _NAME_TYPES:
                 raise CqlError(f"unsupported column type {t}")
         self.tables[name] = (schema, [tuple(r) for r in rows])
+
+    def _run_insert(self, cql: str) -> None:
+        """PutCassandraQL's statement shape (literal values; the
+        reference binds sql.args.N into ?-placeholders before
+        execute — callers here inline them the same way)."""
+        m = _INSERT_RE.match(cql)
+        table = m.group("table").split(".")[-1]
+        if table not in self.tables:
+            raise CqlError(f"unknown table {table}")
+        schema, rows = self.tables[table]
+        names = [c.strip() for c in m.group("cols").split(",")]
+        vals = [_parse_literal(v) for v in
+                _split_csv(m.group("vals"))]
+        if len(names) != len(vals):
+            raise CqlError("column/value count mismatch")
+        if set(names) != {c for c, _t in schema}:
+            raise CqlError("INSERT must cover every column")
+        by_name = dict(zip(names, vals))
+        rows.append(tuple(by_name[c] for c, _t in schema))
 
     def _run_select(self, cql: str):
         m = _SELECT_RE.match(cql)
@@ -300,6 +351,12 @@ class CqlServer:
                 offset = int(st.decode()) if st else 0
             self.queries_served += 1
             try:
+                if _INSERT_RE.match(cql):
+                    self._run_insert(cql)
+                    write_frame(write, RESPONSE, OP_RESULT,
+                                struct.pack(">i", KIND_VOID),
+                                stream=stream)
+                    return
                 m = _SELECT_RE.match(cql)
                 table = m.group("table").split(".")[-1] if m else "?"
                 schema, rows = self._run_select(cql)
@@ -400,6 +457,18 @@ class CqlClient:
                     for _n, t in cols))
             if paging_state is None:
                 return cols, rows
+
+
+def put_cassandra_ql(client: CqlClient, statements: list[str]) -> int:
+    """PutCassandraQL analog (nifi-cassandra-bundle
+    PutCassandraQL.java): execute each CQL statement (the reference
+    binds typed cql.args.N attributes into ?-markers first; callers
+    here inline literals the same way). Raises CqlError on the first
+    failed statement — the reference routes that flowfile to
+    failure."""
+    for cql in statements:
+        client.query(cql)
+    return len(statements)
 
 
 def cql_loopback(server: CqlServer):

@@ -105,8 +105,29 @@ class SolrServer:
                 return False
         return True
 
-    def handle(self, url: str) -> tuple[int, bytes]:
+    def handle(self, url: str, method: str = "GET",
+               body: bytes = b"") -> tuple[int, bytes]:
         parsed = urllib.parse.urlsplit(url)
+        # PutSolrContentStream's default Content Stream Path
+        # (PutSolrContentStream.java:73): POST /update/json/docs with
+        # one JSON doc or a JSON array of docs.
+        if parsed.path.endswith(f"/{self.core}/update/json/docs"):
+            if method != "POST":
+                return 405, b'{"error": "POST required"}'
+            try:
+                payload = json.loads(body.decode())
+            except ValueError:
+                return 400, json.dumps(
+                    {"error": {"msg": "invalid JSON", "code": 400}}
+                ).encode()
+            docs = payload if isinstance(payload, list) else [payload]
+            try:
+                self.add(docs)
+            except SolrError as exc:
+                return 400, json.dumps(
+                    {"error": {"msg": str(exc), "code": 400}}).encode()
+            return 200, json.dumps(
+                {"responseHeader": {"status": 0}}).encode()
         if not parsed.path.endswith(f"/{self.core}/select"):
             return 404, b'{"error": "unknown core"}'
         p = dict(urllib.parse.parse_qsl(parsed.query))
@@ -150,8 +171,9 @@ class SolrServer:
             return 400, json.dumps(
                 {"error": {"msg": str(exc), "code": 400}}).encode()
 
-    def transport(self, url: str) -> tuple[int, bytes]:
-        return self.handle(url)
+    def transport(self, url: str, method: str = "GET",
+                  body: bytes = b"") -> tuple[int, bytes]:
+        return self.handle(url, method, body)
 
 
 class SolrClient:
@@ -190,6 +212,20 @@ class SolrClient:
             if nxt == mark:
                 return out
             mark = nxt
+
+
+def put_solr(transport, base_url: str, core: str,
+             docs: list[dict]) -> int:
+    """PutSolrContentStream analog (nifi-solr-bundle
+    PutSolrContentStream.java, default Content Stream Path
+    /update/json/docs): POST the documents as one JSON array; raises
+    SolrError on a non-200 (the reference's failure/connection_failure
+    routing is the caller's branch)."""
+    url = f"{base_url.rstrip('/')}/{core}/update/json/docs"
+    status, body = transport(url, "POST", json.dumps(docs).encode())
+    if status != 200:
+        raise SolrError(f"{status}: {body.decode()}")
+    return len(docs)
 
 
 class GetSolrSource:

@@ -115,3 +115,27 @@ def test_spool_drain_loops_until_empty(hub, tmp_path, spark):
            for r in df.groupBy("eventhub_partition").count()
            .withColumnRenamed("count", "n").collect()}
     assert got == {"0": 40, "1": 50, "2": 60}
+
+
+# --------------------------------------------- PutAzureEventHub half
+
+
+def test_put_eventhub_roundrobin_and_pinned():
+    from nifi_spark.sources.amqp10 import EventHubClient, put_eventhub
+    broker = EventHubBroker("hub1", 3, users={"u": "p"})
+    r, w, join = eventhub_loopback(broker)
+    c = EventHubClient(r, w, hub="hub1", user="u", password="p")
+    put_eventhub(c, [(f"msg {i}".encode(), {"n": i})
+                     for i in range(9)])          # round-robin
+    put_eventhub(c, [(b"pinned", {})], partition=1)
+    assert [len(p) for p in broker.partitions] == [3, 4, 3]
+    assert broker.transfers_received == 10
+    # full circle: read back through the receiver half
+    got = c.receive(1, 100)
+    assert got[-1]["body"] == b"pinned"
+    assert got[0]["app_properties"] == {"n": 1}
+    # enqueued clock is monotone within the partition
+    times = [m["enqueued_ms"] for m in got]
+    assert times == sorted(times)
+    c.close()
+    join()

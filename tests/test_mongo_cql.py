@@ -213,3 +213,24 @@ def test_getmongo_limit(getmongo):
     # testLimit: limit 1 -> DOCUMENTS[0]
     got = getmongo.find("test", {"a": {"$exists": True}}, limit=1)
     assert got == [_GM_DOCS[0]]
+
+
+# ------------------------------------------------ PutCassandraQL half
+
+
+def test_put_cassandra_ql_insert_and_readback():
+    from nifi_spark.sources.cql import put_cassandra_ql
+    srv = CqlServer()
+    srv.add_table("t", [("id", "int"), ("name", "varchar"),
+                        ("score", "double")], [])
+    r, w, join = cql_loopback(srv)
+    c = CqlClient(r, w)
+    put_cassandra_ql(c, [
+        "INSERT INTO ks.t (id, name, score) VALUES "
+        "(1, 'it''s a test', 2.5)",
+        "INSERT INTO t (score, id, name) VALUES (3.5, 2, 'two')"])
+    _cols, rows = c.query("SELECT * FROM t")
+    assert rows == [(1, "it's a test", 2.5), (2, "two", 3.5)]
+    with pytest.raises(CqlError, match="every column"):
+        c.query("INSERT INTO t (id) VALUES (9)")
+    join()

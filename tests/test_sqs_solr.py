@@ -226,3 +226,18 @@ def test_getsolr_return_fields_projection(tmp_path):
     t = pq.read_table(os.path.join(spool, sorted(os.listdir(spool))[0]))
     payloads = [json.loads(p) for p in t.column("payload").to_pylist()]
     assert all(set(p) == {"id", "created"} for p in payloads)
+
+
+# --------------------------------------------- PutSolrContentStream
+
+
+def test_put_solr_update_json_docs():
+    from nifi_spark.sources.solr import put_solr
+    srv = SolrServer("docs")
+    c = SolrClient(srv.transport, "http://s/solr", "docs")
+    assert put_solr(srv.transport, "http://s/solr", "docs",
+                    [{"id": f"d{i}", "ts": i} for i in range(5)]) == 5
+    assert len(c.cursor_all(sort="id asc", rows=3)) == 5
+    # missing unique key -> 400 surfaces as SolrError
+    with pytest.raises(SolrError, match="unique key"):
+        put_solr(srv.transport, "http://s/solr", "docs", [{"ts": 1}])
