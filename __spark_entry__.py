@@ -4286,6 +4286,61 @@ def q_get_eventhub_landed(spark: SparkSession, sf_dir: str
             .orderBy("eventhub_partition"))
 
 
+def q_elasticsearch_query_scroll(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """Elasticsearch HTTP family (nifi-elasticsearch-bundle;
+    sources/elasticsearch.py — _bulk NDJSON indexing, doc GET,
+    query_string _search with from/size paging, and the @Stateful
+    scroll protocol resumed through KVState): 180 docs are bulk-
+    indexed, a filtered QueryElasticsearchHttp drain (page 7) and a
+    full ScrollElasticsearchHttp drain (page 13) land to separate
+    spools, and their union aggregates replay arithmetically. A
+    wrong fetch must raise not-found and an injected 503 must raise
+    retryable (both counted)."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import (EsClient, EsNotFound,
+                                    EsRetryableError, EsServer,
+                                    QueryEsSource, ScrollEsSource)
+    srv = EsServer()
+    client = EsClient(srv.transport, "http://es:9200")
+    docs = [("corpus", "doc", f"d{i:04d}",
+             {"grp": i % 5, "v": i * i, "w": 3 * i + 1})
+            for i in range(180)]
+    r = client.bulk_index(docs)
+    assert r["indexed"] == 180 and not r["failed"]
+    routed = 0
+    try:
+        client.fetch("corpus", "doc", "missing")
+    except EsNotFound:
+        routed += 1
+    srv.fail_next = 1
+    try:
+        client.fetch("corpus", "doc", "d0001")
+    except EsRetryableError:
+        routed += 1
+    root = tempfile.mkdtemp(prefix="es_gate_")
+    qsrc = QueryEsSource(root + "/query")
+    nq = qsrc.drain(client, "corpus", q="grp:3", page_size=7)
+    assert nq == 36, nq
+    ssrc = ScrollEsSource(root + "/scroll", KVState(root + "/state"))
+    ns = ssrc.drain(client, "corpus", page_size=13)
+    assert ns == 180 and ssrc.drain(client, "corpus") == 0
+    both = (qsrc.read(spark).withColumn("path", F.lit("query"))
+            .unionAll(ssrc.read(spark).withColumn("path",
+                                                  F.lit("scroll"))))
+    parsed = both.select(
+        "path",
+        F.get_json_object("payload", "$.grp").cast("int").alias("grp"),
+        F.get_json_object("payload", "$.v").cast("long").alias("v"),
+        F.get_json_object("payload", "$.w").cast("long").alias("w"))
+    return (parsed.groupBy("path", "grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("v").cast("bigint").alias("sum_v"),
+                 F.sum("w").cast("bigint").alias("sum_w"))
+            .withColumn("error_routes", F.lit(routed))
+            .orderBy("path", "grp"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5596,7 +5651,7 @@ _NEW_THIS_ROUND = [
     "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
     "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
-    "text_gopher_rules",
+    "text_gopher_rules", "elasticsearch_query_scroll",
 ]
 
 
@@ -5802,6 +5857,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_sqs_landed": q_get_sqs_landed,
         "get_solr_incremental": q_get_solr_incremental,
         "get_eventhub_landed": q_get_eventhub_landed,
+        "elasticsearch_query_scroll": q_elasticsearch_query_scroll,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
@@ -7704,6 +7760,18 @@ SELECT batch_id, grp, count(*) AS n,
        CAST(sum(ts) AS BIGINT) AS sum_ts,
        CAST(max(ts) AS BIGINT) AS max_ts
 FROM base GROUP BY batch_id, grp ORDER BY batch_id, grp
+""",
+        "elasticsearch_query_scroll": """
+WITH m AS (SELECT range AS i, (range % 5)::INT AS grp,
+                  range * range AS v, 3 * range + 1 AS w
+           FROM range(180)),
+u AS (
+  SELECT 'query' AS path, grp, v, w FROM m WHERE grp = 3
+  UNION ALL
+  SELECT 'scroll', grp, v, w FROM m)
+SELECT path, grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(sum(w) AS BIGINT) AS sum_w, 2 AS error_routes
+FROM u GROUP BY path, grp ORDER BY path, grp
 """,
         "get_eventhub_landed": """
 WITH parts AS (SELECT * FROM (VALUES ('0', 70), ('1', 80), ('2', 90))

@@ -60,6 +60,11 @@ from nifi_spark.sources.amqp10 import (EventHubBroker, EventHubClient,
                                        EventHubReceiver,
                                        GetEventHubSource,
                                        eventhub_loopback, put_eventhub)
+from nifi_spark.sources.elasticsearch import (EsClient, EsError,
+                                              EsNotFound,
+                                              EsRetryableError,
+                                              EsServer, QueryEsSource,
+                                              ScrollEsSource)
 from nifi_spark.sources.mongo import (GetMongoSource, MongoClient,
                                       MongoServer, ObjectId,
                                       mongo_loopback)
@@ -122,4 +127,6 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "GetSolrSource", "SolrClient", "SolrServer", "put_solr",
            "put_cassandra_ql",
            "EventHubBroker", "EventHubClient", "EventHubReceiver",
-           "GetEventHubSource", "eventhub_loopback", "put_eventhub"]
+           "GetEventHubSource", "eventhub_loopback", "put_eventhub",
+           "EsClient", "EsError", "EsNotFound", "EsRetryableError",
+           "EsServer", "QueryEsSource", "ScrollEsSource"]
