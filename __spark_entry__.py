@@ -4341,6 +4341,49 @@ def q_elasticsearch_query_scroll(spark: SparkSession, sf_dir: str
             .orderBy("path", "grp"))
 
 
+def q_s2s_provenance_report(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """SiteToSiteProvenanceReportingTask analog (reporting.py over
+    sources/site_to_site.py): 30 provenance events ship through the
+    real S2S wire protocol in 5 watermarked batches (batch_size=7,
+    one CRC-confirmed transaction each, reference serialize() field
+    names, reporting.task.transaction.id attribute), a re-run ships
+    nothing, and the received packets — decoded back from the wire —
+    replay arithmetically."""
+    import json as _json
+    from nifi_spark.ledger import KVState
+    from nifi_spark.provenance import ProvenanceWriter
+    from nifi_spark.reporting import S2SProvenanceReportingTask
+    from nifi_spark.sources.site_to_site import (S2SClient, S2SPort,
+                                                 loopback_serve)
+    root = tempfile.mkdtemp(prefix="s2s_prov_")
+    prov = ProvenanceWriter(root + "/prov")
+    for i in range(30):
+        prov.emit_counts(spark, "RECEIVE" if i % 2 == 0 else "SEND",
+                         batch_id=i // 4, stage="tail",
+                         row_count=10 * i + 3)
+    port = S2SPort("prov-in")
+    inp, out, join = loopback_serve({"prov-in": port})
+    client = S2SClient(inp, out, port_identifier="prov-in")
+    task = S2SProvenanceReportingTask(KVState(root + "/state"),
+                                      batch_size=7)
+    r1 = task.run(spark, prov, client)
+    r2 = task.run(spark, prov, client)
+    client.shutdown()
+    join()
+    assert r1 == {"events": 30, "transactions": 5} and \
+        r2 == {"events": 0, "transactions": 0}, (r1, r2)
+    events = [(e["eventType"], int(e["rowCount"]))
+              for p in port.received
+              for e in _json.loads(p.content.decode())]
+    df = spark.createDataFrame(events, "etype string, rc long")
+    return (df.groupBy("etype")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("rc").cast("bigint").alias("sum_rc"))
+            .withColumn("n_tx", F.lit(len(port.received)))
+            .orderBy("etype"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5652,6 +5695,7 @@ _NEW_THIS_ROUND = [
     "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
     "text_gopher_rules", "elasticsearch_query_scroll",
+    "s2s_provenance_report",
 ]
 
 
@@ -5858,6 +5902,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_solr_incremental": q_get_solr_incremental,
         "get_eventhub_landed": q_get_eventhub_landed,
         "elasticsearch_query_scroll": q_elasticsearch_query_scroll,
+        "s2s_provenance_report": q_s2s_provenance_report,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
@@ -7760,6 +7805,16 @@ SELECT batch_id, grp, count(*) AS n,
        CAST(sum(ts) AS BIGINT) AS sum_ts,
        CAST(max(ts) AS BIGINT) AS max_ts
 FROM base GROUP BY batch_id, grp ORDER BY batch_id, grp
+""",
+        "s2s_provenance_report": """
+WITH m AS (SELECT range AS i,
+                  CASE WHEN range % 2 = 0 THEN 'RECEIVE'
+                       ELSE 'SEND' END AS etype,
+                  10 * range + 3 AS rc
+           FROM range(30))
+SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
+       5 AS n_tx
+FROM m GROUP BY etype ORDER BY etype
 """,
         "elasticsearch_query_scroll": """
 WITH m AS (SELECT range AS i, (range % 5)::INT AS grp,
