@@ -4341,6 +4341,51 @@ def q_elasticsearch_query_scroll(spark: SparkSession, sf_dir: str
             .orderBy("path", "grp"))
 
 
+def q_s3_list_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListS3 + FetchS3Object analogs (nifi-aws-bundle s3/;
+    sources/s3.py — S3 REST over the shared SigV4 signer, every
+    request signature-verified server-side): 120 objects listed
+    through ListObjectsV2 pages of 11 into the spool with ListS3's
+    same-timestamp dedup state, a re-drain lands nothing, every 10th
+    object is fetched and its etag must match the listing. Aggregates
+    replay arithmetically (len = 20 + i%50, lastModified = epoch +
+    i + 1)."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources import ListS3Source, S3Client, S3Server
+    epoch = 1_700_000_000_000
+    srv = S3Server(secrets={"AK": "s3cr3t"}, clock_epoch_ms=epoch)
+    srv.create_bucket("lake")
+    for i in range(120):
+        srv.put_direct("lake", f"data/part{i:04d}.bin",
+                       b"\x5a" * (20 + i % 50))
+    client = S3Client(srv.transport,
+                      endpoint="https://s3.us-east-1.amazonaws.com",
+                      access_key="AK", secret_key="s3cr3t")
+    root = tempfile.mkdtemp(prefix="s3_gate_")
+    src = ListS3Source(root + "/spool", KVState(root + "/state"))
+    n = src.drain(client, "lake", prefix="data/", max_keys=11)
+    assert n == 120 and src.drain(client, "lake",
+                                  prefix="data/") == 0, n
+    fetched_ok = 0
+    listing = src.read(spark).orderBy("filename").collect()
+    for row in listing[::10]:
+        got = client.get_object(row["bucket"], row["filename"])
+        fetched_ok += int(got["s3.etag"] == row["etag"]
+                          and len(got["content"]) == row["length"])
+    df = src.read(spark)
+    return (df.select(
+                F.substring("filename", 10, 4).cast("int").alias("i"),
+                "length", "last_modified")
+            .withColumn("grp", (F.col("i") % 4).cast("int"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("length").cast("bigint").alias("sum_len"),
+                 F.max(F.col("last_modified") - epoch)
+                 .alias("max_lm_delta"))
+            .withColumn("fetched_ok", F.lit(fetched_ok))
+            .orderBy("grp"))
+
+
 def q_s2s_provenance_report(spark: SparkSession, sf_dir: str
                             ) -> DataFrame:
     """SiteToSiteProvenanceReportingTask analog (reporting.py over
@@ -5695,7 +5740,7 @@ _NEW_THIS_ROUND = [
     "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
     "text_gopher_rules", "elasticsearch_query_scroll",
-    "s2s_provenance_report",
+    "s2s_provenance_report", "s3_list_fetch",
 ]
 
 
@@ -5903,6 +5948,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_eventhub_landed": q_get_eventhub_landed,
         "elasticsearch_query_scroll": q_elasticsearch_query_scroll,
         "s2s_provenance_report": q_s2s_provenance_report,
+        "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
@@ -7805,6 +7851,15 @@ SELECT batch_id, grp, count(*) AS n,
        CAST(sum(ts) AS BIGINT) AS sum_ts,
        CAST(max(ts) AS BIGINT) AS max_ts
 FROM base GROUP BY batch_id, grp ORDER BY batch_id, grp
+""",
+        "s3_list_fetch": """
+WITH m AS (SELECT range AS i, (range % 4)::INT AS grp,
+                  20 + (range % 50) AS len, range + 1 AS lm_delta
+           FROM range(120))
+SELECT grp, count(*) AS n, CAST(sum(len) AS BIGINT) AS sum_len,
+       CAST(max(lm_delta) AS BIGINT) AS max_lm_delta,
+       12 AS fetched_ok
+FROM m GROUP BY grp ORDER BY grp
 """,
         "s2s_provenance_report": """
 WITH m AS (SELECT range AS i,

@@ -73,6 +73,8 @@ from nifi_spark.sources.cql import (CqlClient, CqlServer,
                                     put_cassandra_ql)
 from nifi_spark.sources.sqs import (GetSQSSource, SqsClient, SqsError,
                                     SqsServer, sigv4_sign, sigv4_verify)
+from nifi_spark.sources.s3 import (ListS3Source, S3Client, S3Error,
+                                   S3Server)
 from nifi_spark.sources.solr import (GetSolrSource, SolrClient,
                                      SolrServer, put_solr)
 from nifi_spark.sources.webhdfs import (ListHDFSSource, WebHdfsClient,
@@ -129,4 +131,5 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "EventHubBroker", "EventHubClient", "EventHubReceiver",
            "GetEventHubSource", "eventhub_loopback", "put_eventhub",
            "EsClient", "EsError", "EsNotFound", "EsRetryableError",
-           "EsServer", "QueryEsSource", "ScrollEsSource"]
+           "EsServer", "QueryEsSource", "ScrollEsSource",
+           "ListS3Source", "S3Client", "S3Error", "S3Server"]
