@@ -4429,6 +4429,58 @@ def q_s2s_provenance_report(spark: SparkSession, sf_dir: str
             .orderBy("etype"))
 
 
+def q_ambari_metrics_report(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """Ambari/Datadog reporting-task analogs (metrics_reporting.py):
+    provenance-derived flow metrics (MetricsService.java names) ship in
+    BOTH public envelopes — the Ambari timeline shape and the Datadog
+    series shape — to in-process collectors; the decoded envelopes
+    replay arithmetically (RECEIVE 300 rows / 5+i%11 bytes, SEND 180
+    rows / 3+i%7 bytes; queued = received - sent). Datadog names carry
+    the `nifi.` prefix on the wire; it is stripped after decode so both
+    services compare on the reference metric names."""
+    from nifi_spark.metrics_reporting import (AmbariReportingTask,
+                                              DataDogReportingTask,
+                                              MetricsCollectorServer,
+                                              flow_status_metrics)
+    from nifi_spark.provenance import ProvenanceWriter
+    root = tempfile.mkdtemp(prefix="metrics_rep_")
+    prov = ProvenanceWriter(root + "/prov")
+    recv = spark.range(300).select(
+        F.col("id").alias("lsn"),
+        F.expr("repeat('x', CAST(5 + id % 11 AS INT))").alias("content"))
+    sent = spark.range(180).select(
+        F.col("id").alias("lsn"),
+        F.expr("repeat('y', CAST(3 + id % 7 AS INT))").alias("content"))
+    prov.emit(recv, "RECEIVE", batch_id=0, stage="tail")
+    prov.emit(sent, "SEND", batch_id=0, stage="sink")
+    metrics = flow_status_metrics(spark, prov)
+    ts = 1_700_000_042_000
+    srv_a = MetricsCollectorServer()
+    AmbariReportingTask(
+        srv_a.transport, url="http://c:6188/ws/v1/timeline/metrics",
+        application_id="nifi", hostname="host-a").report(
+            metrics, timestamp_ms=ts)
+    srv_d = MetricsCollectorServer(path="/api/v1/series")
+    DataDogReportingTask(
+        srv_d.transport, url="http://dd:443/api/v1/series",
+        host="host-a", environment="prod").report(
+            metrics, timestamp_ms=ts)
+    rows = []
+    for e in srv_a.envelopes[0]["metrics"]:
+        assert e["appid"] == "nifi" and e["timestamp"] == ts, e
+        rows.append(("ambari", e["metricname"],
+                     int(e["metrics"][str(ts)])))
+    for s in srv_d.envelopes[0]["series"]:
+        assert s["type"] == "gauge" and "env:prod" in s["tags"], s
+        assert s["points"][0][0] == ts // 1000, s
+        rows.append(("datadog", s["metric"][len("nifi."):],
+                     int(s["points"][0][1])))
+    df = spark.createDataFrame(
+        rows, "service string, metric string, value long")
+    return df.orderBy("service", "metric")
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5740,7 +5792,7 @@ _NEW_THIS_ROUND = [
     "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
     "text_gopher_rules", "elasticsearch_query_scroll",
-    "s2s_provenance_report", "s3_list_fetch",
+    "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
 ]
 
 
@@ -5948,6 +6000,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_eventhub_landed": q_get_eventhub_landed,
         "elasticsearch_query_scroll": q_elasticsearch_query_scroll,
         "s2s_provenance_report": q_s2s_provenance_report,
+        "ambari_metrics_report": q_ambari_metrics_report,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -7870,6 +7923,24 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "ambari_metrics_report": """
+WITH tot AS (SELECT
+  (SELECT count(*) FROM range(300)) AS fr,
+  (SELECT CAST(sum(5 + range % 11) AS BIGINT) FROM range(300)) AS br,
+  (SELECT count(*) FROM range(180)) AS fs,
+  (SELECT CAST(sum(3 + range % 7) AS BIGINT) FROM range(180)) AS bs),
+m AS (
+  SELECT 'FlowFilesReceivedLast5Minutes' AS metric, fr AS v FROM tot
+  UNION ALL SELECT 'BytesReceivedLast5Minutes', br FROM tot
+  UNION ALL SELECT 'FlowFilesSentLast5Minutes', fs FROM tot
+  UNION ALL SELECT 'BytesSentLast5Minutes', bs FROM tot
+  UNION ALL SELECT 'FlowFilesQueued', fr - fs FROM tot
+  UNION ALL SELECT 'BytesQueued', br - bs FROM tot)
+SELECT svc.service, m.metric, CAST(m.v AS BIGINT) AS value
+FROM m CROSS JOIN (SELECT 'ambari' AS service
+                   UNION ALL SELECT 'datadog') svc
+ORDER BY service, metric
 """,
         "elasticsearch_query_scroll": """
 WITH m AS (SELECT range AS i, (range % 5)::INT AS grp,
