@@ -4481,6 +4481,50 @@ def q_ambari_metrics_report(spark: SparkSession, sf_dir: str
     return df.orderBy("service", "metric")
 
 
+def q_map_cache_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistributedMapCacheServer wire protocol (sources/map_cache.py):
+    magic+version handshake, then putIfAbsent / get / remove /
+    getAndPutIfAbsent over the socketpair loopback — first-write-wins
+    semantics verified per key, every 7th key removed and re-added
+    through getAndPutIfAbsent, plus the set-cache addIfAbsent half.
+    The surviving (key, final_value) table replays arithmetically."""
+    from nifi_spark.sources.map_cache import (MapCacheClient,
+                                              SetCacheClient,
+                                              SimpleMapCache,
+                                              SimpleSetCache,
+                                              cache_loopback)
+    cache = SimpleMapCache(max_size=10_000)
+    inp, out, join = cache_loopback(cache, "map")
+    c = MapCacheClient(inp, out)
+    added = sum(c.put_if_absent(f"k{i % 100}".encode(),
+                                f"v{i}".encode())
+                for i in range(300))
+    assert added == 100, added
+    misses = sum(c.get(f"k{i}".encode()) is None for i in range(100, 120))
+    assert misses == 20
+    removed = sum(c.remove(f"k{i}".encode()) for i in range(0, 100, 7))
+    assert removed == 15, removed
+    rows = []
+    for i in range(100):
+        prev = c.get_and_put_if_absent(f"k{i}".encode(),
+                                       f"g{i}".encode())
+        final = c.get(f"k{i}".encode())
+        rows.append((i, final.decode(), prev is None))
+    c.close()
+    join()
+    sc = SimpleSetCache(max_size=10_000)
+    sinp, sout, sjoin = cache_loopback(sc, "set")
+    s = SetCacheClient(sinp, sout)
+    set_added = sum(s.add_if_absent(f"s{i % 40}".encode())
+                    for i in range(100))
+    assert set_added == 40, set_added
+    s.close()
+    sjoin()
+    df = spark.createDataFrame(
+        rows, "k long, final_value string, readded boolean")
+    return df.orderBy("k")
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5793,6 +5837,7 @@ _NEW_THIS_ROUND = [
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
     "text_gopher_rules", "elasticsearch_query_scroll",
     "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
+    "map_cache_wire",
 ]
 
 
@@ -6001,6 +6046,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elasticsearch_query_scroll": q_elasticsearch_query_scroll,
         "s2s_provenance_report": q_s2s_provenance_report,
         "ambari_metrics_report": q_ambari_metrics_report,
+        "map_cache_wire": q_map_cache_wire,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -7923,6 +7969,13 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "map_cache_wire": """
+SELECT range AS k,
+       CASE WHEN range % 7 = 0 THEN 'g' || range::VARCHAR
+            ELSE 'v' || range::VARCHAR END AS final_value,
+       range % 7 = 0 AS readded
+FROM range(100) ORDER BY k
 """,
         "ambari_metrics_report": """
 WITH tot AS (SELECT

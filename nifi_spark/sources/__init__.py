@@ -24,6 +24,10 @@ from nifi_spark.sources.http_listen import (ListenHTTPSource,
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
                                      imap_loopback, serve_imap)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.map_cache import (MapCacheClient, PersistentMapCache,
+                                          SetCacheClient, SimpleMapCache,
+                                          SimpleSetCache, cache_loopback,
+                                          fetch_into_column, put_from_rows)
 from nifi_spark.sources.lumberjack import (ListenLumberjackSource,
                                            serve_lumberjack)
 from nifi_spark.sources.mqtt import (ConsumeMQTTSource, MqttBroker,
@@ -111,6 +115,9 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "SnmpAgent", "SnmpV3Agent", "SnmpV3Session", "localize_key",
            "password_to_key", "snmp_get", "snmp_set",
            "snmp_v3_discover", "snmp_walk",
+           "MapCacheClient", "PersistentMapCache", "SetCacheClient",
+           "SimpleMapCache", "SimpleSetCache", "cache_loopback",
+           "fetch_into_column", "put_from_rows",
            "list_database_tables", "list_new_files",
            "plan_fetch_partitions",
            "build_syslog_message", "put_syslog", "put_tcp", "put_udp",
