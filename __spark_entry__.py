@@ -4525,6 +4525,47 @@ def q_map_cache_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("k")
 
 
+def q_get_splunk_incremental(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """GetSplunk analog (sources/splunk.py): 240 events (one every
+    500 ms) drain through the export REST endpoint in three
+    managed-from-beginning windows (≤40 s, ≤80 s, ≤200 s; earliest =
+    previous latest + 1 ms exactly like GetSplunk.java:316), a fourth
+    drain over the empty window lands nothing, and PutSplunk's
+    delimiter semantics feed the same server's event list. Per-
+    severity aggregates over the landed JSON export replay
+    arithmetically."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources.splunk import (MANAGED_BEGINNING,
+                                           GetSplunkSource,
+                                           SplunkServer, put_splunk)
+    base = 1_700_000_000_000
+    srv = SplunkServer([(base + i * 500, f"event {i} sev={i % 5}")
+                        for i in range(240)])
+    root = tempfile.mkdtemp(prefix="get_splunk_")
+    src = GetSplunkSource(root + "/spool", KVState(root + "/state"),
+                          base_url="http://splunk:8089",
+                          time_range_strategy=MANAGED_BEGINNING)
+    n1 = src.drain(srv.transport, now_ms=base + 40_000)
+    n2 = src.drain(srv.transport, now_ms=base + 80_000)
+    n3 = src.drain(srv.transport, now_ms=base + 200_000)
+    n4 = src.drain(srv.transport, now_ms=base + 200_000)
+    assert (n1, n2, n3, n4) == (81, 80, 79, 0), (n1, n2, n3, n4)
+    sent: list[bytes] = []
+    assert put_splunk(b"x|y|z", sent.append, delimiter="|") == 3
+    assert sent == [b"x\n", b"y\n", b"z\n"], sent
+    df = src.read(spark)
+    raw = F.get_json_object("payload", "$.result._raw")
+    i_col = F.regexp_extract(raw, r"event (\d+) ", 1).cast("long")
+    sev = F.regexp_extract(raw, r"sev=(\d+)", 1).cast("int")
+    return (df.select(sev.alias("sev"), i_col.alias("i"), "batch_id")
+            .groupBy("sev")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.countDistinct("batch_id").alias("n_batches"))
+            .orderBy("sev"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5837,7 +5878,7 @@ _NEW_THIS_ROUND = [
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
     "text_gopher_rules", "elasticsearch_query_scroll",
     "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
-    "map_cache_wire",
+    "map_cache_wire", "get_splunk_incremental",
 ]
 
 
@@ -6047,6 +6088,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2s_provenance_report": q_s2s_provenance_report,
         "ambari_metrics_report": q_ambari_metrics_report,
         "map_cache_wire": q_map_cache_wire,
+        "get_splunk_incremental": q_get_splunk_incremental,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -7969,6 +8011,15 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "get_splunk_incremental": """
+WITH m AS (SELECT range AS i, (range % 5)::INT AS sev,
+                  CASE WHEN range <= 80 THEN 0
+                       WHEN range <= 160 THEN 1 ELSE 2 END AS batch_id
+           FROM range(240))
+SELECT sev, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+       count(DISTINCT batch_id) AS n_batches
+FROM m GROUP BY sev ORDER BY sev
 """,
         "map_cache_wire": """
 SELECT range AS k,

@@ -24,6 +24,8 @@ from nifi_spark.sources.http_listen import (ListenHTTPSource,
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
                                      imap_loopback, serve_imap)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.splunk import (GetSplunkSource, SplunkServer,
+                                       put_splunk)
 from nifi_spark.sources.map_cache import (MapCacheClient, PersistentMapCache,
                                           SetCacheClient, SimpleMapCache,
                                           SimpleSetCache, cache_loopback,
@@ -115,6 +117,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "SnmpAgent", "SnmpV3Agent", "SnmpV3Session", "localize_key",
            "password_to_key", "snmp_get", "snmp_set",
            "snmp_v3_discover", "snmp_walk",
+           "GetSplunkSource", "SplunkServer", "put_splunk",
            "MapCacheClient", "PersistentMapCache", "SetCacheClient",
            "SimpleMapCache", "SimpleSetCache", "cache_loopback",
            "fetch_into_column", "put_from_rows",
