@@ -4566,6 +4566,49 @@ def q_get_splunk_incremental(spark: SparkSession, sf_dir: str
             .orderBy("sev"))
 
 
+def q_get_hbase_incremental(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """GetHBase analog (sources/hbase.py): 90 rows land on the first
+    scan; 60 more arrive with SIX of them at the previous watermark
+    timestamp exactly (the boundary case GetHBase.java:286-305 dedups
+    via the matching-cells state) — the second drain pulls all 60 and
+    only them; a third drain pulls nothing. PutHBaseJSON feeds the
+    table (row id extracted from the `id` field, null skipped).
+    Aggregates over the landed JsonRowSerializer payloads replay
+    arithmetically."""
+    from nifi_spark.ledger import KVState
+    from nifi_spark.sources.hbase import (GetHBaseSource, HBaseTable,
+                                          put_hbase_json)
+    t = HBaseTable("t1")
+    for i in range(90):
+        p = put_hbase_json(
+            f'{{"id":"r{i:03d}","q0":"v{i}","skip":null}}',
+            table="t1", column_family="f", row_field_name="id",
+            ts=1000 + i // 3)
+        t.put_cells([p])
+    root = tempfile.mkdtemp(prefix="get_hbase_")
+    src = GetHBaseSource(root + "/spool", KVState(root + "/state"))
+    n1 = src.drain(t)
+    for i in range(90, 150):
+        ts = 1029 if i < 96 else 1030 + (i - 96) // 3
+        t.put(f"r{i:03d}", "f", "q0", f"v{i}", ts)
+    n2 = src.drain(t)
+    n3 = src.drain(t)
+    assert (n1, n2, n3) == (90, 60, 0), (n1, n2, n3)
+    df = src.read(spark)
+    i_col = F.regexp_extract(F.get_json_object("payload", "$.row"),
+                             r"r(\d+)", 1).cast("long")
+    v_col = F.regexp_extract("payload", r'"f:q0":"(v\d+)"', 1)
+    return (df.select(i_col.alias("i"), "batch_id",
+                      F.length(v_col).alias("vlen"))
+            .groupBy((F.col("i") % 5).cast("int").alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.countDistinct("batch_id").alias("n_batches"),
+                 F.sum("vlen").cast("bigint").alias("sum_vlen"))
+            .orderBy("grp"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5878,7 +5921,7 @@ _NEW_THIS_ROUND = [
     "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
     "text_gopher_rules", "elasticsearch_query_scroll",
     "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
-    "map_cache_wire", "get_splunk_incremental",
+    "map_cache_wire", "get_splunk_incremental", "get_hbase_incremental",
 ]
 
 
@@ -6089,6 +6132,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ambari_metrics_report": q_ambari_metrics_report,
         "map_cache_wire": q_map_cache_wire,
         "get_splunk_incremental": q_get_splunk_incremental,
+        "get_hbase_incremental": q_get_hbase_incremental,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8011,6 +8055,17 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "get_hbase_incremental": """
+WITH m AS (SELECT range AS i,
+                  CASE WHEN range < 90 THEN 0 ELSE 1 END AS batch_id,
+                  1 + length(range::VARCHAR) AS vlen
+           FROM range(150))
+SELECT (i % 5)::INT AS grp, count(*) AS n,
+       CAST(sum(i) AS BIGINT) AS sum_i,
+       count(DISTINCT batch_id) AS n_batches,
+       CAST(sum(vlen) AS BIGINT) AS sum_vlen
+FROM m GROUP BY grp ORDER BY grp
 """,
         "get_splunk_incremental": """
 WITH m AS (SELECT range AS i, (range % 5)::INT AS sev,

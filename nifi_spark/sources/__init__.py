@@ -24,6 +24,9 @@ from nifi_spark.sources.http_listen import (ListenHTTPSource,
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
                                      imap_loopback, serve_imap)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.hbase import (GetHBaseSource, HBaseTable,
+                                      put_hbase_cell, put_hbase_json,
+                                      serialize_row_json)
 from nifi_spark.sources.splunk import (GetSplunkSource, SplunkServer,
                                        put_splunk)
 from nifi_spark.sources.map_cache import (MapCacheClient, PersistentMapCache,
@@ -118,6 +121,8 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "password_to_key", "snmp_get", "snmp_set",
            "snmp_v3_discover", "snmp_walk",
            "GetSplunkSource", "SplunkServer", "put_splunk",
+           "GetHBaseSource", "HBaseTable", "put_hbase_cell",
+           "put_hbase_json", "serialize_row_json",
            "MapCacheClient", "PersistentMapCache", "SetCacheClient",
            "SimpleMapCache", "SimpleSetCache", "cache_loopback",
            "fetch_into_column", "put_from_rows",
