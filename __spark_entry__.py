@@ -4609,6 +4609,113 @@ def q_get_hbase_incremental(spark: SparkSession, sf_dir: str
             .orderBy("grp"))
 
 
+def q_put_riemann_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutRiemann analog (sources/riemann.py): 120 events ship through
+    the real Riemann protobuf wire (4-byte-framed Msg, per-batch
+    Msg{ok} acks, batch_size=50) with the reference's FlowFileToEvent
+    mapping (metric → float32, comma-split trimmed tags, custom
+    attribute); the server-side decode replays arithmetically
+    (metrics are exact 0.25 multiples so float32 == double)."""
+    from nifi_spark.sources.riemann import (RiemannServer, put_riemann,
+                                            riemann_loopback)
+    rows = [{"service": f"svc{i % 4}", "metric": str(i * 0.25),
+             "time": str(1_700_000_000 + i), "host": "app1",
+             "tags": f" t{i % 3} ,shared", "app": f"a{i % 2}"}
+            for i in range(120)]
+    srv = RiemannServer()
+    inp, out, join = riemann_loopback(srv)
+    n = put_riemann(rows, inp, out, custom_keys=["app"], batch_size=50)
+    out.sock.close()
+    join()
+    assert n == 120 and len(srv.events) == 120, (n, len(srv.events))
+    ev_rows = [(e["service"], float(e["metric_f"]), int(e["time"]),
+                e["tags"][0], e["attributes"]["app"])
+               for e in srv.events]
+    assert all(e["tags"][1] == "shared" and e["host"] == "app1"
+               for e in srv.events)
+    df = spark.createDataFrame(
+        ev_rows, "service string, metric double, t long, tag0 string,"
+                 " app string")
+    return (df.groupBy("service")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("metric").alias("sum_metric"),
+                 F.sum("t").cast("bigint").alias("sum_t"),
+                 F.countDistinct("tag0").alias("n_tags"),
+                 F.countDistinct("app").alias("n_apps"))
+            .orderBy("service"))
+
+
+def q_couchbase_ignite_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get/PutCouchbaseKey over the memcached binary wire (24-byte
+    headers, CAS, KEY_ENOENT/ETMPFAIL routing) + PutIgniteCache
+    streamer override semantics: 80 docs stored and fetched back (two
+    keys answer temporary-failure → the retry route, ten probes miss →
+    failure), Ignite keeps first-wins under allowOverride=false.
+    Per-group aggregates of the fetched docs replay arithmetically."""
+    from nifi_spark.sources.couchbase import (CouchbaseBucket,
+                                              CouchbaseClient,
+                                              couchbase_loopback,
+                                              get_couchbase_key,
+                                              put_couchbase_key)
+    from nifi_spark.sources.ignite import (IgniteCache,
+                                           put_ignite_cache)
+    bucket = CouchbaseBucket()
+    inp, out, join = couchbase_loopback(bucket)
+    c = CouchbaseClient(inp, out)
+    stored, _r = put_couchbase_key(
+        [{"doc_id": f"d{i}", "content": "x" * (1 + i % 9)}
+         for i in range(80)], c)
+    assert len(stored) == 80
+    bucket.tmpfail_keys.update({b"d3", b"d7"})
+    probes = [{"doc_id": f"d{i}"} for i in range(90)]
+    fetched, failures, retries = get_couchbase_key(probes, c)
+    inp.sock.close()
+    join()
+    assert (len(fetched), len(failures), len(retries)) == (78, 10, 2)
+    cache = IgniteCache()
+    ok, failed = put_ignite_cache(
+        [{"key": f"k{i % 30}", "content": f"v{i}"} for i in range(60)],
+        cache)
+    assert len(ok) == 60 and not failed
+    assert cache.get("k5") == b"v5", cache.get("k5")  # first wins
+    rows = [(int(d["couchbase.doc.id"][1:]),
+             len(d["content"]), int(d["couchbase.cas"]))
+            for d in fetched]
+    df = spark.createDataFrame(rows, "i long, clen int, cas long")
+    return (df.groupBy((F.col("i") % 4).cast("int").alias("grp"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("clen").cast("bigint").alias("sum_len"),
+                 F.sum("cas").cast("bigint").alias("sum_cas"))
+            .withColumn("ignite_keys", F.lit(30))
+            .orderBy("grp"))
+
+
+def q_put_slack_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutSlack analog (sources/slack.py): 90 messages POST the exact
+    ``payload=<urlencoded json>`` form to an in-process webhook; every
+    3rd has an invalid channel and every 5th empty text (both →
+    failure, never posted). Per-channel aggregates of the decoded
+    payloads replay arithmetically."""
+    from nifi_spark.sources.slack import SlackWebhookServer, put_slack
+    msgs = [{"text": "" if i % 5 == 0 else f"m{i} len{i % 7}",
+             "channel": "general" if i % 3 == 0 else f"#c{i % 2}",
+             "username": "bot"} for i in range(90)]
+    srv = SlackWebhookServer()
+    ok, failed = put_slack(msgs, srv.transport,
+                           webhook_url="https://hooks/services/hook")
+    n_bad = sum(1 for i in range(90) if i % 5 == 0 or i % 3 == 0)
+    assert len(failed) == n_bad and len(ok) == 90 - n_bad
+    assert len(srv.posts) == len(ok)
+    rows = [(p["channel"], int(p["text"].split(" ")[0][1:]),
+             len(p["text"])) for p in srv.posts]
+    df = spark.createDataFrame(rows, "channel string, i long, tlen int")
+    return (df.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.sum("tlen").cast("bigint").alias("sum_tlen"))
+            .orderBy("channel"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -5922,6 +6029,7 @@ _NEW_THIS_ROUND = [
     "text_gopher_rules", "elasticsearch_query_scroll",
     "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
     "map_cache_wire", "get_splunk_incremental", "get_hbase_incremental",
+    "put_riemann_events", "couchbase_ignite_kv", "put_slack_route",
 ]
 
 
@@ -6133,6 +6241,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_cache_wire": q_map_cache_wire,
         "get_splunk_incremental": q_get_splunk_incremental,
         "get_hbase_incremental": q_get_hbase_incremental,
+        "put_riemann_events": q_put_riemann_events,
+        "couchbase_ignite_kv": q_couchbase_ignite_kv,
+        "put_slack_route": q_put_slack_route,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8055,6 +8166,38 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "put_riemann_events": """
+WITH m AS (SELECT range AS i, 'svc' || (range % 4)::VARCHAR AS service,
+                  range * 0.25 AS metric, 1700000000 + range AS t,
+                  't' || (range % 3)::VARCHAR AS tag0,
+                  'a' || (range % 2)::VARCHAR AS app
+           FROM range(120))
+SELECT service, count(*) AS n,
+       CAST(sum(metric) AS DOUBLE) AS sum_metric,
+       CAST(sum(t) AS BIGINT) AS sum_t,
+       count(DISTINCT tag0) AS n_tags,
+       count(DISTINCT app) AS n_apps
+FROM m GROUP BY service ORDER BY service
+""",
+        "couchbase_ignite_kv": """
+WITH m AS (SELECT range AS i, 1 + (range % 9)::INT AS clen,
+                  range + 1 AS cas
+           FROM range(80) WHERE range NOT IN (3, 7))
+SELECT (i % 4)::INT AS grp, count(*) AS n,
+       CAST(sum(clen) AS BIGINT) AS sum_len,
+       CAST(sum(cas) AS BIGINT) AS sum_cas,
+       30 AS ignite_keys
+FROM m GROUP BY grp ORDER BY grp
+""",
+        "put_slack_route": """
+WITH m AS (SELECT range AS i,
+                  '#c' || (range % 2)::VARCHAR AS channel,
+                  6 + length(range::VARCHAR) AS tlen
+           FROM range(90) WHERE range % 5 != 0 AND range % 3 != 0)
+SELECT channel, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+       CAST(sum(tlen) AS BIGINT) AS sum_tlen
+FROM m GROUP BY channel ORDER BY channel
 """,
         "get_hbase_incremental": """
 WITH m AS (SELECT range AS i,

@@ -24,6 +24,17 @@ from nifi_spark.sources.http_listen import (ListenHTTPSource,
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
                                      imap_loopback, serve_imap)
 from nifi_spark.sources.listing import list_new_files
+from nifi_spark.sources.couchbase import (CouchbaseBucket,
+                                          CouchbaseClient, CouchbaseError,
+                                          couchbase_loopback,
+                                          get_couchbase_key,
+                                          put_couchbase_key)
+from nifi_spark.sources.ignite import (IgniteCache, get_ignite_cache,
+                                       put_ignite_cache)
+from nifi_spark.sources.riemann import (RiemannServer, decode_msg,
+                                        encode_msg, put_riemann,
+                                        riemann_loopback, row_to_event)
+from nifi_spark.sources.slack import (SlackWebhookServer, put_slack)
 from nifi_spark.sources.hbase import (GetHBaseSource, HBaseTable,
                                       put_hbase_cell, put_hbase_json,
                                       serialize_row_json)
@@ -121,6 +132,12 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "password_to_key", "snmp_get", "snmp_set",
            "snmp_v3_discover", "snmp_walk",
            "GetSplunkSource", "SplunkServer", "put_splunk",
+           "CouchbaseBucket", "CouchbaseClient", "CouchbaseError",
+           "couchbase_loopback", "get_couchbase_key", "put_couchbase_key",
+           "IgniteCache", "get_ignite_cache", "put_ignite_cache",
+           "RiemannServer", "decode_msg", "encode_msg", "put_riemann",
+           "riemann_loopback", "row_to_event",
+           "SlackWebhookServer", "put_slack",
            "GetHBaseSource", "HBaseTable", "put_hbase_cell",
            "put_hbase_json", "serialize_row_json",
            "MapCacheClient", "PersistentMapCache", "SetCacheClient",
