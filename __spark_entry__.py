@@ -4716,6 +4716,100 @@ def q_put_slack_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("channel"))
 
 
+def q_get_twitter_filtered(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """GetTwitter analog (sources/social.py): 200 statuses stream
+    through the Filter endpoint (terms OR followed-ids, languages
+    restriction — GetTwitter.java's endpoint contract) and land as
+    one-JSON-per-row; per-user aggregates over the parsed payloads
+    replay the same predicate arithmetically."""
+    from nifi_spark.sources.social import (ENDPOINT_FILTER,
+                                           GetTwitterSource,
+                                           TwitterStreamServer)
+    tweets = [{"id": i, "lang": "en" if i % 3 else "fr",
+               "text": f"spark rocks {i}" if i % 2 == 0
+               else f"other {i}",
+               "user": {"id": 100 + i % 5}} for i in range(200)]
+    srv = TwitterStreamServer(tweets)
+    root = tempfile.mkdtemp(prefix="get_twitter_")
+    src = GetTwitterSource(root + "/spool", endpoint=ENDPOINT_FILTER,
+                           terms=["SPARK"], follow=[102],
+                           languages=["en"])
+    n = src.drain(srv.stream)
+    assert n > 0, n
+    df = src.read(spark)
+    uid = F.get_json_object("payload", "$.user.id").cast("long")
+    tid = F.get_json_object("payload", "$.id").cast("long")
+    return (df.select(uid.alias("uid"), tid.alias("i"))
+            .groupBy("uid")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"))
+            .orderBy("uid"))
+
+
+def q_yandex_translate_route(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """YandexTranslate analog (sources/social.py): 60 rows POST the
+    reference's exact form shape (repeated text params, key,
+    lang=en-de); the dynamic property translates into an attribute
+    and the content translation replaces content + sets `language`
+    (YandexTranslate.java:189-205 ordering). The fake service is
+    deterministic (word-reversal + lang tag) so every output string
+    length replays arithmetically."""
+    from nifi_spark.sources.social import (FakeTranslator,
+                                           yandex_translate)
+    rows = [{"content": f"w{i} x{i} y{i}", "note": f"n{i} m{i}"}
+            for i in range(60)]
+    tr = FakeTranslator()
+    ok, comms, failed = yandex_translate(
+        rows, tr.transport, key="k", source_language="en",
+        target_language="de",
+        dynamic_properties=[("note.t", "{note}")],
+        translate_content=True)
+    assert len(ok) == 60 and not comms and not failed
+    assert ok[0]["content"] == "y0 x0 w0 [en-de]", ok[0]["content"]
+    assert ok[0]["note.t"] == "m0 n0 [en-de]"
+    out = [(i, len(r["content"]), len(r["note.t"]), r["language"])
+           for i, r in enumerate(ok)]
+    df = spark.createDataFrame(
+        out, "i long, clen int, nlen int, language string")
+    return (df.groupBy("language")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("clen").cast("bigint").alias("sum_clen"),
+                 F.sum("nlen").cast("bigint").alias("sum_nlen"))
+            .orderBy("language"))
+
+
+def q_consume_winevt_landed(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """ConsumeWindowsEventLog analog (sources/social.py): 120 rendered
+    event XMLs arrive through the subscription seam, every 10th
+    oversized beyond max_buffer and dropped (the reference's render-
+    buffer cap); landed events parse with the JVM xpath functions and
+    replay arithmetically."""
+    from nifi_spark.sources.social import ConsumeWindowsEventLogSource
+    evs = []
+    for i in range(120):
+        body = "B" * 500 if i % 10 == 0 else f"payload {i}"
+        evs.append(f"<Event><System><EventID>{i % 7}</EventID>"
+                   f"<Seq>{i}</Seq></System>"
+                   f"<Data>{body}</Data></Event>")
+    root = tempfile.mkdtemp(prefix="winevt_")
+    src = ConsumeWindowsEventLogSource(root + "/spool",
+                                       channel="Security",
+                                       max_buffer=200)
+    n = src.drain(lambda ch, q: iter(evs))
+    assert n == 108 and src.dropped == 12, (n, src.dropped)
+    df = src.read(spark)
+    eid = F.expr("xpath_int(payload, '/Event/System/EventID/text()')")
+    seq = F.expr("xpath_int(payload, '/Event/System/Seq/text()')")
+    return (df.select(eid.alias("event_id"), seq.alias("i"))
+            .groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"))
+            .orderBy("event_id"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6030,6 +6124,8 @@ _NEW_THIS_ROUND = [
     "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
     "map_cache_wire", "get_splunk_incremental", "get_hbase_incremental",
     "put_riemann_events", "couchbase_ignite_kv", "put_slack_route",
+    "get_twitter_filtered", "yandex_translate_route",
+    "consume_winevt_landed",
 ]
 
 
@@ -6244,6 +6340,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "put_riemann_events": q_put_riemann_events,
         "couchbase_ignite_kv": q_couchbase_ignite_kv,
         "put_slack_route": q_put_slack_route,
+        "get_twitter_filtered": q_get_twitter_filtered,
+        "yandex_translate_route": q_yandex_translate_route,
+        "consume_winevt_landed": q_consume_winevt_landed,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8166,6 +8265,30 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "get_twitter_filtered": """
+WITH m AS (SELECT range AS i, 100 + range % 5 AS uid
+           FROM range(200)
+           WHERE range % 3 != 0
+             AND (range % 2 = 0 OR range % 5 = 2))
+SELECT uid, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i
+FROM m GROUP BY uid ORDER BY uid
+""",
+        "yandex_translate_route": """
+WITH m AS (SELECT range AS i,
+                  3 * (1 + length(range::VARCHAR)) + 2 + 8 AS clen,
+                  2 * (1 + length(range::VARCHAR)) + 1 + 8 AS nlen
+           FROM range(60))
+SELECT 'de' AS language, count(*) AS n,
+       CAST(sum(clen) AS BIGINT) AS sum_clen,
+       CAST(sum(nlen) AS BIGINT) AS sum_nlen
+FROM m GROUP BY 1 ORDER BY language
+""",
+        "consume_winevt_landed": """
+WITH m AS (SELECT range AS i, (range % 7)::INT AS event_id
+           FROM range(120) WHERE range % 10 != 0)
+SELECT event_id, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i
+FROM m GROUP BY event_id ORDER BY event_id
 """,
         "put_riemann_events": """
 WITH m AS (SELECT range AS i, 'svc' || (range % 4)::VARCHAR AS service,

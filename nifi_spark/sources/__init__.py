@@ -35,6 +35,10 @@ from nifi_spark.sources.riemann import (RiemannServer, decode_msg,
                                         encode_msg, put_riemann,
                                         riemann_loopback, row_to_event)
 from nifi_spark.sources.slack import (SlackWebhookServer, put_slack)
+from nifi_spark.sources.social import (ConsumeWindowsEventLogSource,
+                                       FakeTranslator, GetTwitterSource,
+                                       TwitterStreamServer,
+                                       yandex_translate)
 from nifi_spark.sources.hbase import (GetHBaseSource, HBaseTable,
                                       put_hbase_cell, put_hbase_json,
                                       serialize_row_json)
@@ -138,6 +142,8 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "RiemannServer", "decode_msg", "encode_msg", "put_riemann",
            "riemann_loopback", "row_to_event",
            "SlackWebhookServer", "put_slack",
+           "ConsumeWindowsEventLogSource", "FakeTranslator",
+           "GetTwitterSource", "TwitterStreamServer", "yandex_translate",
            "GetHBaseSource", "HBaseTable", "put_hbase_cell",
            "put_hbase_json", "serialize_row_json",
            "MapCacheClient", "PersistentMapCache", "SetCacheClient",
