@@ -4810,6 +4810,42 @@ def q_consume_winevt_landed(spark: SparkSession, sf_dir: str
             .orderBy("event_id"))
 
 
+def q_s2s_spark_receiver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NiFiReceiver/NiFiBolt analogs (sources/spark_receiver.py): 90
+    packets batch-send through the S2S wire in 9 bolt transactions,
+    the landed queue is served back out the same port, and the
+    receiver drains it into a DataFrame (confirm-before-store).
+    Aggregates over content+attributes replay arithmetically."""
+    from nifi_spark.sources.site_to_site import (S2SClient, S2SPort,
+                                                 loopback_serve)
+    from nifi_spark.sources.spark_receiver import (nifi_send_batches,
+                                                   nifi_spark_receive)
+    port = S2SPort("bridge")
+    inp, out, join = loopback_serve({"bridge": port})
+    client = S2SClient(inp, out, port_identifier="bridge")
+    items = [(f"m {i} {'z' * (i % 6)}".encode(),
+              {"grp": str(i % 4), "i": str(i)}) for i in range(90)]
+    n_tx = nifi_send_batches(client, items, batch_size=10)
+    client.shutdown()
+    join()
+    assert n_tx == 9 and len(port.received) == 90
+    port.to_send = list(port.received)
+    inp2, out2, join2 = loopback_serve({"bridge": port})
+    client2 = S2SClient(inp2, out2, port_identifier="bridge")
+    df = nifi_spark_receive(spark, client2)
+    client2.shutdown()
+    join2()
+    return (df.select(F.col("attributes")["grp"].cast("int")
+                      .alias("grp"),
+                      F.col("attributes")["i"].cast("long").alias("i"),
+                      F.length("content").alias("clen"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.sum("clen").cast("bigint").alias("sum_clen"))
+            .orderBy("grp"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6125,7 +6161,7 @@ _NEW_THIS_ROUND = [
     "map_cache_wire", "get_splunk_incremental", "get_hbase_incremental",
     "put_riemann_events", "couchbase_ignite_kv", "put_slack_route",
     "get_twitter_filtered", "yandex_translate_route",
-    "consume_winevt_landed",
+    "consume_winevt_landed", "s2s_spark_receiver",
 ]
 
 
@@ -6343,6 +6379,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_twitter_filtered": q_get_twitter_filtered,
         "yandex_translate_route": q_yandex_translate_route,
         "consume_winevt_landed": q_consume_winevt_landed,
+        "s2s_spark_receiver": q_s2s_spark_receiver,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8265,6 +8302,14 @@ WITH m AS (SELECT range AS i,
 SELECT etype, count(*) AS n, CAST(sum(rc) AS BIGINT) AS sum_rc,
        5 AS n_tx
 FROM m GROUP BY etype ORDER BY etype
+""",
+        "s2s_spark_receiver": """
+WITH m AS (SELECT range AS i, (range % 4)::INT AS grp,
+                  3 + length(range::VARCHAR) + (range % 6)::INT AS clen
+           FROM range(90))
+SELECT grp, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+       CAST(sum(clen) AS BIGINT) AS sum_clen
+FROM m GROUP BY grp ORDER BY grp
 """,
         "get_twitter_filtered": """
 WITH m AS (SELECT range AS i, 100 + range % 5 AS uid
