@@ -4846,6 +4846,113 @@ def q_s2s_spark_receiver(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("grp"))
 
 
+def q_dynamodb_batch_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Get/Put DynamoDB analogs (sources/dynamo.py — the JSON-1.0
+    wire with SigV4 verified server-side): 60 items batch-written,
+    then 72 keys probed in batches of 12 under a process_quota of 9 —
+    per request the first 9 keys resolve (found < 60, else not
+    found), the last 3 echo back as UnprocessedKeys → 'unprocessed'
+    (AbstractDynamoDBProcessor.java:67). Per-relationship aggregates
+    replay arithmetically."""
+    from nifi_spark.sources.dynamo import (DynamoClient, DynamoServer,
+                                           get_dynamodb, put_dynamodb)
+    server = DynamoServer()
+    server.create_table("docs", "pk", "sk")
+    client = DynamoClient(server.transport)
+    rows = [{"hash": f"h{i % 5}", "range": i,
+             "content": "d" + "x" * (i % 7)} for i in range(60)]
+    put_res = put_dynamodb(rows, client, table="docs", hash_key="pk",
+                           range_key="sk")
+    assert all(rel == "success" for _, rel, _ in put_res)
+    server.process_quota = 9
+    probes = [{"hash": f"h{i % 5}", "range": i} for i in range(72)]
+    got = get_dynamodb(probes, client, table="docs", hash_key="pk",
+                       range_key="sk", batch_size=12)
+    out = [(p["range"], rel,
+            len(a.get("content", "")) if rel == "success" else 0)
+           for p, rel, a in got]
+    df = spark.createDataFrame(out, "i long, rel string, clen int")
+    return (df.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.sum("clen").cast("bigint").alias("sum_clen"))
+            .orderBy("rel"))
+
+
+def q_kinesis_put_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutKinesisStream analog (sources/kinesis.py): 80 records
+    PutRecords-batched onto a 4-shard stream; the server places each
+    record on the shard whose hash range contains MD5(partition key)
+    (the documented contract), shard 2 is throttled → those records
+    route to failure with ProvisionedThroughputExceededException.
+    Per-shard aggregates replay in SQL via DuckDB's md5()."""
+    from nifi_spark.sources.kinesis import (AwsJsonClient,
+                                            KinesisServer,
+                                            put_kinesis_stream)
+    server = KinesisServer()
+    server.create_stream("events", n_shards=4)
+    server.throttled_shards = {2}
+    client = AwsJsonClient(server.transport, service="kinesis")
+    rows = [{"i": i, "content": f"ev {i} {'p' * (i % 5)}",
+             "kinesis.partition.key": f"k{i}"} for i in range(80)]
+    res = put_kinesis_stream(rows, client, stream="events")
+    out = [(row["i"],
+            a.get("aws.kinesis.shard.id", "throttled"),
+            len(row["content"])) for row, rel, a in res]
+    df = spark.createDataFrame(out, "i long, shard string, clen int")
+    return (df.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.sum("clen").cast("bigint").alias("sum_clen"))
+            .orderBy("shard"))
+
+
+def q_lambda_cloudwatch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutLambda + PutCloudWatchMetric analogs (sources/kinesis.py):
+    30 JSON payloads invoke a registered function that raises on
+    n%3==0 (→ X-Amz-Function-Error: Unhandled → failure route,
+    PutLambda.java) and squares n otherwise; the successes then emit
+    CloudWatch metric datums. Relationship aggregates + the metric
+    ledger replay arithmetically."""
+    import json as _json
+    from nifi_spark.sources.kinesis import (AwsJsonClient,
+                                            KinesisServer,
+                                            put_cloudwatch_metric,
+                                            put_lambda)
+    server = KinesisServer()
+
+    def fn(payload: bytes) -> bytes:
+        n = _json.loads(payload)["n"]
+        if n % 3 == 0:
+            raise ValueError(f"bad n {n}")
+        return _json.dumps({"y": n * n}).encode()
+
+    server.register_function("score", fn)
+    lam = AwsJsonClient(server.transport, service="lambda")
+    cw = AwsJsonClient(server.transport, service="monitoring")
+    rows = [{"n": i, "content": _json.dumps({"n": i})}
+            for i in range(30)]
+    res = put_lambda(rows, lam, function_name="score")
+    ok_rows = [row for row, rel, _ in res if rel == "success"]
+    cw_res = put_cloudwatch_metric(ok_rows, cw, namespace="nifi_spark",
+                                   metric_name="score",
+                                   value=lambda r: r["n"])
+    assert all(rel == "success" for _, rel, _ in cw_res)
+    out = [(row["n"], rel,
+            _json.loads(a["aws.lambda.result.payload"])["y"]
+            if rel == "success" else 0) for row, rel, a in res]
+    df = spark.createDataFrame(out, "n long, rel string, y long")
+    n_metrics = len(server.metrics)
+    sum_metric = int(sum(m["value"] for m in server.metrics))
+    return (df.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("y").cast("bigint").alias("sum_y"))
+            .withColumn("n_metrics", F.lit(n_metrics).cast("int"))
+            .withColumn("sum_metric",
+                        F.lit(sum_metric).cast("bigint"))
+            .orderBy("rel"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6162,6 +6269,8 @@ _NEW_THIS_ROUND = [
     "put_riemann_events", "couchbase_ignite_kv", "put_slack_route",
     "get_twitter_filtered", "yandex_translate_route",
     "consume_winevt_landed", "s2s_spark_receiver",
+    "dynamodb_batch_ops", "kinesis_put_records",
+    "lambda_cloudwatch_route",
 ]
 
 
@@ -6380,6 +6489,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yandex_translate_route": q_yandex_translate_route,
         "consume_winevt_landed": q_consume_winevt_landed,
         "s2s_spark_receiver": q_s2s_spark_receiver,
+        "dynamodb_batch_ops": q_dynamodb_batch_ops,
+        "kinesis_put_records": q_kinesis_put_records,
+        "lambda_cloudwatch_route": q_lambda_cloudwatch_route,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8310,6 +8422,49 @@ WITH m AS (SELECT range AS i, (range % 4)::INT AS grp,
 SELECT grp, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
        CAST(sum(clen) AS BIGINT) AS sum_clen
 FROM m GROUP BY grp ORDER BY grp
+""",
+        "dynamodb_batch_ops": """
+WITH m AS (SELECT range AS i,
+                  CASE WHEN range % 12 >= 9 THEN 'unprocessed'
+                       WHEN range < 60 THEN 'success'
+                       ELSE 'not found' END AS rel,
+                  CASE WHEN range % 12 < 9 AND range < 60
+                       THEN 1 + (range % 7)::INT ELSE 0 END AS clen
+           FROM range(72))
+SELECT rel, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+       CAST(sum(clen) AS BIGINT) AS sum_clen
+FROM m GROUP BY rel ORDER BY rel
+""",
+        "kinesis_put_records": """
+WITH m AS (SELECT range AS i,
+                  (strpos('0123456789abcdef',
+                          substr(md5('k' || range), 1, 1)) - 1) // 4
+                      AS shard_n,
+                  4 + length(range::VARCHAR) + (range % 5)::INT AS clen
+           FROM range(80)),
+     lab AS (SELECT i, clen,
+                    CASE WHEN shard_n = 2 THEN 'throttled'
+                         ELSE 'shardId-' ||
+                              lpad(shard_n::VARCHAR, 12, '0')
+                    END AS shard
+             FROM m)
+SELECT shard, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+       CAST(sum(clen) AS BIGINT) AS sum_clen
+FROM lab GROUP BY shard ORDER BY shard
+""",
+        "lambda_cloudwatch_route": """
+WITH m AS (SELECT range AS i,
+                  CASE WHEN range % 3 = 0 THEN 'failure'
+                       ELSE 'success' END AS rel,
+                  CASE WHEN range % 3 = 0 THEN 0
+                       ELSE range * range END AS y
+           FROM range(30))
+SELECT rel, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
+       (SELECT count(*) FROM m WHERE rel = 'success')::INT
+           AS n_metrics,
+       CAST((SELECT sum(i) FROM m WHERE rel = 'success') AS BIGINT)
+           AS sum_metric
+FROM m GROUP BY rel ORDER BY rel
 """,
         "get_twitter_filtered": """
 WITH m AS (SELECT range AS i, 100 + range % 5 AS uid
