@@ -4953,6 +4953,41 @@ def q_lambda_cloudwatch_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rel"))
 
 
+def q_hadoop_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CreateHadoopSequenceFile / GetHDFSSequenceFile analogs
+    (operators/seqfile.py — the version-6 on-disk format from the
+    public layout: VInt class names, sync markers, DEFLATE record and
+    block compression): 36 files pack into 3 per-group SequenceFiles,
+    each group under a DIFFERENT compression mode (none / record /
+    block), then explode back through the real decoder. Per-group
+    aggregates of keys, basenames, and payload lengths replay
+    arithmetically."""
+    from nifi_spark.operators.seqfile import (
+        create_hadoop_sequence_file, get_hdfs_sequence_file)
+    rows = [(f"g{i % 3}", f"dir/f{i}.txt",
+             f"c{i}" + "y" * (i % 5)) for i in range(36)]
+    df = spark.createDataFrame(
+        rows, "grp string, filename string, content string")
+    comp_for = {"g0": "none", "g1": "record", "g2": "block"}
+    packed = None
+    for g, comp in comp_for.items():
+        p = create_hadoop_sequence_file(
+            df.filter(F.col("grp") == g), group_col="grp",
+            compression=comp)
+        packed = p if packed is None else packed.unionByName(p)
+    unpacked = get_hdfs_sequence_file(packed, keep_cols=["grp"])
+    return (unpacked
+            .select("grp", F.length("key").alias("klen"),
+                    F.length("filename").alias("flen"),
+                    F.length("value").alias("vlen"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("klen").cast("bigint").alias("sum_klen"),
+                 F.sum("flen").cast("bigint").alias("sum_flen"),
+                 F.sum("vlen").cast("bigint").alias("sum_vlen"))
+            .orderBy("grp"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6270,7 +6305,7 @@ _NEW_THIS_ROUND = [
     "get_twitter_filtered", "yandex_translate_route",
     "consume_winevt_landed", "s2s_spark_receiver",
     "dynamodb_batch_ops", "kinesis_put_records",
-    "lambda_cloudwatch_route",
+    "lambda_cloudwatch_route", "hadoop_seqfile_roundtrip",
 ]
 
 
@@ -6492,6 +6527,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamodb_batch_ops": q_dynamodb_batch_ops,
         "kinesis_put_records": q_kinesis_put_records,
         "lambda_cloudwatch_route": q_lambda_cloudwatch_route,
+        "hadoop_seqfile_roundtrip": q_hadoop_seqfile_roundtrip,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8465,6 +8501,18 @@ SELECT rel, count(*) AS n, CAST(sum(y) AS BIGINT) AS sum_y,
        CAST((SELECT sum(i) FROM m WHERE rel = 'success') AS BIGINT)
            AS sum_metric
 FROM m GROUP BY rel ORDER BY rel
+""",
+        "hadoop_seqfile_roundtrip": """
+WITH m AS (SELECT range AS i, 'g' || (range % 3) AS grp,
+                  9 + length(range::VARCHAR) AS klen,
+                  5 + length(range::VARCHAR) AS flen,
+                  1 + length(range::VARCHAR) + (range % 5)::INT AS vlen
+           FROM range(36))
+SELECT grp, count(*) AS n,
+       CAST(sum(klen) AS BIGINT) AS sum_klen,
+       CAST(sum(flen) AS BIGINT) AS sum_flen,
+       CAST(sum(vlen) AS BIGINT) AS sum_vlen
+FROM m GROUP BY grp ORDER BY grp
 """,
         "get_twitter_filtered": """
 WITH m AS (SELECT range AS i, 100 + range % 5 AS uid
