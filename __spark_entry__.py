@@ -4988,6 +4988,74 @@ def q_hadoop_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("grp"))
 
 
+def q_http_web_service(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HandleHttpRequest + HandleHttpResponse pairing
+    (sources/http_listen.py HttpContextMap — the reference's
+    StandardHttpContextMap park-then-complete web-service contract):
+    60 requests (alternating GET/POST) park WITHOUT a response, then
+    HandleHttpResponse completes each by its http.context.identifier
+    (GET→200, POST→201, echo body). Per-method aggregates of the
+    request surface + completed statuses replay arithmetically."""
+    from nifi_spark.sources.http_listen import (HttpContextMap,
+                                                handle_http_requests,
+                                                handle_http_response,
+                                                requests_feed)
+    chunks = []
+    for i in range(60):
+        if i % 2 == 0:
+            chunks.append(f"GET /api/r{i}?q={i} HTTP/1.1\r\n"
+                          f"Host: h\r\n\r\n".encode())
+        else:
+            body = f"body {i}".encode()
+            chunks.append(f"POST /api/r{i} HTTP/1.1\r\nHost: h\r\n"
+                          f"Content-Length: {len(body)}\r\n\r\n"
+                          .encode() + body)
+    ctx = HttpContextMap()
+    sent: list[bytes] = []
+    rows = handle_http_requests(requests_feed(b"".join(chunks)),
+                                sent.append, ctx)
+    assert len(rows) == 60 and not sent and ctx.outstanding() == 60
+    res = handle_http_response(
+        rows, ctx,
+        status_code=lambda r: 200 if r["http.method"] == "GET"
+        else 201)
+    assert all(rel == "success" for _, rel in res)
+    assert ctx.outstanding() == 0
+    status_by_cid = dict(ctx.completed)
+    out = [(r["http.method"], len(r["http.request.uri"]),
+            len(r["content"]),
+            status_by_cid[r["http.context.identifier"]])
+           for r in rows]
+    df = spark.createDataFrame(
+        out, "method string, ulen int, blen int, status int")
+    return (df.groupBy("method")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("ulen").cast("bigint").alias("sum_ulen"),
+                 F.sum("blen").cast("bigint").alias("sum_blen"),
+                 F.sum("status").cast("bigint").alias("sum_status"))
+            .orderBy("method"))
+
+
+def q_debug_flow_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DebugFlow analog (operators/routing.py debug_flow — iteration
+    cycling as a zero-shuffle arithmetic route over the lsn ordinal,
+    template-compilable): 100 rows through a 3/2/1/1 cycle.
+    Relationship totals replay arithmetically."""
+    from nifi_spark.operators import debug_flow
+    df = spark.range(100).withColumnRenamed("id", "lsn")
+    routes = debug_flow(df, order_col="lsn", success_iterations=3,
+                        failure_iterations=2, rollback_iterations=1,
+                        exception_iterations=1)
+    tagged = None
+    for rel, part in routes.items():
+        p = part.withColumn("rel", F.lit(rel))
+        tagged = p if tagged is None else tagged.unionByName(p)
+    return (tagged.groupBy("rel")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("lsn").cast("bigint").alias("sum_lsn"))
+            .orderBy("rel"))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6306,6 +6374,7 @@ _NEW_THIS_ROUND = [
     "consume_winevt_landed", "s2s_spark_receiver",
     "dynamodb_batch_ops", "kinesis_put_records",
     "lambda_cloudwatch_route", "hadoop_seqfile_roundtrip",
+    "http_web_service", "debug_flow_cycle",
 ]
 
 
@@ -6528,6 +6597,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kinesis_put_records": q_kinesis_put_records,
         "lambda_cloudwatch_route": q_lambda_cloudwatch_route,
         "hadoop_seqfile_roundtrip": q_hadoop_seqfile_roundtrip,
+        "http_web_service": q_http_web_service,
+        "debug_flow_cycle": q_debug_flow_cycle,
         "s3_list_fetch": q_s3_list_fetch,
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
@@ -8513,6 +8584,32 @@ SELECT grp, count(*) AS n,
        CAST(sum(flen) AS BIGINT) AS sum_flen,
        CAST(sum(vlen) AS BIGINT) AS sum_vlen
 FROM m GROUP BY grp ORDER BY grp
+""",
+        "http_web_service": """
+WITH m AS (SELECT range AS i,
+                  CASE WHEN range % 2 = 0 THEN 'GET' ELSE 'POST' END
+                      AS method,
+                  6 + length(range::VARCHAR) AS ulen,
+                  CASE WHEN range % 2 = 0 THEN 0
+                       ELSE 5 + length(range::VARCHAR) END AS blen,
+                  CASE WHEN range % 2 = 0 THEN 200 ELSE 201 END
+                      AS status
+           FROM range(60))
+SELECT method, count(*) AS n,
+       CAST(sum(ulen) AS BIGINT) AS sum_ulen,
+       CAST(sum(blen) AS BIGINT) AS sum_blen,
+       CAST(sum(status) AS BIGINT) AS sum_status
+FROM m GROUP BY method ORDER BY method
+""",
+        "debug_flow_cycle": """
+WITH m AS (SELECT range AS lsn,
+                  CASE WHEN range % 7 < 3 THEN 'success'
+                       WHEN range % 7 < 5 THEN 'failure'
+                       WHEN range % 7 < 6 THEN 'rollback'
+                       ELSE 'exception' END AS rel
+           FROM range(100))
+SELECT rel, count(*) AS n, CAST(sum(lsn) AS BIGINT) AS sum_lsn
+FROM m GROUP BY rel ORDER BY rel
 """,
         "get_twitter_filtered": """
 WITH m AS (SELECT range AS i, 100 + range % 5 AS uid

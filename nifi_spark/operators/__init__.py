@@ -7,7 +7,8 @@ processor/Processor.java:50-89, Relationship.java:23) while leaving the
 physical plan entirely to Catalyst.
 """
 
-from nifi_spark.operators.routing import (fetch_map_cache, put_map_cache,
+from nifi_spark.operators.routing import (debug_flow,
+                                          fetch_map_cache, put_map_cache,
                                           route_on_attribute,
                                           route_on_content, route_tag,
                                           route_text, scan_attribute,
@@ -76,7 +77,7 @@ from nifi_spark.operators.xml_split_depth import split_xml_depth
 
 __all__ = [
     "route_on_attribute", "route_on_content", "route_tag", "route_text",
-    "scan_attribute", "scan_content",
+    "debug_flow", "scan_attribute", "scan_content",
     "fetch_map_cache", "put_map_cache",
     "attributes_to_json", "global_sequence", "hash_attribute",
     "hash_content", "stateful_counter", "update_columns",

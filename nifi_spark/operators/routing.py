@@ -169,3 +169,41 @@ def scan_content(df: DataFrame, content_col: str, dictionary: DataFrame,
     out = (staged.withColumn(out_col, hits)
            .withColumn("matched", F.size(F.col(out_col)) > 0))
     return out.drop("_toks") if mode == "token" else out
+
+
+def debug_flow(df: DataFrame, *, order_col: str,
+               success_iterations: int = 1,
+               failure_iterations: int = 0,
+               rollback_iterations: int = 0,
+               exception_iterations: int = 0) -> dict[str, DataFrame]:
+    """DebugFlow analog (standard/DebugFlow.java — the reference's
+    flow-testing processor cycles each incoming FlowFile through
+    success → failure → rollback → exception relationships by its
+    per-processor iteration counters).
+
+    Batch analog: the row's position in the cycle is computed
+    ARITHMETICALLY from `order_col`, which must be an integral
+    ordinal (lsn, event id) — ``pos = order_col % cycle`` — so the
+    route is a zero-shuffle codegen projection, not a global window
+    (the same design rule as distribute_load/control_rate).
+    'rollback' rows are the batch analog of session.rollback(): the
+    caller re-feeds them next run. 'exception' rows model the
+    configured throw — returned as a route so a driver can assert or
+    raise on them deterministically.
+    """
+    spec = [("success", success_iterations),
+            ("failure", failure_iterations),
+            ("rollback", rollback_iterations),
+            ("exception", exception_iterations)]
+    cycle = sum(n for _, n in spec)
+    if cycle <= 0:
+        raise ValueError("debug_flow needs a positive iteration cycle")
+    pos = F.col(order_col).cast("long") % F.lit(cycle)
+    out: dict[str, DataFrame] = {}
+    lo = 0
+    for name, n in spec:
+        if n <= 0:
+            continue
+        out[name] = df.filter((pos >= lo) & (pos < lo + n))
+        lo += n
+    return out

@@ -577,6 +577,27 @@ def _build_stage(proc: TProcessor, content_col: str,
                                                       id_cols=ids)}
         return fn
 
+    if proc.ptype == "DebugFlow":
+        # DebugFlow.java — iteration-counter relationship cycling;
+        # the batch analog derives cycle position from an ordinal
+        # column (default lsn), zero-shuffle
+        order = p.get("Order Column", "lsn")
+        iters = {rel: int(p.get(f"FlowFile {label} Iterations", d))
+                 for rel, label, d in
+                 [("success", "Success", "1"),
+                  ("failure", "Failure", "0"),
+                  ("rollback", "Rollback", "0"),
+                  ("exception", "Exception", "0")]}
+
+        def fn(*dfs):
+            from nifi_spark.operators import debug_flow
+            return debug_flow(_union(list(dfs)), order_col=order,
+                              success_iterations=iters["success"],
+                              failure_iterations=iters["failure"],
+                              rollback_iterations=iters["rollback"],
+                              exception_iterations=iters["exception"])
+        return fn
+
     if proc.ptype in ("ExecuteScript", "InvokeScriptedProcessor"):
         from nifi_spark.plans.scripted import compile_script_properties
         sp = compile_script_properties(p, script_resolver=script_resolver)

@@ -382,3 +382,60 @@ def test_reference_exported_template_loads_and_runs(spark):
     assert any(k.startswith("ExtractText") for k in out)
     even = next(v for k, v in out.items() if "data is even" in k)
     assert even.count() >= 0          # runnable DataFrame, not a stub
+
+
+DEBUG_TEMPLATE = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<template>
+  <name>debug-cycle</name>
+  <snippet>
+    <processors>
+      <id>p-src</id><name>gen</name>
+      <type>org.apache.nifi.processors.standard.GenerateFlowFile</type>
+      <config><properties/></config>
+    </processors>
+    <processors>
+      <id>p-dbg</id><name>debugger</name>
+      <type>org.apache.nifi.processors.standard.DebugFlow</type>
+      <config><properties>
+        <entry><key>FlowFile Success Iterations</key><value>3</value></entry>
+        <entry><key>FlowFile Failure Iterations</key><value>2</value></entry>
+        <entry><key>FlowFile Rollback Iterations</key><value>1</value></entry>
+        <entry><key>FlowFile Exception Iterations</key><value>1</value></entry>
+      </properties></config>
+    </processors>
+    <connections>
+      <id>c1</id>
+      <source><id>p-src</id><type>PROCESSOR</type></source>
+      <destination><id>p-dbg</id><type>PROCESSOR</type></destination>
+    </connections>
+  </snippet>
+</template>
+"""
+
+
+def test_debug_flow_cycles_relationships(spark):
+    from nifi_spark.operators import debug_flow
+    df = spark.range(70).withColumnRenamed("id", "lsn")
+    out = debug_flow(df, order_col="lsn", success_iterations=3,
+                     failure_iterations=2, rollback_iterations=1,
+                     exception_iterations=1)
+    counts = {k: v.count() for k, v in out.items()}
+    assert counts == {"success": 30, "failure": 20,
+                      "rollback": 10, "exception": 10}
+    # position within the cycle, not arrival order, decides the route
+    assert {r.lsn for r in out["rollback"].limit(3).collect()} <= \
+        {5, 12, 19, 26, 33, 40, 47, 54, 61, 68}
+    with pytest.raises(ValueError, match="cycle"):
+        debug_flow(df, order_col="lsn", success_iterations=0)
+
+
+def test_debug_flow_template_compiles(spark):
+    from nifi_spark.plans import load_template
+    src = spark.range(14).withColumnRenamed("id", "lsn") \
+        .withColumn("content", F.lit("x"))
+    flow = load_template(DEBUG_TEMPLATE, sources={"gen": src})
+    out = flow.run()
+    assert out["debugger.success"].count() == 6
+    assert out["debugger.failure"].count() == 4
+    assert out["debugger.rollback"].count() == 2
+    assert out["debugger.exception"].count() == 2

@@ -88,3 +88,63 @@ def test_spool_and_flowfile_v3_unpack(spark, tmp_path):
     got = sorted((r.attributes["name"], bytes(r.content).decode())
                  for r in un.collect())
     assert got == [("a", "first payload"), ("b", "second payload")]
+
+
+# ------------------ HandleHttpRequest / HandleHttpResponse pairing
+
+
+def _web_service(raw: bytes, ctx=None, **kw):
+    from nifi_spark.sources.http_listen import (HttpContextMap,
+                                                handle_http_requests)
+    ctx = ctx or HttpContextMap()
+    out: list[bytes] = []
+    rows = handle_http_requests(requests_feed(raw), out.append,
+                                ctx, **kw)
+    return ctx, rows, out
+
+
+def test_web_service_roundtrip():
+    from nifi_spark.sources.http_listen import handle_http_response
+    raw = (b"GET /api/a?q=1 HTTP/1.1\r\nHost: h\r\n\r\n"
+           b"POST /api/b HTTP/1.1\r\nContent-Length: 3\r\n"
+           b"Connection: close\r\n\r\nxyz")
+    ctx, rows, out = _web_service(raw)
+    # no response written yet (parked in the context map)
+    assert b"".join(out) == b""
+    assert ctx.outstanding() == 2
+    assert rows[0]["http.method"] == "GET"
+    assert rows[0]["http.request.uri"] == "/api/a"
+    assert rows[0]["http.query.string"] == "q=1"
+    assert rows[1]["content"] == b"xyz"
+    res = handle_http_response(
+        rows, ctx, status_code=200,
+        body=lambda r: f"echo:{r['http.request.uri']}")
+    assert [rel for _, rel in res] == ["success", "success"]
+    reply = b"".join(out).decode("latin-1")
+    assert "echo:/api/a" in reply and "echo:/api/b" in reply
+    assert ctx.outstanding() == 0
+    assert [c for _, c in ctx.completed] == [200, 200]
+
+
+def test_web_service_failure_routes():
+    from nifi_spark.sources.http_listen import (HttpContextMap,
+                                                handle_http_response)
+    ctx = HttpContextMap()
+    rows = [{"content": b""},                                # no id
+            {"http.context.identifier": "ctx-99999999"},     # unknown
+            {"http.context.identifier": "x", "sc": "NaN"}]
+    res = handle_http_response(rows[:2], ctx, status_code=200)
+    assert [rel for _, rel in res] == ["failure", "failure"]
+    res = handle_http_response(rows[2:], ctx,
+                               status_code=lambda r: r["sc"])
+    assert res[0][1] == "failure"
+
+
+def test_web_service_backpressure_503():
+    from nifi_spark.sources.http_listen import HttpContextMap
+    ctx = HttpContextMap(max_outstanding=1)
+    raw = (b"GET /a HTTP/1.1\r\nHost: h\r\n\r\n"
+           b"GET /b HTTP/1.1\r\nHost: h\r\n\r\n")
+    ctx, rows, out = _web_service(raw, ctx=ctx)
+    assert len(rows) == 1
+    assert b"503 Service Unavailable" in b"".join(out)
