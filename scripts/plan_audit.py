@@ -355,6 +355,22 @@ def main():
                     "zero-exchange maps; the merged-stream pack is exactly "
                     "one group-keyed exchange (the MergeContent bin shape)"))
 
+    # ---- 2j. SequenceFile pack/unpack: same shuffle discipline ----------
+    from nifi_spark.operators.seqfile import (create_hadoop_sequence_file,
+                                              get_hdfs_sequence_file)
+    sf_src = docs_small.selectExpr("CAST(doc_id % 5 AS STRING) AS grp",
+                                   "CAST(doc_id AS STRING) AS filename",
+                                   "text AS content")
+    packed = create_hadoop_sequence_file(sf_src, group_col="grp",
+                                         compression="block")
+    p = plan_of(packed)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    p = plan_of(get_hdfs_sequence_file(packed, keep_cols=["grp"]))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p  # pack's only
+    results.append(("seqfile pack/unpack", "SequenceFile pack is exactly "
+                    "one group-keyed exchange; the record explode adds "
+                    "NO exchange (linear mapInPandas over the blobs)"))
+
     # ---- geo enrich: broadcast equi range-join, no nested loop ---------
     import __spark_entry__ as E
     sf = "/root/testdata/sf0.01"
