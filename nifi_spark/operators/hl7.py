@@ -642,9 +642,140 @@ def _hl7_unescape(text: str) -> str:
     return text
 
 
+# HL7 v2.3 field (name, type) dictionary for the segments the
+# reference's TestExtractHL7Attributes exercises — the subset of
+# HAPI's v2.3 schema that use-segment-names mode needs. Names are the
+# published v2.3 long names; the attribute form is derived exactly as
+# ExtractHL7Attributes.java:286 does (WordUtils.capitalize +
+# strip \W+), see `_java_field_name`.
+_V23_FIELDS: dict[str, list[tuple[str, str]]] = {
+    "MSH": [
+        ("Field Separator", "ST"), ("Encoding Characters", "ST"),
+        ("Sending Application", "HD"), ("Sending Facility", "HD"),
+        ("Receiving Application", "HD"), ("Receiving Facility", "HD"),
+        ("Date / Time Of Message", "TS"), ("Security", "ST"),
+        ("Message Type", "CM_MSG"), ("Message Control ID", "ST"),
+        ("Processing ID", "PT"), ("Version ID", "ID"),
+        ("Sequence Number", "NM"), ("Continuation Pointer", "ST"),
+        ("Accept Acknowledgement Type", "ID"),
+        ("Application Acknowledgement Type", "ID"),
+        ("Country Code", "ID"), ("Character Set", "ID"),
+        ("Principal Language Of Message", "CE"),
+    ],
+    "PID": [
+        ("Set ID - Patient ID", "SI"),
+        ("Patient ID (External ID)", "CX"),
+        ("Patient ID (Internal ID)", "CX"),
+        ("Alternate Patient ID", "CX"), ("Patient Name", "XPN"),
+        ("Mother's Maiden Name", "XPN"), ("Date of Birth", "TS"),
+        ("Sex", "IS"), ("Patient Alias", "XPN"), ("Race", "IS"),
+        ("Patient Address", "XAD"), ("County Code", "IS"),
+        ("Phone Number - Home", "XTN"),
+        ("Phone Number - Business", "XTN"),
+        ("Primary Language", "CE"), ("Marital Status", "IS"),
+        ("Religion", "IS"), ("Patient Account Number", "CX"),
+        ("SSN Number - Patient", "ST"),
+        ("Driver's License Number", "DLN"),
+        ("Mother's Identifier", "CX"), ("Ethnic Group", "IS"),
+        ("Birth Place", "ST"), ("Multiple Birth Indicator", "ID"),
+        ("Birth Order", "NM"), ("Citizenship", "IS"),
+        ("Veterans Military Status", "CE"), ("Nationality", "CE"),
+        ("Patient Death Date and Time", "TS"),
+        ("Patient Death Indicator", "ID"),
+    ],
+    "PD1": [
+        ("Living Dependency", "IS"), ("Living Arrangement", "IS"),
+        ("Patient Primary Facility", "XON"),
+        ("Patient Primary Care Provider Name & ID No.", "XCN"),
+        ("Student Indicator", "IS"), ("Handicap", "IS"),
+        ("Living Will", "IS"), ("Organ Donor", "IS"),
+        ("Separate Bill", "ID"), ("Duplicate Patient", "CX"),
+        ("Publicity Indicator", "CE"), ("Protection Indicator", "ID"),
+    ],
+    "ORC": [
+        ("Order Control", "ID"), ("Placer Order Number", "EI"),
+        ("Filler Order Number", "EI"), ("Placer Group Number", "EI"),
+        ("Order Status", "ID"), ("Response Flag", "ID"),
+        ("Quantity/Timing", "TQ"), ("Parent", "CM_EIP"),
+        ("Date/Time of Transaction", "TS"), ("Entered By", "XCN"),
+        ("Verified By", "XCN"), ("Ordering Provider", "XCN"),
+        ("Enterer's Location", "PL"),
+        ("Call Back Phone Number", "XTN"),
+        ("Order Effective Date/Time", "TS"),
+        ("Order Control Code Reason", "CE"),
+        ("Entering Organization", "CE"), ("Entering Device", "CE"),
+        ("Action By", "XCN"),
+    ],
+    "OBR": [
+        ("Set ID - Observation Request", "SI"),
+        ("Placer Order Number", "EI"), ("Filler Order Number", "EI"),
+        ("Universal Service Identifier", "CE"), ("Priority", "ID"),
+        ("Requested Date/Time", "TS"), ("Observation Date/Time", "TS"),
+        ("Observation End Date/Time", "TS"),
+        ("Collection Volume", "CQ"), ("Collector Identifier", "XCN"),
+        ("Specimen Action Code", "ID"), ("Danger Code", "CE"),
+        ("Relevant Clinical Information", "ST"),
+        ("Specimen Received Date/Time", "TS"),
+        ("Specimen Source", "CM_SPS"), ("Ordering Provider", "XCN"),
+        ("Order Callback Phone Number", "XTN"),
+        ("Placer Field 1", "ST"), ("Placer Field 2", "ST"),
+        ("Filler Field 1", "ST"), ("Filler Field 2", "ST"),
+        ("Results Rpt/Status Chng - Date/Time", "TS"),
+        ("Charge To Practice", "CM_MOC"),
+        ("Diagnostic Serv Sect ID", "ID"), ("Result Status", "ID"),
+        ("Parent Result", "CM_PRL"), ("Quantity/Timing", "TQ"),
+        ("Result Copies To", "XCN"), ("Parent Number", "CM_EIP"),
+        ("Transportation Mode", "ID"), ("Reason For Study", "CE"),
+        ("Principal Result Interpreter", "CM_NDL"),
+        ("Assistant Result Interpreter", "CM_NDL"),
+        ("Technician", "CM_NDL"), ("Transcriptionist", "CM_NDL"),
+        ("Scheduled Date/Time", "TS"),
+        ("Number Of Sample Containers", "NM"),
+        ("Transport Logistics Of Collected Sample", "CE"),
+        ("Collector's Comment", "CE"),
+        ("Transport Arrangement Responsibility", "CE"),
+        ("Transport Arranged", "ID"), ("Escort Required", "ID"),
+        ("Planned Patient Transport Comment", "CE"),
+    ],
+    "OBX": [
+        ("Set ID - OBX", "SI"), ("Value Type", "ID"),
+        ("Observation Identifier", "CE"),
+        ("Observation Sub-ID", "ST"), ("Observation Value", "varies"),
+        ("Units", "CE"), ("References Range", "ST"),
+        ("Abnormal Flags", "ID"), ("Probability", "NM"),
+        ("Nature of Abnormal Test", "ID"),
+        ("Observ Result Status", "ID"),
+        ("Date Last Obs Normal Values", "TS"),
+        ("User Defined Access Checks", "ST"),
+        ("Date/Time of the Observation", "TS"),
+        ("Producer's ID", "CE"), ("Responsible Observer", "XCN"),
+        ("Observation Method", "CE"),
+    ],
+}
+
+# types whose fields are never component-split in use-segment-names
+# mode: HL7 primitives plus the reference's explicit isTimestamp
+# suppression (ExtractHL7Attributes.java:328-332 — TS/DT/TM) and
+# OBX-5's Varies wrapper (a Varies is not a HAPI Composite).
+_HL7_PRIMITIVES = {"ST", "ID", "IS", "NM", "SI", "TX", "FT",
+                   "DT", "TM", "TS", "varies"}
+
+
+def _java_field_name(raw: str) -> str:
+    """WordUtils.capitalize(name).replaceAll("\\\\W+", "") — capitalize
+    the first letter of each whitespace-delimited word, then strip
+    every non-word character ('Set ID - OBX' → 'SetIDOBX')."""
+    cap = " ".join(w[0].upper() + w[1:] if w else w
+                   for w in raw.split(" "))
+    return re.sub(r"\W+", "", cap)
+
+
 def extract_hl7_attributes(df: DataFrame, content_col: str,
                            id_cols: "list[str] | None" = None,
-                           parse_fields: bool = True) -> DataFrame:
+                           parse_fields: bool = True,
+                           use_segment_names: bool = False,
+                           group_repeating: "set[str] | None" = None
+                           ) -> DataFrame:
     """ExtractHL7Attributes analog (ExtractHL7Attributes.java:205-330):
     one row per attribute, named ``SEG.i`` (repeating segments
     ``SEG_n.i``, n = 1-based occurrence), components ``SEG.i.j`` when
@@ -652,13 +783,32 @@ def extract_hl7_attributes(df: DataFrame, content_col: str,
     (\\F\\ → | etc.), empty fields skipped. Long format instead of the
     reference's per-FlowFile attribute map — the map varies per message,
     which a DataFrame can't type; pivot downstream if a wide shape is
-    needed. Declared boundary: the reference's use-segment-names mode
-    and its timestamp-component suppression read HAPI's HL7 schema
-    dictionary (field/datatype names), which a from-scratch engine
-    doesn't carry — attribute names here are always numeric.
+    needed.
+
+    `use_segment_names=True` is the reference's USE_SEGMENT_NAMES mode
+    (ExtractHL7Attributes.java:280-292): field names come from the HL7
+    v2.3 dictionary (`_V23_FIELDS`, WordUtils.capitalize + \\W+ strip,
+    e.g. ``PID.PatientName``); with `parse_fields`, composite-typed
+    fields split STRUCTURALLY into ``SEG.FieldName.TYPE.j`` (CM_* types
+    shorten to CM exactly like the reference's CM_MSG special case,
+    java:311-313), while primitive/TS/DT/TM-typed fields stay whole
+    (the isTimestamp suppression, java:328-332) — even a composite with
+    no separators emits its ``.1`` component, because the reference
+    iterates Composite.getComponents(), not text. Segments absent from
+    the dictionary fall back to numeric names.
+
+    `group_repeating` marks segments that sit inside a repeating group
+    of the message structure, so they get the ``_n`` suffix even with
+    one occurrence — the reference derives this from HAPI's parsed
+    group tree (isRepeating, java:334-345), e.g. ORC/OBR/OBX in
+    ORU_R01; a structure-less parser needs it declared. Segments
+    occurring more than once are suffixed regardless.
+
     Parse failures keep their id columns with attr_name='<parse_error>'.
     """
     id_cols = id_cols or []
+    group_rep = group_repeating or set()
+    seg_names = dict(_V23_FIELDS) if use_segment_names else {}
     cols = df.select(*id_cols, content_col)
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
@@ -682,13 +832,38 @@ def extract_hl7_attributes(df: DataFrame, content_col: str,
                 for seg in msg.segments:
                     occurrence[seg.name] = occurrence.get(seg.name, 0) + 1
                     key = (f"{seg.name}_{occurrence[seg.name]}"
-                           if counts[seg.name] > 1 else seg.name)
+                           if (counts[seg.name] > 1
+                               or seg.name in group_rep) else seg.name)
+                    table = seg_names.get(seg.name)
                     for i, slot in enumerate(seg.fields, start=1):
                         # the reference reads getField(i, 0) — FIRST
                         # repetition only (ExtractHL7Attributes.java:281)
                         first = slot[0] if isinstance(slot, list) else slot
                         val = first.value or ""
                         if not val:
+                            continue
+                        if table is not None and i <= len(table):
+                            raw_name, ftype = table[i - 1]
+                            fname = _java_field_name(raw_name)
+                            fk = f"{key}.{fname}"
+                            if (parse_fields
+                                    and ftype not in _HL7_PRIMITIVES):
+                                label = ("CM" if ftype.startswith("CM")
+                                         else ftype)
+                                comps = (first.components
+                                         if first.components else [first])
+                                for j, comp in enumerate(comps, start=1):
+                                    if comp.value:
+                                        rows.append((
+                                            *ids, f"{fk}.{label}.{j}",
+                                            _hl7_unescape(comp.value)))
+                            else:
+                                rows.append((*ids, fk,
+                                             _hl7_unescape(val)))
+                            continue
+                        if table is not None:
+                            # beyond the v2.3 schema width — the
+                            # reference iterates only numFields()
                             continue
                         fk = f"{key}.{i}"
                         if parse_fields and first.components:

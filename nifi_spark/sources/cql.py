@@ -19,9 +19,14 @@ Value types cover the connector surface: int (0x0009), bigint
 big-endian per spec. The in-process `CqlServer` holds tables in
 memory and evaluates a small CQL SELECT subset (projection, WHERE
 with =/</<=/>/>=/!= conjunctions, LIMIT) — enough to replay the
-query shapes the reference's tests issue. Compression/auth/prepared
-statements are a declared boundary (the processor path uses simple
-QUERY frames).
+query shapes the reference's tests issue. Prepared statements are
+real: PREPARE analyzes the ?-markers against the table schema and
+returns an MD5 statement id + typed bind metadata (exactly
+Cassandra's MD5Digest contract), EXECUTE carries raw [bytes] values
+decoded server-side with those types, and an unknown id gets the
+spec's 0x2500 Unprepared error so drivers know to re-prepare.
+Compression and auth remain a declared boundary (the processor path
+negotiates neither in its default config).
 
 Transport = injectable ``read(n)``/``write(b)`` callables (tests
 loop back on a socketpair; production wraps a TCP socket).
@@ -29,6 +34,7 @@ loop back on a socketpair; production wraps a TCP socket).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -44,7 +50,7 @@ class CqlError(IOError):
 REQUEST, RESPONSE = 0x04, 0x84
 OP_ERROR, OP_STARTUP, OP_READY, OP_OPTIONS, OP_SUPPORTED = \
     0x00, 0x01, 0x02, 0x05, 0x06
-OP_QUERY, OP_RESULT = 0x07, 0x08
+OP_QUERY, OP_RESULT, OP_PREPARE, OP_EXECUTE = 0x07, 0x08, 0x09, 0x0A
 
 T_BIGINT, T_BOOLEAN, T_DOUBLE, T_INT, T_VARCHAR = \
     0x0002, 0x0004, 0x0007, 0x0009, 0x000D
@@ -54,9 +60,10 @@ _NAME_TYPES = {v: k for k, v in _TYPE_NAMES.items()}
 
 CONSISTENCY_ONE = 0x0001
 _Q_VALUES, _Q_PAGE_SIZE, _Q_PAGING_STATE = 0x01, 0x04, 0x08
-_M_GLOBAL_SPEC, _M_MORE_PAGES = 0x0001, 0x0002
+_M_GLOBAL_SPEC, _M_MORE_PAGES, _M_NO_METADATA = 0x0001, 0x0002, 0x0004
 
-KIND_VOID, KIND_ROWS = 1, 2
+KIND_VOID, KIND_ROWS, KIND_PREPARED = 1, 2, 4
+ERR_INVALID, ERR_UNPREPARED = 0x2200, 0x2500
 
 
 # ------------------------------------------------------------- frames
@@ -238,6 +245,43 @@ def _parse_literal(tok: str):
     return float(tok)
 
 
+def _render_literal(v) -> str:
+    """Inverse of `_parse_literal` — inline a bound value back into
+    CQL text ('' escaping for strings, true/false for booleans)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if v is None:
+        raise CqlError("NULL bind values not supported")
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _substitute_binds(cql: str, rendered: list[str]) -> str:
+    """Replace top-level ?-markers (quote-aware) with rendered
+    literals, in order."""
+    out, in_str, it = [], False, iter(rendered)
+    for ch in cql:
+        if in_str:
+            out.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            out.append(ch)
+        elif ch == "?":
+            try:
+                out.append(next(it))
+            except StopIteration:
+                raise CqlError("too few bind values") from None
+        else:
+            out.append(ch)
+    leftover = sum(1 for _ in it)
+    if leftover:
+        raise CqlError(f"{leftover} extra bind values")
+    return "".join(out)
+
+
 class CqlServer:
     """In-memory tables + the SELECT-subset evaluator, served over
     protocol-v4 frames with real paging state (the opaque
@@ -248,6 +292,10 @@ class CqlServer:
         self.tables: dict[str, tuple[list[tuple[str, str]],
                                      list[tuple]]] = {}
         self.queries_served = 0
+        # prepared id (md5 of the query text, like Cassandra's
+        # MD5Digest) -> (cql, [(bind col name, type name), ...])
+        self.prepared: dict[bytes,
+                            tuple[str, list[tuple[str, str]]]] = {}
 
     def add_table(self, name: str, schema: list[tuple[str, str]],
                   rows: list[tuple]) -> None:
@@ -310,6 +358,42 @@ class CqlServer:
         pschema = [schema[i] for i in proj]
         return pschema, [tuple(r[i] for i in proj) for r in out]
 
+    def _analyze_binds(self, cql: str) -> list[tuple[str, str]]:
+        """Infer the (name, type) of every ?-marker from the table
+        schema, in appearance order — what Cassandra does at PREPARE
+        time so EXECUTE can carry raw [bytes] values."""
+        im = _INSERT_RE.match(cql)
+        if im:
+            table = im.group("table").split(".")[-1]
+            if table not in self.tables:
+                raise CqlError(f"unknown table {table}")
+            schema = dict(self.tables[table][0])
+            names = [c.strip() for c in im.group("cols").split(",")]
+            binds = []
+            for name, tok in zip(names, _split_csv(im.group("vals"))):
+                if tok.strip() == "?":
+                    if name not in schema:
+                        raise CqlError(f"unknown column {name}")
+                    binds.append((name, schema[name]))
+            return binds
+        sm = _SELECT_RE.match(cql)
+        if not sm:
+            raise CqlError(f"unsupported CQL: {cql!r}")
+        table = sm.group("table").split(".")[-1]
+        if table not in self.tables:
+            raise CqlError(f"unknown table {table}")
+        schema = dict(self.tables[table][0])
+        binds = []
+        for cond in re.split(r"\s+AND\s+", sm.group("where") or "",
+                             flags=re.IGNORECASE):
+            cm = _COND_RE.match(cond)
+            if cm and cm.group("val").strip() == "?":
+                name = cm.group("col")
+                if name not in schema:
+                    raise CqlError(f"unknown column {name}")
+                binds.append((name, schema[name]))
+        return binds
+
     def _rows_result(self, table: str, schema, rows, *,
                      offset: int, page_size: int) -> bytes:
         end = offset + page_size if page_size else len(rows)
@@ -329,6 +413,52 @@ class CqlServer:
                 body += _bytes(encode_value(_NAME_TYPES[tname], v))
         return body
 
+    def _exec_cql(self, cql: str, r: "_Reader", *,
+                  bind_types: "list[str] | None", write,
+                  stream: int) -> None:
+        """Shared QUERY/EXECUTE tail: parse the query-parameters
+        block positioned at `r`, bind values if EXECUTE, run, reply."""
+        try:
+            r.u16()                                   # consistency
+            qflags = r.u8()
+            if qflags & _Q_VALUES:
+                if bind_types is None:
+                    raise CqlError("values on a simple QUERY frame "
+                                   "not supported")
+                n = r.u16()
+                if n != len(bind_types):
+                    raise CqlError(
+                        f"expected {len(bind_types)} values, got {n}")
+                vals = [decode_value(_NAME_TYPES[t], r.bytes_())
+                        for t in bind_types]
+                cql = _substitute_binds(
+                    cql, [_render_literal(v) for v in vals])
+            page_size = r.i32() if qflags & _Q_PAGE_SIZE else 0
+            offset = 0
+            if qflags & _Q_PAGING_STATE:
+                st = r.bytes_()
+                offset = int(st.decode()) if st else 0
+            self.queries_served += 1
+            if _INSERT_RE.match(cql):
+                self._run_insert(cql)
+                write_frame(write, RESPONSE, OP_RESULT,
+                            struct.pack(">i", KIND_VOID),
+                            stream=stream)
+                return
+            m = _SELECT_RE.match(cql)
+            table = m.group("table").split(".")[-1] if m else "?"
+            schema, rows = self._run_select(cql)
+        except CqlError as exc:
+            write_frame(write, RESPONSE, OP_ERROR,
+                        struct.pack(">i", ERR_INVALID)
+                        + _string(str(exc)), stream=stream)
+            return
+        write_frame(write, RESPONSE, OP_RESULT,
+                    self._rows_result(table, schema, rows,
+                                      offset=offset,
+                                      page_size=page_size),
+                    stream=stream)
+
     def handle(self, opcode: int, body: bytes, write, stream: int):
         if opcode == OP_STARTUP:
             opts = _Reader(body).string_map()
@@ -342,35 +472,50 @@ class CqlServer:
         elif opcode == OP_QUERY:
             r = _Reader(body)
             cql = r.long_string()
-            r.u16()                                   # consistency
-            qflags = r.u8()
-            page_size = r.i32() if qflags & _Q_PAGE_SIZE else 0
-            offset = 0
-            if qflags & _Q_PAGING_STATE:
-                st = r.bytes_()
-                offset = int(st.decode()) if st else 0
-            self.queries_served += 1
+            self._exec_cql(cql, r, bind_types=None, write=write,
+                           stream=stream)
+        elif opcode == OP_PREPARE:
+            cql = _Reader(body).long_string()
             try:
-                if _INSERT_RE.match(cql):
-                    self._run_insert(cql)
-                    write_frame(write, RESPONSE, OP_RESULT,
-                                struct.pack(">i", KIND_VOID),
-                                stream=stream)
-                    return
-                m = _SELECT_RE.match(cql)
-                table = m.group("table").split(".")[-1] if m else "?"
-                schema, rows = self._run_select(cql)
+                binds = self._analyze_binds(cql)
             except CqlError as exc:
-                err = (struct.pack(">i", 0x2200)      # Invalid
-                       + _string(str(exc)))
-                write_frame(write, RESPONSE, OP_ERROR, err,
+                write_frame(write, RESPONSE, OP_ERROR,
+                            struct.pack(">i", ERR_INVALID)
+                            + _string(str(exc)), stream=stream)
+                return
+            pid = hashlib.md5(cql.encode()).digest()
+            self.prepared[pid] = (cql, binds)
+            im = _INSERT_RE.match(cql)
+            table = ((im or _SELECT_RE.match(cql))
+                     .group("table").split(".")[-1])
+            meta = struct.pack(
+                ">ii", _M_GLOBAL_SPEC if binds else 0, len(binds))
+            meta += struct.pack(">i", 0)              # pk_count (v4)
+            if binds:
+                meta += _string("nifi") + _string(table)
+                for name, tname in binds:
+                    meta += _string(name) + struct.pack(
+                        ">H", _NAME_TYPES[tname])
+            # result metadata: NO_METADATA — the EXECUTE response
+            # carries the full row metadata anyway
+            meta += struct.pack(">ii", _M_NO_METADATA, 0)
+            write_frame(write, RESPONSE, OP_RESULT,
+                        struct.pack(">i", KIND_PREPARED)
+                        + struct.pack(">H", len(pid)) + pid + meta,
+                        stream=stream)
+        elif opcode == OP_EXECUTE:
+            r = _Reader(body)
+            pid = r.take(r.u16())
+            if pid not in self.prepared:
+                write_frame(write, RESPONSE, OP_ERROR,
+                            struct.pack(">i", ERR_UNPREPARED)
+                            + _string("unprepared statement")
+                            + struct.pack(">H", len(pid)) + pid,
                             stream=stream)
                 return
-            write_frame(write, RESPONSE, OP_RESULT,
-                        self._rows_result(table, schema, rows,
-                                          offset=offset,
-                                          page_size=page_size),
-                        stream=stream)
+            cql, binds = self.prepared[pid]
+            self._exec_cql(cql, r, bind_types=[t for _n, t in binds],
+                           write=write, stream=stream)
         else:
             write_frame(write, RESPONSE, OP_ERROR,
                         struct.pack(">i", 0x000A)
@@ -418,6 +563,55 @@ class CqlClient:
     def query(self, cql: str, *, page_size: int = 0):
         """Execute + auto-page; returns (columns [(name, type_name)],
         rows [tuple])."""
+        return self._paged(
+            OP_QUERY,
+            lambda params: _long_string(cql) + params,
+            page_size=page_size)
+
+    def prepare(self, cql: str) -> "PreparedStatement":
+        """PREPARE; returns the statement handle + bind-column types
+        parsed from the server's prepared metadata."""
+        rop, rbody = self._rpc(OP_PREPARE, _long_string(cql))
+        if rop != OP_RESULT:
+            raise CqlError(f"unexpected opcode {rop}")
+        r = _Reader(rbody)
+        if r.i32() != KIND_PREPARED:
+            raise CqlError("PREPARE did not return Prepared")
+        pid = r.take(r.u16())
+        mflags = r.i32()
+        ncols = r.i32()
+        r.i32()                                       # pk_count (v4)
+        if mflags & _M_GLOBAL_SPEC and ncols:
+            r.string(), r.string()                    # keyspace, table
+        binds = []
+        for _ in range(ncols):
+            name = r.string()
+            binds.append((name, _TYPE_NAMES[r.u16()]))
+        return PreparedStatement(pid, binds)
+
+    def execute(self, stmt: "PreparedStatement", values: tuple = (),
+                *, page_size: int = 0):
+        """EXECUTE a prepared statement with positional bind values
+        (encoded with the types PREPARE reported) + auto-page."""
+        if len(values) != len(stmt.binds):
+            raise CqlError(
+                f"expected {len(stmt.binds)} values, got {len(values)}")
+        packed = b"".join(
+            _bytes(encode_value(_NAME_TYPES[t], v))
+            for (_n, t), v in zip(stmt.binds, values))
+        vals = struct.pack(">H", len(values)) + packed
+        head = struct.pack(">H", len(stmt.id)) + stmt.id
+
+        def build(params: bytes) -> bytes:
+            # splice the VALUES flag + payload into the params block
+            # (params = consistency u16 + flags u8 + tail)
+            cons, flags = params[:2], params[2]
+            return (head + cons + bytes([flags | _Q_VALUES]) + vals
+                    + params[3:])
+
+        return self._paged(OP_EXECUTE, build, page_size=page_size)
+
+    def _paged(self, opcode: int, build_body, *, page_size: int):
         cols: list[tuple[str, str]] = []
         rows: list[tuple] = []
         paging_state: "bytes | None" = None
@@ -430,10 +624,9 @@ class CqlClient:
             if paging_state is not None:
                 flags |= _Q_PAGING_STATE
                 tail += _bytes(paging_state)
-            body = (_long_string(cql)
-                    + struct.pack(">H", CONSISTENCY_ONE)
-                    + bytes([flags]) + tail)
-            rop, rbody = self._rpc(OP_QUERY, body)
+            params = (struct.pack(">H", CONSISTENCY_ONE)
+                      + bytes([flags]) + tail)
+            rop, rbody = self._rpc(opcode, build_body(params))
             if rop != OP_RESULT:
                 raise CqlError(f"unexpected opcode {rop}")
             r = _Reader(rbody)
@@ -459,6 +652,15 @@ class CqlClient:
                 return cols, rows
 
 
+class PreparedStatement:
+    """Client-side handle from `CqlClient.prepare` — the statement id
+    plus the bind columns' (name, type_name) in marker order."""
+
+    def __init__(self, pid: bytes, binds: list[tuple[str, str]]):
+        self.id = pid
+        self.binds = binds
+
+
 def put_cassandra_ql(client: CqlClient, statements: list[str]) -> int:
     """PutCassandraQL analog (nifi-cassandra-bundle
     PutCassandraQL.java): execute each CQL statement (the reference
@@ -468,6 +670,19 @@ def put_cassandra_ql(client: CqlClient, statements: list[str]) -> int:
     failure."""
     for cql in statements:
         client.query(cql)
+
+
+def put_cassandra_prepared(client: CqlClient, cql: str,
+                           rows: list[tuple]) -> int:
+    """PutCassandraQL's prepared path: when the flowfile carries typed
+    ``cql.args.N`` attributes the reference binds them into the
+    ?-markers of one prepared statement (PutCassandraQL.java — the
+    session prepares once, then binds per flowfile). Prepare once,
+    EXECUTE per row; returns the number of rows applied."""
+    stmt = client.prepare(cql)
+    for row in rows:
+        client.execute(stmt, tuple(row))
+    return len(rows)
     return len(statements)
 
 

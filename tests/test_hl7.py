@@ -279,3 +279,177 @@ def test_unescape_in_extract(spark):
              for r in extract_hl7_attributes(df, "msg",
                                              id_cols=["id"]).collect()}
     assert attrs["NTE.2"] == "co|de"
+
+
+# ------------------------------------------- TestExtractHL7Attributes
+# The reference's use-segment-names test cases run VERBATIM
+# (TestExtractHL7Attributes.java:88-279): same message, same
+# (useSegmentNames, parseSegmentFields) matrix, same EXACT expected
+# attribute maps (in named mode the reference's segment-count check
+# degenerates to exact key-set equality, so these maps are complete).
+
+_EXTRACT_MSG = (
+    "MSH|^~\\&|XXXXXXXX||HealthProvider||||ORU^R01|Q1111111111111111111"
+    "|P|2.3|\r\n"
+    "PID|||12345^^^XYZ^MR||SMITH^JOHN||19700100|M||||||||||111111111111"
+    "|123456789|\r\n"
+    "PD1||||1234567890^LAST^FIRST^M^^^^^NPI|\r\n"
+    "ORC|NW|987654321^EPC|123456789^EPC||||||20161003000000|||SMITH\r\n"
+    "OBR|1|341856649^HNAM_ORDERID|000000000000000000|648088^Basic "
+    "Metabolic Panel|||20150101000000|||||||||1620^Johnson^Corey^A||||||"
+    "20150101000000|||F|||||||||||20150101000000|\r\n"
+    "OBX|1|NM|GLU^Glucose Lvl|59|mg/dL|65-99^65^99|L|||F|||"
+    "20150102000000|\r\n")
+
+_ORU_GROUP_REPEATING = {"ORC", "OBR", "OBX"}
+
+_EXPECTED_NAMES_ONLY = {
+    "MSH.FieldSeparator": "|",
+    "MSH.EncodingCharacters": "^~\\&",
+    "MSH.SendingApplication": "XXXXXXXX",
+    "MSH.ReceivingApplication": "HealthProvider",
+    "MSH.MessageType": "ORU^R01",
+    "MSH.MessageControlID": "Q1111111111111111111",
+    "MSH.ProcessingID": "P",
+    "MSH.VersionID": "2.3",
+    "ORC_1.OrderControl": "NW",
+    "ORC_1.PlacerOrderNumber": "987654321^EPC",
+    "ORC_1.FillerOrderNumber": "123456789^EPC",
+    "ORC_1.DateTimeOfTransaction": "20161003000000",
+    "ORC_1.OrderingProvider": "SMITH",
+    "OBR_1.SetIDObservationRequest": "1",
+    "OBR_1.PlacerOrderNumber": "341856649^HNAM_ORDERID",
+    "OBR_1.FillerOrderNumber": "000000000000000000",
+    "OBR_1.UniversalServiceIdentifier": "648088^Basic Metabolic Panel",
+    "OBR_1.ObservationDateTime": "20150101000000",
+    "OBR_1.OrderingProvider": "1620^Johnson^Corey^A",
+    "OBR_1.ResultsRptStatusChngDateTime": "20150101000000",
+    "OBR_1.ResultStatus": "F",
+    "OBR_1.ScheduledDateTime": "20150101000000",
+    "OBX_1.SetIDOBX": "1",
+    "OBX_1.ValueType": "NM",
+    "OBX_1.ObservationIdentifier": "GLU^Glucose Lvl",
+    "OBX_1.ObservationSubID": "59",
+    "OBX_1.ObservationValue": "mg/dL",
+    "OBX_1.Units": "65-99^65^99",
+    "OBX_1.ReferencesRange": "L",
+    "OBX_1.NatureOfAbnormalTest": "F",
+    "OBX_1.UserDefinedAccessChecks": "20150102000000",
+    "PD1.PatientPrimaryCareProviderNameIDNo":
+        "1234567890^LAST^FIRST^M^^^^^NPI",
+    "PID.PatientIDInternalID": "12345^^^XYZ^MR",
+    "PID.PatientName": "SMITH^JOHN",
+    "PID.DateOfBirth": "19700100",
+    "PID.Sex": "M",
+    "PID.PatientAccountNumber": "111111111111",
+    "PID.SSNNumberPatient": "123456789",
+}
+
+_EXPECTED_NAMES_AND_FIELDS = {
+    "MSH.FieldSeparator": "|",
+    "MSH.EncodingCharacters": "^~\\&",
+    "MSH.SendingApplication.HD.1": "XXXXXXXX",
+    "MSH.ReceivingApplication.HD.1": "HealthProvider",
+    "MSH.MessageType.CM.1": "ORU",
+    "MSH.MessageType.CM.2": "R01",
+    "MSH.MessageControlID": "Q1111111111111111111",
+    "MSH.ProcessingID.PT.1": "P",
+    "MSH.VersionID": "2.3",
+    "ORC_1.OrderControl": "NW",
+    "ORC_1.PlacerOrderNumber.EI.1": "987654321",
+    "ORC_1.PlacerOrderNumber.EI.2": "EPC",
+    "ORC_1.FillerOrderNumber.EI.1": "123456789",
+    "ORC_1.FillerOrderNumber.EI.2": "EPC",
+    "ORC_1.DateTimeOfTransaction": "20161003000000",
+    "ORC_1.OrderingProvider.XCN.1": "SMITH",
+    "OBR_1.SetIDObservationRequest": "1",
+    "OBR_1.PlacerOrderNumber.EI.1": "341856649",
+    "OBR_1.PlacerOrderNumber.EI.2": "HNAM_ORDERID",
+    "OBR_1.FillerOrderNumber.EI.1": "000000000000000000",
+    "OBR_1.UniversalServiceIdentifier.CE.1": "648088",
+    "OBR_1.UniversalServiceIdentifier.CE.2": "Basic Metabolic Panel",
+    "OBR_1.ObservationDateTime": "20150101000000",
+    "OBR_1.OrderingProvider.XCN.1": "1620",
+    "OBR_1.OrderingProvider.XCN.2": "Johnson",
+    "OBR_1.OrderingProvider.XCN.3": "Corey",
+    "OBR_1.OrderingProvider.XCN.4": "A",
+    "OBR_1.ResultsRptStatusChngDateTime": "20150101000000",
+    "OBR_1.ResultStatus": "F",
+    "OBR_1.ScheduledDateTime": "20150101000000",
+    "OBX_1.SetIDOBX": "1",
+    "OBX_1.ValueType": "NM",
+    "OBX_1.ObservationIdentifier.CE.1": "GLU",
+    "OBX_1.ObservationIdentifier.CE.2": "Glucose Lvl",
+    "OBX_1.ObservationSubID": "59",
+    "OBX_1.ObservationValue": "mg/dL",
+    "OBX_1.Units.CE.1": "65-99",
+    "OBX_1.Units.CE.2": "65",
+    "OBX_1.Units.CE.3": "99",
+    "OBX_1.ReferencesRange": "L",
+    "OBX_1.NatureOfAbnormalTest": "F",
+    "OBX_1.UserDefinedAccessChecks": "20150102000000",
+    "PD1.PatientPrimaryCareProviderNameIDNo.XCN.1": "1234567890",
+    "PD1.PatientPrimaryCareProviderNameIDNo.XCN.2": "LAST",
+    "PD1.PatientPrimaryCareProviderNameIDNo.XCN.3": "FIRST",
+    "PD1.PatientPrimaryCareProviderNameIDNo.XCN.4": "M",
+    "PD1.PatientPrimaryCareProviderNameIDNo.XCN.9": "NPI",
+    "PID.PatientIDInternalID.CX.1": "12345",
+    "PID.PatientIDInternalID.CX.4": "XYZ",
+    "PID.PatientIDInternalID.CX.5": "MR",
+    "PID.PatientName.XPN.1": "SMITH",
+    "PID.PatientName.XPN.2": "JOHN",
+    "PID.DateOfBirth": "19700100",
+    "PID.Sex": "M",
+    "PID.PatientAccountNumber.CX.1": "111111111111",
+    "PID.SSNNumberPatient": "123456789",
+}
+
+
+def _extract_map(spark, use_names, parse):
+    df = spark.createDataFrame([(1, _EXTRACT_MSG)],
+                               "id long, msg string")
+    out = extract_hl7_attributes(
+        df, "msg", id_cols=["id"], parse_fields=parse,
+        use_segment_names=use_names,
+        group_repeating=_ORU_GROUP_REPEATING)
+    return {r.attr_name: r.attr_value for r in out.collect()}
+
+
+def test_extract_use_segment_names_reference_parity(spark):
+    # testExtract (useSegmentNames=true, parseSegmentFields=false)
+    assert _extract_map(spark, True, False) == _EXPECTED_NAMES_ONLY
+
+
+def test_extract_segment_names_and_fields_reference_parity(spark):
+    # testExtractWithSegmentNamesAndFields (true, true)
+    assert (_extract_map(spark, True, True)
+            == _EXPECTED_NAMES_AND_FIELDS)
+
+
+_EXPECTED_NUMERIC = {
+    "MSH.1": "|", "MSH.2": "^~\\&", "MSH.3": "XXXXXXXX",
+    "MSH.5": "HealthProvider", "MSH.9": "ORU^R01",
+    "MSH.10": "Q1111111111111111111", "MSH.11": "P", "MSH.12": "2.3",
+    "ORC_1.1": "NW", "ORC_1.2": "987654321^EPC",
+    "ORC_1.3": "123456789^EPC", "ORC_1.9": "20161003000000",
+    "ORC_1.12": "SMITH",
+    "OBR_1.1": "1", "OBR_1.2": "341856649^HNAM_ORDERID",
+    "OBR_1.3": "000000000000000000",
+    "OBR_1.4": "648088^Basic Metabolic Panel",
+    "OBR_1.7": "20150101000000", "OBR_1.16": "1620^Johnson^Corey^A",
+    "OBR_1.22": "20150101000000", "OBR_1.25": "F",
+    "OBR_1.36": "20150101000000",
+    "OBX_1.1": "1", "OBX_1.2": "NM", "OBX_1.3": "GLU^Glucose Lvl",
+    "OBX_1.4": "59", "OBX_1.5": "mg/dL", "OBX_1.6": "65-99^65^99",
+    "OBX_1.7": "L", "OBX_1.10": "F", "OBX_1.13": "20150102000000",
+    "PD1.4": "1234567890^LAST^FIRST^M^^^^^NPI",
+    "PID.3": "12345^^^XYZ^MR", "PID.5": "SMITH^JOHN",
+    "PID.7": "19700100", "PID.8": "M", "PID.18": "111111111111",
+    "PID.19": "123456789",
+}
+
+
+def test_extract_numeric_mode_reference_parity(spark):
+    # testExtract default mode (useSegmentNames=false,
+    # parseSegmentFields=false), group structure declared
+    assert _extract_map(spark, False, False) == _EXPECTED_NUMERIC
