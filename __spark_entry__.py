@@ -6231,6 +6231,42 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"))
 
 
+def q_unigram_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) Viterbi tokenization
+    (datalib/unigram.py): seed vocabulary regenerated from the corpus
+    (substring hash-agg, integer log-prob scores = bit_length(count) -
+    bit_length(total) - 1), then max-score segmentation once per
+    DISTINCT word (the word-cache shape), joined back per document.
+    The oracle replays the whole lattice: the generated SQL unrolls
+    the DP over word positions as chained materialized CTEs (forward
+    max/min-backpointer, backward backtrace) — every token and its
+    order checked via the md5 of the space-joined stream."""
+    from nifi_spark.datalib.unigram import (unigram_encode,
+                                            unigram_seed_vocab)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_seed_vocab(docs, "text", max_len=6, min_count=4,
+                               max_word_len=12)
+    enc = unigram_encode(docs, "doc_id", "text", vocab, max_len=6,
+                         max_word_len=12)
+    return enc.select("doc_id", F.col("n_tokens").cast("int"),
+                      F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"))
+
+
+def q_unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM usage-prune TRAINING (datalib/unigram.py): seed
+    over-complete, Viterbi-segment the distinct words, count piece
+    usage weighted by word multiplicity, keep the alphabet plus the
+    top multi-char pieces by (usage, piece), re-score to the integer
+    log-prob quantization. The oracle replays seeding + the full
+    pruning round in generated SQL (lattice CTEs + rank cut)."""
+    from nifi_spark.datalib.unigram import unigram_train
+    docs = (_t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"))
+    v = unigram_train(docs, "text", vocab_size=400, max_len=5,
+                      min_count=8, rounds=1, max_word_len=10)
+    return v.select("piece", F.col("score").cast("long"))
+
+
 _BM25_QUERIES = [(1, "spark window agg"), (2, "customer query fast"),
                  (3, "stream sort merge join"), (4, "nosuchterm scan")]
 
@@ -6355,6 +6391,7 @@ _DRIVER_VERIFIED = frozenset({
 # externally verifies the newest work first (then the never-verified
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
+    "unigram_encode_tokens", "unigram_train_vocab",
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
@@ -6544,6 +6581,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_registers": q_sketch_hll_registers,
         "text_heavy_hitters": q_text_heavy_hitters,
         "bpe_encode_tokens": q_bpe_encode_tokens,
+        "unigram_encode_tokens": q_unigram_encode_tokens,
+        "unigram_train_vocab": q_unigram_train_vocab,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -8196,6 +8235,19 @@ FROM fr
             "nifi_spark.datalib.bpe", fromlist=["bpe_encode_oracle_sql"]
         ).bpe_encode_oracle_sql("SELECT doc_id, text FROM documents",
                                 _BPE_MERGES),
+        "unigram_encode_tokens": __import__(
+            "nifi_spark.datalib.unigram",
+            fromlist=["unigram_encode_oracle_sql"]
+        ).unigram_encode_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            max_len=6, min_count=4, max_word_len=12),
+        "unigram_train_vocab": __import__(
+            "nifi_spark.datalib.unigram",
+            fromlist=["unigram_train_oracle_sql"]
+        ).unigram_train_oracle_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            vocab_size=400, max_len=5, min_count=8, rounds=1,
+            max_word_len=10),
         "relevance_bm25_topk": __import__(
             "nifi_spark.datalib.relevance", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",

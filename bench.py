@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "text_gopher_rules",
     "bpe_encode_tokens",
+    "unigram_encode_tokens",
     "curate_train_classifier",
     "ip_geo_enrich",
     "kmeans_int8_clusters",

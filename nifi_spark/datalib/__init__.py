@@ -25,6 +25,11 @@ from nifi_spark.datalib.sketch import (cm_estimate, count_min_sketch,
 from nifi_spark.datalib.bpe import (bpe_encode, bpe_encode_oracle_sql,
                                     bpe_oracle_sql, bpe_train,
                                     wordpiece_oracle_sql, wordpiece_train)
+from nifi_spark.datalib.unigram import (unigram_encode,
+                                        unigram_encode_oracle_sql,
+                                        unigram_seed_vocab,
+                                        unigram_train,
+                                        unigram_train_oracle_sql)
 from nifi_spark.datalib.graph import pagerank, pagerank_oracle_sql
 from nifi_spark.datalib.warc import (build_warc, parse_warc, split_warc,
                                      synthesize_warc, wet_documents)
@@ -79,6 +84,8 @@ __all__ = ["contaminated_spans",
            "ngram_lm_oracle_sql", "score_ngram_lm", "train_ngram_counts",
            "bpe_train", "bpe_encode", "bpe_oracle_sql",
            "bpe_encode_oracle_sql", "wordpiece_train",
+           "unigram_seed_vocab", "unigram_encode", "unigram_train",
+           "unigram_encode_oracle_sql", "unigram_train_oracle_sql",
            "wordpiece_oracle_sql",
            "count_min_sketch", "cm_estimate", "hll_registers",
            "hll_estimate", "heavy_hitters", "histogram_sketch",
