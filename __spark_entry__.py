@@ -6267,6 +6267,20 @@ def q_unigram_train_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("piece", F.col("score").cast("long"))
 
 
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2019,
+    datalib/ngram_lm.py): a bigram stupid-backoff LM trains on the
+    'clean reference' slice (doc_id % 3 = 0 — CCNet's Wikipedia), every
+    document scores against it, and the corpus splits into
+    head/middle/tail terciles by integer per-token score (value-at-rank
+    thresholds, tie-order independent). The oracle retrains the counts,
+    rescans every document, and replays the rank thresholds."""
+    from nifi_spark.datalib.ngram_lm import ccnet_ppl_buckets
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = docs.filter(F.col("doc_id") % 3 == 0)
+    return ccnet_ppl_buckets(docs, lm, "doc_id", "text", n=2)
+
+
 _BM25_QUERIES = [(1, "spark window agg"), (2, "customer query fast"),
                  (3, "stream sort merge join"), (4, "nosuchterm scan")]
 
@@ -6392,6 +6406,7 @@ _DRIVER_VERIFIED = frozenset({
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
     "unigram_encode_tokens", "unigram_train_vocab",
+    "ccnet_ppl_buckets",
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
@@ -6583,6 +6598,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "unigram_encode_tokens": q_unigram_encode_tokens,
         "unigram_train_vocab": q_unigram_train_vocab,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "curate_dataset_split": q_curate_dataset_split,
         "curate_domain_cap": q_curate_domain_cap,
         "curate_token_budget": q_curate_token_budget,
@@ -8248,6 +8264,12 @@ FROM fr
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
             vocab_size=400, max_len=5, min_count=8, rounds=1,
             max_word_len=10),
+        "ccnet_ppl_buckets": __import__(
+            "nifi_spark.datalib.ngram_lm", fromlist=["ccnet_oracle_sql"]
+        ).ccnet_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+            n=2),
         "relevance_bm25_topk": __import__(
             "nifi_spark.datalib.relevance", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",

@@ -25,6 +25,8 @@ from nifi_spark.datalib.sketch import (cm_estimate, count_min_sketch,
 from nifi_spark.datalib.bpe import (bpe_encode, bpe_encode_oracle_sql,
                                     bpe_oracle_sql, bpe_train,
                                     wordpiece_oracle_sql, wordpiece_train)
+from nifi_spark.datalib.ngram_lm import (ccnet_oracle_sql,
+                                         ccnet_ppl_buckets)
 from nifi_spark.datalib.unigram import (unigram_encode,
                                         unigram_encode_oracle_sql,
                                         unigram_seed_vocab,
@@ -86,6 +88,7 @@ __all__ = ["contaminated_spans",
            "bpe_encode_oracle_sql", "wordpiece_train",
            "unigram_seed_vocab", "unigram_encode", "unigram_train",
            "unigram_encode_oracle_sql", "unigram_train_oracle_sql",
+           "ccnet_ppl_buckets", "ccnet_oracle_sql",
            "wordpiece_oracle_sql",
            "count_min_sketch", "cm_estimate", "hll_registers",
            "hll_estimate", "heavy_hitters", "histogram_sketch",

@@ -188,3 +188,114 @@ SELECT {id_col}, count(*)::BIGINT AS n_tokens,
 FROM pos {' '.join(joins)}, tot
 GROUP BY {id_col}
 """
+
+
+def ccnet_ppl_buckets(docs: DataFrame, lm_docs: DataFrame, id_col: str,
+                      text_col: str, n: int = 2,
+                      alpha_num: int = 2, alpha_den: int = 5,
+                      scale: int = 1_000_000) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): train the
+    LM on a clean reference corpus (`lm_docs` — CCNet uses Wikipedia),
+    score every target document, and split the corpus into
+    head/middle/tail terciles by per-token LM score (higher score =
+    lower perplexity = cleaner). Returns
+    (id_col, n_tokens, avg_score, bucket).
+
+    avg_score = sum_score DIV n_tokens (integer floor). Tercile
+    thresholds are VALUES at ranks ceil(N/3) and ceil(2N/3) of the
+    avg_score multiset ordered descending — value-at-rank is
+    tie-order-independent, so the rule `head: avg >= t1, middle:
+    avg >= t2` is exact and SQL-replayable (CCNet's thresholds are
+    value cutoffs too; ties can make head slightly larger than N/3,
+    same as theirs). The two thresholds come back to the driver as
+    bounded scalars (the kmeans-seed contract); everything else is the
+    score_ngram_lm join pipeline. Documents with zero tokens don't
+    score and are absent from the output (same as score_ngram_lm)."""
+    counts = train_ngram_counts(lm_docs, text_col, n)
+    scored = score_ngram_lm(docs, counts, id_col, text_col, n,
+                            alpha_num, alpha_den, scale)
+    scored = scored.withColumn(
+        "avg_score",
+        F.expr("sum_score DIV n_tokens").cast("long")).persist()
+    n_docs = scored.count()
+    if n_docs == 0:
+        return scored.select(id_col, "n_tokens", "avg_score",
+                             F.lit("tail").alias("bucket")).limit(0)
+    k1 = (n_docs + 2) // 3
+    k2 = (2 * n_docs + 2) // 3
+    t1 = (scored.orderBy(F.desc("avg_score")).limit(k1)
+          .agg(F.min("avg_score")).collect()[0][0])
+    t2 = (scored.orderBy(F.desc("avg_score")).limit(k2)
+          .agg(F.min("avg_score")).collect()[0][0])
+    return scored.select(
+        id_col, "n_tokens", "avg_score",
+        F.when(F.col("avg_score") >= t1, "head")
+         .when(F.col("avg_score") >= t2, "middle")
+         .otherwise("tail").alias("bucket"))
+
+
+def ccnet_oracle_sql(docs_sql: str, lm_sql: str, n: int = 2,
+                     alpha_num: int = 2, alpha_den: int = 5,
+                     scale: int = 1_000_000,
+                     id_col: str = "doc_id") -> str:
+    """DuckDB twin of ccnet_ppl_buckets: trains the counts on `lm_sql`,
+    scores `docs_sql`, replays the tercile value-at-rank thresholds.
+    Both SQL args must yield (id_col, text)."""
+    tok = (r"list_filter(string_split_regex(trim(text), '\s+'), "
+           r"t -> t <> '')")
+    ctes = [f"docs AS ({docs_sql})", f"lmdocs AS ({lm_sql})",
+            f"toks AS (SELECT {id_col}, {tok} AS t FROM docs)",
+            f"lmtoks AS (SELECT {tok} AS t FROM lmdocs)"]
+    for k in range(1, n + 1):
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT gram, count(*)::BIGINT AS cnt FROM (
+    SELECT array_to_string(t[i:i+{k - 1}], chr(31)) AS gram
+    FROM lmtoks, unnest(range(1, len(t) - {k - 2})) AS u(i)
+    WHERE len(t) >= {k})
+  GROUP BY gram)""")
+    ctes.append("tot AS (SELECT sum(cnt)::BIGINT AS n FROM g1)")
+    pos_cols = [f"array_to_string(t[i-{k - 1}:i], chr(31)) AS w{k}"
+                for k in range(1, n + 1)]
+    ctes.append(f"""pos AS (
+  SELECT {id_col}, i, {', '.join(pos_cols)}
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i))""")
+    joins, score_cases = [], []
+    for k in range(n, 0, -1):
+        lv = n - k
+        num = alpha_num ** lv * scale
+        den = (f"d{k}.cnt" if k > 1 else "tot.n")
+        cond = (f"c{k}.cnt IS NOT NULL"
+                + (f" AND d{k}.cnt IS NOT NULL AND i >= {k}"
+                   if k > 1 else ""))
+        score_cases.append(
+            f"WHEN {cond} THEN ({num}::BIGINT * c{k}.cnt) "
+            f"// ({alpha_den ** lv}::BIGINT * {den})")
+        joins.append(f"LEFT JOIN g{k} c{k} ON c{k}.gram = pos.w{k}")
+        if k > 1:
+            joins.append(
+                f"LEFT JOIN g{k - 1} d{k} ON d{k}.gram = "
+                f"array_to_string(string_split(pos.w{k}, chr(31))"
+                f"[1:{k - 1}], chr(31))")
+    ctes.append(f"""scored AS MATERIALIZED (
+  SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+         (sum(CASE {' '.join(score_cases)} ELSE 0 END)::BIGINT
+          // count(*)::BIGINT) AS avg_score
+  FROM pos {' '.join(joins)}, tot
+  GROUP BY {id_col})""")
+    ctes.append(f"""ranked AS MATERIALIZED (
+  SELECT avg_score,
+         row_number() OVER (ORDER BY avg_score DESC) AS rn
+  FROM scored)""")
+    ctes.append("""nn AS (SELECT count(*)::BIGINT AS c FROM scored),
+t1 AS (SELECT avg_score AS v FROM ranked, nn
+       WHERE rn = (c + 2) // 3),
+t2 AS (SELECT avg_score AS v FROM ranked, nn
+       WHERE rn = (2 * c + 2) // 3)""")
+    return f"""
+WITH {', '.join(ctes)}
+SELECT {id_col}, n_tokens, avg_score,
+       CASE WHEN avg_score >= (SELECT v FROM t1) THEN 'head'
+            WHEN avg_score >= (SELECT v FROM t2) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored
+"""

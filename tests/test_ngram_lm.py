@@ -121,3 +121,48 @@ def test_bigram_only(spark, docs_df):
                                    n=2).collect()}
     want = _py_score(_DOCS, _py_counts(_DOCS, 2), 2, 2, 5, 1_000_000)
     assert got == want
+
+
+def test_ccnet_ppl_buckets_terciles(spark):
+    from nifi_spark.datalib.ngram_lm import ccnet_ppl_buckets
+    rows = [(i, "clean common words repeat clean common words")
+            for i in range(6)]
+    rows += [(i, "zzq xq jw qqv zk wq yqx vq") for i in range(6, 12)]
+    rows += [(i, "clean common zzq xq words") for i in range(12, 18)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = docs.filter("doc_id < 6 OR doc_id >= 12")
+    out = ccnet_ppl_buckets(docs, lm, "doc_id", "text", n=2)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert len(got) == 18
+    # docs 12-17 are fully deterministic under the LM (every bigram
+    # continuation has p=1) -> head; the clean repeats branch after
+    # 'words' (p=1/2) -> middle; gibberish (unigram backoff) -> tail
+    assert all(got[i] == "middle" for i in range(6))
+    assert all(got[i] == "tail" for i in range(6, 12))
+    assert all(got[i] == "head" for i in range(12, 18))
+
+
+def test_ccnet_matches_oracle_twin(spark):
+    import duckdb
+    from nifi_spark.datalib.ngram_lm import (ccnet_oracle_sql,
+                                             ccnet_ppl_buckets)
+    import random
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "qqz", "wwx"]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(3, 12))))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = docs.filter("doc_id % 3 = 0")
+    out = (ccnet_ppl_buckets(docs, lm, "doc_id", "text", n=2)
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    osql = ccnet_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0", n=2)
+    odf = (con.execute(osql).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["avg_score"]) == list(odf["avg_score"])
+    assert list(out["bucket"]) == list(odf["bucket"])
+    assert list(out["n_tokens"]) == list(odf["n_tokens"])
