@@ -66,3 +66,118 @@ def test_spool_landing(spark, tmp_path):
         ["Subject: a", "Subject: b", "Subject: c"]
     assert {r.folder for r in rows} == {"INBOX"}
     assert rows[0].mime_type == "message/rfc822"
+
+
+# ------------------------------------------------- UID family + SEARCH
+
+
+def test_uid_fetch_delete_expunge():
+    folders = {"INBOX": list(_MSGS)}
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders)
+    rl, w = connect()
+    got = imap_fetch(rl, w, user="u", password="p", use_uid=True)
+    assert got == _MSGS
+    assert join() == [0, 1, 2]
+    assert folders["INBOX"] == []
+
+
+def _session(folders):
+    """Raw tagged-command driver over a loopback session."""
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders)
+    rl, w = connect()
+    assert rl().startswith(b"* OK")
+    seq = [0]
+
+    def cmd(text):
+        seq[0] += 1
+        tag = f"t{seq[0]}"
+        w(f"{tag} {text}\r\n".encode())
+        lines = []
+        while True:
+            ln = rl()
+            assert ln, "connection dropped"
+            if ln.startswith(tag.encode() + b" "):
+                return ln, lines
+            lines.append(ln)
+
+    return cmd, join
+
+
+def test_uids_stable_across_expunge():
+    msgs = [b"m1\r\n", b"m2\r\n", b"m3\r\n", b"m4\r\n"]
+    cmd, join = _session({"INBOX": list(msgs)})
+    assert cmd("LOGIN u p")[0].split()[1] == b"OK"
+    st, lines = cmd('SELECT "INBOX"')
+    assert any(b"UIDVALIDITY" in ln for ln in lines)
+    assert any(b"UIDNEXT 5" in ln for ln in lines)
+    # delete message 2 (uid 2) by uid, expunge
+    cmd("UID STORE 2 +FLAGS (\\Deleted)")
+    cmd("EXPUNGE")
+    # remaining uids are 1,3,4 — NOT renumbered
+    _, lines = cmd("UID SEARCH ALL")
+    found = [ln for ln in lines if ln.startswith(b"* SEARCH")]
+    assert found[0].split()[2:] == [b"1", b"3", b"4"]
+    # UID FETCH 3 returns what is now sequence number 2
+    _, lines = cmd("UID FETCH 3 RFC822")
+    assert lines[0].startswith(b"* 2 FETCH (UID 3 RFC822")
+    cmd("LOGOUT")
+    join()
+
+
+def test_uid_set_ranges_and_star():
+    msgs = [f"m{i}\r\n".encode() for i in range(1, 7)]
+    cmd, join = _session({"INBOX": list(msgs)})
+    cmd("LOGIN u p")
+    cmd('SELECT "INBOX"')
+    cmd("UID STORE 1,3:4,6:* +FLAGS (\\Deleted)")
+    cmd("EXPUNGE")
+    _, lines = cmd("UID SEARCH ALL")
+    found = [ln for ln in lines if ln.startswith(b"* SEARCH")]
+    assert found[0].split()[2:] == [b"2", b"5"]
+    cmd("LOGOUT")
+    join()
+
+
+def test_search_criteria():
+    msgs = [
+        b"Subject: alpha report\r\nFrom: a@x\r\n\r\nbody one\r\n",
+        b"Subject: beta\r\nFrom: b@y\r\n\r\nneedle inside\r\n",
+        b"Subject: alpha memo\r\nFrom: c@z\r\n\r\nplain\r\n",
+    ]
+    cmd, join = _session({"INBOX": list(msgs)})
+    cmd("LOGIN u p")
+    cmd('SELECT "INBOX"')
+
+    def hits(text):
+        _, lines = cmd(text)
+        found = [ln for ln in lines if ln.startswith(b"* SEARCH")]
+        return found[0].split()[2:]
+
+    assert hits("SEARCH ALL") == [b"1", b"2", b"3"]
+    assert hits("SEARCH TEXT needle") == [b"2"]
+    assert hits('SEARCH HEADER Subject alpha') == [b"1", b"3"]
+    assert hits('SEARCH HEADER Subject "alpha memo"') == [b"3"]
+    cmd("STORE 1 +FLAGS (\\Deleted)")
+    assert hits("SEARCH DELETED") == [b"1"]
+    assert hits("SEARCH UNDELETED") == [b"2", b"3"]
+    assert hits("UID SEARCH HEADER From b@y") == [b"2"]
+    st, _ = cmd("SEARCH SINCE yesterday")
+    assert st.split()[1] == b"BAD"
+    cmd("LOGOUT")
+    join()
+
+
+def test_spool_landing_uid_mode(spark, tmp_path):
+    folders = {"INBOX": list(_MSGS)}
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders)
+    src = ConsumeIMAPSource(str(tmp_path / "spool"))
+    n = src.drain(connect, user="u", password="p", use_uid=True)
+    assert n == len(_MSGS)
+    join()
+    df = src.read(spark)
+    assert df.count() == len(_MSGS)
+    got = sorted(r["content"] for r in df.collect())
+    assert got == sorted(m.decode() for m in _MSGS)
