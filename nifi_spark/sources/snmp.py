@@ -33,9 +33,14 @@ msgPrivacyParameters, no padding). The block ciphers themselves are
 pure-stdlib FIPS implementations in functions/blockciphers.py, pinned
 to the published known-answer vectors. Garbled ciphertext answers
 with usmStatsDecryptionErrors; priv-without-auth answers with
-usmStatsUnsupportedSecLevels. Remaining declared boundary: the
-boots/time timeliness window (in-process transports have no clock
-skew to arbitrate).
+usmStatsUnsupportedSecLevels. Timeliness (RFC 3414 §3.2(7)) is
+enforced on the authoritative side for authenticated requests —
+boots must match exactly, time within ±150 s, boots 2^31-1 never
+validates — answered with an AUTHENTICATED usmStatsNotInTimeWindow
+report (§3.2(7)b securityLevel rule), from which the session
+resynchronizes per §2.3: trust the report's boots/time only after
+its HMAC verifies, update, retry once. The agent's clock is a plain
+mutable field, so tests drive drift/reboot scenarios directly.
 
 Transport = one injectable request/response callable
 ``transport(request_bytes) -> response_bytes`` (SNMP is datagram
@@ -302,6 +307,8 @@ USM_STATS_WRONG_DIGESTS = "1.3.6.1.6.3.15.1.1.5.0"
 USM_STATS_UNKNOWN_USER = "1.3.6.1.6.3.15.1.1.3.0"
 USM_STATS_UNSUPPORTED_LEVELS = "1.3.6.1.6.3.15.1.1.1.0"
 USM_STATS_DECRYPT_ERRORS = "1.3.6.1.6.3.15.1.1.6.0"
+USM_STATS_NOT_IN_WINDOW = "1.3.6.1.6.3.15.1.1.2.0"
+TIME_WINDOW = 150                    # RFC 3414 §2.2.3 seconds
 _AUTH_LEN = 12                      # HMAC-96 truncation, both protocols
 
 
@@ -564,6 +571,7 @@ class SnmpV3Agent:
     etime: int = 100
     wrong_digests: int = 0
     decrypt_errors: int = 0
+    not_in_window: int = 0
     _salt: int = 0x5A5A0000
 
     def _kul(self, user: str) -> "tuple[bytes, str] | None":
@@ -584,13 +592,20 @@ class SnmpV3Agent:
         return localize_key(password_to_key(priv_password, auth_proto),
                             self.engine_id, auth_proto), priv_proto
 
-    def _report(self, msg: dict, oid: str, n: int) -> bytes:
+    def _report(self, msg: dict, oid: str, n: int,
+                auth: "tuple[bytes, str] | None" = None) -> bytes:
         # request_id is None when the scoped PDU could not be read
         # (encrypted and undecryptable) — RFC 3414 reports use 0 then.
+        # notInTimeWindow reports pass `auth`: RFC 3414 §3.2(7)b sends
+        # them at the received securityLevel so the non-authoritative
+        # engine can TRUST the boots/time it resynchronizes from.
         return encode_v3_message(
             msg["msg_id"], REPORT, msg["request_id"] or 0,
             [(oid, (COUNTER32, n))],
             engine_id=self.engine_id, boots=self.boots, etime=self.etime,
+            user=msg["user"] if auth else "",
+            auth_key=auth[0] if auth else None,
+            proto=auth[1] if auth else "sha",
             reportable=False)
 
     def transport(self, request: bytes) -> bytes:
@@ -609,6 +624,16 @@ class SnmpV3Agent:
             # user requires auth but the request came unauthenticated
             return self._report(msg, USM_STATS_WRONG_DIGESTS,
                                 self.wrong_digests + 1)
+        if msg["flags"] & 0x01:
+            # RFC 3414 §3.2(7)a timeliness, authoritative side: boots
+            # must match exactly, time within ±150 s, and a maxed-out
+            # boots counter (2^31-1) never validates
+            if (msg["boots"] != self.boots
+                    or self.boots == 2 ** 31 - 1
+                    or abs(msg["time"] - self.etime) > TIME_WINDOW):
+                self.not_in_window += 1
+                return self._report(msg, USM_STATS_NOT_IN_WINDOW,
+                                    self.not_in_window, auth=auth)
         priv = self._priv(msg["user"])
         if msg["flags"] & 0x02:
             if not msg["flags"] & 0x01 or priv is None:
@@ -670,7 +695,8 @@ class SnmpV3Session:
         self._salt = 0x00A50000
 
     def _rpc(self, pdu_type: int,
-             varbinds: list[tuple[str, object]]) -> dict:
+             varbinds: list[tuple[str, object]],
+             _resynced: bool = False) -> dict:
         self._mid += 1
         self._salt += 1
         resp_blob = self.transport(encode_v3_message(
@@ -680,6 +706,17 @@ class SnmpV3Session:
             proto=self.proto, priv_key=self.priv_kul,
             priv_proto=self.priv_proto, priv_salt=self._salt))
         resp = decode_v3_message(resp_blob)
+        if (resp["pdu_type"] == REPORT and resp["varbinds"]
+                and resp["varbinds"][0][0] == USM_STATS_NOT_IN_WINDOW
+                and not _resynced and self.kul is not None):
+            # RFC 3414 §2.3 time synchronization: trust the report's
+            # boots/time ONLY if its HMAC verifies, then retry once
+            if not _verify_v3_auth(resp_blob, resp, self.kul,
+                                   self.proto):
+                raise SnmpError("unauthenticated notInTimeWindow "
+                                "report — refusing to resync")
+            self.boots, self.etime = resp["boots"], resp["time"]
+            return self._rpc(pdu_type, varbinds, _resynced=True)
         if self.kul is not None and resp["encrypted"] is None \
                 and resp["pdu_type"] == REPORT:
             raise SnmpError(f"agent report: {resp['varbinds']}")

@@ -245,3 +245,61 @@ def test_v3_priv_requires_auth():
     with pytest.raises(SnmpError, match="priv requires auth"):
         SnmpV3Session(agent.transport, "ops",
                       priv_password="privonly", priv_proto="aes")
+
+
+def test_v3_timeliness_window_and_resync():
+    from nifi_spark.sources.snmp import (SnmpV3Agent, SnmpV3Session)
+    agent = SnmpV3Agent(mib={"1.3.6.1.2.1.1.5.0": "h"},
+                        users={"admin": ("sha", "authpass123")})
+    s = SnmpV3Session(agent.transport, "admin",
+                      auth_password="authpass123")
+    assert s.get(["1.3.6.1.2.1.1.5.0"])["varbinds"] == [("1.3.6.1.2.1.1.5.0", "h")]
+    assert agent.not_in_window == 0
+    # clock drift beyond the ±150 s window -> authenticated
+    # notInTimeWindow report -> client resyncs and retries
+    agent.etime += 500
+    assert s.get(["1.3.6.1.2.1.1.5.0"])["varbinds"] == [("1.3.6.1.2.1.1.5.0", "h")]
+    assert agent.not_in_window == 1
+    assert s.etime == agent.etime
+    # engine reboot (boots bump) resyncs the same way
+    agent.boots += 1
+    agent.etime = 7
+    assert s.get(["1.3.6.1.2.1.1.5.0"])["varbinds"] == [("1.3.6.1.2.1.1.5.0", "h")]
+    assert agent.not_in_window == 2
+    assert (s.boots, s.etime) == (agent.boots, agent.etime)
+
+
+def test_v3_small_drift_within_window_ok():
+    from nifi_spark.sources.snmp import SnmpV3Agent, SnmpV3Session
+    agent = SnmpV3Agent(mib={"1.3.6.1.2.1.1.5.0": "h"},
+                        users={"admin": ("md5", "authpass123")})
+    s = SnmpV3Session(agent.transport, "admin",
+                      auth_password="authpass123", proto="md5")
+    agent.etime += 150          # exactly at the boundary: still valid
+    assert s.get(["1.3.6.1.2.1.1.5.0"])["varbinds"] == [("1.3.6.1.2.1.1.5.0", "h")]
+    assert agent.not_in_window == 0
+
+
+def test_v3_maxed_boots_never_validates():
+    import pytest as _pytest
+    from nifi_spark.sources.snmp import (SnmpError, SnmpV3Agent,
+                                         SnmpV3Session)
+    agent = SnmpV3Agent(mib={"1.3.6.1.2.1.1.5.0": "h"},
+                        users={"admin": ("sha", "authpass123")},
+                        boots=2 ** 31 - 1)
+    s = SnmpV3Session(agent.transport, "admin",
+                      auth_password="authpass123")
+    # resync once, retry, still rejected -> surfaced as a report error
+    with _pytest.raises(SnmpError, match="report"):
+        s.get(["1.3.6.1.2.1.1.5.0"])
+    assert agent.not_in_window == 2
+
+
+def test_v3_noauth_skips_timeliness():
+    from nifi_spark.sources.snmp import SnmpV3Agent, SnmpV3Session
+    agent = SnmpV3Agent(mib={"1.3.6.1.2.1.1.5.0": "h"},
+                        users={"guest": None})
+    s = SnmpV3Session(agent.transport, "guest")
+    agent.etime += 10_000
+    assert s.get(["1.3.6.1.2.1.1.5.0"])["varbinds"] == [("1.3.6.1.2.1.1.5.0", "h")]
+    assert agent.not_in_window == 0
