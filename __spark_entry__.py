@@ -5990,6 +5990,18 @@ def q_sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(_doc_tokens(spark, sf_dir), "tok", b=10)
 
 
+def q_sketch_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over the corpus token stream (datalib/sketch.py):
+    256 63-bit words (masks stay positive longs — ANSI-safe), 4
+    portable-hash probes per token. Build = one bit_or hash-agg;
+    union of filters = bit_or of matching words, so partial
+    aggregation IS the merge and the word table replays bit-for-bit
+    in SQL."""
+    from nifi_spark.datalib.sketch import bloom_bits
+    return bloom_bits(_doc_tokens(spark, sf_dir), "tok",
+                      m_words=256, k=4)
+
+
 def q_text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-15 corpus tokens (count desc, value asc) with a
     per-partition pre-cut so the global rank window only ever sees
@@ -6406,7 +6418,7 @@ _DRIVER_VERIFIED = frozenset({
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
     "unigram_encode_tokens", "unigram_train_vocab",
-    "ccnet_ppl_buckets",
+    "ccnet_ppl_buckets", "sketch_bloom_bits",
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
@@ -6589,6 +6601,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "email_extract": q_email_extract,
         "html_get_links": q_html_get_links,
         "sketch_count_min": q_sketch_count_min,
+        "sketch_bloom_bits": q_sketch_bloom_bits,
         "sketch_histogram": q_sketch_histogram,
         "dns_enrich_route": q_dns_enrich_route,
         "whois_enrich_route": q_whois_enrich_route,
@@ -8057,6 +8070,18 @@ cells AS (
           % 512)::INT AS bucket
   FROM toks, (SELECT unnest(range(0, 4)) AS d))
 SELECT row, bucket, count(*)::BIGINT AS n FROM cells GROUP BY row, bucket
+""",
+        "sketch_bloom_bits": """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+cells AS (
+  SELECT (p // 63)::INT AS word, (1::BIGINT << (p % 63)::INT) AS mask
+  FROM (SELECT (('0x' || substr(md5('bf' || i || ':' || tok), 1, 15))
+                ::BIGINT % 16128) AS p
+        FROM toks, (SELECT unnest(range(0, 4)) AS i)))
+SELECT word, bit_or(mask)::BIGINT AS bits FROM cells GROUP BY word
 """,
         "sketch_hll_registers": """
 WITH toks AS (

@@ -18,7 +18,8 @@ from nifi_spark.datalib.cluster import (kmeans_int8,
                                         kmeans_oracle_sql,
                                         semantic_dedup,
                                         semantic_dedup_oracle_sql)
-from nifi_spark.datalib.sketch import (cm_estimate, count_min_sketch,
+from nifi_spark.datalib.sketch import (bloom_bits, bloom_contains,
+                                       cm_estimate, count_min_sketch,
                                        heavy_hitters, histogram_quantile,
                                        histogram_sketch, hll_estimate,
                                        hll_registers)
@@ -90,6 +91,7 @@ __all__ = ["contaminated_spans",
            "unigram_encode_oracle_sql", "unigram_train_oracle_sql",
            "ccnet_ppl_buckets", "ccnet_oracle_sql",
            "wordpiece_oracle_sql",
+           "bloom_bits", "bloom_contains",
            "count_min_sketch", "cm_estimate", "hll_registers",
            "hll_estimate", "heavy_hitters", "histogram_sketch",
            "histogram_quantile", "build_warc", "parse_warc", "split_warc",

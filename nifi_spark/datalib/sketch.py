@@ -152,3 +152,40 @@ def histogram_quantile(rows: list, q: float, lo: float, hi: float,
             return lo + (b + frac) * width
         acc += n
     return hi
+
+
+def bloom_bits(df: DataFrame, col: str, m_words: int = 256,
+               k: int = 4, seed: str = "") -> DataFrame:
+    """Bloom filter as (word, bits): m_words 63-bit words (bit index
+    stays below the sign bit, so every mask is a positive long —
+    ANSI-safe), k portable-hash probes per value. Build = one explode
+    + one bit_or hash-agg; UNION of two filters = bit_or of matching
+    words (partial aggregation IS the merge, like the other sketches);
+    the word table replays bit-for-bit in SQL. Membership via
+    `bloom_contains`."""
+    m_bits = m_words * 63
+    c = F.col(col).cast("string")
+    probes = [F.struct(
+        (portable_hash64(c, f"{seed}bf{i}:") % m_bits).alias("pos"))
+        for i in range(k)]
+    cells = (df.select(F.explode(F.array(*probes)).alias("h"))
+             .select(F.col("h.pos").alias("pos"))
+             .selectExpr("CAST(pos DIV 63 AS INT) AS word",
+                         "SHIFTLEFT(CAST(1 AS BIGINT), "
+                         "CAST(pos % 63 AS INT)) AS mask"))
+    return (cells.groupBy("word")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_contains(bits_rows: list, value: str, m_words: int = 256,
+                   k: int = 4, seed: str = "") -> bool:
+    """Point query against collected (word, bits) rows: every probe
+    bit set -> maybe present (no false negatives)."""
+    from nifi_spark.functions.portable_hash import portable_hash64_py
+    words = {r["word"]: r["bits"] for r in bits_rows}
+    m_bits = m_words * 63
+    for i in range(k):
+        pos = portable_hash64_py(str(value), f"{seed}bf{i}:") % m_bits
+        if not (words.get(pos // 63, 0) >> (pos % 63)) & 1:
+            return False
+    return True

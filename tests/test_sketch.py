@@ -106,3 +106,34 @@ def test_histogram_overflow_bins(spark):
         [{"bin": -1, "n": 4}], 0.5, 0, 10, bins=10) == 0
     with pytest.raises(ValueError):
         histogram_sketch(df, "v", 10, 0)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from nifi_spark.datalib.sketch import bloom_bits, bloom_contains
+    vals_a = [f"tok{i}" for i in range(200)]
+    vals_b = [f"other{i}" for i in range(200)]
+    dfa = spark.createDataFrame([(v,) for v in vals_a], "v string")
+    dfb = spark.createDataFrame([(v,) for v in vals_b], "v string")
+    rows_a = bloom_bits(dfa, "v").collect()
+    rows_b = bloom_bits(dfb, "v").collect()
+    assert all(bloom_contains(rows_a, v) for v in vals_a)
+    # false-positive rate sane at this load factor (800 bits set of 16k)
+    fp = sum(bloom_contains(rows_a, f"absent{i}") for i in range(500))
+    assert fp < 25
+    # union of filters == filter of union (bit_or word-wise)
+    union = {}
+    for r in rows_a + rows_b:
+        union[r["word"]] = union.get(r["word"], 0) | r["bits"]
+    rows_u = bloom_bits(dfa.unionByName(dfb), "v").collect()
+    got = {r["word"]: r["bits"] for r in rows_u}
+    assert got == union
+    assert all(bloom_contains(rows_u, v) for v in vals_a + vals_b)
+
+
+def test_bloom_masks_positive(spark):
+    from nifi_spark.datalib.sketch import bloom_bits
+    df = spark.createDataFrame([(f"x{i}",) for i in range(2000)],
+                               "v string")
+    rows = bloom_bits(df, "v", m_words=8, k=4).collect()
+    assert all(r["bits"] > 0 for r in rows)     # sign bit never used
+    assert len(rows) <= 8
