@@ -5680,6 +5680,22 @@ def q_media_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "px_max")
 
 
+def q_media_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated GIF end-to-end (datalib/gif.py animation layer):
+    moving-box frame sequences encoded with PER-FRAME LOCAL palettes +
+    minimal-bounding-rect deltas, decoded by the composing decoder
+    (GCE delays, disposal, transparency honored). Stats are of the
+    COMPOSED canvases, so a single wrong delta rect or palette slot
+    breaks the formula oracle."""
+    from nifi_spark.datalib.multimodal import gif_animation_stats
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 4 == 3).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    out = gif_animation_stats(docs, "doc_id")
+    return out.select(F.col("id").alias("doc_id"), "n_frames",
+                      "delays_sum", "first_px_sum", "last_px_sum")
+
+
 def q_tnef_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExtractTNEFAttachments analog (operators/tnef.py; wire parity
     pinned by the reference's own winmail-*.dat fixtures in pytest):
@@ -6418,7 +6434,7 @@ _DRIVER_VERIFIED = frozenset({
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
     "unigram_encode_tokens", "unigram_train_vocab",
-    "ccnet_ppl_buckets", "sketch_bloom_bits",
+    "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
     "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
     "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
@@ -6568,6 +6584,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_image_stats": q_media_decode_image_stats,
         "media_decode_gif_stats": q_media_decode_gif_stats,
         "tnef_extract": q_tnef_extract,
+        "media_gif_animation": q_media_gif_animation,
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
         "media_frame_sample_mp4": q_media_frame_sample_mp4,
@@ -7770,6 +7787,33 @@ SELECT doc_id, 'attachments', 1,
        (doc_id % 50)::INT,
        md5(repeat('78', (doc_id % 50)::INT))
 FROM d WHERE doc_id % 5 <> 0
+""",
+        "media_gif_animation": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 4 = 3 ORDER BY doc_id LIMIT 100),
+d AS (SELECT id, 2 + id % 3 AS nf FROM ids),
+frames AS (SELECT id, nf, unnest(range(0, nf)) AS t FROM d),
+cells AS (
+  SELECT f.id, f.nf, f.t, x.x, y.y
+  FROM frames f, unnest(range(0, 16)) AS x(x),
+       unnest(range(0, 10)) AS y(y)),
+vals AS (
+  SELECT id, nf, t,
+         CASE WHEN x >= t AND x < t + 4 AND y >= 3 AND y < 7
+              THEN 255 + (10 * (t + id % 5)) % 256 + id % 7
+              ELSE (x % 8) * 30 + (y % 4) * 60 + (id % 5) * 9
+         END AS v
+  FROM cells),
+per_frame AS (
+  SELECT id, nf, t, sum(v)::BIGINT AS s FROM vals GROUP BY id, nf, t)
+SELECT id AS doc_id, any_value(nf)::INT AS n_frames,
+       CAST(4 * any_value(nf) + any_value(nf) * (any_value(nf) - 1) / 2
+            AS BIGINT) AS delays_sum,
+       CAST(max(CASE WHEN t = 0 THEN s END) AS BIGINT) AS first_px_sum,
+       CAST(max(CASE WHEN t = nf - 1 THEN s END) AS BIGINT)
+         AS last_px_sum
+FROM per_frame GROUP BY id
 """,
         "media_decode_gif_stats": """
 WITH ids AS (

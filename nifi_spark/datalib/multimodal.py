@@ -525,3 +525,50 @@ def resize_images(df: DataFrame, width: int, height: int,
 
     return df.select("id", "payload").mapInPandas(
         run, schema="id long, mime string, width int, height int, payload binary")
+
+
+def gif_animation_stats(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """Animated-GIF path end-to-end: per id a moving-box frame sequence
+    (closed-form pixels) runs through the REAL animation encoder
+    (per-frame local palettes + minimal-bounding-rect deltas) and the
+    REAL composing decoder (GCE delays/disposal), emitting integer
+    stats of the COMPOSED frames — so the delta encode/compose cycle
+    must reproduce every canvas exactly for the formula oracle to
+    match. Columns: (id, n_frames, delays_sum, first_px_sum,
+    last_px_sum)."""
+    from nifi_spark.datalib.gif import (decode_gif_frames,
+                                        encode_gif_animation)
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    W, H = 16, 10
+
+    def build_frame(i: int, t: int) -> bytes:
+        f = bytearray()
+        for y in range(H):
+            for x in range(W):
+                if t <= x < t + 4 and 3 <= y < 7:
+                    f += bytes([255, (10 * (t + i % 5)) % 256, i % 7])
+                else:
+                    f += bytes([(x % 8) * 30, (y % 4) * 60,
+                                (i % 5) * 9])
+        return bytes(f)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 2 + i % 3
+                frames = [build_frame(i, t) for t in range(nf)]
+                blob = encode_gif_animation(
+                    W, H, frames, delays_cs=[4 + t for t in range(nf)])
+                _sw, _sh, got = decode_gif_frames(blob)
+                rows.append((i, len(got),
+                             sum(d for d, _ in got),
+                             sum(got[0][1]), sum(got[-1][1])))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_frames", "delays_sum", "first_px_sum",
+                "last_px_sum"])
+
+    return ids.mapInPandas(
+        run, schema="id long, n_frames int, delays_sum long, "
+                    "first_px_sum long, last_px_sum long")

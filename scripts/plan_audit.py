@@ -379,6 +379,22 @@ def main():
     assert "Exchange" not in p, p
     results.append(("bpe_encode", "tokenization pass is ONE zero-exchange "
                     "projection (nested replaces + split + flatten)"))
+    p = plan_of(E.queries()["unigram_encode_tokens"](spark, sf))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert n_bnlj <= 1, p   # only the 1-row seed-total crossJoin
+    results.append(("unigram_encode", "Viterbi once per DISTINCT word "
+                    "(hash-agg word cache) + equi-join back + ordered "
+                    "regroup — no windows, no cross products; the single "
+                    "nested-loop is the 1-row vocab-total broadcast"))
+    p = plan_of(E.queries()["sketch_bloom_bits"](spark, sf))
+    assert "Window" not in p, p
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex <= 1, p
+    results.append(("bloom_bits", "filter build is one explode + ONE "
+                    "bit_or hash-agg exchange — partial aggregation IS "
+                    "the Bloom union"))
     p = plan_of(E.queries()["relevance_bm25_topk"](spark, sf))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p

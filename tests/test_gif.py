@@ -111,3 +111,117 @@ def test_reference_artifacts_decode():
         decoded += 1
     assert decoded >= 5
     assert animated >= 1          # iconLoading.gif etc.
+
+
+# --------------------------------------------------------- animation
+
+
+def _anim_frames(W=21, H=13, N=4):
+    frames = []
+    for t in range(N):
+        f = bytearray()
+        for y in range(H):
+            for x in range(W):
+                if t <= x < t + 4 and 3 <= y < 7:
+                    f += bytes([255, 10 * t, 0])
+                else:
+                    f += bytes([(x % 8) * 30, (y % 4) * 60, 30])
+        frames.append(bytes(f))
+    return frames
+
+
+def test_animation_delta_roundtrip():
+    from nifi_spark.datalib.gif import (decode_gif_frames,
+                                        encode_gif_animation,
+                                        gif_frame_count)
+    W, H = 21, 13
+    frames = _anim_frames(W, H, 4)
+    blob = encode_gif_animation(W, H, frames,
+                                delays_cs=[5, 10, 15, 20])
+    sw, sh, got = decode_gif_frames(blob)
+    assert (sw, sh) == (W, H)
+    assert [d for d, _ in got] == [5, 10, 15, 20]
+    assert [r for _, r in got] == frames
+    assert gif_frame_count(blob) == 4
+    # delta encoding genuinely shrinks vs full frames
+    full = encode_gif_animation(W, H, frames, delta=False)
+    assert len(blob) < len(full)
+    _, _, got_full = decode_gif_frames(full)
+    assert [r for _, r in got_full] == frames
+
+
+def test_animation_unchanged_frame():
+    from nifi_spark.datalib.gif import (decode_gif_frames,
+                                        encode_gif_animation)
+    W, H = 6, 5
+    a = bytes([10, 20, 30]) * (W * H)
+    b = (bytes([10, 20, 30]) * (W * 2)
+         + bytes([200, 0, 0]) * W + bytes([10, 20, 30]) * (W * 2))
+    blob = encode_gif_animation(W, H, [a, a, b])
+    _, _, got = decode_gif_frames(blob)
+    assert [r for _, r in got] == [a, a, b]
+
+
+def _hand_gif(disposals, transparent_second=False):
+    """3-color GCT GIF: frame1 fills 4x3 with color 1; frame2 paints a
+    2x1 rect at (1,1) with color 2 (optionally transparent index 0
+    in a 2x2 rect so only half paints)."""
+    import struct
+    W, H = 4, 3
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0x80 | 0x00, 0, 0)  # 2-entry GCT
+    out += bytes([9, 9, 9, 200, 100, 50])                  # bg, paint
+    from nifi_spark.datalib.gif import _lzw_encode
+
+    def frame(lx, ly, iw, ih, indices, disposal, transparent=None):
+        f = bytearray(b"\x21\xF9\x04")
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        f += bytes([flags]) + struct.pack("<H", 7) \
+            + bytes([transparent or 0, 0])
+        f += b"\x2C" + struct.pack("<HHHHB", lx, ly, iw, ih, 0)
+        f.append(2)
+        lzw = _lzw_encode(bytes(indices), 2)
+        for off in range(0, len(lzw), 255):
+            f.append(len(lzw[off:off + 255]))
+            f += lzw[off:off + 255]
+        f += b"\x00"
+        return f
+
+    out += frame(0, 0, W, H, [1] * (W * H), disposals[0])
+    if transparent_second:
+        out += frame(1, 1, 2, 2, [1, 0, 0, 1], disposals[1],
+                     transparent=0)
+    else:
+        out += frame(1, 1, 2, 1, [0, 0], disposals[1])
+    out += frame(0, 0, 1, 1, [1], 0)
+    out += b"\x3B"
+    return W, H, bytes(out)
+
+
+def test_disposal_restore_background():
+    from nifi_spark.datalib.gif import decode_gif_frames
+    W, H, blob = _hand_gif([0, 2])
+    _, _, got = decode_gif_frames(blob)
+    paint, bg = bytes([200, 100, 50]), bytes([9, 9, 9])
+    f2 = got[1][1]
+    # frame2 rect painted with color 0 (=bg color 9,9,9)
+    assert f2[3 * (1 * W + 1):3 * (1 * W + 3)] == bg * 2
+    # frame3: disposal 2 restored the rect to BACKGROUND before drawing
+    f3 = got[2][1]
+    assert f3[3 * (1 * W + 1):3 * (1 * W + 3)] == bg * 2
+    assert f3[0:3] == paint                    # 1x1 repaint at origin
+    assert f3[3 * (2 * W):3 * (2 * W) + 3] == paint  # untouched row
+
+
+def test_disposal_restore_previous_and_transparency():
+    from nifi_spark.datalib.gif import decode_gif_frames
+    W, H, blob = _hand_gif([0, 3], transparent_second=True)
+    _, _, got = decode_gif_frames(blob)
+    paint, bg = bytes([200, 100, 50]), bytes([9, 9, 9])
+    f2 = got[1][1]
+    # transparent index 0 left the canvas (paint) visible; index 1 drew
+    assert f2[3 * (1 * W + 1):3 * (1 * W + 2)] == paint   # drew color 1
+    assert f2[3 * (1 * W + 2):3 * (1 * W + 3)] == paint   # transparent
+    # frame3: disposal 3 restored the full pre-frame canvas
+    f3 = got[2][1]
+    assert f3[3 * (1 * W + 1):3 * (1 * W + 3)] == paint * 2
