@@ -7,22 +7,25 @@ stylesheet via javax.xml.transform. Two paths here:
   re-rooting rules that cover the most common TransformXml usage, with
   the stdlib ElementTree (expat) in one Arrow-batched ``mapInPandas``
   pass;
-- ``stylesheet=``: a real XSLT 1.0 subset engine (operators/xslt.py —
-  template rules, apply/call-template, for-each/sort, if/choose,
-  element/attribute/copy/copy-of, variables/params, AVTs) running the
-  in-repo XPath 1.0 evaluator (functions/xpath1.py), compiled once and
-  applied row-wise in the same ``mapInPandas`` shape. Instructions the
-  subset excludes (xsl:key/import/number/extensions) raise XsltError
-  driver-side at compile.
+- ``stylesheet=``: a real XSLT engine (operators/xslt.py — template
+  rules + priorities/modes, apply/call-template, for-each/sort,
+  if/choose, element/attribute/copy/copy-of, variables/params, AVTs,
+  xsl:key/key(), xsl:number, xsl:import/include with import
+  precedence, apply-imports, decimal-format + format-number(),
+  namespace-alias, and the 2.0 pieces the reference's own tokens.xsl
+  needs: xsl:function, xsl:analyze-string, tokenize/string-join)
+  running the in-repo XPath 1.0 evaluator (functions/xpath1.py),
+  compiled once and applied row-wise in the same ``mapInPandas``
+  shape.
 
 EvaluateXQuery (standard/EvaluateXQuery.java:1-80) evaluates XQuery 1.0
 via net.sf.saxon. The path-expression core of XQuery — which is XPath —
 maps to Spark's built-in ``xpath()`` family (JVM-side javax.xml, whole
 result array per query, zero Python); FLWOR expressions
-(for/let/where/order by/return, direct constructors with {expr} holes)
-evaluate through the in-repo engine (operators/xquery.py) as an
-Arrow-batched column; only nested-FLWOR returns and prologs remain a
-declared boundary.
+(for/let/where/order by/return, direct constructors with {expr} holes,
+nested FLWOR, prologs with declare namespace/variable/function,
+external variable bindings) evaluate through the in-repo engine
+(operators/xquery.py) as an Arrow-batched column.
 """
 
 from __future__ import annotations

@@ -50,6 +50,10 @@ class CqlError(IOError):
 REQUEST, RESPONSE = 0x04, 0x84
 OP_ERROR, OP_STARTUP, OP_READY, OP_OPTIONS, OP_SUPPORTED = \
     0x00, 0x01, 0x02, 0x05, 0x06
+OP_AUTHENTICATE, OP_AUTH_RESPONSE, OP_AUTH_SUCCESS = 0x03, 0x0F, 0x10
+ERR_BAD_CREDENTIALS = 0x0100
+_PASSWORD_AUTHENTICATOR = \
+    "org.apache.cassandra.auth.PasswordAuthenticator"
 OP_QUERY, OP_RESULT, OP_PREPARE, OP_EXECUTE = 0x07, 0x08, 0x09, 0x0A
 
 T_BIGINT, T_BOOLEAN, T_DOUBLE, T_INT, T_VARCHAR = \
@@ -287,7 +291,7 @@ class CqlServer:
     protocol-v4 frames with real paging state (the opaque
     paging_state encodes the row offset — exactly what it is)."""
 
-    def __init__(self):
+    def __init__(self, credentials: "tuple[str, str] | None" = None):
         # table -> (schema [(name, type_name)], rows [tuple])
         self.tables: dict[str, tuple[list[tuple[str, str]],
                                      list[tuple]]] = {}
@@ -296,6 +300,12 @@ class CqlServer:
         # MD5Digest) -> (cql, [(bind col name, type name), ...])
         self.prepared: dict[bytes,
                             tuple[str, list[tuple[str, str]]]] = {}
+        # (user, password) -> STARTUP answers AUTHENTICATE with the
+        # PasswordAuthenticator class name and expects a SASL PLAIN
+        # AUTH_RESPONSE (\0user\0pass), exactly the driver dance the
+        # reference's Username/Password properties configure
+        self.credentials = credentials
+        self._authed_ok = credentials is None
 
     def add_table(self, name: str, schema: list[tuple[str, str]],
                   rows: list[tuple]) -> None:
@@ -464,7 +474,32 @@ class CqlServer:
             opts = _Reader(body).string_map()
             if "CQL_VERSION" not in opts:
                 raise CqlError("STARTUP without CQL_VERSION")
-            write_frame(write, RESPONSE, OP_READY, b"", stream=stream)
+            if self.credentials is not None:
+                write_frame(write, RESPONSE, OP_AUTHENTICATE,
+                            _string(_PASSWORD_AUTHENTICATOR),
+                            stream=stream)
+            else:
+                write_frame(write, RESPONSE, OP_READY, b"",
+                            stream=stream)
+        elif opcode == OP_AUTH_RESPONSE:
+            token = _Reader(body).bytes_() or b""
+            parts = token.split(b"\x00")
+            ok = (self.credentials is not None and len(parts) == 3
+                  and parts[1].decode() == self.credentials[0]
+                  and parts[2].decode() == self.credentials[1])
+            if ok:
+                self._authed_ok = True
+                write_frame(write, RESPONSE, OP_AUTH_SUCCESS,
+                            _bytes(None), stream=stream)
+            else:
+                write_frame(write, RESPONSE, OP_ERROR,
+                            struct.pack(">i", ERR_BAD_CREDENTIALS)
+                            + _string("Bad credentials"),
+                            stream=stream)
+        elif not self._authed_ok:
+            write_frame(write, RESPONSE, OP_ERROR,
+                        struct.pack(">i", ERR_BAD_CREDENTIALS)
+                        + _string("not authenticated"), stream=stream)
         elif opcode == OP_OPTIONS:
             write_frame(write, RESPONSE, OP_SUPPORTED,
                         _string_map({"CQL_VERSION": "3.4.4"})
@@ -536,13 +571,28 @@ class CqlServer:
 
 
 class CqlClient:
-    def __init__(self, read, write):
+    def __init__(self, read, write,
+                 auth: "tuple[str, str] | None" = None):
         self._read, self._write = read, write
         self._stream = 0
-        resp = self._rpc(OP_STARTUP,
-                         _string_map({"CQL_VERSION": "3.0.0"}))
-        if resp[0] != OP_READY:
-            raise CqlError(f"startup refused: opcode {resp[0]}")
+        rop, rbody = self._rpc(OP_STARTUP,
+                               _string_map({"CQL_VERSION": "3.0.0"}))
+        if rop == OP_AUTHENTICATE:
+            # server names its IAuthenticator class; answer with the
+            # SASL PLAIN initial response \0user\0pass — what the Java
+            # driver's PlainTextAuthProvider sends for the reference's
+            # Username/Password properties
+            if auth is None:
+                raise CqlError(
+                    "server requires authentication ("
+                    + _Reader(rbody).string() + ") but no credentials")
+            token = b"\x00" + auth[0].encode() + b"\x00" \
+                + auth[1].encode()
+            rop, rbody = self._rpc(OP_AUTH_RESPONSE, _bytes(token))
+            if rop != OP_AUTH_SUCCESS:
+                raise CqlError(f"auth refused: opcode {rop}")
+        elif rop != OP_READY:
+            raise CqlError(f"startup refused: opcode {rop}")
 
     def _rpc(self, opcode: int, body: bytes) -> tuple[int, bytes]:
         self._stream += 1

@@ -307,3 +307,57 @@ def test_cql_execute_wrong_arity_server_side(cql_pair):
     stmt2 = type(stmt)(stmt.id, [("grp", "int"), ("grp", "int")])
     with pytest.raises(CqlError, match="expected 1 values, got 2"):
         c.execute(stmt2, (1, 2))
+
+
+def test_cql_password_auth_success():
+    srv = CqlServer(credentials=("cassandra", "s3cret"))
+    srv.add_table("t", [("id", "int")], [(7,)])
+    r, w, join = cql_loopback(srv)
+    c = CqlClient(r, w, auth=("cassandra", "s3cret"))
+    _cols, got = c.query("SELECT id FROM t")
+    assert got == [(7,)]
+    join()
+
+
+def test_cql_password_auth_bad_credentials():
+    srv = CqlServer(credentials=("cassandra", "s3cret"))
+    r, w, join = cql_loopback(srv)
+    with pytest.raises(CqlError, match="0x0100"):
+        CqlClient(r, w, auth=("cassandra", "wrong"))
+    join()
+
+
+def test_cql_auth_required_but_none_supplied():
+    srv = CqlServer(credentials=("u", "p"))
+    r, w, join = cql_loopback(srv)
+    with pytest.raises(CqlError,
+                       match="PasswordAuthenticator.*no credentials"):
+        CqlClient(r, w)
+    join()
+
+
+def test_cql_query_refused_before_auth():
+    # raw frames: STARTUP (gets AUTHENTICATE), then QUERY without
+    # answering the challenge -> 0x0100 error, connection survives
+    from nifi_spark.sources.cql import (
+        REQUEST, OP_STARTUP, OP_QUERY, OP_AUTH_RESPONSE, write_frame,
+        read_frame, _string_map, _long_string, _bytes, CONSISTENCY_ONE)
+    import struct as _s
+    srv = CqlServer(credentials=("u", "p"))
+    srv.add_table("t", [("id", "int")], [(1,)])
+    r, w, join = cql_loopback(srv)
+    write_frame(w, REQUEST, OP_STARTUP,
+                _string_map({"CQL_VERSION": "3.0.0"}), stream=1)
+    assert read_frame(r)[2] == 0x03  # AUTHENTICATE
+    q = _long_string("SELECT id FROM t") \
+        + _s.pack(">H", CONSISTENCY_ONE) + b"\x00"
+    write_frame(w, REQUEST, OP_QUERY, q, stream=2)
+    ver, stream, op, body = read_frame(r)
+    assert op == 0x00 and _s.unpack(">i", body[:4])[0] == 0x0100
+    write_frame(w, REQUEST, OP_AUTH_RESPONSE,
+                _bytes(b"\x00u\x00p"), stream=3)
+    assert read_frame(r)[2] == 0x10  # AUTH_SUCCESS
+    write_frame(w, REQUEST, OP_QUERY, q, stream=4)
+    assert read_frame(r)[2] == 0x08  # RESULT
+    w.close() if hasattr(w, "close") else None
+    join()
