@@ -3444,6 +3444,94 @@ def q_listen_syslog_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ftp_sftp_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FTP + SFTP transfer family (GetFTP/PutFTP/FetchFTP/ListFTP and
+    the SFTP siblings — FTPTransfer.java:120-520 / SFTPTransfer.java):
+    a real RFC 959 loopback server (per-transfer PASV data channels)
+    and an SFTPv3 packet server over a socketpair. 40 deterministic
+    files are uploaded through each protocol with dot-rename conflict
+    protection, mtime-watermark listed (mtimes pinned via utime; the
+    `listed` column is the ACTUAL ListFTP/ListSFTP output — files with
+    mtime strictly above the 1,000,200 watermark, i.e. i > 20), fetched
+    by name including 5 not-found routes, then drained to a local spool
+    whose bytes are read back as a DISTRIBUTED binaryFile scan: size and
+    md5 are computed in Spark over the downloaded bytes, proving both
+    wire transfers byte-exact against the closed-form oracle."""
+    from nifi_spark.sources.ftp import (FtpClient, FtpServer, fetch_ftp,
+                                        get_ftp, list_ftp, put_ftp)
+    from nifi_spark.sources.sftp import (SftpServer, fetch_sftp,
+                                         get_sftp, list_sftp, put_sftp,
+                                         sftp_loopback)
+
+    def content(i: int) -> bytes:
+        return (f"payload-{i}:" + "abc" * (i % 29 + 1)).encode()
+
+    files = [(f"f{i:03d}.log", content(i)) for i in range(40)]
+    probe = [f"f{i:03d}.log" for i in range(38, 45)]   # 2 hits, 5 misses
+    spool = tempfile.mkdtemp(prefix="xfer_spool_")
+    listed_names: dict[str, list[str]] = {}
+    missing_rows: list[tuple[str, str]] = []
+
+    def pin_mtimes(root: str) -> None:
+        for i, (name, _) in enumerate(files):
+            os.utime(os.path.join(root, name),
+                     (1_000_000 + i * 10,) * 2)
+
+    # FTP over a real loopback TCP socket
+    ftp_root = tempfile.mkdtemp(prefix="ftp_root_")
+    srv = FtpServer(ftp_root, user="u", password="p")
+    host, port = srv.start()
+    fc = FtpClient(host, port, user="u", password="p")
+    put_ftp(fc, files)                        # dot-rename upload
+    pin_mtimes(ftp_root)
+    entries, _ = list_ftp(fc, "", 1_000_200.0, now=2_000_000.0)
+    listed_names["ftp"] = sorted(e["name"] for e in entries)
+    found, missing = fetch_ftp(fc, probe)
+    missing_rows += [("ftp", n) for n in missing]
+    os.makedirs(os.path.join(spool, "ftp"))
+    for e in get_ftp(fc, "", delete=True):
+        with open(os.path.join(spool, "ftp", e["name"]), "wb") as fh:
+            fh.write(e["content"])
+    fc.close()
+    srv.stop()
+
+    # SFTP over a socketpair channel
+    sftp_root = tempfile.mkdtemp(prefix="sftp_root_")
+    sc, join = sftp_loopback(SftpServer(sftp_root))
+    put_sftp(sc, files)
+    pin_mtimes(sftp_root)
+    entries, _ = list_sftp(sc, ".", 1_000_200.0, now=2_000_000.0)
+    listed_names["sftp"] = sorted(e["name"] for e in entries)
+    found, missing = fetch_sftp(sc, probe)
+    missing_rows += [("sftp", n) for n in missing]
+    os.makedirs(os.path.join(spool, "sftp"))
+    for e in get_sftp(sc, ".", delete=True):
+        with open(os.path.join(spool, "sftp", e["name"]), "wb") as fh:
+            fh.write(e["content"])
+    join()
+
+    raw = spark.read.format("binaryFile").load(spool + "/*/*.log")
+    proto = F.element_at(F.split("path", "/"), -2)
+    name = F.element_at(F.split("path", "/"), -1)
+    listed = (F.when(proto == "ftp",
+                     name.isin(listed_names["ftp"]))
+              .otherwise(name.isin(listed_names["sftp"])))
+    ok = raw.select(
+        proto.alias("proto"), name.alias("name"),
+        F.length("content").cast("bigint").alias("size"),
+        F.md5("content").alias("content_md5"),
+        listed.alias("listed"),
+        F.lit("success").alias("route"))
+    miss = spark.createDataFrame(missing_rows,
+                                 "proto string, name string").select(
+        "proto", "name",
+        F.lit(None).cast("bigint").alias("size"),
+        F.lit(None).cast("string").alias("content_md5"),
+        F.lit(None).cast("boolean").alias("listed"),
+        F.lit("not.found").alias("route"))
+    return ok.unionByName(miss)
+
+
 def q_scripted_processor_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExecuteScript + InvokeScriptedProcessor analogs
     (nifi-scripting-bundle ExecuteScript.java:160-210,
@@ -6433,6 +6521,7 @@ _DRIVER_VERIFIED = frozenset({
 # externally verifies the newest work first (then the never-verified
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
+    "ftp_sftp_transfer",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6643,6 +6732,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exec_stream_command": q_exec_stream_command,
         "exec_process_source": q_exec_process_source,
         "listen_syslog_landed": q_listen_syslog_landed,
+        "ftp_sftp_transfer": q_ftp_sftp_transfer,
         "scripted_processor_flow": q_scripted_processor_flow,
         "hl7_route_extract": q_hl7_route_extract,
         "s2s_roundtrip": q_s2s_roundtrip,
@@ -9026,6 +9116,23 @@ SELECT event_type, event_id % 7 AS slot, count(*) AS n,
          AS route
 FROM events GROUP BY event_type, event_id % 7,
                      event_id % 7 < 4
+""",
+        "ftp_sftp_transfer": """
+WITH protos(proto) AS (VALUES ('ftp'), ('sftp')),
+ok AS (
+  SELECT proto, printf('f%03d.log', i) AS name,
+         CAST(length('payload-' || i || ':'
+                     || repeat('abc', i % 29 + 1)) AS BIGINT) AS size,
+         md5('payload-' || i || ':'
+             || repeat('abc', i % 29 + 1)) AS content_md5,
+         i > 20 AS listed, 'success' AS route
+  FROM (SELECT unnest(range(40)) AS i), protos),
+miss AS (
+  SELECT proto, printf('f%03d.log', i) AS name,
+         CAST(NULL AS BIGINT) AS size, CAST(NULL AS VARCHAR) AS content_md5,
+         CAST(NULL AS BOOLEAN) AS listed, 'not.found' AS route
+  FROM (SELECT unnest(range(40, 45)) AS i), protos)
+SELECT * FROM ok UNION ALL SELECT * FROM miss
 """,
         "listen_syslog_landed": """
 WITH u AS (SELECT range AS i, 'UDP' AS protocol,
