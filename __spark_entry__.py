@@ -3969,6 +3969,77 @@ def q_consume_imap_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("second_drain", F.lit(n2)))
 
 
+def q_imap_idle_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAP IDLE (RFC 2177) + BODYSTRUCTURE (RFC 3501 §7.4.2) — the two
+    formerly-declared boundaries of the ConsumeIMAP analog
+    (sources/imap.py). 30 multipart messages arrive via the server's
+    idle_feed across 3 IDLE rounds; imap_idle_consume fetches ONLY uids
+    above its high-water mark per wakeup (the push-notified drain
+    loop), then imap_fetch_structs reads every message's parenthesized
+    MIME structure over a second session. The landed spool is scanned
+    distributed: per-message part counts derived IN SPARK from the raw
+    RFC822 bytes must equal the counts the server's BODYSTRUCTURE
+    reported — and both replay as 1 + i % 3."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+    from email.policy import SMTP
+    from nifi_spark.sources.imap import (imap_fetch_structs,
+                                         imap_idle_consume,
+                                         imap_loopback)
+
+    def mk(i: int) -> bytes:
+        m = MIMEMultipart("mixed", boundary=f"b{i}")
+        m["Subject"] = f"m{i}"
+        for j in range(1 + i % 3):
+            m.attach(MIMEText(f"part-{i}-{j}\n", "plain"))
+        return m.as_bytes(policy=SMTP)
+
+    batches = [[mk(i) for i in range(r * 10, r * 10 + 10)]
+               for r in range(3)]
+    it = iter(batches)
+    folders: dict = {"INBOX": []}
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders,
+                                  idle_feed=lambda: next(it, []))
+    rl, w = connect()
+    rounds = imap_idle_consume(rl, w, user="u", password="p", rounds=3)
+    join()
+
+    connect2, join2 = imap_loopback(user="u", password="p",
+                                    folders=folders)
+    rl2, w2 = connect2()
+    structs = imap_fetch_structs(rl2, w2, user="u", password="p")
+    join2()
+    bs_parts = [s.count('("TEXT" "PLAIN"') for s in structs]
+
+    spool = tempfile.mkdtemp(prefix="imap_idle_")
+    rows_round, rows_pos, rows_content = [], [], []
+    pos = 0
+    for r, batch in enumerate(rounds):
+        for msg in batch:
+            rows_round.append(r)
+            rows_pos.append(pos)
+            rows_content.append(msg.decode("utf-8", "replace"))
+            pos += 1
+    pq.write_table(pa.table({
+        "idle_round": pa.array(rows_round, pa.int64()),
+        "pos": pa.array(rows_pos, pa.int64()),
+        "bs_parts": pa.array([bs_parts[p] for p in rows_pos],
+                             pa.int64()),
+        "content": pa.array(rows_content, pa.string()),
+    }), os.path.join(spool, "landed.parquet"))
+    df = spark.read.parquet(spool)
+    return df.select(
+        F.regexp_extract("content", r"Subject: m(\d+)", 1)
+         .cast("bigint").alias("msg_id"),
+        F.col("idle_round"),
+        (F.size(F.split("content", "Content-Type: text/plain")) - 1)
+         .cast("bigint").alias("n_parts"),
+        F.col("bs_parts"))
+
+
 def q_snmp_get_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetSNMP GET+WALK analogs (nifi-snmp-bundle; sources/snmp.py —
     real BER v2c codec): an arithmetic 80-entry MIB is walked via
@@ -6521,7 +6592,7 @@ _DRIVER_VERIFIED = frozenset({
 # externally verifies the newest work first (then the never-verified
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
-    "ftp_sftp_transfer",
+    "ftp_sftp_transfer", "imap_idle_structs",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6778,6 +6849,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "put_syslog_roundtrip": q_put_syslog_roundtrip,
         "s2s_http_roundtrip": q_s2s_http_roundtrip,
         "consume_imap_landed": q_consume_imap_landed,
+        "imap_idle_structs": q_imap_idle_structs,
         "snmp_get_walk": q_snmp_get_walk,
         "quantize_embeddings": q_quantize_embeddings,
         "ann_topk_int8": q_ann_topk_int8,
@@ -8646,6 +8718,11 @@ allv AS (SELECT * FROM counters UNION ALL SELECT * FROM names)
 SELECT branch, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
        md5(string_agg(oid, '|' ORDER BY oid)) AS oid_hash
 FROM allv GROUP BY branch
+""",
+        "imap_idle_structs": """
+SELECT i AS msg_id, i // 10 AS idle_round,
+       1 + i % 3 AS n_parts, 1 + i % 3 AS bs_parts
+FROM (SELECT unnest(range(30)) AS i)
 """,
         "consume_imap_landed": """
 SELECT 'INBOX' AS folder, count(*) AS n,

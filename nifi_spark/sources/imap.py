@@ -17,9 +17,20 @@ AND-conjoined criteria subset (ALL, DELETED, UNDELETED, ``TEXT s``,
 fetch loop is what robust consumers actually run (sequence numbers
 shift under concurrent expunge; uids don't). UIDVALIDITY is
 per-session here, which RFC 3501 permits — clients discard cached
-uids when it changes. Remaining boundary: IDLE and BODYSTRUCTURE
-(push notification and MIME introspection — nothing in the
-fetch-and-delete contract needs them).
+uids when it changes.
+
+Also implemented: ``IDLE`` (RFC 2177 — the server enters idle on the
+``+`` continuation, appends whatever the injectable ``idle_feed``
+delivers, pushes the untagged ``EXISTS``/``RECENT`` news burst — or a
+``* OK`` heartbeat when there is none — then honors ``DONE``; the
+client side is ``imap_idle_consume``, the push-notification loop that
+fetches ONLY uids above its high-water mark after each wakeup) and
+``BODYSTRUCTURE`` (RFC 3501 §7.4.2 — the parenthesized MIME structure
+built from the stdlib email parser: nested multiparts, parameter
+lists, encoding, octet size, text line counts; ``imap_fetch_structs``
+is the client). Remaining boundary: the envelope member of
+message/rfc822 body structures (nothing in the consume contract
+reads it).
 
 Transport injectable as always; `imap_loopback` runs the server on a
 socketpair thread.
@@ -128,11 +139,54 @@ def _search_match(msg: bytes, idx: int, deleted: "set[int]",
     return True
 
 
+def _bs_quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _bs_params(part) -> str:
+    items = part.get_params(header="content-type") or []
+    ps = [(k.upper(), v) for k, v in items[1:]]        # [0] is the type
+    if not ps:
+        return "NIL"
+    return ("(" + " ".join(f"{_bs_quote(k)} {_bs_quote(v)}"
+                           for k, v in ps) + ")")
+
+
+def _bs_part(part) -> str:
+    if part.is_multipart():
+        kids = "".join(_bs_part(p) for p in part.get_payload())
+        return (f"({kids} {_bs_quote(part.get_content_subtype().upper())}"
+                f" {_bs_params(part)} NIL NIL)")
+    body = part.get_payload(decode=False) or ""
+    octets = len(body.encode("utf-8", "surrogateescape"))
+    cid = part.get("Content-ID")
+    enc = (part.get("Content-Transfer-Encoding") or "7BIT").upper()
+    fields = [_bs_quote(part.get_content_maintype().upper()),
+              _bs_quote(part.get_content_subtype().upper()),
+              _bs_params(part),
+              _bs_quote(cid) if cid else "NIL",
+              "NIL",                                   # description
+              _bs_quote(enc), str(octets)]
+    if part.get_content_maintype() == "text":
+        fields.append(str(body.count("\n")))
+    return "(" + " ".join(fields) + ")"
+
+
+def bodystructure(msg: bytes) -> str:
+    """RFC 3501 §7.4.2 BODYSTRUCTURE for a raw RFC822 message:
+    `(type subtype (params) id description encoding octets [lines])`
+    for discrete parts, `((child)(child) subtype (params) NIL NIL)`
+    for multiparts, built from the stdlib email parser."""
+    import email
+    return _bs_part(email.message_from_bytes(msg))
+
+
 # ----------------------------------------------------------- server
 
 
 def serve_imap(read_line, write, *, user: str, password: str,
-               folders: dict[str, list[bytes]]) -> list[int]:
+               folders: dict[str, list[bytes]],
+               idle_feed=None) -> list[int]:
     """Serve ONE session; `folders` maps folder name → message list
     (mutated: EXPUNGE removes \\Deleted-flagged messages). Returns the
     expunged indexes (0-based, pre-expunge) of the last SELECTed
@@ -201,8 +255,31 @@ def serve_imap(read_line, write, *, user: str, password: str,
             if not (0 <= i < len(box)):
                 tagged(tag, "NO no such message")
                 continue
-            emit_fetch(i, box[i], with_uid=False)
+            if "BODYSTRUCTURE" in " ".join(args[1:]).upper():
+                write(f"* {i + 1} FETCH (BODYSTRUCTURE "
+                      f"{bodystructure(box[i])})\r\n".encode())
+            else:
+                emit_fetch(i, box[i], with_uid=False)
             tagged(tag, "OK FETCH completed")
+        elif verb == "IDLE":
+            write(b"+ idling\r\n")
+            news = list(idle_feed()) if idle_feed is not None else []
+            box = folders[selected]
+            fuids = uids[selected]
+            for msg in news:
+                box.append(msg)
+                fuids.append(uidnext[selected])
+                uidnext[selected] += 1
+            if news:
+                untagged(f"{len(box)} EXISTS")
+                untagged(f"{len(news)} RECENT")
+            else:
+                untagged("OK still here")
+            done = read_line()
+            if done.strip().upper() != b"DONE":
+                tagged(tag, "BAD expected DONE")
+            else:
+                tagged(tag, "OK IDLE terminated")
         elif verb == "STORE":
             i = int(args[0]) - 1
             if "+FLAGS" in [a.upper() for a in args] \
@@ -239,9 +316,16 @@ def serve_imap(read_line, write, *, user: str, password: str,
             elif sub == "FETCH" and len(args) >= 2:
                 want = set(_parse_uid_set(
                     args[1], uidnext[selected] - 1))
+                structs = "BODYSTRUCTURE" in " ".join(args[2:]).upper()
                 for i, u in enumerate(fuids):
                     if u in want:
-                        emit_fetch(i, box[i], with_uid=True)
+                        if structs:
+                            write(f"* {i + 1} FETCH (UID {u} "
+                                  f"BODYSTRUCTURE "
+                                  f"{bodystructure(box[i])})\r\n"
+                                  .encode())
+                        else:
+                            emit_fetch(i, box[i], with_uid=True)
                 tagged(tag, "OK UID FETCH completed")
             elif sub == "STORE" and len(args) >= 2:
                 want = set(_parse_uid_set(
@@ -352,8 +436,128 @@ def imap_fetch(read_line, write, *, user: str, password: str,
     return messages
 
 
+class _Dialogue:
+    """Minimal tagged-command plumbing shared by the auxiliary
+    clients (imap_fetch keeps its own inline copy)."""
+
+    def __init__(self, read_line, write):
+        self.read_line, self.write, self.seq = read_line, write, 0
+        greeting = read_line()
+        if not greeting.startswith(b"* OK"):
+            raise ImapError(f"bad greeting {greeting!r}")
+
+    def send(self, cmd: str) -> str:
+        self.seq += 1
+        tag = f"x{self.seq:03d}"
+        self.write(f"{tag} {cmd}\r\n".encode())
+        return tag
+
+    def run(self, cmd: str) -> list[bytes]:
+        return self.until_tagged(self.send(cmd))
+
+    def until_tagged(self, tag: str) -> list[bytes]:
+        lines: list[bytes] = []
+        while True:
+            ln = self.read_line()
+            if not ln:
+                raise ImapError("connection dropped")
+            if ln.startswith(tag.encode() + b" "):
+                if ln.decode().split(" ", 2)[1] != "OK":
+                    raise ImapError(ln.decode().strip())
+                return lines
+            lines.append(ln)
+
+    def login_select(self, user: str, password: str,
+                     folder: str) -> int:
+        self.run(f"LOGIN {user} {password}")
+        exists = 0
+        for ln in self.run(f'SELECT "{folder}"'):
+            m = re.match(rb"\* (\d+) EXISTS", ln)
+            if m:
+                exists = int(m.group(1))
+        return exists
+
+    def fetch_literal(self, cmd: str) -> bytes:
+        """Send a FETCH whose reply is `* i FETCH (... {n}` + n raw
+        bytes + `)` + tagged OK; return the literal."""
+        tag = self.send(cmd)
+        ln = self.read_line()
+        m = re.search(rb"\{(\d+)\}\r\n$", ln)
+        if not m:
+            raise ImapError(f"expected literal, got {ln!r}")
+        n = int(m.group(1))
+        body = b""
+        while len(body) < n:
+            chunk = self.read_line()
+            if not chunk:
+                raise ImapError("dropped mid-literal")
+            body += chunk
+        self.until_tagged(tag)
+        return body[:n]
+
+
+def imap_fetch_structs(read_line, write, *, user: str, password: str,
+                       folder: str = "INBOX") -> list[str]:
+    """Fetch the BODYSTRUCTURE of every message in `folder` (RFC 3501
+    §7.4.2) without touching flags — the MIME-introspection read path.
+    Returns the parenthesized structure strings in mailbox order."""
+    d = _Dialogue(read_line, write)
+    n = d.login_select(user, password, folder)
+    out: list[str] = []
+    for i in range(1, n + 1):
+        for ln in d.run(f"FETCH {i} (BODYSTRUCTURE)"):
+            m = re.match(rb"\* \d+ FETCH \(BODYSTRUCTURE (.*)\)\r\n$",
+                         ln, re.DOTALL)
+            if m:
+                out.append(m.group(1).decode())
+    d.run("LOGOUT")
+    return out
+
+
+def imap_idle_consume(read_line, write, *, user: str, password: str,
+                      folder: str = "INBOX",
+                      rounds: int = 1) -> list[list[bytes]]:
+    """RFC 2177 push loop: per round, enter IDLE, wait for the server's
+    untagged news burst (`n EXISTS` + `RECENT`, or an `* OK` heartbeat
+    meaning no news), send DONE, then UID-FETCH only uids above the
+    high-water mark. Returns one message list per idle round — the
+    shape a push-notified ConsumeIMAP drain produces."""
+    d = _Dialogue(read_line, write)
+    d.login_select(user, password, folder)
+    last_uid = 0
+    # baseline: uids present before the first idle round are skipped
+    for ln in d.run("UID SEARCH ALL"):
+        m = re.match(rb"\* SEARCH(.*)", ln)
+        if m and m.group(1).split():
+            last_uid = max(int(u) for u in m.group(1).split())
+    out: list[list[bytes]] = []
+    for _ in range(rounds):
+        tag = d.send("IDLE")
+        cont = d.read_line()
+        if not cont.startswith(b"+"):
+            raise ImapError(f"expected continuation, got {cont!r}")
+        burst = d.read_line()
+        if re.match(rb"\* \d+ EXISTS", burst):
+            d.read_line()                       # the RECENT line
+        d.write(b"DONE\r\n")
+        d.until_tagged(tag)
+        fresh: list[int] = []
+        for ln in d.run("UID SEARCH ALL"):
+            m = re.match(rb"\* SEARCH(.*)", ln)
+            if m:
+                fresh = [int(u) for u in m.group(1).split()
+                         if int(u) > last_uid]
+        batch = [d.fetch_literal(f"UID FETCH {u} RFC822")
+                 for u in fresh]
+        if fresh:
+            last_uid = max(fresh)
+        out.append(batch)
+    d.run("LOGOUT")
+    return out
+
+
 def imap_loopback(*, user: str, password: str,
-                  folders: dict[str, list[bytes]]):
+                  folders: dict[str, list[bytes]], idle_feed=None):
     """serve_imap on a socketpair thread → (connect, join)."""
     import socket
     import threading
@@ -366,7 +570,8 @@ def imap_loopback(*, user: str, password: str,
         try:
             f = b.makefile("rb")
             result.extend(serve_imap(f.readline, b.sendall, user=user,
-                                     password=password, folders=folders))
+                                     password=password, folders=folders,
+                                     idle_feed=idle_feed))
         except BaseException as exc:
             errs.append(exc)
         finally:

@@ -181,3 +181,78 @@ def test_spool_landing_uid_mode(spark, tmp_path):
     assert df.count() == len(_MSGS)
     got = sorted(r["content"] for r in df.collect())
     assert got == sorted(m.decode() for m in _MSGS)
+
+
+# ------------------------------------------------- IDLE + BODYSTRUCTURE
+
+
+def _mk_multipart(i: int) -> bytes:
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+    m = MIMEMultipart("mixed", boundary=f"b{i}")
+    for j in range(1 + i % 3):
+        m.attach(MIMEText(f"part-{i}-{j}\n", "plain"))
+    from email.policy import SMTP
+    return m.as_bytes(policy=SMTP)
+
+
+def test_bodystructure_simple_text():
+    from nifi_spark.sources.imap import bodystructure
+    s = bodystructure(b"Subject: a\r\n\r\nhello\r\nworld\r\n")
+    assert s.startswith('("TEXT" "PLAIN" ')
+    assert s.endswith(" 2)")                 # two lines
+    assert '"7BIT"' in s
+
+
+def test_bodystructure_multipart_nesting_and_params():
+    from nifi_spark.sources.imap import bodystructure
+    s = bodystructure(_mk_multipart(2))      # 3 text parts
+    assert s.count('("TEXT" "PLAIN"') == 3
+    assert '"MIXED" ("BOUNDARY" "b2")' in s
+    assert s.startswith("((") and s.endswith("NIL NIL)")
+
+
+def test_fetch_structs_over_loopback():
+    from nifi_spark.sources.imap import imap_fetch_structs
+    folders = {"INBOX": [_mk_multipart(0),
+                         b"Subject: x\r\n\r\nplain\r\n"]}
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders)
+    rl, w = connect()
+    structs = imap_fetch_structs(rl, w, user="u", password="p")
+    join()
+    assert len(structs) == 2
+    assert '"MIXED"' in structs[0]
+    assert structs[1].startswith('("TEXT" "PLAIN"')
+    assert folders["INBOX"] and len(folders["INBOX"]) == 2  # untouched
+
+
+def test_idle_push_consume_only_new_uids():
+    from nifi_spark.sources.imap import imap_idle_consume
+    baseline = [b"Subject: old\r\n\r\nseen\r\n"]
+    batches = [[b"Subject: n1\r\n\r\nnew one\r\n",
+                b"Subject: n2\r\n\r\nnew two\r\n"],
+               [],
+               [b"Subject: n3\r\n\r\nnew three\r\n"]]
+    it = iter(batches)
+    folders = {"INBOX": list(baseline)}
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders,
+                                  idle_feed=lambda: next(it, []))
+    rl, w = connect()
+    rounds = imap_idle_consume(rl, w, user="u", password="p", rounds=3)
+    join()
+    assert rounds == batches                 # baseline never re-fetched
+    assert len(folders["INBOX"]) == 4        # nothing deleted
+
+
+def test_idle_heartbeat_round_returns_empty():
+    from nifi_spark.sources.imap import imap_idle_consume
+    folders = {"INBOX": []}
+    connect, join = imap_loopback(user="u", password="p",
+                                  folders=folders,
+                                  idle_feed=lambda: [])
+    rl, w = connect()
+    rounds = imap_idle_consume(rl, w, user="u", password="p", rounds=2)
+    join()
+    assert rounds == [[], []]
