@@ -5215,6 +5215,59 @@ def q_debug_flow_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rel"))
 
 
+def q_amqp_confirm_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMQP 0-9-1 tx class + publisher confirms (sources/amqp.py —
+    the transactional/acknowledged-publish surface beyond the polled
+    basicGet the reference uses). Session 1 (tx mode): 30 publishes
+    staged then ROLLED BACK — none may land — followed by the 20
+    publishes with i % 3 != 0, committed. Session 2 (confirm mode):
+    10 publishes, each acked by its 1-based channel sequence;
+    wait_for_confirms must return exactly 1..10. The drained spool is
+    scanned distributed and both buckets replay arithmetically —
+    rollback invisibility is proven by the tx bucket's count/sum."""
+    from nifi_spark.sources.amqp import (AmqpBroker, AmqpClient,
+                                         ConsumeAMQPSource,
+                                         amqp_loopback)
+
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("jobs")
+    c.tx_select()
+    for i in range(30):
+        c.basic_publish("", "jobs", f"msg-{i}".encode())
+    c.tx_rollback()
+    for i in range(30):
+        if i % 3 != 0:
+            c.basic_publish("", "jobs", f"msg-{i}".encode())
+    c.tx_commit()
+    c.close()
+    join()
+
+    read2, write2, join2 = amqp_loopback(broker)
+    c2 = AmqpClient(read2, write2)
+    c2.confirm_select()
+    for i in range(100, 110):
+        c2.basic_publish("", "jobs", f"msg-{i}".encode())
+    confirms = c2.wait_for_confirms()
+    assert confirms == list(range(1, 11)), confirms
+
+    src = ConsumeAMQPSource(tempfile.mkdtemp(prefix="amqp_tx_"))
+    src.drain(c2, "jobs")
+    c2.close()
+    join2()
+
+    df = src.read(spark)
+    i_col = F.regexp_extract(F.col("payload").cast("string"),
+                             r"msg-(\d+)", 1).cast("bigint")
+    return (df.select(i_col.alias("i"))
+            .groupBy(F.when(F.col("i") < 100, "tx")
+                     .otherwise("confirm").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"))
+            .withColumn("n_confirms", F.lit(len(confirms))))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6592,7 +6645,7 @@ _DRIVER_VERIFIED = frozenset({
 # externally verifies the newest work first (then the never-verified
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
-    "ftp_sftp_transfer", "imap_idle_structs",
+    "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6816,6 +6869,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "listen_lumberjack_landed": q_listen_lumberjack_landed,
         "consume_mqtt_landed": q_consume_mqtt_landed,
         "consume_amqp_landed": q_consume_amqp_landed,
+        "amqp_confirm_tx": q_amqp_confirm_tx,
         "get_jms_landed": q_get_jms_landed,
         "consume_kafka_wire_landed": q_consume_kafka_wire_landed,
         "webhdfs_list_fetch": q_webhdfs_list_fetch,
@@ -9044,6 +9098,14 @@ SELECT 'hub1' AS eventhub_name, pid AS eventhub_partition,
        CAST(sum(i) AS BIGINT) AS sum_enq_delta,
        CAST(sum(9 + length(i::VARCHAR)) AS BIGINT) AS sum_plen
 FROM m GROUP BY pid ORDER BY pid
+""",
+        "amqp_confirm_tx": """
+SELECT 'tx' AS bucket, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,
+       10 AS n_confirms
+FROM (SELECT unnest(range(30)) AS i) WHERE i % 3 <> 0
+UNION ALL
+SELECT 'confirm', count(*), CAST(sum(i) AS BIGINT), 10
+FROM (SELECT unnest(range(100, 110)) AS i)
 """,
         "consume_amqp_landed": """
 WITH m AS (SELECT range AS i,

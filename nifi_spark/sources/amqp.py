@@ -31,9 +31,17 @@ Topic-exchange matching uses AMQP semantics: ``.``-separated words,
 `amqp_loopback`) exists for the same reason serve_smtp / MqttBroker
 do: loopback sessions prove BOTH sides of every exchange without a
 network; production points the client at a real broker socket.
-Declared boundary: basic.consume push deliveries (the reference's own
-consumer is the polled basicGet), transactions (tx class), and
-publisher confirms.
+
+Beyond the polled basicGet the reference uses, the push/transactional
+surface is implemented too: ``basic.consume`` → ``basic.deliver``
+streams (heartbeat-bounded ``drain``), the ``tx`` class
+(``tx.select``/``commit``/``rollback`` — publishes stage broker-side
+and route only on commit; mutually exclusive with confirm mode per the
+spec), and RabbitMQ-style publisher confirms (``confirm.select``, the
+broker acks each publish by its 1-based channel sequence number;
+``wait_for_confirms`` collects them, expanding ``multiple`` acks).
+Declared boundary: the negative-ack family (basic.nack / basic.reject
+/ basic.recover redelivery).
 """
 
 from __future__ import annotations
@@ -58,6 +66,9 @@ EX_DECLARE, EX_DECLARE_OK = 10, 11
 Q_DECLARE, Q_DECLARE_OK, Q_BIND, Q_BIND_OK = 10, 11, 20, 21
 B_PUBLISH, B_GET, B_GET_OK, B_GET_EMPTY, B_ACK = 40, 70, 71, 72, 80
 B_CONSUME, B_CONSUME_OK, B_DELIVER = 20, 21, 60
+CONFIRM, CF_SELECT, CF_SELECT_OK = 85, 10, 11
+TX, TX_SELECT, TX_SELECT_OK = 90, 10, 11
+TX_COMMIT, TX_COMMIT_OK, TX_ROLLBACK, TX_ROLLBACK_OK = 20, 21, 30, 31
 
 # BasicProperties flag bits (content-header property-flags short),
 # in spec order — mirrors AMQPUtils.PropertyNames.
@@ -315,6 +326,27 @@ class AmqpBroker:
 
         pending: "tuple[str, str, dict, bytearray, int] | None" = None
         delivery_tag = 1
+        confirm_mode = False
+        publish_seq = 0                  # 1-based confirm numbering
+        tx_mode = False
+        tx_staged: list = []
+        pub_ch = 1
+
+        def finish(p) -> None:
+            """Complete one publish: route (or stage under tx), and in
+            confirm mode ack it back by publish sequence number."""
+            nonlocal publish_seq
+            ex, key, props, body, _ = p
+            if tx_mode:
+                tx_staged.append((ex, key, props, bytes(body)))
+            else:
+                self._route(ex, key, props, bytes(body))
+                self.published += 1
+            if confirm_mode:
+                publish_seq += 1
+                write_frame(write, FRAME_METHOD, pub_ch, method_frame(
+                    BASIC, B_ACK, struct.pack(">QB", publish_seq, 0)))
+
         while True:
             fr = read_frame(read)
             if fr is None:
@@ -336,7 +368,7 @@ class AmqpBroker:
                 pending = (pending[0], pending[1], props,
                            bytearray(), size)
                 if size == 0:
-                    self._finish_publish(pending)
+                    finish(pending)
                     pending = None
                 continue
             if ftype == FRAME_BODY:
@@ -344,7 +376,7 @@ class AmqpBroker:
                     raise AmqpError("body frame without publish")
                 pending[3].extend(payload)
                 if len(pending[3]) >= pending[4]:
-                    self._finish_publish(pending)
+                    finish(pending)
                     pending = None
                 continue
             class_id, method_id = struct.unpack_from(">HH", payload, 0)
@@ -381,6 +413,7 @@ class AmqpBroker:
                 ex, pos = _rd_shortstr(args, pos)
                 key, pos = _rd_shortstr(args, pos)
                 pending = (ex, key, {}, bytearray(), -1)
+                pub_ch = ch
             elif (class_id, method_id) == (BASIC, B_CONSUME):
                 pos = 2
                 qname, pos = _rd_shortstr(args, pos)
@@ -427,6 +460,33 @@ class AmqpBroker:
                         if t == tag or (multiple and t <= tag)]
                 for t in gone:
                     del self.unacked[t]
+            elif (class_id, method_id) == (CONFIRM, CF_SELECT):
+                if tx_mode:
+                    raise AmqpError("channel is transactional")
+                confirm_mode = True
+                write_frame(write, FRAME_METHOD, ch,
+                            method_frame(CONFIRM, CF_SELECT_OK))
+            elif (class_id, method_id) == (TX, TX_SELECT):
+                if confirm_mode:
+                    raise AmqpError("channel is in confirm mode")
+                tx_mode = True
+                write_frame(write, FRAME_METHOD, ch,
+                            method_frame(TX, TX_SELECT_OK))
+            elif (class_id, method_id) == (TX, TX_COMMIT):
+                if not tx_mode:
+                    raise AmqpError("tx.commit without tx.select")
+                for ex, key, props, body in tx_staged:
+                    self._route(ex, key, props, body)
+                    self.published += 1
+                tx_staged.clear()
+                write_frame(write, FRAME_METHOD, ch,
+                            method_frame(TX, TX_COMMIT_OK))
+            elif (class_id, method_id) == (TX, TX_ROLLBACK):
+                if not tx_mode:
+                    raise AmqpError("tx.rollback without tx.select")
+                tx_staged.clear()
+                write_frame(write, FRAME_METHOD, ch,
+                            method_frame(TX, TX_ROLLBACK_OK))
             elif (class_id, method_id) == (CHANNEL, CH_CLOSE):
                 write_frame(write, FRAME_METHOD, ch,
                             method_frame(CHANNEL, CH_CLOSE_OK))
@@ -462,12 +522,6 @@ class AmqpBroker:
                     write_frame(write, FRAME_BODY, 1,
                                 body[i:i + self.frame_max])
         return delivery_tag
-
-    def _finish_publish(self, pending) -> None:
-        ex, key, props, body, _ = pending
-        self._route(ex, key, props, bytes(body))
-        self.published += 1
-
 
 def _rd_shortstr(buf: bytes, pos: int) -> tuple[str, int]:
     n = buf[pos]
@@ -543,7 +597,10 @@ class AmqpClient:
         _expect_method(self.read, QUEUE, Q_BIND_OK)
 
     def basic_publish(self, exchange: str, routing_key: str,
-                      body: bytes, properties: dict | None = None) -> None:
+                      body: bytes,
+                      properties: dict | None = None) -> "int | None":
+        """Publish; in confirm mode returns this publish's 1-based
+        sequence number (what the broker's ack will carry)."""
         write_frame(self.write, FRAME_METHOD, 1, method_frame(
             BASIC, B_PUBLISH,
             b"\x00\x00" + _shortstr(exchange) + _shortstr(routing_key)
@@ -553,6 +610,60 @@ class AmqpClient:
         step = self.frame_max - 8
         for i in range(0, len(body), step):
             write_frame(self.write, FRAME_BODY, 1, body[i:i + step])
+        if getattr(self, "_pub_seq", None) is not None:
+            self._pub_seq += 1
+            return self._pub_seq
+        return None
+
+    def confirm_select(self) -> None:
+        """confirm.select → select-ok (publisher confirms): subsequent
+        publishes on this channel are numbered 1.. and the broker acks
+        each by that sequence; mutually exclusive with tx mode."""
+        write_frame(self.write, FRAME_METHOD, 1, method_frame(
+            CONFIRM, CF_SELECT, b"\x00"))
+        _expect_method(self.read, CONFIRM, CF_SELECT_OK)
+        self._pub_seq = 0
+        self._confirmed: set[int] = set()
+
+    def wait_for_confirms(self) -> list[int]:
+        """Block until every outstanding publish is acked; returns the
+        newly-confirmed sequence numbers in arrival order (a
+        ``multiple`` ack expands to every unseen tag ≤ its own)."""
+        if getattr(self, "_pub_seq", None) is None:
+            raise AmqpError("confirm_select first")
+        acked: list[int] = []
+        while len(self._confirmed) < self._pub_seq:
+            fr = read_frame(self.read)
+            if fr is None:
+                raise AmqpError("EOF awaiting confirm")
+            ftype, _ch, payload = fr
+            cls, mth = struct.unpack_from(">HH", payload, 0)
+            if ftype != FRAME_METHOD or (cls, mth) != (BASIC, B_ACK):
+                raise AmqpError(f"unexpected method {cls}.{mth}")
+            tag, multiple = struct.unpack_from(">QB", payload, 4)
+            new = range(1, tag + 1) if multiple else (tag,)
+            for t in new:
+                if t not in self._confirmed:
+                    self._confirmed.add(t)
+                    acked.append(t)
+        return acked
+
+    def tx_select(self) -> None:
+        """tx.select → select-ok: publishes stage broker-side until
+        tx_commit; tx_rollback discards the staging buffer."""
+        write_frame(self.write, FRAME_METHOD, 1,
+                    method_frame(TX, TX_SELECT))
+        _expect_method(self.read, TX, TX_SELECT_OK)
+
+    def tx_commit(self) -> None:
+        write_frame(self.write, FRAME_METHOD, 1,
+                    method_frame(TX, TX_COMMIT))
+        _expect_method(self.read, TX, TX_COMMIT_OK)
+
+    def tx_rollback(self) -> None:
+        write_frame(self.write, FRAME_METHOD, 1,
+                    method_frame(TX, TX_ROLLBACK))
+        _expect_method(self.read, TX, TX_ROLLBACK_OK)
 
     def basic_get(self, queue: str, *, no_ack: bool = True):
         """→ (props, body, exchange, routing_key, message_count) or

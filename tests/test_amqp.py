@@ -202,3 +202,66 @@ def test_basic_consume_ack_mode():
     c.close()
     join()
     assert broker.unacked == {}
+
+
+# --------------------------------------- publisher confirms + tx class
+
+
+def test_publisher_confirms_ack_every_publish():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.confirm_select()
+    seqs = [c.basic_publish("", "q", f"m{i}".encode()) for i in range(5)]
+    assert seqs == [1, 2, 3, 4, 5]
+    assert c.wait_for_confirms() == [1, 2, 3, 4, 5]
+    assert c.wait_for_confirms() == []               # nothing outstanding
+    c.close()
+    assert join() == 5
+
+
+def test_tx_rollback_discards_commit_routes():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.tx_select()
+    for i in range(3):
+        c.basic_publish("", "q", f"lost{i}".encode())
+    c.tx_rollback()
+    assert c.basic_get("q") is None                  # nothing routed
+    c.basic_publish("", "q", b"kept0")
+    c.basic_publish("", "q", b"kept1")
+    c.tx_commit()
+    assert c.basic_get("q")[1] == b"kept0"
+    assert c.basic_get("q")[1] == b"kept1"
+    assert c.basic_get("q") is None
+    c.close()
+    assert join() == 2                               # only committed count
+
+
+def test_tx_staged_invisible_until_commit():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.tx_select()
+    c.basic_publish("", "q", b"staged")
+    assert c.basic_get("q") is None                  # not yet routed
+    c.tx_commit()
+    assert c.basic_get("q")[1] == b"staged"
+    c.close()
+    join()
+
+
+def test_confirm_and_tx_mutually_exclusive():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.tx_select()
+    with pytest.raises((AmqpError, OSError)):
+        c.confirm_select()
+    with pytest.raises(AmqpError):
+        join()
