@@ -5892,6 +5892,26 @@ def q_media_decode_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "px_max")
 
 
+def q_media_gif_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-cut color quantizer (datalib/gif.py quantize_colors —
+    the last GIF scope piece): truecolor 256-gray gradients quantized
+    to 64 colors inside the distributed encoder, decoded back by the
+    real LZW path. The uniform gradient makes the quantizer's output
+    CLOSED-FORM — every gray v must land exactly on 4*(v//4)+1
+    (weighted integer box averages), so px stats replay in SQL with
+    the quantizer never re-run: a single wrong split point or
+    rounding rule breaks px_sum/px_min/px_max."""
+    from nifi_spark.datalib.multimodal import (decode_media_stats,
+                                               synthesize_quantized_gif)
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 4 == 0).orderBy("doc_id").limit(100) \
+        .repartition(8)
+    stats = decode_media_stats(synthesize_quantized_gif(docs, "doc_id"))
+    return stats.select(F.col("id").alias("doc_id"), "mime", "width",
+                        "height", "channels", "px_sum", "px_min",
+                        "px_max")
+
+
 def q_media_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Animated GIF end-to-end (datalib/gif.py animation layer):
     moving-box frame sequences encoded with PER-FRAME LOCAL palettes +
@@ -6646,6 +6666,7 @@ _DRIVER_VERIFIED = frozenset({
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
+    "media_gif_quantize",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6798,6 +6819,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_gif_stats": q_media_decode_gif_stats,
         "tnef_extract": q_tnef_extract,
         "media_gif_animation": q_media_gif_animation,
+        "media_gif_quantize": q_media_gif_quantize,
         "media_decode_audio_stats": q_media_decode_audio_stats,
         "media_decode_jpeg_stats": q_media_decode_jpeg_stats,
         "media_frame_sample_mp4": q_media_frame_sample_mp4,
@@ -8030,6 +8052,17 @@ SELECT id AS doc_id, any_value(nf)::INT AS n_frames,
        CAST(max(CASE WHEN t = nf - 1 THEN s END) AS BIGINT)
          AS last_px_sum
 FROM per_frame GROUP BY id
+""",
+        "media_gif_quantize": """
+WITH ids AS (
+  SELECT doc_id::BIGINT AS id FROM documents
+  WHERE doc_id % 4 = 0 ORDER BY doc_id LIMIT 100),
+dims AS (SELECT id, 2 + id % 5 AS h FROM ids)
+SELECT id AS doc_id, 'image/gif' AS mime, 256 AS width,
+       h AS height, 3 AS channels,
+       CAST(h * 3 * 32512 AS BIGINT) AS px_sum,
+       1 AS px_min, 253 AS px_max
+FROM dims
 """,
         "media_decode_gif_stats": """
 WITH ids AS (

@@ -16,9 +16,10 @@ restore-to-background / 3 restore-to-previous, per-frame local color
 tables). `encode_gif_animation` writes animations with per-frame
 LOCAL palettes and minimal-bounding-rect frame deltas (plus the
 NETSCAPE2.0 loop extension). `encode_gif` palettizes a single raster;
-both encoders refuse >256 distinct colors per frame (GIF's own limit)
-rather than quantizing — a color QUANTIZER is the one remaining
-out-of-scope piece.
+truecolor input quantizes through `quantize_colors` (deterministic
+integer median-cut) when `max_colors` is passed — without it both
+encoders refuse >256 distinct colors per frame (GIF's own limit).
+With the quantizer the GIF scope is closed end-to-end.
 """
 
 from __future__ import annotations
@@ -136,10 +137,66 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
 # ------------------------------------------------------------ encode
 
 
-def encode_gif(width: int, height: int, channels: int,
-               pixels: bytes) -> bytes:
-    """Raster → single-frame GIF89a. channels 1 (gray) or 3 (RGB);
-    ≤256 distinct colors (GIF's palette limit — no quantizer here)."""
+def quantize_colors(rgb: bytes, max_colors: int = 256) -> bytes:
+    """Median-cut color quantization (Heckbert 1982) in pure integer
+    arithmetic: distinct colors are recursively split along the box's
+    widest channel at the pixel-count-weighted median until
+    `max_colors` boxes exist; every pixel maps to its box's weighted
+    integer-average color. Deterministic — ties pick the lowest box
+    index / lowest channel; colors sort by (split channel, full
+    tuple); averages floor-divide — so a uniform 256-gray gradient
+    quantized to 64 colors lands EXACTLY on 4*(v//4)+1 (the closed
+    form the gate oracle replays). Rasters already within the budget
+    pass through unchanged."""
+    from collections import Counter
+
+    if not 1 <= max_colors <= 256:
+        raise GifError("max_colors must be 1..256")
+    counts = Counter(zip(rgb[0::3], rgb[1::3], rgb[2::3]))
+    if len(counts) <= max_colors:
+        return rgb
+
+    def ranges(box: list) -> list[int]:
+        return [max(c[ch] for c in box) - min(c[ch] for c in box)
+                for ch in range(3)]
+
+    boxes: list[list] = [sorted(counts)]
+    while len(boxes) < max_colors:
+        widths = [max(ranges(b)) if len(b) > 1 else -1 for b in boxes]
+        bi = max(range(len(boxes)), key=lambda j: (widths[j], -j))
+        if widths[bi] <= 0:
+            break                       # every box is a single color
+        box = boxes[bi]
+        r = ranges(box)
+        ch = r.index(max(r))
+        box.sort(key=lambda c: (c[ch], c))
+        total = sum(counts[c] for c in box)
+        cum, cut = 0, len(box) - 1
+        for i, c in enumerate(box):
+            cum += counts[c]
+            if 2 * cum >= total:
+                cut = i + 1
+                break
+        cut = min(max(cut, 1), len(box) - 1)
+        boxes[bi] = box[:cut]
+        boxes.append(box[cut:])
+
+    mapping: dict = {}
+    for box in boxes:
+        total = sum(counts[c] for c in box)
+        avg = bytes(sum(c[ch] * counts[c] for c in box) // total
+                    for ch in range(3))
+        for c in box:
+            mapping[c] = avg
+    return b"".join(mapping[c]
+                    for c in zip(rgb[0::3], rgb[1::3], rgb[2::3]))
+
+
+def encode_gif(width: int, height: int, channels: int, pixels: bytes,
+               *, max_colors: "int | None" = None) -> bytes:
+    """Raster → single-frame GIF89a. channels 1 (gray) or 3 (RGB).
+    With `max_colors` the raster is median-cut-quantized first;
+    without it, >256 distinct colors raise (GIF's palette limit)."""
     if channels == 1:
         rgb = bytes(v for p in pixels for v in (p, p, p))
     elif channels == 3:
@@ -148,6 +205,8 @@ def encode_gif(width: int, height: int, channels: int,
         raise GifError(f"channels must be 1 or 3, got {channels}")
     if len(rgb) != width * height * 3:
         raise GifError("pixel buffer does not match dimensions")
+    if max_colors is not None:
+        rgb = quantize_colors(rgb, max_colors)
     palette: dict[bytes, int] = {}
     indices = bytearray()
     for i in range(0, len(rgb), 3):
@@ -405,7 +464,8 @@ def encode_gif_animation(width: int, height: int,
                          frames: list[bytes],
                          delays_cs: "list[int] | None" = None,
                          loop: bool = True,
-                         delta: bool = True) -> bytes:
+                         delta: bool = True,
+                         max_colors: "int | None" = None) -> bytes:
     """Full-canvas RGB frames → animated GIF89a with PER-FRAME LOCAL
     color tables (each frame palettizes independently — no shared
     256-color budget) and, with `delta`, minimal-bounding-rect frame
@@ -418,6 +478,8 @@ def encode_gif_animation(width: int, height: int,
     for f in frames:
         if len(f) != width * height * 3:
             raise GifError("frame buffer does not match dimensions")
+    if max_colors is not None:
+        frames = [quantize_colors(f, max_colors) for f in frames]
     delays = delays_cs or [10] * len(frames)
     if len(delays) != len(frames):
         raise GifError("delays/frames length mismatch")

@@ -354,6 +354,33 @@ def synthesize_gif(df: DataFrame, id_col: str = "id") -> DataFrame:
     return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
 
 
+def synthesize_quantized_gif(df: DataFrame,
+                             id_col: str = "id") -> DataFrame:
+    """Fixture source: 256-gray TRUECOLOR gradients (w=256,
+    h=2+id%5, value (x+id)%256) pushed through the REAL median-cut
+    quantizer (gif.quantize_colors, max_colors=64) inside the GIF
+    encoder — distributed, Arrow-batched. The uniform gradient makes
+    the quantized raster closed-form (every value v lands exactly on
+    4*(v//4)+1), so decode stats replay in SQL without re-running the
+    quantizer."""
+    from nifi_spark.datalib.gif import encode_gif
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def synth(i: int) -> bytes:
+        h = 2 + i % 5
+        rgb = bytes(v for _ in range(h) for x in range(256)
+                    for v in ((x + i) % 256,) * 3)
+        return encode_gif(256, h, 3, rgb, max_colors=64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(int(i), "image", synth(int(i))) for i in pdf["id"]],
+                columns=["id", "kind", "payload"])
+
+    return ids.mapInPandas(gen, schema="id long, kind string, payload binary")
+
+
 def synthesize_video(df: DataFrame, id_col: str = "id") -> DataFrame:
     """Fixture source: PNG-codec MP4s through the REAL muxer — every byte
     of the container (box tree, sample tables, mdat) is produced by

@@ -225,3 +225,66 @@ def test_disposal_restore_previous_and_transparency():
     # frame3: disposal 3 restored the full pre-frame canvas
     f3 = got[2][1]
     assert f3[3 * (1 * W + 1):3 * (1 * W + 3)] == paint * 2
+
+
+# ------------------------------------------------------ quantize_colors
+
+
+def test_quantize_gray_gradient_closed_form():
+    from nifi_spark.datalib.gif import quantize_colors
+    h = 4
+    rgb = bytes(v for _ in range(h) for x in range(256)
+                for v in (x, x, x))
+    out = quantize_colors(rgb, 64)
+    # uniform 256-gray gradient → boxes of 4 → weighted avg 4*(v//4)+1
+    for x in range(256):
+        want = 4 * (x // 4) + 1
+        assert out[3 * x:3 * x + 3] == bytes([want] * 3)
+    assert len(set(zip(out[0::3], out[1::3], out[2::3]))) == 64
+    assert quantize_colors(rgb, 64) == out       # deterministic
+
+
+def test_quantize_passthrough_within_budget():
+    from nifi_spark.datalib.gif import quantize_colors
+    rgb = bytes(v for x in range(64) for v in ((x % 16) * 17,) * 3)
+    assert quantize_colors(rgb, 64) == rgb
+
+
+def test_quantize_weighted_median_respects_counts():
+    from nifi_spark.datalib.gif import quantize_colors
+    # 300 black + one pixel each of 299 other grays → 2 colors:
+    # the dominant black must sit alone in its box and survive exact
+    px = [(0, 0, 0)] * 300 + [(v, v, v) for v in range(1, 300) if v < 256]
+    rgb = b"".join(bytes(c) for c in px)
+    out = quantize_colors(rgb, 2)
+    assert out[:3] == b"\x00\x00\x00"
+    assert len(set(zip(out[0::3], out[1::3], out[2::3]))) == 2
+
+
+def test_encode_gif_truecolor_roundtrip_via_quantizer():
+    from nifi_spark.datalib.gif import (decode_gif, encode_gif,
+                                        quantize_colors)
+    w, h = 256, 3
+    rgb = bytearray(v for _ in range(h) for x in range(256)
+                    for v in (x, x, x))
+    rgb[0:3] = b"\x0a\x14\x1e"                  # 257th distinct color
+    rgb = bytes(rgb)
+    with pytest.raises(GifError):
+        encode_gif(w, h, 3, rgb)                 # >256 colors refused
+    blob = encode_gif(w, h, 3, rgb, max_colors=64)
+    _, _, _, back = decode_gif(blob)
+    assert back == quantize_colors(rgb, 64)      # exact roundtrip
+
+
+def test_encode_animation_with_quantizer():
+    from nifi_spark.datalib.gif import (decode_gif_frames,
+                                        encode_gif_animation,
+                                        quantize_colors)
+    w, h = 256, 2
+    frames = [bytes(v for _ in range(h) for x in range(256)
+                    for v in ((x + s) % 256,) * 3) for s in (0, 7)]
+    blob = encode_gif_animation(w, h, frames, max_colors=32)
+    w2, h2, got = decode_gif_frames(blob)
+    assert (w2, h2, len(got)) == (w, h, 2)
+    for (_delay, raster), src in zip(got, frames):
+        assert raster == quantize_colors(src, 32)
