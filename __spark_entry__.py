@@ -5453,6 +5453,47 @@ def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_int8(embs, "vec_id", "embedding", k=5)
 
 
+def q_ann_pq_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization TRAIN + ENCODE (datalib/pq.py; Jégou 2011):
+    4 subspace codebooks of 16 centroids trained with 2 exact integer
+    Lloyd iterations over int8 slices, then every vector encoded to
+    its 4 codes (three zero-exchange projections). The DuckDB oracle
+    replays the ENTIRE training run — per-subspace seed/assign/update
+    CTE chains with truncating integer means — plus the final argmin
+    encode, so one wrong seed order, tie-break, or division rule
+    flips codes."""
+    from nifi_spark.datalib.pq import pq_encode, pq_train
+    from nifi_spark.datalib.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = pq_train(emb, m=4, k=16, iters=2)
+    q = quantize_int8(emb, "vec_id", "embedding").select("vec_id",
+                                                         "qvec")
+    return pq_encode(q, cbs).selectExpr(
+        "vec_id", "posexplode(codes) as (m, code)")
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (datalib/pq.py): vectors encoded
+    against a CLOSED-FORM codebook (C[m][j][t] = ((17j+5t+3m)%51)-25,
+    so the oracle regenerates it arithmetically), queries = the 5
+    corpus vectors with vec_id%100==7; each query's 4×16 integer
+    distance table broadcast-joins the posexploded codes, per-pair
+    sums cut by a per-query window. Integer-exact end to end."""
+    from nifi_spark.datalib.pq import pq_adc_topk, pq_encode
+    from nifi_spark.datalib.similarity import quantize_int8
+
+    cbs = [[[((17 * j + 5 * t + 3 * m) % 51) - 25 for t in range(16)]
+            for j in range(16)] for m in range(4)]
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding") \
+        .select("vec_id", "qvec").localCheckpoint()
+    codes = pq_encode(q, cbs)
+    queries = [(int(r["vec_id"]), list(r["qvec"])) for r in
+               q.where(F.col("vec_id") % 100 == 7).collect()]
+    return pq_adc_topk(codes, queries, cbs, topk=10)
+
+
 def q_ann_lsh_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production ANN path: hyperplane-LSH buckets DISCOVER
     candidate pairs (ids only through the shuffle), int8-quantized
@@ -6666,7 +6707,7 @@ _DRIVER_VERIFIED = frozenset({
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
-    "media_gif_quantize",
+    "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6811,6 +6852,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_lsh_int8_rerank": q_ann_lsh_int8_rerank,
+        "ann_pq_train_encode": q_ann_pq_train_encode,
+        "ann_pq_adc_topk": q_ann_pq_adc_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -8450,6 +8493,54 @@ FROM heads h LEFT JOIN atts a USING (id)
             "SELECT vec_id + 1000000, embedding FROM embeddings "
             "WHERE vec_id % 2 = 0 AND vec_id % 10 = 0",
             k=8, iters=2, dim=64, threshold_num=9, threshold_den=10),
+        "ann_pq_train_encode": __import__(
+            "nifi_spark.datalib.pq",
+            fromlist=["pq_train_encode_oracle_sql"]
+        ).pq_train_encode_oracle_sql(
+            "SELECT vec_id, embedding FROM embeddings",
+            m=4, k=16, iters=2, dim=64),
+        "ann_pq_adc_topk": """
+WITH qn AS (
+  SELECT vec_id, CASE WHEN s = 0 THEN
+           list_transform(embedding, x -> 0::BIGINT)
+         ELSE list_transform(embedding,
+                x -> floor(x::DOUBLE / s * 127 + 0.5)::BIGINT) END AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(x::DOUBLE))) AS s
+        FROM embeddings)),
+grid AS (
+  SELECT m.m, j.j, t.t,
+         ((17 * j.j + 5 * t.t + 3 * m.m) % 51) - 25 AS cv
+  FROM (SELECT unnest(range(4)) AS m) m,
+       (SELECT unnest(range(16)) AS j) j,
+       (SELECT unnest(range(16)) AS t) t),
+cells AS (
+  SELECT q.vec_id, g.m, g.j,
+         sum((q.qv[g.m * 16 + g.t + 1] - g.cv)
+             * (q.qv[g.m * 16 + g.t + 1] - g.cv)) AS d
+  FROM qn q, grid g GROUP BY q.vec_id, g.m, g.j),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, j) AS rn
+    FROM cells) WHERE rn = 1),
+qtab AS (
+  SELECT vec_id AS query_id, m, j, d FROM cells
+  WHERE vec_id % 100 = 7),
+scored AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+  FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.code
+  GROUP BY t.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rk
+  FROM scored)
+SELECT query_id, vec_id, adist, rk::INT AS rank
+FROM ranked WHERE rk <= 10
+""",
         "kmeans_int8_clusters": __import__(
             "nifi_spark.datalib.cluster", fromlist=["kmeans_oracle_sql"]
         ).kmeans_oracle_sql(

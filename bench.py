@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "lsh_ann_topk",
     "ann_lsh_int8_rerank",
+    "ann_pq_adc_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
     "dedup_near_clusters",

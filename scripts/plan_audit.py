@@ -428,6 +428,27 @@ def main():
     results.append(("kmeans assign", "centroid distances are inline "
                     "literal folds: zero joins, fact side map-only"))
 
+    # PQ: encode = zero-exchange projections; ADC = broadcast table join
+    from nifi_spark.datalib.pq import pq_adc_topk, pq_encode
+    from nifi_spark.datalib.similarity import quantize_int8
+    cbs = [[[((17 * j + 5 * t + 3 * m) % 51) - 25 for t in range(16)]
+            for j in range(16)] for m in range(4)]
+    qv = quantize_int8(emb, "vec_id", "embedding").select("vec_id",
+                                                          "qvec")
+    p = plan_of(pq_encode(qv, cbs))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n_ex == 0 and "Join" not in p, f"{n_ex} exchanges\n{p}"
+    codes = pq_encode(qv, cbs)
+    qrows = [(3, [1] * 64)]
+    p = executed_plan_of(pq_adc_topk(codes, qrows, cbs, topk=5))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p \
+        and "BroadcastNestedLoopJoin" not in p, p
+    results.append(("pq ann", "encode is 3 zero-exchange codegen "
+                    "projections (no join); ADC scoring joins the "
+                    "broadcast M*K distance table on (m, code) — "
+                    "never a cross product"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     p = executed_plan_of(E.queries()["q5_nation_revenue"](spark, sf))
     n_bhj = p.count("BroadcastHashJoin")
