@@ -4323,6 +4323,63 @@ def q_query_cassandra_landed(spark: SparkSession, sf_dir: str
             .orderBy("grp"))
 
 
+def q_cql_compressed_frames(spark: SparkSession, sf_dir: str
+                            ) -> DataFrame:
+    """CQL body compression — the last declared boundary of the
+    QueryCassandra analog (sources/cql.py) — over the from-scratch
+    pure-Python codecs in functions/lz4_codec.py + snappy_codec.py:
+    one session negotiates lz4 (4-byte BE length prefix + LZ4 block,
+    the Cassandra transport shape), the other raw-block snappy; every
+    post-STARTUP frame both ways carries the compressed-body flag
+    (asserted on captured wire bytes). Both sessions drain the same
+    300-row table with paging and their landed aggregates must agree
+    with the arithmetic oracle — a wrong match emit, offset, or
+    varint anywhere desyncs the frame stream."""
+    from nifi_spark.sources import (CqlClient, CqlServer,
+                                    QueryCassandraSource, cql_loopback)
+
+    def one(algo: str) -> DataFrame:
+        srv = CqlServer()
+        rows = [(i, i % 5, f"name{i}", i * 1_000_000)
+                for i in range(300)]
+        srv.add_table("events",
+                      [("id", "int"), ("grp", "int"),
+                       ("name", "varchar"), ("big", "bigint")], rows)
+        r, w, join = cql_loopback(srv)
+        sent: list[bytes] = []
+
+        def cw(blob: bytes) -> None:
+            sent.append(bytes(blob))
+            w(blob)
+
+        client = CqlClient(r, cw, compression=algo)
+        src = QueryCassandraSource(
+            tempfile.mkdtemp(prefix=f"cql_{algo}_"))
+        src.drain(client,
+                  "SELECT id, grp, name, big FROM ks.events "
+                  "WHERE id >= 20", page_size=41)
+        join()
+        assert sent[0][1] == 0, "STARTUP must be uncompressed"
+        assert all(f[1] & 0x01 for f in sent[1:]), algo
+        df = src.read(spark)
+        return df.select(
+            F.lit(algo).alias("algo"),
+            F.get_json_object("payload", "$.id").cast("long")
+            .alias("id"),
+            F.get_json_object("payload", "$.grp").cast("int")
+            .alias("grp"),
+            F.length(F.get_json_object("payload", "$.name"))
+            .alias("name_len"),
+            F.get_json_object("payload", "$.big").cast("long")
+            .alias("big"))
+    parsed = one("lz4").unionByName(one("snappy"))
+    return (parsed.groupBy("algo", "grp")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("id").cast("bigint").alias("sum_id"),
+                 F.sum("name_len").cast("bigint").alias("sum_name_len"),
+                 F.max("big").alias("max_big")))
+
+
 def q_get_sqs_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GetSQS analog (nifi-aws-bundle GetSQS.java; sources/sqs.py —
     the SQS Query protocol with REAL SigV4 signing, verified
@@ -6708,6 +6765,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
+    "cql_compressed_frames",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6942,6 +7000,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snmp_v3_priv": q_snmp_v3_priv,
         "get_mongo_landed": q_get_mongo_landed,
         "query_cassandra_landed": q_query_cassandra_landed,
+        "cql_compressed_frames": q_cql_compressed_frames,
         "get_sqs_landed": q_get_sqs_landed,
         "get_solr_incremental": q_get_solr_incremental,
         "get_eventhub_landed": q_get_eventhub_landed,
@@ -8960,6 +9019,15 @@ SELECT grp, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
        CAST(max(i) AS BIGINT) AS max_id,
        CAST(sum(plen) AS BIGINT) AS sum_plen
 FROM m GROUP BY grp ORDER BY grp
+""",
+        "cql_compressed_frames": """
+WITH base AS (SELECT unnest(range(20, 300)) AS i),
+algos(algo) AS (VALUES ('lz4'), ('snappy'))
+SELECT algo, (i % 5)::INT AS grp, count(*) AS n,
+       CAST(sum(i) AS BIGINT) AS sum_id,
+       CAST(sum(4 + length(i::VARCHAR)) AS BIGINT) AS sum_name_len,
+       CAST(max(i * 1000000) AS BIGINT) AS max_big
+FROM base, algos GROUP BY algo, i % 5
 """,
         "query_cassandra_landed": """
 WITH m AS (SELECT range AS i, (range % 5)::INT AS grp

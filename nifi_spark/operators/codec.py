@@ -34,11 +34,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import BinaryType
 
+def _snappy_pair():
+    from nifi_spark.functions.snappy_codec import (
+        snappy_java_stream_compress, snappy_java_stream_decompress)
+    return snappy_java_stream_compress, snappy_java_stream_decompress
+
+
+def _snappy_framed_pair():
+    from nifi_spark.functions.snappy_codec import (
+        snappy_framed_compress, snappy_framed_decompress)
+    return snappy_framed_compress, snappy_framed_decompress
+
+
 _CODECS = {
     "gzip": (_gzip.compress, _gzip.decompress),
     "deflate": (_zlib.compress, _zlib.decompress),
     "bzip2": (_bz2.compress, _bz2.decompress),
     "lzma": (_lzma.compress, _lzma.decompress),
+    # CompressContent.java:90-91's remaining two formats, over the
+    # pure-Python raw-block codec (functions/snappy_codec.py):
+    # "snappy" = snappy-java SnappyOutputStream chunks, "snappy
+    # framed" = the official framing format with masked CRC-32C.
+    "snappy": _snappy_pair(),
+    "snappy framed": _snappy_framed_pair(),
 }
 
 

@@ -73,20 +73,64 @@ ERR_INVALID, ERR_UNPREPARED = 0x2200, 0x2500
 # ------------------------------------------------------------- frames
 
 
+FLAG_COMPRESSED = 0x01
+SUPPORTED_COMPRESSIONS = ("lz4", "snappy")
+
+
+def _compress_body(algo: str, body: bytes) -> bytes:
+    """Native-protocol body compression: lz4 carries a 4-byte
+    big-endian uncompressed length before the block (what the
+    Cassandra lz4 transport does); snappy is the raw block format
+    (self-describing preamble)."""
+    if algo == "lz4":
+        from nifi_spark.functions.lz4_codec import lz4_block_compress
+        return struct.pack(">I", len(body)) + lz4_block_compress(body)
+    if algo == "snappy":
+        from nifi_spark.functions.snappy_codec import snappy_compress
+        return snappy_compress(body)
+    raise CqlError(f"unsupported compression {algo!r}")
+
+
+def _decompress_body(algo: str, body: bytes) -> bytes:
+    if algo == "lz4":
+        from nifi_spark.functions.lz4_codec import lz4_block_decompress
+        (want,) = struct.unpack_from(">I", body, 0)
+        out = lz4_block_decompress(body[4:])
+        if len(out) != want:
+            raise CqlError(f"lz4 length mismatch {len(out)} != {want}")
+        return out
+    if algo == "snappy":
+        from nifi_spark.functions.snappy_codec import snappy_decompress
+        return snappy_decompress(body)
+    raise CqlError(f"unsupported compression {algo!r}")
+
+
 def write_frame(write, version: int, opcode: int, body: bytes, *,
-                stream: int = 0) -> None:
-    write(struct.pack(">BBhBi", version, 0, stream, opcode, len(body))
-          + body)
+                stream: int = 0,
+                compression: "str | None" = None) -> None:
+    flags = 0
+    if compression and body:
+        body = _compress_body(compression, body)
+        flags |= FLAG_COMPRESSED
+    write(struct.pack(">BBhBi", version, flags, stream, opcode,
+                      len(body)) + body)
 
 
-def read_frame(read) -> "tuple[int, int, int, bytes] | None":
+def read_frame(read, *, compression: "str | None" = None
+               ) -> "tuple[int, int, int, bytes] | None":
     hdr = _read_exact(read, 9, eof_ok=True)
     if hdr is None:
         return None
     version, flags, stream, opcode, length = struct.unpack(">BBhBi", hdr)
+    body = _read_exact(read, length)
+    if flags & FLAG_COMPRESSED:
+        if compression is None:
+            raise CqlError("compressed frame but no negotiated codec")
+        body = _decompress_body(compression, body)
+        flags &= ~FLAG_COMPRESSED
     if flags:
-        raise CqlError("compressed/traced frames not supported")
-    return version, stream, opcode, _read_exact(read, length)
+        raise CqlError("traced/custom-payload frames not supported")
+    return version, stream, opcode, body
 
 
 def _read_exact(read, n: int, *, eof_ok: bool = False):
@@ -501,9 +545,16 @@ class CqlServer:
                         struct.pack(">i", ERR_BAD_CREDENTIALS)
                         + _string("not authenticated"), stream=stream)
         elif opcode == OP_OPTIONS:
-            write_frame(write, RESPONSE, OP_SUPPORTED,
-                        _string_map({"CQL_VERSION": "3.4.4"})
-                        + _string_map({}), stream=stream)
+            # [string multimap]: CQL_VERSION + the body codecs we take
+            mm = struct.pack(">H", 2)
+            mm += _string("CQL_VERSION") + struct.pack(">H", 1) \
+                + _string("3.4.4")
+            mm += _string("COMPRESSION") \
+                + struct.pack(">H", len(SUPPORTED_COMPRESSIONS))
+            for a in SUPPORTED_COMPRESSIONS:
+                mm += _string(a)
+            write_frame(write, RESPONSE, OP_SUPPORTED, mm,
+                        stream=stream)
         elif opcode == OP_QUERY:
             r = _Reader(body)
             cql = r.long_string()
@@ -558,25 +609,68 @@ class CqlServer:
                         stream=stream)
 
     def serve(self, read, write) -> int:
+        """Per-connection loop. Compression negotiates in STARTUP's
+        COMPRESSION option (STARTUP itself is never compressed, per
+        the protocol spec); every later frame both ways carries the
+        compressed-body flag."""
         n = 0
+        algo: "str | None" = None
+
+        def cwrite(blob: bytes) -> None:
+            # write_frame emits one whole frame per call; recompress
+            # its body under the negotiated codec
+            if algo is None or len(blob) <= 9:
+                write(blob)
+                return
+            version, flags, stream, opcode, _ln = struct.unpack(
+                ">BBhBi", blob[:9])
+            body = _compress_body(algo, blob[9:])
+            write(struct.pack(">BBhBi", version,
+                              flags | FLAG_COMPRESSED, stream, opcode,
+                              len(body)) + body)
+
         while True:
-            frame = read_frame(read)
+            frame = read_frame(read, compression=algo)
             if frame is None:
                 return n
             version, stream, opcode, body = frame
             if version != REQUEST:
                 raise CqlError(f"bad request version 0x{version:02x}")
-            self.handle(opcode, body, write, stream)
+            want_algo = None
+            if opcode == OP_STARTUP:
+                opts = _Reader(body).string_map()
+                want_algo = opts.get("COMPRESSION")
+                if want_algo is not None \
+                        and want_algo not in SUPPORTED_COMPRESSIONS:
+                    write_frame(write, RESPONSE, OP_ERROR,
+                                struct.pack(">i", 0x000A)
+                                + _string(f"unsupported compression "
+                                          f"{want_algo!r}"),
+                                stream=stream)
+                    n += 1
+                    continue
+            self.handle(opcode, body, cwrite, stream)
+            if opcode == OP_STARTUP:
+                algo = want_algo
             n += 1
 
 
 class CqlClient:
     def __init__(self, read, write,
-                 auth: "tuple[str, str] | None" = None):
+                 auth: "tuple[str, str] | None" = None,
+                 compression: "str | None" = None):
+        if compression is not None \
+                and compression not in SUPPORTED_COMPRESSIONS:
+            raise CqlError(f"unsupported compression {compression!r}")
         self._read, self._write = read, write
         self._stream = 0
-        rop, rbody = self._rpc(OP_STARTUP,
-                               _string_map({"CQL_VERSION": "3.0.0"}))
+        self._compression: "str | None" = None
+        opts = {"CQL_VERSION": "3.0.0"}
+        if compression is not None:
+            opts["COMPRESSION"] = compression
+        rop, rbody = self._rpc(OP_STARTUP, _string_map(opts))
+        # STARTUP itself is uncompressed; every later frame negotiates
+        self._compression = compression
         if rop == OP_AUTHENTICATE:
             # server names its IAuthenticator class; answer with the
             # SASL PLAIN initial response \0user\0pass — what the Java
@@ -597,8 +691,9 @@ class CqlClient:
     def _rpc(self, opcode: int, body: bytes) -> tuple[int, bytes]:
         self._stream += 1
         write_frame(self._write, REQUEST, opcode, body,
-                    stream=self._stream)
-        frame = read_frame(self._read)
+                    stream=self._stream,
+                    compression=self._compression)
+        frame = read_frame(self._read, compression=self._compression)
         if frame is None:
             raise CqlError("server closed connection")
         version, stream, rop, rbody = frame
