@@ -5411,12 +5411,15 @@ def q_consume_kafka_wire_landed(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """GetKafka/PutKafka analogs over the Kafka 0.8 wire protocol
     (nifi-kafka-0-8-processors/.../GetKafka.java:75-79; sources/
-    kafka_wire.py — Metadata/Produce/Fetch v0, CRC'd MessageSet, gzip
-    wrappers with broker-side recompression): 240 messages produced
-    round-robin across 3 partitions (every other chunk gzip'd), drained
+    kafka_wire.py — Metadata/Produce/Fetch v0, CRC'd MessageSet,
+    compressed wrappers with broker-side recompression): 240 messages
+    produced round-robin across 3 partitions with the producer codec
+    CYCLING none → gzip → snappy (xerial stream) → LZ4 frame per
+    chunk — the pure-Python snappy/lz4 codecs on the wire — drained
     through the ledgered spool; a second drain proves the committed
     offsets. Per-partition offset/length aggregates replay
-    arithmetically (offset of the j-th message in its partition = j)."""
+    arithmetically (offset of the j-th message in its partition = j),
+    so a single mis-expanded wrapper desyncs the oracle."""
     from nifi_spark.sources import (ConsumeKafkaWireSource, KafkaBroker,
                                     KafkaWireClient, kafka_loopback)
     broker = KafkaBroker()
@@ -5431,7 +5434,8 @@ def q_consume_kafka_wire_landed(spark: SparkSession,
                 "events", p,
                 [(f"k{i}".encode(),
                   f"ev {i} {'d' * (i % 7)}".encode()) for i in chunk],
-                compress=(c_idx // 20) % 2 == 0)
+                compress=[False, "gzip", "snappy",
+                          "lz4"][(c_idx // 20) % 4])
     src = ConsumeKafkaWireSource(tempfile.mkdtemp(prefix="kafka_wire_"))
     n1 = src.drain(client, "events")
     n2 = src.drain(client, "events")

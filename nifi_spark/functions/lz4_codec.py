@@ -128,3 +128,133 @@ def lz4_block_decompress(data: bytes,
         for _ in range(ml):                    # overlap-safe copy
             out.append(out[-off])
     return bytes(out)
+
+
+# ------------------------------------------------------------ xxHash32
+
+_XP1, _XP2, _XP3, _XP4, _XP5 = (2654435761, 2246822519, 3266489917,
+                                668265263, 374761393)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 (Collet's public xxHash spec) — the frame-format
+    header/content checksum."""
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        v1 = (seed + _XP1 + _XP2) & _M32
+        v2 = (seed + _XP2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XP1) & _M32
+        while pos + 16 <= n:
+            (a, b, c, d) = struct.unpack_from("<IIII", data, pos)
+            v1 = (_rotl32((v1 + a * _XP2) & _M32, 13) * _XP1) & _M32
+            v2 = (_rotl32((v2 + b * _XP2) & _M32, 13) * _XP1) & _M32
+            v3 = (_rotl32((v3 + c * _XP2) & _M32, 13) * _XP1) & _M32
+            v4 = (_rotl32((v4 + d * _XP2) & _M32, 13) * _XP1) & _M32
+            pos += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
+             + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XP5) & _M32
+    h = (h + n) & _M32
+    while pos + 4 <= n:
+        (w,) = struct.unpack_from("<I", data, pos)
+        h = (_rotl32((h + w * _XP3) & _M32, 17) * _XP4) & _M32
+        pos += 4
+    while pos < n:
+        h = (_rotl32((h + data[pos] * _XP5) & _M32, 11) * _XP1) & _M32
+        pos += 1
+    h ^= h >> 15
+    h = (h * _XP2) & _M32
+    h ^= h >> 13
+    h = (h * _XP3) & _M32
+    h ^= h >> 16
+    return h
+
+
+# ---------------------------------------------------------- LZ4 frame
+
+_LZ4F_MAGIC = 0x184D2204
+
+
+def lz4_frame_compress(data: bytes, block_size: int = 65536,
+                       content_checksum: bool = True) -> bytes:
+    """LZ4 frame format (lz4_Frame_format.md): magic, FLG/BD with the
+    xxh32 header-checksum byte, independent compressed blocks (stored
+    uncompressed when compression does not shrink them), EndMark, and
+    an optional whole-content xxh32."""
+    flg = (1 << 6) | (1 << 5) | ((1 << 2) if content_checksum else 0)
+    bd = 4 << 4                                # 64 KB max block size
+    hdr = bytes([flg, bd])
+    out = bytearray(struct.pack("<I", _LZ4F_MAGIC))
+    out += hdr
+    out.append((xxh32(hdr) >> 8) & 0xFF)
+    for off in range(0, len(data), block_size):
+        blk = data[off:off + block_size]
+        comp = lz4_block_compress(blk)
+        if len(comp) < len(blk):
+            out += struct.pack("<I", len(comp)) + comp
+        else:
+            out += struct.pack("<I", len(blk) | 0x80000000) + blk
+    out += struct.pack("<I", 0)                # EndMark
+    if content_checksum:
+        out += struct.pack("<I", xxh32(data))
+    return bytes(out)
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    if len(data) < 7 or struct.unpack_from("<I", data, 0)[0] != _LZ4F_MAGIC:
+        raise Lz4Error("not an LZ4 frame")
+    flg, bd = data[4], data[5]
+    if (flg >> 6) != 1:
+        raise Lz4Error(f"unsupported frame version {flg >> 6}")
+    has_bsum = bool(flg & (1 << 4))
+    has_csize = bool(flg & (1 << 3))
+    has_csum = bool(flg & (1 << 2))
+    pos = 6
+    if has_csize:
+        pos += 8
+    want_hc = data[pos]
+    hdr = data[4:pos]
+    # legacy Kafka v0 producers hashed magic+descriptor (KAFKA-3160);
+    # accept both the spec HC and that variant
+    ok_spec = (xxh32(hdr) >> 8) & 0xFF == want_hc
+    ok_legacy = (xxh32(data[0:pos]) >> 8) & 0xFF == want_hc
+    if not (ok_spec or ok_legacy):
+        raise Lz4Error("frame header checksum mismatch")
+    pos += 1
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise Lz4Error("truncated block size")
+        (bsz,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if bsz == 0:                           # EndMark
+            break
+        stored = bool(bsz & 0x80000000)
+        bsz &= 0x7FFFFFFF
+        if pos + bsz > len(data):
+            raise Lz4Error("truncated block")
+        blk = data[pos:pos + bsz]
+        pos += bsz
+        if has_bsum:
+            if pos + 4 > len(data):
+                raise Lz4Error("truncated block checksum")
+            (bs,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if xxh32(blk) != bs:
+                raise Lz4Error("block checksum mismatch")
+        out += blk if stored else lz4_block_decompress(blk)
+    if has_csum:
+        if pos + 4 > len(data):
+            raise Lz4Error("truncated content checksum")
+        (cs,) = struct.unpack_from("<I", data, pos)
+        if xxh32(bytes(out)) != cs:
+            raise Lz4Error("content checksum mismatch")
+    return bytes(out)

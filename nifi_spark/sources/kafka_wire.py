@@ -9,7 +9,11 @@ existing `sources/kafka.py` covers the Spark-datasource path when the
 spark-sql-kafka classpath exists; THIS module closes the gap when it
 doesn't, speaking the public protocol (kafka.apache.org/protocol)
 directly: request/response framing, Metadata v0, Produce v0, Fetch v0,
-and MessageSet v0 (CRC-validated messages, gzip compression attribute).
+and MessageSet v0 (CRC-validated messages; gzip, snappy — xerial
+SnappyOutputStream framing — and LZ4-frame compression attributes,
+the snappy/lz4 codecs from functions/snappy_codec.py + lz4_codec.py;
+the LZ4 decoder accepts KAFKA-3160's broken magic-included header
+checksum that 0.x producers wrote).
 
 v0 compressed-set semantics are reproduced faithfully: a producer
 sends inner offsets 0..n-1; the broker decompresses, assigns absolute
@@ -41,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 API_PRODUCE, API_FETCH, API_METADATA = 0, 1, 3
 ERR_NONE, ERR_OFFSET_OUT_OF_RANGE, ERR_UNKNOWN_TOPIC = 0, 1, 3
 COMPRESSION_NONE, COMPRESSION_GZIP = 0, 1
+COMPRESSION_SNAPPY, COMPRESSION_LZ4 = 2, 3
 
 
 class KafkaWireError(IOError):
@@ -171,6 +176,19 @@ def decode_message_set(buf: bytes, *, allow_partial: bool = False
             out.append((off, attributes, key, value))
         elif codec == COMPRESSION_GZIP:
             out.extend(decode_message_set(gzip.decompress(value)))
+        elif codec == COMPRESSION_SNAPPY:
+            # Kafka wrapper values ride snappy-java's xerial stream
+            from nifi_spark.functions.snappy_codec import \
+                snappy_java_stream_decompress
+            out.extend(decode_message_set(
+                snappy_java_stream_decompress(value)))
+        elif codec == COMPRESSION_LZ4:
+            # LZ4 FRAME format (the decoder also accepts the broken
+            # magic-included header checksum old producers wrote,
+            # KAFKA-3160)
+            from nifi_spark.functions.lz4_codec import \
+                lz4_frame_decompress
+            out.extend(decode_message_set(lz4_frame_decompress(value)))
         else:
             raise KafkaWireError(f"unsupported compression {codec}")
     return out
@@ -183,6 +201,26 @@ def gzip_wrap(entries: "list[tuple[int, bytes]]") -> bytes:
     # mtime=0: deterministic bytes (reproducible spools/tests)
     payload = gzip.compress(inner, mtime=0)
     wrapper = encode_message(None, payload, COMPRESSION_GZIP)
+    return encode_message_set([(entries[-1][0], wrapper)])
+
+
+def snappy_wrap(entries: "list[tuple[int, bytes]]") -> bytes:
+    """One v0 snappy wrapper message (xerial SnappyOutputStream
+    framing, like the snappy-java path Kafka producers use)."""
+    from nifi_spark.functions.snappy_codec import \
+        snappy_java_stream_compress
+    inner = encode_message_set(entries)
+    wrapper = encode_message(None, snappy_java_stream_compress(inner),
+                             COMPRESSION_SNAPPY)
+    return encode_message_set([(entries[-1][0], wrapper)])
+
+
+def lz4_wrap(entries: "list[tuple[int, bytes]]") -> bytes:
+    """One v0 LZ4-frame wrapper message."""
+    from nifi_spark.functions.lz4_codec import lz4_frame_compress
+    inner = encode_message_set(entries)
+    wrapper = encode_message(None, lz4_frame_compress(inner),
+                             COMPRESSION_LZ4)
     return encode_message_set([(entries[-1][0], wrapper)])
 
 
@@ -426,13 +464,24 @@ class KafkaWireClient:
 
     def produce(self, topic: str, partition: int,
                 messages: "list[tuple[bytes | None, bytes]]",
-                *, compress: bool = False, acks: int = 1) -> int:
+                *, compress: "bool | str" = False,
+                acks: int = 1) -> int:
         """→ base offset. Producer-side inner offsets are 0..n-1, per
-        the v0 contract; `compress` sends one gzip wrapper."""
+        the v0 contract; `compress` sends one wrapper message — True
+        or "gzip" for gzip, "snappy" (xerial stream) or "lz4" (frame
+        format) for the other producer codecs."""
         entries = [(i, encode_message(k, v))
                    for i, (k, v) in enumerate(messages)]
-        mset = gzip_wrap(entries) if compress else \
-            encode_message_set(entries)
+        if compress in (True, "gzip"):
+            mset = gzip_wrap(entries)
+        elif compress == "snappy":
+            mset = snappy_wrap(entries)
+        elif compress == "lz4":
+            mset = lz4_wrap(entries)
+        elif not compress:
+            mset = encode_message_set(entries)
+        else:
+            raise KafkaWireError(f"unknown codec {compress!r}")
         body = (struct.pack(">hii", acks, 1000, 1) + _str(topic)
                 + struct.pack(">iii", 1, partition, len(mset)) + mset)
         resp = self._call(API_PRODUCE, body)

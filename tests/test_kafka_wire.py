@@ -127,3 +127,43 @@ def test_consume_spool_bridge(spark, tmp_path):
     read2, write2, join2 = kafka_loopback(broker)
     assert src2.drain(KafkaWireClient(read2, write2), "logs") == 0
     join2()
+
+
+def test_snappy_lz4_wrappers_expand_with_inner_offsets():
+    from nifi_spark.sources.kafka_wire import lz4_wrap, snappy_wrap
+    entries = [(7, encode_message(b"a", b"payload " * 50)),
+               (8, encode_message(b"b", b"2"))]
+    for wrap in (snappy_wrap, lz4_wrap):
+        wrapped = wrap(entries)
+        got = decode_message_set(wrapped)
+        assert [(o, k) for o, _a, k, _v in got] == [(7, b"a"), (8, b"b")]
+        assert got[0][3] == b"payload " * 50
+
+
+def test_lz4_wrapper_accepts_kafka3160_legacy_header_checksum():
+    """Old Kafka v0 producers hashed magic+descriptor when writing the
+    frame HC byte (KAFKA-3160); the decoder must accept that form."""
+    import struct
+    from nifi_spark.functions.lz4_codec import (lz4_frame_compress,
+                                                lz4_frame_decompress,
+                                                xxh32)
+    data = b"inner message set bytes " * 20
+    blob = bytearray(lz4_frame_compress(data))
+    # rewrite HC the broken way: xxh32 over magic+FLG+BD
+    blob[6] = (xxh32(bytes(blob[0:6])) >> 8) & 0xFF
+    assert lz4_frame_decompress(bytes(blob)) == data
+
+
+def test_broker_roundtrips_compressed_producer_sets():
+    broker = KafkaBroker()
+    broker.create_topic("t", partitions=1)
+    read, write, join = kafka_loopback(broker)
+    c = KafkaWireClient(read, write)
+    assert c.produce("t", 0, [(None, b"s0"), (None, b"s1")],
+                     compress="snappy") == 0
+    assert c.produce("t", 0, [(b"k", b"l0")], compress="lz4") == 2
+    hw, msgs = c.fetch("t", 0, 0)
+    assert hw == 3
+    assert [(o, k, v) for o, k, v in msgs] == \
+        [(0, None, b"s0"), (1, None, b"s1"), (2, b"k", b"l0")]
+    join()
