@@ -5325,6 +5325,62 @@ def q_amqp_confirm_tx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_confirms", F.lit(len(confirms))))
 
 
+def q_amqp_nack_redeliver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMQP negative-ack family (sources/amqp.py — basic.reject /
+    basic.nack / basic.recover, the last declared 0-9-1 boundary):
+    60 deliveries fetched unacked; i%3==0 acked, i%3==1 rejected with
+    requeue=false (dropped for good), i%3==2 left unacked and then
+    basic.recover'd — they must come back in ORIGINAL order with the
+    redelivered flag set, which the second pass records. Both phases
+    land in the spool and replay arithmetically; a wrong requeue
+    position, flag, or settle set breaks a bucket."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nifi_spark.sources.amqp import (AmqpBroker, AmqpClient,
+                                         amqp_loopback)
+
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("jobs")
+    for i in range(60):
+        c.basic_publish("", "jobs", f"msg-{i}".encode())
+    rows: list[tuple[str, int, bool]] = []
+    for _ in range(60):
+        got = c.basic_get("jobs", no_ack=False, auto_ack=False)
+        i = int(bytes(got[1]).decode().split("-")[1])
+        rows.append(("first", i, c.last_redelivered))
+        if i % 3 == 0:
+            c.basic_ack(c.last_delivery_tag)
+        elif i % 3 == 1:
+            c.basic_reject(c.last_delivery_tag, requeue=False)
+    c.basic_recover()
+    order_check = []
+    while True:
+        got = c.basic_get("jobs")
+        if got is None:
+            break
+        i = int(bytes(got[1]).decode().split("-")[1])
+        rows.append(("redelivered", i, c.last_redelivered))
+        order_check.append(i)
+    c.close()
+    join()
+    assert order_check == sorted(order_check), order_check
+
+    spool = tempfile.mkdtemp(prefix="amqp_nack_")
+    pq.write_table(pa.table({
+        "phase": pa.array([r[0] for r in rows], pa.string()),
+        "i": pa.array([r[1] for r in rows], pa.int64()),
+        "redelivered": pa.array([r[2] for r in rows], pa.bool_()),
+    }), os.path.join(spool, "landed.parquet"))
+    df = spark.read.parquet(spool)
+    return (df.groupBy("phase")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.sum(F.col("redelivered").cast("long"))
+                 .cast("bigint").alias("n_flagged")))
+
+
 def q_consume_amqp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ConsumeAMQP/PublishAMQP analogs (nifi-amqp-bundle; sources/
     amqp.py — AMQP 0-9-1 frames, connection dance, topic exchange,
@@ -6769,7 +6825,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
-    "cql_compressed_frames",
+    "cql_compressed_frames", "amqp_nack_redeliver",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -6997,6 +7053,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consume_mqtt_landed": q_consume_mqtt_landed,
         "consume_amqp_landed": q_consume_amqp_landed,
         "amqp_confirm_tx": q_amqp_confirm_tx,
+        "amqp_nack_redeliver": q_amqp_nack_redeliver,
         "get_jms_landed": q_get_jms_landed,
         "consume_kafka_wire_landed": q_consume_kafka_wire_landed,
         "webhdfs_list_fetch": q_webhdfs_list_fetch,
@@ -9294,6 +9351,15 @@ SELECT 'hub1' AS eventhub_name, pid AS eventhub_partition,
        CAST(sum(i) AS BIGINT) AS sum_enq_delta,
        CAST(sum(9 + length(i::VARCHAR)) AS BIGINT) AS sum_plen
 FROM m GROUP BY pid ORDER BY pid
+""",
+        "amqp_nack_redeliver": """
+SELECT 'first' AS phase, count(*) AS n,
+       CAST(sum(i) AS BIGINT) AS sum_i, CAST(0 AS BIGINT) AS n_flagged
+FROM (SELECT unnest(range(60)) AS i)
+UNION ALL
+SELECT 'redelivered', count(*), CAST(sum(i) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM (SELECT unnest(range(60)) AS i) WHERE i % 3 = 2
 """,
         "amqp_confirm_tx": """
 SELECT 'tx' AS bucket, count(*) AS n, CAST(sum(i) AS BIGINT) AS sum_i,

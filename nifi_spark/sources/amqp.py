@@ -40,8 +40,12 @@ and route only on commit; mutually exclusive with confirm mode per the
 spec), and RabbitMQ-style publisher confirms (``confirm.select``, the
 broker acks each publish by its 1-based channel sequence number;
 ``wait_for_confirms`` collects them, expanding ``multiple`` acks).
-Declared boundary: the negative-ack family (basic.nack / basic.reject
-/ basic.recover redelivery).
+The negative-ack family is in too: ``basic.reject`` and RabbitMQ's
+``basic.nack`` (multiple + requeue bits) requeue at the FRONT of the
+queue in original order with the redelivered flag set on the next
+delivery, and ``basic.recover`` (requeue=true only, exactly RabbitMQ's
+stance) requeues every unacked delivery. No declared boundary remains
+in the 0-9-1 surface the RabbitMQ client exposes.
 """
 
 from __future__ import annotations
@@ -66,6 +70,8 @@ EX_DECLARE, EX_DECLARE_OK = 10, 11
 Q_DECLARE, Q_DECLARE_OK, Q_BIND, Q_BIND_OK = 10, 11, 20, 21
 B_PUBLISH, B_GET, B_GET_OK, B_GET_EMPTY, B_ACK = 40, 70, 71, 72, 80
 B_CONSUME, B_CONSUME_OK, B_DELIVER = 20, 21, 60
+B_REJECT, B_NACK = 90, 120
+B_RECOVER, B_RECOVER_OK = 110, 111
 CONFIRM, CF_SELECT, CF_SELECT_OK = 85, 10, 11
 TX, TX_SELECT, TX_SELECT_OK = 90, 10, 11
 TX_COMMIT, TX_COMMIT_OK, TX_ROLLBACK, TX_ROLLBACK_OK = 20, 21, 30, 31
@@ -277,6 +283,7 @@ class AmqpBroker:
     bindings: list = field(default_factory=list)        # (ex, q, key)
     queues: dict = field(default_factory=dict)          # name → [msg]
     unacked: dict = field(default_factory=dict)         # tag → (q, msg)
+    redeliver_front: dict = field(default_factory=dict)  # q → n requeued
     consumers: dict = field(default_factory=dict)       # q → (tag, noack)
     frame_max: int = 131072
     published: int = 0
@@ -306,6 +313,23 @@ class AmqpBroker:
                 self.queues.setdefault(q, []).append(msg)
                 hit += 1
         return hit
+
+    def _settle(self, tags: list, requeue: bool) -> None:
+        """Drop or requeue unacked deliveries. Requeues go back to
+        the FRONT of their queue in original consumption order and are
+        flagged redelivered on their next delivery."""
+        for t in sorted(tags, reverse=True):
+            qname, msg = self.unacked.pop(t)
+            if requeue:
+                self.queues.setdefault(qname, []).insert(0, msg)
+                self.redeliver_front[qname] = \
+                    self.redeliver_front.get(qname, 0) + 1
+
+    def _pop_redeliver(self, qname: str) -> int:
+        if self.redeliver_front.get(qname, 0) > 0:
+            self.redeliver_front[qname] -= 1
+            return 1
+        return 0
 
     def serve(self, read, write) -> int:
         if _read_exact(read, 8) != PROTOCOL_HEADER:
@@ -440,12 +464,13 @@ class AmqpBroker:
                         BASIC, B_GET_EMPTY, _shortstr("")))
                     continue
                 props, body, ex, key = q.pop(0)
+                redeliv = self._pop_redeliver(qname)
                 if not no_ack:
                     self.unacked[delivery_tag] = (qname,
                                                   (props, body, ex, key))
                 write_frame(write, FRAME_METHOD, ch, method_frame(
                     BASIC, B_GET_OK,
-                    struct.pack(">QB", delivery_tag, 0)
+                    struct.pack(">QB", delivery_tag, redeliv)
                     + _shortstr(ex) + _shortstr(key)
                     + struct.pack(">I", len(q))))
                 delivery_tag += 1
@@ -460,6 +485,26 @@ class AmqpBroker:
                         if t == tag or (multiple and t <= tag)]
                 for t in gone:
                     del self.unacked[t]
+            elif (class_id, method_id) == (BASIC, B_REJECT):
+                tag, bits = struct.unpack_from(">QB", args, 0)
+                self._settle([t for t in self.unacked if t == tag],
+                             requeue=bool(bits & 1))
+            elif (class_id, method_id) == (BASIC, B_NACK):
+                tag, bits = struct.unpack_from(">QB", args, 0)
+                multiple, requeue = bits & 0x01, bits & 0x02
+                self._settle(
+                    [t for t in self.unacked
+                     if t == tag or (multiple and t <= tag)],
+                    requeue=bool(requeue))
+            elif (class_id, method_id) == (BASIC, B_RECOVER):
+                if not args[0] & 1:
+                    # mirror RabbitMQ: recover with requeue=false is
+                    # not implemented anywhere real
+                    raise AmqpError(
+                        "basic.recover requeue=false not supported")
+                self._settle(sorted(self.unacked), requeue=True)
+                write_frame(write, FRAME_METHOD, ch,
+                            method_frame(BASIC, B_RECOVER_OK))
             elif (class_id, method_id) == (CONFIRM, CF_SELECT):
                 if tx_mode:
                     raise AmqpError("channel is transactional")
@@ -508,12 +553,14 @@ class AmqpBroker:
             q = self.queues.get(qname, [])
             while q:
                 props, body, ex, key = q.pop(0)
+                redeliv = self._pop_redeliver(qname)
                 if not no_ack:
                     self.unacked[delivery_tag] = (qname,
                                                   (props, body, ex, key))
                 write_frame(write, FRAME_METHOD, 1, method_frame(
                     BASIC, B_DELIVER,
-                    _shortstr(ctag) + struct.pack(">QB", delivery_tag, 0)
+                    _shortstr(ctag)
+                    + struct.pack(">QB", delivery_tag, redeliv)
                     + _shortstr(ex) + _shortstr(key)))
                 delivery_tag += 1
                 write_frame(write, FRAME_HEADER, 1,
@@ -665,9 +712,13 @@ class AmqpClient:
                     method_frame(TX, TX_ROLLBACK))
         _expect_method(self.read, TX, TX_ROLLBACK_OK)
 
-    def basic_get(self, queue: str, *, no_ack: bool = True):
+    def basic_get(self, queue: str, *, no_ack: bool = True,
+                  auto_ack: bool = True):
         """→ (props, body, exchange, routing_key, message_count) or
-        None when the queue is empty — basicGet(queue, autoAck)."""
+        None when the queue is empty — basicGet(queue, autoAck). With
+        ``no_ack=False, auto_ack=False`` the delivery stays unacked at
+        the broker (last_delivery_tag holds its tag) so the caller can
+        basic_ack / basic_reject / basic_nack / basic_recover it."""
         write_frame(self.write, FRAME_METHOD, 1, method_frame(
             BASIC, B_GET,
             b"\x00\x00" + _shortstr(queue)
@@ -681,11 +732,13 @@ class AmqpClient:
             return None
         if (cls, mth) != (BASIC, B_GET_OK):
             raise AmqpError(f"unexpected method {cls}.{mth}")
-        tag, _redeliv = struct.unpack_from(">QB", payload, 4)
+        tag, redelivered = struct.unpack_from(">QB", payload, 4)
         pos = 13
         ex, pos = _rd_shortstr(payload, pos)
         key, pos = _rd_shortstr(payload, pos)
         (remaining,) = struct.unpack_from(">I", payload, pos)
+        self.last_delivery_tag, self.last_redelivered = \
+            tag, bool(redelivered)
         fr = read_frame(self.read)
         if fr is None or fr[0] != FRAME_HEADER:
             raise AmqpError("expected content header")
@@ -697,10 +750,38 @@ class AmqpClient:
             if fr is None or fr[0] != FRAME_BODY:
                 raise AmqpError("expected body frame")
             body.extend(fr[2])
-        if not no_ack:
+        if not no_ack and auto_ack:
             write_frame(self.write, FRAME_METHOD, 1, method_frame(
                 BASIC, B_ACK, struct.pack(">QB", tag, 0)))
         return props, bytes(body), ex, key, remaining
+
+    def basic_ack(self, delivery_tag: int, *,
+                  multiple: bool = False) -> None:
+        write_frame(self.write, FRAME_METHOD, 1, method_frame(
+            BASIC, B_ACK,
+            struct.pack(">QB", delivery_tag, 1 if multiple else 0)))
+
+    def basic_reject(self, delivery_tag: int, *,
+                     requeue: bool = True) -> None:
+        """basic.reject: drop (requeue=False) or requeue one unacked
+        delivery; requeues surface redelivered=True next time."""
+        write_frame(self.write, FRAME_METHOD, 1, method_frame(
+            BASIC, B_REJECT,
+            struct.pack(">QB", delivery_tag, 1 if requeue else 0)))
+
+    def basic_nack(self, delivery_tag: int, *, multiple: bool = False,
+                   requeue: bool = True) -> None:
+        """RabbitMQ basic.nack: reject with a multiple bit."""
+        bits = (0x01 if multiple else 0) | (0x02 if requeue else 0)
+        write_frame(self.write, FRAME_METHOD, 1, method_frame(
+            BASIC, B_NACK, struct.pack(">QB", delivery_tag, bits)))
+
+    def basic_recover(self) -> None:
+        """basic.recover (requeue=true) → recover-ok: every unacked
+        delivery on the channel goes back to its queue."""
+        write_frame(self.write, FRAME_METHOD, 1, method_frame(
+            BASIC, B_RECOVER, b"\x01"))
+        _expect_method(self.read, BASIC, B_RECOVER_OK)
 
     def basic_consume(self, queue: str, *, consumer_tag: str = "",
                       no_ack: bool = True) -> str:

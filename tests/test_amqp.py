@@ -265,3 +265,70 @@ def test_confirm_and_tx_mutually_exclusive():
         c.confirm_select()
     with pytest.raises(AmqpError):
         join()
+
+
+# ------------------------------------------- nack / reject / recover
+
+
+def test_reject_requeue_sets_redelivered():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.basic_publish("", "q", b"m0")
+    got = c.basic_get("q", no_ack=False, auto_ack=False)
+    assert got[1] == b"m0" and c.last_redelivered is False
+    c.basic_reject(c.last_delivery_tag, requeue=True)
+    got2 = c.basic_get("q", no_ack=False, auto_ack=False)
+    assert got2[1] == b"m0" and c.last_redelivered is True
+    c.close()
+    join()
+
+
+def test_reject_drop_discards():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.basic_publish("", "q", b"dead")
+    c.basic_get("q", no_ack=False, auto_ack=False)
+    c.basic_reject(c.last_delivery_tag, requeue=False)
+    assert c.basic_get("q") is None
+    c.close()
+    join()
+    assert broker.unacked == {}
+
+
+def test_nack_multiple_requeues_in_original_order():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    for i in range(3):
+        c.basic_publish("", "q", f"m{i}".encode())
+    tags = []
+    for _ in range(3):
+        c.basic_get("q", no_ack=False, auto_ack=False)
+        tags.append(c.last_delivery_tag)
+    c.basic_nack(tags[-1], multiple=True, requeue=True)
+    seen = [c.basic_get("q", no_ack=True)[1] for _ in range(3)]
+    assert seen == [b"m0", b"m1", b"m2"]     # original order preserved
+    c.close()
+    join()
+
+
+def test_recover_requeues_all_unacked():
+    broker = AmqpBroker()
+    read, write, join = amqp_loopback(broker)
+    c = AmqpClient(read, write)
+    c.queue_declare("q")
+    c.basic_publish("", "q", b"a")
+    c.basic_publish("", "q", b"b")
+    c.basic_get("q", no_ack=False, auto_ack=False)
+    c.basic_get("q", no_ack=False, auto_ack=False)
+    assert c.basic_get("q") is None
+    c.basic_recover()
+    assert c.basic_get("q")[1] == b"a"
+    assert c.last_redelivered is True
+    c.close()
+    join()
