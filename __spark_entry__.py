@@ -5611,6 +5611,30 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(codes, queries, cbs, topk=10)
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (datalib/pq.py pq_ivf_topk — the
+    cell-probe + compressed-rerank shape production ANN runs at
+    scale): vectors assign to 16 closed-form IVF cells
+    (IC[j][t] = ((7j+11t)%41)-20), each of the 5 corpus queries
+    probes its 4 nearest cells, and only those candidates are scored
+    through the PQ ADC table (codebook C[m][j][t] = ((17j+5t+3m)%51)
+    -25). Everything is integer, so the oracle replays assignment,
+    probe ranking, encoding, and scoring exactly."""
+    from nifi_spark.datalib.pq import pq_ivf_topk
+    from nifi_spark.datalib.similarity import quantize_int8
+
+    ivf = [[((7 * j + 11 * t) % 41) - 20 for t in range(64)]
+           for j in range(16)]
+    cbs = [[[((17 * j + 5 * t + 3 * m) % 51) - 25 for t in range(16)]
+            for j in range(16)] for m in range(4)]
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding") \
+        .select("vec_id", "qvec").localCheckpoint()
+    queries = [(int(r["vec_id"]), list(r["qvec"])) for r in
+               q.where(F.col("vec_id") % 100 == 7).collect()]
+    return pq_ivf_topk(q, ivf, cbs, queries, nprobe=4, topk=10)
+
+
 def q_ann_lsh_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production ANN path: hyperplane-LSH buckets DISCOVER
     candidate pairs (ids only through the shuffle), int8-quantized
@@ -6825,6 +6849,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "cql_compressed_frames", "amqp_nack_redeliver",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
@@ -6972,6 +6997,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_int8_rerank": q_ann_lsh_int8_rerank,
         "ann_pq_train_encode": q_ann_pq_train_encode,
         "ann_pq_adc_topk": q_ann_pq_adc_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -8652,6 +8678,72 @@ qtab AS (
 scored AS (
   SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
   FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.code
+  GROUP BY t.query_id, c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rk
+  FROM scored)
+SELECT query_id, vec_id, adist, rk::INT AS rank
+FROM ranked WHERE rk <= 10
+""",
+        "ann_ivfpq_topk": """
+WITH qn AS (
+  SELECT vec_id, CASE WHEN s = 0 THEN
+           list_transform(embedding, x -> 0::BIGINT)
+         ELSE list_transform(embedding,
+                x -> floor(x::DOUBLE / s * 127 + 0.5)::BIGINT) END AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(x::DOUBLE))) AS s
+        FROM embeddings)),
+ivfg AS (
+  SELECT j.j, t.t, ((7 * j.j + 11 * t.t) % 41) - 20 AS cv
+  FROM (SELECT unnest(range(16)) AS j) j,
+       (SELECT unnest(range(64)) AS t) t),
+icell AS (
+  SELECT q.vec_id, g.j,
+         sum((q.qv[g.t + 1] - g.cv) * (q.qv[g.t + 1] - g.cv)) AS d
+  FROM qn q, ivfg g GROUP BY q.vec_id, g.j),
+assign AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+    FROM icell) WHERE rn = 1),
+probes AS (
+  SELECT query_id, j AS cell FROM (
+    SELECT c.vec_id AS query_id, c.j,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY c.d, c.j) AS rn
+    FROM icell c WHERE c.vec_id % 100 = 7) WHERE rn <= 4),
+grid AS (
+  SELECT m.m, j.j, t.t,
+         ((17 * j.j + 5 * t.t + 3 * m.m) % 51) - 25 AS cv
+  FROM (SELECT unnest(range(4)) AS m) m,
+       (SELECT unnest(range(16)) AS j) j,
+       (SELECT unnest(range(16)) AS t) t),
+cells AS (
+  SELECT q.vec_id, g.m, g.j,
+         sum((q.qv[g.m * 16 + g.t + 1] - g.cv)
+             * (q.qv[g.m * 16 + g.t + 1] - g.cv)) AS d
+  FROM qn q, grid g GROUP BY q.vec_id, g.m, g.j),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, j) AS rn
+    FROM cells) WHERE rn = 1),
+qtab AS (
+  SELECT vec_id AS query_id, m, j, d FROM cells
+  WHERE vec_id % 100 = 7),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cell = p.cell),
+scored AS (
+  SELECT t.query_id, c.vec_id, CAST(sum(t.d) AS BIGINT) AS adist
+  FROM codes c
+  JOIN qtab t ON t.m = c.m AND t.j = c.code
+  JOIN cand x ON x.query_id = t.query_id AND x.vec_id = c.vec_id
   GROUP BY t.query_id, c.vec_id),
 ranked AS (
   SELECT query_id, vec_id, adist,

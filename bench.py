@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "lsh_ann_topk",
     "ann_lsh_int8_rerank",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "ivf_ann_topk",
     "embedding_near_dup",
     "dedup_near_clusters",

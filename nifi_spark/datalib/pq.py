@@ -165,6 +165,69 @@ def pq_adc_topk(codes_df: DataFrame,
             .where(F.col("rank") <= topk))
 
 
+def ivf_assign(qdf: DataFrame, centroids: list[list[int]],
+               id_col: str = "vec_id", vec_col: str = "qvec",
+               out_col: str = "cell") -> DataFrame:
+    """Assign each int8 vector to its nearest inverted-file cell
+    (integer squared L2, lowest-index ties) — two staged
+    zero-exchange projections, centroids as literals."""
+    staged = qdf.select(
+        F.col(id_col), F.col(vec_col),
+        F.array(*[_dist_expr(vec_col, c) for c in centroids])
+        .alias("_d"))
+    return staged.select(
+        F.col(id_col), F.col(vec_col),
+        (F.array_position("_d", F.array_min("_d")) - 1)
+        .cast("int").alias(out_col))
+
+
+def pq_ivf_topk(qdf: DataFrame, ivf_centroids: list[list[int]],
+                codebooks: list[list[list[int]]],
+                queries: list[tuple[int, list[int]]], *,
+                nprobe: int = 4, topk: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "qvec") -> DataFrame:
+    """IVF-PQ — the production ANN shape at scale (Jégou 2011 §V):
+    vectors live in inverted-file cells; a query probes only its
+    `nprobe` nearest cells and scores those candidates with the
+    PQ ADC table. Probe pairs and distance tables are tiny driver
+    lists broadcast into equi-joins; the corpus side is scanned once
+    for assignment + encode (both zero-exchange) and candidates
+    shuffle only as (query_id, id, partial-sum) tuples. Output:
+    (query_id, id_col, adist, rank)."""
+    spark = qdf.sparkSession
+    assigned = ivf_assign(qdf, ivf_centroids, id_col, vec_col)
+    codes = pq_encode(qdf, codebooks, id_col=id_col, vec_col=vec_col)
+    base = assigned.select(id_col, "cell").join(codes, id_col)
+
+    probe_rows = []
+    for qid, qvec in queries:
+        dists = sorted(
+            (sum((int(a) - int(b)) ** 2 for a, b in zip(qvec, c)), j)
+            for j, c in enumerate(ivf_centroids))
+        for _, j in dists[:nprobe]:
+            probe_rows.append((qid, j))
+    probes = spark.createDataFrame(probe_rows,
+                                   "query_id bigint, cell int")
+    cands = base.join(F.broadcast(probes), "cell") \
+                .select("query_id", id_col, "codes")
+
+    trows = [(qid, mi, j, d) for qid, qvec in queries
+             for mi, j, d in pq_distance_table(qvec, codebooks)]
+    tbl = spark.createDataFrame(
+        trows, "query_id bigint, m int, j int, dist bigint")
+    ex = cands.select("query_id", id_col,
+                      F.posexplode("codes").alias("m", "code"))
+    scored = (ex.join(F.broadcast(tbl),
+                      (ex["query_id"] == tbl["query_id"])
+                      & (ex["m"] == tbl["m"]) & (ex["code"] == tbl["j"]))
+              .groupBy(ex["query_id"], id_col)
+              .agg(F.sum("dist").cast("long").alias("adist")))
+    w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topk))
+
+
 # ------------------------------------------------------------ oracles
 
 

@@ -122,3 +122,43 @@ def test_adc_recall_vs_exact_int8(qvecs):
              for r in all_rows))
         hits += exact[1] in got[qid]
     assert hits >= len(queries) - 1, (hits, len(queries))
+
+
+def _formula_ivf(k=16, dim=64):
+    return [[((7 * j + 11 * t) % 41) - 20 for t in range(dim)]
+            for j in range(k)]
+
+
+def test_ivf_assign_matches_python(qvecs):
+    from nifi_spark.datalib.pq import ivf_assign
+    ivf = _formula_ivf()
+    got = {r["vec_id"]: r["cell"]
+           for r in ivf_assign(qvecs, ivf).collect()}
+    for r in qvecs.orderBy("vec_id").limit(15).collect():
+        v = list(r["qvec"])
+        d = [sum((int(a) - int(b)) ** 2 for a, b in zip(v, c))
+             for c in ivf]
+        assert got[r["vec_id"]] == d.index(min(d))
+
+
+def test_ivfpq_candidates_come_from_probed_cells(qvecs):
+    from nifi_spark.datalib.pq import ivf_assign, pq_ivf_topk
+    ivf = _formula_ivf()
+    cbs = _formula_cbs()
+    queries = [(int(r["vec_id"]), list(r["qvec"]))
+               for r in qvecs.where("vec_id % 250 = 3").collect()]
+    top = pq_ivf_topk(qvecs, ivf, cbs, queries, nprobe=3,
+                      topk=50).collect()
+    cells = {r["vec_id"]: r["cell"]
+             for r in ivf_assign(qvecs, ivf).collect()}
+    for qid, qvec in queries:
+        d = sorted((sum((int(a) - int(b)) ** 2
+                        for a, b in zip(qvec, c)), j)
+                   for j, c in enumerate(ivf))
+        probed = {j for _, j in d[:3]}
+        hits = [r for r in top if r["query_id"] == qid]
+        assert hits, qid
+        assert all(cells[r["vec_id"]] in probed for r in hits)
+        # the query lives in its own nearest cell -> self is a candidate
+        assert any(r["vec_id"] == qid for r in hits) or \
+            cells[qid] in probed
