@@ -3316,6 +3316,88 @@ _GATE_TEMPLATE_JSON_XML = """<?xml version="1.0" encoding="UTF-8"?>
 </snippet></template>"""
 
 
+def q_template_flow_route_jolt(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Template-XML loader, round-4 widening (plans/template_loader.py
+    — RouteText line routing, JoltTransformJSON inline chain specs,
+    ModifyBytes data-size offsets; plus the bzip2→codec-name
+    regression fix): three reference-shaped chains compiled FROM
+    TEMPLATE XML and run over a documents slice. Every stage's facts
+    replay arithmetically — line-route counts, the Jolt-shifted value
+    sum (shift a→x.y), and post-trim byte lengths."""
+    from nifi_spark.plans import load_template
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id") \
+        .where(F.col("doc_id") % 3 == 1).orderBy("doc_id").limit(200)
+    src_rt = ids.withColumn(
+        "content",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("keep\nERROR "),
+                        F.col("doc_id").cast("string")))
+        .otherwise(F.lit("keep\nfine")))
+    src_j = ids.withColumn(
+        "content", F.concat(F.lit('{"a": '),
+                            F.col("doc_id").cast("string"),
+                            F.lit("}")))
+    src_m = ids.withColumn(
+        "content", F.concat(F.lit("xxxx"),
+                            F.repeat(F.lit("p"),
+                                     (F.col("doc_id") % 7 + 1)
+                                     .cast("int")),
+                            F.lit("zz")))
+
+    def proc(pid, name, ptype, props=""):
+        return (f"<processors><id>{pid}</id><name>{name}</name>"
+                f"<type>org.apache.nifi.processors.standard.{ptype}"
+                f"</type><config><properties>{props}</properties>"
+                f"</config></processors>")
+
+    def e(k, v):
+        return f"<entry><key>{k}</key><value>{v}</value></entry>"
+
+    def conn(a, b):
+        return (f"<connections><id>c{a}{b}</id><source><id>{a}</id>"
+                f"<type>PROCESSOR</type></source><destination>"
+                f"<id>{b}</id><type>PROCESSOR</type></destination>"
+                f"</connections>")
+
+    xml = ('<?xml version="1.0"?><template><name>w</name><snippet>'
+           + proc("g1", "gen1", "GenerateFlowFile")
+           + proc("rt", "rt", "RouteText",
+                  e("Matching Strategy", "Contains")
+                  + e("errors", "ERROR"))
+           + proc("g2", "gen2", "GenerateFlowFile")
+           + proc("jo", "jolt", "JoltTransformJSON",
+                  e("jolt-transform", "jolt-transform-chain")
+                  + e("jolt-spec",
+                      '[{"operation": "shift", '
+                      '"spec": {"a": "x.y"}}]'))
+           + proc("g3", "gen3", "GenerateFlowFile")
+           + proc("mb", "trim", "ModifyBytes",
+                  e("Start Offset", "4 B") + e("End Offset", "2 B"))
+           + conn("g1", "rt") + conn("g2", "jo") + conn("g3", "mb")
+           + "</snippet></template>")
+    out = load_template(xml, sources={"gen1": src_rt, "gen2": src_j,
+                                      "gen3": src_m}).run()
+
+    def fact(metric, df_agg):
+        return df_agg.select(F.lit(metric).alias("metric"),
+                             F.col("value").cast("bigint")
+                             .alias("value"))
+    rt_err = fact("rt_errors", out["rt.errors"]
+                  .agg(F.count(F.lit(1)).alias("value")))
+    rt_un = fact("rt_unmatched", out["rt.unmatched"]
+                 .agg(F.count(F.lit(1)).alias("value")))
+    jo_sum = fact("jolt_sum", out["jolt.success"].select(
+        F.get_json_object("content", "$.x.y").cast("long")
+        .alias("v")).agg(F.sum("v").alias("value")))
+    mb_sum = fact("mb_len_sum", out["trim.success"].select(
+        F.octet_length("content").alias("v"))
+        .agg(F.sum("v").alias("value")))
+    return rt_err.unionByName(rt_un).unionByName(jo_sum) \
+        .unionByName(mb_sum)
+
+
 def q_template_flow_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template loader breadth, round 3: IdentifyMimeType → SplitJson
     on one chain (mime sniffing feeds the split, which carries the
@@ -6851,6 +6933,7 @@ _NEW_THIS_ROUND = [
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "cql_compressed_frames", "amqp_nack_redeliver",
+    "template_flow_route_jolt",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7061,6 +7144,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_flow": q_template_flow,
         "template_flow_ext": q_template_flow_ext,
         "template_flow_json": q_template_flow_json,
+        "template_flow_route_jolt": q_template_flow_route_jolt,
         "el_string_compile": q_el_string_compile,
         "exec_stream_command": q_exec_stream_command,
         "exec_process_source": q_exec_process_source,
@@ -9645,6 +9729,21 @@ UNION ALL
 SELECT protocol, '_invalid_', count(*), NULL::BIGINT,
        min(seq), max(seq)
 FROM allm WHERE i % 7 = 3 GROUP BY protocol
+""",
+        "template_flow_route_jolt": """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = 1 ORDER BY doc_id LIMIT 200)
+SELECT 'rt_errors' AS metric, CAST(count(*) AS BIGINT) AS value
+FROM ids WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 'rt_unmatched',
+       CAST((SELECT count(*) FROM ids) + count(*) AS BIGINT)
+FROM ids WHERE doc_id % 2 = 1
+UNION ALL
+SELECT 'jolt_sum', CAST(sum(doc_id) AS BIGINT) FROM ids
+UNION ALL
+SELECT 'mb_len_sum', CAST(sum(doc_id % 7 + 1) AS BIGINT) FROM ids
 """,
         "template_flow_json": """
 SELECT 'json' AS chain, 'text/plain' AS mime_type, k AS key,

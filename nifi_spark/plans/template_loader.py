@@ -415,7 +415,10 @@ def _build_stage(proc: TProcessor, content_col: str,
 
     if proc.ptype == "CompressContent":
         from nifi_spark.operators import compress_content
-        codec = {"gzip": "gzip", "bzip2": "bz2", "xz-lzma2": "lzma",
+        # codec names must match operators.codec._CODECS keys — the
+        # old "bzip2" -> "bz2" mapping crashed at run time
+        codec = {"gzip": "gzip", "bzip2": "bzip2", "xz-lzma2": "lzma",
+                 "snappy": "snappy", "snappy framed": "snappy framed",
                  }.get(p.get("Compression Format", "gzip"), "gzip")
         mode = ("decompress" if p.get("Mode", "compress") == "decompress"
                 else "compress")
@@ -428,6 +431,127 @@ def _build_stage(proc: TProcessor, content_col: str,
                                    F.encode(F.col(content_col), "utf-8"))
             return {"success": compress_content(df, content_col, codec,
                                                 mode=mode)}
+        return fn
+
+    if proc.ptype == "RouteText":
+        # Matching Strategy applies each dynamic property's value to
+        # every LINE; one output relationship per property plus
+        # unmatched (RouteText.java line-oriented contract)
+        from nifi_spark.operators.routing import route_text
+        strat = p.get("Matching Strategy", "Contains")
+        routes_src = _dyn(proc)
+
+        def _cond(v: str):
+            line = F.col("line")
+            if strat == "Equals":
+                return line == v
+            if strat == "Starts With":
+                return line.startswith(v)
+            if strat == "Ends With":
+                return line.endswith(v)
+            if strat == "Matches Regular Expression":
+                return line.rlike(f"^(?:{v})$")
+            if strat == "Contains Regular Expression":
+                return line.rlike(v)
+            return line.contains(v)            # Contains (default)
+
+        def fn(*dfs):
+            routed = route_text(_union(list(dfs)), content_col,
+                                {name: _cond(v)
+                                 for name, v in routes_src.items()})
+            out = {name: routed.filter(F.col("route") == name)
+                   .drop("route") for name in routes_src}
+            out["unmatched"] = routed.filter(
+                F.col("route") == "unmatched").drop("route")
+            return out
+        return fn
+
+    if proc.ptype == "JoltTransformJSON":
+        # jolt-transform names the operation; jolt-spec is the inline
+        # JSON spec (a full chain when jolt-transform-chain)
+        import json as _json
+        from nifi_spark.operators.jolt import jolt_transform
+        spec = _json.loads(p.get("jolt-spec", "{}"))
+        ttype = p.get("jolt-transform", "jolt-transform-chain")
+        if ttype != "jolt-transform-chain":
+            op = ttype.replace("jolt-transform-", "")
+            op = {"cardinality": "cardinality", "shift": "shift",
+                  "default": "default", "remove": "remove",
+                  "sort": "sort"}.get(op, op)
+            spec = [{"operation": op, "spec": spec}]                 if op != "sort" else [{"operation": "sort"}]
+
+        def fn(*dfs):
+            out = jolt_transform(_union(list(dfs)), content_col, spec)
+            return {"success": out.filter(F.col(content_col).isNotNull()),
+                    "failure": out.filter(F.col(content_col).isNull())}
+        return fn
+
+    if proc.ptype == "SplitXml":
+        from nifi_spark.operators.xml_split_depth import split_xml_depth
+        depth = int(p.get("Split Depth", "1"))
+
+        def fn(*dfs):
+            out = split_xml_depth(_union(list(dfs)), content_col,
+                                  split_depth=depth)
+            return {"split": out.filter(F.col("relationship") == "split")
+                    .drop("relationship")
+                    .withColumnRenamed("fragment", content_col),
+                    "failure": out.filter(
+                        F.col("relationship") == "failure")
+                    .drop("relationship")
+                    .withColumnRenamed("fragment", content_col)}
+        return fn
+
+    if proc.ptype == "ModifyBytes":
+        from nifi_spark.operators import modify_bytes
+
+        def _nbytes(v: str) -> int:
+            v = v.strip()
+            for suf, mul in (("GB", 1 << 30), ("MB", 1 << 20),
+                             ("KB", 1 << 10), ("B", 1)):
+                if v.upper().endswith(suf):
+                    return int(float(v[:-len(suf)].strip()) * mul)
+            return int(v)
+        head = _nbytes(p.get("Start Offset", "0 B"))
+        tail = _nbytes(p.get("End Offset", "0 B"))
+        remove_all = p.get("Remove All Content", "false") == "true"
+
+        def fn(*dfs):
+            df = _union(list(dfs))
+            c = df.schema[content_col].dataType.simpleString()
+            if c != "binary":
+                df = df.withColumn(content_col,
+                                   F.encode(F.col(content_col), "utf-8"))
+            if remove_all:
+                out = df.withColumn(
+                    content_col,
+                    F.lit(b"").cast("binary"))
+            else:
+                out = modify_bytes(df, content_col, drop_head=head,
+                                   drop_tail=tail)
+            return {"success": out}
+        return fn
+
+    if proc.ptype == "ParseCEF":
+        from nifi_spark.operators.content import parse_cef
+
+        def fn(*dfs):
+            return parse_cef(_union(list(dfs)), content_col)
+        return fn
+
+    if proc.ptype == "TransformXml":
+        # "XSLT file name" resolves through the same resolver as
+        # ExecuteScript's Script File
+        from nifi_spark.operators import transform_xml
+        fname = p.get("XSLT file name", "")
+        if script_resolver is None:
+            return None
+        stylesheet = script_resolver(fname)
+
+        def fn(*dfs):
+            out = transform_xml(_union(list(dfs)), content_col,
+                                stylesheet=stylesheet)
+            return {"success": out}
         return fn
 
     if proc.ptype == "DistributeLoad":

@@ -439,3 +439,143 @@ def test_debug_flow_template_compiles(spark):
     assert out["debugger.failure"].count() == 4
     assert out["debugger.rollback"].count() == 2
     assert out["debugger.exception"].count() == 2
+
+
+def _tmpl(procs: str, conns: str) -> str:
+    return f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<template><name>t</name><snippet>
+{procs}
+{conns}
+</snippet></template>"""
+
+
+def _proc(pid: str, name: str, ptype: str, props: str = "") -> str:
+    return (f"<processors><id>{pid}</id><name>{name}</name>"
+            f"<type>org.apache.nifi.processors.standard.{ptype}</type>"
+            f"<config><properties>{props}</properties></config>"
+            f"</processors>")
+
+
+def _conn(src: str, dst: str, rel: str = "") -> str:
+    sel = f"<selectedRelationships>{rel}</selectedRelationships>" \
+        if rel else ""
+    return (f"<connections><id>c-{src}-{dst}</id>"
+            f"<source><id>{src}</id><type>PROCESSOR</type></source>"
+            f"<destination><id>{dst}</id><type>PROCESSOR</type>"
+            f"</destination>{sel}</connections>")
+
+
+def _e(k: str, v: str) -> str:
+    return f"<entry><key>{k}</key><value>{v}</value></entry>"
+
+
+def test_load_template_route_text_lines(spark):
+    from nifi_spark.plans import load_template
+    xml = _tmpl(
+        _proc("p-g", "gen", "GenerateFlowFile")
+        + _proc("p-rt", "rt", "RouteText",
+                _e("Matching Strategy", "Contains")
+                + _e("errors", "ERROR") + _e("warns", "WARN")),
+        _conn("p-g", "p-rt"))
+    src = spark.createDataFrame(
+        [(1, "ok line\nERROR disk\nWARN slow\nERROR net"),
+         (2, "all good")], "id long, content string")
+    out = load_template(xml, sources={"gen": src}).run()
+    assert [r.line for r in
+            out["rt.errors"].orderBy("line").collect()] == \
+        ["ERROR disk", "ERROR net"]
+    assert [r.line for r in out["rt.warns"].collect()] == ["WARN slow"]
+    assert {r.line for r in out["rt.unmatched"].collect()} == \
+        {"ok line", "all good"}
+
+
+def test_load_template_jolt_and_modify_bytes(spark):
+    from nifi_spark.plans import load_template
+    spec = '[{"operation": "shift", "spec": {"a": "x.y"}}]'
+    xml = _tmpl(
+        _proc("p-g", "gen", "GenerateFlowFile")
+        + _proc("p-j", "jolt", "JoltTransformJSON",
+                _e("jolt-transform", "jolt-transform-chain")
+                + _e("jolt-spec", spec.replace("<", "&lt;")))
+        + _proc("p-g2", "gen2", "GenerateFlowFile")
+        + _proc("p-m", "trim", "ModifyBytes",
+                _e("Start Offset", "4 B") + _e("End Offset", "2 B")),
+        _conn("p-g", "p-j") + _conn("p-g2", "p-m"))
+    src = spark.createDataFrame(
+        [(1, '{"a": 5, "b": 1}'), (2, "not json")],
+        "id long, content string")
+    src2 = spark.createDataFrame([(1, "xxxxPAYLOADzz")],
+                                 "id long, content string")
+    out = load_template(xml, sources={"gen": src, "gen2": src2}).run()
+    import json
+    good = {r.id: r.content for r in out["jolt.success"].collect()}
+    assert json.loads(good[1]) == {"x": {"y": 5}}
+    assert [r.id for r in out["jolt.failure"].collect()] == [2]
+    assert [bytes(r.content) for r in out["trim.success"].collect()] \
+        == [b"PAYLOAD"]
+
+
+def test_load_template_split_xml_and_cef(spark):
+    from nifi_spark.plans import load_template
+    xml = _tmpl(
+        _proc("p-g", "gen", "GenerateFlowFile")
+        + _proc("p-sx", "sx", "SplitXml", _e("Split Depth", "1"))
+        + _proc("p-g2", "gen2", "GenerateFlowFile")
+        + _proc("p-cef", "cef", "ParseCEF"),
+        _conn("p-g", "p-sx") + _conn("p-g2", "p-cef"))
+    doc = "<root><a>1</a><b att='z'>2</b></root>".replace("<", "&lt;")
+    src = spark.createDataFrame(
+        [(1, "<root><a>1</a><b>2</b></root>")],
+        "id long, content string")
+    src2 = spark.createDataFrame(
+        [(1, "CEF:0|V|P|1.0|sig|nm|5|src=1.2.3.4"),
+         (2, "garbage")], "id long, content string")
+    out = load_template(xml, sources={"gen": src, "gen2": src2}).run()
+    frags = sorted(r.content for r in out["sx.split"].collect())
+    # fragments carry the XML declaration, as the reference's do
+    assert [f.split("?>")[-1] for f in frags] == ["<a>1</a>", "<b>2</b>"]
+    valid = out["cef.valid"].collect()
+    assert len(valid) == 1 and valid[0].cef_vendor == "V"
+    assert [r.id for r in out["cef.invalid"].collect()] == [2]
+
+
+def test_load_template_transform_xml_resolver(spark):
+    from nifi_spark.plans import load_template
+    xsl = """<xsl:stylesheet version="1.0"
+  xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+  <xsl:output method="text"/>
+  <xsl:template match="/r"><xsl:value-of select="a"/>!</xsl:template>
+</xsl:stylesheet>"""
+    xml = _tmpl(
+        _proc("p-g", "gen", "GenerateFlowFile")
+        + _proc("p-tx", "tx", "TransformXml",
+                _e("XSLT file name", "/opt/sheets/t.xsl")),
+        _conn("p-g", "p-tx"))
+    src = spark.createDataFrame([(1, "<r><a>hi</a></r>")],
+                                "id long, content string")
+    flow = load_template(xml, sources={"gen": src},
+                         script_resolver=lambda path: xsl)
+    out = flow.run()
+    assert [r.content for r in out["tx.success"].collect()] == ["hi!"]
+
+
+def test_load_template_compress_bzip2_codec_name(spark):
+    """Regression: 'bzip2' used to map to a nonexistent 'bz2' codec."""
+    from nifi_spark.plans import load_template
+    xml = _tmpl(
+        _proc("p-g", "gen", "GenerateFlowFile")
+        + _proc("p-c", "comp", "CompressContent",
+                _e("Compression Format", "bzip2") + _e("Mode", "compress"))
+        + _proc("p-s", "snap", "CompressContent",
+                _e("Compression Format", "snappy framed")
+                + _e("Mode", "compress")),
+        _conn("p-g", "p-c") + _conn("p-c", "p-s", "success"))
+    src = spark.createDataFrame([(1, "payload " * 40)],
+                                "id long, content string")
+    out = load_template(xml, sources={"gen": src}).run()
+    blob = bytes(out["snap.success"].collect()[0].content)
+    assert blob.startswith(b"\xff\x06\x00\x00sNaPpY")
+    import bz2
+    from nifi_spark.functions.snappy_codec import snappy_framed_decompress
+    assert bz2.decompress(snappy_framed_decompress(blob)) == \
+        ("payload " * 40).encode()
