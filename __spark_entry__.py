@@ -5836,6 +5836,26 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.length("text_norm").alias("n_chars_norm"))
 
 
+def q_curate_temperature_mix(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (datalib/curation.py
+    temperature_mix — per-source share ∝ n^(1/T), the multilingual /
+    multi-domain flattening step): T=4 (two iterated floor-sqrt
+    roots, integer-exact), budget 300, membership by the portable-hash
+    uniform-rank cutoff hash(id) % n_s < k_s. The oracle recomputes
+    counts, roots, budgets, and the EXACT kept set — per-source
+    count/sum/min/max all replay."""
+    from nifi_spark.datalib.curation import temperature_mix
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "source", "doc_id",
+                           target_total=300, temperature=4)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("doc_id").cast("bigint").alias("sum_ids"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
 def q_curate_stratified_sample(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """Deterministic stratified sampling: three sources at different
@@ -6933,7 +6953,7 @@ _NEW_THIS_ROUND = [
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "cql_compressed_frames", "amqp_nack_redeliver",
-    "template_flow_route_jolt",
+    "template_flow_route_jolt", "curate_temperature_mix",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7140,6 +7160,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_scrub_pii": q_text_scrub_pii,
         "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_temperature_mix": q_curate_temperature_mix,
         "curate_url_dedup": q_curate_url_dedup,
         "template_flow": q_template_flow,
         "template_flow_ext": q_template_flow_ext,
@@ -9076,6 +9097,25 @@ QUALIFY row_number() OVER (
 ) <= 10
 """,
         "text_scrub_pii": _scrub_pii_sql(),
+        "curate_temperature_mix": """
+WITH st AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(CAST(floor(sqrt(n)) AS BIGINT)))
+                  AS BIGINT) AS w
+      FROM st),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM w),
+k AS (SELECT source, n, w,
+             (300 * w) // (SELECT W FROM tot) AS k FROM w),
+kept AS (
+  SELECT d.source, d.doc_id
+  FROM documents d JOIN k ON k.source = d.source
+  WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT)
+        % k.n < k.k)
+SELECT source, count(*) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM kept GROUP BY source
+""",
         "curate_stratified_sample": f"""
 SELECT source, doc_id FROM documents
 WHERE {PH.format(x='doc_id::VARCHAR')} <

@@ -499,3 +499,46 @@ def perceptron_oracle_sql(base_sql: str, n_features: int, iters: int,
             + f"\nSELECT {id_col}, ({final_score})::BIGINT AS score,\n"
             f"       CASE WHEN ({final_score}) >= 0 THEN 1 ELSE -1 END "
             f"AS pred, y\nFROM d")
+
+
+def temperature_mix(df: DataFrame, source_col: str, id_col: str, *,
+                    target_total: int, temperature: int = 2,
+                    seed: str = "") -> DataFrame:
+    """Temperature-weighted mixture sampling: downsample each source
+    toward a budget of ``target_total`` docs with per-source share
+    ∝ n_s^(1/T) — the standard way multilingual / multi-domain
+    training mixes flatten head sources without starving the tail
+    (T=1 reproduces natural proportions; larger T flattens).
+
+    Everything is integer so the SQL twin replays the EXACT kept set:
+    ``temperature`` must be a power of two and the T-th root is an
+    iterated floor(sqrt(·)) (exact for counts < 2^52); the per-source
+    budget is k_s = target_total·w_s // Σw, and a row is kept iff
+    portable_hash64(id) % n_s < k_s — a deterministic uniform-rank
+    cutoff (expected k_s kept, identical on every run/engine, new
+    rows never evict old ones within a source of fixed size).
+
+    Plan shape: one count hash-agg over (source), the Σw as a 1-row
+    broadcast, and membership as a broadcast stats join + projection —
+    no windows, no per-source jobs; scale-safe at any source count
+    that fits a broadcast (thousands).
+    """
+    if temperature < 1 or temperature & (temperature - 1):
+        raise ValueError("temperature must be a power of two")
+    stats = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    w = F.col("_n")
+    t = temperature
+    while t > 1:
+        w = F.floor(F.sqrt(w)).cast("long")
+        t //= 2
+    stats = stats.withColumn("_w", w)
+    tot = stats.agg(F.sum("_w").cast("long").alias("_totw"))
+    stats = stats.crossJoin(F.broadcast(tot)) \
+        .withColumn("_k", F.expr(f"CAST({target_total} AS BIGINT) "
+                                 "* _w div _totw")) \
+        .select(source_col, "_n", "_w", "_k")
+    h = portable_hash64(F.col(id_col).cast("string"), seed)
+    return (df.join(F.broadcast(stats), source_col)
+            .filter(F.pmod(h, F.col("_n")) < F.col("_k"))
+            .drop("_n", "_w", "_k"))

@@ -1290,3 +1290,47 @@ def test_gopher_rules_integer_thresholds_are_sharp(spark):
     assert got[2]["n_words"] == 49 and not got[2]["r_word_count"]
     # 44 words, 4 '#' symbols -> 40 <= 44 passes the ratio rule
     assert got[3]["n_symbol"] == 4 and got[3]["r_symbol_ratio"]
+
+
+def test_temperature_mix_flattens_and_is_deterministic(spark):
+    """T=1 keeps natural proportions; higher T narrows the ratio
+    between head and tail shares. Kept sets are deterministic and the
+    rule hash(id) % n < k replays in python."""
+    import math
+    from nifi_spark.datalib.curation import temperature_mix
+    from nifi_spark.functions.portable_hash import portable_hash64_py
+    rows = [(f"d{i}", "head") for i in range(900)] + \
+           [(f"t{i}", "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    def shares(temp):
+        kept = temperature_mix(df, "source", "doc_id",
+                               target_total=400, temperature=temp)
+        c = {r["source"]: r["n"] for r in
+             kept.groupBy("source").agg(F.count("*").alias("n"))
+             .collect()}
+        return c.get("head", 0), c.get("tail", 0)
+
+    h1, t1 = shares(1)
+    h4, t4 = shares(4)
+    assert h1 / max(t1, 1) > h4 / max(t4, 1)       # T flattens
+    # replay the exact rule for T=4
+    n = {"head": 900, "tail": 100}
+    w = {s: math.isqrt(math.isqrt(v)) for s, v in n.items()}
+    W = sum(w.values())
+    k = {s: 400 * w[s] // W for s in n}
+    want = {(d, s) for d, s in rows
+            if portable_hash64_py(d) % n[s] < k[s]}
+    got = {(r["doc_id"], r["source"]) for r in
+           temperature_mix(df, "source", "doc_id", target_total=400,
+                           temperature=4).collect()}
+    assert got == want
+
+
+def test_temperature_mix_rejects_bad_temperature(spark):
+    from nifi_spark.datalib.curation import temperature_mix
+    df = spark.createDataFrame([("a", "s")],
+                               "doc_id string, source string")
+    with pytest.raises(ValueError, match="power of two"):
+        temperature_mix(df, "source", "doc_id", target_total=1,
+                        temperature=3)
