@@ -449,6 +449,23 @@ def main():
                     "broadcast M*K distance table on (m, code) — "
                     "never a cross product"))
 
+    # temperature_mix: no windows; membership via broadcast stats join
+    from nifi_spark.datalib.curation import temperature_mix
+    docs_tm = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(200)],
+        "doc_id long, source string")
+    p = executed_plan_of(temperature_mix(docs_tm, "source", "doc_id",
+                                         target_total=50,
+                                         temperature=4))
+    assert "Window" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    n_bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+    assert n_bnlj <= 1, f"{n_bnlj} nested-loop joins\n{p}"
+    results.append(("temperature_mix", "per-source budgets from one "
+                    "count agg + 1-row total broadcast; membership is "
+                    "a broadcast stats equi-join + hash-cutoff "
+                    "projection — no windows"))
+
     # ---- 3. q5: broadcast dimension joins ------------------------------
     p = executed_plan_of(E.queries()["q5_nation_revenue"](spark, sf))
     n_bhj = p.count("BroadcastHashJoin")
