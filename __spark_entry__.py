@@ -3526,6 +3526,39 @@ def q_listen_syslog_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_encrypt_openssl_pbe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EncryptContent's OpenSSL PBE path (OPENSSL_EVP_BYTES_TO_KEY +
+    PBEWITHMD5AND256BITAES-CBC-OPENSSL; functions/openssl_kdf.py over
+    the from-scratch AES in blockciphers.py, FIPS-197-vector-pinned;
+    wire parity pinned by the reference's own .enc fixtures in
+    pytest): formula plaintexts encrypt with deterministic per-row
+    salts (md5(doc_id)), the Salted__ layout and PKCS#7 ciphertext
+    length replay in closed form, and the decrypted roundtrip's md5
+    must equal the oracle's md5 of the same formula text."""
+    from nifi_spark.operators import encrypt_content_pbe
+    docs = _t(spark, sf_dir, "documents") \
+        .where(F.col("doc_id") % 5 == 2).orderBy("doc_id").limit(100) \
+        .select("doc_id")
+    plain = docs.withColumn(
+        "content", F.concat(F.lit("secret-"),
+                            F.col("doc_id").cast("string"), F.lit(":"),
+                            F.repeat(F.lit("ab"),
+                                     (F.col("doc_id") % 13 + 1)
+                                     .cast("int"))))
+    enc = encrypt_content_pbe(plain, "content", "gate-password",
+                              key_bits=256, salt_col="doc_id",
+                              out_col="ct")
+    dec = encrypt_content_pbe(enc, "ct", "gate-password",
+                              key_bits=256, mode="decrypt",
+                              out_col="pt")
+    return dec.select(
+        "doc_id",
+        F.octet_length("ct").cast("bigint").alias("ct_len"),
+        (F.substring("ct", 1, 8) == F.lit(b"Salted__"))
+        .alias("salted"),
+        F.md5("pt").alias("pt_md5"))
+
+
 def q_ftp_sftp_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FTP + SFTP transfer family (GetFTP/PutFTP/FetchFTP/ListFTP and
     the SFTP siblings — FTPTransfer.java:120-520 / SFTPTransfer.java):
@@ -6954,6 +6987,7 @@ _NEW_THIS_ROUND = [
     "ann_ivfpq_topk",
     "cql_compressed_frames", "amqp_nack_redeliver",
     "template_flow_route_jolt", "curate_temperature_mix",
+    "encrypt_openssl_pbe",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7171,6 +7205,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exec_process_source": q_exec_process_source,
         "listen_syslog_landed": q_listen_syslog_landed,
         "ftp_sftp_transfer": q_ftp_sftp_transfer,
+        "encrypt_openssl_pbe": q_encrypt_openssl_pbe,
         "scripted_processor_flow": q_scripted_processor_flow,
         "hl7_route_extract": q_hl7_route_extract,
         "s2s_roundtrip": q_s2s_roundtrip,
@@ -9733,6 +9768,20 @@ SELECT event_type, event_id % 7 AS slot, count(*) AS n,
          AS route
 FROM events GROUP BY event_type, event_id % 7,
                      event_id % 7 < 4
+""",
+        "encrypt_openssl_pbe": """
+WITH ids AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 2 ORDER BY doc_id LIMIT 100),
+p AS (
+  SELECT doc_id,
+         'secret-' || doc_id || ':'
+         || repeat('ab', doc_id % 13 + 1) AS txt
+  FROM ids)
+SELECT doc_id,
+       CAST(16 + (length(txt) // 16 + 1) * 16 AS BIGINT) AS ct_len,
+       TRUE AS salted, md5(txt) AS pt_md5
+FROM p
 """,
         "ftp_sftp_transfer": """
 WITH protos(proto) AS (VALUES ('ftp'), ('sftp')),

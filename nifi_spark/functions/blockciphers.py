@@ -250,3 +250,121 @@ def aes128_cfb_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         out += bytes(a ^ b for a, b in zip(chunk, ks))
         feedback = chunk if len(chunk) == 16 else feedback
     return bytes(out)
+
+
+# ------------------------------------------------------------------
+# Generalized AES (FIPS 197): 128/192/256-bit keys, forward + INVERSE
+# cipher, CBC mode with PKCS#7 — the pieces EncryptContent's
+# OpenSSL-compatible PBE path needs (the SNMP CFB path above only ever
+# runs the forward cipher). Pinned to the FIPS-197 Appendix C known-
+# answer vectors in tests.
+
+_AES_INV_SBOX = tuple(
+    _AES_SBOX.index(x) for x in range(256))
+_MUL = {m: tuple(_gf_mul(x, m) for x in range(256))
+        for m in (2, 3, 9, 11, 13, 14)}
+
+
+def aes_key_schedule(key: bytes) -> tuple[list[list[int]], int]:
+    """Key expansion for Nk in {4, 6, 8} → (round_keys, n_rounds)."""
+    nk = len(key) // 4
+    if len(key) not in (16, 24, 32):
+        raise ValueError("AES key must be 16/24/32 bytes")
+    nr = nk + 6
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_AES_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_AES_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r:4 * r + 4], []) for r in range(nr + 1)], nr
+
+
+def aes_encrypt_block(block: bytes, rks: list[list[int]],
+                      nr: int) -> bytes:
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def add_rk(rk):
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= rk[4 * c + r]
+
+    add_rk(rks[0])
+    m2, m3 = _MUL[2], _MUL[3]
+    for rnd in range(1, nr + 1):
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = _AES_SBOX[s[r][c]]
+        for r in range(1, 4):
+            s[r] = s[r][r:] + s[r][:r]
+        if rnd < nr:
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = m2[a[0]] ^ m3[a[1]] ^ a[2] ^ a[3]
+                s[1][c] = a[0] ^ m2[a[1]] ^ m3[a[2]] ^ a[3]
+                s[2][c] = a[0] ^ a[1] ^ m2[a[2]] ^ m3[a[3]]
+                s[3][c] = m3[a[0]] ^ a[1] ^ a[2] ^ m2[a[3]]
+        add_rk(rks[rnd])
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def aes_decrypt_block(block: bytes, rks: list[list[int]],
+                      nr: int) -> bytes:
+    s = [[block[4 * c + r] for c in range(4)] for r in range(4)]
+
+    def add_rk(rk):
+        for c in range(4):
+            for r in range(4):
+                s[r][c] ^= rk[4 * c + r]
+
+    add_rk(rks[nr])
+    m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
+    for rnd in range(nr - 1, -1, -1):
+        for r in range(1, 4):                  # InvShiftRows
+            s[r] = s[r][-r:] + s[r][:-r]
+        for r in range(4):
+            for c in range(4):
+                s[r][c] = _AES_INV_SBOX[s[r][c]]
+        add_rk(rks[rnd])
+        if rnd > 0:                            # InvMixColumns
+            for c in range(4):
+                a = [s[r][c] for r in range(4)]
+                s[0][c] = m14[a[0]] ^ m11[a[1]] ^ m13[a[2]] ^ m9[a[3]]
+                s[1][c] = m9[a[0]] ^ m14[a[1]] ^ m11[a[2]] ^ m13[a[3]]
+                s[2][c] = m13[a[0]] ^ m9[a[1]] ^ m14[a[2]] ^ m11[a[3]]
+                s[3][c] = m11[a[0]] ^ m13[a[1]] ^ m9[a[2]] ^ m14[a[3]]
+    return bytes(s[r][c] for c in range(4) for r in range(4))
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC with PKCS#7 padding (always pads, 1..16 bytes)."""
+    rks, nr = aes_key_schedule(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out, prev = bytearray(), iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        ct = aes_encrypt_block(blk, rks, nr)
+        out += ct
+        prev = ct
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    if len(data) % 16 or not data:
+        raise ValueError("ciphertext length not a multiple of 16")
+    rks, nr = aes_key_schedule(key)
+    out, prev = bytearray(), iv
+    for i in range(0, len(data), 16):
+        ct = data[i:i + 16]
+        pt = aes_decrypt_block(ct, rks, nr)
+        out += bytes(a ^ b for a, b in zip(pt, prev))
+        prev = ct
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad PKCS#7 padding")
+    return bytes(out[:-pad])

@@ -31,6 +31,7 @@ from nifi_spark.operators.content import (duplicate_flowfile,
                                           split_xml, validate_csv,
                                           validate_xml, merge_concat)
 from nifi_spark.operators.codec import (compress_content,
+                                        encrypt_content_pbe,
                                         convert_character_set,
                                         decode_content, decrypt_content,
                                         encode_content, encrypt_content,
@@ -88,7 +89,8 @@ __all__ = [
     "split_json_array", "split_text", "split_text_grouped",
     "split_xml", "validate_csv", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
-    "decrypt_content", "encode_content", "encrypt_content", "modify_bytes",
+    "decrypt_content", "encode_content", "encrypt_content",
+    "encrypt_content_pbe", "modify_bytes",
     "invoke_http", "route_http_response",
     "split_content", "unpack_content", "package_flowfiles",
     "unpack_flowfiles",

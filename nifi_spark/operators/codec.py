@@ -217,6 +217,58 @@ def encrypt_content(df: DataFrame, content_col: str, key: str,
                          F.aes_encrypt(c, F.lit(key), F.lit(mode)))
 
 
+def encrypt_content_pbe(df: DataFrame, content_col: str,
+                        password: str, *, key_bits: int = 256,
+                        mode: str = "encrypt",
+                        salt_col: str | None = None,
+                        out_col: str | None = None) -> DataFrame:
+    """OpenSSL-compatible password-based encryption — EncryptContent
+    with KeyDerivationFunction=OPENSSL_EVP_BYTES_TO_KEY and
+    PBEWITHMD5AND{128,256}BITAES-CBC-OPENSSL
+    (functions/openssl_kdf.py; wire parity pinned by the reference\'s
+    own TestEncryptContent .enc fixtures). Encrypt emits the
+    ``Salted__`` + 8-byte-salt layout; the per-row salt derives
+    deterministically from md5(`salt_col`) when given (reproducible
+    spools/oracles), else os.urandom. Decrypt sniffs salted vs the
+    legacy unsalted form. The pure-Python cipher is the COMPATIBILITY
+    path for reference-encrypted payloads — bulk in-lake encryption
+    stays on encrypt_content\'s JVM aes_encrypt."""
+    import hashlib
+    import os as _os
+    from nifi_spark.functions.openssl_kdf import (openssl_pbe_decrypt,
+                                                  openssl_pbe_encrypt)
+    if mode not in ("encrypt", "decrypt"):
+        raise ValueError(f"mode must be encrypt|decrypt, got {mode!r}")
+    c = F.col(content_col)
+    if dict(df.dtypes)[content_col] != "binary":
+        c = F.encode(c, "utf-8")
+    if mode == "decrypt":
+        @F.pandas_udf(BinaryType())
+        def run(s: pd.Series) -> pd.Series:
+            return s.map(lambda b: None if b is None else
+                         openssl_pbe_decrypt(bytes(b), password,
+                                             key_bits=key_bits))
+        return df.withColumn(out_col or content_col, run(c))
+
+    @F.pandas_udf(BinaryType())
+    def enc(s: pd.Series, saltsrc: pd.Series) -> pd.Series:
+        out = []
+        for b, sv in zip(s, saltsrc):
+            if b is None:
+                out.append(None)
+                continue
+            salt = (hashlib.md5(str(sv).encode()).digest()[:8]
+                    if sv is not None else _os.urandom(8))
+            out.append(openssl_pbe_encrypt(bytes(b), password,
+                                           key_bits=key_bits,
+                                           salt=salt))
+        return pd.Series(out)
+
+    saltsrc = (F.col(salt_col).cast("string") if salt_col
+               else F.lit(None).cast("string"))
+    return df.withColumn(out_col or content_col, enc(c, saltsrc))
+
+
 def decrypt_content(df: DataFrame, content_col: str, key: str,
                     mode: str = "GCM", charset: str | None = None,
                     out_col: str | None = None) -> DataFrame:
