@@ -72,3 +72,87 @@ def openssl_pbe_decrypt(data: bytes, password: str, *,
         salt, body = b"", data
     key, iv = evp_bytes_to_key(password.encode(), salt, key_bits // 8)
     return aes_cbc_decrypt(key, iv, body)
+
+
+# ------------------------------------------------------------------
+# NiFi's strong-KDF PBE forms (RandomIVPBECipherProvider wire layout):
+#   salt-field || "NiFiSALT" || iv || "NiFiIV" || AES-CBC ciphertext
+# PBKDF2CipherProvider: raw 16-byte salt, PRF SHA-512, >=160k
+# iterations (defaults mirrored). ScryptCipherProvider: the salt
+# field is the modified-mcrypt STRING "$s0$<hex(log2N<<16|r<<8|p)>$
+# <b64salt-nopad>" (Scrypt.java formatSalt), so N/r/p travel with the
+# stream and decrypt needs no parameters. Key derivation itself is
+# hashlib.pbkdf2_hmac / hashlib.scrypt (OpenSSL-backed, RFC
+# 2898/7914). Remaining declared boundary: the BCRYPT KDF and
+# NIFI_LEGACY's BouncyCastle PBE derivation.
+
+import base64 as _b64
+
+SALT_DELIMITER = b"NiFiSALT"
+IV_DELIMITER = b"NiFiIV"
+
+
+def scrypt_format_salt(salt: bytes, n: int, r: int, p: int) -> str:
+    params = format((n.bit_length() - 1) << 16 | r << 8 | p, "x")
+    b64 = _b64.b64encode(salt).decode().rstrip("=")
+    return f"$s0${params}${b64}"
+
+
+def scrypt_parse_salt(field: str) -> tuple[bytes, int, int, int]:
+    parts = field.split("$")
+    if len(parts) < 4 or parts[1] != "s0":
+        raise ValueError(f"not an scrypt salt: {field!r}")
+    params = int(parts[2], 16)
+    n = 2 ** (params >> 16 & 0xFFFF)
+    r = params >> 8 & 0xFF
+    p = params & 0xFF
+    pad = "=" * (-len(parts[3]) % 4)
+    return _b64.b64decode(parts[3] + pad), n, r, p
+
+
+def nifi_pbe_encrypt(data: bytes, password: str, *, kdf: str,
+                     key_bits: int = 256, salt: bytes = b"",
+                     iv: bytes = b"", iterations: int = 160_000,
+                     prf: str = "sha512", n: int = 2 ** 14, r: int = 8,
+                     p: int = 1) -> bytes:
+    if len(salt) != 16 or len(iv) != 16:
+        raise ValueError("salt and iv must be 16 bytes")
+    if kdf == "pbkdf2":
+        key = hashlib.pbkdf2_hmac(prf, password.encode(), salt,
+                                  iterations, key_bits // 8)
+        field = salt
+    elif kdf == "scrypt":
+        key = hashlib.scrypt(password.encode(), salt=salt, n=n, r=r,
+                             p=p, dklen=key_bits // 8,
+                             maxmem=256 * 1024 * 1024)
+        field = scrypt_format_salt(salt, n, r, p).encode()
+    else:
+        raise ValueError(f"unknown kdf {kdf!r}")
+    return (field + SALT_DELIMITER + iv + IV_DELIMITER
+            + aes_cbc_encrypt(key, iv, data))
+
+
+def nifi_pbe_decrypt(data: bytes, password: str, *, kdf: str,
+                     key_bits: int = 256, iterations: int = 160_000,
+                     prf: str = "sha512") -> bytes:
+    i = data.find(SALT_DELIMITER)
+    if i < 0:
+        raise ValueError("missing NiFiSALT delimiter")
+    field = data[:i]
+    rest = data[i + len(SALT_DELIMITER):]
+    j = rest.find(IV_DELIMITER)
+    if j != 16:
+        raise ValueError("missing/misplaced NiFiIV delimiter")
+    iv = rest[:16]
+    body = rest[16 + len(IV_DELIMITER):]
+    if kdf == "pbkdf2":
+        key = hashlib.pbkdf2_hmac(prf, password.encode(), field,
+                                  iterations, key_bits // 8)
+    elif kdf == "scrypt":
+        salt, n, r, p = scrypt_parse_salt(field.decode())
+        key = hashlib.scrypt(password.encode(), salt=salt, n=n, r=r,
+                             p=p, dklen=key_bits // 8,
+                             maxmem=256 * 1024 * 1024)
+    else:
+        raise ValueError(f"unknown kdf {kdf!r}")
+    return aes_cbc_decrypt(key, iv, body)

@@ -221,6 +221,8 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
                         password: str, *, key_bits: int = 256,
                         mode: str = "encrypt",
                         salt_col: str | None = None,
+                        kdf: str = "openssl",
+                        iterations: int = 160_000,
                         out_col: str | None = None) -> DataFrame:
     """OpenSSL-compatible password-based encryption — EncryptContent
     with KeyDerivationFunction=OPENSSL_EVP_BYTES_TO_KEY and
@@ -232,22 +234,38 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
     spools/oracles), else os.urandom. Decrypt sniffs salted vs the
     legacy unsalted form. The pure-Python cipher is the COMPATIBILITY
     path for reference-encrypted payloads — bulk in-lake encryption
-    stays on encrypt_content\'s JVM aes_encrypt."""
+    stays on encrypt_content\'s JVM aes_encrypt. ``kdf`` also takes
+    "pbkdf2" / "scrypt" — the strong-KDF providers\' NiFiSALT/NiFiIV
+    framed layout (RandomIVPBECipherProvider) with hashlib-derived
+    keys (PBKDF2-HMAC-SHA512 / RFC 7914 scrypt, scrypt params riding
+    in the $s0$ mcrypt salt field)."""
     import hashlib
     import os as _os
-    from nifi_spark.functions.openssl_kdf import (openssl_pbe_decrypt,
+    from nifi_spark.functions.openssl_kdf import (nifi_pbe_decrypt,
+                                                  nifi_pbe_encrypt,
+                                                  openssl_pbe_decrypt,
                                                   openssl_pbe_encrypt)
     if mode not in ("encrypt", "decrypt"):
         raise ValueError(f"mode must be encrypt|decrypt, got {mode!r}")
+    if kdf not in ("openssl", "pbkdf2", "scrypt"):
+        raise ValueError(f"kdf must be openssl|pbkdf2|scrypt, "
+                         f"got {kdf!r}")
     c = F.col(content_col)
     if dict(df.dtypes)[content_col] != "binary":
         c = F.encode(c, "utf-8")
     if mode == "decrypt":
         @F.pandas_udf(BinaryType())
         def run(s: pd.Series) -> pd.Series:
-            return s.map(lambda b: None if b is None else
-                         openssl_pbe_decrypt(bytes(b), password,
-                                             key_bits=key_bits))
+            def dec(b):
+                if b is None:
+                    return None
+                if kdf == "openssl":
+                    return openssl_pbe_decrypt(bytes(b), password,
+                                               key_bits=key_bits)
+                return nifi_pbe_decrypt(bytes(b), password, kdf=kdf,
+                                        key_bits=key_bits,
+                                        iterations=iterations)
+            return s.map(dec)
         return df.withColumn(out_col or content_col, run(c))
 
     @F.pandas_udf(BinaryType())
@@ -257,11 +275,21 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
             if b is None:
                 out.append(None)
                 continue
-            salt = (hashlib.md5(str(sv).encode()).digest()[:8]
-                    if sv is not None else _os.urandom(8))
-            out.append(openssl_pbe_encrypt(bytes(b), password,
-                                           key_bits=key_bits,
-                                           salt=salt))
+            if sv is not None:
+                salt = hashlib.md5(str(sv).encode()).digest()
+                iv = hashlib.md5(b"iv:" + str(sv).encode()).digest()
+            else:
+                salt, iv = _os.urandom(16), _os.urandom(16)
+            if kdf == "openssl":
+                out.append(openssl_pbe_encrypt(bytes(b), password,
+                                               key_bits=key_bits,
+                                               salt=salt[:8]))
+            else:
+                out.append(nifi_pbe_encrypt(bytes(b), password,
+                                            kdf=kdf,
+                                            key_bits=key_bits,
+                                            salt=salt, iv=iv,
+                                            iterations=iterations))
         return pd.Series(out)
 
     saltsrc = (F.col(salt_col).cast("string") if salt_col

@@ -111,3 +111,57 @@ def test_operator_roundtrip_deterministic_salt(spark):
     back = {r["id"]: bytes(r["content"]).decode()
             for r in dec.collect()}
     assert back == {i: f"doc {i} " * 5 for i in range(12)}
+
+
+# ----------------------------------------- strong-KDF framed layouts
+
+
+def test_scrypt_rfc7914_vector():
+    import hashlib
+    got = hashlib.scrypt(b"password", salt=b"NaCl", n=1024, r=8, p=16,
+                         dklen=64, maxmem=256 * 1024 * 1024)
+    assert got.hex().startswith("fdbabe1c9d3472007856e7190d01e9fe")
+
+
+def test_scrypt_salt_mcrypt_format():
+    from nifi_spark.functions.openssl_kdf import (scrypt_format_salt,
+                                                  scrypt_parse_salt)
+    s = scrypt_format_salt(bytes(range(16)), 2 ** 14, 8, 1)
+    assert s.startswith("$s0$e0801$")       # NiFi's documented form
+    assert scrypt_parse_salt(s) == (bytes(range(16)), 16384, 8, 1)
+
+
+@pytest.mark.parametrize("kdf", ["pbkdf2", "scrypt"])
+def test_nifi_framed_layout_roundtrip(kdf):
+    from nifi_spark.functions.openssl_kdf import (nifi_pbe_decrypt,
+                                                  nifi_pbe_encrypt)
+    data = b"framed payload \x00" * 21
+    ct = nifi_pbe_encrypt(data, "pw", kdf=kdf, salt=b"s" * 16,
+                          iv=b"i" * 16, iterations=1000, n=2 ** 10)
+    # wire layout: salt-field || NiFiSALT || iv || NiFiIV || body
+    i = ct.find(b"NiFiSALT")
+    assert i > 0 and ct[i + 8:i + 8 + 16] == b"i" * 16
+    assert ct[i + 24:i + 30] == b"NiFiIV"
+    if kdf == "scrypt":
+        assert ct.startswith(b"$s0$")       # params ride the stream
+    else:
+        assert ct[:16] == b"s" * 16
+    assert nifi_pbe_decrypt(ct, "pw", kdf=kdf,
+                            iterations=1000) == data
+    with pytest.raises(ValueError):
+        nifi_pbe_decrypt(ct, "wrong", kdf=kdf, iterations=1000)
+
+
+def test_operator_strong_kdfs(spark):
+    from nifi_spark.operators import encrypt_content_pbe
+    df = spark.createDataFrame([(i, f"m{i}") for i in range(6)],
+                               "id long, content string")
+    for kdf in ("pbkdf2", "scrypt"):
+        enc = encrypt_content_pbe(df, "content", "pw", kdf=kdf,
+                                  iterations=1000, salt_col="id",
+                                  out_col="ct")
+        dec = encrypt_content_pbe(enc, "ct", "pw", kdf=kdf,
+                                  iterations=1000, mode="decrypt",
+                                  out_col="pt")
+        back = {r["id"]: bytes(r["pt"]).decode() for r in dec.collect()}
+        assert back == {i: f"m{i}" for i in range(6)}, kdf
