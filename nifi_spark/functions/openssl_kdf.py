@@ -83,8 +83,12 @@ def openssl_pbe_decrypt(data: bytes, password: str, *,
 # <b64salt-nopad>" (Scrypt.java formatSalt), so N/r/p travel with the
 # stream and decrypt needs no parameters. Key derivation itself is
 # hashlib.pbkdf2_hmac / hashlib.scrypt (OpenSSL-backed, RFC
-# 2898/7914). Remaining declared boundary: the BCRYPT KDF and
-# NIFI_LEGACY's BouncyCastle PBE derivation.
+# 2898/7914). BcryptCipherProvider: the salt field is the
+# "$2a$cost$salt22" string itself (cost rides the stream) and the key
+# is SHA-512(full bcrypt hash string) truncated — the bcrypt core is
+# the from-scratch functions/bcrypt_kdf.py, pinned to the reference's
+# own embedded vector. Remaining declared boundary: NIFI_LEGACY's
+# BouncyCastle PBE derivation (BC-internal iterated-MD5 behavior).
 
 import base64 as _b64
 
@@ -114,7 +118,7 @@ def nifi_pbe_encrypt(data: bytes, password: str, *, kdf: str,
                      key_bits: int = 256, salt: bytes = b"",
                      iv: bytes = b"", iterations: int = 160_000,
                      prf: str = "sha512", n: int = 2 ** 14, r: int = 8,
-                     p: int = 1) -> bytes:
+                     p: int = 1, cost: int = 12) -> bytes:
     if len(salt) != 16 or len(iv) != 16:
         raise ValueError("salt and iv must be 16 bytes")
     if kdf == "pbkdf2":
@@ -126,6 +130,13 @@ def nifi_pbe_encrypt(data: bytes, password: str, *, kdf: str,
                              p=p, dklen=key_bits // 8,
                              maxmem=256 * 1024 * 1024)
         field = scrypt_format_salt(salt, n, r, p).encode()
+    elif kdf == "bcrypt":
+        from nifi_spark.functions.bcrypt_kdf import (bcrypt_format_salt,
+                                                     bcrypt_hashpw)
+        sfield = bcrypt_format_salt(salt, cost)
+        h = bcrypt_hashpw(password, sfield)
+        key = hashlib.sha512(h.encode()).digest()[:key_bits // 8]
+        field = sfield.encode()
     else:
         raise ValueError(f"unknown kdf {kdf!r}")
     return (field + SALT_DELIMITER + iv + IV_DELIMITER
@@ -153,6 +164,10 @@ def nifi_pbe_decrypt(data: bytes, password: str, *, kdf: str,
         key = hashlib.scrypt(password.encode(), salt=salt, n=n, r=r,
                              p=p, dklen=key_bits // 8,
                              maxmem=256 * 1024 * 1024)
+    elif kdf == "bcrypt":
+        from nifi_spark.functions.bcrypt_kdf import bcrypt_hashpw
+        h = bcrypt_hashpw(password, field.decode())
+        key = hashlib.sha512(h.encode()).digest()[:key_bits // 8]
     else:
         raise ValueError(f"unknown kdf {kdf!r}")
     return aes_cbc_decrypt(key, iv, body)

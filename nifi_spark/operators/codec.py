@@ -223,6 +223,7 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
                         salt_col: str | None = None,
                         kdf: str = "openssl",
                         iterations: int = 160_000,
+                        cost: int = 12,
                         out_col: str | None = None) -> DataFrame:
     """OpenSSL-compatible password-based encryption — EncryptContent
     with KeyDerivationFunction=OPENSSL_EVP_BYTES_TO_KEY and
@@ -247,8 +248,8 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
                                                   openssl_pbe_encrypt)
     if mode not in ("encrypt", "decrypt"):
         raise ValueError(f"mode must be encrypt|decrypt, got {mode!r}")
-    if kdf not in ("openssl", "pbkdf2", "scrypt"):
-        raise ValueError(f"kdf must be openssl|pbkdf2|scrypt, "
+    if kdf not in ("openssl", "pbkdf2", "scrypt", "bcrypt"):
+        raise ValueError(f"kdf must be openssl|pbkdf2|scrypt|bcrypt, "
                          f"got {kdf!r}")
     c = F.col(content_col)
     if dict(df.dtypes)[content_col] != "binary":
@@ -289,7 +290,8 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
                                             kdf=kdf,
                                             key_bits=key_bits,
                                             salt=salt, iv=iv,
-                                            iterations=iterations))
+                                            iterations=iterations,
+                                            cost=cost))
         return pd.Series(out)
 
     saltsrc = (F.col(salt_col).cast("string") if salt_col

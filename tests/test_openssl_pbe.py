@@ -165,3 +165,37 @@ def test_operator_strong_kdfs(spark):
                                   out_col="pt")
         back = {r["id"]: bytes(r["pt"]).decode() for r in dec.collect()}
         assert back == {i: f"m{i}" for i in range(6)}, kdf
+
+
+# --------------------------------------------------------- bcrypt KDF
+
+
+def test_bcrypt_reference_embedded_vector():
+    """The exact vector BcryptCipherProviderGroovyTest pins (jBCrypt
+    compatibility), over the from-scratch Blowfish/pi-box bcrypt."""
+    from nifi_spark.functions.bcrypt_kdf import bcrypt_hashpw
+    got = bcrypt_hashpw("abcdefghijklmnopqrstuvwxyz",
+                        "$2a$10$fVH8e28OQRj9tqiDXs1e1u")
+    assert got == ("$2a$10$fVH8e28OQRj9tqiDXs1e1u"
+                   "xpsjN0c7II7YPKXua2NAKYvM6iQk7dq")
+
+
+def test_bcrypt_pi_boxes_and_radix64():
+    from nifi_spark.functions.bcrypt_kdf import (_P_INIT,
+                                                 bcrypt_b64_decode,
+                                                 bcrypt_b64_encode)
+    assert _P_INIT[0] == 0x243F6A88 and _P_INIT[17] == 0x8979FB1B
+    raw = bytes(range(16))
+    assert bcrypt_b64_decode(bcrypt_b64_encode(raw), 16) == raw
+
+
+def test_bcrypt_framed_layout_roundtrip():
+    from nifi_spark.functions.openssl_kdf import (nifi_pbe_decrypt,
+                                                  nifi_pbe_encrypt)
+    data = b"cost rides the salt string" * 3
+    ct = nifi_pbe_encrypt(data, "pw", kdf="bcrypt", salt=b"s" * 16,
+                          iv=b"i" * 16, cost=4)
+    assert ct.startswith(b"$2a$04$")     # cost travels with the stream
+    assert nifi_pbe_decrypt(ct, "pw", kdf="bcrypt") == data
+    with pytest.raises(ValueError):
+        nifi_pbe_decrypt(ct, "nope", kdf="bcrypt")
