@@ -2004,6 +2004,57 @@ def q_stream_detect_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"dup_count from {name}")
 
 
+def q_stream_listen_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Listen-source spool consumed as a STRUCTURED STREAM
+    (ListenSource.read_stream — the spool's immutable atomically-
+    renamed files are exactly the file-source contract), composed with
+    the same parse_syslog projection the batch path uses: 600 UDP
+    datagrams land across 4 drain files, maxFilesPerTrigger=1 forces 4
+    micro-batches, and the complete-mode per-host rollup at
+    availableNow termination must equal the closed-form batch answer —
+    proving the listen → stream → parse → aggregate composition is
+    batch-boundary-invisible."""
+    import uuid
+    from nifi_spark.operators.content import parse_syslog
+    from nifi_spark.sources import ListenSyslogSource
+
+    def mkline(i: int) -> bytes:
+        if i % 11 == 5:
+            return f"junk {i}".encode()
+        return (f"<{i % 191}>Jan  1 00:00:0{i % 10} host{i % 7} "
+                f"app[{i % 50}]: ev {i}").encode()
+
+    src = ListenSyslogSource(tempfile.mkdtemp(prefix="listen_stream_"),
+                             protocol="UDP")
+    msgs = [(f"10.1.{i % 3}.9", mkline(i)) for i in range(600)]
+    it = iter(msgs)
+    src.drain_all(lambda: next(it, None), max_batch_size=150)
+
+    name = "listen_roll_" + uuid.uuid4().hex[:8]
+    routed = parse_syslog(src.read_stream(spark,
+                                          max_files_per_trigger=1),
+                          "raw")
+    agg = (routed["valid"]
+           .groupBy("syslog_hostname")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("syslog_pid").cast("bigint").alias("sum_pid"),
+                F.max("msg_seq").alias("max_seq")))
+    ck = tempfile.mkdtemp(prefix="listen_roll_ck_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.sql(f"select * from {name}")
+    return out.select(F.col("syslog_hostname").alias("hostname"),
+                      "n", "sum_pid", "max_seq")
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (view → purchase by the
     same user within 4 hours): with the whole fixture in one
@@ -6987,7 +7038,7 @@ _NEW_THIS_ROUND = [
     "ann_ivfpq_topk",
     "cql_compressed_frames", "amqp_nack_redeliver",
     "template_flow_route_jolt", "curate_temperature_mix",
-    "encrypt_openssl_pbe",
+    "encrypt_openssl_pbe", "stream_listen_rollup",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7108,6 +7159,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_detect_duplicate": q_stream_detect_duplicate,
         "stream_interval_join": q_stream_interval_join,
+        "stream_listen_rollup": q_stream_listen_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
@@ -8045,6 +8097,16 @@ SELECT user_id, event_type, event_id,
        (row_number() OVER w - 1)::BIGINT AS dup_count
 FROM events
 WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+""",
+        "stream_listen_rollup": """
+WITH m AS (
+  SELECT i, (i // 150) * 1000000 + (i % 150) AS seq,
+         'host' || (i % 7)::VARCHAR AS hostname,
+         (i % 50)::BIGINT AS pid
+  FROM (SELECT unnest(range(600)) AS i))
+SELECT hostname, count(*) AS n, CAST(sum(pid) AS BIGINT) AS sum_pid,
+       max(seq) AS max_seq
+FROM m WHERE i % 11 <> 5 GROUP BY hostname
 """,
         "stream_interval_join": """
 SELECT l.user_id, l.event_id AS view_id,
