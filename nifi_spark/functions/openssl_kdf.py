@@ -171,3 +171,33 @@ def nifi_pbe_decrypt(data: bytes, password: str, *, kdf: str,
     else:
         raise ValueError(f"unknown kdf {kdf!r}")
     return aes_cbc_decrypt(key, iv, body)
+
+
+# ------------------------------------------------------------------
+# NIFI_LEGACY (NiFiLegacyCipherProvider): the original NiFi PBE wire
+# form — a RAW cipher-block-size salt (16 bytes for AES, no Salted__
+# magic, no delimiters) prefixed to the ciphertext, key+IV from the
+# same BouncyCastle *-OPENSSL PBE algorithms the OpenSSL provider
+# uses. The provider passes iterationCount=1000, but BC's
+# OpenSSLPBEParametersGenerator derives with a SINGLE MD5 iteration
+# regardless (its EVP_BytesToKey port takes no count) — the identical
+# derivation that decodes the reference's own .enc goldens here — so
+# the legacy form is EVP_BytesToKey over the 16-byte salt.
+
+
+def nifi_legacy_encrypt(data: bytes, password: str, *,
+                        key_bits: int = 128,
+                        salt: bytes = b"") -> bytes:
+    if len(salt) != 16:
+        raise ValueError("legacy salt must be 16 bytes (AES block)")
+    key, iv = evp_bytes_to_key(password.encode(), salt, key_bits // 8)
+    return salt + aes_cbc_encrypt(key, iv, data)
+
+
+def nifi_legacy_decrypt(data: bytes, password: str, *,
+                        key_bits: int = 128) -> bytes:
+    if len(data) < 16:
+        raise ValueError("stream too small to contain the salt")
+    salt, body = data[:16], data[16:]
+    key, iv = evp_bytes_to_key(password.encode(), salt, key_bits // 8)
+    return aes_cbc_decrypt(key, iv, body)

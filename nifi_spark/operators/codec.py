@@ -242,15 +242,17 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
     in the $s0$ mcrypt salt field)."""
     import hashlib
     import os as _os
-    from nifi_spark.functions.openssl_kdf import (nifi_pbe_decrypt,
+    from nifi_spark.functions.openssl_kdf import (nifi_legacy_decrypt,
+                                                  nifi_legacy_encrypt,
+                                                  nifi_pbe_decrypt,
                                                   nifi_pbe_encrypt,
                                                   openssl_pbe_decrypt,
                                                   openssl_pbe_encrypt)
     if mode not in ("encrypt", "decrypt"):
         raise ValueError(f"mode must be encrypt|decrypt, got {mode!r}")
-    if kdf not in ("openssl", "pbkdf2", "scrypt", "bcrypt"):
-        raise ValueError(f"kdf must be openssl|pbkdf2|scrypt|bcrypt, "
-                         f"got {kdf!r}")
+    _KDFS = ("openssl", "pbkdf2", "scrypt", "bcrypt", "nifi_legacy")
+    if kdf not in _KDFS:
+        raise ValueError(f"kdf must be one of {_KDFS}, got {kdf!r}")
     c = F.col(content_col)
     if dict(df.dtypes)[content_col] != "binary":
         c = F.encode(c, "utf-8")
@@ -262,6 +264,9 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
                     return None
                 if kdf == "openssl":
                     return openssl_pbe_decrypt(bytes(b), password,
+                                               key_bits=key_bits)
+                if kdf == "nifi_legacy":
+                    return nifi_legacy_decrypt(bytes(b), password,
                                                key_bits=key_bits)
                 return nifi_pbe_decrypt(bytes(b), password, kdf=kdf,
                                         key_bits=key_bits,
@@ -285,6 +290,10 @@ def encrypt_content_pbe(df: DataFrame, content_col: str,
                 out.append(openssl_pbe_encrypt(bytes(b), password,
                                                key_bits=key_bits,
                                                salt=salt[:8]))
+            elif kdf == "nifi_legacy":
+                out.append(nifi_legacy_encrypt(bytes(b), password,
+                                               key_bits=key_bits,
+                                               salt=salt))
             else:
                 out.append(nifi_pbe_encrypt(bytes(b), password,
                                             kdf=kdf,

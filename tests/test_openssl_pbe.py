@@ -199,3 +199,31 @@ def test_bcrypt_framed_layout_roundtrip():
     assert nifi_pbe_decrypt(ct, "pw", kdf="bcrypt") == data
     with pytest.raises(ValueError):
         nifi_pbe_decrypt(ct, "nope", kdf="bcrypt")
+
+
+def test_nifi_legacy_raw_salt_layout():
+    from nifi_spark.functions.openssl_kdf import (evp_bytes_to_key,
+                                                  nifi_legacy_decrypt,
+                                                  nifi_legacy_encrypt)
+    data = b"legacy payload" * 7
+    ct = nifi_legacy_encrypt(data, "pw", key_bits=128, salt=b"s" * 16)
+    assert ct[:16] == b"s" * 16           # raw salt, no Salted__ magic
+    assert nifi_legacy_decrypt(ct, "pw", key_bits=128) == data
+    # derivation is the single-iteration EVP scheme over the 16B salt
+    key, iv = evp_bytes_to_key(b"pw", b"s" * 16, 16)
+    from nifi_spark.functions.blockciphers import aes_cbc_decrypt
+    assert aes_cbc_decrypt(key, iv, ct[16:]) == data
+
+
+def test_operator_nifi_legacy(spark):
+    from nifi_spark.operators import encrypt_content_pbe
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4)],
+                               "id long, content string")
+    enc = encrypt_content_pbe(df, "content", "pw", kdf="nifi_legacy",
+                              key_bits=128, salt_col="id",
+                              out_col="ct")
+    dec = encrypt_content_pbe(enc, "ct", "pw", kdf="nifi_legacy",
+                              key_bits=128, mode="decrypt",
+                              out_col="pt")
+    assert {r["id"]: bytes(r["pt"]).decode() for r in dec.collect()} \
+        == {i: f"v{i}" for i in range(4)}
