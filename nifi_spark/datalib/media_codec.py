@@ -18,10 +18,12 @@ Format coverage (and the declared remaining boundary):
 * BMP — 24-bit uncompressed BI_RGB, bottom-up or top-down.
 * PPM/PGM — binary P6/P5, maxval 255.
 * WAV — PCM 16-bit, any channel count; extra RIFF chunks are skipped.
-* JPEG — baseline sequential (SOF0) encode+decode in datalib/jpeg.py
-  (Huffman entropy coding, numpy IDCT, 4:2:0/4:2:2 upsampling, restart
-  markers); registered in the dispatch below. Decodes the reference's own
-  simple.jpg / blueBtnBg.jpg test artifacts. Progressive (SOF2) raises.
+* JPEG — baseline sequential (SOF0) AND progressive (SOF2)
+  encode+decode in datalib/jpeg.py (Huffman entropy coding, numpy IDCT,
+  4:2:0/4:2:2 upsampling, restart markers, multi-scan spectral
+  selection / successive approximation); registered in the dispatch
+  below. Decodes the reference's own simple.jpg / blueBtnBg.jpg test
+  artifacts.
 * MP4 — real ISO-BMFF mux/demux in datalib/mp4.py (box walk +
   stsz x stsc x stco x stts sample-table join); frame payloads decode for
   codecs this repo implements (PNG-in-MP4); H.264 frames = the remaining

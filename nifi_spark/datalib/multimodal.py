@@ -65,8 +65,9 @@ def _fake_features(payload: bytes, dim: int) -> list[float]:
 
 def _real_features(payload: bytes, dim: int) -> list[float]:
     """REAL decode path: per-channel means + shape for images, PCM stats
-    for audio. Raises only for formats the sandbox genuinely can't decode
-    (JPEG/MP4 — the remaining declared seam)."""
+    for audio (PNG/BMP/PPM/WAV/GIF + baseline & progressive JPEG +
+    PNG-codec MP4 all decode for real). Raises only for the genuinely
+    ffmpeg-class leftovers (H.264-in-MP4 frames)."""
     from nifi_spark.datalib import media_codec as mc
     mime = mc.sniff_media(payload)
     if mime.startswith("image/"):

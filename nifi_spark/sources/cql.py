@@ -25,8 +25,10 @@ returns an MD5 statement id + typed bind metadata (exactly
 Cassandra's MD5Digest contract), EXECUTE carries raw [bytes] values
 decoded server-side with those types, and an unknown id gets the
 spec's 0x2500 Unprepared error so drivers know to re-prepare.
-Compression and auth remain a declared boundary (the processor path
-negotiates neither in its default config).
+Compression and auth are closed too: PasswordAuthenticator SASL
+(OP_AUTHENTICATE dance) and STARTUP-negotiated lz4/snappy body
+compression (functions/lz4_codec.py + snappy_codec.py, per-frame
+compressed flag both ways). No declared boundary remains.
 
 Transport = injectable ``read(n)``/``write(b)`` callables (tests
 loop back on a socketpair; production wraps a TCP socket).

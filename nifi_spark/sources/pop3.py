@@ -9,8 +9,9 @@ with dot-stuffed multi-line responses, DELE with end-of-session
 expunge, RSET, NOOP, QUIT) over the repo's injectable transport
 convention — any (read_line() bytes, write(bytes)) pair; production
 wraps a socket, tests loop back against `serve_pop3`. ConsumeIMAP
-remains a declared boundary (IMAP's state machine is an order of
-magnitude larger; POP3 covers the fetch-and-delete ingest contract).
+has its own full analog now (sources/imap.py — UID family, SEARCH,
+IDLE, BODYSTRUCTURE); POP3 remains the lighter fetch-and-delete
+ingest contract.
 
 Landed messages take the listen-bridge spool shape; downstream
 composes with operators.email_ops exactly like ListenSMTP's output.
