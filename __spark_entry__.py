@@ -361,6 +361,28 @@ def q_scan_content_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "matched")
 
 
+def q_scan_content_automaton(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """ScanContent's LARGE-dictionary path: the real Aho-Corasick
+    automaton (functions/ahocorasick.py — trie + BFS failure links +
+    merged outputs, O(len+hits)) built driver-side and run in an
+    Arrow-batched mapInPandas. Semantics are identical to the codegen
+    substring mode, so the same contains() oracle pins it — every
+    match set, sorted, must agree with the brute-force filter."""
+    from nifi_spark.operators import scan_content
+    docs = _t(spark, sf_dir, "documents")
+    terms = sorted(["an", "er", "ti", "merg", "shuffl", "zzqx",
+                    "par", "oin", "cas", "st", "data", "ke"])
+    dictionary = spark.createDataFrame([(t,) for t in terms],
+                                       "term string")
+    out = scan_content(docs.select("doc_id", "text"), "text",
+                       dictionary, mode="automaton")
+    return out.select("doc_id",
+                      F.array_join("matched_terms", ",").alias("terms"),
+                      F.size("matched_terms").alias("n_terms"),
+                      "matched")
+
+
 def q_update_attributes_el(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UpdateAttribute + EL functions compiled to Catalyst expressions."""
     from nifi_spark.functions.el import EL
@@ -7039,6 +7061,7 @@ _NEW_THIS_ROUND = [
     "cql_compressed_frames", "amqp_nack_redeliver",
     "template_flow_route_jolt", "curate_temperature_mix",
     "encrypt_openssl_pbe", "stream_listen_rollup",
+    "scan_content_automaton",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7087,6 +7110,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_text_lines": q_route_text_lines,
         "scan_content": q_scan_content,
         "scan_content_bytes": q_scan_content_bytes,
+        "scan_content_automaton": q_scan_content_automaton,
         "update_attributes_el": q_update_attributes_el,
         "update_rules_engine": q_update_rules_engine,
         "hash_content": q_hash_content,
@@ -7421,6 +7445,16 @@ SELECT CASE WHEN line = 'join' THEN 'kw_join'
             ELSE 'unmatched' END AS route,
        count(*) AS n_lines
 FROM lines GROUP BY 1
+""",
+        "scan_content_automaton": """
+WITH d AS (SELECT ['an', 'cas', 'data', 'er', 'ke', 'merg', 'oin',
+                   'par', 'shuffl', 'st', 'ti', 'zzqx'] AS terms)
+SELECT doc_id,
+       coalesce(array_to_string(
+         list_filter(terms, t -> contains(text, t)), ','), '') AS terms,
+       len(list_filter(terms, t -> contains(text, t))) AS n_terms,
+       len(list_filter(terms, t -> contains(text, t))) > 0 AS matched
+FROM documents, d
 """,
         "scan_content_bytes": """
 WITH d AS (SELECT ['merg', 'rti', 'shuffl', 'zzqx'] AS terms)

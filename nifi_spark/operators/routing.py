@@ -20,6 +20,11 @@ pushed-down scan.
 
 from __future__ import annotations
 
+# module-level so the pandas_udf type hints resolve: with stringized
+# annotations (future import) the UDF introspector evaluates "pd.Series"
+# against this module's globals (the text.py normalize lesson)
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 UNMATCHED = "unmatched"
@@ -145,11 +150,28 @@ def scan_content(df: DataFrame, content_col: str, dictionary: DataFrame,
     codegen'd filter/exists projection: O(len·terms) per row vs
     Aho-Corasick's O(len+hits), but with no JVM→Python boundary, no
     shuffle, and scan-dominated at the dictionary sizes the reference
-    supports. Adds `out_col` (matched terms, dictionary-sorted) and
-    boolean `matched` for routing.
+    supports. mode='automaton' is the LARGE-dictionary scale path —
+    the reference's actual Aho-Corasick (functions/ahocorasick.py)
+    built once driver-side and run in an Arrow-batched mapInPandas:
+    O(len + hits) per row, the right regime from ~10^4 terms up.
+    Output is identical to 'substring' (dictionary-sorted matches).
+    Adds `out_col` (matched terms, dictionary-sorted) and boolean
+    `matched` for routing.
     """
     terms = sorted({r[0] for r in
                     dictionary.select(dict_col).distinct().collect()})
+    if mode == "automaton":
+        from nifi_spark.functions.ahocorasick import AhoCorasick
+        ac = AhoCorasick(terms)
+
+        @F.pandas_udf("array<string>")
+        def _scan(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: [] if v is None
+                         else sorted(ac.search(str(v))))
+
+        out = (df.withColumn(out_col, _scan(F.col(content_col)))
+               .withColumn("matched", F.size(F.col(out_col)) > 0))
+        return out
     arr = F.array(*[F.lit(t) for t in terms])
     c = F.col(content_col)
     if mode == "substring":
