@@ -34,6 +34,10 @@ from nifi_spark.datalib.unigram import (unigram_encode,
                                         unigram_train,
                                         unigram_train_oracle_sql)
 from nifi_spark.datalib.graph import pagerank, pagerank_oracle_sql
+from nifi_spark.datalib.pq import (ivf_assign, pq_adc_topk,
+                                   pq_distance_table, pq_encode,
+                                   pq_ivf_topk, pq_train,
+                                   pq_train_encode_oracle_sql)
 from nifi_spark.datalib.warc import (build_warc, parse_warc, split_warc,
                                      synthesize_warc, wet_documents)
 from nifi_spark.datalib.curation import (benchmark_contamination,
@@ -41,6 +45,7 @@ from nifi_spark.datalib.curation import (benchmark_contamination,
                                          cap_per_group, dataset_split,
                                          pack_sequences,
                                          stratified_sample,
+                                         temperature_mix,
                                          token_budget_sample,
                                          train_perceptron, url_dedup)
 from nifi_spark.datalib.dedup import (contaminated_spans,
