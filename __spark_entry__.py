@@ -5823,6 +5823,34 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ivf_topk(q, ivf, cbs, queries, nprobe=4, topk=10)
 
 
+def q_dedup_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain near-dup bucketing: vectors sharing ALL M PQ
+    codes collapse into one bucket — the 1-byte-per-subspace coarse
+    tier of SemDeDup, and the cheapest dedup signal at 10^9 vectors
+    (one hash-agg over 4-byte keys). Exact copies planted at
+    vec_id+10000 (every vec_id%50==3) must join their source's
+    bucket; the oracle replays quantize → encode → bucket from the
+    closed-form codebook."""
+    from nifi_spark.datalib.pq import pq_encode
+    from nifi_spark.datalib.similarity import quantize_int8
+
+    cbs = [[[((17 * j + 5 * t + 3 * m) % 51) - 25 for t in range(16)]
+            for j in range(16)] for m in range(4)]
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 50 == 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    q = quantize_int8(emb.unionByName(planted), "vec_id",
+                      "embedding").select("vec_id", "qvec")
+    codes = pq_encode(q, cbs)
+    key = F.concat_ws("-", F.transform("codes",
+                                       lambda c: c.cast("string")))
+    return (codes.groupBy(key.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("vec_id").alias("min_id"),
+                 F.max("vec_id").alias("max_id"))
+            .where(F.col("n") > 1))
+
+
 def q_ann_lsh_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production ANN path: hyperplane-LSH buckets DISCOVER
     candidate pairs (ids only through the shuffle), int8-quantized
@@ -7061,7 +7089,7 @@ _NEW_THIS_ROUND = [
     "cql_compressed_frames", "amqp_nack_redeliver",
     "template_flow_route_jolt", "curate_temperature_mix",
     "encrypt_openssl_pbe", "stream_listen_rollup",
-    "scan_content_automaton",
+    "scan_content_automaton", "dedup_pq_codes",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7211,6 +7239,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_train_encode": q_ann_pq_train_encode,
         "ann_pq_adc_topk": q_ann_pq_adc_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "dedup_pq_codes": q_dedup_pq_codes,
         "embedding_near_dup": q_embedding_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "multimodal_features": q_multimodal_features,
@@ -8922,6 +8951,45 @@ ranked AS (
   FROM scored)
 SELECT query_id, vec_id, adist, rk::INT AS rank
 FROM ranked WHERE rk <= 10
+""",
+        "dedup_pq_codes": """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding FROM embeddings
+  WHERE vec_id % 50 = 3),
+qn AS (
+  SELECT vec_id, CASE WHEN s = 0 THEN
+           list_transform(embedding, x -> 0::BIGINT)
+         ELSE list_transform(embedding,
+                x -> floor(x::DOUBLE / s * 127 + 0.5)::BIGINT) END AS qv
+  FROM (SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                                       x -> abs(x::DOUBLE))) AS s
+        FROM base)),
+grid AS (
+  SELECT m.m, j.j, t.t,
+         ((17 * j.j + 5 * t.t + 3 * m.m) % 51) - 25 AS cv
+  FROM (SELECT unnest(range(4)) AS m) m,
+       (SELECT unnest(range(16)) AS j) j,
+       (SELECT unnest(range(16)) AS t) t),
+cells AS (
+  SELECT q.vec_id, g.m, g.j,
+         sum((q.qv[g.m * 16 + g.t + 1] - g.cv)
+             * (q.qv[g.m * 16 + g.t + 1] - g.cv)) AS d
+  FROM qn q, grid g GROUP BY q.vec_id, g.m, g.j),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, j) AS rn
+    FROM cells) WHERE rn = 1),
+keys AS (
+  SELECT vec_id, string_agg(code::VARCHAR, '-' ORDER BY m) AS bucket
+  FROM codes GROUP BY vec_id)
+SELECT bucket, count(*) AS n, min(vec_id) AS min_id,
+       max(vec_id) AS max_id
+FROM keys GROUP BY bucket HAVING count(*) > 1
 """,
         "ann_ivfpq_topk": """
 WITH qn AS (
