@@ -6241,6 +6241,33 @@ def q_duplicate_flowfile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count_distinct("content").alias("n_distinct")))
 
 
+def q_llm_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-data mixture chain composed as ONE Catalyst plan:
+    whitespace-token floor → exact-dedup winners → temperature-
+    weighted source mixture (T=2) → sequence packing (512-token
+    shard bins). Each stage has its own gate row; this row proves
+    the train-set assembly path composes — filters, the winner
+    semi-join, the broadcast mixture thresholds, and the shard
+    windows all in one plan, replayed stage-for-stage in SQL down
+    to per-pack content md5s."""
+    from nifi_spark.datalib import (exact_dedup, pack_sequences,
+                                    temperature_mix)
+    from nifi_spark.datalib.text import token_stats
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    kept = (token_stats(docs, "text")
+            .filter(F.col("n_tokens") >= 25)
+            .select("doc_id", "source", "text"))
+    winners = exact_dedup(kept, "doc_id", "text").select("doc_id")
+    uniq = kept.join(winners, "doc_id", "left_semi")
+    mixed = temperature_mix(uniq, "source", "doc_id",
+                            target_total=250, temperature=2)
+    packs = pack_sequences(mixed.select("doc_id", "text"), "doc_id",
+                           "text", max_tokens=512, n_shards=64)
+    return packs.select("shard", "pack_id", "n_docs", "total_tokens",
+                        F.md5("packed_text").alias("packed_md5"))
+
+
 def q_curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (LLM training-row assembly): shard by portable
     hash, greedy-contiguous token bins via a ROWS window, ordered concat
@@ -7090,6 +7117,7 @@ _NEW_THIS_ROUND = [
     "template_flow_route_jolt", "curate_temperature_mix",
     "encrypt_openssl_pbe", "stream_listen_rollup",
     "scan_content_automaton", "dedup_pq_codes",
+    "llm_mixture_pipeline",
     "unigram_encode_tokens", "unigram_train_vocab",
     "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
     "listen_syslog_landed", "scripted_processor_flow",
@@ -7300,6 +7328,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": q_text_scrub_pii,
         "curate_stratified_sample": q_curate_stratified_sample,
         "curate_temperature_mix": q_curate_temperature_mix,
+        "llm_mixture_pipeline": q_llm_mixture_pipeline,
         "curate_url_dedup": q_curate_url_dedup,
         "template_flow": q_template_flow,
         "template_flow_ext": q_template_flow_ext,
@@ -8421,6 +8450,40 @@ FROM events WHERE event_id % 3 = 1
         "duplicate_flowfile": """
 SELECT doc_id, 3 AS n_rows, 3::BIGINT AS idx_sum, 1 AS n_distinct
 FROM documents WHERE doc_id % 5 = 0
+""",
+        "llm_mixture_pipeline": """
+WITH floor0 AS (
+  SELECT doc_id, source, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS tok
+  FROM documents),
+kept AS (SELECT * FROM floor0 WHERE tok >= 25),
+winners AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+uniq AS (SELECT k.* FROM kept k JOIN winners w ON w.doc_id = k.doc_id),
+st AS (SELECT source, count(*) AS n FROM uniq GROUP BY source),
+w2 AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM st),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w2),
+k2 AS (SELECT source, n, w,
+              (250 * w) // (SELECT tw FROM tot) AS k FROM w2),
+mixed AS (
+  SELECT u.doc_id, u.text, u.tok
+  FROM uniq u JOIN k2 ON k2.source = u.source
+  WHERE (('0x' || substr(md5(u.doc_id::VARCHAR), 1, 15))::BIGINT)
+        % k2.n < k2.k),
+sharded AS (
+  SELECT doc_id, text, tok,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 64)
+           AS shard
+  FROM mixed),
+w3 AS (
+  SELECT *, sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+           AS strt
+  FROM sharded)
+SELECT shard, (strt // 512)::BIGINT AS pack_id,
+       count(*) AS n_docs, sum(tok)::BIGINT AS total_tokens,
+       md5(string_agg(text, e'\n\n' ORDER BY doc_id)) AS packed_md5
+FROM w3 GROUP BY shard, (strt // 512)
 """,
         "curate_pack_sequences": """
 WITH base AS (

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "transform_xml_xslt",
     "xquery_flwor",
     "curate_pack_sequences",
+    "llm_mixture_pipeline",
     "text_chunking",
     "media_decode_image_stats",
     "flowfile_pack_roundtrip",
