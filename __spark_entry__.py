@@ -1748,6 +1748,89 @@ def q_el_math_date_b64(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "yyyy-MM-dd").alias("day"))
 
 
+def q_el_escape_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HTML entity EL family (CharSequenceTranslatorEvaluator.java:
+    42-66 → commons-lang3 ESCAPE/UNESCAPE_HTML3/4 + UNESCAPE_CSV),
+    completing the EL lexer token census. Every doc's text is suffixed
+    with a probe covering ALL 252 HTML 4.01 entities; the oracle replays
+    escaping as a chained replace generated from the SAME table ('&'
+    first — no entity output contains another table char). Unescape
+    correctness rides the roundtrip columns (oracle: literal TRUE) plus
+    literal probes for numeric refs, unknown names, the HTML3 subset
+    rule, and the single-pass '&amp;lt;' contract."""
+    from nifi_spark.functions.el import EL, _HTML4_ESCAPE
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    probe = "".join(chr(cp) for cp in sorted(_HTML4_ESCAPE))
+    base = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit(probe)).alias("t2"),
+        F.concat(F.lit('a,"'), F.substring("text", 1, 10)).alias("csv_in"))
+    return base.select(
+        "doc_id",
+        F.md5(F.encode(EL.escapeHtml4("t2"), "utf-8")).alias("esc4_md5"),
+        F.md5(F.encode(EL.escapeHtml3("t2"), "utf-8")).alias("esc3_md5"),
+        (EL.unescapeHtml4(EL.escapeHtml4("t2")) == F.col("t2")).alias("rt4_ok"),
+        (EL.unescapeHtml3(EL.escapeHtml3("t2")) == F.col("t2")).alias("rt3_ok"),
+        EL.unescapeHtml4(
+            F.lit("&#233;&#xE9;&bogus;&gt;&amp;lt;")).alias("num_probe"),
+        EL.unescapeHtml3(
+            F.lit("&euro;&Alpha;&#8364;&lt;")).alias("h3_probe"),
+        EL.unescapeCsv(EL.escapeCsv("csv_in")).alias("csv_rt"),
+        EL.unescapeCsv(F.lit('"plain"')).alias("csv_plain"))
+
+
+def _el_escape_html_oracle() -> str:
+    """DuckDB twin generated from the SAME entity tables. The 252-entity
+    chain is staged across CTEs in 64-replace chunks — DuckDB's binder
+    caps expression nesting at 128. '&' is replaced FIRST overall: later
+    replacements introduce '&' inside entity names that must not be
+    re-escaped, and no other table char occurs in any entity string, so
+    the staged chain equals simultaneous translation."""
+    from nifi_spark.functions.el import _HTML3_ESCAPE, _HTML4_ESCAPE
+
+    probe = "".join(chr(cp) for cp in sorted(_HTML4_ESCAPE))
+
+    def chunks(table: dict, size: int = 64) -> list:
+        items = sorted(table.items(), key=lambda kv: (kv[0] != 38, kv[0]))
+        return [items[i:i + size] for i in range(0, len(items), size)]
+
+    def chain(expr: str, items: list) -> str:
+        for cp, ent in items:
+            ch = chr(cp).replace("'", "''")
+            expr = f"replace({expr}, '{ch}', '{ent}')"
+        return expr
+
+    c4, c3 = chunks(_HTML4_ESCAPE), chunks(_HTML3_ESCAPE)
+    probe_lit = probe.replace("'", "''")
+    sql = f"""
+WITH s0 AS (
+  SELECT doc_id,
+         'a,"' || substr(text, 1, 10) AS csv_in,
+         substr(text, 1, 40) || '{probe_lit}' AS t4,
+         substr(text, 1, 40) || '{probe_lit}' AS t3
+  FROM documents WHERE doc_id < 200)"""
+    prev = "s0"
+    for i in range(max(len(c4), len(c3))):
+        e4 = chain("t4", c4[i]) if i < len(c4) else "t4"
+        e3 = chain("t3", c3[i]) if i < len(c3) else "t3"
+        sql += (f",\ns{i + 1} AS (\n  SELECT doc_id, csv_in, {e4} AS t4, "
+                f"{e3} AS t3 FROM {prev})")
+        prev = f"s{i + 1}"
+    sql += f"""
+SELECT doc_id,
+       md5(t4) AS esc4_md5,
+       md5(t3) AS esc3_md5,
+       TRUE AS rt4_ok,
+       TRUE AS rt3_ok,
+       chr(233) || chr(233) || '&bogus;' || '>' || '&lt;' AS num_probe,
+       '&euro;&Alpha;' || chr(8364) || '<' AS h3_probe,
+       csv_in AS csv_rt,
+       '"plain"' AS csv_plain
+FROM {prev}
+"""
+    return sql
+
+
 def q_bin_assign_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MergeContent bin thresholds: byte+row-capped bin assignment per
     correlation group (documents by source), per-bin stats."""
@@ -7110,6 +7193,7 @@ _DRIVER_VERIFIED = frozenset({
 # externally verifies the newest work first (then the never-verified
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
+    "el_escape_html",
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
     "ann_ivfpq_topk",
@@ -7225,6 +7309,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_convert_avro": q_format_convert_avro,
         "el_functions_extended": q_el_functions_extended,
         "el_math_date_b64": q_el_math_date_b64,
+        "el_escape_html": q_el_escape_html,
         "distribute_load_weighted": q_distribute_load_weighted,
         "control_rate_batches": q_control_rate_batches,
         "salted_hot_key_agg": q_salted_hot_key_agg,
@@ -8027,6 +8112,7 @@ FROM documents GROUP BY 1
         "format_convert_avro": """
 SELECT doc_id, md5(text) AS text_md5 FROM documents
 """,
+        "el_escape_html": _el_escape_html_oracle(),
         "el_math_date_b64": """
 WITH base AS (
   SELECT doc_id, text, lang, source, length(text) AS L,

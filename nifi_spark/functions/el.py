@@ -15,12 +15,84 @@ function names read naturally:  EL.substringAfterLast(c, '/').
 from __future__ import annotations
 
 import re
+from html.entities import codepoint2name
+
+import pandas as pd  # module-level: future-annotations stringizes UDF hints
 
 from pyspark.sql import Column, functions as F
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+# HTML entity tables (CharSequenceTranslatorEvaluator.java:42-66 →
+# commons-lang3 StringEscapeUtils ESCAPE/UNESCAPE_HTML3/4). The stdlib
+# html.entities table IS the HTML 4.01 set those translators use: 4 basic
+# (quot/amp/lt/gt — no apos) + 96 ISO-8859-1 + 152 extended = 252.
+# HTML3 = basic + ISO-8859-1 only; both unescapes also take numeric
+# character references (&#d; / &#xH;, semicolon required, unknown names
+# left intact — NumericEntityUnescaper defaults).
+_HTML4_ESCAPE = {cp: f"&{name};" for cp, name in codepoint2name.items()}
+_HTML3_ESCAPE = {cp: e for cp, e in _HTML4_ESCAPE.items()
+                 if cp in (34, 38, 60, 62) or 160 <= cp <= 255}
+_HTML4_NAMES = {name: chr(cp) for cp, name in codepoint2name.items()}
+_HTML3_NAMES = {name: chr(cp) for cp, name in codepoint2name.items()
+                if cp in (34, 38, 60, 62) or 160 <= cp <= 255}
+_ENTITY_RE = re.compile(r"&(#[0-9]+|#[xX][0-9a-fA-F]+|[A-Za-z][A-Za-z0-9]*);")
+
+
+def unescape_html(s: str, names: dict | None = None) -> str:
+    """Single-pass HTML unescape (the lookup-translator contract: no
+    re-scanning of produced text, so '&amp;lt;' → '&lt;', not '<')."""
+    table = _HTML4_NAMES if names is None else names
+
+    def rep(m):
+        t = m.group(1)
+        if t[0] == "#":
+            v = int(t[2:], 16) if t[1] in "xX" else int(t[1:])
+            return chr(v) if v <= 0x10FFFF else m.group(0)
+        return table.get(t, m.group(0))
+
+    return _ENTITY_RE.sub(rep, s)
+
+
+def unescape_csv(s: str) -> str:
+    """commons-lang3 CsvUnescaper: only a fully quoted value whose body
+    contains a CSV special char (, \" CR LF) is unquoted + un-doubled;
+    everything else returns unchanged."""
+    if len(s) < 2 or s[0] != '"' or s[-1] != '"':
+        return s
+    inner = s[1:-1]
+    if any(ch in inner for ch in ',"\r\n'):
+        return inner.replace('""', '"')
+    return s
+
+
+_HTML_UDFS: dict = {}
+
+
+def _html_udf(kind: str):
+    """pandas_udf creation parses the return type against the ACTIVE
+    session, so these are built lazily on first call, not at import."""
+    if kind not in _HTML_UDFS:
+        fns = {
+            "esc4": lambda s: s.str.translate(_HTML4_ESCAPE),
+            "esc3": lambda s: s.str.translate(_HTML3_ESCAPE),
+            "un4": lambda s: s.map(
+                lambda v: v if v is None else unescape_html(v, _HTML4_NAMES)),
+            "un3": lambda s: s.map(
+                lambda v: v if v is None else unescape_html(v, _HTML3_NAMES)),
+            "uncsv": lambda s: s.map(
+                lambda v: v if v is None else unescape_csv(v)),
+        }
+        fn = fns[kind]
+
+        def _batch(s: pd.Series) -> pd.Series:
+            return fn(s)
+
+        _HTML_UDFS[kind] = F.pandas_udf(_batch, "string")
+    return _HTML_UDFS[kind]
 
 
 class EL:
@@ -154,13 +226,31 @@ class EL:
         return F.replace(col, F.lit("&amp;"), F.lit("&"))
     @staticmethod
     def escapeCsv(c):
+        # CSV_SEARCH_CHARS = {',', '"', CR, LF} (commons CsvEscaper)
         col = _c(c)
         needs = (F.contains(col, F.lit(",")) | F.contains(col, F.lit('"'))
-                 | F.contains(col, F.lit("\n")))
+                 | F.contains(col, F.lit("\n")) | F.contains(col, F.lit("\r")))
         quoted = F.concat(F.lit('"'),
                           F.replace(col, F.lit('"'), F.lit('""')),
                           F.lit('"'))
         return F.when(needs, quoted).otherwise(col)
+
+    # HTML 3.2/4.0 entity family (CharSequenceTranslatorEvaluator.java:
+    # 42-66). The 252-entity table as a chained-replace Column would be a
+    # 252-deep expression tree past the codegen method limit, so these
+    # five are Arrow-batched pandas UDFs over the module-level tables —
+    # the only EL functions not expressed as built-in Catalyst
+    # expressions (same seam as datalib.text.normalize_text).
+    @staticmethod
+    def escapeHtml4(c): return _html_udf("esc4")(_c(c))
+    @staticmethod
+    def escapeHtml3(c): return _html_udf("esc3")(_c(c))
+    @staticmethod
+    def unescapeHtml4(c): return _html_udf("un4")(_c(c))
+    @staticmethod
+    def unescapeHtml3(c): return _html_udf("un3")(_c(c))
+    @staticmethod
+    def unescapeCsv(c): return _html_udf("uncsv")(_c(c))
 
     # delineated / multi-attribute folds (lexer :96-101, 174)
     @staticmethod

@@ -152,3 +152,36 @@ def test_el_string_compiler(spark):
                 "${path:replace(@@)}", "${path", "${path:toUpper()}x"]:
         with _pt.raises(ELSyntaxError):
             compile_el(bad)
+
+
+def test_el_html_escape_family(spark):
+    """escapeHtml3/4, unescapeHtml3/4, unescapeCsv — commons-lang3
+    translator parity (CharSequenceTranslatorEvaluator.java:42-66)."""
+    from nifi_spark.functions.el import EL, unescape_csv, unescape_html
+
+    df = spark.createDataFrame(
+        [('<a href="x">café & naïve — Σ €</a>',)], "s string")
+
+    def one(col):
+        return df.select(col.alias("x")).first()[0]
+
+    esc4 = one(EL.escapeHtml4("s"))
+    assert esc4 == ("&lt;a href=&quot;x&quot;&gt;caf&eacute; &amp; "
+                    "na&iuml;ve &mdash; &Sigma; &euro;&lt;/a&gt;")
+    esc3 = one(EL.escapeHtml3("s"))
+    # HTML3 = basic + ISO-8859-1 only: é/ï escape, — Σ € stay raw
+    assert "&eacute;" in esc3 and "&iuml;" in esc3
+    assert "—" in esc3 and "Σ" in esc3 and "€" in esc3
+    # roundtrips
+    assert one(EL.unescapeHtml4(EL.escapeHtml4("s"))) == df.first()[0]
+    assert one(EL.unescapeHtml3(EL.escapeHtml3("s"))) == df.first()[0]
+    # single-pass contract + numeric refs + unknown names (pure fn)
+    assert unescape_html("&amp;lt;") == "&lt;"
+    assert unescape_html("&#xE9;&#233;&bogus;") == "éé&bogus;"
+    # unescapeCsv: quoted+special unquotes; quoted-plain stays quoted
+    assert unescape_csv('"a,b""c"') == 'a,b"c'
+    assert unescape_csv('"plain"') == '"plain"'
+    df2 = spark.createDataFrame([('x,"y',)], "s string")
+    got = df2.select(
+        EL.unescapeCsv(EL.escapeCsv("s")).alias("x")).first()[0]
+    assert got == 'x,"y'
