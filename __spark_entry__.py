@@ -7103,6 +7103,33 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=4, partitions=8)
 
 
+def q_graph_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components (datalib/graph.py,
+    Kiveris et al. 2014) — the O(log n)-round CC that survives
+    adversarial diameters where min-label propagation needs O(diameter)
+    rounds. The fixture is exactly that adversary: event_ids form
+    2000-node PATHS (chain edges id→id+1 except at 2000-block
+    boundaries) plus within-block shortcut cycles (id → id - id%97), so
+    components are the 2000-blocks and the oracle states them in closed
+    form. 10k nodes at sf0.01 = 5 path components of diameter ~2000;
+    label propagation would need ~2000 rounds, star converges < 15."""
+    from nifi_spark.datalib.graph import connected_components
+    ev = _t(spark, sf_dir, "events").select(F.col("event_id").alias("id"))
+    chain = (ev.filter((F.col("id") % 2000) != 1999)
+             .select(F.col("id").alias("src"),
+                     (F.col("id") + 1).alias("dst"))
+             .join(ev.withColumnRenamed("id", "dst"), "dst", "left_semi"))
+    short = (ev.filter(((F.col("id") % 2000) >= 97)
+                       & ((F.col("id") % 97) != 0))
+             .select(F.col("id").alias("src"),
+                     (F.col("id") - F.col("id") % 97).alias("dst")))
+    cc = connected_components(chain.unionByName(short), max_iters=20)
+    return (cc.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.min("node").alias("min_node"),
+                 F.max("node").alias("max_node")))
+
+
 def q_ip_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoEnrichIP analog (operators/enrich.py, reference
     nifi-enrich-bundle/GeoEnrichIP.java): most-specific CIDR match as a
@@ -7194,6 +7221,7 @@ _DRIVER_VERIFIED = frozenset({
 # backlog in base order, then previously-verified rows)
 _NEW_THIS_ROUND = [
     "el_escape_html",
+    "graph_conn_components",
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
     "ann_ivfpq_topk",
@@ -7383,6 +7411,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_train_classifier": q_curate_train_classifier,
         "ip_geo_enrich": q_ip_geo_enrich,
         "graph_pagerank": q_graph_pagerank,
+        "graph_conn_components": q_graph_conn_components,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
         "wordpiece_train_merges": q_wordpiece_train_merges,
@@ -9348,6 +9377,15 @@ FROM fr
             "nifi_spark.datalib.relevance", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",
                           _BM25_QUERIES, k=25),
+        "graph_conn_components": """
+WITH comp AS (
+  SELECT event_id AS node,
+         (2000 * (event_id // 2000))::BIGINT AS component
+  FROM events)
+SELECT component, count(*)::BIGINT AS n_nodes,
+       min(node)::BIGINT AS min_node, max(node)::BIGINT AS max_node
+FROM comp GROUP BY component
+""",
         "graph_pagerank": __import__(
             "nifi_spark.datalib.graph", fromlist=["pagerank_oracle_sql"]
         ).pagerank_oracle_sql(

@@ -269,7 +269,8 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                       max_bucket: int = 1000,
                       pairs: DataFrame | None = None,
                       threshold: float | None = None,
-                      max_iters: int = 20) -> DataFrame:
+                      max_iters: int = 20,
+                      method: str = "label") -> DataFrame:
     """Connected components over near-dup candidate pairs → keep/drop
     sets: (id, cluster_id = min id in component, keep = is-canonical).
 
@@ -294,6 +295,18 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
         bands = lsh_band_plan(num_perm, threshold)["bands"]
     p = pairs if pairs is not None else minhash_lsh_pairs(
         df, id_col, text_col, k, num_perm, bands, max_bucket)
+    if method == "star":
+        # O(log n)-round star contraction for adversarially deep pair
+        # graphs (long chains of pairwise-similar docs) — delegate to
+        # graph.connected_components, then re-attach isolated docs.
+        from nifi_spark.datalib.graph import connected_components
+        cc = connected_components(p, "id_a", "id_b", max_iters=max_iters)
+        out = (df.select(F.col(id_col).alias("id")).distinct()
+               .join(cc.withColumnRenamed("node", "id"), "id", "left")
+               .select("id", F.coalesce("component", F.col("id"))
+                       .alias("cluster_id")))
+        return out.select(F.col("id").alias(id_col), "cluster_id",
+                          (F.col("id") == F.col("cluster_id")).alias("keep"))
     e = p.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = e.unionAll(e.select(F.col("b").alias("a"),
                                 F.col("a").alias("b"))).localCheckpoint()

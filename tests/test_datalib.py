@@ -382,6 +382,23 @@ def test_near_dup_clusters_chain(spark):
                    4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True)}
 
 
+def test_near_dup_clusters_star_matches_label(spark):
+    """method='star' (large-star/small-star CC) must produce exactly the
+    label-propagation clustering, isolated docs included."""
+    from nifi_spark.datalib import near_dup_clusters
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    lab = {r.doc_id: (r.cluster_id, r.keep)
+           for r in near_dup_clusters(df, "doc_id", "text",
+                                      pairs=pairs).collect()}
+    star = {r.doc_id: (r.cluster_id, r.keep)
+            for r in near_dup_clusters(df, "doc_id", "text", pairs=pairs,
+                                       method="star").collect()}
+    assert star == lab
+
+
 def test_near_dup_clusters_long_chain_converges(spark):
     from nifi_spark.datalib import near_dup_clusters
     n = 12

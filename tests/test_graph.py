@@ -75,3 +75,50 @@ def test_pagerank_dangling_nodes_get_teleport_only(spark):
     assert ranks[1] == (15 * scale + 0) // 100 == r1_1
     assert ranks[2] == (15 * scale + 85 * (r1_1 // 1)) // 100
     assert r1_2 == scale  # sanity of the fixed-point arithmetic
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(ns) for r, ns in comp.items() for n in ns}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    from nifi_spark.datalib.graph import connected_components
+    import random
+    rnd = random.Random(7)
+    nodes = list(range(120))
+    edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(90)]
+    edges += [(n, n) for n in (3, 77)]          # self loops are no-ops
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    present = sorted({x for e in edges for x in e})
+    exp = _uf_components(edges, present)
+    assert got == exp
+
+
+def test_connected_components_adversarial_path(spark):
+    """A 500-node path — the O(diameter) killer for label propagation —
+    must converge inside the star algorithm's O(log n) round budget."""
+    from nifi_spark.datalib.graph import connected_components
+    edges = [(i, i + 1) for i in range(499)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = connected_components(df, max_iters=12).collect()
+    assert len(out) == 500
+    assert all(r["component"] == 0 for r in out)
