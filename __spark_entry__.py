@@ -7130,6 +7130,104 @@ def q_graph_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("node").alias("max_node")))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (datalib/dedup.py build_dedup_index +
+    dedup_incremental): a new crawl batch classified against a PERSISTED
+    (doc_id, kind, key) index — exact via text md5, near via LSH band
+    buckets collapsed to min(doc_id) PER KEY before the join (viral
+    buckets become one row; no LSH self-join ever runs). Fixture: index
+    = docs with doc_id%3≠0; batch = docs with doc_id%3=0 (novel) +
+    planted exact copies of indexed docs at id+1e6 + one-token-mutated
+    copies at id+2e6 (near-dup candidates wherever a band survives the
+    mutation — the oracle replays the identical signature pipeline, so
+    both engines agree band-for-band)."""
+    from nifi_spark.datalib.dedup import build_dedup_index, dedup_incremental
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_src = docs.filter(F.col("doc_id") % 3 != 0)
+    bat = (docs.filter(F.col("doc_id") % 3 == 0)
+           .unionByName(
+               docs.filter((F.col("doc_id") % 3 == 1)
+                           & (F.col("doc_id") < 300))
+               .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+           .unionByName(
+               docs.filter((F.col("doc_id") % 3 == 2)
+                           & (F.col("doc_id") < 300))
+               .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                       F.concat("text", F.lit(" xyzzy")).alias("text"))))
+    index = build_dedup_index(idx_src, "doc_id", "text")
+    out = dedup_incremental(bat, index, "doc_id", "text")
+    return out.select("doc_id", "status",
+                      F.col("matched_id").cast("long").alias("matched_id"))
+
+
+def _dedup_incremental_oracle_sql(num_perm: int = 12, bands: int = 4) -> str:
+    """DuckDB twin generated from the same minhash constants."""
+    from nifi_spark.datalib.dedup import MINHASH_PRIME, minhash_perm_params
+    base = f"({PH.format(x='shingle')} % 1073741824)"
+    mins = ",\n         ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_PRIME}) AS mh_{j}"
+        for j, (a, b) in enumerate(minhash_perm_params(num_perm)))
+
+    def sig_over(src: str) -> str:
+        return f"""(
+  SELECT doc_id, {mins}
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+             CASE WHEN len(words) >= 3 THEN
+               list_transform(range(1, len(words) - 1),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+             ELSE []::VARCHAR[] END)) AS shingle
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS words
+          FROM {src}))
+  GROUP BY doc_id)"""
+
+    r = num_perm // bands
+
+    def band_rows(sig_cte: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, 'band:{b}' AS kind, md5("
+            + " || ':' || ".join(f"mh_{b * r + j}::VARCHAR"
+                                 for j in range(r))
+            + f") AS key FROM {sig_cte}"
+            for b in range(bands))
+
+    return f"""
+WITH idx_src AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+bat_src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 3 = 1 AND doc_id < 300
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' xyzzy' FROM documents
+  WHERE doc_id % 3 = 2 AND doc_id < 300),
+idx_sig AS {sig_over('idx_src')},
+bat_sig AS {sig_over('bat_src')},
+idx_keys AS (
+  SELECT doc_id, 'exact' AS kind, md5(text) AS key FROM idx_src
+  UNION ALL
+  {band_rows('idx_sig')}),
+bat_keys AS (
+  SELECT doc_id, 'exact' AS kind, md5(text) AS key FROM bat_src
+  UNION ALL
+  {band_rows('bat_sig')}),
+best AS (SELECT kind, key, min(doc_id) AS m FROM idx_keys GROUP BY 1, 2),
+hits AS (
+  SELECT b.doc_id,
+         min(CASE WHEN b.kind = 'exact' THEN t.m END) AS xm,
+         min(CASE WHEN b.kind <> 'exact' THEN t.m END) AS nm
+  FROM bat_keys b JOIN best t USING (kind, key) GROUP BY 1)
+SELECT s.doc_id,
+       CASE WHEN h.xm IS NOT NULL THEN 'exact_dup'
+            WHEN h.nm IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       coalesce(h.xm, h.nm, -1)::BIGINT AS matched_id
+FROM bat_src s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_ip_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoEnrichIP analog (operators/enrich.py, reference
     nifi-enrich-bundle/GeoEnrichIP.java): most-specific CIDR match as a
@@ -7222,6 +7320,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "el_escape_html",
     "graph_conn_components",
+    "dedup_incremental_batch",
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
     "ann_ivfpq_topk",
@@ -7412,6 +7511,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_geo_enrich": q_ip_geo_enrich,
         "graph_pagerank": q_graph_pagerank,
         "graph_conn_components": q_graph_conn_components,
+        "dedup_incremental_batch": q_dedup_incremental,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
         "wordpiece_train_merges": q_wordpiece_train_merges,
@@ -9377,6 +9477,7 @@ FROM fr
             "nifi_spark.datalib.relevance", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",
                           _BM25_QUERIES, k=25),
+        "dedup_incremental_batch": _dedup_incremental_oracle_sql(),
         "graph_conn_components": """
 WITH comp AS (
   SELECT event_id AS node,

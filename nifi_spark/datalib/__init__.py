@@ -33,7 +33,8 @@ from nifi_spark.datalib.unigram import (unigram_encode,
                                         unigram_seed_vocab,
                                         unigram_train,
                                         unigram_train_oracle_sql)
-from nifi_spark.datalib.graph import pagerank, pagerank_oracle_sql
+from nifi_spark.datalib.graph import (connected_components, pagerank,
+                                      pagerank_oracle_sql)
 from nifi_spark.datalib.pq import (ivf_assign, pq_adc_topk,
                                    pq_distance_table, pq_encode,
                                    pq_ivf_topk, pq_train,
@@ -48,7 +49,9 @@ from nifi_spark.datalib.curation import (benchmark_contamination,
                                          temperature_mix,
                                          token_budget_sample,
                                          train_perceptron, url_dedup)
-from nifi_spark.datalib.dedup import (contaminated_spans,
+from nifi_spark.datalib.dedup import (build_dedup_index,
+                                      contaminated_spans,
+                                      dedup_incremental,
                                       exact_dedup, exact_substring_dedup,
                                       exact_substring_spans, lsh_band_plan,
                                       minhash_lsh_pairs,
@@ -72,6 +75,7 @@ from nifi_spark.datalib.text import (chunk_text, fingerprint,
                                      token_stats)
 
 __all__ = ["contaminated_spans",
+           "build_dedup_index", "connected_components", "dedup_incremental",
            "exact_dedup", "exact_substring_dedup", "exact_substring_spans",
            "lsh_band_plan", "minhash_lsh_pairs",
            "minhash_signatures", "near_dup_clusters", "ngram_jaccard_pairs",

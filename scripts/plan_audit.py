@@ -511,6 +511,20 @@ def main():
                     "(no Window), lookups are per-order equi-joins; the "
                     "only nested-loop is the 1-row total-count broadcast"))
 
+    # ---- 3f. incremental dedup: index collapsed per key, equi-joins ----
+    from nifi_spark.datalib import build_dedup_index, dedup_incremental
+    docs_inc = spark.createDataFrame(
+        [(i, f"w{i} common tail words here {i % 3}") for i in range(30)],
+        "doc_id long, text string")
+    idx_inc = build_dedup_index(docs_inc, "doc_id", "text")
+    p = plan_of(dedup_incremental(docs_inc, idx_inc, "doc_id", "text"))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "Window" not in p, p
+    results.append(("dedup_incremental", "batch-vs-index lookups are "
+                    "equi-joins on (kind, key) with the index collapsed "
+                    "to min(doc_id) per key BEFORE the join — viral "
+                    "buckets are one row; no windows, no products"))
+
     # ---- 4. q1: partial agg before exchange ----------------------------
     p = plan_of(E.queries()["q1_pricing_summary"](spark, sf))
     first_agg = p.find("HashAggregate")

@@ -1351,3 +1351,34 @@ def test_temperature_mix_rejects_bad_temperature(spark):
     with pytest.raises(ValueError, match="power of two"):
         temperature_mix(df, "source", "doc_id", target_total=1,
                         temperature=3)
+
+
+def test_dedup_incremental_classification(spark):
+    """Exact copy → exact_dup with min indexed id; band-sharing doc →
+    near_dup; unrelated doc → novel (-1); short docs only exact-match."""
+    from nifi_spark.datalib import build_dedup_index, dedup_incremental
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "completely different content about spark partitions and joins"),
+        (4, "hi"),  # < k words: exact row only
+    ]
+    idx = build_dedup_index(
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        "doc_id", "text")
+    batch = [
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        (11, "the quick brown fox jumps over the lazy dog again and even more"),
+        (12, "nothing like anything indexed here whatsoever in any way"),
+        (13, "hi"),
+        (14, "yo"),
+    ]
+    out = {r["doc_id"]: (r["status"], r["matched_id"])
+           for r in dedup_incremental(
+               spark.createDataFrame(batch, "doc_id long, text string"),
+               idx, "doc_id", "text").collect()}
+    assert out[10] == ("exact_dup", 1)      # min of indexed {1,2}
+    assert out[11][0] == "near_dup" and out[11][1] == 1
+    assert out[12] == ("novel", -1)
+    assert out[13] == ("exact_dup", 4)
+    assert out[14] == ("novel", -1)
