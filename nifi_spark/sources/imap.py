@@ -27,10 +27,11 @@ client side is ``imap_idle_consume``, the push-notification loop that
 fetches ONLY uids above its high-water mark after each wakeup) and
 ``BODYSTRUCTURE`` (RFC 3501 §7.4.2 — the parenthesized MIME structure
 built from the stdlib email parser: nested multiparts, parameter
-lists, encoding, octet size, text line counts; ``imap_fetch_structs``
-is the client). Remaining boundary: the envelope member of
-message/rfc822 body structures (nothing in the consume contract
-reads it).
+lists, encoding, octet size, text line counts, and message/rfc822
+parts carrying the encapsulated message's ENVELOPE (address
+structures with the sender/reply-to default-from-From rule), inner
+body structure, and line count; ``imap_fetch_structs`` is the
+client). No declared BODYSTRUCTURE boundary remains.
 
 Transport injectable as always; `imap_loopback` runs the server on a
 socketpair thread.
@@ -152,7 +153,62 @@ def _bs_params(part) -> str:
                            for k, v in ps) + ")")
 
 
+def _bs_addr(value: "str | None") -> str:
+    """RFC 3501 address-structure list for one header value:
+    ((name adl mailbox host) ...) or NIL."""
+    if not value:
+        return "NIL"
+    from email.utils import getaddresses
+    addrs = [a for a in getaddresses([value]) if a[1] or a[0]]
+    if not addrs:
+        return "NIL"
+    out = []
+    for name, addr in addrs:
+        mailbox, _, host = addr.partition("@")
+        out.append("(" + " ".join([
+            _bs_quote(name) if name else "NIL",
+            "NIL",
+            _bs_quote(mailbox) if mailbox else "NIL",
+            _bs_quote(host) if host else "NIL"]) + ")")
+    return "(" + "".join(out) + ")"
+
+
+def _envelope(m) -> str:
+    """RFC 3501 §7.4.2 ENVELOPE: (date subject from sender reply-to to
+    cc bcc in-reply-to message-id); sender/reply-to MUST default from
+    the from field when absent."""
+    def g(h: str) -> str:
+        v = m.get(h)
+        return _bs_quote(v) if v else "NIL"
+
+    frm = m.get("From")
+    return "(" + " ".join([
+        g("Date"), g("Subject"),
+        _bs_addr(frm),
+        _bs_addr(m.get("Sender") or frm),
+        _bs_addr(m.get("Reply-To") or frm),
+        _bs_addr(m.get("To")), _bs_addr(m.get("Cc")),
+        _bs_addr(m.get("Bcc")),
+        g("In-Reply-To"), g("Message-ID")]) + ")"
+
+
 def _bs_part(part) -> str:
+    if part.get_content_type() == "message/rfc822":
+        # §7.4.2: after the basic fields, message/rfc822 carries the
+        # ENVELOPE of the encapsulated message, its body structure, and
+        # its size in text lines. (The stdlib parser models rfc822
+        # parts as a one-element multipart, so this branch must come
+        # before is_multipart().)
+        sub = part.get_payload(0)
+        raw = sub.as_bytes()
+        cid = part.get("Content-ID")
+        enc = (part.get("Content-Transfer-Encoding") or "7BIT").upper()
+        fields = ['"MESSAGE"', '"RFC822"', _bs_params(part),
+                  _bs_quote(cid) if cid else "NIL", "NIL",
+                  _bs_quote(enc), str(len(raw)),
+                  _envelope(sub), _bs_part(sub),
+                  str(raw.count(b"\n"))]
+        return "(" + " ".join(fields) + ")"
     if part.is_multipart():
         kids = "".join(_bs_part(p) for p in part.get_payload())
         return (f"({kids} {_bs_quote(part.get_content_subtype().upper())}"

@@ -256,3 +256,32 @@ def test_idle_heartbeat_round_returns_empty():
     rounds = imap_idle_consume(rl, w, user="u", password="p", rounds=2)
     join()
     assert rounds == [[], []]
+
+
+def test_bodystructure_message_rfc822_envelope():
+    """message/rfc822 parts carry (ENVELOPE bodystructure lines) after
+    the basic fields — RFC 3501 §7.4.2, incl. the sender/reply-to
+    default-from-From rule and address structures."""
+    from nifi_spark.sources.imap import bodystructure
+    inner = (b"Date: Mon, 1 Jan 2024 00:00:00 +0000\r\n"
+             b"From: Alice A <alice@example.com>\r\n"
+             b"To: bob@example.org, Carol <carol@example.net>\r\n"
+             b"Subject: inner msg\r\n"
+             b"Message-ID: <m1@example.com>\r\n\r\n"
+             b"inner body line\r\n")
+    outer = (b"From: outer@example.com\r\n"
+             b"Subject: fwd\r\n"
+             b"Content-Type: message/rfc822\r\n\r\n" + inner)
+    s = bodystructure(outer)
+    assert s.startswith('("MESSAGE" "RFC822" ')
+    # envelope: date, subject, from/sender/reply-to all default to From
+    assert '"Mon, 1 Jan 2024 00:00:00 +0000" "inner msg"' in s
+    assert s.count('(("Alice A" NIL "alice" "example.com"))') == 3
+    # two-address To list, one unnamed + one named
+    assert ('((NIL NIL "bob" "example.org")'
+            '("Carol" NIL "carol" "example.net"))') in s
+    assert '"<m1@example.com>"' in s
+    # inner body structure + line count trail the envelope
+    assert '("TEXT" "PLAIN" ' in s
+    assert s.rstrip(")").rstrip().endswith(
+        str(inner.count(b"\n")))
