@@ -4744,7 +4744,11 @@ def q_get_eventhub_landed(spark: SparkSession, sf_dir: str
     from nifi_spark.sources import (EventHubBroker, EventHubReceiver,
                                     GetEventHubSource,
                                     eventhub_loopback)
-    broker = EventHubBroker("hub1", 3, users={"nifi": "pw"})
+    # max_frame_payload=48 forces every event through MULTI-FRAME
+    # transfers (§2.6.14 more=true reassembly) — wire framing is
+    # invisible to the landed table, so the oracle is unchanged
+    broker = EventHubBroker("hub1", 3, users={"nifi": "pw"},
+                            max_frame_payload=48)
     counts = [70, 80, 90]
     for pid in range(3):
         for i in range(counts[pid]):

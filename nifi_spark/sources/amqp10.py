@@ -23,9 +23,14 @@ event list; a receiver link attaches to
 ``amqp.annotation.x-opt-offset > '<n>'`` selector filter (the Event
 Hubs resume position), then pages through it with flow credit.
 
-Declared boundary: the CBS token dance (Event Hubs' $cbs node is a
-proprietary claims protocol on top of AMQP management), multi-frame
-transfers (more=true), and transactional outcomes.
+Multi-frame transfers (§2.6.14, more=true) are real on BOTH halves:
+senders split a delivery whose payload exceeds the effective frame
+limit (the peer's negotiated open.max-frame-size, or the injectable
+``max_frame_payload`` for deterministic tests) into consecutive
+transfer frames sharing one delivery-id, and receivers reassemble
+per-handle until the final more=false frame. Declared boundary: the
+CBS token dance (Event Hubs' $cbs node is a proprietary claims
+protocol on top of AMQP management) and transactional outcomes.
 
 Transport = injectable ``read(n)``/``write(b)`` callables; tests loop
 back on a socketpair; production wraps a TLS socket.
@@ -319,8 +324,12 @@ class EventHubBroker:
 
     def __init__(self, hub: str = "hub1", n_partitions: int = 4, *,
                  users: dict[str, str] | None = None,
-                 clock_epoch_ms: int = 1_700_000_000_000):
+                 clock_epoch_ms: int = 1_700_000_000_000,
+                 max_frame_payload: "int | None" = None):
         self.hub = hub
+        #: per-frame payload cap for OUTGOING transfers; None = honor
+        #: only the peer's open.max-frame-size (minus frame overhead)
+        self.max_frame_payload = max_frame_payload
         self.partitions: list[list[tuple]] = [[] for _ in
                                               range(n_partitions)]
         self.users = users or {}
@@ -375,8 +384,16 @@ class EventHubBroker:
             raise Amqp10Error(f"expected AMQP header, got {hdr!r}")
         write(AMQP_HDR)
         links: dict[int, dict] = {}       # handle -> link state
+        rx_partial: dict[int, dict] = {}  # handle -> in-flight delivery
         sent0 = self.transfers_sent
         next_out_id = 0
+        peer_max_frame = 2 ** 20
+
+        def frame_limit() -> int:
+            lim = max(peer_max_frame - 512, 64)
+            if self.max_frame_payload is not None:
+                lim = min(lim, self.max_frame_payload)
+            return lim
         while True:
             frame = read_frame(read)
             if frame is None:
@@ -387,6 +404,8 @@ class EventHubBroker:
             d = int(perf.descriptor)
             f = perf.value
             if d == P_OPEN:
+                if _lget(f, 2) is not None:
+                    peer_max_frame = int(f[2])
                 write_frame(write, 0, Described(
                     ULong(P_OPEN), [self.hub, None, UInt(2 ** 20),
                                     UInt(255), UInt(60000)]))
@@ -457,11 +476,19 @@ class EventHubBroker:
                                      "x-opt-sequence-number": seq,
                                      "x-opt-enqueued-time": ts},
                         app_properties=props)
-                    write_frame(write, channel, Described(
-                        ULong(P_TRANSFER),
-                        [UInt(int(handle)), UInt(next_out_id),
-                         struct.pack(">I", next_out_id), UInt(0),
-                         False, False]), msg)
+                    # §2.6.14: one delivery may span several transfer
+                    # frames — every frame shares the delivery-id, all
+                    # but the last set more=true
+                    lim = frame_limit()
+                    chunks = ([msg[i:i + lim]
+                               for i in range(0, len(msg), lim)]
+                              or [b""])
+                    for ci, chunk in enumerate(chunks):
+                        write_frame(write, channel, Described(
+                            ULong(P_TRANSFER),
+                            [UInt(int(handle)), UInt(next_out_id),
+                             struct.pack(">I", next_out_id), UInt(0),
+                             False, ci < len(chunks) - 1]), chunk)
                     next_out_id += 1
                     link["cursor"] += 1
                     link["delivery_count"] += 1
@@ -481,9 +508,24 @@ class EventHubBroker:
                 link = links.get(handle)
                 if not link or not link.get("in"):
                     raise Amqp10Error("transfer on a non-sender link")
-                did = int(f[1])
-                settled = bool(_lget(f, 4, False))
-                msg = decode_message(_payload)
+                part_rx = rx_partial.pop(handle, None)
+                if part_rx is not None:
+                    # continuation: delivery-id, if present, must match
+                    if _lget(f, 1) is not None \
+                            and int(f[1]) != part_rx["did"]:
+                        raise Amqp10Error("delivery-id changed "
+                                          "mid-delivery")
+                    did, settled = part_rx["did"], part_rx["settled"]
+                    buf = part_rx["buf"] + _payload
+                else:
+                    did = int(f[1])
+                    settled = bool(_lget(f, 4, False))
+                    buf = _payload
+                if bool(_lget(f, 5, False)):          # more=true
+                    rx_partial[handle] = {"did": did, "settled": settled,
+                                          "buf": buf}
+                    continue
+                msg = decode_message(buf)
                 pid = link["pid"]
                 if pid is None:
                     pid = self._rr % len(self.partitions)
@@ -521,9 +563,13 @@ class EventHubReceiver:
     drain=true as the deterministic batch boundary."""
 
     def __init__(self, read, write, *, hub: str, user: str,
-                 password: str, consumer_group: str = "$Default"):
+                 password: str, consumer_group: str = "$Default",
+                 max_frame_payload: "int | None" = None):
         self._read, self._write = read, write
         self.hub = hub
+        #: per-frame payload cap for outgoing sends (multi-frame
+        #: transfers when a message exceeds it); None = single frame
+        self.max_frame_payload = max_frame_payload
         self.consumer_group = consumer_group
         self._next_handle = 0
         self._links: dict[int, int] = {}      # pid -> receiver handle
@@ -606,6 +652,8 @@ class EventHubReceiver:
              UInt(0), UInt(batch_size), None, True]))
         out: list[dict] = []
         first_id = last_id = None
+        pend_buf: "bytes | None" = None
+        pend_did: "int | None" = None
         while True:
             frame = read_frame(self._read)
             if frame is None:
@@ -615,7 +663,20 @@ class EventHubReceiver:
                 continue
             d = int(perf.descriptor)
             if d == P_TRANSFER:
-                did = int(perf.value[1])
+                if pend_buf is not None:
+                    did = (int(perf.value[1])
+                           if _lget(perf.value, 1) is not None
+                           else pend_did)
+                    if did != pend_did:
+                        raise Amqp10Error("delivery-id changed "
+                                          "mid-delivery")
+                    payload = pend_buf + payload
+                    pend_buf = None
+                else:
+                    did = int(perf.value[1])
+                if bool(_lget(perf.value, 5, False)):  # more=true
+                    pend_buf, pend_did = payload, did
+                    continue
                 first_id = did if first_id is None else first_id
                 last_id = did
                 msg = decode_message(payload)
@@ -663,11 +724,14 @@ class EventHubReceiver:
             handle = self._attach_sender(partition)
         self._delivery += 1
         did = self._delivery
-        write_frame(self._write, 0, Described(
-            ULong(P_TRANSFER),
-            [UInt(handle), UInt(did), struct.pack(">I", did),
-             UInt(0), False, False]),
-            encode_message(body, app_properties=app_properties))
+        msg = encode_message(body, app_properties=app_properties)
+        lim = self.max_frame_payload or len(msg) or 1
+        chunks = [msg[i:i + lim] for i in range(0, len(msg), lim)] or [b""]
+        for ci, chunk in enumerate(chunks):
+            write_frame(self._write, 0, Described(
+                ULong(P_TRANSFER),
+                [UInt(handle), UInt(did), struct.pack(">I", did),
+                 UInt(0), False, ci < len(chunks) - 1]), chunk)
         disp, _ = self._expect(P_DISPOSITION)
         state = _lget(disp.value, 4)
         if not (isinstance(state, Described)

@@ -139,3 +139,37 @@ def test_put_eventhub_roundrobin_and_pinned():
     assert times == sorted(times)
     c.close()
     join()
+
+
+def test_multiframe_transfer_broker_to_client():
+    """A 1 KiB body with a 100-byte frame cap arrives reassembled —
+    every frame shares the delivery-id, all but the last set more."""
+    broker = EventHubBroker("hub1", 1, users={"u": "p"},
+                            max_frame_payload=100)
+    big = bytes(range(256)) * 4
+    broker.append(0, big, {"sz": "big"}, enqueued_ms=1)
+    broker.append(0, b"small", {}, enqueued_ms=2)
+    r, w, join = eventhub_loopback(broker)
+    recv = EventHubReceiver(r, w, hub="hub1", user="u", password="p")
+    msgs = recv.receive(0, 10)
+    assert [m["body"] for m in msgs] == [big, b"small"]
+    assert msgs[0]["app_properties"] == {"sz": "big"}
+    recv.close()
+    join()
+
+
+def test_multiframe_transfer_client_to_broker():
+    """Client-side splitting: a send() over max_frame_payload chunks
+    into more=true continuations the broker reassembles."""
+    broker = EventHubBroker("hub1", 1, users={"u": "p"})
+    r, w, join = eventhub_loopback(broker)
+    cli = EventHubReceiver(r, w, hub="hub1", user="u", password="p",
+                           max_frame_payload=64)
+    big = b"x" * 999 + b"END"
+    cli.send(big, {"a": "1"}, partition=0)
+    cli.send(b"tiny", partition=0)
+    cli.close()
+    join()
+    assert broker.transfers_received == 2
+    assert [e[3] for e in broker.partitions[0]] == [big, b"tiny"]
+    assert broker.partitions[0][0][4] == {"a": "1"}
