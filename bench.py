@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "ivf_ann_topk",
     "embedding_near_dup",
     "dedup_near_clusters",
+    "graph_conn_components",
+    "dedup_incremental_batch",
     "curate_contamination",
     "curate_url_dedup",
     "curate_token_budget",

@@ -12,9 +12,13 @@ Decoded images are returned as (width, height, channels, pixels) where
 format. Audio decodes to (sample_rate, channels, int16-sample list).
 
 Format coverage (and the declared remaining boundary):
-* PNG — 8-bit, color types 0 (gray), 2 (RGB), 6 (RGBA); all five filter
-  types on decode; encoder emits filter 0 (None). Interlaced (Adam7),
-  16-bit, and palette images raise a clear error.
+* PNG — decode covers every legal (bit depth, color type) pair of spec
+  §11.2.2: gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 via PLTE (+tRNS
+  palette alpha → RGBA), gray+alpha 8/16, RGBA 8/16; all five filter
+  types over packed scanlines; 16-bit reduces to the high byte. The
+  encoder emits 8-bit filter-0 images. Only Adam7 interlacing raises
+  (declared; the reference ships no interlaced PNG — conformance is
+  pinned by decoding all 179 PNGs in its tree).
 * BMP — 24-bit uncompressed BI_RGB, bottom-up or top-down.
 * PPM/PGM — binary P6/P5, maxval 255.
 * WAV — PCM 16-bit, any channel count; extra RIFF chunks are skipped.
@@ -50,6 +54,11 @@ import zlib
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only)
 _PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+# color type -> SOURCE samples per pixel (before palette expansion)
+_PNG_SRC_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# legal bit depths per color type (PNG spec §11.2.2)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -86,11 +95,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode an 8-bit non-interlaced gray/RGB/RGBA PNG → raster tuple."""
+    """Decode a non-interlaced PNG → (width, height, channels, raster).
+
+    Full spec §11.2.2 format coverage: every legal (bit depth, color
+    type) pair — gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 (PLTE,
+    expanded to RGB, or RGBA when a tRNS chunk assigns palette alphas),
+    gray+alpha 8/16, RGBA 8/16. Filtering is applied to the PACKED
+    scanline bytes (bpp = max(1, bits-per-pixel // 8), spec §9), then
+    rows unpack: sub-byte grays scale exactly by 255/(2^d - 1), 16-bit
+    samples reduce to their high byte (the standard 8-bit reduction),
+    palette indexes expand through PLTE/tRNS. Only Adam7 interlacing
+    remains out of scope (declared; the reference ships none)."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
-    height = channels = 0
+    height = depth = color_type = 0
+    plte: "bytes | None" = None
+    trns: "bytes | None" = None
     idat = bytearray()
     while pos + 8 <= len(blob):
         (length,) = struct.unpack_from(">I", blob, pos)
@@ -100,26 +121,40 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         if tag == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", body)
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color_type not in _PNG_CHANNELS:
+            if color_type not in _PNG_SRC_CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color_type}")
+            if depth not in _PNG_DEPTHS[color_type]:
+                raise ValueError(f"illegal bit depth {depth} for color "
+                                 f"type {color_type}")
             if interlace:
                 raise ValueError("interlaced (Adam7) PNG not supported")
-            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    src_ch = _PNG_SRC_CHANNELS[color_type]
+    bits_pp = depth * src_ch
+    stride = (width * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline data size mismatch")
-    out = bytearray(stride * height)
+    # palette / alpha expansion plan
+    if color_type == 3:
+        channels = 4 if trns else 3
+    else:
+        channels = src_ch
+    maxval = (1 << depth) - 1
+    out = bytearray(width * channels * height)
     prev = bytes(stride)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
         ftype = raw[y * (stride + 1)]
         line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
@@ -140,8 +175,33 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
                 line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad PNG filter type {ftype}")
-        out[y * stride:(y + 1) * stride] = line
         prev = bytes(line)
+        # unpack the filtered packed row into 8-bit output samples
+        o = y * width * channels
+        if depth == 8 and color_type != 3:
+            out[o:o + width * channels] = line
+        elif depth == 16:
+            for x in range(width * src_ch):
+                out[o + x] = line[2 * x]
+        else:
+            # depth 1/2/4/8, one source sample per pixel (ct 0 or 3)
+            for x in range(width):
+                if depth == 8:
+                    v = line[x]
+                else:
+                    bit = x * depth
+                    v = (line[bit >> 3] >> (8 - depth - (bit & 7))) \
+                        & maxval
+                if color_type == 0:
+                    out[o + x] = v * 255 // maxval
+                else:
+                    if 3 * v + 2 >= len(plte):
+                        raise ValueError("palette index out of range")
+                    out[o + x * channels:o + x * channels + 3] = \
+                        plte[3 * v:3 * v + 3]
+                    if channels == 4:
+                        out[o + x * channels + 3] = (
+                            trns[v] if v < len(trns) else 255)
     return width, height, channels, bytes(out)
 
 

@@ -8,6 +8,7 @@ error paths (the quarantine contract of decode_media_stats).
 
 from __future__ import annotations
 
+import os
 import random
 import struct
 import zlib
@@ -135,13 +136,17 @@ def test_unsupported_inputs_raise():
         mc.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")  # no JPEG decoder
     with pytest.raises(ValueError):
         mc.decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # not WAVE
-    # 16-bit PNG rejected with a clear message
+    # Adam7 interlace is the one declared PNG boundary left
     def chunk(tag, body):
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ihdr_il = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with pytest.raises(ValueError, match="interlaced"):
+        mc.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_il))
+    # an ILLEGAL depth/color-type pair still gets a clear message
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     with pytest.raises(ValueError, match="bit depth"):
-        mc.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16))
+        mc.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_bad))
 
 
 def test_image_stats_integer_exact():
@@ -224,3 +229,85 @@ def test_extract_features_real_decode(spark):
         "id long, kind string, payload binary")
     with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
         extract_features(unknown, dim=4, decode_stub=False).collect()
+
+
+def _mk_png(width, height, depth, ct, rows, plte=None, trns=None):
+    """Hand-build a PNG from PACKED scanline rows (filter 0)."""
+    import struct as _s
+    import zlib as _z
+    from nifi_spark.datalib.media_codec import _png_chunk
+    ihdr = _s.pack(">IIBBBBB", width, height, depth, ct, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"IDAT", _z.compress(raw))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_with_and_without_trns():
+    from nifi_spark.datalib.media_codec import decode_png
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])   # R G B
+    rows = [bytes([0, 1, 2]), bytes([2, 1, 0])]
+    w, h, ch, px = decode_png(_mk_png(3, 2, 8, 3, rows, plte=plte))
+    assert (w, h, ch) == (3, 2, 3)
+    assert px[:9] == plte
+    # tRNS: palette 0 transparent, rest default 255
+    w, h, ch, px = decode_png(_mk_png(3, 2, 8, 3, rows, plte=plte,
+                                      trns=bytes([0])))
+    assert ch == 4
+    assert px[3] == 0 and px[7] == 255
+
+
+def test_png_sub_byte_gray_scaling():
+    from nifi_spark.datalib.media_codec import decode_png
+    # 1-bit: 0b10110000 -> pixels 1,0,1,1 scaled to 255/0
+    w, h, ch, px = decode_png(_mk_png(4, 1, 1, 0, [bytes([0b10110000])]))
+    assert (w, h, ch) == (4, 1, 1)
+    assert list(px) == [255, 0, 255, 255]
+    # 2-bit: 0b00011011 -> 0,1,2,3 -> 0,85,170,255
+    w, h, ch, px = decode_png(_mk_png(4, 1, 2, 0, [bytes([0b00011011])]))
+    assert list(px) == [0, 85, 170, 255]
+    # 4-bit: 0x0F 0xA0 -> 0,15,10 (width 3 leaves 4 pad bits)
+    w, h, ch, px = decode_png(_mk_png(3, 1, 4, 0, [bytes([0x0F, 0xA0])]))
+    assert list(px) == [0, 255, 170]
+
+
+def test_png_16bit_and_gray_alpha():
+    from nifi_spark.datalib.media_codec import decode_png
+    # 16-bit gray: samples 0x1234, 0xFF00 -> high bytes 0x12, 0xFF
+    row = bytes([0x12, 0x34, 0xFF, 0x00])
+    w, h, ch, px = decode_png(_mk_png(2, 1, 16, 0, [row]))
+    assert (ch, list(px)) == (1, [0x12, 0xFF])
+    # 8-bit gray+alpha passes through as 2 channels
+    w, h, ch, px = decode_png(_mk_png(2, 1, 8, 4,
+                                      [bytes([10, 20, 30, 40])]))
+    assert (ch, list(px)) == (2, [10, 20, 30, 40])
+    # 16-bit RGB
+    rgb = bytes([0xAA, 0x01, 0xBB, 0x02, 0xCC, 0x03])
+    w, h, ch, px = decode_png(_mk_png(1, 1, 16, 2, [rgb]))
+    assert (ch, list(px)) == (3, [0xAA, 0xBB, 0xCC])
+
+
+REF_PNG_ROOT = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PNG_ROOT),
+                    reason="reference repo absent")
+def test_png_decodes_every_reference_png():
+    """Conformance: every PNG the reference ships (179 files spanning
+    1/2-bit gray, palette, gray+alpha, 16-bit, RGBA) decodes to a
+    raster of exactly width*height*channels bytes."""
+    from nifi_spark.datalib.media_codec import decode_png
+    n = 0
+    for root, _, files in os.walk(REF_PNG_ROOT):
+        for f in files:
+            if not f.endswith(".png"):
+                continue
+            blob = open(os.path.join(root, f), "rb").read()
+            w, h, ch, px = decode_png(blob)
+            assert len(px) == w * h * ch, f
+            n += 1
+    assert n >= 170, n

@@ -184,3 +184,59 @@ def test_png_roundtrip_property(w, h, channels, rng):
     px = bytes(rng.randrange(256) for _ in range(w * h * channels))
     assert mc.decode_png(mc.encode_png(w, h, channels, px)) == \
         (w, h, channels, px)
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=60))
+def test_connected_components_matches_union_find_property(spark, edges):
+    from nifi_spark.datalib import connected_components
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    # union-find ground truth with min-id labels
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for n in nodes:
+        groups.setdefault(find(n), []).append(n)
+    exp = {n: min(ns) for ns in groups.values() for n in ns}
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8",
+                                      exclude_categories=("Cs",)),
+               max_size=200))
+def test_html_escape_roundtrip_property(s):
+    # pure-python engine functions: cheap enough for many examples
+    from nifi_spark.functions.el import (_HTML3_ESCAPE, _HTML3_NAMES,
+                                         _HTML4_ESCAPE, _HTML4_NAMES,
+                                         unescape_html)
+    esc4 = s.translate(_HTML4_ESCAPE)
+    assert unescape_html(esc4, _HTML4_NAMES) == s
+    esc3 = s.translate(_HTML3_ESCAPE)
+    assert unescape_html(esc3, _HTML3_NAMES) == s
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(alphabet=st.sampled_from(list('ab,"\r\n')), max_size=20))
+def test_csv_escape_roundtrip_property(s):
+    """commons CsvEscaper/CsvUnescaper compose to identity for every
+    string over the CSV special alphabet."""
+    from nifi_spark.functions.el import unescape_csv
+    special = any(c in s for c in ',"\r\n')
+    esc = '"' + s.replace('"', '""') + '"' if special else s
+    assert unescape_csv(esc) == s
