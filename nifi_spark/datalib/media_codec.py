@@ -235,27 +235,119 @@ def encode_bmp(width: int, height: int, channels: int, pixels: bytes) -> bytes:
 
 
 def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a 24-bit uncompressed BMP → (w, h, 3, RGB raster)."""
+    """Decode an uncompressed BMP → (w, h, 3, RGB raster).
+
+    Bit depths 1/4/8 (BGRX palette from the color table after the DIB
+    header — the reference's own 16color-10x10.bmp resize fixture is
+    4-bit), 24, and 32 (BGRA stored, alpha dropped — BI_RGB 32-bit has
+    no meaningful alpha); bottom-up or top-down. RLE stays out."""
     if blob[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", blob, 10)
     hdr_size, width, height = struct.unpack_from("<Iii", blob, 14)
     planes, bpp = struct.unpack_from("<HH", blob, 26)
     (compression,) = struct.unpack_from("<I", blob, 30)
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if bpp not in (1, 4, 8, 24, 32) or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                         f"compression={compression})")
+    palette: "list[bytes] | None" = None
+    if bpp <= 8:
+        (used,) = struct.unpack_from("<I", blob, 46)
+        n_colors = used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        palette = [bytes((blob[pal_off + 4 * i + 2],
+                          blob[pal_off + 4 * i + 1],
+                          blob[pal_off + 4 * i]))
+                   for i in range(n_colors)]
     top_down = height < 0
     height = abs(height)
-    stride = width * 3 + ((-width * 3) % 4)
+    row_bits = width * bpp
+    stride = ((row_bits + 31) // 32) * 4
     out = bytearray(width * height * 3)
     for row_i in range(height):
         y = row_i if top_down else height - 1 - row_i
-        line = blob[data_off + row_i * stride:data_off + row_i * stride + width * 3]
+        line = blob[data_off + row_i * stride:
+                    data_off + (row_i + 1) * stride]
         for x in range(width):
-            b, g, r = line[x * 3:x * 3 + 3]
             o = (y * width + x) * 3
-            out[o:o + 3] = bytes((r, g, b))
+            if bpp == 24:
+                b, g, r = line[x * 3:x * 3 + 3]
+                out[o:o + 3] = bytes((r, g, b))
+            elif bpp == 32:
+                b, g, r = line[x * 4:x * 4 + 3]
+                out[o:o + 3] = bytes((r, g, b))
+            else:
+                bit = x * bpp
+                idx = (line[bit >> 3] >> (8 - bpp - (bit & 7))) \
+                    & ((1 << bpp) - 1)
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out[o:o + 3] = palette[idx]
     return width, height, 3, bytes(out)
+
+
+def decode_ico(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the largest image of a Windows ICO → (w, h, 4, RGBA).
+
+    Each directory entry is either a PNG (sniffed, delegated) or a DIB:
+    a BITMAPINFOHEADER with DOUBLED height covering the XOR (color)
+    bitmap and the 1-bit AND (transparency) mask. 32-bit entries take
+    alpha from their BGRA bytes; lower depths derive it from the AND
+    mask (1 = transparent). The reference's nifi16.ico entries are
+    32-bit DIBs."""
+    if blob[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack_from("<H", blob, 4)
+    if count == 0:
+        raise ValueError("empty ICO")
+    best = None
+    for i in range(count):
+        w8, h8, _pal, _res, _planes, _bc, size, off = \
+            struct.unpack_from("<BBBBHHII", blob, 6 + 16 * i)
+        w, h = w8 or 256, h8 or 256
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, size, off)
+    w, h, size, off = best
+    sub = blob[off:off + size]
+    if sub[:8] == _PNG_SIG:
+        return decode_png(sub)
+    hdr_size, dw, dh = struct.unpack_from("<Iii", sub, 0)
+    planes, bpp = struct.unpack_from("<HH", sub, 12)
+    (compression,) = struct.unpack_from("<I", sub, 16)
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"unsupported ICO DIB (bpp={bpp}, "
+                         f"compression={compression})")
+    # dh covers XOR + AND stacked; decode XOR via the BMP path by
+    # synthesizing a BMP file around the DIB
+    palette_bytes = (0 if bpp > 8 else
+                     4 * (struct.unpack_from("<I", sub, 32)[0]
+                          or (1 << bpp)))
+    xor_stride = ((w * bpp + 31) // 32) * 4
+    and_stride = ((w + 31) // 32) * 4
+    dib = bytearray(sub)
+    struct.pack_into("<i", dib, 8, h)     # un-double the height
+    data_off = 14 + hdr_size + palette_bytes
+    bmp = (b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0, data_off)
+           + bytes(dib))
+    _, _, _, rgb = decode_bmp(bmp)
+    and_off = hdr_size + palette_bytes + xor_stride * h
+    out = bytearray(w * h * 4)
+    for y in range(h):
+        mask_row = sub[and_off + (h - 1 - y) * and_stride:
+                       and_off + (h - y) * and_stride]
+        for x in range(w):
+            o = (y * w + x) * 4
+            out[o:o + 3] = rgb[(y * w + x) * 3:(y * w + x) * 3 + 3]
+            if bpp == 32:
+                # BGRA alpha lives in the XOR bitmap's 4th byte
+                row_i = h - 1 - y
+                out[o + 3] = sub[hdr_size + palette_bytes
+                                 + row_i * xor_stride + x * 4 + 3]
+            else:
+                transparent = (mask_row[x >> 3] >> (7 - (x & 7))) & 1 \
+                    if x >> 3 < len(mask_row) else 0
+                out[o + 3] = 0 if transparent else 255
+    return w, h, 4, bytes(out)
 
 
 # ---------------------------------------------------------------- PPM/PGM
@@ -359,6 +451,8 @@ def sniff_media(blob: bytes) -> str:
         return "video/mp4"
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if blob[:4] == b"\x00\x00\x01\x00":
+        return "image/x-icon"
     return "application/octet-stream"
 
 
@@ -379,6 +473,7 @@ _IMAGE_DECODERS = {
     "image/x-portable-pixmap": decode_pnm,
     "image/x-portable-graymap": decode_pnm,
     "image/gif": _decode_gif,
+    "image/x-icon": decode_ico,
 }
 
 

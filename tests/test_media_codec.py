@@ -311,3 +311,52 @@ def test_png_decodes_every_reference_png():
             assert len(px) == w * h * ch, f
             n += 1
     assert n >= 170, n
+
+
+def test_bmp_paletted_and_32bit():
+    from nifi_spark.datalib.media_codec import decode_bmp
+    # 4-bit paletted 3x2, palette: black, red, green, blue
+    pal = bytes([0, 0, 0, 0,  0, 0, 255, 0,  0, 255, 0, 0,  255, 0, 0, 0])
+    # rows bottom-up; 3 px/row -> 2 nibble bytes, padded to 4
+    rows = bytes([0x12, 0x30, 0, 0,     # bottom row: 1,2,3
+                  0x01, 0x20, 0, 0])    # top row: 0,1,2
+    hdr = (b"BM" + struct.pack("<IHHI", 14 + 40 + 16 + 8, 0, 0, 70)
+           + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 4, 0, 8,
+                         0, 0, 4, 0))
+    w, h, c, px = decode_bmp(hdr + pal + rows)
+    assert (w, h, c) == (3, 2, 3)
+    assert px[:9] == bytes([0, 0, 0, 255, 0, 0, 0, 255, 0])   # top row
+    assert px[9:] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    # 32-bit BGRA, 1x1, alpha ignored
+    hdr32 = (b"BM" + struct.pack("<IHHI", 14 + 40 + 4, 0, 0, 54)
+             + struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4,
+                           0, 0, 0, 0))
+    w, h, c, px = decode_bmp(hdr32 + bytes([10, 20, 30, 99]))
+    assert (c, list(px)) == (3, [30, 20, 10])
+
+
+REF_MEDIA = "/root/reference/nifi-nar-bundles/nifi-media-bundle"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_PNG_ROOT),
+                    reason="reference repo absent")
+def test_reference_image_assets_all_decode():
+    """Every image asset the reference ships — png/gif/jpg/bmp/ico —
+    decodes through the sniffer dispatch (incl. its 4-bit paletted BMP
+    resize fixture and the 32-bit nifi16.ico with AND-mask alpha)."""
+    from nifi_spark.datalib.media_codec import decode_image, sniff_media
+    counts: dict = {}
+    for root, _, files in os.walk(REF_PNG_ROOT):
+        for f in files:
+            if f.rsplit(".", 1)[-1].lower() not in (
+                    "png", "gif", "jpg", "jpeg", "bmp", "ico"):
+                continue
+            blob = open(os.path.join(root, f), "rb").read()
+            mime = sniff_media(blob)
+            w, h, ch, px = decode_image(blob)
+            assert len(px) == w * h * ch, f
+            counts[mime] = counts.get(mime, 0) + 1
+    assert counts.get("image/x-icon", 0) >= 2
+    assert counts.get("image/bmp", 0) >= 1
+    assert counts.get("image/gif", 0) >= 8
+    assert counts.get("image/jpeg", 0) >= 3
