@@ -7107,6 +7107,43 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=4, partitions=8)
 
 
+def q_validate_csv_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValidateCsv with the reference's Super CSV cell-processor DSL
+    (standard/ValidateCsv.java:240-420; operators/content.py
+    validate_csv_cells): CSV lines synthesized arithmetically from
+    events run through ParseLong / IsIncludedIn / Optional(ParseDouble)
+    / Unique — every processor family incl. the stateful one. The
+    fixture plants each failure mode by event_id residue ('x'-prefixed
+    long every 7th, 'error'/'signup' types outside the include list,
+    'abc' non-double every 5th-plus-1, duplicate Unique keys via
+    %997), so the oracle states validity in closed form; the DSL
+    semantics themselves are pinned by the verbatim TestValidateCsv
+    replays in pytest."""
+    from nifi_spark.operators import validate_csv_cells
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    line = F.concat_ws(
+        ",",
+        F.when(eid % 7 == 0,
+               F.concat(F.lit("x"), eid.cast("string")))
+        .otherwise(eid.cast("string")),
+        F.col("event_type"),
+        F.when(eid % 5 == 1, F.lit("abc"))
+        .when(eid % 5 == 0, F.lit(""))
+        .otherwise(F.lit("1.5")),
+        (eid % 997).cast("string"))
+    df = ev.select("event_id", line.alias("line"))
+    out = validate_csv_cells(
+        df, "line",
+        'ParseLong(), IsIncludedIn("click", "view", "purchase"), '
+        'Optional(ParseDouble()), Unique()',
+        order_col="event_id")
+    return (out["valid"].select("event_id", F.lit(True).alias("is_valid"))
+            .unionByName(out["invalid"]
+                         .select("event_id",
+                                 F.lit(False).alias("is_valid"))))
+
+
 def q_graph_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-star/small-star connected components (datalib/graph.py,
     Kiveris et al. 2014) — the O(log n)-round CC that survives
@@ -7324,6 +7361,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     "el_escape_html",
     "graph_conn_components",
+    "validate_csv_dsl",
     "dedup_incremental_batch",
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
@@ -7515,6 +7553,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ip_geo_enrich": q_ip_geo_enrich,
         "graph_pagerank": q_graph_pagerank,
         "graph_conn_components": q_graph_conn_components,
+        "validate_csv_dsl": q_validate_csv_dsl,
         "dedup_incremental_batch": q_dedup_incremental,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
@@ -9482,6 +9521,19 @@ FROM fr
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",
                           _BM25_QUERIES, k=25),
         "dedup_incremental_batch": _dedup_incremental_oracle_sql(),
+        "validate_csv_dsl": """
+WITH rn AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_id % 997
+                            ORDER BY event_id) AS r
+  FROM events)
+SELECT event_id,
+       (event_id % 7 <> 0
+        AND event_type IN ('click', 'view', 'purchase')
+        AND event_id % 5 <> 1
+        AND r = 1) AS is_valid
+FROM rn
+""",
         "graph_conn_components": """
 WITH comp AS (
   SELECT event_id AS node,

@@ -29,6 +29,7 @@ from nifi_spark.operators.content import (duplicate_flowfile,
                                           split_json_array, split_text,
                                           split_text_grouped,
                                           split_xml, validate_csv,
+                                          validate_csv_cells,
                                           validate_xml, merge_concat)
 from nifi_spark.operators.codec import (compress_content,
                                         encrypt_content_pbe,
@@ -87,7 +88,7 @@ __all__ = [
     "parse_syslog", "replace_text", "replace_text_with_mapping",
     "duplicate_flowfile", "reshape_json", "segment_content",
     "split_json_array", "split_text", "split_text_grouped",
-    "split_xml", "validate_csv", "validate_xml",
+    "split_xml", "validate_csv", "validate_csv_cells", "validate_xml",
     "compress_content", "convert_character_set", "decode_content",
     "decrypt_content", "encode_content", "encrypt_content",
     "encrypt_content_pbe", "modify_bytes",

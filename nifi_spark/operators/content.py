@@ -20,6 +20,8 @@ codegen; no Python in the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -448,6 +450,197 @@ def validate_csv(df: DataFrame, content_col: str, schema: str,
         ok = ok & F.col(f"_rec.{n}").isNotNull()
     valid = parsed.filter(ok).drop("_rec")
     invalid = parsed.filter(~ok).drop("_rec")
+    return {"valid": valid, "invalid": invalid}
+
+
+def _split_cell_processors(schema: str) -> list[str]:
+    """The reference's top-level splitter (ValidateCsv.java:251-293):
+    top-level commas separate processors, parens nest (so argument
+    lists with commas stay whole)."""
+    out: list[str] = []
+    buf, depth, i = "", 0, 0
+    while i < len(schema):
+        c = schema[i]
+        i += 1
+        if depth == 0 and c == ",":
+            if buf.strip():
+                out.append(buf.strip())
+            buf = ""
+            continue
+        buf += c
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(buf.strip())
+                buf = ""
+    if buf.strip():
+        out.append(buf.strip())
+    return out
+
+
+def _java_hashcode(cell):
+    """Java String.hashCode as a Column: s[0]*31^(n-1)+... with 32-bit
+    wraparound (mod-2^32 fold kept in longs, signed at the end)."""
+    folded = F.aggregate(
+        F.split(cell, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch),
+                               F.lit(4294967296).cast("long")))
+    return F.when(folded >= 2147483648, folded - 4294967296) \
+            .otherwise(folded).cast("long")
+
+
+def _cell_predicate(spec: str):
+    """One cell processor → (predicate(Column)->Column | None,
+    stateful-kind | None). Mirrors ValidateCsv.getProcessor
+    (ValidateCsv.java:295-420, Super CSV semantics): empty CSV cells
+    arrive as NULL; every parse check is strict (no leniency)."""
+    opening = spec.find("(")
+    method = (spec if opening == -1 else spec[:opening]).strip().lower()
+    arg = None if opening == -1 else spec[opening + 1:spec.rfind(")")]
+
+    def quoted_list(a: str) -> list[str]:
+        return [s.strip() for s in a.replace('"', "").split(",")]
+
+    if method == "null":
+        return None, None
+    if method == "optional":
+        sub, stateful = _cell_predicate(arg)
+        if stateful:
+            raise ValueError("Optional() cannot wrap a stateful "
+                             "processor")
+        return (lambda c: c.isNull() | sub(c)), None
+    if method == "parsedate":
+        fmt = arg.strip().strip('"')
+        return (lambda c: c.isNotNull()
+                & F.try_to_timestamp(c, F.lit(fmt)).isNotNull()), None
+    if method == "parsedouble":
+        return (lambda c: c.try_cast("double").isNotNull()), None
+    if method == "parsebigdecimal":
+        pat = r"[-+]?(\d+(\.\d+)?|\.\d+)([eE][-+]?\d+)?"
+        return (lambda c: c.isNotNull() & c.rlike(f"^{pat}$")), None
+    if method == "parsebool":
+        toks = ["true", "false", "1", "0", "t", "f", "y", "n"]
+        return (lambda c: F.lower(c).isin(toks)), None
+    if method == "parsechar":
+        return (lambda c: F.length(c) == 1), None
+    if method in ("parseint", "parselong"):
+        t = "int" if method == "parseint" else "long"
+        return (lambda c: c.rlike(r"^[-+]?\d+$")
+                & c.try_cast(t).isNotNull()), None
+    if method == "notnull":
+        return (lambda c: c.isNotNull()), None
+    if method == "strregex":
+        pat = arg.strip().strip('"')
+        return (lambda c: c.isNotNull()
+                & c.rlike(f"^(?:{pat})$")), None
+    if method == "strlen":
+        lens = [int(x) for x in arg.split(",")]
+        return (lambda c: F.length(c).isin(lens)), None
+    if method == "strminmax":
+        lo, hi = [int(x) for x in arg.split(",")]
+        return (lambda c: c.isNotNull()
+                & F.length(c).between(lo, hi)), None
+    if method == "lminmax":
+        lo, hi = [int(x) for x in arg.split(",")]
+        return (lambda c: c.try_cast("long").between(lo, hi)), None
+    if method == "dminmax":
+        lo, hi = [float(x) for x in arg.split(",")]
+        return (lambda c: c.try_cast("double").between(lo, hi)), None
+    if method == "forbidsubstr":
+        subs = quoted_list(arg)
+        def pred(c):
+            out = c.isNotNull()
+            for s in subs:
+                out = out & ~F.contains(c, F.lit(s))
+            return out
+        return pred, None
+    if method == "requiresubstr":
+        subs = quoted_list(arg)
+        def pred(c):
+            out = F.lit(False)
+            for s in subs:
+                out = out | F.contains(c, F.lit(s))
+            return out
+        return pred, None
+    if method == "strnotnullorempty":
+        return (lambda c: c.isNotNull() & (F.length(c) > 0)), None
+    if method == "requirehashcode":
+        codes = [int(x) for x in arg.split(",")]
+        return (lambda c: c.isNotNull()
+                & _java_hashcode(c).isin(codes)), None
+    if method == "isincludedin":
+        vals = quoted_list(arg)
+        return (lambda c: c.isin(vals)), None
+    if method == "equals":
+        return None, "equals"
+    if method in ("unique", "uniquehashcode"):
+        # UniqueHashCode differs from Unique only through Java hashCode
+        # collisions; value-uniqueness is the collision-free analog
+        return None, "unique"
+    raise ValueError(f"[{method}] is not an allowed method to define "
+                     "a Cell Processor")
+
+
+def validate_csv_cells(df: DataFrame, content_col: str, schema: str,
+                       sep: str = ",", quote: str = '"',
+                       order_col: str | None = None
+                       ) -> dict[str, DataFrame]:
+    """ValidateCsv with the reference's Super CSV cell-processor DSL
+    (standard/ValidateCsv.java:240-420): each row of `content_col` is
+    one CSV line, `schema` is the processor list — e.g.
+    ``Null, ParseDate("dd/MM/yyyy"), Optional(ParseDouble())`` — and
+    rows route valid/invalid per the identical cell semantics
+    (TestValidateCsv cases replay verbatim in pytest).
+
+    Stateless processors compile to Catalyst predicates over the split
+    cells. The stateful trio needs cross-row context and `order_col`:
+    Unique()/UniqueHashCode() keep the FIRST occurrence (row_number
+    over a per-value window — narrow keys), Equals() anchors on the
+    value at min(order_col) (1-row broadcast). Field-count mismatches
+    route invalid (checked by separator count on quote-free lines;
+    quoted lines trust the CSV parser's null-fill)."""
+    procs = _split_cell_processors(schema)
+    preds = [_cell_predicate(s) for s in procs]
+    n = len(preds)
+    ddl = ", ".join(f"_c{i} string" for i in range(n)) + ", _extra string"
+    rec = F.from_csv(F.col(content_col), ddl,
+                     {"sep": sep, "quote": quote, "mode": "PERMISSIVE"})
+    out = df.withColumn("_rec", rec)
+    ok = F.col("_rec._extra").isNull()
+    esc = re.escape(sep)
+    ok = ok & (F.contains(F.col(content_col), F.lit(quote))
+               | (F.size(F.split(F.col(content_col), esc)) == n))
+    stateful: list[tuple[int, str]] = []
+    for i, (pred, kind) in enumerate(preds):
+        if kind:
+            stateful.append((i, kind))
+        elif pred is not None:
+            ok = ok & F.coalesce(pred(F.col(f"_rec._c{i}")),
+                                 F.lit(False))
+    out = out.withColumn("_ok", ok)
+    if stateful:
+        if order_col is None:
+            raise ValueError("Unique()/Equals() processors need "
+                             "order_col= (first-occurrence semantics)")
+        from pyspark.sql import Window
+        for i, kind in stateful:
+            cell = F.col(f"_rec._c{i}")
+            if kind == "unique":
+                w = Window.partitionBy(cell).orderBy(order_col)
+                out = out.withColumn(
+                    "_ok", F.col("_ok")
+                    & (F.row_number().over(w) == 1))
+            else:                                    # equals
+                anchor = (out.orderBy(order_col)
+                          .select(cell.alias("_anchor")).limit(1))
+                out = out.crossJoin(F.broadcast(anchor)).withColumn(
+                    "_ok", F.col("_ok")
+                    & cell.eqNullSafe(F.col("_anchor"))).drop("_anchor")
+    valid = out.filter(F.col("_ok")).drop("_rec", "_ok")
+    invalid = out.filter(~F.col("_ok")).drop("_rec", "_ok")
     return {"valid": valid, "invalid": invalid}
 
 

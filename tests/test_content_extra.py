@@ -403,3 +403,92 @@ def test_merge_concat_reference_delimiters(spark):
             merge_concat(df.where("gid = 1"), "part", "gid", "idx",
                          header="@").collect()}
     assert rows[1]["content"] == "@Hello, World!"
+
+
+# -------------------------------------------------- ValidateCsv DSL
+
+def _vcsv(spark, lines, schema, order=True):
+    from nifi_spark.operators import validate_csv_cells
+    df = spark.createDataFrame(
+        [(i, ln) for i, ln in enumerate(lines)], "rid long, line string")
+    out = validate_csv_cells(df, "line", schema,
+                             order_col="rid" if order else None)
+    v = [r["rid"] for r in out["valid"].collect()]
+    iv = [r["rid"] for r in out["invalid"].collect()]
+    return sorted(v), sorted(iv)
+
+
+def test_validate_csv_cells_reference_cases(spark):
+    """TestValidateCsv.java cases replayed verbatim over the Super CSV
+    cell-processor DSL."""
+    # testValidDateOptionalDouble / invalid variants
+    sch = 'Null, ParseDate("dd/MM/yyyy"), Optional(ParseDouble())'
+    v, iv = _vcsv(spark, ["John,22/11/1954,63.2", "Bob,01/03/2004,45.0"],
+                  sch)
+    assert (v, iv) == ([0, 1], [])
+    v, iv = _vcsv(spark, ["John,22/11/1954,63a2", "Bob,01/032004,45.0"],
+                  sch)
+    assert (v, iv) == ([], [0, 1])
+    v, iv = _vcsv(spark, ["John,22/111954,63.2", "Bob,01/03/2004,45.0"],
+                  sch)
+    assert (v, iv) == ([1], [0])
+    # testIsIncludedIn
+    sch = 'Null, ParseDate("dd/MM/yyyy"), IsIncludedIn("male", "female")'
+    v, iv = _vcsv(spark, ["John,22/11/1954,male", "Marie,01/03/2004,female"],
+                  sch)
+    assert (v, iv) == ([0, 1], [])
+    v, iv = _vcsv(spark, ["John,22/111954,63.2"], sch)
+    assert (v, iv) == ([], [0])
+    # testBigDecimalBoolCharIntLong (header line dropped by caller)
+    sch = "ParseBigDecimal(), ParseBool(), ParseChar(), ParseInt(), ParseLong()"
+    v, iv = _vcsv(spark, ["10.0001,true,c,1,92147483647"], sch)
+    assert (v, iv) == ([0], [])
+    v, iv = _vcsv(spark, ["10.0001,true,c,92147483647,92147483647"], sch)
+    assert (v, iv) == ([], [0])      # 92147483647 overflows int
+    # testEqualsNotNullStrNotNullOrEmpty
+    sch = "Equals(), NotNull(), StrNotNullOrEmpty()"
+    v, iv = _vcsv(spark, ["test,test,test", "test,test,test"], sch)
+    assert (v, iv) == ([0, 1], [])
+    v, iv = _vcsv(spark, ["test,test,test", "tset,test,test"], sch)
+    assert (v, iv) == ([0], [1])
+    # testStrlenStrMinMaxStrRegex
+    sch = 'Strlen(4), StrMinMax(3,5), StrRegex("[a-z0-9\\._]+@[a-z0-9\\.]+")'
+    v, iv = _vcsv(spark, ["test,test,test@apache.org"], sch)
+    assert (v, iv) == ([0], [])
+    v, iv = _vcsv(spark, ["test,test,testapache.org"], sch)
+    assert (v, iv) == ([], [0])
+    # testDMinMaxLMinMaxForbidSubStr
+    sch = 'DMinMax(10,100),LMinMax(10,100),ForbidSubStr("test", "tset")'
+    v, iv = _vcsv(spark, ["50.001,50,hello"], sch)
+    assert (v, iv) == ([0], [])
+    v, iv = _vcsv(spark, ["10,10,testapache.org"], sch)
+    assert (v, iv) == ([], [0])
+    # testUnique — first occurrence wins
+    sch = "Unique(), UniqueHashCode()"
+    v, iv = _vcsv(spark, ["1,2", "3,4"], sch)
+    assert (v, iv) == ([0, 1], [])
+    v, iv = _vcsv(spark, ["1,2", "1,4"], sch)
+    assert (v, iv) == ([0], [1])
+    # testRequire — java hashCode of 'test'
+    hc = 3556498  # "test".hashCode()
+    sch = f'RequireHashCode({hc}), RequireSubStr("test")'
+    v, iv = _vcsv(spark, ["test,test"], sch)
+    assert (v, iv) == ([0], [])
+    v, iv = _vcsv(spark, ["tset,tset"], sch)
+    assert (v, iv) == ([], [0])
+    # quoted empty + truly empty cells both null under Null processors
+    v, iv = _vcsv(spark, ['John,"",63.2', "Bob,,45.0"], "Null, Null, Null")
+    assert (v, iv) == ([0, 1], [])
+    # field-count mismatch routes invalid
+    v, iv = _vcsv(spark, ["a,b", "a,b,c"], "Null, Null, Null")
+    assert (v, iv) == ([1], [0])
+
+
+def test_validate_csv_cells_errors(spark):
+    from nifi_spark.operators import validate_csv_cells
+    import pytest as _pt
+    df = spark.createDataFrame([(1, "a")], "rid long, line string")
+    with _pt.raises(ValueError, match="not an allowed method"):
+        validate_csv_cells(df, "line", "Bogus()")
+    with _pt.raises(ValueError, match="order_col"):
+        validate_csv_cells(df, "line", "Unique()")
