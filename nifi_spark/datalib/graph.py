@@ -121,10 +121,13 @@ def connected_components(edges: DataFrame, src_col: str = "src",
                                   F.col("hi").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
                 .select("u", F.least("mv", "u").alias("m")))
+        # no distinct here: duplicate edges are ≤2× (both directions)
+        # and small-star's min-agg + distinct collapse them — one fewer
+        # exchange per round
         E = (sym.join(mins, "u")
              .filter(F.col("v") > F.col("u"))
              .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-             .distinct().localCheckpoint())
+             .localCheckpoint())
         # small-star over the (hi, lo) orientation — join-back, never a
         # per-node collect (viral hubs stay row-shaped)
         sm = E.groupBy("hi").agg(F.min("lo").alias("m"))
