@@ -17,6 +17,7 @@ with the per-row sha256(content) invariant (BASELINE.json input_hint).
 from __future__ import annotations
 
 import os
+import struct
 import tempfile
 from collections.abc import Callable
 
@@ -7107,6 +7108,47 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=4, partitions=8)
 
 
+def q_parse_evtx_bad_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BAD_CHUNK relationship analog (parse_evtx_chunks /
+    evtx_chunk_status) with the reference's exact lifecycle semantics —
+    1-based chunk numbers, current chunk skipped, a data-checksum
+    mismatch = bad_header with zero records, a mid-stream record break
+    = bad_records keeping the records before it (the 960-record
+    behavior ParseEvtxTest pins on application-logs.evtx, replayed
+    verbatim in pytest). Fixture: 100 fixed-size records from events →
+    4 data chunks of 32/32/32/4; chunk 2's data is corrupted (CRC now
+    fails), chunk 3's second record magic is garbled WITH re-patched
+    checksums (the real file's broken chunk carries a valid CRC over
+    its garbage)."""
+    import zlib
+    from nifi_spark.operators import build_evtx, parse_evtx_chunks
+    from nifi_spark.operators.evtx import CHUNK_HEADER_SIZE, CHUNK_SIZE
+    rows = (_t(spark, sf_dir, "events").orderBy("event_id").limit(100)
+            .select("event_id", "event_type").collect())
+    recs = [(int(r["event_id"]) + 1, 1_700_000_000_000_000 + i,
+             r["event_type"].ljust(2000).encode())
+            for i, r in enumerate(rows)]
+    blob = bytearray(build_evtx(recs))
+    blob[4096 + CHUNK_SIZE + CHUNK_HEADER_SIZE + 100] ^= 0xFF
+    c3 = 4096 + 2 * CHUNK_SIZE
+    rec_size = struct.unpack_from("<I", blob,
+                                  c3 + CHUNK_HEADER_SIZE + 4)[0]
+    blob[c3 + CHUNK_HEADER_SIZE + rec_size] ^= 0xFF
+    next_rec = struct.unpack_from("<I", blob, c3 + 48)[0]
+    struct.pack_into(
+        "<I", blob, c3 + 52,
+        zlib.crc32(bytes(blob[c3 + CHUNK_HEADER_SIZE:c3 + next_rec]))
+        & 0xFFFFFFFF)
+    struct.pack_into(
+        "<I", blob, c3 + 124,
+        zlib.crc32(bytes(blob[c3:c3 + 120])
+                   + bytes(blob[c3 + 128:c3 + 512])) & 0xFFFFFFFF)
+    df = spark.createDataFrame([(1, bytes(blob))],
+                               "src_id long, content binary")
+    return (parse_evtx_chunks(df, "content", "src_id")
+            .select("chunk", "status", "n_records"))
+
+
 def q_validate_csv_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ValidateCsv with the reference's Super CSV cell-processor DSL
     (standard/ValidateCsv.java:240-420; operators/content.py
@@ -7362,6 +7404,7 @@ _NEW_THIS_ROUND = [
     "el_escape_html",
     "graph_conn_components",
     "validate_csv_dsl",
+    "parse_evtx_bad_chunks",
     "dedup_incremental_batch",
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
     "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
@@ -7554,6 +7597,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_conn_components": q_graph_conn_components,
         "validate_csv_dsl": q_validate_csv_dsl,
+        "parse_evtx_bad_chunks": q_parse_evtx_bad_chunks,
         "dedup_incremental_batch": q_dedup_incremental,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
@@ -8091,7 +8135,7 @@ firsts AS (SELECT file_id, min(event_id) AS first_id
            FROM src GROUP BY file_id)
 SELECT s.event_id AS record_id, s.us AS record_time_us,
        CASE WHEN s.event_id = f.first_id
-            THEN 144 + 2 * length(s.event_type)
+            THEN 156 + 2 * length(s.event_type)
             ELSE 30 + 2 * length(s.event_type) END AS payload_len,
        '<Event Type="' || s.event_type || '"><Seq>' ||
        s.event_id::VARCHAR || '</Seq></Event>' AS xml
@@ -9521,6 +9565,19 @@ FROM fr
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",
                           _BM25_QUERIES, k=25),
         "dedup_incremental_batch": _dedup_incremental_oracle_sql(),
+        "parse_evtx_bad_chunks": """
+WITH n AS (SELECT least(count(*), 100) AS c FROM events),
+ch AS (SELECT unnest(range(1, ((SELECT c FROM n) + 31) // 32 + 1))
+       AS chunk)
+SELECT chunk::INT AS chunk,
+       CASE WHEN chunk = 2 THEN 'bad_header'
+            WHEN chunk = 3 THEN 'bad_records'
+            ELSE 'ok' END AS status,
+       (CASE WHEN chunk = 2 THEN 0 WHEN chunk = 3 THEN 1
+             ELSE least(32, (SELECT c FROM n) - 32 * (chunk - 1))
+        END)::INT AS n_records
+FROM ch
+""",
         "validate_csv_dsl": """
 WITH rn AS (
   SELECT event_id, event_type,

@@ -49,7 +49,8 @@ from nifi_spark.operators.avro_codec import (avro_to_records,
                                              read_avro_path, records_to_avro,
                                              write_avro_path)
 from nifi_spark.operators.dedup import detect_duplicate, latest_wins
-from nifi_spark.operators.evtx import build_evtx, parse_evtx
+from nifi_spark.operators.evtx import (build_evtx, evtx_chunk_status,
+                                       parse_evtx, parse_evtx_chunks)
 from nifi_spark.operators.jolt import jolt_apply, jolt_transform
 from nifi_spark.operators.xml_transform import evaluate_xquery, transform_xml
 from nifi_spark.operators.distribute import (distribute_load, enforce_order,
@@ -99,7 +100,7 @@ __all__ = [
     "avro_to_records", "extract_avro_metadata", "read_avro_path",
     "records_to_avro", "write_avro_path",
     "detect_duplicate", "latest_wins",
-    "build_evtx", "parse_evtx",
+    "build_evtx", "evtx_chunk_status", "parse_evtx", "parse_evtx_chunks",
     "jolt_apply", "jolt_transform",
     "evaluate_xquery", "transform_xml",
     "distribute_load", "enforce_order", "prioritize",

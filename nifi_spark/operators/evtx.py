@@ -52,9 +52,15 @@ types raise (decode_stub=False) or yield the digest placeholder
 (decode_stub=True).
 
 ``build_evtx`` is the deterministic synthesizer for tests and gate
-queries — the analog of the reference's checked-in ``.evtx`` test
-resources (nifi-evtx-processors/src/test/resources/application-logs.evtx),
-which this sandbox must generate rather than ship.
+queries, emitting real CRC32 checksums and the trailing in-progress
+chunk. Conformance is pinned on the reference's own checked-in
+application-logs.evtx: the walker reproduces ParseEvtx's EXACT
+lifecycle numbers — bad chunks {1 (data-checksum), 2 (record stream
+breaks after 5 records)}, current chunk skipped, 960 records parsed,
+every record's BinXML decoding byte-faithfully (including the file's
+genuine 'TimeCrešted' corrupted name node) — see
+tests/test_codec_formats.py's env-gated sweep and evtx_chunk_status /
+parse_evtx_chunks for the BAD_CHUNK relationship analog.
 """
 
 from __future__ import annotations
@@ -91,9 +97,12 @@ def _filetime_to_us(ft: int) -> int:
 
 def build_evtx(records: list[tuple[int, int, object]]) -> bytes:
     """Pack (record_id, unix_micros, payload) rows into a spec-shaped
-    EVTX blob: real magics, sizes, chunking and FILETIME encoding;
-    checksums left zero (the parser does not verify them).
-    Deterministic — same records, same bytes.
+    EVTX blob: real magics, sizes, chunking, FILETIME encoding, VALID
+    CRC32 checksums (file-header, chunk-header, chunk-data — the same
+    ranges the reference's FileHeader/ChunkHeader constructors verify),
+    and a trailing empty "current" chunk (real logs always carry the
+    in-progress chunk; readers skip it — FileHeader.java:146
+    ``count < chunkCount``). Deterministic — same records, same bytes.
 
     ``payload`` is either raw bytes, or a CALLABLE
     ``f(chunk_relative_base, registry) -> bytes`` — the hook the
@@ -104,24 +113,34 @@ def build_evtx(records: list[tuple[int, int, object]]) -> bytes:
     chunk-resident layout real EVTX writers produce). The registry is
     reset at chunk boundaries and the overflowing record re-encoded
     fresh, since back-references never cross chunks."""
+    import zlib as _z
     chunks: list[bytes] = []
     buf = b""
     first_id = last_id = None
+    last_rec_off = CHUNK_HEADER_SIZE
     meta: list[tuple[int, int]] = []  # (first_record_id, last_record_id)
     registry: dict = {}
 
+    def _chunk_bytes(first, last, data: bytes, last_off: int) -> bytes:
+        hdr = (CHUNK_MAGIC
+               + struct.pack("<QQQQ", first, last, first, last)
+               + struct.pack("<III", 128, last_off,
+                             CHUNK_HEADER_SIZE + len(data)))
+        hdr += struct.pack("<I", _z.crc32(data) & 0xFFFFFFFF)
+        chunk = bytearray(hdr.ljust(CHUNK_HEADER_SIZE, b"\x00") + data)
+        struct.pack_into("<I", chunk, 124,
+                         _z.crc32(bytes(chunk[:120])
+                                  + bytes(chunk[128:512])) & 0xFFFFFFFF)
+        return bytes(chunk).ljust(CHUNK_SIZE, b"\x00")
+
     def flush():
-        nonlocal buf, first_id, last_id, registry
+        nonlocal buf, first_id, last_id, registry, last_rec_off
         if first_id is None:
             return
-        hdr = (CHUNK_MAGIC
-               + struct.pack("<QQQQ", first_id, last_id, first_id, last_id)
-               + struct.pack("<III", 128, CHUNK_HEADER_SIZE,
-                             CHUNK_HEADER_SIZE + len(buf)))
-        chunk = hdr.ljust(CHUNK_HEADER_SIZE, b"\x00") + buf
-        chunks.append(chunk.ljust(CHUNK_SIZE, b"\x00"))
+        chunks.append(_chunk_bytes(first_id, last_id, buf, last_rec_off))
         meta.append((first_id, last_id))
         buf, first_id, last_id, registry = b"", None, None, {}
+        last_rec_off = CHUNK_HEADER_SIZE
 
     def encode(payload, base):
         return payload(base, registry) if callable(payload) else payload
@@ -136,45 +155,118 @@ def build_evtx(records: list[tuple[int, int, object]]) -> bytes:
             flush()
             data = encode(payload, CHUNK_HEADER_SIZE + RECORD_HEADER_SIZE)
             rec_size = RECORD_OVERHEAD + len(data)
+        last_rec_off = CHUNK_HEADER_SIZE + len(buf)
         buf += (RECORD_MAGIC
                 + struct.pack("<IQQ", rec_size, rid, _us_to_filetime(us))
                 + data + struct.pack("<I", rec_size))
         first_id = rid if first_id is None else first_id
         last_id = rid
     flush()
+    # the empty in-progress chunk readers skip (first=last=next id)
+    nid = (meta[-1][1] + 1) if meta else 0
+    chunks.append(_chunk_bytes(nid, nid, b"", CHUNK_HEADER_SIZE))
 
-    header = (FILE_MAGIC
-              + struct.pack("<QQQ", 0, len(chunks) - 1,
-                            (meta[-1][1] + 1) if meta else 0)
-              + struct.pack("<IHHHH", 128, 1, 3, FILE_HEADER_SIZE,
-                            len(chunks)))
-    return header.ljust(FILE_HEADER_SIZE, b"\x00") + b"".join(chunks)
+    header = bytearray(
+        (FILE_MAGIC
+         + struct.pack("<QQQ", 0, len(chunks) - 1, nid)
+         + struct.pack("<IHHHH", 128, 1, 3, FILE_HEADER_SIZE,
+                       len(chunks))).ljust(FILE_HEADER_SIZE, b"\x00"))
+    struct.pack_into("<I", header, 124,
+                     _z.crc32(bytes(header[:120])) & 0xFFFFFFFF)
+    return bytes(header) + b"".join(chunks)
+
+
+def evtx_chunk_status(blob: bytes) -> list[dict]:
+    """Per-chunk validation verdicts with the reference's exact
+    semantics (ParseEvtx.java processing loop + ChunkHeader.java
+    constructor): chunks are numbered 1-based, the trailing current
+    chunk (count == chunkCount) is never processed, a chunk whose
+    header fails (magic / header CRC32 over [0,120)∪[128,512) /
+    data CRC32 over [512, nextRecordOffset)) is 'bad_header' with zero
+    records, and a chunk whose record stream breaks mid-iteration
+    (bad record magic, size bounds, or trailing size copy) is
+    'bad_records' — with the records BEFORE the break still emitted,
+    exactly like the reference's 960-record behavior on its own
+    application-logs.evtx test file."""
+    import zlib as _z
+    if blob[:8] != FILE_MAGIC:
+        raise ValueError("not an EVTX file (bad magic)")
+    if struct.unpack_from("<I", blob, 124)[0] != \
+            _z.crc32(blob[:120]) & 0xFFFFFFFF:
+        raise ValueError("bad file-header checksum")
+    n_chunks = struct.unpack_from("<H", blob, 42)[0]
+    out = []
+    for count in range(1, n_chunks):          # skip the current chunk
+        base = FILE_HEADER_SIZE + (count - 1) * CHUNK_SIZE
+        chunk = blob[base:base + CHUNK_SIZE]
+        st = {"chunk": count, "status": "ok", "n_records": 0}
+        out.append(st)
+        if chunk[:8] != CHUNK_MAGIC or \
+                struct.unpack_from("<I", chunk, 124)[0] != \
+                _z.crc32(chunk[:120] + chunk[128:512]) & 0xFFFFFFFF:
+            st["status"] = "bad_header"
+            continue
+        next_rec, data_crc = struct.unpack_from("<II", chunk, 48)
+        if next_rec > CHUNK_SIZE or \
+                _z.crc32(chunk[CHUNK_HEADER_SIZE:next_rec]) \
+                & 0xFFFFFFFF != data_crc:
+            st["status"] = "bad_header"
+            continue
+        off = CHUNK_HEADER_SIZE
+        while off < next_rec:
+            if chunk[off:off + 4] != RECORD_MAGIC:
+                st["status"] = "bad_records"
+                break
+            size = struct.unpack_from("<I", chunk, off + 4)[0]
+            if (size < RECORD_OVERHEAD or off + size > next_rec
+                    or struct.unpack_from("<I", chunk,
+                                          off + size - 4)[0] != size):
+                st["status"] = "bad_records"
+                break
+            st["n_records"] += 1
+            off += size
+    return out
 
 
 def _walk_records(blob: bytes):
     """Yield (chunk_index, record_id, filetime, payload, chunk_bytes,
-    chunk_relative_payload_offset) from a blob; raises ValueError on a
-    bad file magic (caller routes to quarantine). The chunk context
-    lets the decoder resolve chunk-resident name/template
-    back-references."""
+    chunk_relative_payload_offset) with the reference's exact record
+    iteration (see evtx_chunk_status): bad-header chunks contribute
+    nothing, a broken record stream keeps its records before the
+    break, the current chunk is skipped, chunk_index is the 1-based
+    reference chunk number. Raises ValueError on a bad file magic or
+    file-header checksum (caller routes to quarantine)."""
+    import zlib as _z
     if blob[:8] != FILE_MAGIC:
         raise ValueError("not an EVTX file (bad magic)")
+    if struct.unpack_from("<I", blob, 124)[0] != \
+            _z.crc32(blob[:120]) & 0xFFFFFFFF:
+        raise ValueError("bad file-header checksum")
     n_chunks = struct.unpack_from("<H", blob, 42)[0]
-    for ci in range(n_chunks):
-        base = FILE_HEADER_SIZE + ci * CHUNK_SIZE
-        if blob[base:base + 8] != CHUNK_MAGIC:
-            break
+    for count in range(1, n_chunks):
+        base = FILE_HEADER_SIZE + (count - 1) * CHUNK_SIZE
         chunk = blob[base:base + CHUNK_SIZE]
-        off = base + CHUNK_HEADER_SIZE
-        end = base + CHUNK_SIZE
-        while off + RECORD_OVERHEAD <= end \
-                and blob[off:off + 4] == RECORD_MAGIC:
-            size, rid, ft = struct.unpack_from("<IQQ", blob, off + 4)
-            if size < RECORD_OVERHEAD or off + size > end:
+        if chunk[:8] != CHUNK_MAGIC or \
+                struct.unpack_from("<I", chunk, 124)[0] != \
+                _z.crc32(chunk[:120] + chunk[128:512]) & 0xFFFFFFFF:
+            continue
+        next_rec, data_crc = struct.unpack_from("<II", chunk, 48)
+        if next_rec > CHUNK_SIZE or \
+                _z.crc32(chunk[CHUNK_HEADER_SIZE:next_rec]) \
+                & 0xFFFFFFFF != data_crc:
+            continue
+        off = CHUNK_HEADER_SIZE
+        while off < next_rec:
+            if chunk[off:off + 4] != RECORD_MAGIC:
                 break
-            yield (ci, rid, ft,
-                   blob[off + RECORD_HEADER_SIZE:off + size - 4],
-                   chunk, off + RECORD_HEADER_SIZE - base)
+            size, rid, ft = struct.unpack_from("<IQQ", chunk, off + 4)
+            if (size < RECORD_OVERHEAD or off + size > next_rec
+                    or struct.unpack_from("<I", chunk,
+                                          off + size - 4)[0] != size):
+                break
+            yield (count, rid, ft,
+                   chunk[off + RECORD_HEADER_SIZE:off + size - 4],
+                   chunk, off + RECORD_HEADER_SIZE)
             off += size
 
 
@@ -380,10 +472,12 @@ class _BinXmlReader:
         return self.buf[self.pos] if self.pos < len(self.buf) else _TOK_EOF
 
     def _name_at(self, off: int) -> str:
-        """Parse name data (hash u16, nchars u16, utf-16 chars, nul) at
-        an arbitrary offset without moving the cursor."""
-        nchars = struct.unpack_from("<H", self.buf, off + 2)[0]
-        return self.buf[off + 4:off + 4 + nchars * 2].decode("utf-16-le")
+        """Parse a NameStringNode (next-string offset u32, hash u16,
+        nchars u16, utf-16 chars, nul — the real chunk string-table
+        entry layout) at an arbitrary offset without moving the
+        cursor."""
+        nchars = struct.unpack_from("<H", self.buf, off + 6)[0]
+        return self.buf[off + 8:off + 8 + nchars * 2].decode("utf-16-le")
 
     # -- grammar ----------------------------------------------------------
     def name(self) -> str:
@@ -394,6 +488,8 @@ class _BinXmlReader:
                 raise BinXmlResidentRef(
                     f"name offset 0x{off:x} is chunk-resident")
             return self._name_at(off)
+        # inline: the full NameStringNode follows the offset field
+        self.take("<I")   # next-string offset (hash-bucket chain)
         self.take("<H")   # name hash (unverified, like the checksums)
         nchars = self.take("<H")
         s = self.raw(nchars * 2).decode("utf-16-le")
@@ -626,12 +722,14 @@ class _BinXmlWriter:
         if self.registry is not None and key in self.registry:
             self.out += struct.pack("<I", self.registry[key])
             return
-        # inline name: offset == position right after the offset field
+        # inline name: offset == position right after the offset field;
+        # the NameStringNode leads with its next-string chain offset
+        # (0 here — the bucket chains live in real writers' hash table)
         off = self.base + len(self.out) + 4
         self.out += struct.pack("<I", off)
         if self.registry is not None:
             self.registry[key] = off
-        self.out += struct.pack("<HH", 0, len(s))
+        self.out += struct.pack("<IHH", 0, 0, len(s))
         self.out += s.encode("utf-16-le") + b"\x00\x00"
 
     def _value_text(self, s: str, in_attr: bool = False):
@@ -891,3 +989,26 @@ def parse_evtx(df: DataFrame, content_col: str = "content",
                 "payload_len", "payload_md5", "xml"])
 
     return df.mapInPandas(run, schema=PARSED_SCHEMA)
+
+
+CHUNK_STATUS_SCHEMA = ("src_id long, chunk int, status string, "
+                       "n_records int")
+
+
+def parse_evtx_chunks(df: DataFrame, content_col: str = "content",
+                      id_col: str | None = None) -> DataFrame:
+    """One row per processed chunk with the reference's validation
+    verdicts (evtx_chunk_status) — the BAD_CHUNK relationship analog:
+    (src_id, chunk, status ok|bad_header|bad_records, n_records)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                src = int(r[id_col]) if id_col else -1
+                for st in evtx_chunk_status(bytes(r[content_col])):
+                    rows.append((src, st["chunk"], st["status"],
+                                 st["n_records"]))
+            yield pd.DataFrame(rows, columns=["src_id", "chunk",
+                                              "status", "n_records"])
+
+    return df.mapInPandas(run, schema=CHUNK_STATUS_SCHEMA)

@@ -3,6 +3,8 @@ and the ExecuteSQL surface."""
 
 from __future__ import annotations
 
+import os
+import struct
 import gzip
 import io
 import zipfile
@@ -860,3 +862,84 @@ def test_load_dictionary_reference_filters(spark):
     assert {r["abc"] for r in
             scan_attribute(df, "abc", dim2, "term").collect()} \
         == {"hello", "world"}
+
+
+REF_EVTX = ("/root/reference/nifi-nar-bundles/nifi-evtx-bundle/"
+            "nifi-evtx-processors/src/test/resources/application-logs.evtx")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_EVTX),
+                    reason="reference repo absent")
+def test_parse_evtx_reference_file_lifecycle_parity():
+    """The reference's ParseEvtxTest lifecycle numbers on its own
+    application-logs.evtx, reproduced exactly: bad chunks {1, 2}
+    (1-based, current chunk skipped), 960 records parsed — 5 from
+    chunk 2 before its record stream breaks — and every record's
+    BinXML decodes to well-formed Event XML."""
+    import xml.etree.ElementTree as ET
+    from nifi_spark.operators.evtx import (BinXmlResidentRef,
+                                           _walk_records,
+                                           decode_binxml,
+                                           decode_binxml_in_chunk,
+                                           evtx_chunk_status)
+    blob = open(REF_EVTX, "rb").read()
+    st = {s["chunk"]: (s["status"], s["n_records"])
+          for s in evtx_chunk_status(blob)}
+    assert st[1] == ("bad_header", 0)        # data checksum fails
+    assert st[2] == ("bad_records", 5)       # stream breaks after 5
+    assert all(st[c][0] == "ok" for c in range(3, 11))
+    assert len(st) == 10                     # current chunk skipped
+    n = 0
+    for ci, rid, ft, payload, chunk, poff in _walk_records(blob):
+        try:
+            xml = decode_binxml(payload)
+        except BinXmlResidentRef:
+            xml = decode_binxml_in_chunk(chunk, poff)
+        root = ET.fromstring(xml)
+        assert root.tag.endswith("Event")
+        # their validateFlowFiles: every Event has exactly 2 children
+        assert len(root) == 2, xml[:200]
+        n += 1
+    assert n == 960
+
+
+def test_parse_evtx_chunks_statuses(spark):
+    """Synthetic bad-chunk routing: corrupting one data byte flips that
+    chunk to bad_header (data CRC); garbling a record's trailing size
+    copy flips it to bad_records keeping the records before the
+    break."""
+    from nifi_spark.operators import build_evtx, parse_evtx_chunks
+    from nifi_spark.operators.evtx import CHUNK_HEADER_SIZE, CHUNK_SIZE
+
+    def recs(lo, hi):
+        return [(i, 1_700_000_000_000_000 + i, b"x" * 2000)
+                for i in range(lo, hi)]
+
+    # ~2030 bytes/record -> 32 records/chunk; 90 records = 3 chunks
+    blob = bytearray(build_evtx(recs(1, 91)))
+    # corrupt one payload byte in chunk 2 (data CRC now fails)
+    blob[4096 + CHUNK_SIZE + CHUNK_HEADER_SIZE + 100] ^= 0xFF
+    # break chunk 3's SECOND record: garble its magic, then re-patch
+    # both CRCs (the real file's broken chunk carries a VALID checksum
+    # over its garbage — the writer checksummed what it wrote)
+    import zlib
+    c3 = 4096 + 2 * CHUNK_SIZE
+    rec_size = struct.unpack_from("<I", blob, c3 + CHUNK_HEADER_SIZE + 4)[0]
+    blob[c3 + CHUNK_HEADER_SIZE + rec_size] ^= 0xFF
+    next_rec = struct.unpack_from("<I", blob, c3 + 48)[0]
+    struct.pack_into(
+        "<I", blob, c3 + 52,
+        zlib.crc32(bytes(blob[c3 + CHUNK_HEADER_SIZE:c3 + next_rec]))
+        & 0xFFFFFFFF)
+    struct.pack_into(
+        "<I", blob, c3 + 124,
+        zlib.crc32(bytes(blob[c3:c3 + 120])
+                   + bytes(blob[c3 + 128:c3 + 512])) & 0xFFFFFFFF)
+    df = spark.createDataFrame([(7, bytes(blob))],
+                               "src_id long, content binary")
+    rows = {(r["chunk"]): (r["status"], r["n_records"])
+            for r in parse_evtx_chunks(df, "content", "src_id").collect()}
+    n_per = struct.unpack_from("<Q", bytes(blob), 4096 + 16)[0]  # last id c1
+    assert rows[1] == ("ok", int(n_per))
+    assert rows[2] == ("bad_header", 0)
+    assert rows[3] == ("bad_records", 1)
