@@ -282,6 +282,131 @@ def parse_mp4_metadata(blob: bytes) -> list[tuple[str, str]]:
             ("MP4.DurationMs", str(tr.duration_ms()))]
 
 
+# MPEG-1/2 audio frame tables (public ISO 11172-3 / 13818-3 values)
+_MPEG_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+               0: (11025, 12000, 8000)}
+_MPEG_BR = {
+    (3, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (3, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MPEG_BR[(2, 3)] = _MPEG_BR[(2, 2)]
+_MPEG_BR[(0, 1)] = _MPEG_BR[(2, 1)]
+_MPEG_BR[(0, 2)] = _MPEG_BR[(0, 3)] = _MPEG_BR[(2, 2)]
+
+
+def _id3v1_text(raw: bytes) -> str:
+    return raw.split(b"\x00", 1)[0].decode("latin-1").strip()
+
+
+def parse_mp3_metadata(blob: bytes) -> list[tuple[str, str]]:
+    """MPEG audio frame header (version/layer/bitrate/sample-rate/
+    channel mode from the public ISO tables) + the ID3v1 tail tag
+    (TestExtractMediaMetadata.testMp3's 'Test Title' fixture), and the
+    ID3v2 header when present (version + syncsafe size; frames are the
+    declared boundary — the reference's Tika Mp3Parser reads the same
+    surface for this fixture via ID3v1)."""
+    out = [("Content-Type", "audio/mpeg")]
+    pos = 0
+    if blob[:3] == b"ID3":
+        size = ((blob[6] << 21) | (blob[7] << 14) | (blob[8] << 7)
+                | blob[9])
+        out.append(("MP3.ID3v2", f"2.{blob[3]}.{blob[4]}"))
+        pos = 10 + size
+    while pos + 4 <= len(blob) and not (
+            blob[pos] == 0xFF and blob[pos + 1] & 0xE0 == 0xE0):
+        pos += 1
+    if pos + 4 <= len(blob):
+        b1, b2, b3 = blob[pos + 1], blob[pos + 2], blob[pos + 3]
+        ver = (b1 >> 3) & 3                 # 3=MPEG1 2=MPEG2 0=MPEG2.5
+        layer = 4 - ((b1 >> 1) & 3)         # coded 3→Layer I … 1→III
+        br_idx, sr_idx = b2 >> 4, (b2 >> 2) & 3
+        if ver in _MPEG_RATES and 1 <= layer <= 3 and sr_idx < 3 \
+                and 0 < br_idx < 15:
+            out += [("MP3.Version",
+                     {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}[ver]),
+                    ("MP3.Layer", {1: "I", 2: "II", 3: "III"}[layer]),
+                    ("MP3.Bitrate",
+                     f"{_MPEG_BR[(ver, layer)][br_idx]} kbps"),
+                    ("MP3.SampleRate",
+                     str(_MPEG_RATES[ver][sr_idx])),
+                    ("MP3.Channels",
+                     "1" if (b3 >> 6) == 3 else "2")]
+    if len(blob) >= 128 and blob[-128:-125] == b"TAG":
+        tag = blob[-128:]
+        out += [("title", _id3v1_text(tag[3:33])),
+                ("artist", _id3v1_text(tag[33:63])),
+                ("album", _id3v1_text(tag[63:93])),
+                ("year", _id3v1_text(tag[93:97]))]
+        if tag[125] == 0 and tag[126] != 0:      # ID3v1.1 track marker
+            out += [("comment", _id3v1_text(tag[97:125])),
+                    ("track", str(tag[126]))]
+        else:
+            out.append(("comment", _id3v1_text(tag[97:127])))
+        out.append(("genre", str(tag[127])))
+    return out
+
+
+def parse_ogg_metadata(blob: bytes) -> list[tuple[str, str]]:
+    """Ogg page walk + Vorbis identification/comment headers (RFC 3533
+    framing; Vorbis I spec headers). The first page MUST be
+    beginning-of-stream (header type bit 0x02) — the reference's
+    corrupt fixture flips that and routes to failure, reproduced here
+    as a ValueError."""
+    packets: list[bytes] = []
+    cur = b""
+    pos, page_i = 0, 0
+    while pos + 27 <= len(blob) and len(packets) < 2:
+        if blob[pos:pos + 4] != b"OggS" or blob[pos + 4] != 0:
+            raise ValueError("bad Ogg page header")
+        htype = blob[pos + 5]
+        if page_i == 0 and not htype & 0x02:
+            raise ValueError("first Ogg page is not beginning-of-stream")
+        nsegs = blob[pos + 26]
+        lacing = blob[pos + 27:pos + 27 + nsegs]
+        body = pos + 27 + nsegs
+        for seg in lacing:
+            cur += blob[body:body + seg]
+            body += seg
+            if seg < 255:
+                packets.append(cur)
+                cur = b""
+        pos = body
+        page_i += 1
+    if not packets or packets[0][:7] != b"\x01vorbis":
+        raise ValueError("not a Vorbis stream")
+    ident = packets[0]
+    out = [("Content-Type", "audio/vorbis"),
+           ("OGG.Channels", str(ident[11])),
+           ("OGG.SampleRate",
+            str(struct.unpack_from("<I", ident, 12)[0]))]
+    if len(packets) > 1 and packets[1][:7] == b"\x03vorbis":
+        c = packets[1]
+        p = 7
+        vlen = struct.unpack_from("<I", c, p)[0]
+        p += 4
+        out.append(("OGG.Vendor", c[p:p + vlen].decode("utf-8",
+                                                       "replace")))
+        p += vlen
+        n = struct.unpack_from("<I", c, p)[0]
+        p += 4
+        for _ in range(n):
+            ln = struct.unpack_from("<I", c, p)[0]
+            p += 4
+            kv = c[p:p + ln].decode("utf-8", "replace")
+            p += ln
+            k, _, v = kv.partition("=")
+            out.append((f"OGG.{k}", v))
+    return out
+
+
 def extract_metadata_blob(blob: bytes) -> list[tuple[str, str]]:
     """Sniff the container and emit (key, value) pairs — the per-payload
     core that extract_media_metadata maps over Arrow batches."""
@@ -299,6 +424,10 @@ def extract_metadata_blob(blob: bytes) -> list[tuple[str, str]]:
     elif mime == "image/bmp":
         out += [("BMP.ImageWidth", str(int.from_bytes(blob[18:22], "little", signed=True))),
                 ("BMP.ImageHeight", str(abs(int.from_bytes(blob[22:26], "little", signed=True))))]
+    elif mime == "audio/mpeg":
+        out += parse_mp3_metadata(blob)
+    elif mime == "audio/ogg":
+        out += parse_ogg_metadata(blob)
     return out
 
 

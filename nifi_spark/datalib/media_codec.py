@@ -453,6 +453,11 @@ def sniff_media(blob: bytes) -> str:
         return "image/gif"
     if blob[:4] == b"\x00\x00\x01\x00":
         return "image/x-icon"
+    if blob[:3] == b"ID3" or (len(blob) > 1 and blob[0] == 0xFF
+                              and blob[1] & 0xE0 == 0xE0):
+        return "audio/mpeg"
+    if blob[:4] == b"OggS":
+        return "audio/ogg"
     return "application/octet-stream"
 
 

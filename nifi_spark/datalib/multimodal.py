@@ -475,7 +475,14 @@ def extract_media_metadata(df: DataFrame, key_prefix: str = "",
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                pairs = extract_metadata_blob(bytes(payload))
+                try:
+                    pairs = extract_metadata_blob(bytes(payload))
+                except ValueError as e:
+                    # FAILURE relationship analog: one `_error` pair,
+                    # no metadata keys (route on key == '_error')
+                    rows.append({"id": int(i), "key": "_error",
+                                 "value": str(e)})
+                    continue
                 if pat is not None:
                     pairs = [(k, v) for k, v in pairs if pat.search(k)]
                 if max_attrs is not None:

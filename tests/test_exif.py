@@ -202,3 +202,42 @@ class TestResize:
         got = resize_images(df, 3, 3).toPandas().set_index("id")
         assert got.loc[0, "payload"] is not None
         assert got.loc[1, "payload"] is None
+
+
+REF_MEDIA_RES = ("/root/reference/nifi-nar-bundles/nifi-media-bundle/"
+                 "nifi-media-processors/src/test/resources")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MEDIA_RES),
+                    reason="reference repo absent")
+def test_mp3_ogg_reference_fixture_parity(spark):
+    """TestExtractMediaMetadata's mp3/ogg cases on the reference's own
+    fixtures: audio/mpeg + title 'Test Title' (ID3v1), audio/vorbis
+    with the comment block, and the corrupt Ogg routing to failure."""
+    from nifi_spark.datalib.multimodal import extract_media_metadata
+    mp3 = open(os.path.join(REF_MEDIA_RES, "testMP3id3v1.mp3"),
+               "rb").read()
+    md = dict(exif.parse_mp3_metadata(mp3))
+    assert md["Content-Type"] == "audio/mpeg"
+    assert md["title"] == "Test Title" and md["artist"] == "Test Artist"
+    assert md["MP3.Version"] == "MPEG-1" and md["MP3.Layer"] == "III"
+    assert md["MP3.Bitrate"] == "128 kbps" and md["MP3.SampleRate"] == "44100"
+    ogg = open(os.path.join(REF_MEDIA_RES, "testVORBIS.ogg"),
+               "rb").read()
+    od = dict(exif.parse_ogg_metadata(ogg))
+    assert od["Content-Type"].startswith("audio/vorbis")
+    assert od["OGG.title"] == "Test Title"
+    assert (od["OGG.Channels"], od["OGG.SampleRate"]) == ("2", "44100")
+    # Spark path: corrupt fixture routes to the _error failure analog
+    bad = open(os.path.join(REF_MEDIA_RES, "testVORBIS-corrupt.ogg"),
+               "rb").read()
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(
+        [(0, bytearray(mp3)), (1, bytearray(bad))],
+        "id long, payload binary")
+    rows = extract_media_metadata(df, key_prefix="x.").collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["key"]] = r["value"]
+    assert by_id[0]["x.title"] == "Test Title"
+    assert "_error" in by_id[1] and len(by_id[1]) == 1

@@ -360,3 +360,10 @@ def test_reference_image_assets_all_decode():
     assert counts.get("image/bmp", 0) >= 1
     assert counts.get("image/gif", 0) >= 8
     assert counts.get("image/jpeg", 0) >= 3
+    # the media bundle's PCM fixture decodes too (44.1 kHz stereo)
+    wav = open(os.path.join(
+        REF_MEDIA, "nifi-media-processors/src/test/resources/"
+        "testWAV.wav"), "rb").read()
+    from nifi_spark.datalib.media_codec import decode_wav
+    rate, nch, samples = decode_wav(wav)
+    assert (rate, nch) == (44100, 2) and len(samples) == 1920
