@@ -428,6 +428,28 @@ def extract_metadata_blob(blob: bytes) -> list[tuple[str, str]]:
         out += parse_mp3_metadata(blob)
     elif mime == "audio/ogg":
         out += parse_ogg_metadata(blob)
+    elif mime == "image/gif":
+        # the surface ExtractImageMetadataTest asserts for its
+        # photoshop GIF fixture (header + first GCE extension)
+        w, h = struct.unpack_from("<HH", blob, 6)
+        flags = blob[10]
+        out += [("GIF.Version", blob[3:6].decode("ascii")),
+                ("GIF.ImageWidth", str(w)), ("GIF.ImageHeight", str(h)),
+                ("GIF.ColorTableSize", str(2 << (flags & 7))
+                 if flags & 0x80 else "0"),
+                ("GIF.HasGlobalColorTable",
+                 "true" if flags & 0x80 else "false"),
+                ("GIF.BitsPerPixel", str((flags & 7) + 1)),
+                ("GIF.IsColorTableSorted",
+                 "true" if flags & 0x08 else "false")]
+        # first Graphic Control Extension (0x21 0xF9 size=4 packed
+        # delay16 transparent-index terminator); scanned by pattern —
+        # XMP application extensions (photoshop writes them before the
+        # GCE) use raw-packet framing that defeats a sub-block walk
+        gce = blob.find(b"\x21\xf9\x04")
+        if gce != -1 and gce + 7 < len(blob) and blob[gce + 3] & 0x01:
+            out.append(("GIF.TransparentColorIndex",
+                        str(blob[gce + 6])))
     return out
 
 

@@ -241,3 +241,25 @@ def test_mp3_ogg_reference_fixture_parity(spark):
         by_id.setdefault(r["id"], {})[r["key"]] = r["value"]
     assert by_id[0]["x.title"] == "Test Title"
     assert "_error" in by_id[1] and len(by_id[1]) == 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_MEDIA_RES),
+                    reason="reference repo absent")
+def test_gif_metadata_reference_parity():
+    """ExtractImageMetadataTest's GIF assertions on its own photoshop
+    fixture: 8x12, 32-color sorted=false table, bpp 5, transparent
+    index 8, version 89a."""
+    d = dict(exif.extract_metadata_blob(open(os.path.join(
+        REF_MEDIA_RES, "photoshop-8x12-32colors-alpha.gif"),
+        "rb").read()))
+    assert d["GIF.ImageWidth"] == "8" and d["GIF.ImageHeight"] == "12"
+    assert d["GIF.ColorTableSize"] == "32"
+    assert d["GIF.HasGlobalColorTable"] == "true"
+    assert d["GIF.BitsPerPixel"] == "5"
+    assert d["GIF.IsColorTableSorted"] == "false"
+    assert d["GIF.TransparentColorIndex"] == "8"
+    assert d["GIF.Version"] == "89a"
+    p = dict(exif.extract_metadata_blob(open(os.path.join(
+        REF_MEDIA_RES, "mspaint-8x10.png"), "rb").read()))
+    # the filename lies; the reference asserts 8x12 too
+    assert p["PNG.ImageWidth"] == "8" and p["PNG.ImageHeight"] == "12"
