@@ -710,38 +710,98 @@ def parse_cef(df: DataFrame, content_col: str,
 
 
 MIME_MAGIC = [
+    # NiFi's own envelope formats first (custom-mimetypes.xml gives
+    # them top priority; flowfile-v1 = a tar whose first entry is
+    # "flowfile.attributes")
+    ("4E694669464633", "application/flowfile-v3"),   # "NiFiFF3"
+    ("666C6F7766696C652E61747472696275746573",
+     "application/flowfile-v1"),                      # "flowfile.attributes"
     ("89504E47", "image/png"), ("FFD8FF", "image/jpeg"),
     ("47494638", "image/gif"), ("25504446", "application/pdf"),
-    ("504B0304", "application/zip"), ("1F8B", "application/gzip"),
+    ("377ABCAF271C", "application/x-7z-compressed"),
+    ("1F8B", "application/gzip"),
     ("425A68", "application/x-bzip2"), ("424D", "image/bmp"),
+    ("3C3F786D6C", "application/xml"),                # "<?xml"
     ("494433", "audio/mpeg"), ("4F676753", "audio/ogg"),
     ("52494646", "audio/x-wav"),
-    # NiFi's own envelope + container formats (IdentifyMimeType reports
-    # these for site-to-site payloads and Avro datafiles)
-    ("4E694669464633", "application/flowfile-v3"),   # "NiFiFF3"
     ("4F626A01", "application/avro-binary"),          # "Obj\x01"
 ]
 
+#: Tika MimeType.getExtension() values for the detected types — the
+#: mime.extension attribute surface (TestIdentifyMimeType's matrix)
+MIME_EXTENSIONS = {
+    "application/x-7z-compressed": ".7z", "application/x-msaccess": ".mdb",
+    "text/plain": ".txt", "text/csv": ".csv",
+    "application/x-bzip2": ".bz2", "application/gzip": ".gz",
+    "application/zip": ".zip", "image/png": ".png",
+    "image/jpeg": ".jpg", "application/pdf": ".pdf",
+    "image/gif": ".gif", "application/x-tar": ".tar",
+    "application/java-archive": ".jar", "application/xml": ".xml",
+    "image/bmp": ".bmp", "audio/mpeg": ".mp3", "audio/ogg": ".ogg",
+    "audio/x-wav": ".wav",
+}
+
 
 def identify_mime_type(df: DataFrame, content_col: str,
-                       out_col: str = "mime_type") -> DataFrame:
+                       out_col: str = "mime_type",
+                       filename_col: str | None = None,
+                       extension_col: str | None = None) -> DataFrame:
     """Magic-byte content sniffing (IdentifyMimeType,
-    standard/IdentifyMimeType.java — which wraps Apache Tika; here the
-    common magic numbers as a hex-prefix when-chain over the first 8
-    bytes, one narrow projection). Fallback: text/plain when the head
-    looks like printable ASCII, else application/octet-stream."""
+    standard/IdentifyMimeType.java — which wraps Apache Tika with
+    NiFi's custom-mimetypes.xml; here the same rules as a when-chain,
+    one narrow projection). Beyond head prefixes: GNU/POSIX tar via
+    "ustar" at offset 257, Access via "Standard Jet DB" at offset 4,
+    jar as a zip carrying META-INF/MANIFEST.MF in the first KiB
+    (even-aligned hex match), and — like the reference, which passes
+    the flowfile filename to Tika as RESOURCE_NAME_KEY — an optional
+    `filename_col` hint that refines generic text to text/csv for
+    *.csv names. `extension_col` adds Tika's mime.extension surface
+    ('' for types Tika maps to none, e.g. the flowfile envelopes).
+    Fallback: text/plain for printable-ASCII heads, else
+    application/octet-stream. The reference's full TestIdentifyMimeType
+    17-file matrix replays verbatim in pytest."""
     c = F.col(content_col)
     if dict(df.dtypes)[content_col] != "binary":
         c = F.encode(c, "utf-8")
-    head = F.hex(F.substring(c, 1, 8))
-    expr = None
+    # 24-byte head: the longest prefix magic (flowfile.attributes, 19
+    # bytes) must fit; the flowfile checks outrank tar — a v1 envelope
+    # IS a tar whose first entry name is flowfile.attributes
+    head = F.hex(F.substring(c, 1, 24))
+    expr = F.when(
+        head.startswith(bytes("NiFiFF3", "ascii").hex().upper()),
+        "application/flowfile-v3").when(
+        head.startswith(
+            bytes("flowfile.attributes", "ascii").hex().upper()),
+        "application/flowfile-v1").when(
+        head.startswith("504B0304")
+        & F.hex(F.substring(c, 1, 1024)).rlike("^(?:..)*?" + bytes(
+            "META-INF/MANIFEST.MF", "ascii").hex().upper()),
+        "application/java-archive").when(
+        head.startswith("504B0304"), "application/zip").when(
+        F.hex(F.substring(c, 5, 15))
+        == bytes("Standard Jet DB", "ascii").hex().upper(),
+        "application/x-msaccess").when(
+        F.hex(F.substring(c, 258, 5))
+        == bytes("ustar", "ascii").hex().upper(), "application/x-tar")
     for magic, mime in MIME_MAGIC:
-        cond = head.startswith(magic)
-        expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
-    texty = F.substring(c, 1, 8).cast("string").rlike(r"^[\x09\x0A\x0D\x20-\x7E]*$")
-    return df.withColumn(out_col,
-                         expr.otherwise(F.when(texty, "text/plain")
-                                        .otherwise("application/octet-stream")))
+        expr = expr.when(head.startswith(magic), mime)
+    texty = F.substring(c, 1, 8).cast("string").rlike(
+        r"^[\x09\x0A\x0D\x20-\x7E]*$")
+    text_mime = F.lit("text/plain")
+    if filename_col is not None:
+        text_mime = F.when(F.lower(F.col(filename_col)).endswith(".csv"),
+                           "text/csv").otherwise("text/plain")
+    out = df.withColumn(out_col,
+                        expr.otherwise(F.when(texty, text_mime)
+                                       .otherwise(
+                                           "application/octet-stream")))
+    if extension_col is not None:
+        ext = None
+        for m, e in MIME_EXTENSIONS.items():
+            cond = F.col(out_col) == m
+            ext = F.when(cond, e) if ext is None else ext.when(cond, e)
+        out = out.withColumn(extension_col, ext.otherwise(""))
+    return out
 
 
 def split_xml(df: DataFrame, content_col: str, tag: str,

@@ -492,3 +492,46 @@ def test_validate_csv_cells_errors(spark):
         validate_csv_cells(df, "line", "Bogus()")
     with _pt.raises(ValueError, match="order_col"):
         validate_csv_cells(df, "line", "Unique()")
+
+
+REF_MIME_DIR = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+                "nifi-standard-processors/src/test/resources/"
+                "TestIdentifyMimeType")
+
+
+def test_identify_mime_reference_matrix(spark):
+    """TestIdentifyMimeType's full 17-file matrix (mime type AND
+    extension), replayed verbatim over the reference's own fixtures."""
+    import os as _os
+    import pytest as _pt
+    if not _os.path.isdir(REF_MIME_DIR):
+        _pt.skip("reference repo absent")
+    from nifi_spark.operators import identify_mime_type
+    expected = {
+        "1.7z": ("application/x-7z-compressed", ".7z"),
+        "1.mdb": ("application/x-msaccess", ".mdb"),
+        "1.txt": ("text/plain", ".txt"),
+        "1.csv": ("text/csv", ".csv"),
+        "1.txt.bz2": ("application/x-bzip2", ".bz2"),
+        "1.txt.gz": ("application/gzip", ".gz"),
+        "1.zip": ("application/zip", ".zip"),
+        "bgBannerFoot.png": ("image/png", ".png"),
+        "blueBtnBg.jpg": ("image/jpeg", ".jpg"),
+        "1.pdf": ("application/pdf", ".pdf"),
+        "grid.gif": ("image/gif", ".gif"),
+        "1.tar": ("application/x-tar", ".tar"),
+        "1.tar.gz": ("application/gzip", ".gz"),
+        "1.jar": ("application/java-archive", ".jar"),
+        "1.xml": ("application/xml", ".xml"),
+        "flowfilev3": ("application/flowfile-v3", ""),
+        "flowfilev1.tar": ("application/flowfile-v1", ""),
+    }
+    rows = [(name, bytearray(open(_os.path.join(REF_MIME_DIR, name),
+                                  "rb").read()))
+            for name in expected]
+    df = spark.createDataFrame(rows, "filename string, content binary")
+    got = {r["filename"]: (r["mime_type"], r["mime_ext"])
+           for r in identify_mime_type(
+               df, "content", filename_col="filename",
+               extension_col="mime_ext").collect()}
+    assert got == expected
