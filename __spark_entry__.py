@@ -7149,6 +7149,63 @@ def q_parse_evtx_bad_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("chunk", "status", "n_records"))
 
 
+_GATE_FLOW_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<flowController encoding-version="1.0">
+ <rootGroup><id>rg</id><name>gate live flow</name>
+  <processor><id>g1</id><name>gen</name>
+    <class>org.apache.nifi.processors.standard.GenerateFlowFile</class>
+  </processor>
+  <processor><id>r1</id><name>router</name>
+    <class>org.apache.nifi.processors.standard.RouteOnAttribute</class>
+    <property><name>Routing Strategy</name>
+      <value>Route to Property name</value></property>
+    <property><name>purchases</name>
+      <value>${event_type:equals('purchase')}</value></property>
+    <property><name>errors</name>
+      <value>${event_type:equals('error')}</value></property>
+  </processor>
+  <processGroup><id>pg1</id><name>sub</name>
+    <processor><id>u1</id><name>tagger</name>
+      <class>org.apache.nifi.processors.attributes.UpdateAttribute</class>
+      <property><name>tag</name><value>${event_id:mod(7)}</value></property>
+    </processor>
+  </processGroup>
+  <connection><sourceId>g1</sourceId><destinationId>r1</destinationId>
+    <relationship>success</relationship></connection>
+  <connection><sourceId>r1</sourceId><destinationId>u1</destinationId>
+    <relationship>purchases</relationship></connection>
+ </rootGroup>
+</flowController>"""
+
+
+def q_flow_xml_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NiFi's LIVE-flow serialization (conf/flow.xml — the document a
+    running instance persists; plans/template_loader.py parse_flow_xml
+    / load_flow_xml) compiled to the same Catalyst Flow the template
+    path produces: <processor><class>/<property> nodes, nested
+    <processGroup> recursion, <connection> sourceId/destinationId/
+    relationship — the restore-a-whole-NiFi-deployment migration path.
+    Both reference flow.xml[.gz] fixtures parse in pytest; the gate
+    chain routes events and tags inside a nested group, replayed in
+    SQL."""
+    from nifi_spark.plans import load_flow_xml
+    ev = _t(spark, sf_dir, "events")
+    flow = load_flow_xml(_GATE_FLOW_XML, sources={"gen": ev})
+    out = flow.run()
+    return (out["router.purchases"].agg(
+        F.lit("purchases").alias("route"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(None).cast("long").alias("min_tag"))
+        .unionByName(out["router.errors"].agg(
+            F.lit("errors").alias("route"),
+            F.count(F.lit(1)).alias("n"),
+            F.lit(None).cast("long").alias("min_tag")))
+        .unionByName(out["tagger.success"].agg(
+            F.lit("tagged").alias("route"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col("tag").cast("long")).alias("min_tag"))))
+
+
 def q_validate_csv_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ValidateCsv with the reference's Super CSV cell-processor DSL
     (standard/ValidateCsv.java:240-420; operators/content.py
@@ -7404,6 +7461,7 @@ _NEW_THIS_ROUND = [
     "el_escape_html",
     "graph_conn_components",
     "validate_csv_dsl",
+    "flow_xml_compile",
     "parse_evtx_bad_chunks",
     "dedup_incremental_batch",
     "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
@@ -7597,6 +7655,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_conn_components": q_graph_conn_components,
         "validate_csv_dsl": q_validate_csv_dsl,
+        "flow_xml_compile": q_flow_xml_compile,
         "parse_evtx_bad_chunks": q_parse_evtx_bad_chunks,
         "dedup_incremental_batch": q_dedup_incremental,
         "relevance_bm25_topk": q_relevance_bm25_topk,
@@ -9577,6 +9636,16 @@ SELECT chunk::INT AS chunk,
              ELSE least(32, (SELECT c FROM n) - 32 * (chunk - 1))
         END)::INT AS n_records
 FROM ch
+""",
+        "flow_xml_compile": """
+SELECT 'purchases' AS route, count(*) AS n, NULL::BIGINT AS min_tag
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'errors', count(*), NULL::BIGINT
+FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT 'tagged', count(*), min(event_id % 7)::BIGINT
+FROM events WHERE event_type = 'purchase'
 """,
         "validate_csv_dsl": """
 WITH rn AS (

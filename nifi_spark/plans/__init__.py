@@ -17,11 +17,12 @@ from nifi_spark.plans.scripted import (ScriptedProcessor, ScriptError,
                                        register_processor,
                                        registered_processor)
 from nifi_spark.plans.sqlexec import SqlEngine
-from nifi_spark.plans.template_loader import (TemplateError, load_template,
+from nifi_spark.plans.template_loader import (TemplateError, load_flow_xml,
+                                              load_template, parse_flow_xml,
                                               parse_template)
 
 __all__ = ["Flow", "FlowError", "ScriptError", "ScriptedProcessor",
            "SqlEngine", "TemplateError",
            "compile_script", "compile_script_properties",
-           "load_template", "parse_template",
+           "load_flow_xml", "load_template", "parse_flow_xml", "parse_template",
            "register_processor", "registered_processor"]

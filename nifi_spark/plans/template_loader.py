@@ -760,6 +760,83 @@ def load_template(xml_text: str, sources: dict[str, DataFrame],
     name (`"<proc name>"` or `"<proc name>.<relationship>"`).
     """
     procs, conns, tname = parse_template(xml_text)
+    return _assemble_flow(procs, conns, tname, sources, content_col,
+                          strict, dictionaries, script_resolver)
+
+
+def parse_flow_xml(src) -> tuple[list[TProcessor],
+                                 list[TConnection], str]:
+    """NiFi's LIVE-flow serialization (conf/flow.xml[.gz] — the
+    flowController document a running instance persists, distinct from
+    the template export format) → the same (processors, connections,
+    name) triple parse_template yields: <processor> nodes with
+    <class> + <property><name>/<value> children, <funnel>s,
+    <inputPort>/<outputPort>s, and <connection> nodes carrying
+    sourceId/destinationId/<relationship>s, recursing through nested
+    <processGroup>s. Accepts str, raw XML bytes, or gzip bytes."""
+    if isinstance(src, bytes):
+        if src[:2] == b"\x1f\x8b":
+            import gzip
+            src = gzip.decompress(src)
+        src = src.decode("utf-8")
+    root = ET.fromstring(src)
+    if root.tag != "flowController":
+        raise TemplateError(f"not a NiFi flow.xml (root <{root.tag}>)")
+    rg = root.find("rootGroup")
+    if rg is None:
+        raise TemplateError("flow.xml has no <rootGroup>")
+    name = (rg.findtext("name") or "flow").strip()
+    procs: list[TProcessor] = []
+    for p in rg.iter("processor"):
+        props = {}
+        for pr in p.findall("property"):
+            k, v = pr.findtext("name"), pr.findtext("value")
+            if k is not None and v is not None:
+                props[k] = v
+        full = (p.findtext("class") or "").strip()
+        procs.append(TProcessor(
+            pid=(p.findtext("id") or "").strip(),
+            name=(p.findtext("name") or "").strip(),
+            ptype=full.rsplit(".", 1)[-1],
+            properties=props))
+    for fu in rg.iter("funnel"):
+        procs.append(TProcessor(pid=(fu.findtext("id") or "").strip(),
+                                name="", ptype="FUNNEL"))
+    for tag in ("inputPort", "outputPort"):
+        for port in rg.iter(tag):
+            procs.append(TProcessor(
+                pid=(port.findtext("id") or "").strip(),
+                name=(port.findtext("name") or "").strip(),
+                ptype="PORT"))
+    conns: list[TConnection] = []
+    for c in rg.iter("connection"):
+        s = c.findtext("sourceId")
+        d = c.findtext("destinationId")
+        rels = [r.text.strip() for r in c.findall("relationship")
+                if r.text and r.text.strip()]
+        if s and d:
+            conns.append(TConnection(s.strip(), d.strip(), rels))
+    return procs, conns, name
+
+
+def load_flow_xml(src, sources: dict[str, DataFrame],
+                  content_col: str = "content",
+                  strict: bool = True,
+                  dictionaries: dict[str, DataFrame] | None = None,
+                  script_resolver=None) -> Flow:
+    """Compile a live-instance flow.xml / flow.xml.gz into a runnable
+    Flow — the restore-a-whole-NiFi-deployment path; same contract as
+    load_template."""
+    procs, conns, tname = parse_flow_xml(src)
+    return _assemble_flow(procs, conns, tname, sources, content_col,
+                          strict, dictionaries, script_resolver)
+
+
+def _assemble_flow(procs: list[TProcessor], conns: list[TConnection],
+                   tname: str, sources: dict[str, DataFrame],
+                   content_col: str, strict: bool,
+                   dictionaries: dict[str, DataFrame] | None,
+                   script_resolver) -> Flow:
     by_id = {pr.pid: pr for pr in procs}
 
     def stage_id(pr: TProcessor) -> str:

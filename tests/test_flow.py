@@ -579,3 +579,41 @@ def test_load_template_compress_bzip2_codec_name(spark):
     from nifi_spark.functions.snappy_codec import snappy_framed_decompress
     assert bz2.decompress(snappy_framed_decompress(blob)) == \
         ("payload " * 40).encode()
+
+
+def test_flow_xml_reference_fixtures_parse():
+    """Both reference conf-serialization fixtures (plain + gzip) parse
+    into the loader's processor/connection model."""
+    import os as _os
+    import pytest as _pt
+    from nifi_spark.plans import parse_flow_xml
+    plain = ("/root/reference/nifi-toolkit/nifi-toolkit-encrypt-config/"
+             "src/test/resources/flow.xml")
+    gz = ("/root/reference/nifi-nar-bundles/nifi-framework-bundle/"
+          "nifi-framework/nifi-file-authorizer/src/test/resources/"
+          "flow.xml.gz")
+    if not _os.path.exists(plain):
+        _pt.skip("reference repo absent")
+    procs, conns, name = parse_flow_xml(open(plain, "rb").read())
+    assert name == "NiFi Flow"
+    assert [(p.ptype, p.name) for p in procs] == [
+        ("EncryptContent", "Encrypt"), ("EncryptContent", "Decrypt")]
+    assert len(conns) == 1 and conns[0].relationships == ["success"]
+    assert procs[0].properties["Encryption Algorithm"] == "MD5_128AES"
+    procs2, _, _ = parse_flow_xml(open(gz, "rb").read())
+    assert {p.ptype for p in procs2} == {"UpdateAttribute", "PORT"}
+
+
+def test_load_flow_xml_runs_like_template(spark):
+    """A flowController document with a nested processGroup compiles
+    and runs: routing + EL-tagging inside the group."""
+    from nifi_spark.plans import load_flow_xml
+    import __spark_entry__ as E
+    ev = spark.createDataFrame(
+        [(i, "purchase" if i % 3 == 0 else "view") for i in range(30)],
+        "event_id long, event_type string")
+    flow = load_flow_xml(E._GATE_FLOW_XML, sources={"gen": ev})
+    out = flow.run()
+    assert out["router.purchases"].count() == 10
+    tags = {r["tag"] for r in out["tagger.success"].collect()}
+    assert tags == {i % 7 for i in range(0, 30, 3)}
