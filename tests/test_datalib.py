@@ -1382,3 +1382,44 @@ def test_dedup_incremental_classification(spark):
     assert out[12] == ("novel", -1)
     assert out[13] == ("exact_dup", 4)
     assert out[14] == ("novel", -1)
+
+
+def test_dedup_incremental_multi_batch_ingest(spark):
+    """The continuous-ingest loop: three daily drops classified against
+    a growing index; novel docs' index rows append after each batch.
+    An exact copy of a day-1 novel doc arriving on day 3 is caught."""
+    from nifi_spark.datalib import build_dedup_index, dedup_incremental
+    batches = [
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        [(10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+         (11, "totally new content in the second batch")],
+        [(20, "one two three four five six seven"),     # dup of 2
+         (21, "totally new content in the second batch"),  # dup of 11
+         (22, "never seen before text at day three")],
+    ]
+    index = build_dedup_index(
+        spark.createDataFrame([(0, "seed document completely unlike "
+                                   "anything else")],
+                              "doc_id long, text string"),
+        "doc_id", "text").localCheckpoint()
+    seen = {}
+    for day, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_incremental(df, index, "doc_id", "text")
+        seen.update({r["doc_id"]: (r["status"], r["matched_id"])
+                     for r in out.collect()})
+        novel_ids = [r["doc_id"] for r in out.collect()
+                     if r["status"] == "novel"]
+        novel = df.join(
+            spark.createDataFrame([(i,) for i in novel_ids] or
+                                  [(None,)], "doc_id long"),
+            "doc_id", "left_semi")
+        index = index.unionByName(
+            build_dedup_index(novel, "doc_id", "text")).localCheckpoint()
+    assert seen[1][0] == "novel" and seen[2][0] == "novel"
+    assert seen[10] == ("exact_dup", 1)
+    assert seen[11][0] == "novel"
+    assert seen[20] == ("exact_dup", 2)
+    assert seen[21] == ("exact_dup", 11)
+    assert seen[22][0] == "novel"

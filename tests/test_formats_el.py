@@ -185,3 +185,19 @@ def test_el_html_escape_family(spark):
     got = df2.select(
         EL.unescapeCsv(EL.escapeCsv("s")).alias("x")).first()[0]
     assert got == 'x,"y'
+
+
+def test_el_string_compiler_html_escape(spark):
+    """NiFi property strings reach the new escape family through the
+    ${...} compiler."""
+    from nifi_spark.functions.el_parser import compile_el
+    df = spark.createDataFrame([('<a href="x">5 &amp; 6</a>',)],
+                               "s string")
+    got = df.select(
+        compile_el("${s:escapeHtml4()}").alias("e"),
+        compile_el("${s:unescapeHtml4():escapeXml()}").alias("rt"),
+    ).first()
+    assert got["e"] == ("&lt;a href=&quot;x&quot;&gt;5 &amp;amp; 6"
+                        "&lt;/a&gt;")
+    assert got["rt"] == ("&lt;a href=&quot;x&quot;&gt;5 &amp; 6"
+                         "&lt;/a&gt;")
