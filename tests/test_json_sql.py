@@ -140,3 +140,66 @@ def test_roundtrip_generated_statements_reproduce_store_merge(spark):
     assert via_sql[["repo", "path", "commit", "lang", "content"]] \
         .reset_index(drop=True).equals(
             via_store[["repo", "path", "commit", "lang", "content"]])
+
+
+REF_JSON_DIR = ("/root/reference/nifi-nar-bundles/nifi-standard-bundle/"
+                "nifi-standard-processors/src/test/resources/"
+                "TestConvertJSONToSQL")
+
+
+def test_reference_person_fixtures_golden_parity():
+    """TestConvertJSONToSQL's person fixtures replayed verbatim: exact
+    statement text + typed sql.args for insert (plain and quoted),
+    update with key fallback, array fan-out, null-code typing, and the
+    malformed fixture routing to failure."""
+    import json as _json
+    import os as _os
+    import pytest as _pt
+    if not _os.path.isdir(REF_JSON_DIR):
+        _pt.skip("reference repo absent")
+    from nifi_spark.operators.json_sql import generate_sql_for_record
+    cols = [("ID", "integer"), ("NAME", "varchar"), ("CODE", "integer")]
+
+    def load(name):
+        return _json.loads(open(_os.path.join(REF_JSON_DIR, name),
+                                "rb").read())
+
+    p1 = load("person-1.json")
+    sql, attrs = generate_sql_for_record(p1, "PERSONS", cols)
+    assert sql == "INSERT INTO PERSONS (ID, NAME, CODE) VALUES (?, ?, ?)"
+    assert attrs["sql.args.1.type"] == "4" and attrs["sql.args.1.value"] == "1"
+    assert attrs["sql.args.2.type"] == "12" and attrs["sql.args.2.value"] == "Mark"
+    assert attrs["sql.args.3.type"] == "4" and attrs["sql.args.3.value"] == "48"
+    sql_q, _ = generate_sql_for_record(p1, "PERSONS", cols,
+                                       quoted_identifiers=True)
+    assert sql_q == ('INSERT INTO PERSONS ("ID", "NAME", "CODE") '
+                     "VALUES (?, ?, ?)")
+    sql_u, attrs_u = generate_sql_for_record(
+        p1, "PERSONS", cols, statement_type="UPDATE",
+        primary_keys=["ID"])
+    assert sql_u == "UPDATE PERSONS SET NAME = ?, CODE = ? WHERE ID = ?"
+    assert attrs_u["sql.args.1.value"] == "Mark"
+    assert attrs_u["sql.args.3.value"] == "1"
+    # null code: type present, value attribute absent
+    pn = load("person-with-null-code.json")
+    _, attrs_n = generate_sql_for_record(pn, "PERSONS", cols)
+    assert attrs_n["sql.args.3.type"] == "4"
+    assert "sql.args.3.value" not in attrs_n
+    # extra field ignored by default, fails when asked
+    pe = load("person-with-extra-field.json")
+    sql_e, _ = generate_sql_for_record(pe, "PERSONS", cols)
+    assert sql_e == "INSERT INTO PERSONS (ID, NAME, CODE) VALUES (?, ?, ?)"
+    with _pt.raises(ValueError):
+        generate_sql_for_record(pe, "PERSONS", cols,
+                                ignore_unmapped_fields=False)
+    # array fixture fans out record-per-element with the same statement
+    persons = load("persons.json")
+    assert isinstance(persons, list) and len(persons) > 1
+    for rec in persons:
+        s, _ = generate_sql_for_record(rec, "PERSONS", cols)
+        assert s == "INSERT INTO PERSONS (ID, NAME, CODE) VALUES (?, ?, ?)"
+    # the malformed fixture is not even JSON → failure route upstream
+    with _pt.raises(ValueError):
+        _json.loads(open(_os.path.join(
+            REF_JSON_DIR, "malformed-person-extra-comma.json"),
+            "rb").read())
