@@ -7418,82 +7418,90 @@ def q_warc_split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # front; update this set each round from CORRECTNESS_r{N}.json so the
 # sample keeps rotating onto unverified rows.
 _DRIVER_VERIFIED = frozenset({
-    "ann_topk_exact", "attributes_to_json", "bin_assign_bins",
+    "amqp_confirm_tx", "amqp_nack_redeliver", "ann_ivfpq_topk",
+    "ann_pq_adc_topk", "ann_pq_train_encode", "ann_topk_exact",
+    "attributes_to_json", "bin_assign_bins", "ccnet_ppl_buckets",
     "cdc_detect_duplicate", "cdc_lww_apply", "cdc_multi_watermark_slice",
     "cdc_pipeline_e2e", "cdc_watermark_slice", "codec_base64_hex",
     "codec_compress_roundtrip", "codec_multi_roundtrip",
+    "consume_amqp_landed", "consume_imap_landed",
+    "consume_kafka_wire_landed", "consume_mqtt_landed",
     "control_rate_batches", "convert_schema_map", "cosine_pairs",
-    "dedup_exact", "dedup_minhash_lsh_pairs", "dedup_minhash_signatures",
-    "dedup_ngram_jaccard", "dedup_simhash", "distribute_load_weighted",
-    "doc_fingerprint", "el_functions_extended", "el_math_date_b64",
-    "encrypt_roundtrip", "enforce_order_route", "events_hourly_rollup",
-    "execute_sql_flow_topn", "execute_sql_tpch_q10",
-    "execute_sql_tpch_q11", "execute_sql_tpch_q12",
-    "execute_sql_tpch_q13", "execute_sql_tpch_q14",
-    "execute_sql_tpch_q15", "execute_sql_tpch_q16",
-    "execute_sql_tpch_q17", "execute_sql_tpch_q18",
-    "execute_sql_tpch_q19", "execute_sql_tpch_q2",
-    "execute_sql_tpch_q20", "execute_sql_tpch_q21",
+    "cql_compressed_frames", "curate_temperature_mix", "dedup_exact",
+    "dedup_incremental_batch", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures", "dedup_ngram_jaccard", "dedup_pq_codes",
+    "dedup_semantic", "dedup_simhash", "distribute_load_weighted",
+    "doc_fingerprint", "el_escape_html", "el_functions_extended",
+    "el_math_date_b64", "encrypt_openssl_pbe", "encrypt_roundtrip",
+    "enforce_order_route", "events_hourly_rollup", "execute_sql_flow_topn",
+    "execute_sql_tpch_q10", "execute_sql_tpch_q11", "execute_sql_tpch_q13",
+    "execute_sql_tpch_q14", "execute_sql_tpch_q15", "execute_sql_tpch_q16",
+    "execute_sql_tpch_q17", "execute_sql_tpch_q18", "execute_sql_tpch_q19",
+    "execute_sql_tpch_q2", "execute_sql_tpch_q20", "execute_sql_tpch_q21",
     "execute_sql_tpch_q22", "execute_sql_tpch_q4", "execute_sql_tpch_q6",
     "execute_sql_tpch_q7", "execute_sql_tpch_q8", "execute_sql_tpch_q9",
-    "extract_replace_text", "format_convert_orc", "hash_content",
-    "identify_mime", "json_path_extract", "lineage_batch_rows",
-    "lsh_ann_topk", "modify_bytes_trim", "multimodal_features",
-    "parse_cef_route", "parse_evtx_records", "parse_syslog_route",
-    "prioritized_batch", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_nation_revenue", "replace_with_mapping", "reshape_json_shift",
-    "route_on_attribute", "route_on_content", "route_text_lines",
+    "extract_replace_text", "flow_xml_compile", "format_convert_orc",
+    "ftp_sftp_transfer", "get_jms_landed", "graph_conn_components",
+    "hash_content", "hl7_route_extract", "identify_mime",
+    "imap_idle_structs", "json_path_extract", "lineage_batch_rows",
+    "listen_http_landed", "listen_lumberjack_landed", "listen_relp_landed",
+    "listen_smtp_landed", "listen_syslog_landed", "listen_websocket_landed",
+    "llm_mixture_pipeline", "lm_ngram_backoff", "lsh_ann_topk",
+    "media_decode_gif_stats", "media_gif_animation", "media_gif_quantize",
+    "modify_bytes_trim", "multimodal_features", "parse_cef_route",
+    "parse_evtx_bad_chunks", "parse_evtx_records", "parse_syslog_route",
+    "prioritized_batch", "put_syslog_roundtrip", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "replace_with_mapping",
+    "reshape_json_shift", "route_on_attribute", "route_on_content",
+    "route_text_lines", "s2s_http_roundtrip", "s2s_roundtrip",
     "salted_hot_key_agg", "scan_attribute_route", "scan_content",
-    "scan_content_bytes", "split_content_binary",
-    "split_defragment_roundtrip", "split_json_fragments",
-    "stream_cdc_e2e", "text_lang_id", "text_quality_score",
-    "text_token_stats", "transform_xml_roundtrip", "unpack_zip_entries",
-    "update_attributes_el", "update_rules_engine", "user_sessionization",
-    "validate_csv_route", "validate_xml_route", "xml_split_extract",
-    "xquery_extract",
+    "scan_content_automaton", "scan_content_bytes",
+    "scripted_processor_flow", "sketch_bloom_bits", "snmp_get_walk",
+    "snmp_v3_usm", "split_content_binary", "split_defragment_roundtrip",
+    "split_json_fragments", "stream_cdc_e2e", "stream_listen_rollup",
+    "template_flow_route_jolt", "text_lang_id", "text_quality_score",
+    "text_token_stats", "tnef_extract", "transform_xml_roundtrip",
+    "unigram_encode_tokens", "unigram_train_vocab", "unpack_zip_entries",
+    "update_attributes_el", "update_rules_engine", "validate_csv_dsl",
+    "validate_csv_route", "validate_xml_route", "wordpiece_train_merges",
+    "xml_split_extract", "xquery_extract",
 })
 
 
-# operators added THIS round, fronted so the driver's 50-row sample
-# externally verifies the newest work first (then the never-verified
-# backlog in base order, then previously-verified rows)
+# Rows the driver's 50-row sample should verify FIRST this round: new r5
+# operators, then the two rows whose ONLY driver record is a FAIL (both
+# fixed in r2/r3 but never re-sampled — the external record must re-prove
+# them), then the highest-risk never-verified backlog (streaming, media/
+# EVTX/XSLT, merge-on-read, dedup/ANN internals).  Remaining never-verified
+# rows follow in base order; previously-verified rows go last.
 _NEW_THIS_ROUND = [
-    "el_escape_html",
-    "graph_conn_components",
-    "validate_csv_dsl",
-    "flow_xml_compile",
-    "parse_evtx_bad_chunks",
-    "dedup_incremental_batch",
-    "ftp_sftp_transfer", "imap_idle_structs", "amqp_confirm_tx",
-    "media_gif_quantize", "ann_pq_train_encode", "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    "cql_compressed_frames", "amqp_nack_redeliver",
-    "template_flow_route_jolt", "curate_temperature_mix",
-    "encrypt_openssl_pbe", "stream_listen_rollup",
-    "scan_content_automaton", "dedup_pq_codes",
-    "llm_mixture_pipeline",
-    "unigram_encode_tokens", "unigram_train_vocab",
-    "ccnet_ppl_buckets", "sketch_bloom_bits", "media_gif_animation",
-    "listen_syslog_landed", "scripted_processor_flow",
-    "hl7_route_extract", "s2s_roundtrip", "dedup_semantic",
-    "lm_ngram_backoff", "listen_smtp_landed", "media_decode_gif_stats",
-    "tnef_extract", "listen_http_landed", "listen_websocket_landed",
-    "listen_relp_landed", "listen_lumberjack_landed",
-    "consume_mqtt_landed", "consume_imap_landed", "snmp_get_walk",
-    "consume_amqp_landed", "wordpiece_train_merges", "snmp_v3_usm",
-    "put_syslog_roundtrip", "s2s_http_roundtrip",
-    "get_jms_landed", "consume_kafka_wire_landed", "webhdfs_list_fetch",
-    "snmp_v3_priv", "get_mongo_landed", "query_cassandra_landed",
-    "get_sqs_landed", "get_solr_incremental", "get_eventhub_landed",
-    "text_gopher_rules", "elasticsearch_query_scroll",
-    "s2s_provenance_report", "s3_list_fetch", "ambari_metrics_report",
-    "map_cache_wire", "get_splunk_incremental", "get_hbase_incremental",
-    "put_riemann_events", "couchbase_ignite_kv", "put_slack_route",
-    "get_twitter_filtered", "yandex_translate_route",
-    "consume_winevt_landed", "s2s_spark_receiver",
-    "dynamodb_batch_ops", "kinesis_put_records",
-    "lambda_cloudwatch_route", "hadoop_seqfile_roundtrip",
-    "http_web_service", "debug_flow_cycle",
+    # --- must re-prove: only driver row ever was a hash FAIL (since fixed)
+    "execute_sql_tpch_q12", "user_sessionization",
+    # --- streaming family (never driver-verified)
+    "stream_sessionize", "stream_hourly_rollup", "stream_dedup",
+    "stream_detect_duplicate", "stream_interval_join",
+    # --- storage maintenance
+    "cdc_merge_on_read", "cdc_rebucket_maintenance",
+    # --- media / EVTX / XSLT / XQuery
+    "parse_evtx_binxml", "parse_evtx_tokens", "parse_evtx_chunkref",
+    "parse_evtx_embedded", "transform_xml_xslt", "transform_xml_key_number",
+    "transform_xml_format_number", "transform_xml_analyze_string",
+    "xquery_flwor", "xquery_prolog_nested", "xquery_external_vars",
+    "media_decode_image_stats", "media_decode_audio_stats",
+    "media_decode_jpeg_stats", "media_frame_sample_mp4",
+    "media_extract_metadata", "media_resize_image",
+    "multimodal_frame_sample",
+    # --- dedup / ANN internals
+    "dedup_near_clusters", "dedup_exact_substring",
+    "dedup_exact_substring_cut", "curate_contam_spans",
+    "dedup_ngram_verify_lsh", "dedup_paragraphs", "embedding_near_dup",
+    "ann_lsh_int8_rerank", "ivf_ann_topk", "bpe_train_merges",
+    "bpe_encode_tokens", "quantize_embeddings", "ann_topk_int8",
+    # --- remaining high-value singles
+    "avro_container_roundtrip", "avro_metadata_extract",
+    "format_convert_avro", "flowfile_pack_roundtrip",
+    "convert_json_to_sql", "invoke_http_route", "warc_corpus_pipeline",
+    "curate_pipeline_e2e", "reshape_json_chain", "template_flow",
 ]
 
 
@@ -9232,7 +9240,7 @@ GROUP BY bin
 """,
         "sketch_count_min": """
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                             x -> x <> '')) AS tok
   FROM documents),
 cells AS (
@@ -9256,7 +9264,7 @@ SELECT word, bit_or(mask)::BIGINT AS bits FROM cells GROUP BY word
 """,
         "sketch_hll_registers": """
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                             x -> x <> '')) AS tok
   FROM documents),
 h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
@@ -9270,7 +9278,7 @@ SELECT bucket, max(rho)::INT AS rho FROM r GROUP BY bucket
 """,
         "text_heavy_hitters": """
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
                             x -> x <> '')) AS tok
   FROM documents),
 c AS (SELECT tok AS value, count(*)::BIGINT AS n FROM toks GROUP BY tok)
@@ -9535,7 +9543,7 @@ docs AS (
 u AS (SELECT url, min(doc_id) AS doc_id FROM docs GROUP BY url),
 kept AS (SELECT u.doc_id, u.url, d.text FROM u JOIN docs d USING (doc_id)),
 toks AS (
-  SELECT *, len(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT *, len(list_filter(string_split_regex(lower(text), '\\s+'),
                             x -> x <> ''))::INT AS n_tokens
   FROM kept),
 flt AS (SELECT * FROM toks WHERE n_tokens >= 23),
@@ -9648,16 +9656,19 @@ SELECT 'tagged', count(*), min(event_id % 7)::BIGINT
 FROM events WHERE event_type = 'purchase'
 """,
         "validate_csv_dsl": """
-WITH rn AS (
-  SELECT event_id, event_type,
-         row_number() OVER (PARTITION BY event_id % 997
-                            ORDER BY event_id) AS r
-  FROM events)
-SELECT event_id,
-       (event_id % 7 <> 0
-        AND event_type IN ('click', 'view', 'purchase')
-        AND event_id % 5 <> 1
-        AND r = 1) AS is_valid
+WITH pre AS (
+  SELECT event_id,
+         (event_id % 7 <> 0
+          AND event_type IN ('click', 'view', 'purchase')
+          AND event_id % 5 <> 1) AS pre_ok
+  FROM events),
+rn AS (
+  SELECT event_id, pre_ok,
+         sum(CASE WHEN pre_ok THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_id % 997 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pre)
+SELECT event_id, (pre_ok AND cum = 1) AS is_valid
 FROM rn
 """,
         "graph_conn_components": """
@@ -9802,11 +9813,11 @@ SELECT doc_id,
        trim(regexp_replace(
             nfc_normalize(regexp_replace(text,
                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
-            '\s+', ' ', 'g')) AS text_norm,
+            '\\s+', ' ', 'g')) AS text_norm,
        length(trim(regexp_replace(
             nfc_normalize(regexp_replace(text,
                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
-            '\s+', ' ', 'g'))) AS n_chars_norm
+            '\\s+', ' ', 'g'))) AS n_chars_norm
 FROM raw
 """,
         "curate_token_budget": """

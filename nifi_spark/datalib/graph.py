@@ -93,7 +93,18 @@ def connected_components(edges: DataFrame, src_col: str = "src",
       and hi itself onto m = min(N(hi) ∪ {hi}).
 
     Both preserve connectivity and map stars to themselves; convergence
-    is detected by (count, checksum) of the canonical edge set."""
+    is detected by (count, checksum) of the canonical edge set.
+
+    Per-round action budget (the local-overhead item from the r4 review):
+    ONE localCheckpoint per round — large-star and small-star are fused
+    into a single lineage chain; the large-star intermediate feeds both
+    the small-star min-agg and its join-back through the SAME
+    hash-partition(hi) exchange, so ReuseExchange computes it once. The
+    convergence signature is probed only every 2nd round once past a
+    ceil(log2(n_nodes)) warm-up (star contraction needs ~log2(n) rounds
+    on the worst topology, so earlier probes almost never fire), and the
+    probe scans the already-materialized checkpoint — ~0.5 actions/round
+    amortized instead of the previous 3."""
     raw = edges.select(F.col(src_col).cast("long").alias("a"),
                        F.col(dst_col).cast("long").alias("b"))
     nodes = (raw.select(F.col("a").alias("node"))
@@ -113,34 +124,42 @@ def connected_components(edges: DataFrame, src_col: str = "src",
                        F.lit(0).cast("decimal(38,0)")).alias("h")).first()
         return (row["n"], row["h"])
 
-    sig = _signature(E)
-    for _ in range(max_iters):
+    n_nodes = nodes.count()
+    warmup = max(int(n_nodes - 1).bit_length() - 1, 0)  # ~ceil(log2 n)
+    sig = None
+    for rnd in range(max_iters):
         # large-star over the symmetric neighborhood
         sym = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")) \
                .unionAll(E.select(F.col("lo").alias("u"),
                                   F.col("hi").alias("v")))
         mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
                 .select("u", F.least("mv", "u").alias("m")))
-        # no distinct here: duplicate edges are ≤2× (both directions)
-        # and small-star's min-agg + distinct collapse them — one fewer
-        # exchange per round
-        E = (sym.join(mins, "u")
+        # no distinct on the large-star output: a (v, m) edge can be
+        # emitted once per center u that has v as a larger neighbor and
+        # shares the same neighborhood minimum — O(fan-in) duplication
+        # on hub-heavy graphs, NOT bounded by 2. Correctness is safe
+        # (small-star's min-agg + distinct collapse them); the trade is
+        # one fewer exchange per round vs a fatter intermediate, which
+        # profiling on the near-dup graphs has so far favored.
+        L = (sym.join(mins, "u")
              .filter(F.col("v") > F.col("u"))
-             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-             .localCheckpoint())
+             .select(F.col("v").alias("hi"), F.col("m").alias("lo")))
         # small-star over the (hi, lo) orientation — join-back, never a
-        # per-node collect (viral hubs stay row-shaped)
-        sm = E.groupBy("hi").agg(F.min("lo").alias("m"))
-        hang_lo = (E.join(sm, "hi")
+        # per-node collect (viral hubs stay row-shaped). Both branches
+        # partition L by hi → one reused exchange, and the whole round
+        # materializes in the single localCheckpoint below.
+        sm = L.groupBy("hi").agg(F.min("lo").alias("m"))
+        hang_lo = (L.join(sm, "hi")
                    .filter(F.col("lo") != F.col("m"))
                    .select(F.col("lo").alias("hi"), F.col("m").alias("lo")))
         hang_hi = sm.select("hi", F.col("m").alias("lo"))
         E = (hang_lo.unionAll(hang_hi)
              .distinct().localCheckpoint())
-        new_sig = _signature(E)
-        if new_sig == sig:
-            break
-        sig = new_sig
+        if rnd >= warmup and (rnd - warmup) % 2 == 0:
+            new_sig = _signature(E)
+            if new_sig == sig:
+                break
+            sig = new_sig
     return (nodes.join(E.select(F.col("hi").alias("node"),
                                 F.col("lo").alias("comp")), "node", "left")
             .groupBy("node")

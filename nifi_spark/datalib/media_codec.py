@@ -244,7 +244,13 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
     if blob[:2] != b"BM":
         raise ValueError("not a BMP")
     (data_off,) = struct.unpack_from("<I", blob, 10)
-    hdr_size, width, height = struct.unpack_from("<Iii", blob, 14)
+    (hdr_size,) = struct.unpack_from("<I", blob, 14)
+    if hdr_size < 40:
+        # OS/2 BITMAPCOREHEADER: 16-bit dims, 3-byte RGBTRIPLE palette —
+        # the absolute-offset reads below would decode garbage silently.
+        raise ValueError(f"unsupported BMP DIB header size {hdr_size} "
+                         "(BITMAPINFOHEADER-family required)")
+    _, width, height = struct.unpack_from("<Iii", blob, 14)
     planes, bpp = struct.unpack_from("<HH", blob, 26)
     (compression,) = struct.unpack_from("<I", blob, 30)
     if bpp not in (1, 4, 8, 24, 32) or compression != 0:

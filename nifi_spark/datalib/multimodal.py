@@ -28,6 +28,7 @@ partition count, no driver involvement.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -477,11 +478,15 @@ def extract_media_metadata(df: DataFrame, key_prefix: str = "",
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 try:
                     pairs = extract_metadata_blob(bytes(payload))
-                except ValueError as e:
+                except (ValueError, IndexError, KeyError, EOFError,
+                        struct.error) as e:
                     # FAILURE relationship analog: one `_error` pair,
-                    # no metadata keys (route on key == '_error')
+                    # no metadata keys (route on key == '_error').
+                    # Truncated/malformed blobs surface as IndexError or
+                    # struct.error from the offset walks, not ValueError —
+                    # all must land here, not crash the Arrow task.
                     rows.append({"id": int(i), "key": "_error",
-                                 "value": str(e)})
+                                 "value": f"{type(e).__name__}: {e}"})
                     continue
                 if pat is not None:
                     pairs = [(k, v) for k, v in pairs if pat.search(k)]

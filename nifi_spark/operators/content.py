@@ -482,12 +482,25 @@ def _split_cell_processors(schema: str) -> list[str]:
 
 def _java_hashcode(cell):
     """Java String.hashCode as a Column: s[0]*31^(n-1)+... with 32-bit
-    wraparound (mod-2^32 fold kept in longs, signed at the end)."""
-    folded = F.aggregate(
-        F.split(cell, ""),
-        F.lit(0).cast("long"),
-        lambda acc, ch: F.pmod(acc * 31 + F.ascii(ch),
-                               F.lit(4294967296).cast("long")))
+    wraparound (mod-2^32 fold kept in longs, signed at the end).
+
+    Java folds UTF-16 CODE UNITS while split('')/ascii yield
+    codepoints, so supplementary-plane characters (emoji etc.) expand
+    to their surrogate pair inside the fold: acc*31²+hi*31+lo with
+    hi = 0xD800 + ((cp-0x10000) >> 10), lo = 0xDC00 + ((cp-0x10000)
+    & 0x3FF). acc < 2^32 so acc*961 + 31*hi + lo < 2^43 — one pmod per
+    element keeps everything in longs."""
+    two32 = F.lit(4294967296).cast("long")
+
+    def step(acc, ch):
+        cp = F.ascii(ch).cast("long")
+        sup = cp - 65536
+        hi = F.shiftright(sup, 10) + 55296
+        lo = F.pmod(sup, F.lit(1024).cast("long")) + 56320
+        return F.when(cp < 65536, F.pmod(acc * 31 + cp, two32)) \
+                .otherwise(F.pmod((acc * 31 + hi) * 31 + lo, two32))
+
+    folded = F.aggregate(F.split(cell, ""), F.lit(0).cast("long"), step)
     return F.when(folded >= 2147483648, folded - 4294967296) \
             .otherwise(folded).cast("long")
 
@@ -596,12 +609,18 @@ def validate_csv_cells(df: DataFrame, content_col: str, schema: str,
     (TestValidateCsv cases replay verbatim in pytest).
 
     Stateless processors compile to Catalyst predicates over the split
-    cells. The stateful trio needs cross-row context and `order_col`:
-    Unique()/UniqueHashCode() keep the FIRST occurrence (row_number
-    over a per-value window — narrow keys), Equals() anchors on the
-    value at min(order_col) (1-row broadcast). Field-count mismatches
+    cells. The stateful trio needs cross-row context and `order_col`,
+    and — like Super CSV, which aborts a row at its FIRST failing cell
+    — its state is fed ONLY by rows that reached that cell: a row
+    failing an earlier (more-leftward) processor never registers in
+    Unique state and never anchors Equals. Unique()/UniqueHashCode()
+    keep the first eligible occurrence (cumulative eligible-count over
+    a per-value window — narrow keys), Equals() anchors on the first
+    ELIGIBLE row's value (1-row broadcast; left join so an all-invalid
+    input still routes every row to `invalid`). Field-count mismatches
     route invalid (checked by separator count on quote-free lines;
-    quoted lines trust the CSV parser's null-fill)."""
+    quoted lines trust the CSV parser's null-fill) and abort before any
+    cell state, again as the reference does."""
     procs = _split_cell_processors(schema)
     preds = [_cell_predicate(s) for s in procs]
     n = len(preds)
@@ -613,32 +632,35 @@ def validate_csv_cells(df: DataFrame, content_col: str, schema: str,
     esc = re.escape(sep)
     ok = ok & (F.contains(F.col(content_col), F.lit(quote))
                | (F.size(F.split(F.col(content_col), esc)) == n))
-    stateful: list[tuple[int, str]] = []
-    for i, (pred, kind) in enumerate(preds):
-        if kind:
-            stateful.append((i, kind))
-        elif pred is not None:
-            ok = ok & F.coalesce(pred(F.col(f"_rec._c{i}")),
-                                 F.lit(False))
+    if any(kind for _, kind in preds) and order_col is None:
+        raise ValueError("Unique()/Equals() processors need "
+                         "order_col= (first-occurrence semantics)")
     out = out.withColumn("_ok", ok)
-    if stateful:
-        if order_col is None:
-            raise ValueError("Unique()/Equals() processors need "
-                             "order_col= (first-occurrence semantics)")
-        from pyspark.sql import Window
-        for i, kind in stateful:
-            cell = F.col(f"_rec._c{i}")
-            if kind == "unique":
-                w = Window.partitionBy(cell).orderBy(order_col)
+    from pyspark.sql import Window
+    # column order matters: `_ok` at processor i reflects exactly the
+    # checks a Super CSV row passes before reaching cell i
+    for i, (pred, kind) in enumerate(preds):
+        cell = F.col(f"_rec._c{i}")
+        if kind is None:
+            if pred is not None:
                 out = out.withColumn(
                     "_ok", F.col("_ok")
-                    & (F.row_number().over(w) == 1))
-            else:                                    # equals
-                anchor = (out.orderBy(order_col)
-                          .select(cell.alias("_anchor")).limit(1))
-                out = out.crossJoin(F.broadcast(anchor)).withColumn(
-                    "_ok", F.col("_ok")
-                    & cell.eqNullSafe(F.col("_anchor"))).drop("_anchor")
+                    & F.coalesce(pred(cell), F.lit(False)))
+        elif kind == "unique":
+            w = (Window.partitionBy(cell).orderBy(order_col)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+            cum = F.sum(F.when(F.col("_ok"), 1).otherwise(0)).over(w)
+            out = out.withColumn("_ok", F.col("_ok") & (cum == 1))
+        else:                                        # equals
+            anchor = (out.filter(F.col("_ok")).orderBy(order_col)
+                      .select(cell.alias("_anchor"),
+                              F.lit(1).alias("_j")).limit(1))
+            out = (out.withColumn("_j", F.lit(1))
+                   .join(F.broadcast(anchor), "_j", "left")
+                   .withColumn("_ok", F.col("_ok")
+                               & cell.eqNullSafe(F.col("_anchor")))
+                   .drop("_anchor", "_j"))
     valid = out.filter(F.col("_ok")).drop("_rec", "_ok")
     invalid = out.filter(~F.col("_ok")).drop("_rec", "_ok")
     return {"valid": valid, "invalid": invalid}

@@ -484,6 +484,46 @@ def test_validate_csv_cells_reference_cases(spark):
     assert (v, iv) == ([1], [0])
 
 
+def test_validate_csv_stateful_eligibility(spark):
+    """Super CSV aborts a row at its first failing cell, so a row
+    failing an earlier processor must NOT register in Unique state or
+    anchor Equals (the r4 ADVICE divergence)."""
+    # row 0 fails ParseLong, so its Unique key 'k' never registers;
+    # row 1 is the first ELIGIBLE occurrence of 'k' → valid
+    sch = "ParseLong(), Unique()"
+    v, iv = _vcsv(spark, ["x,k", "1,k", "2,k"], sch)
+    assert (v, iv) == ([1], [0, 2])
+    # row 0 fails ParseLong → never anchors Equals; anchor = row 1's 'b'
+    sch = "ParseLong(), Equals()"
+    v, iv = _vcsv(spark, ["x,a", "1,b", "2,b", "3,a"], sch)
+    assert (v, iv) == ([1, 2], [0, 3])
+    # all rows fail the stateless prefix: Equals anchor is empty, every
+    # row still routes invalid (left join keeps them)
+    v, iv = _vcsv(spark, ["x,a", "y,b"], sch)
+    assert (v, iv) == ([], [0, 1])
+    # field-count mismatch aborts before cell state too
+    sch = "Null, Unique()"
+    v, iv = _vcsv(spark, ["a,k,extra", "b,k"], sch)
+    assert (v, iv) == ([1], [0])
+
+
+def test_java_hashcode_surrogate_pairs(spark):
+    """RequireHashCode folds UTF-16 code units like Java: a
+    supplementary-plane char expands to its surrogate pair."""
+    s = "a\U0001F600b"                       # a + emoji + b
+    import struct as _struct
+    enc = s.encode("utf-16-be")
+    h = 0
+    for (u,) in _struct.iter_unpack(">H", enc):
+        h = (h * 31 + u) & 0xFFFFFFFF
+    if h >= 2**31:
+        h -= 2**32
+    v, iv = _vcsv(spark, [s], f"RequireHashCode({h})")
+    assert (v, iv) == ([0], [])
+    v, iv = _vcsv(spark, [s], "RequireHashCode(12345)")
+    assert (v, iv) == ([], [0])
+
+
 def test_validate_csv_cells_errors(spark):
     from nifi_spark.operators import validate_csv_cells
     import pytest as _pt

@@ -263,3 +263,43 @@ def test_gif_metadata_reference_parity():
         REF_MEDIA_RES, "mspaint-8x10.png"), "rb").read()))
     # the filename lies; the reference asserts 8x12 too
     assert p["PNG.ImageWidth"] == "8" and p["PNG.ImageHeight"] == "12"
+
+
+def test_truncated_blobs_route_to_error(spark):
+    """Truncated/malformed blobs raise IndexError or struct.error from
+    the offset walks, not ValueError — all must land on the `_error`
+    failure-routing pair instead of crashing the Arrow task (r4 ADVICE
+    item)."""
+    from nifi_spark.datalib.multimodal import extract_media_metadata
+    blobs = [
+        b"ID3\x04\x00",                    # ID3 magic, < 10 bytes
+        b"OggS" + b"\x00" * 6,             # truncated Ogg page header
+        b"GIF89a\x08",                     # truncated GIF header
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "id long, payload binary")
+    rows = extract_media_metadata(df).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["id"], {})[r["key"]] = r["value"]
+    for i in range(len(blobs)):
+        assert set(by_id.get(i, {})) == {"_error"}, (i, by_id.get(i))
+    # the exception class is surfaced for triage
+    assert by_id[0]["_error"].startswith("IndexError")
+    assert by_id[2]["_error"].startswith("error:")      # struct.error
+
+
+def test_bmp_core_header_rejected():
+    """OS/2 BITMAPCOREHEADER (hdr_size=12) paletted BMPs would decode
+    garbage through the absolute-offset BITMAPINFOHEADER reads — they
+    must fail loudly instead (r4 ADVICE item)."""
+    import struct as _s
+    import pytest as _pt
+    # minimal BITMAPCOREHEADER file: BM + file header + 12-byte core DIB
+    core = _s.pack("<IHHHH", 12, 2, 2, 1, 8)
+    hdr = b"BM" + _s.pack("<IHHI", 14 + 12 + 3 * 256 + 16, 0, 0,
+                          14 + 12 + 3 * 256)
+    blob = hdr + core + b"\x00" * (3 * 256) + b"\x00" * 16
+    with _pt.raises(ValueError, match="DIB header size 12"):
+        mc.decode_bmp(blob)
