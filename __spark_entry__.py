@@ -4031,6 +4031,84 @@ def q_listen_smtp_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_conn0")))
 
 
+def q_tail_file_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TailFile literal analog (sources/tail_file.py; reference
+    standard/TailFile.java:446-527 checksum recovery, :1040-1160
+    rollover remainder consumption). Five-phase rotation over
+    fixed-width 11-byte lines ('ev%08d\\n' of the first n event_ids):
+
+    1. a lines → chunk f.0-(11a).log
+    2. b lines + a PARTIAL line → chunk f.(11a)-(11(a+b)).log (the
+       partial stays unconsumed — readLines' rePos contract)
+    3. partial completed + c-1 more lines, file ROTATES to f.log.1, new
+       f.log gets d lines → the CRC32 probe on f.log.1 matches bytes
+       [0, 11(a+b)) so only its remainder lands (chunk 'f.log.1'),
+       then the new file from 0 (chunk f.0-(11d).log)
+    4. RESTART (new instance over the persisted state — the checksum
+       re-verification path) + e appended lines → chunk
+       f.(11d)-(11(d+e)).log
+
+    Every chunk's (filename, offsets, n_lines, sum_id, content md5) is
+    stated in closed form by the oracle from count(events) alone —
+    byte-exact watermark advance across a rotation, no loss, no dup.
+    The tail loop is driver-side control plane (one log file on one
+    host, like every listen bridge); the landed spool is the
+    distributed table."""
+    from nifi_spark.sources import TailFileSource
+    ids = [r[0] for r in _t(spark, sf_dir, "events")
+           .select("event_id").orderBy("event_id").limit(5000).collect()]
+    n = len(ids)
+    a, b, c = n * 4 // 10, n * 2 // 10, n * 2 // 10
+    d = e = n // 10
+    line = lambda i: b"ev%08d\n" % i  # noqa: E731
+
+    clock = [1_700_000_000_000_000_000]
+
+    def touch(path):
+        clock[0] += 2_000_000_000
+        os.utime(path, ns=(clock[0], clock[0]))
+
+    def append(path, data):
+        with open(path, "ab") as f:
+            f.write(data)
+        touch(path)
+
+    root = tempfile.mkdtemp(prefix="tailf_gate_")
+    log = os.path.join(root, "f.log")
+    open(log, "wb").close()
+    touch(log)
+    src = TailFileSource(log, os.path.join(root, "spool"),
+                         rolling_pattern="f.log.*")
+    append(log, b"".join(line(i) for i in ids[:a]))
+    src.poll()
+    append(log, b"".join(line(i) for i in ids[a:a + b])
+           + line(ids[a + b])[:5])
+    src.poll()
+    append(log, line(ids[a + b])[5:]
+           + b"".join(line(i) for i in ids[a + b + 1:a + b + c]))
+    os.rename(log, log + ".1")
+    touch(log + ".1")
+    append(log, b"".join(line(i) for i in ids[a + b + c:a + b + c + d]))
+    src.poll()
+    # crash-restart: a NEW instance over the same state + spool
+    src2 = TailFileSource(log, src.spool_dir, rolling_pattern="f.log.*",
+                          state_path=src.state_path)
+    append(log, b"".join(line(i)
+                         for i in ids[a + b + c + d:a + b + c + d + e]))
+    src2.poll()
+    chunks = src2.read(spark)
+    lines = TailFileSource.lines(chunks).withColumn(
+        "eid", F.regexp_extract("line", r"^ev(\d+)$", 1).cast("long"))
+    per_chunk = (lines.groupBy("batch_id")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                      F.sum("eid").cast("bigint").alias("sum_id")))
+    return (chunks.select("batch_id", "filename", "start_pos", "end_pos",
+                          F.md5("content").alias("content_md5"))
+            .join(per_chunk, "batch_id")
+            .select("batch_id", "filename", "start_pos", "end_pos",
+                    "n_lines", "sum_id", "content_md5"))
+
+
 def q_listen_http_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ListenHTTP/HandleHttpRequest analog
     (standard/servlets/ListenHTTPServlet.java, HandleHttpRequest.java
@@ -7475,6 +7553,8 @@ _DRIVER_VERIFIED = frozenset({
 # EVTX/XSLT, merge-on-read, dedup/ANN internals).  Remaining never-verified
 # rows follow in base order; previously-verified rows go last.
 _NEW_THIS_ROUND = [
+    # --- new r5 operators
+    "tail_file_rollover",
     # --- must re-prove: only driver row ever was a hash FAIL (since fixed)
     "execute_sql_tpch_q12", "user_sessionization",
     # --- streaming family (never driver-verified)
@@ -7706,6 +7786,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exec_stream_command": q_exec_stream_command,
         "exec_process_source": q_exec_process_source,
         "listen_syslog_landed": q_listen_syslog_landed,
+        "tail_file_rollover": q_tail_file_rollover,
         "ftp_sftp_transfer": q_ftp_sftp_transfer,
         "encrypt_openssl_pbe": q_encrypt_openssl_pbe,
         "scripted_processor_flow": q_scripted_processor_flow,
@@ -10444,6 +10525,46 @@ miss AS (
          CAST(NULL AS BOOLEAN) AS listed, 'not.found' AS route
   FROM (SELECT unnest(range(40, 45)) AS i), protos)
 SELECT * FROM ok UNION ALL SELECT * FROM miss
+""",
+        "tail_file_rollover": """
+WITH p AS (
+  SELECT least(count(*), 5000)::BIGINT * 4 // 10 AS a,
+         least(count(*), 5000)::BIGINT * 2 // 10 AS b,
+         least(count(*), 5000)::BIGINT * 2 // 10 AS c,
+         least(count(*), 5000)::BIGINT // 10 AS d,
+         least(count(*), 5000)::BIGINT // 10 AS e
+  FROM events),
+ids AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id) - 1 AS rn
+  FROM (SELECT event_id FROM events ORDER BY event_id LIMIT 5000)),
+tagged AS (
+  SELECT i.event_id, i.rn,
+         CASE WHEN rn < a THEN 0 WHEN rn < a + b THEN 1
+              WHEN rn < a + b + c THEN 2 WHEN rn < a + b + c + d THEN 3
+              ELSE 4 END AS bid
+  FROM ids i CROSS JOIN p),
+agg AS (
+  SELECT bid, count(*)::BIGINT AS n_lines,
+         sum(event_id)::BIGINT AS sum_id,
+         md5(string_agg(printf('ev%08d', event_id) || chr(10),
+                        '' ORDER BY rn)) AS content_md5
+  FROM tagged GROUP BY bid)
+SELECT g.bid::BIGINT AS batch_id,
+       CASE g.bid
+         WHEN 0 THEN 'f.0-' || (11 * a) || '.log'
+         WHEN 1 THEN 'f.' || (11 * a) || '-' || (11 * (a + b)) || '.log'
+         WHEN 2 THEN 'f.log.1'
+         WHEN 3 THEN 'f.0-' || (11 * d) || '.log'
+         ELSE 'f.' || (11 * d) || '-' || (11 * (d + e)) || '.log'
+       END AS filename,
+       (CASE g.bid WHEN 0 THEN 0 WHEN 1 THEN 11 * a
+             WHEN 2 THEN 11 * (a + b) WHEN 3 THEN 0
+             ELSE 11 * d END)::BIGINT AS start_pos,
+       (CASE g.bid WHEN 0 THEN 11 * a WHEN 1 THEN 11 * (a + b)
+             WHEN 2 THEN 11 * (a + b + c) WHEN 3 THEN 11 * d
+             ELSE 11 * (d + e) END)::BIGINT AS end_pos,
+       g.n_lines, g.sum_id, g.content_md5
+FROM agg g CROSS JOIN p
 """,
         "listen_syslog_landed": """
 WITH u AS (SELECT range AS i, 'UDP' AS protocol,

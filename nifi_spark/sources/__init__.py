@@ -19,6 +19,7 @@ from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
                                       publish_kafka)
 from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
+from nifi_spark.sources.tail_file import TailFileSource
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
@@ -114,7 +115,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "kafka_available", "next_starting_offsets", "offsets_json",
            "publish_kafka",
            "ListenSource", "ListenSyslogSource", "ListenTCPSource",
-           "ListenUDPSource",
+           "ListenUDPSource", "TailFileSource",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
            "loopback_serve", "serve_connection", "weighted_peer_destinations",
            "S2SHttpClient", "S2SHttpServer",

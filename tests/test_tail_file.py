@@ -1,0 +1,258 @@
+"""TailFileSource — TestTailFile.java scenario replays.
+
+Each test mirrors a reference scenario by name; chunk contents are
+asserted byte-for-byte against the reference's FlowFile expectations.
+File mtimes are nudged forward explicitly so rotation ordering never
+depends on filesystem timestamp precision.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from nifi_spark.sources.tail_file import TailFileSource, _chunk_name
+
+_CLOCK = [1_700_000_000_000_000_000]
+
+
+def _touch(path, step=2_000_000_000):
+    """Advance the file's mtime on a deterministic monotonic clock."""
+    _CLOCK[0] += step
+    os.utime(path, ns=(_CLOCK[0], _CLOCK[0]))
+
+
+def _append(path, data: bytes):
+    with open(path, "ab") as f:
+        f.write(data)
+    _touch(path)
+
+
+def _chunks(src):
+    """Landed spool rows in batch order, read via pyarrow (no Spark
+    needed for the unit scenarios)."""
+    import pyarrow.parquet as pq
+    rows = []
+    for name in sorted(os.listdir(src.spool_dir)):
+        if name.endswith(".parquet"):
+            t = pq.read_table(os.path.join(src.spool_dir, name)).to_pylist()
+            rows += t
+    return rows
+
+
+@pytest.fixture()
+def tailed(tmp_path):
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"),
+                         rolling_pattern="log*.txt")
+    return log, src, tmp_path
+
+
+def test_consume_when_newline_found(tailed):
+    """testConsumeWhenNewLineFound: partial lines stay in the file."""
+    log, src, _ = tailed
+    assert src.poll() == 0
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    _append(log, b"world")                 # no newline yet
+    assert src.poll() == 0
+    _append(log, b"\n")
+    assert src.poll() == 6
+    c = _chunks(src)
+    assert [r["content"] for r in c] == ["hello\n", "world\n"]
+    assert c[0]["filename"] == _chunk_name("log.txt", 0, 6) == "log.0-6.txt"
+    assert c[1]["filename"] == "log.6-12.txt"
+    # bare-\r line completes only when the next non-\n byte arrives
+    _append(log, b"cr line\r")
+    assert src.poll() == 0
+    _append(log, b"x")
+    assert src.poll() == 8
+    assert _chunks(src)[-1]["content"] == "cr line\r"
+
+
+def test_remainder_recovered_after_restart(tailed):
+    """testRemainderOfFileRecoveredAfterRestart: rolled remainder
+    (even without a trailing newline) is consumed via the checksum
+    probe, then the new file from 0."""
+    log, src, tmp = tailed
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    _append(log, b"world")                 # partial, then rotate
+    os.rename(log, str(tmp / "log1.txt"))
+    _touch(str(tmp / "log1.txt"))
+    _append(log, b"new file\n")
+    # restart: NEW instance over the same state + spool
+    src2 = TailFileSource(log, src.spool_dir,
+                          rolling_pattern="log*.txt",
+                          state_path=src.state_path)
+    src2.poll()
+    contents = [r["content"] for r in _chunks(src2)]
+    assert contents == ["hello\n", "world", "new file\n"]
+    names = [r["filename"] for r in _chunks(src2)]
+    assert names == ["log.0-6.txt", "log1.txt", "log.0-9.txt"]
+
+
+def test_remainder_recovered_rolled_while_running(tailed):
+    """testRemainderOfFileRecoveredIfRolledOverWhileRunning — same
+    instance, no restart."""
+    log, src, tmp = tailed
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    _append(log, b"world")
+    os.rename(log, str(tmp / "log1.txt"))
+    _touch(str(tmp / "log1.txt"))
+    _append(log, b"1\n")
+    src.poll()
+    assert [r["content"] for r in _chunks(src)] == ["hello\n", "world",
+                                                    "1\n"]
+
+
+def test_rollover_after_having_read_all_data(tmp_path):
+    """testRolloverAfterHavingReadAllData: an unread partial line must
+    not poison the recovery checksum."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"),
+                         rolling_pattern="log.*")
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    _append(log, b"world")
+    assert src.poll() == 0                 # no newline: nothing pulled
+    os.rename(log, str(tmp_path / "log.1"))
+    _touch(str(tmp_path / "log.1"))
+    _append(log, b"1\n")
+    src.poll()
+    assert [r["content"] for r in _chunks(src)] == ["hello\n", "world",
+                                                    "1\n"]
+
+
+def test_multiple_rollovers(tmp_path):
+    """testMultipleRolloversAfterHavingReadAllData: two files rolled
+    between polls, both ingested oldest-first."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"),
+                         rolling_pattern="log.*")
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    _append(log, b"world\n")
+    os.rename(log, str(tmp_path / "log.1"))
+    _touch(str(tmp_path / "log.1"))
+    _append(log, b"abc\n")
+    os.rename(log, str(tmp_path / "log.2"))
+    _touch(str(tmp_path / "log.2"))
+    _append(log, b"1\n")
+    src.poll()
+    assert [r["content"] for r in _chunks(src)] == [
+        "hello\n", "world\n", "abc\n", "1\n"]
+
+
+def test_rollover_and_update_at_same_time_no_reingest(tmp_path):
+    """testRolloverAndUpdateAtSameTime: after recovering the rolled
+    remainder, a second poll must ingest NOTHING (the mtime+1
+    watermark keeps the rolled file out of the next listing)."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"),
+                         rolling_pattern="log.*")
+    _append(log, b"hello there\n")
+    assert src.poll() == 12
+    _append(log, b"another")
+    os.rename(log, str(tmp_path / "log.1"))
+    # NOTE: mtime deliberately NOT advanced — same-timestamp rollover
+    _append(log, b"new file\n")
+    src.poll()
+    assert [r["content"] for r in _chunks(src)] == [
+        "hello there\n", "another", "new file\n"]
+    n = len(_chunks(src))
+    src.poll()
+    assert len(_chunks(src)) == n          # nothing re-ingested
+
+
+def test_rollover_when_no_rolling_pattern(tmp_path):
+    """testRolloverWhenNoRollingPattern: pre-rotation remainder is
+    lost, the new shorter file restarts at 0; an undetectable
+    same-length-or-longer swap continues from the old offset."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"))
+    _append(log, b"hello there\n")
+    assert src.poll() == 12
+    _append(log, b"another")
+    os.rename(log, str(tmp_path / "log.1"))
+    _append(log, b"new file\n")
+    src.poll()
+    assert [r["content"] for r in _chunks(src)] == [
+        "hello there\n", "new file\n"]     # 'another' is lost
+    # longer new file: rotation is undetectable, tail continues at the
+    # old offset (the reference documents this exact behavior)
+    os.rename(log, str(tmp_path / "log.2"))
+    _append(log, b"new file with longer data in the new file\n")
+    src.poll()
+    assert _chunks(src)[-1]["content"] == \
+        "with longer data in the new file\n"
+
+
+def test_truncation_restarts_at_beginning(tmp_path):
+    """testConsumeAfterTruncationStartAtBeginningOfFile: shrink →
+    restart from 0."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"))
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    with open(log, "wb") as f:
+        f.write(b"HELLO\n")                # truncate + rewrite, same len
+    _touch(log)
+    # same length: undetectable (reference parity) — shrink IS detected
+    with open(log, "wb") as f:
+        f.write(b"hi\n")
+    _touch(log)
+    src.poll()
+    assert _chunks(src)[-1]["content"] == "hi\n"
+
+
+def test_restart_checksum_mismatch_restarts_at_zero(tmp_path):
+    """Recovery gate: state says position 6, but the file was replaced
+    (checksum mismatch) and nothing rolled — restart from 0."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"))
+    _append(log, b"hello\n")
+    assert src.poll() == 6
+    with open(log, "wb") as f:
+        f.write(b"fresh1\nfresh2\n")       # replaced, longer
+    _touch(log)
+    src2 = TailFileSource(log, src.spool_dir, state_path=src.state_path)
+    src2.poll()
+    assert _chunks(src2)[-1]["content"] == "fresh1\nfresh2\n"
+
+
+def test_spark_read_and_lines(spark, tmp_path):
+    """Spark side: spool reads as a parquet table; lines() explodes to
+    per-line rows in file order."""
+    log = str(tmp_path / "log.txt")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp_path / "spool"),
+                         rolling_pattern="log*.txt")
+    _append(log, b"".join(b"ev%08d\n" % i for i in range(100)))
+    src.poll()
+    os.rename(log, str(tmp_path / "log1.txt"))
+    _touch(str(tmp_path / "log1.txt"))
+    _append(log, b"".join(b"ev%08d\n" % i for i in range(100, 150)))
+    src.poll()
+    df = src.read(spark)
+    assert df.count() == 2
+    lines = TailFileSource.lines(df).orderBy("batch_id", "line_idx")
+    got = [r["line"] for r in lines.collect()]
+    assert got == ["ev%08d" % i for i in range(150)]
