@@ -60,44 +60,59 @@ def pq_train(df: DataFrame, id_col: str = "vec_id",
     the final update — the state `pq_encode` should be handed."""
     q = quantize_int8(df, id_col, vec_col).select(id_col, "qvec")
     q = q.localCheckpoint()      # quantize once; every Lloyd re-scans
+    seeds = q.orderBy(id_col).limit(k).collect()
+    if not seeds:
+        raise ValueError("pq_train: empty input")
     if dim is None:
-        first = q.select(F.size("qvec").alias("d")).limit(1).collect()
-        if not first:
-            raise ValueError("pq_train: empty input")
-        dim = int(first[0]["d"])
-    codebooks: list[list[list[int]]] = []
-    for start, sd in _sub_slices(m, dim):
-        sub = q.select(F.col(id_col),
-                       F.slice("qvec", start, sd).alias("_sub"))
-        seeds = sub.orderBy(id_col).limit(k).collect()
-        if len(seeds) < k:
-            raise ValueError(f"pq_train: need at least k={k} vectors, "
-                             f"got {len(seeds)}")
-        cents: list[list[int]] = [list(r["_sub"]) for r in seeds]
-        for _ in range(iters):
-            dists = F.array(*[_dist_expr("_sub", c) for c in cents])
-            staged = sub.select(F.col(id_col), F.col("_sub"),
-                                dists.alias("_d"))
-            assigned = staged.select(
-                F.col("_sub"),
-                (F.array_position("_d", F.array_min("_d")) - 1)
-                .cast("int").alias("cluster"))
-            sums = (assigned
-                    .select("cluster",
-                            F.posexplode("_sub").alias("i", "v"))
-                    .groupBy("cluster", "i")
-                    .agg(F.sum("v").cast("long").alias("s"),
-                         F.count("*").alias("n"))
-                    .collect())
-            by_cl: dict[int, dict[int, tuple[int, int]]] = {}
-            for r in sums:
-                by_cl.setdefault(r["cluster"], {})[r["i"]] = \
-                    (int(r["s"]), int(r["n"]))
-            cents = [
-                [_trunc_div(*by_cl[j][i]) for i in sorted(by_cl[j])]
-                if j in by_cl else cents[j]
-                for j in range(k)]
-        codebooks.append(cents)
+        dim = len(seeds[0]["qvec"])
+    if len(seeds) < k:
+        raise ValueError(f"pq_train: need at least k={k} vectors, "
+                         f"got {len(seeds)}")
+    slices = _sub_slices(m, dim)
+    sd = dim // m
+    # codebooks[mi][j]: seeded from the first k vectors' slices
+    codebooks: list[list[list[int]]] = [
+        [list(r["qvec"][start - 1:start - 1 + sd]) for r in seeds]
+        for start, _ in slices]
+    # all M subspace slices staged once; each Lloyd iteration is ONE
+    # aggregation job grouped by (m, cluster, i) — the r4 review's
+    # job-count fix (was M independent jobs per iteration)
+    staged0 = q.select(
+        F.col(id_col),
+        *[F.slice("qvec", start, sdi).alias(f"_sub{mi}")
+          for mi, (start, sdi) in enumerate(slices)])
+    for _ in range(iters):
+        dists = staged0.select(
+            F.col(id_col),
+            *[F.col(f"_sub{mi}") for mi in range(m)],
+            *[F.array(*[_dist_expr(f"_sub{mi}", c)
+                        for c in codebooks[mi]]).alias(f"_d{mi}")
+              for mi in range(m)])
+        per_m = F.array(*[
+            F.struct(
+                F.lit(mi).alias("m"),
+                (F.array_position(f"_d{mi}", F.array_min(f"_d{mi}"))
+                 - 1).cast("int").alias("cluster"),
+                F.col(f"_sub{mi}").alias("sub"))
+            for mi in range(m)])
+        sums = (dists.select(F.explode(per_m).alias("t"))
+                .select(F.col("t.m").alias("m"),
+                        F.col("t.cluster").alias("cluster"),
+                        F.posexplode("t.sub").alias("i", "v"))
+                .groupBy("m", "cluster", "i")
+                .agg(F.sum("v").cast("long").alias("s"),
+                     F.count("*").alias("n"))
+                .collect())
+        by_m: list[dict[int, dict[int, tuple[int, int]]]] = \
+            [{} for _ in range(m)]
+        for r in sums:
+            by_m[r["m"]].setdefault(r["cluster"], {})[r["i"]] = \
+                (int(r["s"]), int(r["n"]))
+        codebooks = [
+            [[_trunc_div(*by_cl[j][i]) for i in sorted(by_cl[j])]
+             if j in by_cl else codebooks[mi][j]
+             for j in range(k)]
+            for mi, by_cl in enumerate(by_m)]
     return codebooks
 
 
