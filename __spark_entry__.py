@@ -5286,6 +5286,51 @@ def q_put_slack_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("channel"))
 
 
+def q_put_sns_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PutSNS analog (nifi-aws-bundle PutSNS.java; sources/sns.py —
+    the SNS Query protocol with real SigV4 signing verified on every
+    request): 240 notifications fan out over 3 topics with subjects on
+    even ids and a kind attribute; every 11th is oversized (>256 KB →
+    failure WITHOUT a service call), every 13th targets an unknown
+    topic (service NotFound → failure). Per-(topic, route) aggregates
+    of ids replay the residue arithmetic; the server-side publish
+    count proves the size gate short-circuited."""
+    from nifi_spark.sources.sns import SnsClient, SnsServer, put_sns
+    srv = SnsServer(secrets={"AKIDEXAMPLE": "topsecret"})
+    for t in range(3):
+        srv.create_topic(f"arn:aws:sns:us-east-1:123456789012:t{t}")
+    client = SnsClient(srv.transport, "https://sns.us-east-1"
+                       ".amazonaws.com/", access_key="AKIDEXAMPLE",
+                       secret_key="topsecret")
+    ids = [r[0] for r in _t(spark, sf_dir, "events")
+           .select("event_id").where(F.col("event_id") < 240)
+           .orderBy("event_id").collect()]
+    rows = []
+    for i in ids:
+        arn = ("arn:nope" if i % 13 == 0 and i % 11 != 0
+               else f"arn:aws:sns:us-east-1:123456789012:t{i % 3}")
+        rows.append({"i": int(i), "arn": arn,
+                     "content": ("x" * (256 * 1024 + 1)
+                                 if i % 11 == 0 else f"alert {i}"),
+                     "subj": f"s{i}" if i % 2 == 0 else None,
+                     "kind": f"k{i % 4}"})
+    routed = put_sns(rows, client, arn_col="arn",
+                     content_col="content", subject_col="subj",
+                     attr_cols=["kind"])
+    n_pub = sum(len(v) for v in srv.published.values())
+    n_ok = sum(1 for _, rel, _ in routed if rel == "success")
+    assert n_pub == n_ok         # the size gate never hit the wire
+    out = [(row["arn"], rel, row["i"],
+            int(attrs.get("sns.message.id", "sns-0")[4:]))
+           for row, rel, attrs in routed]
+    df = spark.createDataFrame(
+        out, "arn string, route string, i long, mid long")
+    return (df.groupBy("arn", "route")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("i").cast("bigint").alias("sum_i"),
+                 F.max("mid").cast("bigint").alias("max_mid")))
+
+
 def q_get_twitter_filtered(spark: SparkSession, sf_dir: str
                            ) -> DataFrame:
     """GetTwitter analog (sources/social.py): 200 statuses stream
@@ -7554,7 +7599,7 @@ _DRIVER_VERIFIED = frozenset({
 # rows follow in base order; previously-verified rows go last.
 _NEW_THIS_ROUND = [
     # --- new r5 operators
-    "tail_file_rollover",
+    "tail_file_rollover", "put_sns_publish",
     # --- must re-prove: only driver row ever was a hash FAIL (since fixed)
     "execute_sql_tpch_q12", "user_sessionization",
     # --- streaming family (never driver-verified)
@@ -7823,6 +7868,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "put_riemann_events": q_put_riemann_events,
         "couchbase_ignite_kv": q_couchbase_ignite_kv,
         "put_slack_route": q_put_slack_route,
+        "put_sns_publish": q_put_sns_publish,
         "get_twitter_filtered": q_get_twitter_filtered,
         "yandex_translate_route": q_yandex_translate_route,
         "consume_winevt_landed": q_consume_winevt_landed,
@@ -10251,6 +10297,28 @@ SELECT (i % 4)::INT AS grp, count(*) AS n,
        CAST(sum(cas) AS BIGINT) AS sum_cas,
        30 AS ignite_keys
 FROM m GROUP BY grp ORDER BY grp
+""",
+        "put_sns_publish": """
+WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 240),
+cls AS (
+  SELECT i,
+         CASE WHEN i % 11 = 0 THEN 'oversized'
+              WHEN i % 13 = 0 THEN 'badtopic' ELSE 'ok' END AS kind,
+         CASE WHEN i % 13 = 0 AND i % 11 <> 0 THEN 'arn:nope'
+              ELSE 'arn:aws:sns:us-east-1:123456789012:t' || (i % 3)
+         END AS arn
+  FROM ids),
+seq AS (
+  SELECT i, arn,
+         CASE WHEN kind = 'ok' THEN 'success' ELSE 'failure'
+         END AS route,
+         sum(CASE WHEN kind = 'ok' THEN 1 ELSE 0 END)
+           OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum
+  FROM cls)
+SELECT arn, route, count(*)::BIGINT AS n, sum(i)::BIGINT AS sum_i,
+       max(CASE WHEN route = 'success' THEN cum
+                ELSE 0 END)::BIGINT AS max_mid
+FROM seq GROUP BY arn, route
 """,
         "put_slack_route": """
 WITH m AS (SELECT range AS i,

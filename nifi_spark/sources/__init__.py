@@ -20,6 +20,8 @@ from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
 from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
 from nifi_spark.sources.tail_file import TailFileSource
+from nifi_spark.sources.sns import (SnsClient, SnsError, SnsServer,
+                                    put_sns)
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
@@ -116,6 +118,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "publish_kafka",
            "ListenSource", "ListenSyslogSource", "ListenTCPSource",
            "ListenUDPSource", "TailFileSource",
+           "SnsClient", "SnsError", "SnsServer", "put_sns",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
            "loopback_serve", "serve_connection", "weighted_peer_destinations",
            "S2SHttpClient", "S2SHttpServer",
