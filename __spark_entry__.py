@@ -5286,6 +5286,59 @@ def q_put_slack_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("channel"))
 
 
+def q_hdfs_events_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetHDFSEvents analog (nifi-hdfs-bundle/.../inotify/
+    GetHDFSEvents.java; sources/hdfs_events.py): 460 inotify edits
+    (types by event_id % 6, every 7th path hidden) stream through the
+    injectable feed in two phases — 400 drained in 37-event pages with
+    two injected IOErrors absorbed by the retry budget, then a RESTART
+    (new source over the persisted last.tx.id watermark) drains the
+    final 60. The source keeps only create/close/rename under
+    /data/.* with hidden basenames ignored; per-type txid aggregates
+    replay the residue arithmetic — watermark-exact across the
+    restart, no loss, no dup."""
+    from nifi_spark.sources.hdfs_events import (FakeInotifyStream,
+                                                GetHDFSEventsSource)
+    kinds = ["create", "close", "append", "metadata", "rename",
+             "unlink"]
+    feed = FakeInotifyStream()
+
+    def emit(i: int) -> None:
+        kind = kinds[i % 6]
+        name = ("." if i % 7 == 0 else "") + f"f{i}.log"
+        if kind == "rename":
+            feed.emit(kind, f"/data/{name}", dstPath=f"/data/r{i}.log")
+        else:
+            feed.emit(kind, f"/data/{name}")
+
+    ids = [int(r[0]) for r in _t(spark, sf_dir, "events")
+           .select("event_id").where(F.col("event_id") < 460)
+           .orderBy("event_id").collect()]
+    for i in ids[:400]:
+        emit(i)
+    spool = tempfile.mkdtemp(prefix="hdfs_events_")
+    src = GetHDFSEventsSource(feed, spool,
+                              path_watch_regex="/data/.*",
+                              ignore_hidden=True,
+                              event_types="create, close, rename")
+    feed.fail_next(2)                  # absorbed by the retry budget
+    src.drain(max_events=37)
+    assert src.last_txid == 400
+    for i in ids[400:]:
+        emit(i)
+    src2 = GetHDFSEventsSource(feed, spool,
+                               path_watch_regex="/data/.*",
+                               ignore_hidden=True,
+                               event_types="create, close, rename")
+    assert src2.last_txid == 400       # restart resumes the watermark
+    src2.drain(max_events=37)
+    df = src2.read(spark)
+    return (df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum("txid").cast("bigint").alias("sum_txid"),
+                 F.max("txid").cast("bigint").alias("max_txid")))
+
+
 def q_put_sns_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PutSNS analog (nifi-aws-bundle PutSNS.java; sources/sns.py —
     the SNS Query protocol with real SigV4 signing verified on every
@@ -7599,7 +7652,7 @@ _DRIVER_VERIFIED = frozenset({
 # rows follow in base order; previously-verified rows go last.
 _NEW_THIS_ROUND = [
     # --- new r5 operators
-    "tail_file_rollover", "put_sns_publish",
+    "tail_file_rollover", "put_sns_publish", "hdfs_events_landed",
     # --- must re-prove: only driver row ever was a hash FAIL (since fixed)
     "execute_sql_tpch_q12", "user_sessionization",
     # --- streaming family (never driver-verified)
@@ -7869,6 +7922,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "couchbase_ignite_kv": q_couchbase_ignite_kv,
         "put_slack_route": q_put_slack_route,
         "put_sns_publish": q_put_sns_publish,
+        "hdfs_events_landed": q_hdfs_events_landed,
         "get_twitter_filtered": q_get_twitter_filtered,
         "yandex_translate_route": q_yandex_translate_route,
         "consume_winevt_landed": q_consume_winevt_landed,
@@ -10297,6 +10351,16 @@ SELECT (i % 4)::INT AS grp, count(*) AS n,
        CAST(sum(cas) AS BIGINT) AS sum_cas,
        30 AS ignite_keys
 FROM m GROUP BY grp ORDER BY grp
+""",
+        "hdfs_events_landed": """
+WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 460),
+kept AS (
+  SELECT i, CASE i % 6 WHEN 0 THEN 'CREATE' WHEN 1 THEN 'CLOSE'
+                       ELSE 'RENAME' END AS event_type
+  FROM ids WHERE i % 6 IN (0, 1, 4) AND i % 7 <> 0)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(i + 1)::BIGINT AS sum_txid, max(i + 1)::BIGINT AS max_txid
+FROM kept GROUP BY event_type
 """,
         "put_sns_publish": """
 WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 240),

@@ -22,6 +22,9 @@ from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
 from nifi_spark.sources.tail_file import TailFileSource
 from nifi_spark.sources.sns import (SnsClient, SnsError, SnsServer,
                                     put_sns)
+from nifi_spark.sources.hdfs_events import (FakeInotifyStream,
+                                            GetHDFSEventsSource,
+                                            MissingEventsError)
 from nifi_spark.sources.http_listen import (ListenHTTPSource,
                                             requests_feed, serve_http)
 from nifi_spark.sources.imap import (ConsumeIMAPSource, imap_fetch,
@@ -119,6 +122,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "ListenSource", "ListenSyslogSource", "ListenTCPSource",
            "ListenUDPSource", "TailFileSource",
            "SnsClient", "SnsError", "SnsServer", "put_sns",
+           "FakeInotifyStream", "GetHDFSEventsSource", "MissingEventsError",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",
            "loopback_serve", "serve_connection", "weighted_peer_destinations",
            "S2SHttpClient", "S2SHttpServer",
