@@ -15,10 +15,11 @@ Format coverage (and the declared remaining boundary):
 * PNG — decode covers every legal (bit depth, color type) pair of spec
   §11.2.2: gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 via PLTE (+tRNS
   palette alpha → RGBA), gray+alpha 8/16, RGBA 8/16; all five filter
-  types over packed scanlines; 16-bit reduces to the high byte. The
-  encoder emits 8-bit filter-0 images. Only Adam7 interlacing raises
-  (declared; the reference ships no interlaced PNG — conformance is
-  pinned by decoding all 179 PNGs in its tree).
+  types over packed scanlines; 16-bit reduces to the high byte; Adam7
+  interlacing decodes as seven reduced images with per-pass strides
+  and filter context. The encoder emits 8-bit filter-0 images,
+  sequential or Adam7. No declared PNG boundary remains (conformance
+  is pinned by decoding all 179 PNGs in the reference tree).
 * BMP — 24-bit uncompressed BI_RGB, bottom-up or top-down.
 * PPM/PGM — binary P6/P5, maxval 255.
 * WAV — PCM 16-bit, any channel count; extra RIFF chunks are skipped.
@@ -67,19 +68,40 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(width: int, height: int, channels: int, pixels: bytes,
-               compresslevel: int = 6) -> bytes:
-    """Encode a flat raster as a non-interlaced 8-bit PNG (filter 0)."""
+               compresslevel: int = 6, interlace: bool = False) -> bytes:
+    """Encode a flat raster as an 8-bit PNG (filter 0 on every row).
+    `interlace=True` writes Adam7 (spec §8.2): seven reduced images in
+    pass order, each with its own scanlines; empty passes emit no
+    bytes."""
     if channels not in (1, 3, 4):
         raise ValueError(f"PNG encoder supports 1/3/4 channels, got {channels}")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
     color_type = {1: 0, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     stride = width * channels
     raw = bytearray()
-    for y in range(height):
-        raw.append(0)  # filter type 0 = None
-        raw += pixels[y * stride:(y + 1) * stride]
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            for y in range(ph):
+                raw.append(0)          # filter type 0 = None
+                oy = y0 + y * dy
+                if dx == 1:
+                    o = (oy * width + x0) * channels
+                    raw += pixels[o:o + pw * channels]
+                else:
+                    for x in range(pw):
+                        o = (oy * width + x0 + x * dx) * channels
+                        raw += pixels[o:o + channels]
+    else:
+        for y in range(height):
+            raw.append(0)              # filter type 0 = None
+            raw += pixels[y * stride:(y + 1) * stride]
     return (_PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(raw), compresslevel))
@@ -94,8 +116,12 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a non-interlaced PNG → (width, height, channels, raster).
+    """Decode a PNG → (width, height, channels, raster).
 
     Full spec §11.2.2 format coverage: every legal (bit depth, color
     type) pair — gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 (PLTE,
@@ -104,8 +130,10 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     scanline bytes (bpp = max(1, bits-per-pixel // 8), spec §9), then
     rows unpack: sub-byte grays scale exactly by 255/(2^d - 1), 16-bit
     samples reduce to their high byte (the standard 8-bit reduction),
-    palette indexes expand through PLTE/tRNS. Only Adam7 interlacing
-    remains out of scope (declared; the reference ships none)."""
+    palette indexes expand through PLTE/tRNS. Adam7 interlacing (spec
+    §8.2) decodes as seven independent reduced images — each pass has
+    its own packed strides and filter context, empty passes contribute
+    no bytes — scattered to (x0 + i·dx, y0 + j·dy)."""
     if blob[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, width = 8, None
@@ -126,8 +154,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
             if depth not in _PNG_DEPTHS[color_type]:
                 raise ValueError(f"illegal bit depth {depth} for color "
                                  f"type {color_type}")
-            if interlace:
-                raise ValueError("interlaced (Adam7) PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
         elif tag == b"PLTE":
             plte = body
         elif tag == b"tRNS":
@@ -142,11 +170,8 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("palette PNG missing PLTE")
     src_ch = _PNG_SRC_CHANNELS[color_type]
     bits_pp = depth * src_ch
-    stride = (width * bits_pp + 7) // 8
     bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG scanline data size mismatch")
     # palette / alpha expansion plan
     if color_type == 3:
         channels = 4 if trns else 3
@@ -154,54 +179,86 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
         channels = src_ch
     maxval = (1 << depth) - 1
     out = bytearray(width * channels * height)
-    prev = bytes(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
-        if ftype == 1:    # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                ul = prev[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        prev = bytes(line)
-        # unpack the filtered packed row into 8-bit output samples
-        o = y * width * channels
-        if depth == 8 and color_type != 3:
-            out[o:o + width * channels] = line
-        elif depth == 16:
-            for x in range(width * src_ch):
-                out[o + x] = line[2 * x]
-        else:
-            # depth 1/2/4/8, one source sample per pixel (ct 0 or 3)
-            for x in range(width):
-                if depth == 8:
-                    v = line[x]
-                else:
-                    bit = x * depth
-                    v = (line[bit >> 3] >> (8 - depth - (bit & 7))) \
-                        & maxval
-                if color_type == 0:
-                    out[o + x] = v * 255 // maxval
-                else:
-                    if 3 * v + 2 >= len(plte):
-                        raise ValueError("palette index out of range")
-                    out[o + x * channels:o + x * channels + 3] = \
-                        plte[3 * v:3 * v + 3]
-                    if channels == 4:
-                        out[o + x * channels + 3] = (
-                            trns[v] if v < len(trns) else 255)
+    if interlace:
+        passes = [(x0, y0, dx, dy,
+                   (width - x0 + dx - 1) // dx,
+                   (height - y0 + dy - 1) // dy)
+                  for x0, y0, dx, dy in _ADAM7]
+        # empty passes contribute no scanline bytes at all (spec §8.2)
+        passes = [p for p in passes if p[4] > 0 and p[5] > 0]
+    else:
+        passes = [(0, 0, 1, 1, width, height)]
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = (pw * bits_pp + 7) // 8
+        need = (stride + 1) * ph
+        if pos + need > len(raw):
+            raise ValueError("PNG scanline data size mismatch")
+        seg = raw[pos:pos + need]
+        pos += need
+        prev = bytes(stride)
+        samples = bytearray(pw * channels)
+        for y in range(ph):
+            ftype = seg[y * (stride + 1)]
+            line = bytearray(seg[y * (stride + 1) + 1:
+                                 (y + 1) * (stride + 1)])
+            if ftype == 1:    # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    left = line[i - bpp] if i >= bpp else 0
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + _paeth(left, prev[i], ul)) \
+                        & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            prev = bytes(line)
+            # unpack the filtered packed row into 8-bit pass samples
+            if depth == 8 and color_type != 3:
+                samples[:] = line
+            elif depth == 16:
+                for x in range(pw * src_ch):
+                    samples[x] = line[2 * x]
+            else:
+                # depth 1/2/4/8, one source sample per pixel (ct 0 or 3)
+                for x in range(pw):
+                    if depth == 8:
+                        v = line[x]
+                    else:
+                        bit = x * depth
+                        v = (line[bit >> 3]
+                             >> (8 - depth - (bit & 7))) & maxval
+                    if color_type == 0:
+                        samples[x] = v * 255 // maxval
+                    else:
+                        if 3 * v + 2 >= len(plte):
+                            raise ValueError(
+                                "palette index out of range")
+                        samples[x * channels:x * channels + 3] = \
+                            plte[3 * v:3 * v + 3]
+                        if channels == 4:
+                            samples[x * channels + 3] = (
+                                trns[v] if v < len(trns) else 255)
+            # scatter the pass row into the full image
+            oy = y0 + y * dy
+            if dx == 1:
+                o = (oy * width + x0) * channels
+                out[o:o + pw * channels] = samples
+            else:
+                for x in range(pw):
+                    o = (oy * width + x0 + x * dx) * channels
+                    out[o:o + channels] = \
+                        samples[x * channels:x * channels + channels]
+    if pos != len(raw):
+        raise ValueError("PNG scanline data size mismatch")
     return width, height, channels, bytes(out)
 
 

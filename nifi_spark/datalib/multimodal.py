@@ -255,7 +255,10 @@ def _synth_image(i: int) -> bytes:
     px = bytes((i + 3 * k) % 256 for k in range(w * h * 3))
     fmt = i % 3
     if fmt == 0:
-        return mc.encode_png(w, h, 3, px)
+        # every 2nd PNG fixture is Adam7-interlaced — pixel stats are
+        # container-invariant, so the same oracle also proves the
+        # interlaced decode path
+        return mc.encode_png(w, h, 3, px, interlace=(i % 6 == 3))
     if fmt == 1:
         return mc.encode_bmp(w, h, 3, px)
     return mc.encode_pnm(w, h, 3, px)

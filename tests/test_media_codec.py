@@ -136,12 +136,13 @@ def test_unsupported_inputs_raise():
         mc.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")  # no JPEG decoder
     with pytest.raises(ValueError):
         mc.decode_wav(b"RIFF\x00\x00\x00\x00AVI ")  # not WAVE
-    # Adam7 interlace is the one declared PNG boundary left
+    # Adam7 interlace is supported (r5); an UNKNOWN interlace method
+    # still fails loudly
     def chunk(tag, body):
         return (struct.pack(">I", len(body)) + tag + body
                 + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
-    ihdr_il = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    with pytest.raises(ValueError, match="interlaced"):
+    ihdr_il = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+    with pytest.raises(ValueError, match="interlace method"):
         mc.decode_png(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr_il))
     # an ILLEGAL depth/color-type pair still gets a clear message
     ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
@@ -367,3 +368,80 @@ def test_reference_image_assets_all_decode():
     from nifi_spark.datalib.media_codec import decode_wav
     rate, nch, samples = decode_wav(wav)
     assert (rate, nch) == (44100, 2) and len(samples) == 1920
+
+
+# ------------------------------------------------------- PNG Adam7
+
+def test_png_adam7_roundtrip_all_shapes():
+    """Adam7 encode→decode is identity across sizes that exercise
+    empty passes (<8 px), ragged pass widths, and every channel
+    count."""
+    rng = random.Random(7)
+    for w, h in [(1, 1), (2, 2), (3, 5), (7, 7), (8, 8), (9, 10),
+                 (16, 17), (31, 4)]:
+        for ch in (1, 3, 4):
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            blob = mc.encode_png(w, h, ch, px, interlace=True)
+            assert blob[28] == 1          # IHDR interlace flag
+            got = mc.decode_png(blob)
+            assert got == (w, h, ch, px), (w, h, ch)
+            # differential: interlaced and sequential decodes agree
+            seq = mc.decode_png(mc.encode_png(w, h, ch, px))
+            assert got == seq
+
+
+def test_png_adam7_pass_structure():
+    """The encoder's pass layout matches spec §8.2: pixel (x, y) of an
+    8x8 tile belongs to the documented pass, proven by decoding a
+    raster whose value encodes its coordinate."""
+    w = h = 8
+    px = bytes((y * w + x) for y in range(h) for x in range(w))
+    blob = mc.encode_png(w, h, 1, px, interlace=True)
+    # strip IDAT, check raw pass sizes: 1+1, 1+1, 2+1... per row
+    sizes = []
+    raw = zlib.decompress(
+        blob[blob.index(b"IDAT") + 4:blob.rindex(b"IEND") - 8])
+    # pass dims for 8x8: (1x1),(1x1),(2x1),(2x2),(4x2),(4x4),(8x4)
+    expect_rows = [(1, 1), (1, 1), (2, 1), (2, 2), (4, 2), (4, 4),
+                   (8, 4)]
+    pos = 0
+    for pw, ph in expect_rows:
+        for _ in range(ph):
+            assert raw[pos] == 0
+            pos += 1 + pw
+        sizes.append((pw, ph))
+    assert pos == len(raw)
+    assert mc.decode_png(blob)[3] == px
+
+
+def test_png_adam7_sub_byte_gray():
+    """A hand-packed 1-bit gray interlaced PNG: each pass has its own
+    packed stride ((pw*depth+7)//8), and sub-byte samples scale
+    255/(2^d-1) exactly."""
+    w = h = 9
+    bit = lambda x, y: (x + y) % 2            # checkerboard
+    passes = []
+    for x0, y0, dx, dy in mc._ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw + 7) // 8
+        rows = bytearray()
+        for j in range(ph):
+            rows.append(0)
+            packed = bytearray(stride)
+            for i in range(pw):
+                if bit(x0 + i * dx, y0 + j * dy):
+                    packed[i >> 3] |= 0x80 >> (i & 7)
+            rows += packed
+        passes.append(bytes(rows))
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + mc._png_chunk(b"IHDR", ihdr)
+            + mc._png_chunk(b"IDAT",
+                            zlib.compress(b"".join(passes)))
+            + mc._png_chunk(b"IEND", b""))
+    got = mc.decode_png(blob)
+    want = bytes(255 * bit(x, y) for y in range(h) for x in range(w))
+    assert got == (w, h, 1, want)
