@@ -136,14 +136,14 @@ class _P:
         self.eat("{")
         self.ws()
         if self.peek() in "'\"":
-            col = F.col(self.quoted())
+            col = _attr(self.quoted())
         else:
             name = self.ident()
             self.ws()
             if self.peek() == "(":           # subjectless: ${uuid()}
                 col = _fn(name)(*self.call_args())
             else:
-                col = F.col(name)
+                col = _attr(name)
         self.ws()
         while self.peek() == ":":
             self.eat(":")
@@ -155,6 +155,15 @@ class _P:
             self.ws()
         self.eat("}")
         return col
+
+
+def _attr(name: str) -> Column:
+    """An EL subject is the attribute NAMED `name` — in NiFi,
+    ``${http.remote.host}`` is one flat attribute, never nesting. Plain
+    F.col treats dots as struct-field access, so names are
+    backtick-quoted (doubled-backtick escape); for dot-free names the
+    resulting expression tree is identical."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 _UNSUPPORTED = {"anyAttribute", "allAttributes", "anyMatchingAttribute",
