@@ -4808,6 +4808,72 @@ def q_get_solr_incremental(spark: SparkSession, sf_dir: str
             .orderBy("batch_id", "grp"))
 
 
+def q_amqp10_cbs_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMQP 1.0 $cbs claims + §4.4 transactions (sources/amqp10.py —
+    the two former declared boundaries, now closed): a CBS-enforcing
+    2-partition hub refuses a hub attach until put-token proves the
+    SAS claim (a wrong token gets the 401 reply first); then 180
+    events split three ways by event_id % 3 — a DECLARED transaction
+    carrying the %3==0 set (staged invisibly, committed by
+    discharge), a second transaction carrying %3==1 ROLLED BACK by
+    discharge(fail), and the %3==2 set sent plain. The landed table
+    therefore holds committed-then-plain per partition with
+    offset=64·seq, and the oracle replays membership + ordering
+    arithmetically: committed events (ordered by id) take the first
+    seq slots of partition id%2, plain events the rest; rolled-back
+    ids never appear."""
+    from nifi_spark.sources import (Amqp10Error, EventHubBroker,
+                                    EventHubReceiver,
+                                    GetEventHubSource,
+                                    eventhub_loopback)
+    broker = EventHubBroker("hub1", 2, users={"nifi": "pw"},
+                            sas_tokens={"sb://hub1": "tok-gate"})
+    r, w, join = eventhub_loopback(broker)
+    recv = EventHubReceiver(r, w, hub="hub1", user="nifi",
+                            password="pw")
+    try:
+        recv.put_cbs_token("WRONG")
+        raise AssertionError("bad token must be refused")
+    except Amqp10Error as exc:
+        assert "401" in str(exc)
+    recv.put_cbs_token("tok-gate")
+    ids = [int(x[0]) for x in _t(spark, sf_dir, "events")
+           .select("event_id").where(F.col("event_id") < 180)
+           .orderBy("event_id").collect()]
+    txn = recv.declare_txn()
+    for i in ids:
+        if i % 3 == 0:
+            recv.send(f"ev {i}".encode(), {"n": i}, partition=i % 2,
+                      txn_id=txn)
+    assert broker.partitions == [[], []]      # staged, invisible
+    recv.discharge_txn(txn, fail=False)
+    txn2 = recv.declare_txn()
+    for i in ids:
+        if i % 3 == 1:
+            recv.send(f"gone {i}".encode(), {"n": i}, partition=i % 2,
+                      txn_id=txn2)
+    recv.discharge_txn(txn2, fail=True)       # rollback: never lands
+    for i in ids:
+        if i % 3 == 2:
+            recv.send(f"ev {i}".encode(), {"n": i}, partition=i % 2)
+    src = GetEventHubSource(tempfile.mkdtemp(prefix="amqp10_cbs_"))
+    src.drain(recv, [0, 1], batch_size=23)
+    recv.close()
+    join()
+    df = src.read(spark)
+    return (df.select(
+        F.col("eventhub_partition").alias("partition"),
+        F.col("eventhub_sequence").alias("seq"),
+        F.col("eventhub_offset").alias("offset"),
+        F.element_at("app_properties", "n").cast("long").alias("i"))
+        .groupBy("partition", (F.col("i") % 3).alias("kind"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.sum("i").cast("bigint").alias("sum_i"),
+             F.min("seq").cast("bigint").alias("min_seq"),
+             F.max("seq").cast("bigint").alias("max_seq"),
+             F.sum("offset").cast("bigint").alias("sum_offset")))
+
+
 def q_get_eventhub_landed(spark: SparkSession, sf_dir: str
                           ) -> DataFrame:
     """GetAzureEventHub analog (nifi-azure-bundle
@@ -7653,6 +7719,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     # --- new r5 operators
     "tail_file_rollover", "put_sns_publish", "hdfs_events_landed",
+    "amqp10_cbs_txn",
     # --- must re-prove: only driver row ever was a hash FAIL (since fixed)
     "execute_sql_tpch_q12", "user_sessionization",
     # --- streaming family (never driver-verified)
@@ -7923,6 +7990,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "put_slack_route": q_put_slack_route,
         "put_sns_publish": q_put_sns_publish,
         "hdfs_events_landed": q_hdfs_events_landed,
+        "amqp10_cbs_txn": q_amqp10_cbs_txn,
         "get_twitter_filtered": q_get_twitter_filtered,
         "yandex_translate_route": q_yandex_translate_route,
         "consume_winevt_landed": q_consume_winevt_landed,
@@ -10351,6 +10419,23 @@ SELECT (i % 4)::INT AS grp, count(*) AS n,
        CAST(sum(cas) AS BIGINT) AS sum_cas,
        30 AS ignite_keys
 FROM m GROUP BY grp ORDER BY grp
+""",
+        "amqp10_cbs_txn": """
+WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 180),
+kept AS (
+  SELECT i, (i % 2)::VARCHAR AS partition, i % 3 AS kind,
+         CASE WHEN i % 3 = 0 THEN 0 ELSE 1 END AS phase
+  FROM ids WHERE i % 3 <> 1),
+seqd AS (
+  SELECT i, partition, kind,
+         row_number() OVER (PARTITION BY partition
+                            ORDER BY phase, i) - 1 AS seq
+  FROM kept)
+SELECT partition, kind::BIGINT AS kind, count(*)::BIGINT AS n,
+       sum(i)::BIGINT AS sum_i, min(seq)::BIGINT AS min_seq,
+       max(seq)::BIGINT AS max_seq,
+       (64 * sum(seq))::BIGINT AS sum_offset
+FROM seqd GROUP BY partition, kind
 """,
         "hdfs_events_landed": """
 WITH ids AS (SELECT event_id AS i FROM events WHERE event_id < 460),

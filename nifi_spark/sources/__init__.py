@@ -86,7 +86,8 @@ from nifi_spark.sources.kafka_wire import (ConsumeKafkaWireSource,
                                            KafkaBroker, KafkaWireClient,
                                            kafka_loopback,
                                            partition_for_key)
-from nifi_spark.sources.amqp10 import (EventHubBroker, EventHubClient,
+from nifi_spark.sources.amqp10 import (Amqp10Error,
+                                       EventHubBroker, EventHubClient,
                                        EventHubReceiver,
                                        GetEventHubSource,
                                        eventhub_loopback, put_eventhub)
@@ -174,7 +175,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "sigv4_sign", "sigv4_verify",
            "GetSolrSource", "SolrClient", "SolrServer", "put_solr",
            "put_cassandra_ql",
-           "EventHubBroker", "EventHubClient", "EventHubReceiver",
+           "Amqp10Error", "EventHubBroker", "EventHubClient", "EventHubReceiver",
            "GetEventHubSource", "eventhub_loopback", "put_eventhub",
            "EsClient", "EsError", "EsNotFound", "EsRetryableError",
            "EsServer", "QueryEsSource", "ScrollEsSource",

@@ -28,9 +28,14 @@ senders split a delivery whose payload exceeds the effective frame
 limit (the peer's negotiated open.max-frame-size, or the injectable
 ``max_frame_payload`` for deterministic tests) into consecutive
 transfer frames sharing one delivery-id, and receivers reassemble
-per-handle until the final more=false frame. Declared boundary: the
-CBS token dance (Event Hubs' $cbs node is a proprietary claims
-protocol on top of AMQP management) and transactional outcomes.
+per-handle until the final more=false frame.
+
+The $cbs claims dance (put-token request/reply over a management-node
+link pair, 202/401 status, correlation-id matching; hub attaches
+without a claim detach with amqp:unauthorized-access) and §4.4
+transactions (coordinator link, declare → txn-id, transactional-state
+transfers staged invisibly, discharge commit/rollback) are both
+implemented — no declared AMQP 1.0 boundary remains.
 
 Transport = injectable ``read(n)``/``write(b)`` callables; tests loop
 back on a socketpair; production wraps a TLS socket.
@@ -231,6 +236,12 @@ D_SOURCE, D_TARGET, D_ACCEPTED = 0x28, 0x29, 0x24
 S_MECHANISMS, S_INIT, S_OUTCOME = 0x40, 0x41, 0x44
 M_ANNOTATIONS, M_PROPERTIES, M_APP_PROPERTIES, M_DATA = \
     0x72, 0x73, 0x74, 0x75
+M_VALUE = 0x77
+D_ERROR = 0x1D
+# transactions (OASIS AMQP 1.0 §4.5)
+TXN_COORDINATOR, TXN_DECLARE, TXN_DISCHARGE = 0x30, 0x31, 0x32
+TXN_DECLARED, TXN_STATE = 0x33, 0x34
+CBS_NODE = "$cbs"
 
 
 def write_frame(write, channel: int, performative: Described,
@@ -272,22 +283,36 @@ def _lget(lst: list, i: int, default=None):
 
 
 def encode_message(body: bytes, *, annotations: dict | None = None,
-                   app_properties: dict | None = None) -> bytes:
+                   app_properties: dict | None = None,
+                   properties: "list | None" = None,
+                   value_body=None) -> bytes:
+    """Bare message: optional message-annotations, properties (the
+    §3.2.4 13-field list — message-id(0), reply-to(4),
+    correlation-id(5) are the ones the CBS dance uses),
+    application-properties, and either a data or an amqp-value body
+    (`value_body` wins when given — CBS tokens and txn declare/
+    discharge ride amqp-value)."""
     out = b""
     if annotations:
         out += encode_value(Described(
             ULong(M_ANNOTATIONS),
             {Symbol(k): v for k, v in annotations.items()}))
+    if properties:
+        out += encode_value(Described(ULong(M_PROPERTIES),
+                                      list(properties)))
     if app_properties:
         out += encode_value(Described(ULong(M_APP_PROPERTIES),
                                       dict(app_properties)))
-    out += encode_value(Described(ULong(M_DATA), bytes(body)))
+    if value_body is not None:
+        out += encode_value(Described(ULong(M_VALUE), value_body))
+    else:
+        out += encode_value(Described(ULong(M_DATA), bytes(body)))
     return out
 
 
 def decode_message(payload: bytes) -> dict:
     pos, out = 0, {"annotations": {}, "app_properties": {},
-                   "body": b""}
+                   "properties": [], "value": None, "body": b""}
     while pos < len(payload):
         section, pos = decode_value(payload, pos)
         if not isinstance(section, Described):
@@ -296,12 +321,16 @@ def decode_message(payload: bytes) -> dict:
         if d == M_ANNOTATIONS:
             out["annotations"] = {str(k): v
                                   for k, v in section.value.items()}
+        elif d == M_PROPERTIES:
+            out["properties"] = list(section.value)
         elif d == M_APP_PROPERTIES:
             out["app_properties"] = {str(k): v
                                      for k, v in section.value.items()}
+        elif d == M_VALUE:
+            out["value"] = section.value
         elif d == M_DATA:
             out["body"] += section.value
-        # header/properties sections are tolerated and skipped
+        # header sections are tolerated and skipped
     return out
 
 
@@ -325,8 +354,13 @@ class EventHubBroker:
     def __init__(self, hub: str = "hub1", n_partitions: int = 4, *,
                  users: dict[str, str] | None = None,
                  clock_epoch_ms: int = 1_700_000_000_000,
-                 max_frame_payload: "int | None" = None):
+                 max_frame_payload: "int | None" = None,
+                 sas_tokens: "dict[str, str] | None" = None):
         self.hub = hub
+        #: audience -> expected SAS token. When set, every hub link
+        #: attach requires a prior $cbs put-token claim for
+        #: ``sb://<hub>`` (the Event Hubs CBS gate); None = CBS off.
+        self.sas_tokens = sas_tokens
         #: per-frame payload cap for OUTGOING transfers; None = honor
         #: only the peer's open.max-frame-size (minus frame overhead)
         self.max_frame_payload = max_frame_payload
@@ -388,6 +422,12 @@ class EventHubBroker:
         sent0 = self.transfers_sent
         next_out_id = 0
         peer_max_frame = 2 ** 20
+        # per-connection security + transaction state
+        claims: set[str] = set()          # audiences proven via $cbs
+        cbs_out: "int | None" = None      # client's $cbs reply link
+        cbs_seq = 0
+        txns: dict[bytes, list] = {}      # txn-id -> staged appends
+        next_txn = 1
 
         def frame_limit() -> int:
             lim = max(peer_max_frame - 512, 64)
@@ -415,12 +455,68 @@ class EventHubBroker:
                                      UInt(5000)]))
             elif d == P_ATTACH:
                 name, handle, role = f[0], int(f[1]), f[2]
+                target = _lget(f, 6)
+                # -- transaction coordinator (§4.4.1): the TARGET is
+                # the coordinator described type, not an address
+                if role is False and isinstance(target, Described) \
+                        and int(target.descriptor) == TXN_COORDINATOR:
+                    links[handle] = {"coord": True}
+                    write_frame(write, channel, Described(
+                        ULong(P_ATTACH),
+                        [name, UInt(handle), True, None, None,
+                         Described(ULong(D_SOURCE), [None]), target]))
+                    write_frame(write, channel, Described(
+                        ULong(P_FLOW),
+                        [UInt(0), UInt(5000), UInt(next_out_id),
+                         UInt(5000), UInt(handle), UInt(0),
+                         UInt(1000)]))
+                    continue
+                # -- $cbs management node (claims-based security)
+                node = None
+                if role is False and isinstance(target, Described):
+                    node = str(target.value[0])
+                elif role is True and isinstance(_lget(f, 5),
+                                                 Described):
+                    node = str(f[5].value[0])
+                if node == CBS_NODE:
+                    if role is False:     # client sends requests here
+                        links[handle] = {"cbs_in": True}
+                        write_frame(write, channel, Described(
+                            ULong(P_ATTACH),
+                            [name, UInt(handle), True, None, None,
+                             Described(ULong(D_SOURCE), [CBS_NODE]),
+                             target]))
+                        write_frame(write, channel, Described(
+                            ULong(P_FLOW),
+                            [UInt(0), UInt(5000), UInt(next_out_id),
+                             UInt(5000), UInt(handle), UInt(0),
+                             UInt(1000)]))
+                    else:                 # client receives replies here
+                        cbs_out = handle
+                        write_frame(write, channel, Described(
+                            ULong(P_ATTACH),
+                            [name, UInt(handle), False, None, None,
+                             f[5],
+                             Described(ULong(D_TARGET), [CBS_NODE])]))
+                    continue
+
+                def _authorized() -> bool:
+                    return (self.sas_tokens is None
+                            or f"sb://{self.hub}" in claims)
+
                 if role is False:         # peer is a SENDER (PutEventHub)
-                    target = f[6]
                     addr = str(target.value[0])
                     sm = _SEND_ADDR_RE.match(addr)
                     if not sm or sm.group("hub") != self.hub:
                         raise Amqp10Error(f"unknown target {addr!r}")
+                    if not _authorized():
+                        write_frame(write, channel, Described(
+                            ULong(P_DETACH),
+                            [UInt(handle), True, Described(
+                                ULong(D_ERROR),
+                                [Symbol("amqp:unauthorized-access"),
+                                 f"no claim for sb://{self.hub}"])]))
+                        continue
                     pid = (int(sm.group("pid"))
                            if sm.group("pid") is not None else None)
                     links[handle] = {"in": True, "pid": pid}
@@ -440,6 +536,14 @@ class EventHubBroker:
                 m = _ADDR_RE.match(addr)
                 if not m or m.group("hub") != self.hub:
                     raise Amqp10Error(f"unknown address {addr!r}")
+                if not _authorized():
+                    write_frame(write, channel, Described(
+                        ULong(P_DETACH),
+                        [UInt(handle), True, Described(
+                            ULong(D_ERROR),
+                            [Symbol("amqp:unauthorized-access"),
+                             f"no claim for sb://{self.hub}"])]))
+                    continue
                 cursor = 0
                 fmap = _lget(source.value, 5) or {}
                 for fdesc in fmap.values():
@@ -506,7 +610,8 @@ class EventHubBroker:
             elif d == P_TRANSFER:
                 handle = int(f[0])
                 link = links.get(handle)
-                if not link or not link.get("in"):
+                if not link or not (link.get("in") or link.get("coord")
+                                    or link.get("cbs_in")):
                     raise Amqp10Error("transfer on a non-sender link")
                 part_rx = rx_partial.pop(handle, None)
                 if part_rx is not None:
@@ -516,20 +621,115 @@ class EventHubBroker:
                         raise Amqp10Error("delivery-id changed "
                                           "mid-delivery")
                     did, settled = part_rx["did"], part_rx["settled"]
+                    state = part_rx["state"]
                     buf = part_rx["buf"] + _payload
                 else:
                     did = int(f[1])
                     settled = bool(_lget(f, 4, False))
+                    state = _lget(f, 7)   # §2.7.5 field 7: delivery state
                     buf = _payload
                 if bool(_lget(f, 5, False)):          # more=true
                     rx_partial[handle] = {"did": did, "settled": settled,
-                                          "buf": buf}
+                                          "state": state, "buf": buf}
                     continue
                 msg = decode_message(buf)
+                if link.get("cbs_in"):
+                    # -- CBS put-token (the Event Hubs claims dance):
+                    # request app-properties carry operation/type/name,
+                    # the amqp-value body is the token; the reply goes
+                    # back on the client's $cbs receiver link with
+                    # correlation-id = request message-id
+                    props = msg["app_properties"]
+                    audience = str(props.get("name", ""))
+                    ok = (str(props.get("operation")) == "put-token"
+                          and self.sas_tokens is not None
+                          and self.sas_tokens.get(audience)
+                          == msg["value"])
+                    if ok:
+                        claims.add(audience)
+                    if not settled:
+                        write_frame(write, channel, Described(
+                            ULong(P_DISPOSITION),
+                            [True, UInt(did), UInt(did), True,
+                             Described(ULong(D_ACCEPTED), [])]))
+                    if cbs_out is None:
+                        raise Amqp10Error("no $cbs reply link attached")
+                    req_id = _lget(msg["properties"], 0)
+                    reply = encode_message(
+                        b"",
+                        properties=[UInt(cbs_seq), None, None, None,
+                                    None, req_id],
+                        app_properties={
+                            "status-code": 202 if ok else 401,
+                            "status-description":
+                                "Accepted" if ok else "Unauthorized"},
+                        value_body="")
+                    cbs_seq += 1
+                    write_frame(write, channel, Described(
+                        ULong(P_TRANSFER),
+                        [UInt(cbs_out), UInt(next_out_id),
+                         struct.pack(">I", next_out_id), UInt(0),
+                         True, False]), reply)
+                    next_out_id += 1
+                    continue
+                if link.get("coord"):
+                    # -- §4.4.2/4.4.3 declare / discharge
+                    body = msg["value"]
+                    if not isinstance(body, Described):
+                        raise Amqp10Error("coordinator body must be "
+                                          "declare or discharge")
+                    td = int(body.descriptor)
+                    if td == TXN_DECLARE:
+                        txn_id = struct.pack(">Q", next_txn)
+                        next_txn += 1
+                        txns[txn_id] = []
+                        write_frame(write, channel, Described(
+                            ULong(P_DISPOSITION),
+                            [True, UInt(did), UInt(did), True,
+                             Described(ULong(TXN_DECLARED),
+                                       [txn_id])]))
+                    elif td == TXN_DISCHARGE:
+                        txn_id = bytes(body.value[0])
+                        fail = bool(_lget(body.value, 1, False))
+                        staged = txns.pop(txn_id, None)
+                        if staged is None:
+                            raise Amqp10Error("unknown txn-id")
+                        if not fail:      # commit: apply staged work
+                            for pid, mbody, mprops in staged:
+                                self._clock += 1
+                                self.append(pid, mbody, mprops,
+                                            enqueued_ms=self._clock)
+                                self.transfers_received += 1
+                        write_frame(write, channel, Described(
+                            ULong(P_DISPOSITION),
+                            [True, UInt(did), UInt(did), True,
+                             Described(ULong(D_ACCEPTED), [])]))
+                    else:
+                        raise Amqp10Error(
+                            f"unexpected coordinator body 0x{td:02x}")
+                    continue
                 pid = link["pid"]
                 if pid is None:
                     pid = self._rr % len(self.partitions)
                     self._rr += 1
+                if isinstance(state, Described) \
+                        and int(state.descriptor) == TXN_STATE:
+                    # transactional transfer (§4.4.4): stage under the
+                    # txn; visible only after a successful discharge
+                    txn_id = bytes(state.value[0])
+                    if txn_id not in txns:
+                        raise Amqp10Error("transfer under unknown txn")
+                    txns[txn_id].append(
+                        (pid, msg["body"], msg["app_properties"]))
+                    if not settled:
+                        write_frame(write, channel, Described(
+                            ULong(P_DISPOSITION),
+                            [True, UInt(did), UInt(did), True,
+                             Described(ULong(TXN_STATE),
+                                       [txn_id,
+                                        Described(ULong(D_ACCEPTED),
+                                                  [])])]))
+                    continue
                 self._clock += 1
                 self.append(pid, msg["body"], msg["app_properties"],
                             enqueued_ms=self._clock)
@@ -716,9 +916,12 @@ class EventHubReceiver:
         return handle
 
     def send(self, body: bytes, app_properties: dict | None = None,
-             *, partition: "int | None" = None) -> None:
+             *, partition: "int | None" = None,
+             txn_id: "bytes | None" = None) -> None:
         """One unsettled transfer + wait for the accepted disposition
-        (PutAzureEventHub.java's sendMessage future)."""
+        (PutAzureEventHub.java's sendMessage future). With `txn_id`
+        the transfer carries transactional-state (§4.4.4) — the event
+        is invisible until the transaction discharges."""
         handle = self._send_links.get(partition)
         if handle is None:
             handle = self._attach_sender(partition)
@@ -728,15 +931,140 @@ class EventHubReceiver:
         lim = self.max_frame_payload or len(msg) or 1
         chunks = [msg[i:i + lim] for i in range(0, len(msg), lim)] or [b""]
         for ci, chunk in enumerate(chunks):
+            fields = [UInt(handle), UInt(did), struct.pack(">I", did),
+                      UInt(0), False, ci < len(chunks) - 1]
+            if txn_id is not None and ci == 0:
+                fields += [None, Described(ULong(TXN_STATE), [txn_id])]
             write_frame(self._write, 0, Described(
-                ULong(P_TRANSFER),
-                [UInt(handle), UInt(did), struct.pack(">I", did),
-                 UInt(0), False, ci < len(chunks) - 1]), chunk)
+                ULong(P_TRANSFER), fields), chunk)
+        disp, _ = self._expect(P_DISPOSITION)
+        state = _lget(disp.value, 4)
+        if isinstance(state, Described) \
+                and int(state.descriptor) == TXN_STATE:
+            outcome = _lget(state.value, 1)
+            if bytes(state.value[0]) != txn_id or not (
+                    isinstance(outcome, Described)
+                    and int(outcome.descriptor) == D_ACCEPTED):
+                raise Amqp10Error(f"txn delivery not accepted: "
+                                  f"{state!r}")
+            return
+        if not (isinstance(state, Described)
+                and int(state.descriptor) == D_ACCEPTED):
+            raise Amqp10Error(f"delivery not accepted: {state!r}")
+
+    # -- $cbs (claims-based security) --------------------------------
+    def put_cbs_token(self, token: str, *,
+                      audience: "str | None" = None) -> None:
+        """The Event Hubs CBS dance: attach a sender/receiver pair to
+        the ``$cbs`` node, send a put-token request (operation/type/
+        name application-properties, token as the amqp-value body),
+        and require the 202 reply correlated to the request
+        message-id. Must run BEFORE hub links when the broker enforces
+        CBS — unauthenticated attaches detach with
+        amqp:unauthorized-access."""
+        aud = audience or f"sb://{self.hub}"
+        if not hasattr(self, "_cbs_pair"):
+            snd = self._next_handle
+            self._next_handle += 1
+            write_frame(self._write, 0, Described(
+                ULong(P_ATTACH),
+                [f"cbs-snd-{snd}", UInt(snd), False, None, None,
+                 Described(ULong(D_SOURCE), [None]),
+                 Described(ULong(D_TARGET), [CBS_NODE])]))
+            self._expect(P_ATTACH)
+            self._expect(P_FLOW)
+            rcv = self._next_handle
+            self._next_handle += 1
+            write_frame(self._write, 0, Described(
+                ULong(P_ATTACH),
+                [f"cbs-rcv-{rcv}", UInt(rcv), True, None, None,
+                 Described(ULong(D_SOURCE), [CBS_NODE]),
+                 Described(ULong(D_TARGET), [None])]))
+            self._expect(P_ATTACH)
+            self._cbs_pair = (snd, rcv)
+            self._cbs_msg = 0
+        snd, _rcv = self._cbs_pair
+        self._cbs_msg += 1
+        self._delivery += 1
+        req = encode_message(
+            b"",
+            properties=[UInt(self._cbs_msg), None, None, None,
+                        CBS_NODE, None],
+            app_properties={"operation": "put-token",
+                            "type": "servicebus.windows.net:sastoken",
+                            "name": aud},
+            value_body=token)
+        write_frame(self._write, 0, Described(
+            ULong(P_TRANSFER),
+            [UInt(snd), UInt(self._delivery),
+             struct.pack(">I", self._delivery), UInt(0), True,
+             False]), req)
+        perf, payload = self._expect(P_TRANSFER)
+        reply = decode_message(payload)
+        corr = _lget(reply["properties"], 5)
+        if corr is None or int(corr) != self._cbs_msg:
+            raise Amqp10Error("CBS reply correlation-id mismatch")
+        status = int(reply["app_properties"].get("status-code", 500))
+        if status != 202:
+            raise Amqp10Error(
+                f"CBS put-token refused: {status} "
+                f"{reply['app_properties'].get('status-description')}")
+
+    # -- transactions (§4.4) -----------------------------------------
+    def _attach_coordinator(self) -> int:
+        handle = self._next_handle
+        self._next_handle += 1
+        write_frame(self._write, 0, Described(
+            ULong(P_ATTACH),
+            [f"txn-ctl-{handle}", UInt(handle), False, None, None,
+             Described(ULong(D_SOURCE), [None]),
+             Described(ULong(TXN_COORDINATOR), [])]))
+        self._expect(P_ATTACH)
+        self._expect(P_FLOW)
+        self._txn_handle = handle
+        return handle
+
+    def declare_txn(self) -> bytes:
+        """§4.4.2: declare on the coordinator link → txn-id from the
+        declared disposition state."""
+        handle = getattr(self, "_txn_handle", None) \
+            or self._attach_coordinator()
+        self._delivery += 1
+        did = self._delivery
+        msg = encode_message(
+            b"", value_body=Described(ULong(TXN_DECLARE), [None]))
+        write_frame(self._write, 0, Described(
+            ULong(P_TRANSFER),
+            [UInt(handle), UInt(did), struct.pack(">I", did),
+             UInt(0), False, False]), msg)
+        disp, _ = self._expect(P_DISPOSITION)
+        state = _lget(disp.value, 4)
+        if not (isinstance(state, Described)
+                and int(state.descriptor) == TXN_DECLARED):
+            raise Amqp10Error(f"declare not honored: {state!r}")
+        return bytes(state.value[0])
+
+    def discharge_txn(self, txn_id: bytes, *,
+                      fail: bool = False) -> None:
+        """§4.4.3: discharge — fail=False commits the staged
+        transfers, fail=True rolls them back."""
+        handle = getattr(self, "_txn_handle", None)
+        if handle is None:
+            raise Amqp10Error("no coordinator link (declare first)")
+        self._delivery += 1
+        did = self._delivery
+        msg = encode_message(
+            b"", value_body=Described(ULong(TXN_DISCHARGE),
+                                      [txn_id, bool(fail)]))
+        write_frame(self._write, 0, Described(
+            ULong(P_TRANSFER),
+            [UInt(handle), UInt(did), struct.pack(">I", did),
+             UInt(0), False, False]), msg)
         disp, _ = self._expect(P_DISPOSITION)
         state = _lget(disp.value, 4)
         if not (isinstance(state, Described)
                 and int(state.descriptor) == D_ACCEPTED):
-            raise Amqp10Error(f"delivery not accepted: {state!r}")
+            raise Amqp10Error(f"discharge not accepted: {state!r}")
 
     def close(self) -> None:
         write_frame(self._write, 0, Described(ULong(P_CLOSE), []))

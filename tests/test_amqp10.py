@@ -173,3 +173,81 @@ def test_multiframe_transfer_client_to_broker():
     assert broker.transfers_received == 2
     assert [e[3] for e in broker.partitions[0]] == [big, b"tiny"]
     assert broker.partitions[0][0][4] == {"a": "1"}
+
+
+# ----------------------------------------------------- $cbs + txns
+
+def test_cbs_put_token_gates_hub_links():
+    """CBS-enforcing broker: hub attaches without a claim detach with
+    amqp:unauthorized-access; after a valid put-token (202, correlated
+    reply) the same links attach and serve."""
+    broker = EventHubBroker("hub1", 2, users={"nifi": "pw"},
+                            sas_tokens={"sb://hub1": "tok-abc"})
+    broker.append(0, b"ev0", {}, enqueued_ms=1)
+    r, w, join = eventhub_loopback(broker)
+    recv = EventHubReceiver(r, w, hub="hub1", user="nifi",
+                            password="pw")
+    with pytest.raises(Amqp10Error, match="0x16"):   # detach, not attach
+        recv.receive(0, 5)
+    join2 = None
+    # fresh connection: wrong token → 401
+    broker2 = EventHubBroker("hub1", 2, users={"nifi": "pw"},
+                             sas_tokens={"sb://hub1": "tok-abc"})
+    r2, w2, join2 = eventhub_loopback(broker2)
+    recv2 = EventHubReceiver(r2, w2, hub="hub1", user="nifi",
+                             password="pw")
+    with pytest.raises(Amqp10Error, match="401"):
+        recv2.put_cbs_token("WRONG")
+    # correct token on the same connection → claim granted
+    recv2.put_cbs_token("tok-abc")
+    broker2.append(0, b"ev0", {}, enqueued_ms=1)
+    broker2.append(0, b"ev1", {}, enqueued_ms=2)
+    out = recv2.receive(0, 10)
+    assert [m["body"] for m in out] == [b"ev0", b"ev1"]
+    recv2.close()
+    join2()
+
+
+def test_txn_commit_and_rollback():
+    """§4.4: transactional transfers are invisible until discharge;
+    fail=true discards them."""
+    broker = EventHubBroker("hub1", 1, users={"u": "p"})
+    r, w, join = eventhub_loopback(broker)
+    recv = EventHubReceiver(r, w, hub="hub1", user="u", password="p")
+    txn = recv.declare_txn()
+    assert len(txn) == 8
+    recv.send(b"t-a", {"n": 1}, partition=0, txn_id=txn)
+    recv.send(b"t-b", {"n": 2}, partition=0, txn_id=txn)
+    assert broker.partitions[0] == []       # staged, not visible
+    recv.discharge_txn(txn, fail=False)
+    assert [e[3] for e in broker.partitions[0]] == [b"t-a", b"t-b"]
+    # second txn rolls back
+    txn2 = recv.declare_txn()
+    recv.send(b"t-c", {}, partition=0, txn_id=txn2)
+    recv.discharge_txn(txn2, fail=True)
+    assert [e[3] for e in broker.partitions[0]] == [b"t-a", b"t-b"]
+    # non-transactional sends still work afterwards
+    recv.send(b"plain", {}, partition=0)
+    assert [e[3] for e in broker.partitions[0]] == [b"t-a", b"t-b",
+                                                    b"plain"]
+    out = recv.receive(0, 10)
+    assert [m["body"] for m in out] == [b"t-a", b"t-b", b"plain"]
+    recv.close()
+    join()
+
+
+def test_txn_transfer_multiframe_and_unknown_txn():
+    """A transactional delivery split over several frames carries its
+    state on the first frame only; discharging twice errors."""
+    broker = EventHubBroker("hub1", 1, users={"u": "p"},
+                            max_frame_payload=16)
+    r, w, join = eventhub_loopback(broker)
+    recv = EventHubReceiver(r, w, hub="hub1", user="u", password="p",
+                            max_frame_payload=16)
+    txn = recv.declare_txn()
+    big = bytes(range(200))
+    recv.send(big, {}, partition=0, txn_id=txn)
+    recv.discharge_txn(txn, fail=False)
+    assert broker.partitions[0][0][3] == big
+    with pytest.raises(Amqp10Error):
+        recv.discharge_txn(txn, fail=False)   # unknown txn-id now
