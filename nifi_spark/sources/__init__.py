@@ -19,7 +19,8 @@ from nifi_spark.sources.kafka import (KafkaBatchSource, kafka_available,
                                       publish_kafka)
 from nifi_spark.sources.listen import (ListenSource, ListenSyslogSource,
                                        ListenTCPSource, ListenUDPSource)
-from nifi_spark.sources.tail_file import TailFileSource
+from nifi_spark.sources.tail_file import (MultiTailFileSource,
+                                          TailFileSource)
 from nifi_spark.sources.sns import (SnsClient, SnsError, SnsServer,
                                     put_sns)
 from nifi_spark.sources.hdfs_events import (FakeInotifyStream,
@@ -121,7 +122,7 @@ __all__ = ["ChangelogSource", "HttpIncrementalSource", "KafkaBatchSource",
            "kafka_available", "next_starting_offsets", "offsets_json",
            "publish_kafka",
            "ListenSource", "ListenSyslogSource", "ListenTCPSource",
-           "ListenUDPSource", "TailFileSource",
+           "ListenUDPSource", "TailFileSource", "MultiTailFileSource",
            "SnsClient", "SnsError", "SnsServer", "put_sns",
            "FakeInotifyStream", "GetHDFSEventsSource", "MissingEventsError",
            "DataPacket", "S2SClient", "S2SPort", "S2STransaction",

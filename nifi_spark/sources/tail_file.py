@@ -310,3 +310,92 @@ class TailFileSource:
                 .select("batch_id", "filename", "start_pos",
                         F.posexplode(arr).alias("line_idx", "line"))
                 .filter(F.col("line") != ""))
+
+
+class MultiTailFileSource:
+    """TailFile 'Multiple files' mode (TailFile.java MODE_MULTIFILE;
+    TestTailFile.testMultipleFiles*): a base directory plus a filename
+    REGEX (matched against the '/'-separated path relative to the
+    base, optionally recursive) — every matching file is tailed with
+    its own independent (position, checksum) state and the shared
+    rolling pattern; new matching files are discovered on each poll.
+    `max_age_ns` reproduces the Changing-name strategy's maximum-age
+    guard: files whose mtime is older than `now_ns() - max_age_ns` are
+    not picked up (the active dated log is the young one). Each tailed
+    file spools into its own subdirectory of `spool_dir` (batch ids
+    never collide); `read()` unions them recursively."""
+
+    def __init__(self, base_dir: str, file_regex: str, spool_dir: str,
+                 *, rolling_pattern: str | None = None,
+                 recursive: bool = False,
+                 max_age_ns: "int | None" = None,
+                 now_ns=None, charset: str = "utf-8"):
+        import hashlib
+        self.base_dir = os.path.abspath(base_dir)
+        self.file_regex = re.compile(file_regex)
+        self.spool_dir = spool_dir
+        self.rolling_pattern = rolling_pattern
+        self.recursive = recursive
+        self.max_age_ns = max_age_ns
+        self.now_ns = now_ns or (lambda: __import__("time").time_ns())
+        self.charset = charset
+        self._hash = lambda p: hashlib.md5(p.encode()).hexdigest()[:12]
+        os.makedirs(spool_dir, exist_ok=True)
+        self._tails: dict[str, TailFileSource] = {}
+        # resume every previously-tailed file from its persisted state
+        for name in os.listdir(spool_dir):
+            marker = os.path.join(spool_dir, name, "_tail_path.txt")
+            if os.path.isfile(marker):
+                path = open(marker).read()
+                self._tails[path] = TailFileSource(
+                    path, os.path.join(spool_dir, name),
+                    rolling_pattern=rolling_pattern, charset=charset)
+
+    def _discover(self) -> list[str]:
+        out = []
+        if self.recursive:
+            walk = ((root, files) for root, _, files
+                    in os.walk(self.base_dir))
+        else:
+            walk = [(self.base_dir,
+                     [f for f in os.listdir(self.base_dir)
+                      if os.path.isfile(
+                          os.path.join(self.base_dir, f))])]
+        for root, files in walk:
+            for f in files:
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, self.base_dir).replace(
+                    os.sep, "/")
+                if not self.file_regex.fullmatch(rel):
+                    continue
+                if self.max_age_ns is not None and \
+                        os.stat(p).st_mtime_ns < \
+                        self.now_ns() - self.max_age_ns:
+                    continue
+                out.append(p)
+        return sorted(out)
+
+    def poll(self) -> int:
+        """Discover new matches, then poll every tailed file. Returns
+        total bytes consumed this pass. A tailed file that has
+        disappeared (deleted, or rotated with no new file yet) polls
+        as empty and stays registered — its rolled remainder is
+        recovered when the pattern matches."""
+        for path in self._discover():
+            if path not in self._tails:
+                sub = os.path.join(self.spool_dir, "t_" + self._hash(path))
+                os.makedirs(sub, exist_ok=True)
+                with open(os.path.join(sub, "_tail_path.txt"),
+                          "w") as fh:
+                    fh.write(path)
+                self._tails[path] = TailFileSource(
+                    path, sub, rolling_pattern=self.rolling_pattern,
+                    charset=self.charset)
+        return sum(t.poll() for t in self._tails.values())
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return (spark.read.schema(_SPOOL_SCHEMA)
+                .option("recursiveFileLookup", "true")
+                .parquet(self.spool_dir))
+
+    lines = staticmethod(TailFileSource.lines)

@@ -256,3 +256,112 @@ def test_spark_read_and_lines(spark, tmp_path):
     lines = TailFileSource.lines(df).orderBy("batch_id", "line_idx")
     got = [r["line"] for r in lines.collect()]
     assert got == ["ev%08d" % i for i in range(150)]
+
+
+# ------------------------------------------------ Multiple files mode
+
+def _multi_chunks(src):
+    import pyarrow.parquet as pq
+    rows = []
+    for root, _, files in os.walk(src.spool_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                rows += pq.read_table(os.path.join(root, f)).to_pylist()
+    return rows
+
+
+def test_multiple_files_discovery_and_rollover(tmp_path):
+    """testMultipleFiles: three matching files (one in a subdir,
+    recursive regex), independent partial-line carry, new files
+    discovered mid-run, rollovers recovered per file."""
+    from nifi_spark.sources.tail_file import MultiTailFileSource
+    base = tmp_path / "base"
+    (base / "testDir").mkdir(parents=True)
+    log = str(base / "log.txt")
+    other = str(base / "testDir" / "log.txt")
+    for p in (log, other):
+        open(p, "wb").close()
+        _touch(p)
+    src = MultiTailFileSource(str(base), r"(testDir/)?log(ging)?\.txt",
+                              str(tmp_path / "spool"),
+                              rolling_pattern="${filename}.?",
+                              recursive=True)
+    assert src.poll() == 0
+    third = str(base / "logging.txt")
+    _append(third, b"hey\n")
+    _append(other, b"hi\n")
+    _append(log, b"hello\n")
+    assert src.poll() == 13
+    by_path = {}
+    for r in _multi_chunks(src):
+        by_path.setdefault(r["original_path"], []).append(r["content"])
+    assert by_path[log] == ["hello\n"]
+    assert by_path[other] == ["hi\n"]
+    assert by_path[third] == ["hey\n"]
+    # partial lines stay per file
+    _append(other, b"world!")
+    _append(log, b"world")
+    assert src.poll() == 0
+    # rotate both tracked files, remove the third, add a fourth
+    os.remove(third)
+    os.rename(log, str(base / "log.1"))
+    _touch(str(base / "log.1"))
+    os.rename(other, str(base / "testDir" / "log.1"))
+    _touch(str(base / "testDir" / "log.1"))
+    _append(log, b"1\n")
+    _append(other, b"2\n")
+    fourth = str(base / "testDir" / "logging.txt")
+    _append(fourth, b"3\n")
+    src.poll()
+    by_path = {}
+    for r in _multi_chunks(src):
+        by_path.setdefault(r["original_path"], []).append(r["content"])
+    assert by_path[log] == ["hello\n", "world", "1\n"]
+    assert by_path[other] == ["hi\n", "world!", "2\n"]
+    assert by_path[fourth] == ["3\n"]
+
+
+def test_multiple_files_max_age_and_restart(tmp_path):
+    """Changing-name strategy: files older than max_age are not picked
+    up; a restarted source resumes every tracked file's state."""
+    from nifi_spark.sources.tail_file import MultiTailFileSource
+    base = tmp_path / "b"
+    base.mkdir()
+    old = str(base / "app-2020.log")
+    new = str(base / "app-2026.log")
+    _append(old, b"ancient\n")
+    _append(new, b"fresh\n")
+    now = os.stat(new).st_mtime_ns + 1
+    src = MultiTailFileSource(str(base), r"app-\d+\.log",
+                              str(tmp_path / "spool"),
+                              max_age_ns=1_000_000_000,
+                              now_ns=lambda: now)
+    assert src.poll() == 6                  # only the fresh file
+    paths = {r["original_path"] for r in _multi_chunks(src)}
+    assert paths == {new}
+    # restart: tracked files resume from persisted state
+    _append(new, b"more\n")
+    src2 = MultiTailFileSource(str(base), r"app-\d+\.log",
+                               str(tmp_path / "spool"),
+                               max_age_ns=1_000_000_000,
+                               now_ns=lambda: now)
+    assert src2.poll() == 5
+    by = [r["content"] for r in _multi_chunks(src2)
+          if r["original_path"] == new]
+    assert by == ["fresh\n", "more\n"]
+
+
+def test_multiple_files_spark_union(spark, tmp_path):
+    from nifi_spark.sources.tail_file import MultiTailFileSource
+    base = tmp_path / "b"
+    base.mkdir()
+    for i in range(3):
+        _append(str(base / f"s{i}.log"),
+                b"".join(b"f%d line %03d\n" % (i, j) for j in range(20)))
+    src = MultiTailFileSource(str(base), r"s\d\.log",
+                              str(tmp_path / "spool"))
+    src.poll()
+    df = src.read(spark)
+    assert df.count() == 3
+    lines = MultiTailFileSource.lines(df)
+    assert lines.count() == 60
