@@ -87,8 +87,10 @@ def openssl_pbe_decrypt(data: bytes, password: str, *,
 # "$2a$cost$salt22" string itself (cost rides the stream) and the key
 # is SHA-512(full bcrypt hash string) truncated — the bcrypt core is
 # the from-scratch functions/bcrypt_kdf.py, pinned to the reference's
-# own embedded vector. Remaining declared boundary: NIFI_LEGACY's
-# BouncyCastle PBE derivation (BC-internal iterated-MD5 behavior).
+# own embedded vector. NIFI_LEGACY is implemented below too (raw
+# 16-byte salt prefix; BC's OPENSSL PBE generator is single-iteration
+# EVP_BytesToKey regardless of the requested 1000 count) — the KDF
+# census carries no declared boundary.
 
 import base64 as _b64
 

@@ -303,3 +303,70 @@ def test_bmp_core_header_rejected():
     blob = hdr + core + b"\x00" * (3 * 256) + b"\x00" * 16
     with _pt.raises(ValueError, match="DIB header size 12"):
         mc.decode_bmp(blob)
+
+
+def _id3v2(ver: int, frames: bytes, flags: int = 0) -> bytes:
+    n = len(frames)
+    size = bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                  (n >> 7) & 0x7F, n & 0x7F))
+    return b"ID3" + bytes((ver, 0, flags)) + size + frames
+
+
+def test_id3v2_text_frames():
+    """ID3v2.3 plain sizes, v2.4 syncsafe + utf-8, v2.2 3-byte ids —
+    text frames land raw AND mapped onto the ID3v1-compatible keys."""
+    from nifi_spark.datalib.exif import parse_mp3_metadata
+
+    def frame3(fid, enc, text):
+        data = bytes([enc]) + text
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    v23 = _id3v2(3, frame3(b"TIT2", 0, b"My Song")
+                 + frame3(b"TPE1", 1, "Artíst".encode("utf-16"))
+                 + frame3(b"TALB", 0, b"Album X\x00junk"))
+    md = dict(parse_mp3_metadata(v23))
+    assert md["MP3.ID3v2"] == "2.3.0"
+    assert md["title"] == "My Song"
+    assert md["artist"] == "Artíst"
+    assert md["album"] == "Album X"          # NUL-terminated
+    assert md["MP3.ID3v2.TIT2"] == "My Song"
+
+    def frame4(fid, enc, text):
+        data = bytes([enc]) + text
+        n = len(data)
+        ss = bytes(((n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F))
+        return fid + ss + b"\x00\x00" + data
+
+    v24 = _id3v2(4, frame4(b"TIT2", 3, "Søng 🎵".encode("utf-8"))
+                 + frame4(b"TDRC", 0, b"2026"))
+    md = dict(parse_mp3_metadata(v24))
+    assert md["title"] == "Søng 🎵" and md["year"] == "2026"
+
+    def frame2(fid, enc, text):
+        data = bytes([enc]) + text
+        return fid + len(data).to_bytes(3, "big") + data
+
+    v22 = _id3v2(2, frame2(b"TT2", 0, b"Old Title")
+                 + frame2(b"TRK", 0, b"7"))
+    md = dict(parse_mp3_metadata(v22))
+    assert md["title"] == "Old Title" and md["track"] == "7"
+
+
+def test_id3v1_wins_over_id3v2_on_conflict():
+    """Tika fallback order: when both tags exist, the v1 values (parsed
+    last) win in the flattened dict — the reference's test fixture
+    asserts its v1 'Test Title'."""
+    from nifi_spark.datalib.exif import parse_mp3_metadata
+
+    def frame3(fid, text):
+        data = b"\x00" + text
+        return fid + len(data).to_bytes(4, "big") + b"\x00\x00" + data
+
+    v1 = (b"TAG" + b"V1 Title".ljust(30, b"\x00")
+          + b"V1 Artist".ljust(30, b"\x00") + b"\x00" * 30
+          + b"2020" + b"\x00" * 30 + b"\x00")
+    blob = _id3v2(3, frame3(b"TIT2", b"V2 Title")) + v1
+    md = dict(parse_mp3_metadata(blob))
+    assert md["title"] == "V1 Title"
+    assert md["MP3.ID3v2.TIT2"] == "V2 Title"
