@@ -10062,11 +10062,11 @@ SELECT doc_id,
        trim(regexp_replace(
             nfc_normalize(regexp_replace(text,
                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
-            '\\s+', ' ', 'g')) AS text_norm,
+            '\s+', ' ', 'g')) AS text_norm,
        length(trim(regexp_replace(
             nfc_normalize(regexp_replace(text,
                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
-            '\\s+', ' ', 'g'))) AS n_chars_norm
+            '\s+', ' ', 'g'))) AS n_chars_norm
 FROM raw
 """,
         "curate_token_budget": """
