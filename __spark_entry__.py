@@ -7542,6 +7542,54 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("matched_id").cast("long").alias("matched_id"))
 
 
+def q_stream_dedup_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup as a STANDING QUERY
+    (streaming/dedup_index_stream.py): the same persisted-index
+    contract as dedup_incremental_batch, driven through readStream +
+    foreachBatch with idempotent per-epoch sinks. Drop 0 (the %3≠0
+    corpus) streams in against an EMPTY index — every doc lands novel
+    and its keys become the index, which therefore equals the batch
+    gate's build_dedup_index(corpus) exactly; drop 1 (the batch gate's
+    exact-copy/mutated/novel fixture) streams in next and must classify
+    identically to the batch operator. Oracle = the batch gate's
+    generated signature-pipeline SQL plus drop 0's novel block."""
+    from nifi_spark.streaming import StreamingDedupIndex
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_dedup_idx_")
+    spool = os.path.join(work, "docs")
+    os.makedirs(spool)
+
+    def land(df, name):
+        tmp = os.path.join(work, "tmp_" + name)
+        df.coalesce(1).write.parquet(tmp)
+        part = [f for f in os.listdir(tmp)
+                if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part),
+                  os.path.join(spool, name + ".parquet"))
+
+    src = StreamingDedupIndex(
+        spark, spool, os.path.join(work, "index"),
+        os.path.join(work, "results"), os.path.join(work, "ck"))
+    land(docs.filter(F.col("doc_id") % 3 != 0), "drop0")
+    src.drain()
+    drop1 = (docs.filter(F.col("doc_id") % 3 == 0)
+             .unionByName(
+                 docs.filter((F.col("doc_id") % 3 == 1)
+                             & (F.col("doc_id") < 300))
+                 .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                         "text"))
+             .unionByName(
+                 docs.filter((F.col("doc_id") % 3 == 2)
+                             & (F.col("doc_id") < 300))
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.concat("text", F.lit(" xyzzy"))
+                         .alias("text"))))
+    land(drop1, "drop1")
+    src.drain()
+    return src.read_results()
+
+
 def _dedup_incremental_oracle_sql(num_perm: int = 12, bands: int = 4) -> str:
     """DuckDB twin generated from the same minhash constants."""
     from nifi_spark.datalib.dedup import MINHASH_PRIME, minhash_perm_params
@@ -7719,7 +7767,7 @@ _DRIVER_VERIFIED = frozenset({
 _NEW_THIS_ROUND = [
     # --- new r5 operators
     "tail_file_rollover", "put_sns_publish", "hdfs_events_landed",
-    "amqp10_cbs_txn",
+    "amqp10_cbs_txn", "stream_dedup_incremental",
     # --- must re-prove: only driver row ever was a hash FAIL (since fixed)
     "execute_sql_tpch_q12", "user_sessionization",
     # --- streaming family (never driver-verified)
@@ -7911,6 +7959,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_xml_compile": q_flow_xml_compile,
         "parse_evtx_bad_chunks": q_parse_evtx_bad_chunks,
         "dedup_incremental_batch": q_dedup_incremental,
+        "stream_dedup_incremental": q_stream_dedup_incremental,
         "relevance_bm25_topk": q_relevance_bm25_topk,
         "bpe_train_merges": q_bpe_train_merges,
         "wordpiece_train_merges": q_wordpiece_train_merges,
@@ -9881,6 +9930,11 @@ FROM fr
         ).bm25_oracle_sql("SELECT doc_id, text FROM documents",
                           _BM25_QUERIES, k=25),
         "dedup_incremental_batch": _dedup_incremental_oracle_sql(),
+        "stream_dedup_incremental": (
+            "WITH batch_part AS (" + _dedup_incremental_oracle_sql()
+            + ") SELECT * FROM batch_part UNION ALL "
+              "SELECT doc_id, 'novel' AS status, -1::BIGINT AS "
+              "matched_id FROM documents WHERE doc_id % 3 <> 0"),
         "parse_evtx_bad_chunks": """
 WITH n AS (SELECT least(count(*), 100) AS c FROM events),
 ch AS (SELECT unnest(range(1, ((SELECT c FROM n) + 31) // 32 + 1))
