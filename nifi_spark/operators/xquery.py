@@ -305,11 +305,81 @@ def _strip_outer_parens(t: str) -> str:
     return t
 
 
+_QUANT_RE = re.compile(r"^(some|every)\s+\$", re.IGNORECASE)
+_SATISFIES_RE = re.compile(r"\bsatisfies\b", re.IGNORECASE)
+_QBIND_RE = re.compile(r"^\s*\$([\w.-]+(?::[\w.-]+)?)\s+in\s+(.+)$",
+                       re.DOTALL)
+
+
+def _eval_quantified(t: str, ctx: Context) -> bool:
+    """XQuery 1.0 §3.9 quantified expressions: ``some|every $v in E
+    (, $v in E)* satisfies P`` — cartesian product over the binding
+    sequences, effective-boolean P; empty sequences give the vacuous
+    truth values (some → false, every → true)."""
+    kw = t[:4].lower() if t[:4].lower() == "some" else "every"
+    rest = t[len(kw):]
+    hits = [m for m in _SATISFIES_RE.finditer(rest)
+            if _depth0_at(rest, m.start())]
+    if not hits:
+        raise XQueryError(f"quantified expression without "
+                          f"'satisfies': {t[:40]!r}")
+    binds_src, pred = rest[:hits[0].start()], rest[hits[0].end():]
+    binds = []
+    for part in _split_top_commas(binds_src):
+        bm = _QBIND_RE.match(part)
+        if not bm:
+            raise XQueryError(f"bad quantifier binding {part!r}")
+        binds.append((bm.group(1), bm.group(2)))
+
+    def rec(i: int, variables: dict) -> bool:
+        c = Context(ctx.doc, ctx.doc, variables=variables,
+                    functions=ctx.functions)
+        if i == len(binds):
+            return to_bool(_eval_expr(pred, c))
+        name, expr = binds[i]
+        seq = _eval_expr(expr, c)
+        if not isinstance(seq, list):
+            seq = [seq]
+        found_all = True
+        for item in seq:
+            nv = dict(variables)
+            nv[name] = [item] if not isinstance(
+                item, (str, float, bool)) else item
+            v = rec(i + 1, nv)
+            if kw == "some" and v:
+                return True
+            found_all = found_all and v
+        return False if kw == "some" else found_all
+
+    return rec(0, dict(ctx.variables))
+
+
+def _depth0_at(body: str, pos: int) -> bool:
+    """True when `pos` sits at paren/bracket/brace/quote depth 0."""
+    depth, quote = 0, None
+    for i, ch in enumerate(body):
+        if i == pos:
+            return depth == 0 and quote is None
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+    return False
+
+
 def _eval_expr(src: str, ctx: Context):
-    """Evaluate an XPath expression OR a (parenthesized) nested FLWOR —
-    the latter inherits the caller's variables and declared functions
-    and yields its items as serialized strings."""
+    """Evaluate an XPath expression, a quantified expression
+    (some/every … satisfies), OR a (parenthesized) nested FLWOR — the
+    latter inherits the caller's variables and declared functions and
+    yields its items as serialized strings."""
     t = _strip_outer_parens(src)
+    if _QUANT_RE.match(t):
+        return _eval_quantified(t, ctx)
     if _XQUERY_START_RE.match(t):
         return eval_flwor(_parse_cached(t), None,
                           variables=ctx.variables,
@@ -422,7 +492,7 @@ def eval_flwor(plan: dict, root: ET.Element | None,
         if i == len(plan["binds"]):
             ctx = Context(doc, doc, variables=variables, functions=funcs)
             if plan["where"] is not None and \
-                    not to_bool(evaluate(plan["where"], ctx)):
+                    not to_bool(_eval_expr(plan["where"], ctx)):
                 return
             keys = []
             for expr, desc in plan["order"]:

@@ -546,3 +546,51 @@ def test_xpath2_functions_direct():
     assert evaluate('concat("a""b", \'c\'\'d\')', ctx) == 'a"bc\'d'
     assert xpath_replacement("\\$1") == "$1"
     assert xpath_replacement("$12") == "\\g<12>"
+
+
+# --------------------------------------------- quantified expressions
+
+def test_quantified_some_every(root):
+    """XQuery 1.0 §3.9: some/every … satisfies over single and multiple
+    bindings, vacuous truth on empty sequences, usable in where and in
+    return holes."""
+    q = """for $c in /catalog
+           where some $b in $c/book satisfies $b/@price > 20
+           return 'has-expensive'"""
+    assert eval_flwor(parse_flwor(q), root) == ["has-expensive"]
+    q = """for $c in /catalog
+           where every $b in $c/book satisfies $b/@price > 20
+           return 'all-expensive'"""
+    assert eval_flwor(parse_flwor(q), root) == []
+    q = """for $c in /catalog
+           where every $b in $c/book satisfies $b/@price > 2
+           return 'all-above-2'"""
+    assert eval_flwor(parse_flwor(q), root) == ["all-above-2"]
+    # multiple bindings = cartesian: some pair of books shares an author
+    q = """for $c in /catalog
+           where some $x in $c/book, $y in $c/book
+                 satisfies $x/author = $y/author and
+                           not($x/@id = $y/@id)
+           return 'shared-author'"""
+    assert eval_flwor(parse_flwor(q), root) == ["shared-author"]
+    # vacuous truth: empty binding sequence
+    q = """for $c in /catalog
+           where every $m in $c/missing satisfies $m = 'x'
+           return 'vacuous-true'"""
+    assert eval_flwor(parse_flwor(q), root) == ["vacuous-true"]
+    q = """for $c in /catalog
+           where some $m in $c/missing satisfies $m = 'x'
+           return 'never'"""
+    assert eval_flwor(parse_flwor(q), root) == []
+    # in a return hole, yields a boolean
+    q = """for $c in /catalog
+           return <r>{some $b in $c/book satisfies $b/@price < 5}</r>"""
+    assert eval_flwor(parse_flwor(q), root) == ["<r>true</r>"]
+
+
+def test_quantified_errors(root):
+    import pytest as _pt
+    with _pt.raises(XQueryError, match="satisfies"):
+        eval_flwor(parse_flwor(
+            "for $c in /catalog where some $b in $c/book "
+            "return 'x'"), root)
