@@ -13,13 +13,14 @@ from nifi_spark.streaming.cdc_stream import (StreamingCdcPipeline,
                                              dedup_stream,
                                              interval_join_streams,
                                              windowed_rollup)
-from nifi_spark.streaming.dedup_index_stream import \
-    StreamingDedupIndex
+from nifi_spark.streaming.dedup_index_stream import (
+    StreamingDedupIndex, compact_index)
 from nifi_spark.streaming.stateful import (detect_duplicate_stream,
                                            rate_limit_stream,
                                            sessionize_stream)
 
 __all__ = ["StreamingCdcPipeline", "StreamingDedupIndex",
+           "compact_index",
            "dedup_stream",
            "detect_duplicate_stream",
            "interval_join_streams", "windowed_rollup",

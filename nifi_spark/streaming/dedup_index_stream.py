@@ -131,3 +131,45 @@ class StreamingDedupIndex:
         loop)."""
         q = self.start(trigger_once=True)
         q.awaitTermination()
+
+
+def compact_index(spark: SparkSession, index_path: str,
+                  keep_last: int = 0) -> int:
+    """Fold the accumulated ``batch=N`` index subdirectories into one
+    ``batch=-1`` base dir (read-equivalent: the union is unchanged, and
+    `_read_index`'s min-per-key collapse is order-insensitive). A
+    rolling crawl accumulates one subdir per micro-batch — thousands of
+    tiny directories dominate listing time long before data size
+    matters; compaction is the same maintenance move as the snapshot
+    store's delta compaction. `keep_last` leaves the N highest-numbered
+    batch dirs uncompacted so an in-flight replay of a recent epoch
+    can still overwrite its own subdir. Returns the number of subdirs
+    folded."""
+    import shutil
+
+    subs = sorted(
+        (int(d.split("=", 1)[1]), d)
+        for d in os.listdir(index_path)
+        if d.startswith("batch=") and d != "batch=-1")
+    fold = [d for _, d in subs[:len(subs) - keep_last]] if keep_last \
+        else [d for _, d in subs]
+    if not fold:
+        return 0
+    paths = [os.path.join(index_path, d) for d in fold]
+    base = os.path.join(index_path, "batch=-1")
+    if os.path.isdir(base):
+        paths.append(base)
+    merged = (spark.read.schema("doc_id long, kind string, key string")
+              .parquet(*paths))
+    tmp = os.path.join(index_path, "_compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    # publish: swap the tmp dir in, then drop the folded subdirs —
+    # crash between the two leaves duplicate rows, which the
+    # min-per-key collapse reads through harmlessly (re-run to finish)
+    if os.path.isdir(base):
+        shutil.rmtree(base)
+    os.rename(tmp, base)
+    for p in paths:
+        if p != base and os.path.isdir(p):
+            shutil.rmtree(p)
+    return len(fold)

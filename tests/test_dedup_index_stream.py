@@ -101,3 +101,35 @@ def test_restart_resumes_checkpoint(spark, tmp_path):
     r = {x["doc_id"]: x["status"]
          for x in src2.read_results().collect()}
     assert r[100] == "exact_dup" and len(r) == 9
+
+
+def test_compact_index_is_read_equivalent(spark, tmp_path):
+    from nifi_spark.streaming.dedup_index_stream import compact_index
+    src, docs = _mk(spark, tmp_path)
+    for d in range(3):
+        rows = [(d * 100 + i,
+                 " ".join(f"d{d}i{i}w{j}" for j in range(10)))
+                for i in range(5)]
+        _land(spark, docs, rows, f"drop{d}")
+        src.drain()
+    before = sorted(map(tuple, src.read_index()
+                        .select("doc_id", "kind", "key").collect()))
+    n = compact_index(spark, src.index_path, keep_last=1)
+    assert n == 2                           # two folded, newest kept
+    dirs = sorted(d for d in os.listdir(src.index_path)
+                  if d.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=2"]
+    after = sorted(map(tuple, src.read_index()
+                       .select("doc_id", "kind", "key").collect()))
+    assert after == before
+    # classification after compaction unchanged: an exact copy of an
+    # early doc still matches it
+    _land(spark, docs, [(9999, " ".join(f"d0i1w{j}" for j in range(10)))],
+          "drop3")
+    src.drain()
+    r = {x["doc_id"]: (x["status"], x["matched_id"])
+         for x in src.read_results().collect()}
+    assert r[9999] == ("exact_dup", 1)
+    # idempotent re-run folds the rest
+    assert compact_index(spark, src.index_path) == 2  # batch=2 + batch=3
+    assert compact_index(spark, src.index_path) == 0
