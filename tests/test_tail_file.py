@@ -365,3 +365,68 @@ def test_multiple_files_spark_union(spark, tmp_path):
     assert df.count() == 3
     lines = MultiTailFileSource.lines(df)
     assert lines.count() == 60
+
+
+# ------------------------------------------------- property (hypothesis)
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.text(alphabet="ab\n\r", min_size=1, max_size=12)),
+        st.tuples(st.just("poll"), st.just("")),
+        st.tuples(st.just("rotate"), st.just("")),
+        st.tuples(st.just("restart"), st.just(""))),
+    min_size=1, max_size=18)
+
+
+def _complete_prefix(data: bytes) -> int:
+    """The readLines cut rule, independently restated: up to the last
+    \\n, or a later bare \\r that is followed by a non-\\n byte."""
+    cut = data.rfind(b"\n") + 1
+    for i in range(len(data) - 1):
+        if data[i:i + 1] == b"\r" and data[i + 1:i + 2] != b"\n":
+            cut = max(cut, i + 1)
+    return cut
+
+
+@settings(deadline=None, max_examples=25,
+          suppress_health_check=list(HealthCheck))
+@given(_OPS)
+def test_tail_property_no_loss_no_dup(tmp_path_factory, ops):
+    """Any interleaving of appends, polls, rotations, and restarts
+    lands exactly: every rotated file's bytes (from the consumed
+    offset) in rotation order, plus the current file's complete-line
+    prefix — no loss, no duplication, byte-for-byte."""
+    tmp = tmp_path_factory.mktemp("tailprop")
+    log = str(tmp / "app.log")
+    open(log, "wb").close()
+    _touch(log)
+    src = TailFileSource(log, str(tmp / "spool"),
+                         rolling_pattern="app.log.*")
+    rotated: list[bytes] = []       # full contents of rotated files
+    n_rot = 0
+    for op, arg in ops:
+        if op == "append":
+            _append(log, arg.encode())
+        elif op == "poll":
+            src.poll()
+        elif op == "rotate":
+            n_rot += 1
+            data = open(log, "rb").read()
+            rotated.append(data)
+            os.rename(log, str(tmp / f"app.log.{n_rot}"))
+            _touch(str(tmp / f"app.log.{n_rot}"))
+            open(log, "wb").close()
+            _touch(log)
+        else:                       # restart
+            src = TailFileSource(log, src.spool_dir,
+                                 rolling_pattern="app.log.*",
+                                 state_path=src.state_path)
+    src.poll()
+    src.poll()                      # second pass settles rollovers
+    cur = open(log, "rb").read()
+    expected = b"".join(rotated) + cur[:_complete_prefix(cur)]
+    got = "".join(r["content"] for r in _chunks(src)).encode()
+    assert got == expected, (ops, got, expected)
